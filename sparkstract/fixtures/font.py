@@ -1,0 +1,129 @@
+"""Deterministic 5x7 bitmap font for the synthetic page renderer AND the
+template recognizer (C11-stub in SURVEY.md §2.8).
+
+The reference recognizes text with a 20k-LoC LSTM stack
+(/root/reference/src/lstm/lstmrecognizer.cpp:263); per SURVEY.md we do NOT
+port the network. Instead the fixture renderer and the recognizer share this
+glyph LUT, so recognition on synthetic pages is exact by construction —
+mirroring how the reference's own unit tests pin behavior with synthetic
+inputs (unittest/paragraphs_test.cc:94 builds rows from ASCII art).
+
+Invariants enforced at import (so cell-grid decoding is well-posed):
+  * every glyph has ink in column 0 and column 4  (word bbox left/right
+    edges align with the char-cell grid)
+  * every glyph has ink in row 0 and row 6        (row bbox top/bottom give
+    the scale: s = row_height / 7)
+  * all glyph bitmaps are pairwise distinct       (decode is unambiguous)
+
+Glyphs that would naturally violate the edge rules get deterministic
+"serif" pixels added in `_conform` — legibility is irrelevant, only
+distinctness and edge contact matter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GLYPH_H = 7
+GLYPH_W = 5
+# char cell = glyph + 1 blank column/row of padding, scaled by `scale`
+CELL_W = GLYPH_W + 1  # advance per char, in font units
+CELL_H = GLYPH_H + 1
+
+# Classic 5x7 dot-matrix style faces, one string per row, '#'=ink.
+_RAW = {
+    "A": ["01110", "10001", "10001", "11111", "10001", "10001", "10001"],
+    "B": ["11110", "10001", "10001", "11110", "10001", "10001", "11110"],
+    "C": ["01111", "10000", "10000", "10000", "10000", "10000", "01111"],
+    "D": ["11110", "10001", "10001", "10001", "10001", "10001", "11110"],
+    "E": ["11111", "10000", "10000", "11110", "10000", "10000", "11111"],
+    "F": ["11111", "10000", "10000", "11110", "10000", "10000", "10000"],
+    "G": ["01111", "10000", "10000", "10111", "10001", "10001", "01111"],
+    "H": ["10001", "10001", "10001", "11111", "10001", "10001", "10001"],
+    "I": ["11111", "00100", "00100", "00100", "00100", "00100", "11111"],
+    "J": ["11111", "00010", "00010", "00010", "00010", "10010", "01110"],
+    "K": ["10001", "10010", "10100", "11000", "10100", "10010", "10001"],
+    "L": ["10000", "10000", "10000", "10000", "10000", "10000", "11111"],
+    "M": ["10001", "11011", "10101", "10101", "10001", "10001", "10001"],
+    "N": ["10001", "11001", "10101", "10011", "10001", "10001", "10001"],
+    "O": ["01110", "10001", "10001", "10001", "10001", "10001", "01110"],
+    "P": ["11110", "10001", "10001", "11110", "10000", "10000", "10000"],
+    "Q": ["01110", "10001", "10001", "10001", "10101", "10010", "01101"],
+    "R": ["11110", "10001", "10001", "11110", "10100", "10010", "10001"],
+    "S": ["01111", "10000", "10000", "01110", "00001", "00001", "11110"],
+    "T": ["11111", "00100", "00100", "00100", "00100", "00100", "00100"],
+    "U": ["10001", "10001", "10001", "10001", "10001", "10001", "01110"],
+    "V": ["10001", "10001", "10001", "10001", "10001", "01010", "00100"],
+    "W": ["10001", "10001", "10001", "10101", "10101", "11011", "10001"],
+    "X": ["10001", "10001", "01010", "00100", "01010", "10001", "10001"],
+    "Y": ["10001", "10001", "01010", "00100", "00100", "00100", "00100"],
+    "Z": ["11111", "00001", "00010", "00100", "01000", "10000", "11111"],
+    "0": ["01110", "10001", "10011", "10101", "11001", "10001", "01110"],
+    "1": ["00100", "01100", "00100", "00100", "00100", "00100", "11111"],
+    "2": ["01110", "10001", "00001", "00110", "01000", "10000", "11111"],
+    "3": ["11111", "00010", "00100", "00110", "00001", "10001", "01110"],
+    "4": ["00010", "00110", "01010", "10010", "11111", "00010", "00010"],
+    "5": ["11111", "10000", "11110", "00001", "00001", "10001", "01110"],
+    "6": ["00110", "01000", "10000", "11110", "10001", "10001", "01110"],
+    "7": ["11111", "00001", "00010", "00100", "01000", "01000", "01000"],
+    "8": ["01110", "10001", "10001", "01110", "10001", "10001", "01110"],
+    "9": ["01110", "10001", "10001", "01111", "00001", "00010", "01100"],
+    "-": ["10001", "00000", "00000", "11111", "00000", "00000", "10001"],
+}
+
+
+def _conform(bits: np.ndarray) -> np.ndarray:
+    """Add deterministic serif pixels so ink touches all four cell edges."""
+    out = bits.copy()
+    if not out[:, 0].any():
+        out[GLYPH_H - 1, 0] = True
+    if not out[:, GLYPH_W - 1].any():
+        out[GLYPH_H - 1, GLYPH_W - 1] = True
+    if not out[0, :].any():
+        out[0, 0] = True
+    if not out[GLYPH_H - 1, :].any():
+        out[GLYPH_H - 1, 0] = True
+    return out
+
+
+def _build() -> dict[str, np.ndarray]:
+    lut: dict[str, np.ndarray] = {}
+    for ch, rows in _RAW.items():
+        bits = np.array([[c == "1" for c in row] for row in rows], dtype=bool)
+        assert bits.shape == (GLYPH_H, GLYPH_W), ch
+        lut[ch] = _conform(bits)
+    # invariants
+    seen: dict[bytes, str] = {}
+    for ch, bits in lut.items():
+        assert bits[:, 0].any() and bits[:, GLYPH_W - 1].any(), ch
+        assert bits[0, :].any() and bits[GLYPH_H - 1, :].any(), ch
+        key = bits.tobytes()
+        assert key not in seen, f"glyph collision: {ch!r} vs {seen[key]!r}"
+        seen[key] = ch
+    return lut
+
+
+GLYPHS: dict[str, np.ndarray] = _build()
+ALPHABET: str = "".join(sorted(GLYPHS))
+
+# Flat decode tables (used by the recognizer for vectorized hamming match)
+_CHARS = sorted(GLYPHS)
+DECODE_CHARS: list[str] = _CHARS
+DECODE_MATRIX: np.ndarray = np.stack([GLYPHS[c].ravel() for c in _CHARS]).astype(np.int8)
+_EXACT: dict[bytes, str] = {GLYPHS[c].tobytes(): c for c in _CHARS}
+
+
+def decode_glyph(bits: np.ndarray) -> str:
+    """Decode one 7x5 boolean bitmap to its character.
+
+    Exact LUT hit first; nearest-hamming fallback (deterministic tie-break by
+    character order) so slightly corrupted glyphs (noise fixtures) still
+    decode — the analog of the classifier's best-choice (ratngs.h BLOB_CHOICE).
+    """
+    key = bits.astype(bool).tobytes()
+    hit = _EXACT.get(key)
+    if hit is not None:
+        return hit
+    flat = bits.astype(np.int8).ravel()
+    dist = np.abs(DECODE_MATRIX - flat).sum(axis=1)
+    return _CHARS[int(np.argmin(dist))]

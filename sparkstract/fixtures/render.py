@@ -1,0 +1,220 @@
+"""Deterministic synthetic page renderer + truth generator.
+
+Mirrors the reference's own test strategy: its pure-logic tests build inputs
+from ASCII art rather than scans (/root/reference/unittest/paragraphs_test.cc:94)
+and its layout tests pin block *type sequences* in reading order
+(unittest/layout_test.cc:53-117). Here the renderer and the truth table share
+one layout spec, so truth spans are exact by construction.
+
+Coordinate system: top-down y (SURVEY.md §7 risk register — the reference's
+TBOX is bottom-up, rect.h:40; we standardize on top-down and never convert).
+
+Geometry contract shared with the recognizer (operators/layout.py):
+  * glyphs are 5x7 bitmaps upscaled by integer ``s`` (body) / ``2s`` (heading)
+  * char pitch 6s, word space one extra cell → inter-word ink gap 7s
+  * line pitch within a block = 12s (ink 7s + leading 5s)
+  * vertical gap between blocks = 30s; caption sits 12s under its image
+  * column gutter = 24s of full-height whitespace
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .font import CELL_H, CELL_W, GLYPH_H, GLYPH_W, GLYPHS
+
+WHITE = np.uint8(255)
+INK = np.uint8(0)
+
+# kind vocabulary (PolyBlockType-derived, publictypes.h:53-70)
+FLOWING_TEXT = "flowing_text"
+HEADING_TEXT = "heading_text"
+CAPTION_TEXT = "caption_text"
+FLOWING_IMAGE = "flowing_image"
+PULLOUT_IMAGE = "pullout_image"
+
+TEXT_KINDS = {FLOWING_TEXT, HEADING_TEXT, CAPTION_TEXT}
+IMAGE_KINDS = {FLOWING_IMAGE, PULLOUT_IMAGE}
+
+
+@dataclass
+class Text:
+    """A text element. role: body | heading | caption. col=None → full width."""
+
+    lines: list[str]
+    role: str = "body"
+    col: int | None = 0
+
+
+@dataclass
+class ImageRect:
+    """A solid photo-like rectangle. w_frac of column width, h in px units of s."""
+
+    h_units: int = 60  # height = h_units * s
+    w_frac: float = 0.5
+    col: int | None = 0
+    full_page: bool = False  # F04: one big photo covering most of the page
+
+
+@dataclass
+class PageSpec:
+    elements: list[Text | ImageRect] = field(default_factory=list)
+    scale: int = 2
+    n_cols: int = 1
+    width_chars: int = 18  # per column
+    noise_frac: float = 0.0
+    seed: int = 0
+
+
+@dataclass
+class TruthBlock:
+    kind: str
+    text: str | None  # None for image kinds
+
+
+def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int) -> int:
+    """Draw one line of text at (x, y) top-left with scale s. Returns ink width."""
+    need = len(text) * CELL_W * s - s
+    if x + need > canvas.shape[1] or y + GLYPH_H * s > canvas.shape[0]:
+        raise ValueError(f"text {text!r} at scale {s} overflows the page/column")
+    cx = x
+    for ch in text:
+        if ch != " ":
+            bits = GLYPHS[ch]
+            tile = np.kron(bits, np.ones((s, s), dtype=bool))
+            canvas[y : y + GLYPH_H * s, cx : cx + GLYPH_W * s][tile] = INK
+        cx += CELL_W * s
+    return cx - x
+
+
+def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
+    """Render a page; return (gray uint8 image, truth blocks in reading order).
+
+    Reading order contract (the W2 invariant, colfind.cpp:1529 /
+    layout_test.cc:122-147): full-width elements top-down first, then column 0
+    top-down, then column 1, ... . ``spec.elements`` MUST already be listed in
+    that order; this function asserts it.
+    """
+    s = spec.scale
+    cw = CELL_W * s
+    line_pitch = 12 * s
+    block_gap = 30 * s
+    caption_gap = 12 * s
+    margin = 8 * s
+    gutter = 24 * s
+    col_w = spec.width_chars * cw
+    page_w = 2 * margin + spec.n_cols * col_w + (spec.n_cols - 1) * gutter
+
+    # --- order sanity: full-width first, then by column ascending ---
+    order_keys = [(-1 if e.col is None else e.col) for e in spec.elements]
+    fw = [k for k in order_keys if k == -1]
+    assert order_keys[: len(fw)] == fw, "full-width elements must come first"
+    cols_seen = [k for k in order_keys if k >= 0]
+    assert cols_seen == sorted(cols_seen), "elements must be grouped by column"
+
+    # --- measure heights ---
+    def elem_height(e: Text | ImageRect) -> int:
+        if isinstance(e, Text):
+            es = s * (2 if e.role == "heading" else 1)
+            n = len(e.lines)
+            return (n - 1) * 12 * es + GLYPH_H * es
+        if e.full_page:
+            return 0  # resolved later against page height
+        return e.h_units * s
+
+    def gap_before(prev: Text | ImageRect | None, e: Text | ImageRect) -> int:
+        if prev is None:
+            return 0
+        if isinstance(e, Text) and e.role == "caption" and isinstance(prev, ImageRect):
+            return caption_gap
+        return block_gap
+
+    full_width = [e for e in spec.elements if e.col is None]
+    by_col: dict[int, list[Text | ImageRect]] = {}
+    for e in spec.elements:
+        if e.col is not None:
+            by_col.setdefault(e.col, []).append(e)
+
+    y = margin
+    fw_pos: list[tuple[Text | ImageRect, int]] = []
+    prev: Text | ImageRect | None = None
+    for e in full_width:
+        y += gap_before(prev, e)
+        fw_pos.append((e, y))
+        y += elem_height(e)
+        prev = e
+    col_y0 = y + (block_gap if full_width else 0)
+
+    col_heights = []
+    col_pos: dict[int, list[tuple[Text | ImageRect, int]]] = {}
+    for c, elems in by_col.items():
+        cy = col_y0
+        prev = None
+        pos = []
+        for e in elems:
+            cy += gap_before(prev, e)
+            pos.append((e, cy))
+            cy += elem_height(e)
+            prev = e
+        col_pos[c] = pos
+        col_heights.append(cy)
+    page_h = max([col_y0] + col_heights) + margin
+    if any(isinstance(e, ImageRect) and e.full_page for e in spec.elements):
+        page_h = max(page_h, 140 * s)
+
+    canvas = np.full((page_h, page_w), WHITE, dtype=np.uint8)
+    truth: list[TruthBlock] = []
+
+    def draw(e: Text | ImageRect, y0: int, col: int | None) -> None:
+        x0 = margin if col is None else margin + col * (col_w + gutter)
+        avail_w = page_w - 2 * margin if col is None else col_w
+        if isinstance(e, Text):
+            es = s * (2 if e.role == "heading" else 1)
+            yy = y0
+            for ln in e.lines:
+                _render_line(canvas, x0, yy, ln, es)
+                yy += 12 * es
+            kind = {"body": FLOWING_TEXT, "heading": HEADING_TEXT, "caption": CAPTION_TEXT}[e.role]
+            truth.append(TruthBlock(kind, "\n".join(e.lines)))
+        else:
+            if e.full_page:
+                h = page_h - 2 * margin - (y0 - margin)
+                w = avail_w
+                xr = x0
+            else:
+                h = e.h_units * s
+                w = int(avail_w * e.w_frac)
+                xr = x0 + (avail_w - w) // 2
+            canvas[y0 : y0 + h, xr : xr + w] = INK
+            frac = w / (page_w - 2 * margin)
+            truth.append(TruthBlock(FLOWING_IMAGE if frac > 0.7 else PULLOUT_IMAGE, None))
+
+    for e, y0 in fw_pos:
+        draw(e, y0, None)
+    for c in sorted(col_pos):
+        for e, y0 in col_pos[c]:
+            draw(e, y0, c)
+
+    if spec.noise_frac > 0:
+        rng = np.random.default_rng(spec.seed)
+        # single-pixel salt specks on a stride-3 grid (so no two specks ever
+        # merge into a bigger blob), kept >=2px from real ink so truth stays
+        # exact — the noise filter F4/F8 must remove them (tordmain.cpp:287)
+        ink = canvas == INK
+        dil = ink.copy()
+        for dy in (-2, -1, 0, 1, 2):
+            for dx in (-2, -1, 0, 1, 2):
+                dil |= np.roll(np.roll(ink, dy, 0), dx, 1)
+        gy = np.arange(2, page_h - 2, 3)
+        gx = np.arange(2, page_w - 2, 3)
+        yy, xx = np.meshgrid(gy, gx, indexing="ij")
+        yy, xx = yy.ravel(), xx.ravel()
+        ok = ~dil[yy, xx]
+        yy, xx = yy[ok], xx[ok]
+        n_specks = min(int(spec.noise_frac * page_h * page_w), yy.shape[0])
+        pick = rng.choice(yy.shape[0], size=n_specks, replace=False)
+        canvas[yy[pick], xx[pick]] = INK
+
+    return canvas, truth

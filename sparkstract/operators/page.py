@@ -1,0 +1,305 @@
+"""Per-page analysis kernel: the whole Tesseract flow for one page, numpy-only.
+
+This is the computation the reference runs in
+TessBaseAPI::Recognize → FindLines → SegmentPage → ColumnFinder::FindBlocks →
+TextordPage → recog_all_words (trace in SURVEY.md §3.2, files
+/root/reference/src/api/baseapi.cpp:1319, src/ccmain/pagesegmain.cpp:100,
+src/textord/colfind.cpp:296, src/textord/textord.cpp:178). Pages are a few
+thousand blobs, so — per SURVEY.md §2.3 — all spatial "joins" happen inside
+this kernel with sorted numpy arrays; Spark parallelism is *across* pages.
+
+Stages (reference citations per function):
+  binarize        F1/F2  otsuthr.cpp:37
+  label_blobs     F3     edgblob.cpp:343
+  noise filter    F4/F8  tordmain.cpp:287, makerow.cpp:509
+  image grading   F6/C1  imagefind.cpp:260, strokewidth.cpp:344
+  row clustering  J3/A2  makerow.cpp:2263 (assign_blobs_to_rows)
+  column finding  C5/W1  tabfind.cpp:833, colfind.cpp:605
+  block formation W2     colfind.cpp:1529 (TransformToBlocks)
+  reading order   W2     vertical-first XY-cut == column-major flush order
+                         (columns left→right, top→bottom within column,
+                          workingpartset.cpp:80; invariant layout_test.cc:122)
+  kind typing     C7     colfind.h:257 (SetPartitionTypes) — heading/caption
+  word segment    C13    wordseg.cpp:101 (make_words), tospace.cpp:43
+  recognition     C11    template decode against the shared glyph LUT
+                         (stands in for lstmrecognizer.cpp:263; see font.py)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..fixtures.font import GLYPH_H, GLYPH_W, decode_glyph
+from ..fixtures.render import (
+    CAPTION_TEXT,
+    FLOWING_IMAGE,
+    FLOWING_TEXT,
+    HEADING_TEXT,
+    PULLOUT_IMAGE,
+)
+from ..functions.cclabel import Blobs, label_blobs
+from ..functions.otsu import binarize
+
+NOISE_AREA = 2          # blobs with <= this many ink px are specks (F4)
+IMAGE_FILL = 0.85       # solid-rectangle fill ratio → photo region (F6)
+IMAGE_MIN_SIDE = 20     # px; glyphs never reach this at fill >= 0.85
+HEADING_RATIO = 1.4     # row scale vs page body scale → heading (C7)
+WORD_GAP_UNITS = 3      # ink gap > 3*s → word boundary (tospace.cpp:43)
+BLOCK_GAP_UNITS = 8     # ink gap > 8*s between rows → new block
+GUTTER_UNITS = 12       # x-projection gap >= 12*s → column gutter (C5)
+CAPTION_GAP_UNITS = 18  # text block within 18*s below an image → caption
+
+
+@dataclass
+class Block:
+    order: int
+    kind: str
+    text: str | None
+    left: int
+    top: int
+    right: int
+    bottom: int
+
+
+def _merge_x_overlaps(left: np.ndarray, top: np.ndarray, right: np.ndarray,
+                      bottom: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Merge blobs in one row whose x-intervals overlap (J6 diacritic/fragment
+    attachment, strokewidth.cpp:1491) → char-group boxes sorted by x."""
+    order = np.argsort(left, kind="stable")
+    left, top, right, bottom = left[order], top[order], right[order], bottom[order]
+    # group where next left > running max right
+    run_max = np.maximum.accumulate(right)
+    new_grp = np.ones(left.shape[0], dtype=bool)
+    new_grp[1:] = left[1:] > run_max[:-1]
+    gid = np.cumsum(new_grp) - 1
+    k = gid[-1] + 1
+    gl = np.full(k, np.iinfo(np.int64).max)
+    gr = np.zeros(k, dtype=np.int64)
+    gt = np.full(k, np.iinfo(np.int64).max)
+    gb = np.zeros(k, dtype=np.int64)
+    np.minimum.at(gl, gid, left)
+    np.maximum.at(gr, gid, right)
+    np.minimum.at(gt, gid, top)
+    np.maximum.at(gb, gid, bottom)
+    return gl, gt, gr, gb
+
+
+def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
+                gl: np.ndarray, gr: np.ndarray, s: int) -> str:
+    """Template-decode one text row: split char-groups into words by gap, map
+    each word onto its 6s char-cell grid, downsample cells to 5x7, LUT match."""
+    gaps = gl[1:] - gr[:-1] - 1
+    word_break = gaps > WORD_GAP_UNITS * s
+    wid = np.concatenate([[0], np.cumsum(word_break)])
+    words: list[str] = []
+    for wi in range(wid[-1] + 1):
+        sel = wid == wi
+        x0 = int(gl[sel].min())
+        x1 = int(gr[sel].max())
+        n = int(round((x1 - x0 + 1 + s) / (6 * s)))
+        chars = []
+        band = ink[row_top : row_top + GLYPH_H * s]
+        for k in range(n):
+            cx = x0 + 6 * s * k
+            cell = band[:, cx : cx + GLYPH_W * s]
+            bits = cell.reshape(GLYPH_H, s, GLYPH_W, s).mean(axis=(1, 3)) > 0.5
+            chars.append(decode_glyph(bits))
+        words.append("".join(chars))
+    return " ".join(words)
+
+
+def _coverage_gaps(left: np.ndarray, right: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
+    """Maximal whitespace gaps >= min_gap strictly inside the x-extent of the
+    given intervals (the tab-stop/gutter finder, tabfind.cpp:833)."""
+    order = np.argsort(left)
+    l, r = left[order], right[order]
+    gaps = []
+    run_end = int(r[0])
+    for i in range(1, l.shape[0]):
+        if int(l[i]) > run_end + 1:
+            if int(l[i]) - run_end - 1 >= min_gap:
+                gaps.append((run_end + 1, int(l[i]) - 1))
+        run_end = max(run_end, int(r[i]))
+    return gaps
+
+
+def _xy_cut(boxes: list[tuple[int, int, int, int]], idx: list[int],
+            vertical_first: bool = True) -> list[int]:
+    """Recursive XY-cut, vertical cuts first → Tesseract's column-major
+    reading order (W2). boxes are (l, t, r, b); returns idx in reading order."""
+    if len(idx) <= 1:
+        return list(idx)
+
+    def try_cut(axis: int) -> list[list[int]] | None:
+        lo = np.array([boxes[i][axis] for i in idx])
+        hi = np.array([boxes[i][axis + 2] for i in idx])
+        order = np.argsort(lo)
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        run_end = -(1 << 60)
+        for oi in order:
+            i = idx[oi]
+            if cur and lo[oi] > run_end:  # strict whitespace between groups
+                groups.append(cur)
+                cur = []
+            cur.append(i)
+            run_end = max(run_end, int(hi[oi]))
+        groups.append(cur)
+        return groups if len(groups) > 1 else None
+
+    axes = (0, 1) if vertical_first else (1, 0)
+    for axis in axes:
+        groups = try_cut(axis)
+        if groups:
+            out: list[int] = []
+            for g in groups:
+                out.extend(_xy_cut(boxes, g, vertical_first))
+            return out
+    # no cut possible: top-down, then left-right (stable final tiebreak)
+    return sorted(idx, key=lambda i: (boxes[i][1], boxes[i][0]))
+
+
+def analyse_page(gray: np.ndarray) -> list[Block]:
+    """Full page analysis + recognition. Returns blocks in reading order."""
+    ink = binarize(gray)
+    blobs: Blobs = label_blobs(ink)
+    if len(blobs) == 0:
+        return []
+
+    keep = blobs.area > NOISE_AREA
+    if not keep.any():
+        return []
+    left = blobs.left[keep].astype(np.int64)
+    top = blobs.top[keep].astype(np.int64)
+    right = blobs.right[keep].astype(np.int64)
+    bottom = blobs.bottom[keep].astype(np.int64)
+    area = blobs.area[keep]
+    w = right - left + 1
+    h = bottom - top + 1
+
+    fill = area / (w * h)
+    is_img = (fill >= IMAGE_FILL) & (h >= IMAGE_MIN_SIDE) & (w >= IMAGE_MIN_SIDE)
+
+    image_boxes = [
+        (int(left[i]), int(top[i]), int(right[i]), int(bottom[i]))
+        for i in np.nonzero(is_img)[0]
+    ]
+
+    tl, tt, tr, tb = left[~is_img], top[~is_img], right[~is_img], bottom[~is_img]
+
+    # ---- rows: cluster text blobs by top (J3); same-line glyphs share tops ----
+    rows: list[dict] = []
+    if tl.shape[0] > 0:
+        order = np.argsort(tt, kind="stable")
+        tl, tt, tr, tb = tl[order], tt[order], tr[order], tb[order]
+        hh = tb - tt + 1
+        tol = np.maximum(2, (hh * 0.3).astype(np.int64))
+        new_row = np.ones(tt.shape[0], dtype=bool)
+        new_row[1:] = tt[1:] > tt[:-1] + tol[1:]
+        rid = np.cumsum(new_row) - 1
+        for r in range(rid[-1] + 1):
+            sel = rid == r
+            gl, gt, gr, gb = _merge_x_overlaps(tl[sel], tt[sel], tr[sel], tb[sel])
+            r_top, r_bot = int(gt.min()), int(gb.max())
+            s = max(1, int(round((r_bot - r_top + 1) / GLYPH_H)))
+            rows.append(dict(top=r_top, bottom=r_bot, left=int(gl.min()),
+                             right=int(gr.max()), s=s, gl=gl, gr=gr))
+
+    body_s = int(np.median([r["s"] for r in rows])) if rows else 1
+    for r in rows:
+        r["heading"] = r["s"] >= HEADING_RATIO * body_s
+
+    # ---- columns from body-row blob x-projection (C5/W1) ----
+    col_ranges: list[tuple[int, int]] = []
+    body_rows = [r for r in rows if not r["heading"]]
+    if body_rows:
+        bl = np.concatenate([r["gl"] for r in body_rows])
+        br = np.concatenate([r["gr"] for r in body_rows])
+        gaps = _coverage_gaps(bl, br, GUTTER_UNITS * body_s)
+        x_lo, x_hi = int(bl.min()), int(br.max())
+        cuts = [x_lo - 1] + [g[0] - 1 for g in gaps] + [x_hi + 1]
+        starts = [x_lo] + [g[1] + 1 for g in gaps]
+        col_ranges = [(starts[i], cuts[i + 1]) for i in range(len(starts))]
+
+    # ---- split body rows at column boundaries (ColPartition per column,
+    # colpartition.h:73: a partition never crosses a column gutter) ----
+    col_starts = np.array([c[0] for c in col_ranges]) if col_ranges else np.array([0])
+
+    def split_row(r: dict) -> list[tuple[object, dict]]:
+        if r["heading"] or len(col_ranges) <= 1:
+            hits = [ci for ci, (x0, x1) in enumerate(col_ranges)
+                    if r["right"] >= x0 and r["left"] <= x1]
+            key = hits[0] if len(hits) == 1 else "fw"
+            return [(key, r)]
+        centers = (r["gl"] + r["gr"]) / 2
+        cid = np.searchsorted(col_starts, centers, side="right") - 1
+        out = []
+        for c in np.unique(cid):
+            sel = cid == c
+            gl, gr = r["gl"][sel], r["gr"][sel]
+            out.append((int(c), dict(top=r["top"], bottom=r["bottom"],
+                                     left=int(gl.min()), right=int(gr.max()),
+                                     s=r["s"], heading=False, gl=gl, gr=gr)))
+        return out
+
+    # ---- blocks: stack rows per column, split on class change / big gap (W2) ----
+    blocks: list[dict] = []
+    groups: dict[object, list[dict]] = {}
+    for r in rows:
+        for key, sub in split_row(r):
+            groups.setdefault(key, []).append(sub)
+    for key, rws in groups.items():
+        rws.sort(key=lambda r: r["top"])
+        cur: list[dict] = []
+        for r in rws:
+            if cur and (
+                r["heading"] != cur[-1]["heading"]
+                or r["top"] - cur[-1]["bottom"] - 1 > BLOCK_GAP_UNITS * cur[-1]["s"]
+            ):
+                blocks.append(dict(rows=cur))
+                cur = []
+            cur.append(r)
+        if cur:
+            blocks.append(dict(rows=cur))
+
+    for b in blocks:
+        rws = b["rows"]
+        b["box"] = (min(r["left"] for r in rws), min(r["top"] for r in rws),
+                    max(r["right"] for r in rws), max(r["bottom"] for r in rws))
+        b["image"] = False
+        b["heading"] = rws[0]["heading"]
+    for ib in image_boxes:
+        blocks.append(dict(rows=None, box=ib, image=True, heading=False))
+
+    # ---- reading order: vertical-first XY-cut (W2) ----
+    boxes = [b["box"] for b in blocks]
+    order = _xy_cut(boxes, list(range(len(blocks))))
+
+    # ---- kind typing (C7) + caption attachment (J8) ----
+    page_w_ink = (max(bx[2] for bx in boxes) - min(bx[0] for bx in boxes) + 1) if boxes else 1
+    out: list[Block] = []
+    for rank, i in enumerate(order):
+        b = blocks[i]
+        l, t, r_, bo = b["box"]
+        if b["image"]:
+            kind = FLOWING_IMAGE if (r_ - l + 1) / page_w_ink > 0.7 else PULLOUT_IMAGE
+            out.append(Block(rank, kind, None, l, t, r_, bo))
+            continue
+        if b["heading"]:
+            kind = HEADING_TEXT
+        else:
+            kind = FLOWING_TEXT
+            for ib in image_boxes:
+                x_overlap = min(r_, ib[2]) >= max(l, ib[0])
+                dy = t - ib[3]
+                if x_overlap and 0 <= dy <= CAPTION_GAP_UNITS * b["rows"][0]["s"]:
+                    kind = CAPTION_TEXT
+                    break
+        lines = [
+            _decode_row(ink, rr["top"], rr["bottom"], rr["gl"], rr["gr"], rr["s"])
+            for rr in b["rows"]
+        ]
+        out.append(Block(rank, kind, "\n".join(lines), l, t, r_, bo))
+    return out
