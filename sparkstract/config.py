@@ -1,0 +1,31 @@
+"""Frozen job configuration.
+
+The reference exposes ~600 mutable runtime params via SetVariable
+(/root/reference/include/tesseract/baseapi.h:202, src/ccutil/params.cpp).
+We keep the Spark-side analog deliberately small and *frozen*: a dataclass
+captured into the UDF closures at plan-build time (broadcast by Spark's task
+serialization), so every executor sees identical, immutable settings —
+determinism is part of the north rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    # parallelism: number of partitions for the page-work stage. The work unit
+    # is (doc_id, offset) — one media span — NOT the doc, which is exactly the
+    # salting that spreads a media-heavy doc (axis B) across many tasks.
+    work_partitions: int = 0  # 0 → leave to spark.sql.shuffle.partitions
+    # broadcast the media table when its row count is below this (test scale /
+    # small dims only; at 100 TB the media side is the big one and the join
+    # hash-shuffles on media_ref)
+    broadcast_media_max_rows: int = 10_000
+    # recognition on/off — off mirrors AnalyseLayout (baseapi.cpp:1298):
+    # layout + order + kinds, text left null
+    recognize: bool = True
+    # pages per Arrow batch fed to the kernel (DocumentCache's memory-bounded
+    # read-ahead analog, imagedata.h:288 — Spark + Arrow own the batching)
+    arrow_max_records: int = 64

@@ -1,0 +1,187 @@
+"""Fixture-family generator: docs / media / truth tables (FIXTURES.md).
+
+Each family mirrors a reference test (citations in FIXTURES.md §families).
+The same machinery scales up for the bench corpus: `generate_corpus` mixes
+families with a deliberately skewed media-heavy doc (F10, axis B).
+
+Tables (pandas; `to_spark` converts with explicit schemas):
+  docs(doc_id, spans[list[dict(kind,text,media_ref,offset)]])
+  media(media_ref, width, height, image[PNG bytes])
+  truth(doc_id, order, kind, text, media_ref)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..functions.png import encode_gray
+from .render import ImageRect, PageSpec, Text, render_page
+
+_VOCAB = (
+    "THE QUICK BROWN FOX JUMPS OVER LAZY DOG SPARK QUERY SCAN JOIN SORT "
+    "MERGE BATCH GRID PAGE LINE WORD BLOCK TEXT IMAGE ORDER COLUMN ROW "
+    "TABLE INDEX CACHE SHARD TOKEN GLYPH PIXEL RASTER VECTOR STREAM"
+).split()
+
+DOCS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+MEDIA_SCHEMA = "media_ref string, width int, height int, image binary"
+TRUTH_SCHEMA = "doc_id string, order int, kind string, text string, media_ref string"
+
+
+def _lines(rng: np.random.Generator, n_lines: int, max_chars: int) -> list[str]:
+    out = []
+    for _ in range(n_lines):
+        words: list[str] = []
+        while True:
+            w = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
+            need = len(w) if not words else len(w) + 1
+            if sum(len(x) for x in words) + len(words) + need > max_chars:
+                break
+            words.append(w)
+        if not words:
+            words = ["A"]
+        out.append(" ".join(words))
+    return out
+
+
+def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
+    """Deterministic page spec per fixture family (FIXTURES.md table)."""
+    seed = int(rng.integers(0, 2**31))
+    if family == "single_column":  # F01 — baseapi_test.cc:74 golden text
+        return PageSpec(elements=[Text(_lines(rng, 4, 16))], scale=2, seed=seed)
+    if family == "two_column":  # F02 — colfind.cpp:605 column finding
+        return PageSpec(
+            elements=[Text(_lines(rng, 3, 14), col=0), Text(_lines(rng, 3, 14), col=1)],
+            n_cols=2, scale=2, width_chars=15, seed=seed)
+    if family == "interleaved_order":  # F03 — layout_test.cc:53 type sequence
+        return PageSpec(elements=[
+            Text(_lines(rng, 1, 8), role="heading", col=None),
+            Text(_lines(rng, 2, 16), col=0),
+            ImageRect(h_units=50, w_frac=0.5, col=0),
+            Text(_lines(rng, 1, 16), role="caption", col=0),
+            Text(_lines(rng, 2, 16), col=0),
+        ], scale=2, seed=seed)
+    if family == "image_only":  # F04 — GetUTF8Text image skip baseapi.cpp:2107
+        return PageSpec(elements=[ImageRect(full_page=True, col=0)], scale=2, seed=seed)
+    if family == "grid_2x2":  # F05 — layout_test.cc:122 rough order
+        return PageSpec(elements=[
+            Text(_lines(rng, 2, 12), col=0), Text(_lines(rng, 4, 12), col=0),
+            Text(_lines(rng, 3, 12), col=1), Text(_lines(rng, 1, 12), col=1),
+        ], n_cols=2, scale=2, width_chars=13, seed=seed)
+    if family == "paragraphs":  # F06 — paragraphs_test.cc (v1: blocks by gap)
+        return PageSpec(elements=[
+            Text(_lines(rng, 2, 16), col=0),
+            Text(_lines(rng, 3, 16), col=0),
+            Text(_lines(rng, 2, 16), col=0),
+        ], scale=2, seed=seed)
+    if family == "noise_page":  # F07 — tordmain.cpp:287 noise filtering
+        return PageSpec(elements=[Text(_lines(rng, 4, 16))], scale=2,
+                        noise_frac=0.0002 * 100, seed=seed)
+    if family == "empty_page":  # F08 — baseapi.cpp:1333 empty exit
+        return PageSpec(elements=[], scale=2, seed=seed)
+    raise ValueError(family)
+
+
+PAGE_FAMILIES = [
+    "single_column", "two_column", "interleaved_order", "image_only",
+    "grid_2x2", "paragraphs", "noise_page", "empty_page",
+]
+
+
+@dataclass
+class FixtureSet:
+    docs: pd.DataFrame
+    media: pd.DataFrame
+    truth: pd.DataFrame
+
+    def to_spark(self, spark):
+        docs = spark.createDataFrame(self.docs.to_dict("records"), DOCS_SCHEMA)
+        media = spark.createDataFrame(
+            [tuple(r) for r in self.media.itertuples(index=False)], MEDIA_SCHEMA)
+        truth = spark.createDataFrame(
+            [tuple(r) for r in self.truth.itertuples(index=False)], TRUTH_SCHEMA)
+        return docs, media, truth
+
+
+class _Builder:
+    def __init__(self, seed: int):
+        self.rng = np.random.default_rng(seed)
+        self.docs: list[dict] = []
+        self.media: list[dict] = []
+        self.truth: list[dict] = []
+        self._media_n = 0
+
+    def add_page(self, family: str) -> tuple[str, list]:
+        spec = page_spec(family, self.rng)
+        img, blocks = render_page(spec)
+        ref = f"m-{family}-{self._media_n:06d}"
+        self._media_n += 1
+        self.media.append(dict(media_ref=ref, width=img.shape[1],
+                               height=img.shape[0], image=encode_gray(img)))
+        return ref, blocks
+
+    def add_doc(self, doc_id: str, parts: list[tuple[str, str]]) -> None:
+        """parts: list of ('text', passage) or ('media', family)."""
+        spans, truth_rows = [], []
+        for off, (kind, payload) in enumerate(parts):
+            if kind == "text":
+                spans.append(dict(kind="text", text=payload, media_ref=None, offset=off))
+                truth_rows.append(dict(kind="text", text=payload, media_ref=None))
+            else:
+                ref, blocks = self.add_page(payload)
+                spans.append(dict(kind="media", text=None, media_ref=ref, offset=off))
+                for b in blocks:
+                    truth_rows.append(dict(kind=b.kind, text=b.text, media_ref=ref))
+        self.docs.append(dict(doc_id=doc_id, spans=spans))
+        for i, tr in enumerate(truth_rows):
+            self.truth.append(dict(doc_id=doc_id, order=i, **tr))
+
+    def passage(self) -> str:
+        return " ".join(_lines(self.rng, 1, 40))
+
+    def build(self) -> FixtureSet:
+        return FixtureSet(
+            docs=pd.DataFrame(self.docs),
+            media=pd.DataFrame(self.media,
+                               columns=["media_ref", "width", "height", "image"]),
+            truth=pd.DataFrame(self.truth,
+                               columns=["doc_id", "order", "kind", "text", "media_ref"]),
+        )
+
+
+def build_fixtures(seed: int = 42) -> FixtureSet:
+    """The correctness fixture set: one doc per family + the interleaved
+    multi-media doc (F09) and the skew doc (F10, 64 media spans)."""
+    b = _Builder(seed)
+    for fam in PAGE_FAMILIES:
+        b.add_doc(f"d-{fam}", [("text", b.passage()), ("media", fam), ("text", b.passage())])
+    # F09: multi-media interleave — reassembly + order spec
+    b.add_doc("d-multi", [
+        ("text", b.passage()), ("media", "single_column"), ("text", b.passage()),
+        ("media", "interleaved_order"), ("text", b.passage()),
+    ])
+    # F10: media-heavy skew doc (axis B): 64 pages in one doc
+    b.add_doc("d-skew", [("media", "single_column") for _ in range(64)])
+    return b.build()
+
+
+def generate_corpus(n_docs: int, seed: int = 42, heavy_every: int = 200,
+                    heavy_pages: int = 32) -> FixtureSet:
+    """Bench corpus: mixed families, one media-heavy doc per `heavy_every`
+    docs (the axis-B skew that salted repartitioning must absorb)."""
+    b = _Builder(seed)
+    fams = [f for f in PAGE_FAMILIES if f != "empty_page"]
+    for i in range(n_docs):
+        if heavy_every and i % heavy_every == heavy_every - 1:
+            parts = [("media", "single_column") for _ in range(heavy_pages)]
+        else:
+            fam = fams[i % len(fams)]
+            parts = [("text", b.passage()), ("media", fam), ("text", b.passage())]
+        b.add_doc(f"doc-{i:07d}", parts)
+    return b.build()

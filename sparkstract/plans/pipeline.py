@@ -1,0 +1,134 @@
+"""The extraction plan: docs ⨝ media → page kernel → ordered span reassembly.
+
+Spark lifecycle (SURVEY.md §3.3 "Spark lifecycle (ours)"):
+
+  docs → posexplode(spans) → split text/media
+       → media ⨝ media-bytes (J7; broadcast at test scale, hash join at 100 TB)
+       → repartition on (doc_id, offset)        ← the axis-B salt: the work
+         unit is one media span, so a doc with 10k pages spreads over 10k
+         tasks instead of hot-spotting one
+       → mapInPandas(page kernel)               ← F1-F8, C1-C13, W1-W3, A1-A8
+       → union text pass-through spans
+       → row_number() over (doc_id ORDER BY offset, block_order)  ← A11, the
+         one true shuffle aggregation (GetUTF8Text ordered walk,
+         /root/reference/src/api/baseapi.cpp:2097)
+
+Everything between the explode and the final window is partition-local; the
+plan has exactly two shuffles at scale (media join, doc reassembly) plus the
+salt repartition, which AQE may coalesce.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import ExtractConfig
+from ..operators.page import analyse_page
+
+EXTRACTED_SCHEMA = (
+    "doc_id string, offset int, block_order int, kind string, "
+    "text string, media_ref string"
+)
+SPANS_SCHEMA = "doc_id string, order int, kind string, text string, media_ref string"
+
+
+def _page_kernel(cfg: ExtractConfig):
+    """Build the mapInPandas kernel: one Arrow batch of (doc_id, offset,
+    media_ref, image) rows in → extracted block rows out. All heavy work is
+    numpy inside analyse_page; the only Python loop is over pages in the
+    batch (the reference's page loop, ProcessPagesInternal baseapi.cpp:1731).
+    """
+    from ..functions.png import decode_gray  # import inside for executor pickling
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ("doc_id", "offset", "block_order", "kind",
+                                     "text", "media_ref")}
+            for doc_id, offset, ref, png in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
+            ):
+                gray = decode_gray(bytes(png))
+                for blk in analyse_page(gray):
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(offset)
+                    out["block_order"].append(blk.order)
+                    out["kind"].append(blk.kind)
+                    out["text"].append(blk.text if cfg.recognize else None)
+                    out["media_ref"].append(ref)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def extract(spark: SparkSession, docs: DataFrame, media: DataFrame,
+            cfg: ExtractConfig | None = None) -> DataFrame:
+    """Run the full pipeline; returns flat spans (doc_id, order, kind, text,
+    media_ref) — `order` dense 0-based per doc, the north-rule invariant key."""
+    cfg = cfg or ExtractConfig()
+
+    exploded = docs.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+    text_pass = (
+        exploded.filter(F.col("kind") == "text")
+        .select("doc_id", "offset", F.lit(0).alias("block_order"),
+                F.lit("text").alias("kind"), "text",
+                F.lit(None).cast("string").alias("media_ref"))
+    )
+
+    media_side = media.select("media_ref", "image")
+    if cfg.broadcast_media_max_rows:
+        media_side = F.broadcast(media_side)
+
+    work = (
+        exploded.filter(F.col("kind") == "media")
+        .select("doc_id", "offset", "media_ref")
+        .join(media_side, "media_ref")
+    )
+    if cfg.work_partitions:
+        work = work.repartition(cfg.work_partitions, "doc_id", "offset")
+    else:
+        work = work.repartition("doc_id", "offset")
+
+    extracted = work.mapInPandas(_page_kernel(cfg), schema=EXTRACTED_SCHEMA)
+
+    unioned = extracted.unionByName(text_pass)
+    w = Window.partitionBy("doc_id").orderBy("offset", "block_order")
+    return (
+        unioned.withColumn("order", F.row_number().over(w) - 1)
+        .select("doc_id", "order", "kind", "text", "media_ref")
+    )
+
+
+def analyse_layout(spark: SparkSession, docs: DataFrame, media: DataFrame,
+                   cfg: ExtractConfig | None = None) -> DataFrame:
+    """Layout-only slice: blocks + order + kinds, no recognition — mirrors
+    TessBaseAPI::AnalyseLayout (/root/reference/src/api/baseapi.cpp:1298)."""
+    base = cfg or ExtractConfig()
+    cfg = ExtractConfig(
+        work_partitions=base.work_partitions,
+        broadcast_media_max_rows=base.broadcast_media_max_rows,
+        recognize=False,
+        arrow_max_records=base.arrow_max_records,
+    )
+    return extract(spark, docs, media, cfg)
+
+
+def reassemble_docs(spans: DataFrame) -> DataFrame:
+    """Fold flat spans back into the docs-shaped array column (the output
+    table of the north rule): sort_array over collected structs — no window."""
+    return spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("order", "kind", "text", "media_ref"))
+        ).alias("spans")
+    )
