@@ -1,0 +1,97 @@
+"""Text-analysis column expressions (training-data pipeline ops).
+
+All pure `pyspark.sql.functions` column expressions — JVM-side, whole-stage
+codegen, zero Python in the hot path. Each has an exact DuckDB-SQL twin in
+`__spark_entry__.oracle_sql` (portability rule: only md5, regexp, and basic
+string/number functions, identical semantics in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets for the n-gram/stopword-hit
+# language-ID heuristic. Deterministic and tiny by design.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "del"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text → empty array."""
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    n = F.length(col)
+    clean = F.length(F.regexp_replace(col, "[^A-Za-z0-9 ]", ""))
+    return F.when(n > 0, (n - clean) / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are English stopwords."""
+    toks = tokens(F.lower(col))
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
+    # count occurrences, not distinct: filter the token array
+    hit_count = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS_EN))
+    )
+    n = F.size(toks)
+    _ = hits  # distinct-hit variant kept for reference
+    return F.when(n > 0, hit_count / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    length signal * (1 - punct_ratio) * clamp(stopword presence)."""
+    n = F.length(col)
+    len_sig = F.least(n / F.lit(500.0), F.lit(1.0))
+    return F.round(len_sig * (1.0 - punct_ratio(col)) *
+                   F.least(F.lit(1.0), stopword_ratio(col) * 5.0), 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of per-language marker-token hit counts; deterministic
+    tie-break by language code order; 'und' when no marker hits."""
+    toks = tokens(F.lower(col))
+    expr = F.lit("und")
+    best = F.lit(0)
+    for code in sorted(LANG_MARKERS):
+        hits = F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[code])))
+        expr = F.when(hits > best, F.lit(code)).otherwise(expr)
+        best = F.when(hits > best, hits).otherwise(best)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: md5 of lowercase,
+    whitespace-collapsed text (the exact-dedup key)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), "\\s+", " ")))
+
+
+def hex_prefix_to_long(hex_col: Column, n_hex: int = 8) -> Column:
+    """First n_hex hex chars of a hash string → non-negative bigint.
+    Twin of the DuckDB generate_series/strpos construction in oracle SQL."""
+    return F.conv(F.substring(hex_col, 1, n_hex), 16, 10).cast("long")

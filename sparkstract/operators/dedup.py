@@ -1,0 +1,157 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents table
+(doc_id, text). All are pure DataFrame ops (no Python UDFs): hashing uses
+md5 so every step has a bit-identical DuckDB oracle.
+
+Scale notes (100 TB):
+  * exact: one shuffle on the fingerprint — map-side partial agg applies.
+  * minhash-lsh: shuffles on (ngram) then (band_key); band buckets bound the
+    candidate join fan-out, so no O(n^2) pair blow-up. Hot shingles are the
+    skew risk → the ngram explode carries doc-salt in the groupBy key space
+    already (doc_id, ngram distinct), and AQE skew-join covers the bucket join.
+  * simhash: per-doc bit aggregation, one shuffle; near-dup candidates by
+    banding the 32-bit signature into 4 bytes (Hamming <= r guarantee).
+  * ngram-jaccard: exact verifier for candidate pairs (the expensive path —
+    run it only on LSH/banding survivors at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import fingerprint, hex_prefix_to_long, tokens
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (canonicalized) docs: fingerprint, group size,
+    and the kept representative (min id)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, ngram)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("ngram"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
+    """MinHash signature per doc: minhash_i = min(md5(ngram || ':' || i)).
+    md5-string min is portable (same result in DuckDB), unlike xxhash64."""
+    grams = word_ngrams(docs, n=n)
+    hashed = grams.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col("ngram"), F.lit(f":{i}"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band (rows = hashes per
+    band). Returns (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("band").alias("n_bands"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """SimHash signature per doc over whitespace tokens.
+
+    Token hash = first 8 hex chars of md5 → 32-bit int (portable to DuckDB).
+    Bit j of the signature = sign of sum over tokens of (+1 if bit set else -1),
+    ties (sum == 0) resolve to 0.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    hashed = tok.select("doc_id", hex_prefix_to_long(F.md5("tok"), 8).alias("h"))
+    bitted = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        "h",
+    ).select(
+        "doc_id", "j",
+        F.when(F.shiftright("h", F.col("j")).bitwiseAND(1) == 1, 1)
+        .otherwise(-1).alias("v"),
+    )
+    return (
+        bitted.groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("j")))
+                .otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.4) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+    At scale this runs only on LSH candidates; here it is also the oracle-able
+    exact form. Returns (doc_a, doc_b, jaccard) above threshold."""
+    grams = word_ngrams(docs, n=n)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(b, "ngram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_grams", "ga"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_grams", "gb"), "doc_b")
+        .withColumn("jaccard",
+                    F.round(F.col("n_common") /
+                            (F.col("ga") + F.col("gb") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

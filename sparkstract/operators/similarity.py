@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the baseline; IVF (inverted-file, centroid-
+bucketed) is the scale path — probe only the nearest centroid's bucket so the
+candidate set shrinks by ~n_centroids x. Embedding-cosine near-dup pairs ride
+the same kernels.
+
+All math uses built-in higher-order functions (zip_with/aggregate) on
+double-cast arrays — JVM-side, no Python UDF, and bit-comparable with
+DuckDB's list_* functions when rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda v: v.cast("double"))
+    bd = F.transform(b, lambda v: v.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries: (query_id, query_vec). Broadcast the (small) query side and scan
+    the big side once — at 100 TB this is one pass, no shuffle until the
+    per-query top-k (which AQE keeps tiny because rank filters early).
+    Deterministic tie-break: (score desc, vec_id asc), score rounded to 6 dp
+    BEFORE ranking so float noise cannot flip ranks between engines.
+    """
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("score"),
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def label_centroids(emb: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean vector — the IVF coarse quantizer codebook.
+    (Element-wise mean via posexplode + groupBy: built-ins only.)"""
+    dim = F.size(F.col(vec_col))
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.transform(F.col(vec_col), lambda v: v.cast("double"))),
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(F.avg("col").alias("m"))
+    _ = dim
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             label_col: str = "label") -> DataFrame:
+    """IVF search: route each query to its nearest centroid (by cosine), then
+    brute-force only inside that bucket. The bucket assignment reuses the
+    `label` partitioning column — at scale the table is written partitioned
+    by label, so the probe is a partition-pruned scan, not a full pass."""
+    cents = label_centroids(emb, label_col=label_col, vec_col=vec_col)
+    routed = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "query_vec", "label",
+                F.round(cosine(F.col("query_vec"), F.col("centroid")), 6).alias("cscore"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("label"))
+    probe = (
+        routed.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        .select("query_id", "query_vec", "label")
+    )
+    scored = (
+        emb.join(F.broadcast(probe), on=label_col)
+        .select("query_id",
+                F.col(id_col).alias("vec_id"),
+                F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("score"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          label_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by label so the
+    quadratic pair join stays within buckets (the IVF trick applied to
+    dedup). Returns (id_a, id_b, score) with id_a < id_b."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   F.col(label_col).alias("label"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   F.col(label_col).alias("label"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,91 @@
+"""Full-pipeline span-sequence equality — the north-rule invariant
+(kind, text, media_ref, order) per doc, exact (FIXTURES.md oracle)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstract.config import ExtractConfig
+from sparkstract.plans.pipeline import analyse_layout, extract, reassemble_docs
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, fixture_set):
+    docs, media, truth = fixture_set.to_spark(spark)
+    res = extract(spark, docs, media).toPandas()
+    want = truth.toPandas()
+    return res, want
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df[["doc_id", "order", "kind", "text", "media_ref"]]
+        .fillna({"text": "", "media_ref": ""})
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+
+
+def test_span_sequence_equality(extracted):
+    got, want = extracted
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_every_doc_covered(extracted, fixture_set):
+    got, _ = extracted
+    assert set(got["doc_id"]) == set(fixture_set.docs["doc_id"])
+
+
+def test_order_dense_per_doc(extracted):
+    got, _ = extracted
+    for doc_id, grp in got.groupby("doc_id"):
+        assert sorted(grp["order"]) == list(range(len(grp))), doc_id
+
+
+def test_skew_doc_exact(extracted, fixture_set):
+    """F10: the 64-media doc — salted (doc_id, offset) work split must still
+    reassemble the doc exactly."""
+    got, want = extracted
+    g = _norm(got[got["doc_id"] == "d-skew"])
+    w = _norm(want[want["doc_id"] == "d-skew"])
+    assert len(g) == 64 + 0  # 64 single_column pages, one block each
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_empty_page_keeps_passthrough(extracted):
+    got, _ = extracted
+    g = got[got["doc_id"] == "d-empty_page"].sort_values("order")
+    # media span contributed nothing; the two text spans survive, densely
+    assert list(g["kind"]) == ["text", "text"]
+    assert list(g["order"]) == [0, 1]
+
+
+def test_analyse_layout_no_text(spark, fixture_set):
+    docs, media, _ = fixture_set.to_spark(spark)
+    docs = docs.filter(F.col("doc_id") == "d-single_column")
+    res = analyse_layout(spark, docs, media).toPandas()
+    ext = res[res["kind"] != "text"]
+    assert len(ext) > 0
+    assert ext["text"].isna().all()
+    assert list(ext["kind"]) == ["flowing_text"]  # kinds still classified
+
+
+def test_reassemble_docs_shape(spark, fixture_set):
+    docs, media, _ = fixture_set.to_spark(spark)
+    docs = docs.filter(F.col("doc_id") == "d-multi")
+    spans = extract(spark, docs, media)
+    folded = reassemble_docs(spans).collect()
+    assert len(folded) == 1
+    arr = folded[0]["spans"]
+    assert [s["order"] for s in arr] == list(range(len(arr)))
+
+
+def test_explicit_work_partitions(spark, fixture_set):
+    docs, media, truth = fixture_set.to_spark(spark)
+    docs = docs.filter(F.col("doc_id") == "d-skew")
+    res = extract(spark, docs, media, ExtractConfig(work_partitions=16)).toPandas()
+    want = truth.toPandas()
+    want = want[want["doc_id"] == "d-skew"]
+    pd.testing.assert_frame_equal(_norm(res), _norm(want))
