@@ -1,38 +1,494 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: interleave sf0.001 documents with synthetic media
+pages and run the full extraction pipeline.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator family
+(SURVEY.md §2 + training-data ops). Extraction queries are oracled with
+VALUES literals generated from the fixture truth (the input docs table is
+synthesized deterministically — no external data). Relational/dedup/ANN/text
+queries run on the driver's parquet tables with exact DuckDB twins.
+
+Float policy: every float aggregate is rounded in BOTH engines (2 dp for
+large sums, 6 dp for ratios/cosines) and ranking happens AFTER rounding with
+a deterministic id tie-break, so cross-engine ulp noise cannot flip hashes.
 """
 
 from __future__ import annotations
 
+import functools
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstract.fixtures.gen import build_fixtures  # noqa: E402
+from sparkstract.functions import textstats as ts  # noqa: E402
+from sparkstract.operators import dedup, similarity  # noqa: E402
+from sparkstract.plans.pipeline import extract  # noqa: E402
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+@functools.lru_cache(maxsize=1)
+def _fixture_set():
+    return build_fixtures(seed=42)
+
+
+def _fixture_frames(spark: SparkSession):
+    return _fixture_set().to_spark(spark)
+
+
+def _sql_quote(v) -> str:
+    if v is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+@functools.lru_cache(maxsize=1)
+def _truth_values_sql() -> str:
+    """The extraction oracle: fixture truth as a VALUES literal (the docs
+    table is deterministic, so truth is a constant relation)."""
+    truth = _fixture_set().truth
+    rows = ",\n".join(
+        f"({_sql_quote(r.doc_id)}, {int(r.order)}, {_sql_quote(r.kind)}, "
+        f"{_sql_quote(r.text) if r.text is not None else 'CAST(NULL AS VARCHAR)'}, "
+        f"{_sql_quote(r.media_ref) if r.media_ref is not None else 'CAST(NULL AS VARCHAR)'})"
+        for r in truth.itertuples()
+    )
+    return (
+        'SELECT * FROM (VALUES\n' + rows +
+        '\n) AS t(doc_id, "order", kind, text, media_ref)'
+    )
+
+
+# DuckDB fragments shared by several oracles
+_DD_TOKENS = (
+    "SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+    "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS tl "
+    "FROM documents"
+)
+_DD_HEX2LONG = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "CAST((strpos('0123456789abcdef', md5({v})[i]) - 1) "
+    "* CAST(power(16, 8 - i) AS BIGINT) AS BIGINT)))"
+)
+
+
+def _dd_ngrams(n: int = 3) -> str:
+    return (
+        f"WITH toks AS ({_DD_TOKENS}), "
+        f"grams AS (SELECT DISTINCT doc_id, unnest(list_transform("
+        f"range(0, greatest(len(tl) - {n - 1}, 0)), "
+        f"i -> array_to_string(tl[CAST(i + 1 AS BIGINT):CAST(i + {n} AS BIGINT)], ' ')"
+        f")) AS ngram FROM toks)"
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, media, _ = _fixture_frames(spark)
+    return extract(spark, docs, media)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("grade", F.ntile(4).over(w))
+        .groupBy("grade")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("grade")
+    )
+
+
+def q_event_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_top1_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("fp")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).orderBy("doc_a", "doc_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32).orderBy("doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("n_tokens"),
+        F.round(ts.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(ts.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(ts.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+        ts.lang_id(F.col("text")).alias("pred_lang"),
+        ts.fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.orderBy("vec_id").limit(5)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")))
+    return similarity.brute_force_topk(emb, q, k=10).orderBy("query_id", "rank")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.orderBy("vec_id").limit(5)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")))
+    return similarity.ivf_topk(emb, q, k=10).orderBy("query_id", "rank")
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction over an interleaved docs table whose text spans
+    come from sf0.001 documents, with synthetic media pages spliced in."""
+    sf_dir = "/root/testdata/sf0.001"
+    d = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(4).collect()
+    from sparkstract.fixtures.gen import _Builder  # deterministic builder
+
+    b = _Builder(seed=7)
+    for row in d:
+        b.add_doc(f"td-{row['doc_id']}", [
+            ("text", row["text"][:120]),
+            ("media", "single_column"),
+            ("text", row["text"][120:240] or "TAIL"),
+        ])
+    fs = b.build()
+    docs, media, _ = fs.to_spark(spark)
+    return extract(spark, docs, media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_spans": q_extract_spans,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "quantity_quartiles": q_quantity_quartiles,
+        "event_median": q_event_median,
+        "user_event_sequence": q_user_event_sequence,
+        "top1_event_per_user": q_top1_event_per_user,
+        "events_hourly": q_events_hourly,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "cosine_near_dup": q_cosine_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS_EN) + "]"
+    lang_cases = ""
+    # argmax with deterministic code-order tie-break, mirroring ts.lang_id:
+    # later codes win only with strictly more hits
+    lang_expr = "'und'"
+    best_expr = "0"
+    for code in sorted(ts.LANG_MARKERS):
+        mk = "[" + ", ".join(f"'{w}'" for w in ts.LANG_MARKERS[code]) + "]"
+        hits = f"len(list_filter(tl, x -> list_contains({mk}, x)))"
+        lang_expr = f"CASE WHEN {hits} > {best_expr} THEN '{code}' ELSE {lang_expr} END"
+        best_expr = f"greatest({hits}, {best_expr})"
+    _ = lang_cases
+
+    minhash_aggs = ", ".join(
+        f"min(md5(ngram || ':{i}')) AS mh{i}" for i in range(8)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS key FROM sig"
+        for b in range(4)
+    )
+
+    return {
+        "extract_spans": _truth_values_sql(),
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "quantity_quartiles": """
+            WITH g AS (
+              SELECT l_quantity,
+                     ntile(4) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS grade
+              FROM lineitem)
+            SELECT grade, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM g GROUP BY grade ORDER BY grade
+        """,
+        "event_median": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS median_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "user_event_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "top1_event_per_user": """
+            WITH r AS (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events)
+            SELECT user_id, event_id, event_type, round(value, 6) AS value
+            FROM r WHERE rn = 1
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   count(*) AS n_docs, min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1 ORDER BY fp
+        """,
+        "minhash_lsh_pairs": f"""
+            {_dd_ngrams(3)},
+            sig AS (SELECT doc_id, {minhash_aggs} FROM grams GROUP BY doc_id),
+            banded AS ({band_selects})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(DISTINCT a.band) AS n_bands
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY doc_a, doc_b
+        """,
+        "simhash": f"""
+            WITH toks AS ({_DD_TOKENS}),
+            tok AS (SELECT doc_id, unnest(tl) AS tok FROM toks),
+            hashed AS (SELECT doc_id, {_DD_HEX2LONG.format(v='tok')} AS h FROM tok),
+            bitted AS (
+              SELECT doc_id, j, CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM hashed, range(0, 32) bits(j)),
+            per_bit AS (SELECT doc_id, j, sum(v) AS s FROM bitted GROUP BY doc_id, j)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+            FROM per_bit GROUP BY doc_id ORDER BY doc_id
+        """,
+        "ngram_jaccard": f"""
+            {_dd_ngrams(3)},
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM grams a JOIN grams b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+            ORDER BY doc_a, doc_b
+        """,
+        "text_stats": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS tl,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS tl_raw
+              FROM documents)
+            SELECT doc_id,
+                   len(tl_raw) AS n_tokens,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)
+                         ELSE 0 END, 6) AS punct_ratio,
+                   round(CASE WHEN len(tl) > 0
+                         THEN len(list_filter(tl, x -> list_contains({stop_list}, x))) * 1.0 / len(tl)
+                         ELSE 0 END, 6) AS stopword_ratio,
+                   round(CASE WHEN len(tl_raw) > 0
+                         THEN list_sum(list_transform(tl_raw, x -> length(x))) * 1.0 / len(tl_raw)
+                         ELSE 0 END, 6) AS mean_word_len,
+                   {lang_expr} AS pred_lang,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM t ORDER BY doc_id
+        """,
+        "ann_brute_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id),
+            r AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, rank, vec_id, score FROM r
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings ORDER BY vec_id LIMIT 5),
+            exploded AS (
+              SELECT label, j, CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE) AS v
+              FROM embeddings, range(1, 65) d(j)),
+            cent AS (
+              SELECT label, list(m ORDER BY j) AS centroid
+              FROM (SELECT label, j, avg(v) AS m FROM exploded GROUP BY label, j) pm
+              GROUP BY label),
+            routed AS (
+              SELECT q.query_id, q.qv, c.label,
+                     round(list_cosine_similarity(c.centroid, q.qv), 6) AS cscore,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY round(list_cosine_similarity(c.centroid, q.qv), 6) DESC,
+                                                 c.label ASC) AS r
+              FROM q CROSS JOIN cent c),
+            probe AS (SELECT query_id, qv, label FROM routed WHERE r = 1),
+            scored AS (
+              SELECT p.query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], p.qv), 6) AS score
+              FROM embeddings e JOIN probe p ON e.label = p.label
+              WHERE e.vec_id <> p.query_id),
+            rr AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, rank, vec_id, score FROM rr
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "cosine_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
+            ORDER BY id_a, id_b
+        """,
+    }

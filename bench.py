@@ -1,0 +1,133 @@
+"""Bench harness.
+
+Default mode (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling mode (north rule): run the extraction job on the same synthetic
+interleaved corpus at local[8] and local[32] (stand-in for N vs 4N executors
+— no real cluster in this sandbox), report docs/sec at both plus scaling
+efficiency (T_N/T_4N)/4, and rewrite BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _corpus(n_docs: int, replicate: int):
+    """Deterministic interleaved corpus; replicate Spark-side so render cost
+    stays driver-cheap while executor work scales."""
+    from sparkstract.fixtures.gen import generate_corpus
+
+    return generate_corpus(n_docs, seed=42, heavy_every=100, heavy_pages=32), replicate
+
+
+def _run_extract(master: str, fs, replicate: int, shuffle_parts: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from sparkstract.config import ExtractConfig
+    from sparkstract.plans.pipeline import extract
+    from sparkstract.session import get_spark
+
+    spark = get_spark(master, app=f"bench-{master}", shuffle_partitions=shuffle_parts)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs, media, _ = fs.to_spark(spark)
+        if replicate > 1:
+            reps = spark.range(replicate).select(F.col("id").alias("rep"))
+            docs = docs.crossJoin(reps).select(
+                F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "spans")
+        docs = docs.cache()
+        n_docs = docs.count()  # warm-up + materialize input outside the timer
+        t0 = time.perf_counter()
+        n_spans = extract(spark, docs, media,
+                          ExtractConfig(work_partitions=shuffle_parts)).count()
+        dt = time.perf_counter() - t0
+        return dict(master=master, wall_sec=round(dt, 3), docs=n_docs,
+                    spans=n_spans, docs_per_sec=round(n_docs / dt, 2))
+    finally:
+        spark.stop()
+
+
+def scaling_main() -> None:
+    fs, replicate = _corpus(400, replicate=8)
+    lo = _run_extract("local[8]", fs, replicate, shuffle_parts=128)
+    hi = _run_extract("local[32]", fs, replicate, shuffle_parts=128)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    out = dict(bench="scaling", n=lo, four_n=hi, scaling_efficiency=round(eff, 3))
+    print(json.dumps(out))
+
+    md = f"""# BENCH — measured results
+
+Protocol (BASELINE.md): same job, same input, `local[8]` (N) vs `local[32]`
+(4N); efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4, target >= 0.8.
+
+Input: deterministic synthetic interleaved corpus — 400 docs x 8 replicas
+= {lo['docs']} docs ({lo['spans']} output spans), incl. one 32-page
+media-heavy doc per 100 (axis-B skew), salted repartition on (doc_id, offset).
+
+| run | parallelism | wallclock (s) | docs/sec | scaling eff |
+|---|---|---|---|---|
+| bench-N | local[8] | {lo['wall_sec']} | {lo['docs_per_sec']} | — |
+| bench-4N | local[32] | {hi['wall_sec']} | {hi['docs_per_sec']} | {round(eff, 3)} |
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry_mod
+    from sparkstract.session import get_spark
+
+    spark = get_spark(f"local[{cpus}]", app="bench", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "extract_spans", "pricing_summary", "revenue_by_nation",
+        "user_event_sequence", "dedup_exact", "minhash_lsh_pairs",
+        "simhash", "text_stats", "ann_brute_topk", "ann_ivf_topk",
+    ]
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        if name == "extract_spans":
+            extra["extract_spans_rows"] = n
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "extra": extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -60,24 +60,28 @@ def label_blobs(ink: np.ndarray) -> Blobs:
         return Blobs(z, z, z, z, z.astype(np.int64))
 
     parent = np.arange(n, dtype=np.int64)
-    # row -> slice of run indices (runs are sorted by row)
-    row_start = np.searchsorted(sr, np.arange(h + 1))
-    for r in range(1, h):
-        a0, a1 = row_start[r], row_start[r + 1]       # runs in row r
-        b0, b1 = row_start[r - 1], row_start[r]       # runs in row r-1
-        if a0 == a1 or b0 == b1:
-            continue
-        # 8-connectivity: run [s,e) touches prev run [s2,e2) iff s <= e2 and s2 <= e
-        # (half-open intervals dilated by one column on each side)
-        prev_s, prev_e = sc[b0:b1], ec[b0:b1]
-        for i in range(a0, a1):
-            s, e = sc[i], ec[i]
-            lo = int(np.searchsorted(prev_e, s, side="left"))    # first prev with e2 >= s... e2 > s-1
-            hi = int(np.searchsorted(prev_s, e, side="right"))   # prevs with s2 <= e
-            for j in range(b0 + lo, b0 + hi):
-                ri, rj = _find(parent, i), _find(parent, j)
-                if ri != rj:
-                    parent[max(ri, rj)] = min(ri, rj)
+    # 8-connectivity: run i (row r, [s, e_incl]) touches prev-row run j
+    # ([s2, e2_incl]) iff s <= e2_incl + 1 and s2 <= e_incl + 1. Runs are
+    # sorted by (row, col), so with composite keys row*BIG + col the
+    # overlapping prev runs of EVERY run form a contiguous global index range
+    # — two vectorized searchsorteds for the whole page.
+    e_incl = ec - 1
+    big = np.int64(w + 3)
+    key_e = sr * big + e_incl          # ascending (rows grouped, cols sorted)
+    key_s = sr * big + sc
+    lo = np.searchsorted(key_e, (sr - 1) * big + sc - 1, side="left")
+    hi = np.searchsorted(key_s, (sr - 1) * big + e_incl + 1, side="right")
+    cnt = np.maximum(hi - lo, 0)
+    i_rep = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    total = int(cnt.sum())
+    if total:
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        j_rep = np.repeat(lo, cnt) + offs
+        for i, j in zip(i_rep.tolist(), j_rep.tolist()):
+            ri, rj = _find(parent, i), _find(parent, j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
 
     roots = np.array([_find(parent, i) for i in range(n)], dtype=np.int64)
     uniq, dense = np.unique(roots, return_inverse=True)

@@ -42,10 +42,13 @@ def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, ngram)."""
     toks = tokens(F.lower(F.col(text_col)))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("ngram"))
         .distinct()
@@ -113,8 +116,8 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
         "h",
     ).select(
         "doc_id", "j",
-        F.when(F.shiftright("h", F.col("j")).bitwiseAND(1) == 1, 1)
-        .otherwise(-1).alias("v"),
+        F.expr("CASE WHEN shiftright(h, CAST(j AS INT)) & 1 = 1 "
+               "THEN 1 ELSE -1 END").alias("v"),
     )
     return (
         bitted.groupBy("doc_id", "j")
@@ -122,8 +125,9 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
         .groupBy("doc_id")
         .agg(
             F.sum(
-                F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("j")))
-                .otherwise(0)
+                F.when(F.col("s") > 0,
+                       F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+                .otherwise(F.lit(0).cast("long"))
             ).alias("simhash")
         )
     )

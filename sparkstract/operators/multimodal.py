@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images here are real (our PNG codec); audio/video decode is STUBBED behind
+NotImplementedError as the container has no codec libs — but the Spark-side
+plumbing (schema, mapInPandas batch shape, partitioning) is real and tested.
+
+Reference parity: SetImage ingests any raster (/root/reference/src/api/
+baseapi.cpp:906); thumbnail/rescale mirrors the source-resolution upscale
+path (baseapi.cpp:924) and pyramid use in imagefind.cpp.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_ref string, width int, height int, ink_ratio double, "
+    "otsu_threshold int, n_components int"
+)
+
+THUMBNAIL_SCHEMA = "media_ref string, thumb_w int, thumb_h int, thumb binary"
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract each page image: dimensions, ink coverage,
+    Otsu threshold, connected-component count. Vectorized per page inside an
+    Arrow batch; one pass over the binary column."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.cclabel import label_blobs
+        from ..functions.otsu import binarize, otsu_threshold
+        from ..functions.png import decode_gray
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "width", "height", "ink_ratio",
+                                   "otsu_threshold", "n_components")}
+            for ref, png in zip(pdf["media_ref"], pdf["image"]):
+                gray = decode_gray(bytes(png))
+                ink = binarize(gray)
+                out["media_ref"].append(ref)
+                out["width"].append(gray.shape[1])
+                out["height"].append(gray.shape[0])
+                out["ink_ratio"].append(float(ink.mean()))
+                out["otsu_threshold"].append(otsu_threshold(gray))
+                out["n_components"].append(len(label_blobs(ink)))
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "image").mapInPandas(
+        kernel, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def thumbnails(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Integer-factor downsample (block mean) re-encoded as PNG."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import decode_gray, encode_gray
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "thumb_w", "thumb_h", "thumb")}
+            for ref, png in zip(pdf["media_ref"], pdf["image"]):
+                gray = decode_gray(bytes(png))
+                h, w = gray.shape
+                f = max(1, int(np.ceil(max(h, w) / max_side)))
+                th, tw = h // f, w // f
+                thumb = gray[: th * f, : tw * f].reshape(th, f, tw, f).mean(
+                    axis=(1, 3)).astype(np.uint8)
+                out["media_ref"].append(ref)
+                out["thumb_w"].append(tw)
+                out["thumb_h"].append(th)
+                out["thumb"].append(encode_gray(thumb))
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "image").mapInPandas(
+        kernel, schema=THUMBNAIL_SCHEMA)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
+    """STUB: audio decode (no codec libs in this container). The production
+    shape: mapInPandas over (media_ref, bytes) → (media_ref, sample_rate,
+    pcm array<float>) with the same batch plumbing as image_features."""
+    raise NotImplementedError("audio codecs unavailable in this environment")
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:  # pragma: no cover - stub
+    """STUB: video frame sampling. Production shape: mapInPandas emitting one
+    row per sampled frame (media_ref, frame_idx, png) — the fan-out side of
+    the same salted (media_ref, frame) partitioning the page pipeline uses."""
+    raise NotImplementedError("video codecs unavailable in this environment")

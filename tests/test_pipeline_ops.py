@@ -1,0 +1,141 @@
+"""Dedup / similarity / text-stats / multimodal operator tests on small
+hand-built frames (fast; the DuckDB cross-check runs in scripts/check_oracle.py
+and in the driver's own correctness gate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstract.functions import textstats as ts
+from sparkstract.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy dog"),  # exact dup of a
+        ("c", "the quick brown fox jumps over a sleepy dog"),  # near dup
+        ("d", "completely different content about spark engines"),
+        ("e", ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2
+    assert out[0]["keep_doc_id"] == "a"
+
+
+def test_word_ngrams_counts(docs):
+    grams = dedup.word_ngrams(docs, n=3).groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in grams}
+    assert counts["a"] == 7  # 9 tokens → 7 trigrams (all distinct)
+    assert "e" not in counts  # empty doc → no shingles
+
+
+def test_ngram_jaccard_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[("a", "b")] == 1.0
+    assert ("a", "c") in pairs and 0.2 <= pairs[("a", "c")] < 1.0
+    assert not any("d" in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in pairs}
+    assert by_pair[("a", "b")] == 4  # identical docs share every band
+
+
+def test_simhash_properties(docs):
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=32).collect()}
+    assert out["a"] == out["b"]  # identical text → identical signature
+    ham_ac = bin(out["a"] ^ out["c"]).count("1")
+    ham_ad = bin(out["a"] ^ out["d"]).count("1")
+    assert ham_ac < ham_ad  # near dup closer than unrelated
+    assert out["e"] == 0  # no tokens → all-zero signature
+
+
+def test_text_stats_expressions(spark):
+    df = spark.createDataFrame([("x", "The quick, brown fox!")], "doc_id string, text string")
+    row = df.select(
+        ts.token_count(F.col("text")).alias("n"),
+        ts.punct_ratio(F.col("text")).alias("p"),
+        ts.mean_word_len(F.col("text")).alias("m"),
+        ts.fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert row["n"] == 4
+    assert math.isclose(row["p"], 2 / 21)
+    assert row["fp"] == df.select(F.md5(F.lit("the quick, brown fox!"))).collect()[0][0]
+
+
+def test_lang_id_markers(spark):
+    rows = [("1", "the cat and the dog is here"), ("2", "der hund und die katze ist")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", ts.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {"1": "en", "2": "de"}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05], 1),
+        (4, [0.5, 0.5, 0.0], 0),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(emb):
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = similarity.brute_force_topk(emb, q, k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 4]  # nearest by cosine, self excluded
+    assert out[0]["rank"] == 1 and out[0]["score"] > out[1]["score"]
+
+
+def test_ivf_routes_to_label(emb):
+    q = emb.filter("vec_id = 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = similarity.ivf_topk(emb, q, k=5).collect()
+    assert {r["vec_id"] for r in out} == {3}  # only label-1 bucket probed, self excluded
+
+
+def test_cosine_near_dup_bucketed(emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.cosine_near_dup_pairs(emb, threshold=0.95).collect()}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_image_features_and_thumbnails(spark, fixture_set):
+    _, media, _ = fixture_set.to_spark(spark)
+    media = media.limit(4)
+    feats = multimodal.image_features(media).collect()
+    assert len(feats) == 4
+    for r in feats:
+        assert r["width"] > 0 and r["height"] > 0
+        assert 0.0 <= r["ink_ratio"] <= 1.0
+    th = multimodal.thumbnails(media, max_side=32).collect()
+    from sparkstract.functions.png import decode_gray
+    for r in th:
+        img = decode_gray(bytes(r["thumb"]))
+        assert img.shape == (r["thumb_h"], r["thumb_w"])
+        assert max(img.shape) <= 64
+
+
+def test_multimodal_stubs_raise(spark, fixture_set):
+    _, media, _ = fixture_set.to_spark(spark)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(media)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(media)
