@@ -51,7 +51,10 @@ def _run_extract(master: str, fs, replicate: int, shuffle_parts: int) -> dict:
             docs = docs.crossJoin(reps).select(
                 F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "spans")
         docs = docs.cache()
-        n_docs = docs.count()  # warm-up + materialize input outside the timer
+        n_docs = docs.count()  # materialize input outside the timer
+        # warm-up: spin up the Python UDF workers + JIT before the clock
+        extract(spark, docs.limit(64), media,
+                ExtractConfig(work_partitions=shuffle_parts)).count()
         t0 = time.perf_counter()
         n_spans = extract(spark, docs, media,
                           ExtractConfig(work_partitions=shuffle_parts)).count()
@@ -63,7 +66,7 @@ def _run_extract(master: str, fs, replicate: int, shuffle_parts: int) -> dict:
 
 
 def scaling_main() -> None:
-    fs, replicate = _corpus(400, replicate=8)
+    fs, replicate = _corpus(500, replicate=32)
     lo = _run_extract("local[8]", fs, replicate, shuffle_parts=128)
     hi = _run_extract("local[32]", fs, replicate, shuffle_parts=128)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
@@ -75,7 +78,7 @@ def scaling_main() -> None:
 Protocol (BASELINE.md): same job, same input, `local[8]` (N) vs `local[32]`
 (4N); efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4, target >= 0.8.
 
-Input: deterministic synthetic interleaved corpus — 400 docs x 8 replicas
+Input: deterministic synthetic interleaved corpus — 500 docs x 32 replicas
 = {lo['docs']} docs ({lo['spans']} output spans), incl. one 32-page
 media-heavy doc per 100 (axis-B skew), salted repartition on (doc_id, offset).
 

@@ -59,7 +59,7 @@ def test_simhash_properties(docs):
     ham_ac = bin(out["a"] ^ out["c"]).count("1")
     ham_ad = bin(out["a"] ^ out["d"]).count("1")
     assert ham_ac < ham_ad  # near dup closer than unrelated
-    assert out["e"] == 0  # no tokens → all-zero signature
+    assert "e" not in out  # no tokens → no signature (same as the SQL oracle)
 
 
 def test_text_stats_expressions(spark):
