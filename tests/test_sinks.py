@@ -1,0 +1,40 @@
+"""Renderer sinks over a small spans frame."""
+
+from sparkstract.sinks import render_hocr, render_text, render_tsv
+
+ROWS = [
+    ("d1", 0, "heading_text", "TITLE", None),
+    ("d1", 1, "flowing_image", None, "m-1"),
+    ("d1", 2, "flowing_text", "BODY A", None),
+    ("d1", 3, "caption_text", "CAP", None),
+    ("d2", 0, "text", "LONE & <b>", None),
+]
+SCHEMA = "doc_id string, order int, kind string, text string, media_ref string"
+
+
+def _spans(spark):
+    # deliberately shuffled input order: renderers must sort by span order
+    return spark.createDataFrame([ROWS[2], ROWS[0], ROWS[4], ROWS[3], ROWS[1]], SCHEMA)
+
+
+def test_render_text_skips_images_and_orders(spark):
+    out = {r["doc_id"]: r["text"] for r in render_text(_spans(spark)).collect()}
+    assert out["d1"] == "TITLE\n\nBODY A\n\nCAP"
+    assert out["d2"] == "LONE & <b>"
+
+
+def test_render_tsv(spark):
+    out = {r["doc_id"]: r["tsv"] for r in render_tsv(_spans(spark)).collect()}
+    lines = out["d1"].split("\n")
+    assert lines[0] == "0\theading_text\t\tTITLE"
+    assert lines[1] == "1\tflowing_image\tm-1\t"
+    assert len(lines) == 4
+
+
+def test_render_hocr_escapes(spark):
+    out = {r["doc_id"]: r["hocr"] for r in render_hocr(_spans(spark)).collect()}
+    assert out["d2"].count("LONE &amp; &lt;b&gt;") == 1
+    assert out["d1"].startswith("<html><body>")
+    assert "<img src='m-1'/>" in out["d1"]
+    # reading order preserved
+    assert out["d1"].index("TITLE") < out["d1"].index("m-1") < out["d1"].index("BODY A")
