@@ -305,11 +305,22 @@ def oracle_sql() -> dict[str, str]:
         best_expr = f"greatest({hits}, {best_expr})"
     _ = lang_cases
 
+    # Carter-Wegman family over one md5 per shingle — mirror of
+    # sparkstract.operators.dedup.minhash_signatures
+    def hex_slice(v: str, start: int) -> str:
+        return (
+            "list_sum(list_transform(range(1, 9), i -> "
+            f"CAST((strpos('0123456789abcdef', md5({v})[{start} + i]) - 1) "
+            "* CAST(power(16, 8 - i) AS BIGINT) AS BIGINT)))"
+        )
+
+    h1, h2 = hex_slice("ngram", 0), hex_slice("ngram", 8)
     minhash_aggs = ", ".join(
-        f"min(md5(ngram || ':{i}')) AS mh{i}" for i in range(8)
+        f"min(({h1} + {i} * {h2}) % 4294967296) AS mh{i}" for i in range(8)
     )
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS key FROM sig"
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws('|', CAST(mh{2*b} AS VARCHAR), CAST(mh{2*b+1} AS VARCHAR))) AS key FROM sig"
         for b in range(4)
     )
 

@@ -95,3 +95,9 @@ def hex_prefix_to_long(hex_col: Column, n_hex: int = 8) -> Column:
     """First n_hex hex chars of a hash string → non-negative bigint.
     Twin of the DuckDB generate_series/strpos construction in oracle SQL."""
     return F.conv(F.substring(hex_col, 1, n_hex), 16, 10).cast("long")
+
+
+def hex_slice_to_long(hex_col: Column, start: int, n_hex: int = 8) -> Column:
+    """Hex chars [start, start+n_hex) (0-based) → non-negative bigint.
+    Lets one md5 feed several independent 32-bit hash values."""
+    return F.conv(F.substring(hex_col, start + 1, n_hex), 16, 10).cast("long")

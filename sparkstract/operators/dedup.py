@@ -21,7 +21,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import fingerprint, hex_prefix_to_long, tokens
+from ..functions.textstats import (
+    fingerprint,
+    hex_prefix_to_long,
+    hex_slice_to_long,
+    tokens,
+)
+
+_HASH_MOD = 1 << 32
+
+
+def spread(docs: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Re-spread a small scan across the cluster. A tiny parquet file arrives
+    as ONE input partition, serializing every downstream expression onto one
+    core; at 100 TB the scan has thousands of splits and this is a no-op-cost
+    round-robin. Explicit because Catalyst will not add parallelism for us."""
+    n = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n)
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -50,21 +66,43 @@ def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("ngram"))
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("ngram"))
         .distinct()
     )
 
 
+def word_ngrams_with_dups(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Like word_ngrams but WITHOUT the distinct: min-aggregations are
+    idempotent over duplicates, so minhash skips that whole shuffle."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("ngram")
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
-    """MinHash signature per doc: minhash_i = min(md5(ngram || ':' || i)).
-    md5-string min is portable (same result in DuckDB), unlike xxhash64."""
-    grams = word_ngrams(docs, n=n)
+    """MinHash signature per doc via a Carter-Wegman family over ONE md5 per
+    shingle: h1/h2 = two 32-bit slices of md5(ngram), hash_i = (h1 + i*h2)
+    mod 2^32. One hash computation feeds all `num_hashes` permutations (the
+    classic (a + i*b) universal-hash trick), and md5 keeps every step
+    bit-identical in the DuckDB oracle."""
+    grams = word_ngrams_with_dups(docs, n=n)
+    md5 = F.md5("ngram")
+    h1 = hex_slice_to_long(md5, 0, 8)
+    h2 = hex_slice_to_long(md5, 8, 8)
     hashed = grams.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.col("ngram"), F.lit(f":{i}"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+        *[((h1 + F.lit(i) * h2) % F.lit(_HASH_MOD)).alias(f"h{i}")
+          for i in range(num_hashes)],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
@@ -79,7 +117,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n)
     band_cols = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        cols = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws("|", *cols)).alias("key"))
@@ -105,7 +143,7 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     Bit j of the signature = sign of sum over tokens of (+1 if bit set else -1),
     ties (sum == 0) resolve to 0.
     """
-    tok = docs.select(
+    tok = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
