@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.png import encode_gray
-from .render import ImageRect, PageSpec, Text, render_page
+from .render import ImageRect, PageSpec, Rule, TableGrid, Text, render_page
 
 _VOCAB = (
     "THE QUICK BROWN FOX JUMPS OVER LAZY DOG SPARK QUERY SCAN JOIN SORT "
@@ -85,12 +85,32 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                         noise_frac=0.0002 * 100, seed=seed)
     if family == "empty_page":  # F08 — baseapi.cpp:1333 empty exit
         return PageSpec(elements=[], scale=2, seed=seed)
+    if family == "ruled_page":  # F11 — rule find/remove, linefind.cpp:706
+        return PageSpec(elements=[
+            Text(_lines(rng, 2, 16), col=0),
+            Rule(col=0),
+            Text(_lines(rng, 2, 16), col=0),
+        ], scale=2, seed=seed)
+    if family == "skewed_page":  # F13 — deskew, tabfind.cpp:1291
+        return PageSpec(elements=[Text(_lines(rng, 4, 16))], scale=3,
+                        skew_deg=float(rng.uniform(-2.0, 2.0)), seed=seed)
+    if family == "table_page":  # F12 — table detection, tablefind.cpp:200
+        short = [w for w in _VOCAB if len(w) <= 5]
+        cells = [
+            [short[int(rng.integers(0, len(short)))] for _ in range(3)]
+            for _ in range(3)
+        ]
+        return PageSpec(elements=[
+            Text(_lines(rng, 1, 24), col=0),
+            TableGrid(cells=cells, col_chars=[6, 6, 6], col=0),
+        ], scale=2, width_chars=26, seed=seed)
     raise ValueError(family)
 
 
 PAGE_FAMILIES = [
     "single_column", "two_column", "interleaved_order", "image_only",
     "grid_2x2", "paragraphs", "noise_page", "empty_page",
+    "ruled_page", "table_page", "skewed_page",
 ]
 
 

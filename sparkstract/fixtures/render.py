@@ -34,9 +34,13 @@ HEADING_TEXT = "heading_text"
 CAPTION_TEXT = "caption_text"
 FLOWING_IMAGE = "flowing_image"
 PULLOUT_IMAGE = "pullout_image"
+HORZ_LINE = "horz_line"
+VERT_LINE = "vert_line"
+TABLE = "table"
 
-TEXT_KINDS = {FLOWING_TEXT, HEADING_TEXT, CAPTION_TEXT}
+TEXT_KINDS = {FLOWING_TEXT, HEADING_TEXT, CAPTION_TEXT, TABLE}
 IMAGE_KINDS = {FLOWING_IMAGE, PULLOUT_IMAGE}
+LINE_KINDS = {HORZ_LINE, VERT_LINE}
 
 
 @dataclass
@@ -59,12 +63,35 @@ class ImageRect:
 
 
 @dataclass
+class Rule:
+    """A horizontal separator rule spanning the column width (the reference
+    finds and removes these with Leptonica morphology, linefind.cpp:706;
+    their block type is PT_HORZ_LINE)."""
+
+    thickness_units: int = 2  # thickness = thickness_units * s
+    col: int | None = 0
+
+
+@dataclass
+class TableGrid:
+    """A monospace table: rows of left-aligned cells at fixed column starts,
+    separated by sep_chars blank cells — the aligned-whitespace structure
+    the reference's table finder keys on (tablefind.cpp:200)."""
+
+    cells: list[list[str]]
+    col_chars: list[int]
+    sep_chars: int = 4
+    col: int | None = 0
+
+
+@dataclass
 class PageSpec:
     elements: list[Text | ImageRect] = field(default_factory=list)
     scale: int = 2
     n_cols: int = 1
     width_chars: int = 18  # per column
     noise_frac: float = 0.0
+    skew_deg: float = 0.0  # page rotated by this angle after layout (C6)
     seed: int = 0
 
 
@@ -115,11 +142,15 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
     assert cols_seen == sorted(cols_seen), "elements must be grouped by column"
 
     # --- measure heights ---
-    def elem_height(e: Text | ImageRect) -> int:
+    def elem_height(e) -> int:
         if isinstance(e, Text):
             es = s * (2 if e.role == "heading" else 1)
             n = len(e.lines)
             return (n - 1) * 12 * es + GLYPH_H * es
+        if isinstance(e, Rule):
+            return e.thickness_units * s
+        if isinstance(e, TableGrid):
+            return (len(e.cells) - 1) * 12 * s + GLYPH_H * s
         if e.full_page:
             return 0  # resolved later against page height
         return e.h_units * s
@@ -167,9 +198,25 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
     canvas = np.full((page_h, page_w), WHITE, dtype=np.uint8)
     truth: list[TruthBlock] = []
 
-    def draw(e: Text | ImageRect, y0: int, col: int | None) -> None:
+    def draw(e, y0: int, col: int | None) -> None:
         x0 = margin if col is None else margin + col * (col_w + gutter)
         avail_w = page_w - 2 * margin if col is None else col_w
+        if isinstance(e, Rule):
+            canvas[y0 : y0 + e.thickness_units * s, x0 : x0 + avail_w] = INK
+            truth.append(TruthBlock(HORZ_LINE, None))
+            return
+        if isinstance(e, TableGrid):
+            starts = [0]
+            for wch in e.col_chars[:-1]:
+                starts.append(starts[-1] + wch + e.sep_chars)
+            yy = y0
+            for row in e.cells:
+                for j, cell in enumerate(row):
+                    assert len(cell) <= e.col_chars[j], (cell, e.col_chars[j])
+                    _render_line(canvas, x0 + starts[j] * cw, yy, cell, s)
+                yy += 12 * s
+            truth.append(TruthBlock(TABLE, "\n".join(" ".join(r) for r in e.cells)))
+            return
         if isinstance(e, Text):
             es = s * (2 if e.role == "heading" else 1)
             yy = y0
@@ -216,5 +263,10 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
         n_specks = min(int(spec.noise_frac * page_h * page_w), yy.shape[0])
         pick = rng.choice(yy.shape[0], size=n_specks, replace=False)
         canvas[yy[pick], xx[pick]] = INK
+
+    if spec.skew_deg:
+        from ..functions.geometry import rotate_nn
+
+        canvas = rotate_nn(canvas, spec.skew_deg, WHITE)
 
     return canvas, truth

@@ -31,15 +31,19 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..fixtures.font import GLYPH_H, GLYPH_W, decode_glyph
+from ..fixtures.font import GLYPH_H, GLYPH_W, decode_glyph_dist
 from ..fixtures.render import (
     CAPTION_TEXT,
     FLOWING_IMAGE,
     FLOWING_TEXT,
     HEADING_TEXT,
+    HORZ_LINE,
     PULLOUT_IMAGE,
+    TABLE,
+    VERT_LINE,
 )
 from ..functions.cclabel import Blobs, label_blobs
+from ..functions.geometry import estimate_skew, shear_y
 from ..functions.otsu import binarize
 
 NOISE_AREA = 2          # blobs with <= this many ink px are specks (F4)
@@ -50,6 +54,10 @@ WORD_GAP_UNITS = 3      # ink gap > 3*s → word boundary (tospace.cpp:43)
 BLOCK_GAP_UNITS = 8     # ink gap > 8*s between rows → new block
 GUTTER_UNITS = 12       # x-projection gap >= 12*s → column gutter (C5)
 CAPTION_GAP_UNITS = 18  # text block within 18*s below an image → caption
+LINE_ASPECT = 8         # w >= 8*h (or h >= 8*w) and long side >= LINE_MIN →
+LINE_MIN_LEN = 40       # separator rule (F5, linefind.cpp:706)
+TABLE_GAP_UNITS = 14    # internal aligned gap > 14*s → table cell gap (C8)
+TABLE_MIN_GAPS = 2      # >= 2 aligned gaps (3+ columns) → table, not gutter
 
 
 @dataclass
@@ -89,7 +97,10 @@ def _merge_x_overlaps(left: np.ndarray, top: np.ndarray, right: np.ndarray,
 def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                 gl: np.ndarray, gr: np.ndarray, s: int) -> str:
     """Template-decode one text row: split char-groups into words by gap, map
-    each word onto its 6s char-cell grid, downsample cells to 5x7, LUT match."""
+    each word onto its 6s char-cell grid, downsample cells to 5x7, LUT match.
+    Each cell is sampled at ±1px offsets and the best-scoring match wins, so
+    the 1px jitter a deskewed page carries doesn't corrupt the decode."""
+    page_h, page_w = ink.shape
     gaps = gl[1:] - gr[:-1] - 1
     word_break = gaps > WORD_GAP_UNITS * s
     wid = np.concatenate([[0], np.cumsum(word_break)])
@@ -100,12 +111,23 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         x1 = int(gr[sel].max())
         n = int(round((x1 - x0 + 1 + s) / (6 * s)))
         chars = []
-        band = ink[row_top : row_top + GLYPH_H * s]
         for k in range(n):
             cx = x0 + 6 * s * k
-            cell = band[:, cx : cx + GLYPH_W * s]
-            bits = cell.reshape(GLYPH_H, s, GLYPH_W, s).mean(axis=(1, 3)) > 0.5
-            chars.append(decode_glyph(bits))
+            best_ch, best_d = "?", 1 << 30
+            for dy in (0, -1, 1):
+                for dx in (0, -1, 1):
+                    y0 = min(max(row_top + dy, 0), page_h - GLYPH_H * s)
+                    xx = min(max(cx + dx, 0), page_w - GLYPH_W * s)
+                    cell = ink[y0 : y0 + GLYPH_H * s, xx : xx + GLYPH_W * s]
+                    bits = cell.reshape(GLYPH_H, s, GLYPH_W, s).mean(axis=(1, 3)) > 0.5
+                    ch, d = decode_glyph_dist(bits)
+                    if d < best_d:
+                        best_ch, best_d = ch, d
+                    if best_d == 0:
+                        break
+                if best_d == 0:
+                    break
+            chars.append(best_ch)
         words.append("".join(chars))
     return " ".join(words)
 
@@ -161,12 +183,35 @@ def _xy_cut(boxes: list[tuple[int, int, int, int]], idx: list[int],
     return sorted(idx, key=lambda i: (boxes[i][1], boxes[i][0]))
 
 
+SKEW_APPLY_MIN_DEG = 0.15  # measured skew below this → page already straight
+
+
 def analyse_page(gray: np.ndarray) -> list[Block]:
     """Full page analysis + recognition. Returns blocks in reading order."""
     ink = binarize(gray)
     blobs: Blobs = label_blobs(ink)
     if len(blobs) == 0:
         return []
+
+    # ---- deskew (C6): estimate page rotation from blob centroids, rotate
+    # the bitmap upright, re-extract components (tabfind.cpp:1291 /
+    # makerow.cpp:316 play this role in the reference)
+    solid = blobs.area > NOISE_AREA
+    if solid.sum() >= 3:
+        cx = (blobs.left[solid] + blobs.right[solid]) / 2.0
+        cy = (blobs.top[solid] + blobs.bottom[solid]) / 2.0
+        hh = blobs.bottom[solid] - blobs.top[solid] + 1
+        # only text-sized blobs vote (images/rules would swamp the profile)
+        small = hh <= 4 * np.median(hh)
+        deg = estimate_skew(cx[small], cy[small],
+                            bin_px=np.median(hh[small]) / 4.0)
+        if abs(deg) >= SKEW_APPLY_MIN_DEG:
+            # undo via vertical shear (integer column shifts — no second
+            # resampling pass over glyph interiors)
+            ink = shear_y(ink, np.tan(np.deg2rad(deg)), False)
+            blobs = label_blobs(ink)
+            if len(blobs) == 0:
+                return []
 
     keep = blobs.area > NOISE_AREA
     if not keep.any():
@@ -181,28 +226,58 @@ def analyse_page(gray: np.ndarray) -> list[Block]:
 
     fill = area / (w * h)
     is_img = (fill >= IMAGE_FILL) & (h >= IMAGE_MIN_SIDE) & (w >= IMAGE_MIN_SIDE)
+    # separator rules (F5): long thin solid components, checked before the
+    # photo test would miss them (thickness < IMAGE_MIN_SIDE)
+    is_hline = (fill >= IMAGE_FILL) & (w >= LINE_ASPECT * h) & (w >= LINE_MIN_LEN)
+    is_vline = (fill >= IMAGE_FILL) & (h >= LINE_ASPECT * w) & (h >= LINE_MIN_LEN)
+    is_img &= ~(is_hline | is_vline)
 
     image_boxes = [
         (int(left[i]), int(top[i]), int(right[i]), int(bottom[i]))
         for i in np.nonzero(is_img)[0]
     ]
+    line_boxes = [
+        (int(left[i]), int(top[i]), int(right[i]), int(bottom[i]),
+         HORZ_LINE if is_hline[i] else VERT_LINE)
+        for i in np.nonzero(is_hline | is_vline)[0]
+    ]
 
-    tl, tt, tr, tb = left[~is_img], top[~is_img], right[~is_img], bottom[~is_img]
+    non_text = is_img | is_hline | is_vline
+    tl, tt, tr, tb = left[~non_text], top[~non_text], right[~non_text], bottom[~non_text]
 
-    # ---- rows: cluster text blobs by top (J3); same-line glyphs share tops ----
+    # ---- rows: size-grade blobs (F4, tordmain.cpp:232), cluster CORE blobs
+    # by top (J3), then attach small fragments to the row containing their
+    # center (J6 diacritic attachment); unattached fragments drop as noise ----
     rows: list[dict] = []
     if tl.shape[0] > 0:
-        order = np.argsort(tt, kind="stable")
-        tl, tt, tr, tb = tl[order], tt[order], tr[order], tb[order]
-        hh = tb - tt + 1
+        hh_all = tb - tt + 1
+        core = hh_all >= 0.75 * float(np.median(hh_all))
+        if not core.any():
+            core = np.ones(tl.shape[0], dtype=bool)
+        co = np.nonzero(core)[0][np.argsort(tt[core], kind="stable")]
+        ct, cb = tt[co], tb[co]
+        hh = cb - ct + 1
         tol = np.maximum(2, (hh * 0.3).astype(np.int64))
-        new_row = np.ones(tt.shape[0], dtype=bool)
-        new_row[1:] = tt[1:] > tt[:-1] + tol[1:]
+        new_row = np.ones(ct.shape[0], dtype=bool)
+        new_row[1:] = ct[1:] > ct[:-1] + tol[1:]
         rid = np.cumsum(new_row) - 1
-        for r in range(rid[-1] + 1):
-            sel = rid == r
-            gl, gt, gr, gb = _merge_x_overlaps(tl[sel], tt[sel], tr[sel], tb[sel])
-            r_top, r_bot = int(gt.min()), int(gb.max())
+        n_rows = int(rid[-1]) + 1
+        row_tops = np.full(n_rows, np.iinfo(np.int64).max)
+        row_bots = np.zeros(n_rows, dtype=np.int64)
+        np.minimum.at(row_tops, rid, ct)
+        np.maximum.at(row_bots, rid, cb)
+        members: list[list[int]] = [[] for _ in range(n_rows)]
+        for k in range(co.shape[0]):
+            members[int(rid[k])].append(int(co[k]))
+        for gi in np.nonzero(~core)[0]:
+            cy = (int(tt[gi]) + int(tb[gi])) / 2.0
+            hit = np.nonzero((row_tops - 2 <= cy) & (cy <= row_bots + 2))[0]
+            if hit.shape[0]:
+                members[int(hit[0])].append(int(gi))
+        for r in range(n_rows):
+            mi = np.array(members[r])
+            gl, gt, gr, gb = _merge_x_overlaps(tl[mi], tt[mi], tr[mi], tb[mi])
+            r_top, r_bot = int(row_tops[r]), int(row_bots[r])
             s = max(1, int(round((r_bot - r_top + 1) / GLYPH_H)))
             rows.append(dict(top=r_top, bottom=r_bot, left=int(gl.min()),
                              right=int(gr.max()), s=s, gl=gl, gr=gr))
@@ -210,6 +285,44 @@ def analyse_page(gray: np.ndarray) -> list[Block]:
     body_s = int(np.median([r["s"] for r in rows])) if rows else 1
     for r in rows:
         r["heading"] = r["s"] >= HEADING_RATIO * body_s
+
+    # ---- table rows (C8, tablefind.cpp:200): a row with >= TABLE_MIN_GAPS
+    # wide internal gaps has 3+ aligned cells — one gap is a column gutter,
+    # two or more is table structure. Consecutive such rows with overlapping
+    # first-gap intervals form one table block.
+    for r in rows:
+        gaps = []
+        gl, gr = r["gl"], r["gr"]
+        for i in range(gl.shape[0] - 1):
+            g = int(gl[i + 1]) - int(gr[i]) - 1
+            if g > TABLE_GAP_UNITS * r["s"]:
+                gaps.append((int(gr[i]) + 1, int(gl[i + 1]) - 1))
+        r["tgaps"] = gaps
+        r["tably"] = (not r["heading"]) and len(gaps) >= TABLE_MIN_GAPS
+
+    table_blocks: list[dict] = []
+    rest: list[dict] = []
+    run: list[dict] = []
+
+    def _flush_run() -> None:
+        if len(run) >= 2:
+            table_blocks.append(dict(rows=list(run), kind=TABLE))
+        else:
+            rest.extend(run)
+        run.clear()
+
+    for r in rows:
+        if r["tably"]:
+            if run:
+                pg, cg = run[-1]["tgaps"][0], r["tgaps"][0]
+                if min(pg[1], cg[1]) < max(pg[0], cg[0]):  # gaps don't align
+                    _flush_run()
+            run.append(r)
+        else:
+            _flush_run()
+            rest.append(r)
+    _flush_run()
+    rows = rest
 
     # ---- columns from body-row blob x-projection (C5/W1) ----
     col_ranges: list[tuple[int, int]] = []
@@ -264,14 +377,20 @@ def analyse_page(gray: np.ndarray) -> list[Block]:
         if cur:
             blocks.append(dict(rows=cur))
 
+    blocks.extend(table_blocks)
     for b in blocks:
         rws = b["rows"]
         b["box"] = (min(r["left"] for r in rws), min(r["top"] for r in rws),
                     max(r["right"] for r in rws), max(r["bottom"] for r in rws))
         b["image"] = False
+        b["line_kind"] = None
         b["heading"] = rws[0]["heading"]
     for ib in image_boxes:
-        blocks.append(dict(rows=None, box=ib, image=True, heading=False))
+        blocks.append(dict(rows=None, box=ib, image=True, line_kind=None,
+                           heading=False))
+    for lx in line_boxes:
+        blocks.append(dict(rows=None, box=lx[:4], image=False,
+                           line_kind=lx[4], heading=False))
 
     # ---- reading order: vertical-first XY-cut (W2) ----
     boxes = [b["box"] for b in blocks]
@@ -286,6 +405,16 @@ def analyse_page(gray: np.ndarray) -> list[Block]:
         if b["image"]:
             kind = FLOWING_IMAGE if (r_ - l + 1) / page_w_ink > 0.7 else PULLOUT_IMAGE
             out.append(Block(rank, kind, None, l, t, r_, bo))
+            continue
+        if b["line_kind"] is not None:
+            out.append(Block(rank, b["line_kind"], None, l, t, r_, bo))
+            continue
+        if b.get("kind") == TABLE:
+            lines = [
+                _decode_row(ink, rr["top"], rr["bottom"], rr["gl"], rr["gr"], rr["s"])
+                for rr in b["rows"]
+            ]
+            out.append(Block(rank, TABLE, "\n".join(lines), l, t, r_, bo))
             continue
         if b["heading"]:
             kind = HEADING_TEXT

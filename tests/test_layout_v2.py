@@ -1,0 +1,70 @@
+"""v2 layout features: rule lines (F5), tables (C8), deskew (C6)."""
+
+import numpy as np
+import pytest
+
+from sparkstract.fixtures.gen import page_spec
+from sparkstract.fixtures.render import render_page
+from sparkstract.functions.geometry import estimate_skew, rotate_nn, shear_y
+from sparkstract.operators.page import analyse_page
+
+
+def _run_family(family, seed, trials=6):
+    rng = np.random.default_rng(seed)
+    for _ in range(trials):
+        spec = page_spec(family, rng)
+        img, truth = render_page(spec)
+        got = analyse_page(img)
+        assert len(got) == len(truth), (
+            family, [t.kind for t in truth], [(g.kind, g.text) for g in got])
+        for t, g in zip(truth, got):
+            assert g.kind == t.kind, (family, t.kind, g.kind, g.text)
+            assert (g.text or None) == (t.text or None), (family, t.text, g.text)
+
+
+def test_ruled_page_family():
+    _run_family("ruled_page", seed=101)
+
+
+def test_table_page_family():
+    _run_family("table_page", seed=102)
+
+
+def test_skewed_page_family():
+    _run_family("skewed_page", seed=103, trials=12)
+
+
+def test_estimate_skew_recovers_known_slope():
+    theta = 1.3
+    xs = np.tile(np.arange(20) * 18.0, 5)
+    ys = np.repeat(np.arange(5) * 36.0, 20) - xs * np.tan(np.deg2rad(theta))
+    est = estimate_skew(xs, ys, bin_px=4.0)
+    # the deprojection angle that flattens the rows is -theta
+    assert abs(est - (-theta)) < 0.15, est
+
+
+def test_estimate_skew_straight_page_is_zero():
+    xs = np.tile(np.arange(20) * 18.0, 5)
+    ys = np.repeat(np.arange(5) * 36.0, 20)
+    assert abs(estimate_skew(xs, ys, bin_px=4.0)) < 0.1
+
+
+def test_shear_preserves_ink_count():
+    img = np.zeros((50, 200), dtype=bool)
+    img[10:20, 30:180] = True
+    out = shear_y(img, np.tan(np.deg2rad(1.5)), False)
+    assert out.sum() == img.sum()
+
+
+def test_rotate_round_trip_keeps_shape_content():
+    img = np.zeros((60, 90), dtype=np.uint8)
+    img[20:40, 30:60] = 255
+    out = rotate_nn(rotate_nn(img, 2.0, np.uint8(0)), -2.0, np.uint8(0))
+    # the block survives with its approximate mass (NN jitter tolerated)
+    assert abs(int((out > 0).sum()) - 600) < 60
+
+
+@pytest.mark.parametrize("deg", [0.0, 1e-10])
+def test_rotate_identity(deg):
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert rotate_nn(img, deg, np.uint8(0)) is img
