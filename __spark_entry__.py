@@ -251,6 +251,106 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
 
 
+def q_render_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstract.sinks import render_text
+
+    docs, media, _ = _fixture_frames(spark)
+    return render_text(extract(spark, docs, media)).orderBy("doc_id")
+
+
+def q_render_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstract.sinks import render_tsv
+
+    docs, media, _ = _fixture_frames(spark)
+    return render_tsv(extract(spark, docs, media)).orderBy("doc_id")
+
+
+# Paragraph-detection contract rows: ASCII blocks from the reference's own
+# test tables (unittest/paragraphs_test.cc) with hand-written expected
+# assignments — an oracle independent of the detector implementation.
+_PARA_BLOCKS: list[tuple[str, int, list[str], list[tuple[int, str, bool, bool]]]] = [
+    ("pd-1", 0,
+     ["  Look here, I have a paragraph.",
+      "This paragraph starts at the top",
+      "of the page and takes 3 lines.  ",
+      "  Here I have a second paragraph",
+      "which indicates that the first  ",
+      "paragraph is not a continuation ",
+      "from a previous page, as it is  ",
+      "indented just like this second  ",
+      "paragraph.                      "],
+     [(0, "left", False, False)] * 3 + [(1, "left", False, False)] * 6),
+    ("pd-1", 1,
+     ["Right-aligned paragraphs are",
+      "   uncommon in Left-to-Right",
+      "      languages, but they do",
+      "                      exist.",
+      "    Mostly, however, they're",
+      " horribly tiny paragraphs in",
+      "  tables on which we have no",
+      "             chance anyways."],
+     [(0, "right", False, False)] * 4 + [(1, "right", False, False)] * 4),
+    ("pd-2", 0,
+     ["1. Make a plan.                 ",
+      "2. Use a heuristic, for example,",
+      "   looking for lines where the  ",
+      "   first word of the next line  ",
+      "   would fit on the previous    ",
+      "   line.                        ",
+      "8. Try to implement the plan in ",
+      "   Python and try it out.       ",
+      "4. Determine how to fix the     ",
+      "   mistakes.                    ",
+      "5. Repeat.                      "],
+     [(0, "left", False, True), (1, "left", False, True), (1, "left", False, False),
+      (1, "left", False, False), (1, "left", False, False), (1, "left", False, False),
+      (2, "left", False, True), (2, "left", False, False),
+      (3, "left", False, True), (3, "left", False, False),
+      (4, "left", False, True)]),
+]
+
+
+def q_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstract.operators.paragraphs import paragraphs_df
+
+    rows = []
+    for doc_id, block, lines, _expected in _PARA_BLOCKS:
+        for i, t in enumerate(lines):
+            rows.append((doc_id, str(block), i, t))
+    df = spark.createDataFrame(
+        rows, "doc_id string, block_order string, row_order int, line_text string")
+    return (
+        paragraphs_df(df)
+        .select("doc_id", "block_order", "row_order", "para_id",
+                "justification", "is_crown", "is_list_item")
+        .orderBy("doc_id", "block_order", "row_order")
+    )
+
+
+# Bidi reading-order contract rows: direction arrays and expected orders from
+# the reference's pure-logic tests (unittest/resultiterator_test.cc:480-539).
+_BIDI_CASES: list[tuple[str, list[int], bool, list[int]]] = [
+    ("dual-ltr", [1, 1, 0, 1, 0, 2, 2, 2], True, [0, 1, 2, 3, 4, -1, 7, 6, 5, -2]),
+    ("dual-rtl", [1, 1, 0, 1, 0, 2, 2, 2], False, [7, 6, 5, 4, -1, 0, 1, 2, 3, -2]),
+    ("left-ltr", [1, 1, 0, 1, 0, 0, 1, 1], True, [0, 1, 2, 3, 4, 5, 6, 7]),
+    ("left-rtl", [1, 1, 0, 1, 0, 0, 1, 1], False, [-1, 0, 1, 2, 3, 4, 5, 6, 7, -2]),
+    ("right-rtl", [2, 2, 0, 2, 0, 0, 2, 2], False, [7, 6, 5, 4, 3, 2, 1, 0]),
+]
+
+
+def q_bidi_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstract.operators.bidi import reorder_words
+
+    df = spark.createDataFrame(
+        [(cid, dirs, ltr) for cid, dirs, ltr, _exp in _BIDI_CASES],
+        "line_id string, word_dirs array<int>, paragraph_is_ltr boolean")
+    return (
+        reorder_words(df)
+        .select("line_id", "reading_order")
+        .orderBy("line_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction over an interleaved docs table whose text spans
     come from sf0.001 documents, with synthetic media pages spliced in."""
@@ -288,6 +388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dup": q_cosine_near_dup,
+        "render_text": q_render_text,
+        "render_tsv": q_render_tsv,
+        "paragraphs": q_paragraphs,
+        "bidi_order": q_bidi_order,
     }
 
 
@@ -324,8 +428,52 @@ def oracle_sql() -> dict[str, str]:
         for b in range(4)
     )
 
+    from sparkstract.sinks import TEXT_KINDS
+
+    text_kinds_sql = ", ".join(f"'{k}'" for k in TEXT_KINDS)
+    para_rows = ",\n".join(
+        f"('{doc}', '{blk}', {i}, {exp[0]}, '{exp[1]}', {str(exp[2]).upper()}, "
+        f"{str(exp[3]).upper()})"
+        for doc, blk, lines, expected in _PARA_BLOCKS
+        for i, exp in enumerate(expected)
+    )
+    bidi_rows = ",\n".join(
+        f"('{cid}', {exp})" for cid, _d, _l, exp in _BIDI_CASES
+    )
+
     return {
         "extract_spans": _truth_values_sql(),
+        "render_text": f"""
+            WITH truth AS ({_truth_values_sql()})
+            SELECT doc_id,
+                   string_agg(text, chr(10) || chr(10) ORDER BY "order") AS text
+            FROM truth
+            WHERE kind IN ({text_kinds_sql}) AND text IS NOT NULL
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "render_tsv": f"""
+            WITH truth AS ({_truth_values_sql()})
+            SELECT doc_id,
+                   string_agg(
+                     CAST("order" AS VARCHAR) || chr(9) || kind || chr(9) ||
+                     coalesce(media_ref, '') || chr(9) ||
+                     coalesce(regexp_replace(text, '[\\t\\n]', ' ', 'g'), ''),
+                     chr(10) ORDER BY "order") AS tsv
+            FROM truth GROUP BY doc_id ORDER BY doc_id
+        """,
+        "paragraphs": f"""
+            SELECT * FROM (VALUES
+            {para_rows}
+            ) AS t(doc_id, block_order, row_order, para_id, justification,
+                   is_crown, is_list_item)
+            ORDER BY doc_id, block_order, row_order
+        """,
+        "bidi_order": f"""
+            SELECT * FROM (VALUES
+            {bidi_rows}
+            ) AS t(line_id, reading_order)
+            ORDER BY line_id
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
