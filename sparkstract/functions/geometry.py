@@ -59,21 +59,18 @@ def shear_y(img: np.ndarray, slope: float, fill) -> np.ndarray:
     return out
 
 
-def estimate_skew(cx: np.ndarray, cy: np.ndarray, bin_px: float,
-                  max_deg: float = 3.0, step_deg: float = 0.05) -> float:
-    """Page skew angle in degrees from blob centroids: the angle whose
-    deprojection y' = y - x*tan(a) gives the sharpest row histogram
-    (sum of squared bin counts — Postl's projection-profile criterion)."""
-    if cx.shape[0] < 3:
-        return 0.0
-    bin_px = max(2.0, float(bin_px))
-    angles = np.arange(-max_deg, max_deg + step_deg / 2, step_deg)
+def _profile_scores(cx: np.ndarray, cy: np.ndarray, bin_px: float,
+                    angles: np.ndarray) -> np.ndarray:
     scores = np.empty(angles.shape[0])
     for k, deg in enumerate(angles):
         yp = cy - cx * np.tan(np.deg2rad(deg))
         bins = ((yp - yp.min()) / bin_px).astype(np.int64)
         counts = np.bincount(bins).astype(np.float64)
         scores[k] = float((counts * counts).sum())
+    return scores
+
+
+def _plateau_center(angles: np.ndarray, scores: np.ndarray) -> float:
     # The criterion plateaus while the residual drift stays inside one bin:
     # return the CENTER of the contiguous near-max plateau around the argmax,
     # not its first edge.
@@ -86,3 +83,21 @@ def estimate_skew(cx: np.ndarray, cy: np.ndarray, bin_px: float,
     while hi < angles.shape[0] - 1 and scores[hi + 1] >= thresh:
         hi += 1
     return float(angles[(lo + hi) // 2])
+
+
+def estimate_skew(cx: np.ndarray, cy: np.ndarray, bin_px: float,
+                  max_deg: float = 3.0, step_deg: float = 0.05) -> float:
+    """Page skew angle in degrees from blob centroids: the angle whose
+    deprojection y' = y - x*tan(a) gives the sharpest row histogram
+    (sum of squared bin counts — Postl's projection-profile criterion).
+    Coarse-to-fine: 0.5° sweep to localize the peak (its plateau is wider
+    than 1° at text-row bin sizes), then `step_deg` refinement around it."""
+    if cx.shape[0] < 3:
+        return 0.0
+    bin_px = max(2.0, float(bin_px))
+    coarse = np.arange(-max_deg, max_deg + 0.25, 0.5)
+    c_best = float(coarse[int(np.argmax(_profile_scores(cx, cy, bin_px, coarse)))])
+    # fine window must contain the WHOLE plateau (coarse error 0.5° + plateau
+    # half-width ~0.7° at text bin sizes) or its center estimate is biased
+    fine = np.arange(c_best - 1.25, c_best + 1.25 + step_deg / 2, step_deg)
+    return _plateau_center(fine, _profile_scores(cx, cy, bin_px, fine))
