@@ -91,6 +91,9 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Rule(col=0),
             Text(_lines(rng, 2, 16), col=0),
         ], scale=2, seed=seed)
+    if family == "rotated_page":  # F14 — OSD, osdetect.cpp:239
+        return PageSpec(elements=[Text(_lines(rng, 3, 16))], scale=2,
+                        rot90=int(rng.integers(1, 4)), seed=seed)
     if family == "skewed_page":  # F13 — deskew, tabfind.cpp:1291
         return PageSpec(elements=[Text(_lines(rng, 4, 16))], scale=3,
                         skew_deg=float(rng.uniform(-2.0, 2.0)), seed=seed)
@@ -110,7 +113,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
 PAGE_FAMILIES = [
     "single_column", "two_column", "interleaved_order", "image_only",
     "grid_2x2", "paragraphs", "noise_page", "empty_page",
-    "ruled_page", "table_page", "skewed_page",
+    "ruled_page", "table_page", "skewed_page", "rotated_page",
 ]
 
 

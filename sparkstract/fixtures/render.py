@@ -92,6 +92,7 @@ class PageSpec:
     width_chars: int = 18  # per column
     noise_frac: float = 0.0
     skew_deg: float = 0.0  # page rotated by this angle after layout (C6)
+    rot90: int = 0         # quarter-turns applied after layout (C10 OSD)
     seed: int = 0
 
 
@@ -268,5 +269,7 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
         from ..functions.geometry import rotate_nn
 
         canvas = rotate_nn(canvas, spec.skew_deg, WHITE)
+    if spec.rot90 % 4:
+        canvas = np.rot90(canvas, spec.rot90 % 4).copy()
 
     return canvas, truth

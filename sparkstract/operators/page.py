@@ -95,7 +95,7 @@ def _merge_x_overlaps(left: np.ndarray, top: np.ndarray, right: np.ndarray,
 
 
 def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
-                gl: np.ndarray, gr: np.ndarray, s: int) -> str:
+                gl: np.ndarray, gr: np.ndarray, s: int) -> tuple[str, int, int]:
     """Template-decode one text row: split char-groups into words by gap, map
     each word onto its 6s char-cell grid, downsample cells to 5x7, LUT match.
     Each cell is sampled at ±1px offsets and the best-scoring match wins, so
@@ -105,6 +105,8 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     word_break = gaps > WORD_GAP_UNITS * s
     wid = np.concatenate([[0], np.cumsum(word_break)])
     words: list[str] = []
+    dist_sum = 0
+    n_chars = 0
     for wi in range(wid[-1] + 1):
         sel = wid == wi
         x0 = int(gl[sel].min())
@@ -128,8 +130,10 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                 if best_d == 0:
                     break
             chars.append(best_ch)
+            dist_sum += best_d
+            n_chars += 1
         words.append("".join(chars))
-    return " ".join(words)
+    return " ".join(words), dist_sum, n_chars
 
 
 def _coverage_gaps(left: np.ndarray, right: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
@@ -186,12 +190,12 @@ def _xy_cut(boxes: list[tuple[int, int, int, int]], idx: list[int],
 SKEW_APPLY_MIN_DEG = 0.15  # measured skew below this → page already straight
 
 
-def analyse_page(gray: np.ndarray) -> list[Block]:
-    """Full page analysis + recognition. Returns blocks in reading order."""
-    ink = binarize(gray)
+def _analyse_ink(ink: np.ndarray) -> tuple[list[Block], float]:
+    """Analyse one binarized page; returns (blocks in reading order,
+    mean per-char decode distance — the page's recognition quality)."""
     blobs: Blobs = label_blobs(ink)
     if len(blobs) == 0:
-        return []
+        return [], 0.0
 
     # ---- deskew (C6): estimate page rotation from blob centroids, rotate
     # the bitmap upright, re-extract components (tabfind.cpp:1291 /
@@ -211,11 +215,11 @@ def analyse_page(gray: np.ndarray) -> list[Block]:
             ink = shear_y(ink, np.tan(np.deg2rad(deg)), False)
             blobs = label_blobs(ink)
             if len(blobs) == 0:
-                return []
+                return [], 0.0
 
     keep = blobs.area > NOISE_AREA
     if not keep.any():
-        return []
+        return [], 0.0
     left = blobs.left[keep].astype(np.int64)
     top = blobs.top[keep].astype(np.int64)
     right = blobs.right[keep].astype(np.int64)
@@ -399,6 +403,20 @@ def analyse_page(gray: np.ndarray) -> list[Block]:
     # ---- kind typing (C7) + caption attachment (J8) ----
     page_w_ink = (max(bx[2] for bx in boxes) - min(bx[0] for bx in boxes) + 1) if boxes else 1
     out: list[Block] = []
+    q_dist = 0
+    q_chars = 0
+
+    def decode_block(b) -> str:
+        nonlocal q_dist, q_chars
+        lines = []
+        for rr in b["rows"]:
+            text, d, n = _decode_row(ink, rr["top"], rr["bottom"],
+                                     rr["gl"], rr["gr"], rr["s"])
+            lines.append(text)
+            q_dist += d
+            q_chars += n
+        return "\n".join(lines)
+
     for rank, i in enumerate(order):
         b = blocks[i]
         l, t, r_, bo = b["box"]
@@ -410,11 +428,7 @@ def analyse_page(gray: np.ndarray) -> list[Block]:
             out.append(Block(rank, b["line_kind"], None, l, t, r_, bo))
             continue
         if b.get("kind") == TABLE:
-            lines = [
-                _decode_row(ink, rr["top"], rr["bottom"], rr["gl"], rr["gr"], rr["s"])
-                for rr in b["rows"]
-            ]
-            out.append(Block(rank, TABLE, "\n".join(lines), l, t, r_, bo))
+            out.append(Block(rank, TABLE, decode_block(b), l, t, r_, bo))
             continue
         if b["heading"]:
             kind = HEADING_TEXT
@@ -426,9 +440,25 @@ def analyse_page(gray: np.ndarray) -> list[Block]:
                 if x_overlap and 0 <= dy <= CAPTION_GAP_UNITS * b["rows"][0]["s"]:
                     kind = CAPTION_TEXT
                     break
-        lines = [
-            _decode_row(ink, rr["top"], rr["bottom"], rr["gl"], rr["gr"], rr["s"])
-            for rr in b["rows"]
-        ]
-        out.append(Block(rank, kind, "\n".join(lines), l, t, r_, bo))
+        out.append(Block(rank, kind, decode_block(b), l, t, r_, bo))
+    return out, (q_dist / q_chars if q_chars else 0.0)
+
+
+OSD_RETRY_DIST = 2.0  # mean bits/char above this → try the other 3 rotations
+
+
+def analyse_page(gray: np.ndarray) -> list[Block]:
+    """Full page analysis + recognition: binarize, analyse; if recognition
+    quality is poor, retry at 90/180/270 degrees and keep the best — the
+    orientation-detection pass (C10, osdetect.cpp:239) fused with the
+    retry-with-alternate-config loop (ProcessPages, baseapi.h:732)."""
+    ink = binarize(gray)
+    out, quality = _analyse_ink(ink)
+    if quality > OSD_RETRY_DIST:
+        for k in (1, 2, 3):
+            cand, q = _analyse_ink(np.rot90(ink, k))
+            if q < quality:
+                out, quality = cand, q
+            if quality <= OSD_RETRY_DIST:
+                break
     return out

@@ -68,3 +68,8 @@ def test_rotate_round_trip_keeps_shape_content():
 def test_rotate_identity(deg):
     img = np.arange(12, dtype=np.uint8).reshape(3, 4)
     assert rotate_nn(img, deg, np.uint8(0)) is img
+
+
+def test_rotated_page_family():
+    # C10 OSD: pages at 90/180/270 come back upright (osd_test.cc:78-92)
+    _run_family("rotated_page", seed=104, trials=9)
