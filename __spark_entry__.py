@@ -232,6 +232,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ts.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = (emb.orderBy("vec_id").limit(5)
@@ -385,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dup": q_cosine_near_dup,
@@ -591,6 +599,24 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END, 6) AS mean_word_len,
                    {lang_expr} AS pred_lang,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM t ORDER BY doc_id
+        """,
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS tl
+              FROM documents)
+            SELECT doc_id,
+                   round(
+                     least(length(text) / 500.0, 1.0)
+                     * (1.0 - CASE WHEN length(text) > 0
+                        THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)
+                        ELSE 0 END)
+                     * least(1.0, (CASE WHEN len(tl) > 0
+                        THEN len(list_filter(tl, x -> list_contains({stop_list}, x))) * 1.0 / len(tl)
+                        ELSE 0 END) * 5.0),
+                   6) AS quality
             FROM t ORDER BY doc_id
         """,
         "ann_brute_topk": """

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -44,7 +46,7 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     Deterministic tie-break: (score desc, vec_id asc), score rounded to 6 dp
     BEFORE ranking so float noise cannot flip ranks between engines.
     """
-    scored = emb.crossJoin(F.broadcast(queries)).select(
+    scored = spread(emb).crossJoin(F.broadcast(queries)).select(
         "query_id",
         F.col(id_col).alias("vec_id"),
         F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("score"),
@@ -94,7 +96,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         .select("query_id", "query_vec", "label")
     )
     scored = (
-        emb.join(F.broadcast(probe), on=label_col)
+        spread(emb).join(F.broadcast(probe), on=label_col)
         .select("query_id",
                 F.col(id_col).alias("vec_id"),
                 F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("score"))
@@ -114,8 +116,8 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     """Embedding-cosine near-duplicate pairs, bucketed by label so the
     quadratic pair join stays within buckets (the IVF trick applied to
     dedup). Returns (id_a, id_b, score) with id_a < id_b."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                   F.col(label_col).alias("label"))
+    a = spread(emb).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                           F.col(label_col).alias("label"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                    F.col(label_col).alias("label"))
     return (
