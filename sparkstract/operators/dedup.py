@@ -112,7 +112,16 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> Dat
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
                       n: int = 3) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band (rows = hashes per
-    band). Returns (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    band). Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
+
+    Implemented as a bucket AGGREGATION, not a self-join: a self-join of the
+    banded signatures recomputes the whole shingle→signature pipeline for
+    both sides (two full input scans). Grouping by (band, key) and emitting
+    in-bucket pairs computes signatures once and shuffles only (band, key,
+    doc_id). Bucket pair fan-out is quadratic in bucket size by LSH
+    *semantics* (those docs are all candidate dups of each other) — run
+    exact dedup first at scale so identical docs don't pile into one bucket.
+    """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n)
     band_cols = []
@@ -125,12 +134,21 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # all ordered pairs within a bucket via a row-local cartesian (two
+    # Generate nodes — stays in whole-stage codegen, unlike nested
+    # higher-order slice/transform expressions)
+    pairs = (
+        buckets.select("band", F.explode("ids").alias("doc_a"), "ids")
+        .select("band", "doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band").alias("n_bands"))
     )
 
@@ -178,12 +196,18 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     exact form. Returns (doc_a, doc_b, jaccard) above threshold."""
     grams = word_ngrams(docs, n=n)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    # bucket aggregation instead of a gram self-join (which would recompute
+    # the shingle pipeline for both sides — see minhash_lsh_pairs)
+    buckets = (
+        grams.groupBy("ngram")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     common = (
-        a.join(b, "ngram")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
