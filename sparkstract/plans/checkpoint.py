@@ -55,9 +55,12 @@ def committed_groups(out_dir: str) -> dict[int, dict]:
     return out
 
 
-def _commit_group(result: DataFrame, out_dir: str, run_id: str, group: int,
-                  metrics: dict) -> None:
+def _commit_group(result: DataFrame, out_dir: str, run_id: str, group: int) -> None:
     """Write one bucket-group's results + lineage atomically.
+
+    Metrics are computed FROM the written files, not from the logical plan —
+    running an aggregate on `result` before writing would execute the whole
+    extraction twice per group (once for the agg, once for the write).
 
     Iceberg seam: replace with a single transaction appending the data files,
     the lineage row, and the metrics row to three tables in one snapshot.
@@ -65,6 +68,13 @@ def _commit_group(result: DataFrame, out_dir: str, run_id: str, group: int,
     data_dir = os.path.join(out_dir, "data", f"group={group}")
     tmp_dir = os.path.join(out_dir, "_tmp", f"{group}-{uuid.uuid4().hex}")
     result.write.mode("overwrite").parquet(tmp_dir)
+    stats = result.sparkSession.read.parquet(tmp_dir).agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.count(F.lit(1)).alias("spans_out"),
+        F.sum((F.col("kind") != "text").cast("long")).alias("extracted_spans"),
+    ).collect()[0]
+    metrics = dict(docs=stats["docs"] or 0, spans_out=stats["spans_out"] or 0,
+                   extracted_spans=int(stats["extracted_spans"] or 0))
     if os.path.isdir(data_dir):
         shutil.rmtree(data_dir)  # leftover from a killed, uncommitted attempt
     os.makedirs(os.path.dirname(data_dir), exist_ok=True)
@@ -100,14 +110,7 @@ def run_job(spark: SparkSession, docs: DataFrame, media: DataFrame,
             continue
         sub = bucketed.filter(F.col("_grp") == g).drop("_grp")
         result = extract(spark, sub, media, cfg)
-        stats = result.agg(
-            F.countDistinct("doc_id").alias("docs"),
-            F.count(F.lit(1)).alias("spans_out"),
-            F.sum((F.col("kind") != "text").cast("long")).alias("extracted_spans"),
-        ).collect()[0]
-        metrics = dict(docs=stats["docs"] or 0, spans_out=stats["spans_out"] or 0,
-                       extracted_spans=stats["extracted_spans"] or 0)
-        _commit_group(result, out_dir, run_id, g, metrics)
+        _commit_group(result, out_dir, run_id, g)
         committed_count += 1
         if fail_after_groups is not None and committed_count >= fail_after_groups:
             raise InjectedFailure(f"injected failure after {committed_count} groups")
