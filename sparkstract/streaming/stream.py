@@ -59,3 +59,89 @@ def stream_extract(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_event_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Watermarked windowed aggregation over a stream of (ts, event_type,
+    value) rows: counts + sums per (event-time window, type), append mode.
+
+    The streaming analog of the reference's progress/metrics monitor
+    (ETEXT_DESC, include/tesseract/ocrclass.h): late rows within the
+    watermark still land in their window; older ones are dropped and the
+    window finalizes — which is what lets append mode emit each window
+    exactly once at 10^12-row scale.
+    """
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id string, event_type string, "
+            "ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def stream_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Stateful streaming exact-dedup: keep the first doc per content
+    fingerprint, drop later copies. Spark's stateful dropDuplicates keeps
+    the fingerprint set in the state store; the ingest-time watermark bounds
+    state (a fingerprint older than the watermark can be evicted), which is
+    the knob that makes the operator viable on an unbounded crawl stream.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.textstats import fingerprint
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ingest_ts timestamp")
+        .parquet(docs_dir)
+    )
+    deduped = (
+        stream.withColumn("fp", fingerprint(F.col("text")))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

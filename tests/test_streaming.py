@@ -31,3 +31,78 @@ def test_stream_matches_truth(spark, fixture_set, tmp_path):
     got = _norm(spark.read.parquet(out_dir).toPandas())
     want = _norm(truth.toPandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_event_rollup_matches_batch(spark, tmp_path):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from sparkstract.streaming.stream import stream_event_rollup
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    for i in range(200):
+        rows.append(dict(event_id=i, user_id=f"u{i % 7}",
+                         event_type=["click", "view"][i % 2],
+                         ts=base + pd.Timedelta(minutes=i * 7),
+                         value=float(i) / 10))
+    pdf = pd.DataFrame(rows)
+    # three source files → three micro-batch admissions (watermark advances
+    # between batches; append mode emits a window one batch after it is
+    # fully below the watermark). FileStreamSource orders by modification
+    # time, so space the writes out — out-of-order files would make the
+    # earliest windows arrive beyond the watermark and be dropped (that IS
+    # the late-data semantics, but not what this test pins).
+    import time as _time
+
+    for lo, hi in ((0, 80), (80, 160), (160, 200)):
+        mode = "overwrite" if lo == 0 else "append"
+        spark.createDataFrame(pdf.iloc[lo:hi]).coalesce(1).write.mode(mode).parquet(
+            str(src / "a.parquet"))
+        _time.sleep(1.1)
+
+    out = tmp_path / "out"
+    stream_event_rollup(spark, str(src / "a.parquet"), str(out),
+                        str(tmp_path / "ckpt"))
+    got = spark.read.parquet(str(out))
+    batch = (
+        spark.read.parquet(str(src / "a.parquet"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    # append mode emits only watermark-finalized windows: every emitted row
+    # must match the batch result exactly, and all windows fully below the
+    # second batch's watermark (max ts of first 160 rows minus 2h) must be out
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows <= batch_rows
+    finalized_before = (base + pd.Timedelta(minutes=159 * 7)
+                        - pd.Timedelta(hours=3))
+    must_have = {r for r in batch_rows if r[0] < finalized_before}
+    assert must_have, "test setup: expected some finalized windows"
+    assert must_have <= got_rows
+
+
+def test_stream_dedup_keeps_first_copy(spark, tmp_path):
+    import pandas as pd
+
+    from sparkstract.streaming.stream import stream_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    pdf = pd.DataFrame([
+        dict(doc_id="d1", text="the quick brown fox", ingest_ts=base),
+        dict(doc_id="d2", text="THE  QUICK   BROWN FOX", ingest_ts=base),  # dup fp
+        dict(doc_id="d3", text="something else", ingest_ts=base),
+        dict(doc_id="d4", text="the quick brown fox", ingest_ts=base),  # dup fp
+    ])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(src / "d.parquet"))
+    out = tmp_path / "out"
+    stream_dedup(spark, str(src / "d.parquet"), str(out), str(tmp_path / "ckpt"))
+    got = spark.read.parquet(str(out))
+    fps = [r["fp"] for r in got.collect()]
+    assert len(fps) == len(set(fps)) == 2  # one row per distinct fingerprint
