@@ -194,6 +194,43 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no big-ticket order (anti join against a filtered
+    right side — the filter makes the result non-trivial on the test SF)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one near-full-quantity lineitem, counted per
+    priority (TPC-H Q4 shape: semi join + group)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 48)
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -387,6 +424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_sequence": q_user_event_sequence,
         "top1_event_per_user": q_top1_event_per_user,
         "events_hourly": q_events_hourly,
+        "customers_without_orders": q_customers_without_orders,
+        "priority_late_orders": q_priority_late_orders,
+        "returnflag_rollup": q_returnflag_rollup,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -535,6 +575,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 400000)
+            ORDER BY c_custkey
+        """,
+        "priority_late_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "returnflag_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
         """,
         "dedup_exact": """
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
