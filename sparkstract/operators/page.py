@@ -31,7 +31,15 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..fixtures.font import GLYPH_H, GLYPH_W, decode_glyph_dist
+from ..fixtures.font import (
+    DECODE_CHARS,
+    DECODE_MATRIX,
+    GLYPH_H,
+    GLYPH_W,
+    decode_glyph_dist,
+)
+
+DECODE_BOOL = DECODE_MATRIX.astype(bool)
 from ..fixtures.render import (
     CAPTION_TEXT,
     FLOWING_IMAGE,
@@ -107,31 +115,47 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     words: list[str] = []
     dist_sum = 0
     n_chars = 0
+    cell_px = np.arange(GLYPH_W * s, dtype=np.int64)
     for wi in range(wid[-1] + 1):
         sel = wid == wi
         x0 = int(gl[sel].min())
         x1 = int(gr[sel].max())
         n = int(round((x1 - x0 + 1 + s) / (6 * s)))
-        chars = []
-        for k in range(n):
-            cx = x0 + 6 * s * k
-            best_ch, best_d = "?", 1 << 30
+        # fast path: sample ALL n cells at (0,0) offset in one gather, match
+        # every char against the whole LUT with one vectorized hamming
+        starts = np.minimum(x0 + 6 * s * np.arange(n, dtype=np.int64),
+                            page_w - GLYPH_W * s)
+        y0 = min(max(row_top, 0), page_h - GLYPH_H * s)
+        cols = (starts[:, None] + cell_px[None, :]).ravel()
+        band = ink[y0 : y0 + GLYPH_H * s, cols]
+        bits = (
+            band.reshape(GLYPH_H, s, n, GLYPH_W, s).mean(axis=(1, 4)) > 0.5
+        ).transpose(1, 0, 2).reshape(n, GLYPH_H * GLYPH_W)
+        dists = (bits[:, None, :] ^ DECODE_BOOL[None, :, :]).sum(axis=2)
+        best = np.argmin(dists, axis=1)
+        best_d = dists[np.arange(n), best]
+        chars = [DECODE_CHARS[int(b)] for b in best]
+        # slow path (rare: deskew/rotation jitter): re-sample imperfect cells
+        # at ±1px offsets, keep the best-scoring match
+        for k in np.nonzero(best_d > 0)[0]:
+            cx = int(starts[k])
+            bc, bd = chars[k], int(best_d[k])
             for dy in (0, -1, 1):
                 for dx in (0, -1, 1):
-                    y0 = min(max(row_top + dy, 0), page_h - GLYPH_H * s)
+                    yy = min(max(row_top + dy, 0), page_h - GLYPH_H * s)
                     xx = min(max(cx + dx, 0), page_w - GLYPH_W * s)
-                    cell = ink[y0 : y0 + GLYPH_H * s, xx : xx + GLYPH_W * s]
-                    bits = cell.reshape(GLYPH_H, s, GLYPH_W, s).mean(axis=(1, 3)) > 0.5
-                    ch, d = decode_glyph_dist(bits)
-                    if d < best_d:
-                        best_ch, best_d = ch, d
-                    if best_d == 0:
+                    cell = ink[yy : yy + GLYPH_H * s, xx : xx + GLYPH_W * s]
+                    cb = cell.reshape(GLYPH_H, s, GLYPH_W, s).mean(axis=(1, 3)) > 0.5
+                    ch, d = decode_glyph_dist(cb)
+                    if d < bd:
+                        bc, bd = ch, d
+                    if bd == 0:
                         break
-                if best_d == 0:
+                if bd == 0:
                     break
-            chars.append(best_ch)
-            dist_sum += best_d
-            n_chars += 1
+            chars[k], best_d[k] = bc, bd
+        dist_sum += int(best_d.sum())
+        n_chars += n
         words.append("".join(chars))
     return " ".join(words), dist_sum, n_chars
 

@@ -87,18 +87,25 @@ def extract(spark: SparkSession, docs: DataFrame, media: DataFrame,
     )
 
     media_side = media.select("media_ref", "image")
+    refs = exploded.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref")
     if cfg.broadcast_media_max_rows:
-        media_side = F.broadcast(media_side)
-
-    work = (
-        exploded.filter(F.col("kind") == "media")
-        .select("doc_id", "offset", "media_ref")
-        .join(media_side, "media_ref")
-    )
-    if cfg.work_partitions:
-        work = work.repartition(cfg.work_partitions, "doc_id", "offset")
+        # salt-repartition the (doc_id, offset, media_ref) keys BEFORE the
+        # join: the shuffle then moves ~100-byte key rows, not page images —
+        # the broadcast join after it preserves the salted partitioning
+        if cfg.work_partitions:
+            refs = refs.repartition(cfg.work_partitions, "doc_id", "offset")
+        else:
+            refs = refs.repartition("doc_id", "offset")
+        work = refs.join(F.broadcast(media_side), "media_ref")
     else:
-        work = work.repartition("doc_id", "offset")
+        # big-media path: the shuffle join on media_ref moves the bytes once
+        # (unavoidable); salt afterwards to spread media-heavy docs
+        work = refs.join(media_side, "media_ref")
+        if cfg.work_partitions:
+            work = work.repartition(cfg.work_partitions, "doc_id", "offset")
+        else:
+            work = work.repartition("doc_id", "offset")
 
     extracted = work.mapInPandas(_page_kernel(cfg), schema=EXTRACTED_SCHEMA)
 
