@@ -395,6 +395,23 @@ def q_bidi_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (no DuckDB oracle: PNG decode is not SQL-expressible).
+    Decodes every fixture page image and emits per-image features."""
+    from sparkstract.operators.multimodal import image_features
+
+    _docs, media, _ = _fixture_frames(spark)
+    return image_features(media).orderBy("media_ref")
+
+
+def q_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: block-mean downsample + PNG re-encode per image."""
+    from sparkstract.operators.multimodal import thumbnails
+
+    _docs, media, _ = _fixture_frames(spark)
+    return thumbnails(media).select("media_ref", "thumb_w", "thumb_h").orderBy("media_ref")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction over an interleaved docs table whose text spans
     come from sf0.001 documents, with synthetic media pages spliced in."""
@@ -440,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_tsv": q_render_tsv,
         "paragraphs": q_paragraphs,
         "bidi_order": q_bidi_order,
+        "image_features": q_image_features,
+        "thumbnails": q_thumbnails,
     }
 
 

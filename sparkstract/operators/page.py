@@ -109,6 +109,11 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     Each cell is sampled at ±1px offsets and the best-scoring match wins, so
     the 1px jitter a deskewed page carries doesn't corrupt the decode."""
     page_h, page_w = ink.shape
+    # a glyph cell at scale s must fit on the page (noise "rows" on garbage
+    # input can imply scales larger than the bitmap)
+    s = max(1, min(s, page_h // GLYPH_H, page_w // GLYPH_W))
+    if GLYPH_H * s > page_h or GLYPH_W * s > page_w:
+        return "", 0, 0
     gaps = gl[1:] - gr[:-1] - 1
     word_break = gaps > WORD_GAP_UNITS * s
     wid = np.concatenate([[0], np.cumsum(word_break)])

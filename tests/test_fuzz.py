@@ -1,0 +1,86 @@
+"""Property-based fuzzing of the pure kernels (the analog of the reference's
+unittest/fuzzers/ layer, SURVEY.md §5 item 4)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkstract.functions.cclabel import label_blobs
+from sparkstract.functions.geometry import rotate_nn, shear_y
+from sparkstract.functions.otsu import binarize
+from sparkstract.operators.bidi import textline_order, word_indices_only
+from sparkstract.operators.page import analyse_page
+from sparkstract.operators.paragraphs import RowInfo, detect_paragraphs
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.floats(0.0, 1.0))
+def test_label_blobs_invariants(seed, density):
+    rng = np.random.default_rng(seed)
+    ink = rng.random((30, 40)) < density
+    blobs = label_blobs(ink)
+    assert int(blobs.area.sum()) == int(ink.sum())
+    if len(blobs):
+        assert (blobs.left >= 0).all() and (blobs.right < 40).all()
+        assert (blobs.top >= 0).all() and (blobs.bottom < 30).all()
+        assert (blobs.left <= blobs.right).all()
+        assert (blobs.top <= blobs.bottom).all()
+        assert (blobs.area <= blobs.width.astype(np.int64) * blobs.height).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_analyse_page_never_crashes_on_noise(seed):
+    rng = np.random.default_rng(seed)
+    gray = (rng.random((60, 80)) * 255).astype(np.uint8)
+    blocks = analyse_page(gray)  # garbage in → SOME typed blocks out, no crash
+    orders = [b.order for b in blocks]
+    assert orders == sorted(orders)
+    for b in blocks:
+        assert b.kind
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 3), max_size=12), st.booleans())
+def test_textline_order_permutation(dirs, ltr):
+    order = textline_order(ltr, dirs)
+    assert sorted(word_indices_only(order)) == list(range(len(dirs)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(
+    alphabet=" ABCDEFGHIJKLMNOPQRSTUVWXYZ.'1-", max_size=34), max_size=12))
+def test_detect_paragraphs_total(lines):
+    rows = [RowInfo.from_ascii(t) for t in lines]
+    out = detect_paragraphs(rows)
+    assert len(out) == len(rows)
+    # every row is assigned, para ids are non-decreasing
+    ids = [r.para_id for r in out]
+    assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1),
+       st.floats(-3.0, 3.0, allow_nan=False))
+def test_shear_preserves_mass(seed, deg):
+    rng = np.random.default_rng(seed)
+    ink = rng.random((40, 70)) < 0.2
+    out = shear_y(ink, np.tan(np.deg2rad(deg)), False)
+    assert int(out.sum()) == int(ink.sum())
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.floats(-10.0, 10.0, allow_nan=False))
+def test_rotate_bounds(deg):
+    img = np.full((20, 30), 255, dtype=np.uint8)
+    out = rotate_nn(img, deg, np.uint8(0))
+    assert out.shape[0] >= 20 - 1 and out.shape[1] >= 30 - 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_binarize_is_boolean_partition(seed):
+    rng = np.random.default_rng(seed)
+    gray = (rng.random((25, 25)) * 255).astype(np.uint8)
+    ink = binarize(gray)
+    assert ink.dtype == bool and ink.shape == gray.shape
