@@ -29,3 +29,7 @@ class ExtractConfig:
     # pages per Arrow batch fed to the kernel (DocumentCache's memory-bounded
     # read-ahead analog, imagedata.h:288 — Spark + Arrow own the batching)
     arrow_max_records: int = 64
+    # restrict analysis to a sub-rectangle of every page, (left, top, right,
+    # bottom) exclusive-right/bottom in pixels — SetRectangle
+    # (/root/reference/src/api/baseapi.cpp:949). None → whole page.
+    crop: tuple[int, int, int, int] | None = None

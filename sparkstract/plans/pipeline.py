@@ -53,6 +53,9 @@ def _page_kernel(cfg: ExtractConfig):
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
             ):
                 gray = decode_gray(bytes(png))
+                if cfg.crop is not None:
+                    cl, ct, cr, cb = cfg.crop
+                    gray = gray[ct:cb, cl:cr]
                 for blk in analyse_page(gray):
                     out["doc_id"].append(doc_id)
                     out["offset"].append(offset)

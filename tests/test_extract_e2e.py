@@ -89,3 +89,34 @@ def test_explicit_work_partitions(spark, fixture_set):
     want = truth.toPandas()
     want = want[want["doc_id"] == "d-skew"]
     pd.testing.assert_frame_equal(_norm(res), _norm(want))
+
+
+def test_crop_restricts_extraction(spark):
+    """S3 SetRectangle: cropping to the top part of a ruled page keeps only
+    the first text block (baseapi.cpp:949 semantics)."""
+    import numpy as np
+
+    from sparkstract.config import ExtractConfig
+    from sparkstract.fixtures.gen import _Builder
+    from sparkstract.plans.pipeline import extract
+
+    b = _Builder(seed=99)
+    b.add_doc("d-crop", [("media", "ruled_page")])
+    fs = b.build()
+    docs, media, truth = fs.to_spark(spark)
+
+    full = extract(spark, docs, media).collect()
+    assert [r["kind"] for r in sorted(full, key=lambda r: r["order"])] == [
+        "flowing_text", "horz_line", "flowing_text"]
+
+    # crop to everything above the rule: decode the page to find the rule y
+    from sparkstract.functions.png import decode_gray
+    img = decode_gray(bytes(fs.media["image"][0]))
+    row_is_rule = (img < 128).mean(axis=1) > 0.8
+    rule_top = int(np.nonzero(row_is_rule)[0].min())
+    cropped = extract(spark, docs, media,
+                      ExtractConfig(crop=(0, 0, img.shape[1], rule_top - 2)))
+    rows = sorted(cropped.collect(), key=lambda r: r["order"])
+    assert [r["kind"] for r in rows] == ["flowing_text"]
+    first_truth = [r for r in sorted(full, key=lambda r: r["order"])][0]
+    assert rows[0]["text"] == first_truth["text"]
