@@ -18,7 +18,15 @@ import numpy as np
 import pandas as pd
 
 from ..functions.png import encode_gray
-from .render import ImageRect, PageSpec, Rule, TableGrid, Text, render_page
+from .render import (
+    ImageRect,
+    PageSpec,
+    Rule,
+    TableGrid,
+    Text,
+    TexturedImage,
+    render_page,
+)
 
 _VOCAB = (
     "THE QUICK BROWN FOX JUMPS OVER LAZY DOG SPARK QUERY SCAN JOIN SORT "
@@ -91,6 +99,12 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Rule(col=0),
             Text(_lines(rng, 2, 16), col=0),
         ], scale=2, seed=seed)
+    if family == "textured_photo":  # F15 — non-text density mask, ccnontextdetect.cpp:88
+        return PageSpec(elements=[
+            Text(_lines(rng, 2, 16), col=0),
+            TexturedImage(h_units=50, w_frac=0.5, col=0),
+            Text(_lines(rng, 2, 16), col=0),
+        ], scale=2, seed=seed)
     if family == "rotated_page":  # F14 — OSD, osdetect.cpp:239
         return PageSpec(elements=[Text(_lines(rng, 3, 16))], scale=2,
                         rot90=int(rng.integers(1, 4)), seed=seed)
@@ -114,6 +128,7 @@ PAGE_FAMILIES = [
     "single_column", "two_column", "interleaved_order", "image_only",
     "grid_2x2", "paragraphs", "noise_page", "empty_page",
     "ruled_page", "table_page", "skewed_page", "rotated_page",
+    "textured_photo",
 ]
 
 

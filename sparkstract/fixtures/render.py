@@ -63,6 +63,19 @@ class ImageRect:
 
 
 @dataclass
+class TexturedImage:
+    """A photo-like region made of dense small dots (halftone texture) —
+    NOT a solid rectangle, so fill-ratio grading can't see it; detection
+    needs the blob-density non-text mask (F7, ccnontextdetect.cpp:88)."""
+
+    h_units: int = 50
+    w_frac: float = 0.6
+    dot_px: int = 2       # dot side in px
+    pitch_px: int = 5     # dot grid pitch in px
+    col: int | None = 0
+
+
+@dataclass
 class Rule:
     """A horizontal separator rule spanning the column width (the reference
     finds and removes these with Leptonica morphology, linefind.cpp:706;
@@ -150,6 +163,8 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             return (n - 1) * 12 * es + GLYPH_H * es
         if isinstance(e, Rule):
             return e.thickness_units * s
+        if isinstance(e, TexturedImage):
+            return e.h_units * s
         if isinstance(e, TableGrid):
             return (len(e.cells) - 1) * 12 * s + GLYPH_H * s
         if e.full_page:
@@ -205,6 +220,16 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
         if isinstance(e, Rule):
             canvas[y0 : y0 + e.thickness_units * s, x0 : x0 + avail_w] = INK
             truth.append(TruthBlock(HORZ_LINE, None))
+            return
+        if isinstance(e, TexturedImage):
+            h = e.h_units * s
+            wdt = int(avail_w * e.w_frac)
+            xr = x0 + (avail_w - wdt) // 2
+            for yy in range(y0, y0 + h - e.dot_px + 1, e.pitch_px):
+                for xx in range(xr, xr + wdt - e.dot_px + 1, e.pitch_px):
+                    canvas[yy : yy + e.dot_px, xx : xx + e.dot_px] = INK
+            frac = wdt / (page_w - 2 * margin)
+            truth.append(TruthBlock(FLOWING_IMAGE if frac > 0.7 else PULLOUT_IMAGE, None))
             return
         if isinstance(e, TableGrid):
             starts = [0]

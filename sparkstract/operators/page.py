@@ -66,6 +66,10 @@ LINE_ASPECT = 8         # w >= 8*h (or h >= 8*w) and long side >= LINE_MIN →
 LINE_MIN_LEN = 40       # separator rule (F5, linefind.cpp:706)
 TABLE_GAP_UNITS = 14    # internal aligned gap > 14*s → table cell gap (C8)
 TABLE_MIN_GAPS = 2      # >= 2 aligned gaps (3+ columns) → table, not gutter
+MICRO_MAX_SIDE = 4      # blob sides <= this → halftone-dot candidate (F7)
+DENSITY_CELL_PX = 16    # density-grid cell size
+DENSITY_CELL_MIN = 3    # micro blobs per cell to call the cell photo-dense
+DENSITY_MIN_BLOBS = 16  # skip the mask entirely below this page total
 
 
 @dataclass
@@ -277,6 +281,39 @@ def _analyse_ink(ink: np.ndarray) -> tuple[list[Block], float]:
 
     non_text = is_img | is_hline | is_vline
     tl, tt, tr, tb = left[~non_text], top[~non_text], right[~non_text], bottom[~non_text]
+
+    # ---- non-text density mask (F7, ccnontextdetect.cpp:88): halftone /
+    # textured photo regions are swarms of micro components no glyph grid
+    # produces — grid-count them, grow connected dense cells into photo
+    # boxes, and pull their blobs out of the text flow ----
+    micro = (tb - tt + 1 <= MICRO_MAX_SIDE) & (tr - tl + 1 <= MICRO_MAX_SIDE)
+    if int(micro.sum()) >= DENSITY_MIN_BLOBS:
+        g = DENSITY_CELL_PX
+        mcx = ((tl[micro] + tr[micro]) // 2) // g
+        mcy = ((tt[micro] + tb[micro]) // 2) // g
+        grid = np.zeros((int(ink.shape[0]) // g + 1, int(ink.shape[1]) // g + 1),
+                        dtype=np.int64)
+        np.add.at(grid, (mcy, mcx), 1)
+        regions = label_blobs(grid >= DENSITY_CELL_MIN)
+        keep_mask = np.ones(tl.shape[0], dtype=bool)
+        for ri in range(len(regions)):
+            if ((regions.right[ri] - regions.left[ri] + 1) * g < IMAGE_MIN_SIDE
+                    or (regions.bottom[ri] - regions.top[ri] + 1) * g < IMAGE_MIN_SIDE):
+                continue
+            rl, rt = int(regions.left[ri]) * g, int(regions.top[ri]) * g
+            rr = (int(regions.right[ri]) + 1) * g - 1
+            rb = (int(regions.bottom[ri]) + 1) * g - 1
+            ctr_x = (tl + tr) / 2.0
+            ctr_y = (tt + tb) / 2.0
+            inside = ((ctr_x >= rl - 2) & (ctr_x <= rr + 2)
+                      & (ctr_y >= rt - 2) & (ctr_y <= rb + 2))
+            if not inside.any():
+                continue
+            image_boxes.append((int(tl[inside].min()), int(tt[inside].min()),
+                                int(tr[inside].max()), int(tb[inside].max())))
+            keep_mask &= ~inside
+        if not keep_mask.all():
+            tl, tt, tr, tb = tl[keep_mask], tt[keep_mask], tr[keep_mask], tb[keep_mask]
 
     # ---- rows: size-grade blobs (F4, tordmain.cpp:232), cluster CORE blobs
     # by top (J3), then attach small fragments to the row containing their

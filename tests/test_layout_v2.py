@@ -73,3 +73,8 @@ def test_rotate_identity(deg):
 def test_rotated_page_family():
     # C10 OSD: pages at 90/180/270 come back upright (osd_test.cc:78-92)
     _run_family("rotated_page", seed=104, trials=9)
+
+
+def test_textured_photo_family():
+    # F7 non-text density mask: halftone region → image span, not garbage text
+    _run_family("textured_photo", seed=105)
