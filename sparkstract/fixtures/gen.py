@@ -99,6 +99,9 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Rule(col=0),
             Text(_lines(rng, 2, 16), col=0),
         ], scale=2, seed=seed)
+    if family == "gradient_page":  # F16 — background normalize, thresholder.cpp:454
+        return PageSpec(elements=[Text(_lines(rng, 4, 16))], scale=2,
+                        gradient_depth=115, seed=seed)
     if family == "textured_photo":  # F15 — non-text density mask, ccnontextdetect.cpp:88
         return PageSpec(elements=[
             Text(_lines(rng, 2, 16), col=0),
@@ -128,7 +131,7 @@ PAGE_FAMILIES = [
     "single_column", "two_column", "interleaved_order", "image_only",
     "grid_2x2", "paragraphs", "noise_page", "empty_page",
     "ruled_page", "table_page", "skewed_page", "rotated_page",
-    "textured_photo",
+    "textured_photo", "gradient_page",
 ]
 
 

@@ -106,6 +106,8 @@ class PageSpec:
     noise_frac: float = 0.0
     skew_deg: float = 0.0  # page rotated by this angle after layout (C6)
     rot90: int = 0         # quarter-turns applied after layout (C10 OSD)
+    gradient_depth: int = 0  # uneven illumination: bg falls to 255-depth
+                             # across the page and ink tracks bg-110 (F10)
     seed: int = 0
 
 
@@ -290,6 +292,11 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
         pick = rng.choice(yy.shape[0], size=n_specks, replace=False)
         canvas[yy[pick], xx[pick]] = INK
 
+    if spec.gradient_depth:
+        yy, xx = np.meshgrid(np.arange(page_h), np.arange(page_w), indexing="ij")
+        bg = 255.0 - spec.gradient_depth * (xx + yy) / (page_w + page_h)
+        shaded = np.where(canvas == INK, bg - 110.0, bg)
+        canvas = np.clip(shaded, 0, 255).astype(np.uint8)
     if spec.skew_deg:
         from ..functions.geometry import rotate_nn
 

@@ -33,9 +33,47 @@ def otsu_threshold(gray: np.ndarray) -> int:
     return int(np.argmax(var))
 
 
+def normalize_background(gray: np.ndarray, cell: int = 24,
+                         floor: int = 128) -> np.ndarray:
+    """Flatten uneven illumination before global Otsu (the
+    Otsu-on-normalized-background threshold variant,
+    /root/reference/src/ccmain/thresholder.cpp:454-586 / baseapi.cpp:1485).
+
+    Background is estimated as a 3x3-dilated coarse block maximum (paper is
+    the brightest thing in any neighbourhood); each pixel is rescaled by its
+    local background. Cells darker than `floor` are treated as content
+    (photo interiors, rules) and left un-normalized, so large dark regions
+    stay dark. A flat white page normalizes to itself exactly.
+    """
+    h, w = gray.shape
+    ncy, ncx = -(-h // cell), -(-w // cell)
+    padded = np.full((ncy * cell, ncx * cell), 0, dtype=np.uint8)
+    padded[:h, :w] = gray
+    bg = padded.reshape(ncy, cell, ncx, cell).max(axis=(1, 3)).astype(np.float64)
+    dil = bg.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            shifted = np.roll(np.roll(bg, dy, 0), dx, 1)
+            if dy == -1:
+                shifted[-1, :] = 0
+            if dy == 1:
+                shifted[0, :] = 0
+            if dx == -1:
+                shifted[:, -1] = 0
+            if dx == 1:
+                shifted[:, 0] = 0
+            dil = np.maximum(dil, shifted)
+    dil = np.where(dil < floor, 255.0, dil)
+    bg_full = np.repeat(np.repeat(dil, cell, axis=0), cell, axis=1)[:h, :w]
+    out = np.clip(gray.astype(np.float64) / bg_full * 255.0, 0, 255)
+    return out.astype(np.uint8)
+
+
 def binarize(gray: np.ndarray) -> np.ndarray:
-    """Gray uint8 -> bool ink mask (True = foreground ink)."""
-    t = otsu_threshold(gray)
+    """Gray uint8 -> bool ink mask (True = foreground ink). Background is
+    normalized first (identity on evenly lit pages), then global Otsu."""
+    norm = normalize_background(gray)
+    t = otsu_threshold(norm)
     if t < 0:
         return np.zeros_like(gray, dtype=bool)
-    return gray <= t
+    return norm <= t

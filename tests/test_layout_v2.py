@@ -78,3 +78,8 @@ def test_rotated_page_family():
 def test_textured_photo_family():
     # F7 non-text density mask: halftone region → image span, not garbage text
     _run_family("textured_photo", seed=105)
+
+
+def test_gradient_page_family():
+    # F10/F1: uneven illumination flattened by background normalization
+    _run_family("gradient_page", seed=106)
