@@ -20,6 +20,7 @@ import pandas as pd
 from ..functions.png import encode_gray
 from .render import (
     ImageRect,
+    LeaderLine,
     PageSpec,
     Rule,
     TableGrid,
@@ -99,6 +100,17 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Rule(col=0),
             Text(_lines(rng, 2, 16), col=0),
         ], scale=2, seed=seed)
+    if family == "contents_page":  # F17 — leader detection, strokewidth.cpp:260
+        short = [w for w in _VOCAB if len(w) <= 6]
+        lines = [
+            LeaderLine(short[int(rng.integers(0, len(short)))],
+                       str(int(rng.integers(1, 99))), col=0)
+            for _ in range(2)
+        ]
+        return PageSpec(
+            elements=[Text(_lines(rng, 1, 16), col=0), *lines,
+                      Text(_lines(rng, 1, 16), col=0)],
+            scale=2, seed=seed)
     if family == "gradient_page":  # F16 — background normalize, thresholder.cpp:454
         return PageSpec(elements=[Text(_lines(rng, 4, 16))], scale=2,
                         gradient_depth=115, seed=seed)
@@ -131,7 +143,7 @@ PAGE_FAMILIES = [
     "single_column", "two_column", "interleaved_order", "image_only",
     "grid_2x2", "paragraphs", "noise_page", "empty_page",
     "ruled_page", "table_page", "skewed_page", "rotated_page",
-    "textured_photo", "gradient_page",
+    "textured_photo", "gradient_page", "contents_page",
 ]
 
 

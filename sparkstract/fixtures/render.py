@@ -76,6 +76,20 @@ class TexturedImage:
 
 
 @dataclass
+class LeaderLine:
+    """A table-of-contents line: left text, a run of dot leaders, right
+    text (page number). The reference detects the dot run as a leader
+    partition (strokewidth.cpp:260 FindLeaderPartitions) and keeps it out
+    of the text flow — our truth text is left + right with the dots gone."""
+
+    left_text: str
+    right_text: str
+    dot_px: int = 2
+    dot_pitch_px: int = 6
+    col: int | None = 0
+
+
+@dataclass
 class Rule:
     """A horizontal separator rule spanning the column width (the reference
     finds and removes these with Leptonica morphology, linefind.cpp:706;
@@ -167,6 +181,8 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             return e.thickness_units * s
         if isinstance(e, TexturedImage):
             return e.h_units * s
+        if isinstance(e, LeaderLine):
+            return GLYPH_H * s
         if isinstance(e, TableGrid):
             return (len(e.cells) - 1) * 12 * s + GLYPH_H * s
         if e.full_page:
@@ -222,6 +238,19 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
         if isinstance(e, Rule):
             canvas[y0 : y0 + e.thickness_units * s, x0 : x0 + avail_w] = INK
             truth.append(TruthBlock(HORZ_LINE, None))
+            return
+        if isinstance(e, LeaderLine):
+            lw = _render_line(canvas, x0, y0, e.left_text, s)
+            rw = len(e.right_text) * CELL_W * s - s
+            xr = x0 + avail_w - rw
+            _render_line(canvas, xr, y0, e.right_text, s)
+            # dot leaders vertically centered on the row, clear of both texts
+            dot_y = y0 + (GLYPH_H * s) // 2
+            lx = x0 + lw + CELL_W * s
+            while lx + e.dot_px < xr - CELL_W * s:
+                canvas[dot_y : dot_y + e.dot_px, lx : lx + e.dot_px] = INK
+                lx += e.dot_pitch_px
+            truth.append(TruthBlock(FLOWING_TEXT, f"{e.left_text} {e.right_text}"))
             return
         if isinstance(e, TexturedImage):
             h = e.h_units * s

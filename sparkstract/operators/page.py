@@ -169,6 +169,45 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     return " ".join(words), dist_sum, n_chars
 
 
+LEADER_MIN_DOTS = 5     # run length for a dot leader (C2)
+LEADER_MAX_PITCH = 12   # px between consecutive leader dots
+LEADER_PITCH_TOL = 2    # px deviation from the median pitch allowed
+
+
+def _drop_leader_dots(member_ids: list[int], tl, tt, tr, tb) -> list[int]:
+    """Remove dot-leader runs from a row's blob membership (C2,
+    strokewidth.cpp:260 FindLeaderPartitions): >= LEADER_MIN_DOTS micro
+    blobs at a regular horizontal pitch are a leader, not glyphs, and the
+    reference keeps them out of the text flow. Irregular micro fragments
+    (deskew debris) don't qualify and stay attached."""
+    if len(member_ids) < LEADER_MIN_DOTS:
+        return member_ids
+    ids = np.array(member_ids)
+    micro = ((tb[ids] - tt[ids] + 1 <= MICRO_MAX_SIDE)
+             & (tr[ids] - tl[ids] + 1 <= MICRO_MAX_SIDE))
+    if int(micro.sum()) < LEADER_MIN_DOTS:
+        return member_ids
+    mids = ids[micro]
+    order = np.argsort(tl[mids])
+    mids = mids[order]
+    lefts = tl[mids]
+    gaps = np.diff(lefts)
+    drop: set[int] = set()
+    run_start = 0
+    for k in range(gaps.shape[0] + 1):
+        end_of_run = (k == gaps.shape[0]) or (gaps[k] > LEADER_MAX_PITCH)
+        if end_of_run:
+            run = mids[run_start : k + 1]
+            if run.shape[0] >= LEADER_MIN_DOTS:
+                pitch = np.diff(tl[run])
+                if np.abs(pitch - np.median(pitch)).max() <= LEADER_PITCH_TOL:
+                    drop.update(int(i) for i in run)
+            run_start = k + 1
+    if not drop:
+        return member_ids
+    return [i for i in member_ids if i not in drop]
+
+
 def _coverage_gaps(left: np.ndarray, right: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
     """Maximal whitespace gaps >= min_gap strictly inside the x-extent of the
     given intervals (the tab-stop/gutter finder, tabfind.cpp:833)."""
@@ -223,9 +262,12 @@ def _xy_cut(boxes: list[tuple[int, int, int, int]], idx: list[int],
 SKEW_APPLY_MIN_DEG = 0.15  # measured skew below this → page already straight
 
 
-def _analyse_ink(ink: np.ndarray) -> tuple[list[Block], float]:
+def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block], float]:
     """Analyse one binarized page; returns (blocks in reading order,
-    mean per-char decode distance — the page's recognition quality)."""
+    mean per-char decode distance — the page's recognition quality).
+    skew_bin_div sets the projection-profile bin granularity (median blob
+    height / div); the retry loop tries an alternate granularity when the
+    default mis-estimates on sparse pages."""
     blobs: Blobs = label_blobs(ink)
     if len(blobs) == 0:
         return [], 0.0
@@ -238,10 +280,16 @@ def _analyse_ink(ink: np.ndarray) -> tuple[list[Block], float]:
         cx = (blobs.left[solid] + blobs.right[solid]) / 2.0
         cy = (blobs.top[solid] + blobs.bottom[solid]) / 2.0
         hh = blobs.bottom[solid] - blobs.top[solid] + 1
-        # only text-sized blobs vote (images/rules would swamp the profile)
-        small = hh <= 4 * np.median(hh)
+        ww = blobs.right[solid] - blobs.left[solid] + 1
+        # only text-sized blobs vote: images/rules would swamp the profile,
+        # and micro dots (leaders, halftone) would collapse the bin size
+        glyphish = hh > MICRO_MAX_SIDE
+        med = np.median(hh[glyphish]) if glyphish.any() else np.median(hh)
+        small = (hh <= 4 * med) & glyphish & (ww <= 8 * med)
+        if small.sum() < 3:
+            small = hh <= 4 * np.median(hh)
         deg = estimate_skew(cx[small], cy[small],
-                            bin_px=np.median(hh[small]) / 4.0)
+                            bin_px=np.median(hh[small]) / skew_bin_div)
         if abs(deg) >= SKEW_APPLY_MIN_DEG:
             # undo via vertical shear (integer column shifts — no second
             # resampling pass over glyph interiors)
@@ -321,7 +369,13 @@ def _analyse_ink(ink: np.ndarray) -> tuple[list[Block], float]:
     rows: list[dict] = []
     if tl.shape[0] > 0:
         hh_all = tb - tt + 1
-        core = hh_all >= 0.75 * float(np.median(hh_all))
+        # the size median must come from glyph-sized blobs: a page where
+        # leader dots outnumber glyphs would otherwise flip the median to
+        # dot height and promote every dot to a row-forming core blob
+        glyph_sized = hh_all > MICRO_MAX_SIDE
+        med_h = float(np.median(hh_all[glyph_sized])) if glyph_sized.any() \
+            else float(np.median(hh_all))
+        core = hh_all >= 0.75 * med_h
         if not core.any():
             core = np.ones(tl.shape[0], dtype=bool)
         co = np.nonzero(core)[0][np.argsort(tt[core], kind="stable")]
@@ -345,12 +399,26 @@ def _analyse_ink(ink: np.ndarray) -> tuple[list[Block], float]:
             if hit.shape[0]:
                 members[int(hit[0])].append(int(gi))
         for r in range(n_rows):
-            mi = np.array(members[r])
+            all_ids = members[r]
+            txt_ids = _drop_leader_dots(all_ids, tl, tt, tr, tb)
+            if not txt_ids:
+                continue  # leader-only row: nothing to read
+            mi = np.array(txt_ids)
             gl, gt, gr, gb = _merge_x_overlaps(tl[mi], tt[mi], tr[mi], tb[mi])
+            if len(txt_ids) != len(all_ids):
+                # leader dots stay in the COVERAGE geometry (they bridge the
+                # big gap, so it never reads as a column gutter) but are
+                # excluded from decode groups
+                ai = np.array(all_ids)
+                cov_l, _ct, cov_r, _cb = _merge_x_overlaps(
+                    tl[ai], tt[ai], tr[ai], tb[ai])
+            else:
+                cov_l, cov_r = gl, gr
             r_top, r_bot = int(row_tops[r]), int(row_bots[r])
             s = max(1, int(round((r_bot - r_top + 1) / GLYPH_H)))
             rows.append(dict(top=r_top, bottom=r_bot, left=int(gl.min()),
-                             right=int(gr.max()), s=s, gl=gl, gr=gr))
+                             right=int(gr.max()), s=s, gl=gl, gr=gr,
+                             cov_l=cov_l, cov_r=cov_r))
 
     body_s = int(np.median([r["s"] for r in rows])) if rows else 1
     for r in rows:
@@ -398,8 +466,8 @@ def _analyse_ink(ink: np.ndarray) -> tuple[list[Block], float]:
     col_ranges: list[tuple[int, int]] = []
     body_rows = [r for r in rows if not r["heading"]]
     if body_rows:
-        bl = np.concatenate([r["gl"] for r in body_rows])
-        br = np.concatenate([r["gr"] for r in body_rows])
+        bl = np.concatenate([r["cov_l"] for r in body_rows])
+        br = np.concatenate([r["cov_r"] for r in body_rows])
         gaps = _coverage_gaps(bl, br, GUTTER_UNITS * body_s)
         x_lo, x_hi = int(bl.min()), int(br.max())
         cuts = [x_lo - 1] + [g[0] - 1 for g in gaps] + [x_hi + 1]
@@ -520,9 +588,17 @@ def analyse_page(gray: np.ndarray) -> list[Block]:
     retry-with-alternate-config loop (ProcessPages, baseapi.h:732)."""
     ink = binarize(gray)
     out, quality = _analyse_ink(ink)
+    if quality > 0:
+        # any imperfect decode → cheap alternate-config retry first: finer
+        # skew-profile bins (sparse pages can alias at the default
+        # granularity). ProcessPages retry_config, baseapi.h:732.
+        cand, q = _analyse_ink(ink, skew_bin_div=8.0)
+        if q < quality:
+            out, quality = cand, q
     if quality > OSD_RETRY_DIST:
-        for k in (1, 2, 3):
-            cand, q = _analyse_ink(np.rot90(ink, k))
+        # still bad → try the three other orientations (C10), both bins
+        for k, div in [(1, 4.0), (2, 4.0), (3, 4.0), (1, 8.0), (2, 8.0), (3, 8.0)]:
+            cand, q = _analyse_ink(np.rot90(ink, k), skew_bin_div=div)
             if q < quality:
                 out, quality = cand, q
             if quality <= OSD_RETRY_DIST:

@@ -83,3 +83,8 @@ def test_textured_photo_family():
 def test_gradient_page_family():
     # F10/F1: uneven illumination flattened by background normalization
     _run_family("gradient_page", seed=106)
+
+
+def test_contents_page_family():
+    # C2 leader detection: dot leaders dropped from text, gap not a gutter
+    _run_family("contents_page", seed=107, trials=10)
