@@ -134,10 +134,11 @@ _CHAR_PX = 10  # monospace cell width used by the model px units
 
 
 def _fit_break(prev_trailing_cells: int, next_first_word: str) -> bool:
-    """Would the next row's first word (plus one space) have fit in the
-    trailing blank cells of the previous row?  If so, the previous row ended
-    a paragraph on purpose."""
-    return prev_trailing_cells >= len(next_first_word) + 1
+    """Would the next row's first word have fit comfortably (word + leading
+    space + one cell of slack) in the trailing blank cells of the previous
+    row?  If so, the previous row ended a paragraph on purpose. The slack
+    cell keeps tightly justified text (block quotes) from false breaks."""
+    return prev_trailing_cells >= len(next_first_word) + 2
 
 
 def _classify_zone(rows: list[RowInfo]) -> str:
@@ -209,6 +210,73 @@ def _left_zone(rows: list[RowInfo], first_para_of_page: bool,
     return out
 
 
+def _segment_left_zone(rows: list[RowInfo]) -> list[tuple[str, int, int]]:
+    """Split a left zone at margin shifts: runs of rows indented well past
+    the base margin are block quotes (unless they continue a list item), and
+    runs led by list-mark rows are list segments. Returns (kind, lo, hi)
+    with kind in body|quote|list. The reference reaches the same grouping
+    through its model-consensus passes (paragraphs.cpp:2339-2429)."""
+    base = min(r.lindent for r in rows)
+    deep = [r.lindent >= base + 3 for r in rows]
+    markish = [r.lindent <= base + 2 and likely_list_item(r.lword)
+               for r in rows]
+    n = len(rows)
+    # a list-mark word only OPENS a list segment with corroboration: its
+    # wrapped continuation is deeper, or the next row is another item
+    # ("a previous page..." must not read as item "a")
+    is_list_start = [
+        m and i + 1 < n and (deep[i + 1] or markish[i + 1])
+        for i, m in enumerate(markish)
+    ]
+    segments: list[tuple[str, int, int]] = []
+    i = 0
+    while i < n:
+        if is_list_start[i]:
+            j = i
+            while j < n and (is_list_start[j] or deep[j]
+                             or (markish[j] and segments is not None and j > i)):
+                j += 1
+            segments.append(("list", i, j))
+            i = j
+        elif deep[i]:
+            j = i
+            while j < n and deep[j]:
+                j += 1
+            if j - i >= 2:
+                segments.append(("quote", i, j))
+            else:
+                segments.append(("body", i, j))
+            i = j
+        else:
+            j = i
+            while j < n and not deep[j] and not is_list_start[j]:
+                j += 1
+            segments.append(("body", i, j))
+            i = j
+    # merge adjacent body segments (a single deep row inside a body run is
+    # just a strongly indented first line)
+    merged: list[tuple[str, int, int]] = []
+    for seg in segments:
+        if merged and seg[0] == "body" and merged[-1][0] == "body":
+            merged[-1] = ("body", merged[-1][1], seg[2])
+        else:
+            merged.append(seg)
+    return merged
+
+
+def _list_zone(rows: list[RowInfo]) -> list[tuple[bool, ParaModel, bool, bool]]:
+    """Hanging list items: marker rows start paragraphs, deep rows continue."""
+    base = min(r.lindent for r in rows)
+    deep_levels = [r.lindent for r in rows if r.lindent >= base + 3]
+    body_ind = (min(deep_levels) if deep_levels else base) * _CHAR_PX
+    model = ParaModel(JUST_LEFT, 0, base * _CHAR_PX, body_ind)
+    out = []
+    for r in rows:
+        starts = r.lindent <= base + 2
+        out.append((starts, model, False, starts))
+    return out
+
+
 def _right_zone(rows: list[RowInfo]) -> list[tuple[bool, ParaModel, bool, bool]]:
     model = ParaModel(JUST_RIGHT, 0, 0, 0)
     out = [(True, model, False, False)]
@@ -244,7 +312,29 @@ def detect_paragraphs(rows: list[RowInfo],
         elif just == JUST_RIGHT:
             marks = _right_zone(zone)
         else:
-            marks = _left_zone(zone, first_text_zone, seed_models)
+            marks = []
+            for kind, lo, hi in _segment_left_zone(zone):
+                sub = zone[lo:hi]
+                if kind == "list":
+                    sub_marks = _list_zone(sub)
+                elif kind == "quote":
+                    sub_marks = _left_zone(sub, False, seed_models)
+                    # a block quote opens without its own first-line indent
+                    # relative to its deeper margin → crown, like the
+                    # reference's kComplexPage1 expectation
+                    if len({r.lindent for r in sub}) == 1:
+                        s0 = sub_marks[0]
+                        q_margin = sub[0].lindent * _CHAR_PX
+                        sub_marks[0] = (True, ParaModel(JUST_LEFT, q_margin, 0, 0),
+                                        True, s0[3])
+                else:
+                    sub_marks = _left_zone(sub, first_text_zone and lo == 0,
+                                           seed_models)
+                # a sub-zone always opens a new paragraph
+                if sub_marks:
+                    s0 = sub_marks[0]
+                    sub_marks[0] = (True, s0[1], s0[2], s0[3])
+                marks.extend(sub_marks)
         for k, (starts, model, crown, is_list) in enumerate(marks):
             if starts or k == 0:
                 para_id += 1

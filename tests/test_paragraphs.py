@@ -253,3 +253,50 @@ def test_paragraphs_df(spark):
     para_ids = [r["para_id"] for r in out]
     assert para_ids == [0, 0, 0, 1, 1, 1, 1, 1, 1]
     assert out[0]["justification"] == "left"
+
+
+# paragraphs_test.cc:369-407 kComplexPage1 — the full mixed page: centered
+# title, indented paragraphs, a block quote, numbered list items.
+COMPLEX_PAGE_1 = [
+    ("       Awesome                  ", "start", {"just": "center"}),
+    ("   Centered Title               ", "cont"),
+    (" Paragraph Detection            ", "cont"),
+    ("      OCR TEAM                  ", "cont"),
+    ("  10 November 2010              ", "cont"),
+    ("                                ", "none"),
+    ("  Look here, I have a paragraph.", "start", {"just": "left"}),
+    ("This paragraph starts at the top", "cont"),
+    ("of the page and takes 3 lines.  ", "cont"),
+    ("  Here I have a second paragraph", "start", {"just": "left"}),
+    ("which indicates that the first  ", "cont"),
+    ("paragraph is not a continuation ", "cont"),
+    ("from a previous page, as it is  ", "cont"),
+    ("indented just like this second  ", "cont"),
+    ("paragraph.                      ", "cont"),
+    ("   Here is a block quote. It    ", "start", {"just": "left", "crown": True}),
+    ("   looks like the prior text    ", "cont"),
+    ("   but it  is indented  more    ", "cont"),
+    ("   and is fully justified.      ", "cont"),
+    ("  So how does one deal with     ", "start", {"just": "left"}),
+    ("centered text, block quotes,    ", "cont"),
+    ("normal paragraphs, and lists    ", "cont"),
+    ("like what follows?              ", "cont"),
+    ("1. Make a plan.                 ", "start", {"just": "left", "list": True}),
+    ("2. Use a heuristic, for example,", "start", {"just": "left", "list": True}),
+    ("   looking for lines where the  ", "cont"),
+    ("   first word of the next line  ", "cont"),
+    ("   would fit on the previous    ", "cont"),
+    ("   line.                        ", "cont"),
+    ("8. Try to implement the plan in ", "start", {"just": "left", "list": True}),
+    ("   Python and try it out.       ", "cont"),
+    ("4. Determine how to fix the     ", "start", {"just": "left", "list": True}),
+    ("   mistakes.                    ", "cont"),
+    ("5. Repeat.                      ", "start", {"just": "left", "list": True}),
+    ("  For extra painful penalty work", "start", {"just": "left"}),
+    ("you can try to identify source  ", "cont"),
+    ("code.  Ouch!                    ", "cont"),
+]
+
+
+def test_complex_page_1():
+    run_case(COMPLEX_PAGE_1)
