@@ -11,8 +11,16 @@ Mirrors the reference's renderer family (include/tesseract/renderer.h):
                  page/block/para/line/word TSV.
   render_hocr  — TessHOcrRenderer (renderer.h:171): minimal hOCR HTML, one
                  <div class='ocr_carea'> per span.
+  render_alto  — TessAltoRenderer (renderer.h:188, src/api/altorenderer.cpp:131):
+                 minimal ALTO XML — a <TextBlock> per text span (one <String>
+                 per span; CONTENT carries the text), <Illustration> per image
+                 span, <GraphicalElement> per rule span, in reading order
+                 inside <PrintSpace>.
+  render_page_xml — TessPAGERenderer (renderer.h:204, src/api/pagerenderer.cpp):
+                 minimal PAGE XML — a <TextRegion>/<ImageRegion>/<SeparatorRegion>
+                 per span with a <ReadingOrder> index.
 
-All three are pure built-in DataFrame transforms (no UDFs): string escape /
+All are pure built-in DataFrame transforms (no UDFs): string escape /
 aggregation stays JVM-side, and the per-doc fold is one shuffle on doc_id.
 """
 
@@ -26,6 +34,10 @@ from pyspark.sql import functions as F
 TEXT_KINDS = ("text", "flowing_text", "heading_text", "pullout_text",
               "caption_text", "vertical_text", "equation", "inline_equation",
               "table")
+
+# PTIsLineType / PTIsImageType (include/tesseract/publictypes.h:74-92)
+LINE_KINDS = ("horz_line", "vert_line")
+IMAGE_KINDS = ("flowing_image", "heading_image", "pullout_image")
 
 
 def render_text(spans: DataFrame, separator: str = "\n\n") -> DataFrame:
@@ -73,6 +85,130 @@ def _escape_html(col):
     out = F.regexp_replace(col, "&", "&amp;")
     out = F.regexp_replace(out, "<", "&lt;")
     return F.regexp_replace(out, ">", "&gt;")
+
+
+def _ordered_join(spans: DataFrame, elem, out_name: str,
+                  prefix, suffix) -> DataFrame:
+    """Fold per-span fragments into one document string in span order."""
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.concat(
+                prefix,
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("order", elem.alias("e")))
+                        ),
+                        lambda s: s["e"],
+                    ),
+                    "\n",
+                ),
+                suffix,
+            ).alias(out_name)
+        )
+    )
+
+
+def _escape_xml(col):
+    out = _escape_html(col)
+    return F.regexp_replace(out, "'", "&apos;")
+
+
+def render_alto(spans: DataFrame) -> DataFrame:
+    """(doc_id, alto): minimal ALTO XML (altorenderer.cpp:131 writes one
+    <TextBlock>/<Illustration>/<GraphicalElement> per block in iterator
+    order; we carry kind in TAGREFS since our spans keep no geometry)."""
+    sid = F.col("order").cast("string")
+    elem = (
+        F.when(
+            F.col("kind").isin(*LINE_KINDS),
+            F.concat(F.lit("    <GraphicalElement ID='block_"), sid,
+                     F.lit("' TAGREFS='"), F.col("kind"), F.lit("'/>")),
+        )
+        .when(
+            F.col("kind").isin(*IMAGE_KINDS) | F.col("text").isNull(),
+            F.concat(F.lit("    <Illustration ID='block_"), sid,
+                     F.lit("' TAGREFS='"), F.col("kind"), F.lit("' FILEID='"),
+                     _escape_xml(F.coalesce(F.col("media_ref"), F.lit(""))),
+                     F.lit("'/>")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("    <TextBlock ID='block_"), sid,
+                F.lit("' TAGREFS='"), F.col("kind"), F.lit("'><TextLine><String CONTENT='"),
+                _escape_xml(F.regexp_replace(F.col("text"), "\n", " ")),
+                F.lit("'/></TextLine></TextBlock>"),
+            )
+        )
+    )
+    return _ordered_join(
+        spans, elem, "alto",
+        F.concat(
+            F.lit("<alto xmlns='http://www.loc.gov/standards/alto/ns-v3#'>"
+                  "<Layout><Page ID='"),
+            _escape_xml(F.col("doc_id")),
+            F.lit("'><PrintSpace>\n"),
+        ),
+        F.lit("\n</PrintSpace></Page></Layout></alto>"),
+    )
+
+
+def render_page_xml(spans: DataFrame) -> DataFrame:
+    """(doc_id, page_xml): minimal PAGE XML (pagerenderer.cpp): a typed
+    region per span plus a <ReadingOrder> listing region ids in span order."""
+    sid = F.col("order").cast("string")
+    region = (
+        F.when(
+            F.col("kind").isin(*LINE_KINDS),
+            F.concat(F.lit("    <SeparatorRegion id='r"), sid,
+                     F.lit("' custom='"), F.col("kind"), F.lit("'/>")),
+        )
+        .when(
+            F.col("kind").isin(*IMAGE_KINDS) | F.col("text").isNull(),
+            F.concat(F.lit("    <ImageRegion id='r"), sid,
+                     F.lit("' custom='"), F.col("kind"), F.lit("' imageFilename='"),
+                     _escape_xml(F.coalesce(F.col("media_ref"), F.lit(""))),
+                     F.lit("'/>")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("    <TextRegion id='r"), sid,
+                F.lit("' custom='"), F.col("kind"),
+                F.lit("'><TextEquiv><Unicode>"),
+                # line breaks as char refs: the per-doc fold joins fragments
+                # with \n, so literal newlines inside a region are off-limits
+                F.regexp_replace(_escape_xml(F.col("text")), "\n", "&#10;"),
+                F.lit("</Unicode></TextEquiv></TextRegion>"),
+            )
+        )
+    )
+    ordered_ref = F.concat(
+        F.lit("      <RegionRefIndexed index='"), sid,
+        F.lit("' regionRef='r"), sid, F.lit("'/>"),
+    )
+    elem = F.concat(region, F.lit("\x00"), ordered_ref)
+    folded = _ordered_join(spans, elem, "page_xml", F.lit(""), F.lit(""))
+    # split the interleaved fold into the two document sections
+    regions = F.array_join(F.transform(
+        F.split(F.col("page_xml"), "\n"),
+        lambda ln: F.split(ln, "\x00")[0]), "\n")
+    refs = F.array_join(F.transform(
+        F.split(F.col("page_xml"), "\n"),
+        lambda ln: F.split(ln, "\x00")[1]), "\n")
+    return folded.select(
+        "doc_id",
+        F.concat(
+            F.lit("<PcGts xmlns='http://schema.primaresearch.org/PAGE/gts/"
+                  "pagecontent/2019-07-15'>\n  <Page imageFilename='"),
+            _escape_xml(F.col("doc_id")),
+            F.lit("'>\n    <ReadingOrder><OrderedGroup id='ro'>\n"),
+            refs,
+            F.lit("\n    </OrderedGroup></ReadingOrder>\n"),
+            regions,
+            F.lit("\n  </Page>\n</PcGts>"),
+        ).alias("page_xml"),
+    )
 
 
 def render_hocr(spans: DataFrame) -> DataFrame:

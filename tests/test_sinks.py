@@ -1,6 +1,12 @@
 """Renderer sinks over a small spans frame."""
 
-from sparkstract.sinks import render_hocr, render_text, render_tsv
+from sparkstract.sinks import (
+    render_alto,
+    render_hocr,
+    render_page_xml,
+    render_text,
+    render_tsv,
+)
 
 ROWS = [
     ("d1", 0, "heading_text", "TITLE", None),
@@ -29,6 +35,40 @@ def test_render_tsv(spark):
     assert lines[0] == "0\theading_text\t\tTITLE"
     assert lines[1] == "1\tflowing_image\tm-1\t"
     assert len(lines) == 4
+
+
+def test_render_alto(spark):
+    out = {r["doc_id"]: r["alto"] for r in render_alto(_spans(spark)).collect()}
+    d1 = out["d1"]
+    assert d1.startswith("<alto ")
+    assert "<Illustration ID='block_1' TAGREFS='flowing_image' FILEID='m-1'/>" in d1
+    assert "<String CONTENT='TITLE'/>" in d1
+    # reading order: heading, image, body, caption
+    assert d1.index("TITLE") < d1.index("m-1") < d1.index("BODY A") < d1.index("CAP")
+    assert "LONE &amp; &lt;b&gt;" in out["d2"]
+
+
+def test_render_page_xml(spark):
+    out = {r["doc_id"]: r["page_xml"]
+           for r in render_page_xml(_spans(spark)).collect()}
+    d1 = out["d1"]
+    assert d1.startswith("<PcGts ")
+    # a typed region per span + an index entry per span, indices in order
+    for i in range(4):
+        assert f"<RegionRefIndexed index='{i}' regionRef='r{i}'/>" in d1
+    assert "<ImageRegion id='r1' custom='flowing_image' imageFilename='m-1'/>" in d1
+    assert "<TextRegion id='r0' custom='heading_text'>" in d1
+    assert "<Unicode>CAP</Unicode>" in d1
+    assert "LONE &amp; &lt;b&gt;" in out["d2"]
+
+
+def test_render_page_xml_multiline_text(spark):
+    rows = [("d3", 0, "flowing_text", "AB\nCD", None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    xml = render_page_xml(df).collect()[0]["page_xml"]
+    assert "<Unicode>AB&#10;CD</Unicode>" in xml
+    alto = render_alto(df).collect()[0]["alto"]
+    assert "CONTENT='AB CD'" in alto
 
 
 def test_render_hocr_escapes(spark):
