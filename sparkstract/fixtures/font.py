@@ -69,6 +69,11 @@ _RAW = {
     "8": ["01110", "10001", "10001", "01110", "10001", "10001", "01110"],
     "9": ["01110", "10001", "10001", "01111", "00001", "00010", "01100"],
     "-": ["10001", "00000", "00000", "11111", "00000", "00000", "10001"],
+    # math glyphs for the equation-detection fixtures (C9,
+    # /root/reference/src/ccmain/equationdetect.cpp:132) — '=' gets edge
+    # serifs from _conform, '+' touches all edges naturally
+    "=": ["00000", "11111", "00000", "00000", "11111", "00000", "00000"],
+    "+": ["00100", "00100", "11111", "00100", "00100", "00100", "00100"],
 }
 
 

@@ -26,6 +26,7 @@ from .render import (
     TableGrid,
     Text,
     TexturedImage,
+    VerticalText,
     render_page,
 )
 
@@ -136,6 +137,22 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Text(_lines(rng, 1, 24), col=0),
             TableGrid(cells=cells, col_chars=[6, 6, 6], col=0),
         ], scale=2, width_chars=26, seed=seed)
+    if family == "equation_page":  # F18 — equation detection, equationdetect.cpp:132
+        eqs = ["X = Y + 2", "E = M C 2", "A + B = C - 1", "2 + 2 = 4",
+               "X 2 = A 2 + B 2"]
+        eq = eqs[int(rng.integers(0, len(eqs)))]
+        return PageSpec(elements=[
+            Text(_lines(rng, 2, 16), col=0),
+            Text([eq], role="equation", col=0),
+            Text(_lines(rng, 2, 16), col=0),
+        ], scale=2, seed=seed)
+    if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
+        word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
+        return PageSpec(elements=[
+            Text(_lines(rng, 2, 16), col=0),
+            VerticalText(word, col=0),
+            Text(_lines(rng, 2, 16), col=0),
+        ], scale=2, seed=seed)
     raise ValueError(family)
 
 
@@ -143,7 +160,8 @@ PAGE_FAMILIES = [
     "single_column", "two_column", "interleaved_order", "image_only",
     "grid_2x2", "paragraphs", "noise_page", "empty_page",
     "ruled_page", "table_page", "skewed_page", "rotated_page",
-    "textured_photo", "gradient_page", "contents_page",
+    "textured_photo", "gradient_page", "contents_page", "equation_page",
+    "vertical_page",
 ]
 
 

@@ -37,15 +37,21 @@ PULLOUT_IMAGE = "pullout_image"
 HORZ_LINE = "horz_line"
 VERT_LINE = "vert_line"
 TABLE = "table"
+EQUATION = "equation"
+VERTICAL_TEXT = "vertical_text"
 
-TEXT_KINDS = {FLOWING_TEXT, HEADING_TEXT, CAPTION_TEXT, TABLE}
+TEXT_KINDS = {FLOWING_TEXT, HEADING_TEXT, CAPTION_TEXT, TABLE, EQUATION,
+              VERTICAL_TEXT}
 IMAGE_KINDS = {FLOWING_IMAGE, PULLOUT_IMAGE}
 LINE_KINDS = {HORZ_LINE, VERT_LINE}
 
 
 @dataclass
 class Text:
-    """A text element. role: body | heading | caption. col=None → full width."""
+    """A text element. role: body | heading | caption | equation.
+    col=None → full width. Equations render centered in their column at body
+    scale (display-equation layout, equationdetect.cpp:351 grows centered
+    isolated seed regions)."""
 
     lines: list[str]
     role: str = "body"
@@ -108,6 +114,17 @@ class TableGrid:
     cells: list[list[str]]
     col_chars: list[int]
     sep_chars: int = 4
+    col: int | None = 0
+
+
+@dataclass
+class VerticalText:
+    """A vertically-set word: one glyph per line, stacked top-to-bottom in a
+    single char-cell-wide column (the layout IsVerticallyAlignedText keys on,
+    /root/reference/src/textord/strokewidth.cpp:211; vertical partitions get
+    PT_VERTICAL_TEXT). Truth text is the word read top-to-bottom."""
+
+    chars: str
     col: int | None = 0
 
 
@@ -183,6 +200,8 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             return e.h_units * s
         if isinstance(e, LeaderLine):
             return GLYPH_H * s
+        if isinstance(e, VerticalText):
+            return (len(e.chars) - 1) * 12 * s + GLYPH_H * s
         if isinstance(e, TableGrid):
             return (len(e.cells) - 1) * 12 * s + GLYPH_H * s
         if e.full_page:
@@ -262,6 +281,13 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             frac = wdt / (page_w - 2 * margin)
             truth.append(TruthBlock(FLOWING_IMAGE if frac > 0.7 else PULLOUT_IMAGE, None))
             return
+        if isinstance(e, VerticalText):
+            yy = y0
+            for ch in e.chars:
+                _render_line(canvas, x0, yy, ch, s)
+                yy += 12 * s
+            truth.append(TruthBlock(VERTICAL_TEXT, e.chars))
+            return
         if isinstance(e, TableGrid):
             starts = [0]
             for wch in e.col_chars[:-1]:
@@ -278,9 +304,14 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             es = s * (2 if e.role == "heading" else 1)
             yy = y0
             for ln in e.lines:
-                _render_line(canvas, x0, yy, ln, es)
+                if e.role == "equation":
+                    need = len(ln) * CELL_W * es - es
+                    _render_line(canvas, x0 + (avail_w - need) // 2, yy, ln, es)
+                else:
+                    _render_line(canvas, x0, yy, ln, es)
                 yy += 12 * es
-            kind = {"body": FLOWING_TEXT, "heading": HEADING_TEXT, "caption": CAPTION_TEXT}[e.role]
+            kind = {"body": FLOWING_TEXT, "heading": HEADING_TEXT,
+                    "caption": CAPTION_TEXT, "equation": EQUATION}[e.role]
             truth.append(TruthBlock(kind, "\n".join(e.lines)))
         else:
             if e.full_page:

@@ -42,6 +42,7 @@ from ..fixtures.font import (
 DECODE_BOOL = DECODE_MATRIX.astype(bool)
 from ..fixtures.render import (
     CAPTION_TEXT,
+    EQUATION,
     FLOWING_IMAGE,
     FLOWING_TEXT,
     HEADING_TEXT,
@@ -49,6 +50,7 @@ from ..fixtures.render import (
     PULLOUT_IMAGE,
     TABLE,
     VERT_LINE,
+    VERTICAL_TEXT,
 )
 from ..functions.cclabel import Blobs, label_blobs
 from ..functions.geometry import estimate_skew, shear_y
@@ -167,6 +169,22 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         n_chars += n
         words.append("".join(chars))
     return " ".join(words), dist_sum, n_chars
+
+
+VERT_MIN_CHARS = 3      # stacked single glyphs to call vertical text (C1/W)
+
+MATH_CHARS = set("=+-0123456789")
+EQ_MATH_RATIO = 0.4     # math-symbol density for an equation block (C9)
+
+
+def _is_equation(text: str) -> bool:
+    """Content rule for display equations (C9, equationdetect.cpp:132: seed
+    regions are picked by special-symbol density, then grown). A text block
+    whose glyphs are '='-anchored and math-dense is an equation block."""
+    flat = text.replace("\n", "").replace(" ", "")
+    if not flat or "=" not in flat:
+        return False
+    return sum(c in MATH_CHARS for c in flat) / len(flat) >= EQ_MATH_RATIO
 
 
 LEADER_MIN_DOTS = 5     # run length for a dot leader (C2)
@@ -540,7 +558,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
     q_dist = 0
     q_chars = 0
 
-    def decode_block(b) -> str:
+    def decode_block(b, sep: str = "\n") -> str:
         nonlocal q_dist, q_chars
         lines = []
         for rr in b["rows"]:
@@ -549,7 +567,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
             lines.append(text)
             q_dist += d
             q_chars += n
-        return "\n".join(lines)
+        return sep.join(lines)
 
     for rank, i in enumerate(order):
         b = blocks[i]
@@ -564,8 +582,21 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
         if b.get("kind") == TABLE:
             out.append(Block(rank, TABLE, decode_block(b), l, t, r_, bo))
             continue
+        # vertical text (strokewidth.cpp:211 IsVerticallyAlignedText →
+        # PT_VERTICAL_TEXT): a stack of single glyphs one char-cell wide,
+        # read top-to-bottom with no line breaks
+        if (not b["heading"] and len(b["rows"]) >= VERT_MIN_CHARS
+                and all(rr["gl"].shape[0] == 1 for rr in b["rows"])
+                and (r_ - l + 1) <= 6 * b["rows"][0]["s"]):
+            out.append(Block(rank, VERTICAL_TEXT, decode_block(b, ""),
+                             l, t, r_, bo))
+            continue
         if b["heading"]:
-            kind = HEADING_TEXT
+            out.append(Block(rank, HEADING_TEXT, decode_block(b), l, t, r_, bo))
+            continue
+        txt = decode_block(b)
+        if _is_equation(txt):
+            kind = EQUATION
         else:
             kind = FLOWING_TEXT
             for ib in image_boxes:
@@ -574,7 +605,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
                 if x_overlap and 0 <= dy <= CAPTION_GAP_UNITS * b["rows"][0]["s"]:
                     kind = CAPTION_TEXT
                     break
-        out.append(Block(rank, kind, decode_block(b), l, t, r_, bo))
+        out.append(Block(rank, kind, txt, l, t, r_, bo))
     return out, (q_dist / q_chars if q_chars else 0.0)
 
 

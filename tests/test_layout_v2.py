@@ -88,3 +88,22 @@ def test_gradient_page_family():
 def test_contents_page_family():
     # C2 leader detection: dot leaders dropped from text, gap not a gutter
     _run_family("contents_page", seed=107, trials=10)
+
+
+def test_equation_page_family():
+    # C9 equation detection: centered math-dense block → kind 'equation'
+    _run_family("equation_page", seed=106)
+
+
+def test_vertical_page_family():
+    # vertical text (strokewidth.cpp:211): stacked glyphs read top-to-bottom
+    _run_family("vertical_page", seed=107)
+
+
+def test_is_equation_rule():
+    from sparkstract.operators.page import _is_equation
+    assert _is_equation("X = Y + 2")
+    assert _is_equation("2+2=4")
+    assert not _is_equation("SPARK QUERY")     # no '='
+    assert not _is_equation("WORD = WORDY")    # '=' but not math-dense
+    assert not _is_equation("")
