@@ -19,6 +19,7 @@ import pandas as pd
 
 from ..functions.png import encode_gray
 from .render import (
+    DiscImage,
     ImageRect,
     LeaderLine,
     PageSpec,
@@ -146,6 +147,12 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Text([eq], role="equation", col=0),
             Text(_lines(rng, 2, 16), col=0),
         ], scale=2, seed=seed)
+    if family == "disc_page":  # F20 — stroke-width grading, strokewidth.cpp:344
+        return PageSpec(elements=[
+            Text(_lines(rng, 2, 16), col=0),
+            DiscImage(d_units=int(rng.integers(30, 50)), col=0),
+            Text(_lines(rng, 2, 16), col=0),
+        ], scale=2, seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[
@@ -161,7 +168,7 @@ PAGE_FAMILIES = [
     "grid_2x2", "paragraphs", "noise_page", "empty_page",
     "ruled_page", "table_page", "skewed_page", "rotated_page",
     "textured_photo", "gradient_page", "contents_page", "equation_page",
-    "vertical_page",
+    "vertical_page", "disc_page",
 ]
 
 

@@ -82,6 +82,16 @@ class TexturedImage:
 
 
 @dataclass
+class DiscImage:
+    """A filled disc — a solid photo-like shape whose bbox fill (~0.785) is
+    below the rectangle threshold, so detecting it requires stroke-width
+    grading (C1, strokewidth.cpp:344), not the fill-ratio rule."""
+
+    d_units: int = 40  # diameter = d_units * s
+    col: int | None = 0
+
+
+@dataclass
 class LeaderLine:
     """A table-of-contents line: left text, a run of dot leaders, right
     text (page number). The reference detects the dot run as a leader
@@ -202,6 +212,8 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             return GLYPH_H * s
         if isinstance(e, VerticalText):
             return (len(e.chars) - 1) * 12 * s + GLYPH_H * s
+        if isinstance(e, DiscImage):
+            return e.d_units * s
         if isinstance(e, TableGrid):
             return (len(e.cells) - 1) * 12 * s + GLYPH_H * s
         if e.full_page:
@@ -287,6 +299,18 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
                 _render_line(canvas, x0, yy, ch, s)
                 yy += 12 * s
             truth.append(TruthBlock(VERTICAL_TEXT, e.chars))
+            return
+        if isinstance(e, DiscImage):
+            d = e.d_units * s
+            r = d / 2.0
+            cx = x0 + avail_w // 2
+            xl = cx - d // 2
+            yy, xx = np.meshgrid(np.arange(y0, y0 + d), np.arange(xl, xl + d),
+                                 indexing="ij")
+            mask = (yy + 0.5 - (y0 + r)) ** 2 + (xx + 0.5 - (xl + r)) ** 2 <= r * r
+            canvas[y0 : y0 + d, xl : xl + d][mask] = INK
+            frac = d / (page_w - 2 * margin)
+            truth.append(TruthBlock(FLOWING_IMAGE if frac > 0.7 else PULLOUT_IMAGE, None))
             return
         if isinstance(e, TableGrid):
             starts = [0]

@@ -173,6 +173,25 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
 
 VERT_MIN_CHARS = 3      # stacked single glyphs to call vertical text (C1/W)
 
+STROKE_SOLID_FRAC = 0.4  # median ink run >= this frac of min side → solid (C1)
+STROKE_MIN_FILL = 0.4    # don't bother below this bbox fill
+
+
+def _median_run(sub: np.ndarray) -> float:
+    """Median horizontal ink-run length of a boolean patch — the stroke-width
+    estimate (C1, strokewidth.cpp:344 grades blobs by stroke coherence; for
+    our purpose the discriminating fact is run length relative to blob size:
+    glyph strokes are ~scale px, solid shapes run their whole width)."""
+    padded = np.zeros((sub.shape[0], sub.shape[1] + 2), dtype=np.int8)
+    padded[:, 1:-1] = sub
+    d = np.diff(padded, axis=1)
+    starts = np.nonzero(d == 1)[1]
+    ends = np.nonzero(d == -1)[1]
+    if starts.shape[0] == 0:
+        return 0.0
+    # row-major order aligns each start with its end (runs never cross rows)
+    return float(np.median(ends - starts))
+
 MATH_CHARS = set("=+-0123456789")
 EQ_MATH_RATIO = 0.4     # math-symbol density for an equation block (C9)
 
@@ -334,6 +353,18 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
     is_hline = (fill >= IMAGE_FILL) & (w >= LINE_ASPECT * h) & (w >= LINE_MIN_LEN)
     is_vline = (fill >= IMAGE_FILL) & (h >= LINE_ASPECT * w) & (h >= LINE_MIN_LEN)
     is_img &= ~(is_hline | is_vline)
+
+    # ---- stroke-width grading (C1, strokewidth.cpp:344): large blobs whose
+    # median ink run approaches their size are solid shapes (discs, logos) —
+    # photos even though their bbox fill misses the rectangle threshold.
+    # Text glyphs keep runs ~ stroke width << glyph size. ----
+    big = (~is_img & ~is_hline & ~is_vline
+           & (h >= IMAGE_MIN_SIDE) & (w >= IMAGE_MIN_SIDE)
+           & (fill >= STROKE_MIN_FILL) & (fill < IMAGE_FILL))
+    for i in np.nonzero(big)[0]:
+        sub = ink[top[i]:bottom[i] + 1, left[i]:right[i] + 1]
+        if _median_run(sub) >= STROKE_SOLID_FRAC * min(int(h[i]), int(w[i])):
+            is_img[i] = True
 
     image_boxes = [
         (int(left[i]), int(top[i]), int(right[i]), int(bottom[i]))

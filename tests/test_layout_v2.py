@@ -107,3 +107,8 @@ def test_is_equation_rule():
     assert not _is_equation("SPARK QUERY")     # no '='
     assert not _is_equation("WORD = WORDY")    # '=' but not math-dense
     assert not _is_equation("")
+
+
+def test_disc_page_family():
+    # C1 stroke-width grading: solid disc (fill < rectangle threshold) → image
+    _run_family("disc_page", seed=108)
