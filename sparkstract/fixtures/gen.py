@@ -147,6 +147,11 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Text([eq], role="equation", col=0),
             Text(_lines(rng, 2, 16), col=0),
         ], scale=2, seed=seed)
+    if family == "tracked_page":  # F21 — fixed-pitch estimate, topitch.cpp:74
+        t = int(rng.integers(1, 3))  # letter-spacing +1 or +2 font units
+        return PageSpec(elements=[
+            Text(_lines(rng, 3, 12), col=0, track_units=t),
+        ], scale=2, seed=seed)
     if family == "disc_page":  # F20 — stroke-width grading, strokewidth.cpp:344
         return PageSpec(elements=[
             Text(_lines(rng, 2, 16), col=0),
@@ -168,7 +173,7 @@ PAGE_FAMILIES = [
     "grid_2x2", "paragraphs", "noise_page", "empty_page",
     "ruled_page", "table_page", "skewed_page", "rotated_page",
     "textured_photo", "gradient_page", "contents_page", "equation_page",
-    "vertical_page", "disc_page",
+    "vertical_page", "disc_page", "tracked_page",
 ]
 
 

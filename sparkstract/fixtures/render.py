@@ -56,6 +56,9 @@ class Text:
     lines: list[str]
     role: str = "body"
     col: int | None = 0
+    track_units: int = 0  # extra letter-spacing in font units: char advance
+                          # becomes (CELL_W + track_units) * s — exercises the
+                          # fixed-pitch estimator (A7, topitch.cpp:74)
 
 
 @dataclass
@@ -158,9 +161,12 @@ class TruthBlock:
     text: str | None  # None for image kinds
 
 
-def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int) -> int:
-    """Draw one line of text at (x, y) top-left with scale s. Returns ink width."""
-    need = len(text) * CELL_W * s - s
+def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int,
+                 advance: int | None = None) -> int:
+    """Draw one line of text at (x, y) top-left with scale s. Returns ink width.
+    `advance` is the char pitch in px (default the nominal CELL_W*s grid)."""
+    adv = CELL_W * s if advance is None else advance
+    need = (len(text) - 1) * adv + GLYPH_W * s
     if x + need > canvas.shape[1] or y + GLYPH_H * s > canvas.shape[0]:
         raise ValueError(f"text {text!r} at scale {s} overflows the page/column")
     cx = x
@@ -169,7 +175,7 @@ def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int) -> int:
             bits = GLYPHS[ch]
             tile = np.kron(bits, np.ones((s, s), dtype=bool))
             canvas[y : y + GLYPH_H * s, cx : cx + GLYPH_W * s][tile] = INK
-        cx += CELL_W * s
+        cx += adv
     return cx - x
 
 
@@ -326,13 +332,15 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             return
         if isinstance(e, Text):
             es = s * (2 if e.role == "heading" else 1)
+            adv = (CELL_W + e.track_units) * es
             yy = y0
             for ln in e.lines:
                 if e.role == "equation":
-                    need = len(ln) * CELL_W * es - es
-                    _render_line(canvas, x0 + (avail_w - need) // 2, yy, ln, es)
+                    need = (len(ln) - 1) * adv + GLYPH_W * es
+                    _render_line(canvas, x0 + (avail_w - need) // 2, yy, ln, es,
+                                 advance=adv)
                 else:
-                    _render_line(canvas, x0, yy, ln, es)
+                    _render_line(canvas, x0, yy, ln, es, advance=adv)
                 yy += 12 * es
             kind = {"body": FLOWING_TEXT, "heading": HEADING_TEXT,
                     "caption": CAPTION_TEXT, "equation": EQUATION}[e.role]

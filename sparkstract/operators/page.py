@@ -111,9 +111,15 @@ def _merge_x_overlaps(left: np.ndarray, top: np.ndarray, right: np.ndarray,
 def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                 gl: np.ndarray, gr: np.ndarray, s: int) -> tuple[str, int, int]:
     """Template-decode one text row: split char-groups into words by gap, map
-    each word onto its 6s char-cell grid, downsample cells to 5x7, LUT match.
+    each word onto its char-cell grid, downsample cells to 5x7, LUT match.
     Each cell is sampled at ±1px offsets and the best-scoring match wins, so
-    the 1px jitter a deskewed page carries doesn't corrupt the decode."""
+    the 1px jitter a deskewed page carries doesn't corrupt the decode.
+
+    The cell pitch is not assumed: it is the fixed-pitch decision (A7/C14,
+    topitch.cpp:74 compute_fixed_pitch / fpchop.cpp:63) — the median start-to-
+    start distance of adjacent in-word char groups, falling back to the
+    nominal 6s grid on rows with no adjacent pairs (wide tracking renders
+    every glyph separate, so starts ARE the pitch samples)."""
     page_h, page_w = ink.shape
     # a glyph cell at scale s must fit on the page (noise "rows" on garbage
     # input can imply scales larger than the bitmap)
@@ -123,6 +129,10 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     gaps = gl[1:] - gr[:-1] - 1
     word_break = gaps > WORD_GAP_UNITS * s
     wid = np.concatenate([[0], np.cumsum(word_break)])
+    # pitch histogram over adjacent in-word group starts (A7)
+    deltas = (gl[1:] - gl[:-1])[~word_break]
+    deltas = deltas[(deltas >= 5 * s) & (deltas <= 10 * s)]
+    pitch = int(np.median(deltas)) if deltas.shape[0] >= 2 else 6 * s
     words: list[str] = []
     dist_sum = 0
     n_chars = 0
@@ -131,10 +141,11 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         sel = wid == wi
         x0 = int(gl[sel].min())
         x1 = int(gr[sel].max())
-        n = int(round((x1 - x0 + 1 + s) / (6 * s)))
+        n = int(round((x1 - x0 + 1 - GLYPH_W * s + pitch) / pitch))
+        n = max(n, 1)
         # fast path: sample ALL n cells at (0,0) offset in one gather, match
         # every char against the whole LUT with one vectorized hamming
-        starts = np.minimum(x0 + 6 * s * np.arange(n, dtype=np.int64),
+        starts = np.minimum(x0 + pitch * np.arange(n, dtype=np.int64),
                             page_w - GLYPH_W * s)
         y0 = min(max(row_top, 0), page_h - GLYPH_H * s)
         cols = (starts[:, None] + cell_px[None, :]).ravel()

@@ -112,3 +112,9 @@ def test_is_equation_rule():
 def test_disc_page_family():
     # C1 stroke-width grading: solid disc (fill < rectangle threshold) → image
     _run_family("disc_page", seed=108)
+
+
+def test_tracked_page_family():
+    # A7/C14 fixed-pitch estimate: wide letter-spacing decoded via the
+    # measured pitch, not the nominal 6s grid
+    _run_family("tracked_page", seed=109, trials=8)
