@@ -147,6 +147,10 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Text([eq], role="equation", col=0),
             Text(_lines(rng, 2, 16), col=0),
         ], scale=2, seed=seed)
+    if family == "bowed_page":  # F22 — quadratic baselines, baselinedetect.cpp:909
+        bow = int(rng.choice([-1, 1])) * int(rng.integers(5, 11))
+        return PageSpec(elements=[Text(_lines(rng, 4, 16))], scale=2,
+                        bow_px=bow, seed=seed)
     if family == "tracked_page":  # F21 — fixed-pitch estimate, topitch.cpp:74
         t = int(rng.integers(1, 3))  # letter-spacing +1 or +2 font units
         return PageSpec(elements=[
@@ -173,7 +177,7 @@ PAGE_FAMILIES = [
     "grid_2x2", "paragraphs", "noise_page", "empty_page",
     "ruled_page", "table_page", "skewed_page", "rotated_page",
     "textured_photo", "gradient_page", "contents_page", "equation_page",
-    "vertical_page", "disc_page", "tracked_page",
+    "vertical_page", "disc_page", "tracked_page", "bowed_page",
 ]
 
 

@@ -148,6 +148,8 @@ class PageSpec:
     n_cols: int = 1
     width_chars: int = 18  # per column
     noise_frac: float = 0.0
+    bow_px: int = 0        # quadratic baseline sag: columns shift down by
+                           # bow_px*((x-xc)/(w/2))^2 after layout (A4)
     skew_deg: float = 0.0  # page rotated by this angle after layout (C6)
     rot90: int = 0         # quarter-turns applied after layout (C10 OSD)
     gradient_depth: int = 0  # uneven illumination: bg falls to 255-depth
@@ -389,6 +391,12 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
         bg = 255.0 - spec.gradient_depth * (xx + yy) / (page_w + page_h)
         shaded = np.where(canvas == INK, bg - 110.0, bg)
         canvas = np.clip(shaded, 0, 255).astype(np.uint8)
+    if spec.bow_px:
+        from ..functions.geometry import shift_columns
+
+        half = max(page_w / 2.0, 1.0)
+        u = ((np.arange(page_w) - page_w / 2.0) / half) ** 2
+        canvas = shift_columns(canvas, np.rint(spec.bow_px * u), WHITE)
     if spec.skew_deg:
         from ..functions.geometry import rotate_nn
 

@@ -59,6 +59,23 @@ def shear_y(img: np.ndarray, slope: float, fill) -> np.ndarray:
     return out
 
 
+def shift_columns(img: np.ndarray, off: np.ndarray, fill) -> np.ndarray:
+    """Shift each column x down by off[x] px (negative = up); the output
+    grows to contain every shifted column. Integer shifts only — same
+    no-resampling rationale as shear_y (which is the linear special case)."""
+    off = off.astype(np.int64)
+    lo, hi = int(off.min()), int(off.max())
+    if lo == 0 and hi == 0:
+        return img
+    h, w = img.shape[:2]
+    out = np.full((h + hi - lo, w) + img.shape[2:], fill, dtype=img.dtype)
+    for shift in np.unique(off):
+        cols = off == shift
+        y0 = int(shift - lo)
+        out[y0 : y0 + h, cols] = img[:, cols]
+    return out
+
+
 def _profile_scores(cx: np.ndarray, cy: np.ndarray, bin_px: float,
                     angles: np.ndarray) -> np.ndarray:
     scores = np.empty(angles.shape[0])
@@ -101,3 +118,92 @@ def estimate_skew(cx: np.ndarray, cy: np.ndarray, bin_px: float,
     # half-width ~0.7° at text bin sizes) or its center estimate is biased
     fine = np.arange(c_best - 1.25, c_best + 1.25 + step_deg / 2, step_deg)
     return _plateau_center(fine, _profile_scores(cx, cy, bin_px, fine))
+
+
+def estimate_skew_bow(cx: np.ndarray, cy: np.ndarray, bin_px: float,
+                      page_w: float, max_deg: float = 3.0,
+                      max_bow_px: float = 12.0) -> tuple[float, float]:
+    """Joint skew + quadratic-bow estimate: (degrees, bow px at page edge)
+    maximizing row-profile sharpness of y' = y - x*tan(deg) - bow*((x-xc)/hw)^2.
+
+    The two must be fit JOINTLY: a parabola partially projects onto a line
+    (and vice versa), so 1-D estimates contaminate each other — the reference
+    likewise fits baselines with both linear and quadratic terms
+    (/root/reference/src/textord/baselinedetect.cpp:878,909; quadlsq.cpp).
+    Coarse 2-D grid, then alternating 1-D plateau-centered refinement."""
+    if cx.shape[0] < 3:
+        return 0.0, 0.0
+    bin_px = max(2.0, float(bin_px))
+    half = max(float(page_w) / 2.0, 1.0)
+    u = ((cx - float(page_w) / 2.0) / half) ** 2
+
+    def score_row(deg: float, bows: np.ndarray, bp: float) -> np.ndarray:
+        base = cy - cx * np.tan(np.deg2rad(deg))
+        out = np.empty(bows.shape[0])
+        for k, b in enumerate(bows):
+            yp = base - b * u
+            bins = ((yp - yp.min()) / bp).astype(np.int64)
+            counts = np.bincount(bins).astype(np.float64)
+            out[k] = float((counts * counts).sum())
+        return out
+
+    # phase 1 — coarse joint grid localizes (deg, bow) well enough that row
+    # clusters separate (row pitch >> residual)
+    degs = np.arange(-max_deg, max_deg + 0.375, 0.75)
+    bows = np.arange(-max_bow_px, max_bow_px + 1.5, 3.0)
+    grid = np.stack([score_row(d, bows, bin_px) for d in degs])
+    di, bi = np.unravel_index(int(np.argmax(grid)), grid.shape)
+    d0, b0 = float(degs[di]), float(bows[bi])
+
+    # phase 2 — assign blobs to rows under the rough correction, then fit
+    # cy = a_row + s*cx + c*u by least squares with per-row intercepts
+    # (demean within rows, 2-var OLS) — the page-level analog of the
+    # reference's per-row LMS fits (makerow.cpp:297 fit_lms_line, aggregated
+    # at :316; quadratic term as in quadlsq.cpp)
+    yp = cy - cx * np.tan(np.deg2rad(d0)) - b0 * u
+    order = np.argsort(yp)
+    gap = np.diff(yp[order])
+    new_row = np.concatenate([[True], gap > bin_px * 2.0])
+    rid = np.cumsum(new_row) - 1
+    r = np.empty(cx.shape[0], dtype=np.int64)
+    r[order] = rid
+    n_rows = int(rid[-1]) + 1
+
+    def demean(v: np.ndarray) -> np.ndarray:
+        sums = np.bincount(r, weights=v, minlength=n_rows)
+        cnts = np.bincount(r, minlength=n_rows)
+        return v - (sums / cnts)[r]
+
+    xh, uh, yh = demean(cx), demean(u), demean(cy)
+    g11 = float(xh @ xh)
+    g12 = float(xh @ uh)
+    g22 = float(uh @ uh)
+    det = g11 * g22 - g12 * g12
+    if det > 1e-9:
+        s = (g22 * float(xh @ yh) - g12 * float(uh @ yh)) / det
+        c = (g11 * float(uh @ yh) - g12 * float(xh @ yh)) / det
+        d0 = float(np.rad2deg(np.arctan(s)))
+        b0 = c
+    return d0, b0
+
+
+def estimate_bow(cx: np.ndarray, cy: np.ndarray, bin_px: float, page_w: float,
+                 max_bow_px: float = 12.0, step_px: float = 0.5) -> float:
+    """Quadratic baseline curvature (A4 — the reference fits quadratic/spline
+    baselines, /root/reference/src/textord/baselinedetect.cpp:909, quadlsq.cpp):
+    bow depth b in px at the page edges relative to center, such that
+    y' = y - b*((x-xc)/(w/2))^2 gives the sharpest row histogram. Same
+    projection-profile criterion as estimate_skew, searched over curvature."""
+    if cx.shape[0] < 3:
+        return 0.0
+    bin_px = max(2.0, float(bin_px))
+    half = max(float(page_w) / 2.0, 1.0)
+    u = ((cx - float(page_w) / 2.0) / half) ** 2
+    bows = np.arange(-max_bow_px, max_bow_px + step_px / 2, step_px)
+    scores = np.empty(bows.shape[0])
+    for k, b in enumerate(bows):
+        yp = cy - b * u
+        bins = ((yp - yp.min()) / bin_px).astype(np.int64)
+        counts = np.bincount(bins).astype(np.float64)
+        scores[k] = float((counts * counts).sum())
+    return _plateau_center(bows, scores)

@@ -53,7 +53,7 @@ from ..fixtures.render import (
     VERTICAL_TEXT,
 )
 from ..functions.cclabel import Blobs, label_blobs
-from ..functions.geometry import estimate_skew, shear_y
+from ..functions.geometry import estimate_skew_bow, shear_y, shift_columns
 from ..functions.otsu import binarize
 
 NOISE_AREA = 2          # blobs with <= this many ink px are specks (F4)
@@ -157,12 +157,14 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         best = np.argmin(dists, axis=1)
         best_d = dists[np.arange(n), best]
         chars = [DECODE_CHARS[int(b)] for b in best]
-        # slow path (rare: deskew/rotation jitter): re-sample imperfect cells
-        # at ±1px offsets, keep the best-scoring match
+        # slow path (rare: deskew/bow/rotation jitter): re-sample imperfect
+        # cells at offsets up to ±2px vertically (residual quadratic-bow
+        # correction error reaches ±2px at the page edges), ±1 horizontally,
+        # keep the best-scoring match
         for k in np.nonzero(best_d > 0)[0]:
             cx = int(starts[k])
             bc, bd = chars[k], int(best_d[k])
-            for dy in (0, -1, 1):
+            for dy in (0, -1, 1, -2, 2):
                 for dx in (0, -1, 1):
                     yy = min(max(row_top + dy, 0), page_h - GLYPH_H * s)
                     xx = min(max(cx + dx, 0), page_w - GLYPH_W * s)
@@ -308,6 +310,27 @@ def _xy_cut(boxes: list[tuple[int, int, int, int]], idx: list[int],
 
 
 SKEW_APPLY_MIN_DEG = 0.15  # measured skew below this → page already straight
+BOW_APPLY_MIN_PX = 3.0     # measured baseline bow below this → straight
+
+
+def _voting_centroids(blobs: Blobs):
+    """(cx, cy, med_h) of the text-sized blobs that get a vote in geometry
+    estimation (skew/bow), or None when too few. Images/rules would swamp the
+    projection profile and micro dots (leaders, halftone) would collapse the
+    bin size, so only glyph-sized blobs vote."""
+    solid = blobs.area > NOISE_AREA
+    if solid.sum() < 3:
+        return None
+    cx = (blobs.left[solid] + blobs.right[solid]) / 2.0
+    cy = (blobs.top[solid] + blobs.bottom[solid]) / 2.0
+    hh = blobs.bottom[solid] - blobs.top[solid] + 1
+    ww = blobs.right[solid] - blobs.left[solid] + 1
+    glyphish = hh > MICRO_MAX_SIDE
+    med = np.median(hh[glyphish]) if glyphish.any() else np.median(hh)
+    small = (hh <= 4 * med) & glyphish & (ww <= 8 * med)
+    if small.sum() < 3:
+        small = hh <= 4 * np.median(hh)
+    return cx[small], cy[small], float(np.median(hh[small]))
 
 
 def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block], float]:
@@ -323,28 +346,44 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
     # ---- deskew (C6): estimate page rotation from blob centroids, rotate
     # the bitmap upright, re-extract components (tabfind.cpp:1291 /
     # makerow.cpp:316 play this role in the reference)
-    solid = blobs.area > NOISE_AREA
-    if solid.sum() >= 3:
-        cx = (blobs.left[solid] + blobs.right[solid]) / 2.0
-        cy = (blobs.top[solid] + blobs.bottom[solid]) / 2.0
-        hh = blobs.bottom[solid] - blobs.top[solid] + 1
-        ww = blobs.right[solid] - blobs.left[solid] + 1
-        # only text-sized blobs vote: images/rules would swamp the profile,
-        # and micro dots (leaders, halftone) would collapse the bin size
-        glyphish = hh > MICRO_MAX_SIDE
-        med = np.median(hh[glyphish]) if glyphish.any() else np.median(hh)
-        small = (hh <= 4 * med) & glyphish & (ww <= 8 * med)
-        if small.sum() < 3:
-            small = hh <= 4 * np.median(hh)
-        deg = estimate_skew(cx[small], cy[small],
-                            bin_px=np.median(hh[small]) / skew_bin_div)
-        if abs(deg) >= SKEW_APPLY_MIN_DEG:
+    # (A4, baselinedetect.cpp:878,909: baselines carry linear AND quadratic
+    # terms — fit jointly, then straighten with integer column shifts.
+    # A second pass refines the residual ONLY when a first correction was
+    # applied, so straight pages never pick up spurious ±1px shifts.)
+    vote = _voting_centroids(blobs)
+    for it in range(2):
+        if vote is None:
+            break
+        cx, cy, med_h = vote
+        deg, bow = estimate_skew_bow(cx, cy, bin_px=med_h / skew_bin_div,
+                                     page_w=ink.shape[1])
+        apply_skew = abs(deg) >= SKEW_APPLY_MIN_DEG
+        apply_bow = abs(bow) >= (BOW_APPLY_MIN_PX if it == 0 else 1.0)
+        if not (apply_skew or apply_bow):
+            break
+        if apply_skew:
             # undo via vertical shear (integer column shifts — no second
             # resampling pass over glyph interiors)
             ink = shear_y(ink, np.tan(np.deg2rad(deg)), False)
-            blobs = label_blobs(ink)
-            if len(blobs) == 0:
-                return [], 0.0
+        if apply_bow:
+            # the correction is integer column shifts, so pick the INTEGER
+            # bow around the fit that sharpest-flattens the actual ink-row
+            # profile — a fractional residual would leave irregular ±1px
+            # shifts inside glyphs that no sampling offset can undo
+            half = max(ink.shape[1] / 2.0, 1.0)
+            u = ((np.arange(ink.shape[1]) - ink.shape[1] / 2.0) / half) ** 2
+            best = None
+            for bb in np.unique(np.rint([bow - 1.0, bow, bow + 1.0])):
+                cand = shift_columns(ink, -np.rint(bb * u), False)
+                prof = cand.sum(axis=1).astype(np.float64)
+                sharp = float((prof * prof).sum())
+                if best is None or sharp > best[0]:
+                    best = (sharp, cand)
+            ink = best[1]
+        blobs = label_blobs(ink)
+        if len(blobs) == 0:
+            return [], 0.0
+        vote = _voting_centroids(blobs)
 
     keep = blobs.area > NOISE_AREA
     if not keep.any():

@@ -118,3 +118,9 @@ def test_tracked_page_family():
     # A7/C14 fixed-pitch estimate: wide letter-spacing decoded via the
     # measured pitch, not the nominal 6s grid
     _run_family("tracked_page", seed=109, trials=8)
+
+
+def test_bowed_page_family():
+    # A4 quadratic baseline fit: bowed rows straightened by integer column
+    # shifts from the joint skew+bow least-squares estimate
+    _run_family("bowed_page", seed=110, trials=8)
