@@ -33,3 +33,18 @@ class ExtractConfig:
     # bottom) exclusive-right/bottom in pixels — SetRectangle
     # (/root/reference/src/api/baseapi.cpp:949). None → whole page.
     crop: tuple[int, int, int, int] | None = None
+    # right-to-left page order: columns read rightmost-first (the reference
+    # reflects the y-axis for RTL scripts, src/textord/colfind.cpp:347-354;
+    # behavior pinned by the Hebrew case in unittest/layout_test.cc:215-236).
+    # Like the reference, direction comes from config (the loaded language),
+    # not per-page inference.
+    rtl: bool = False
+    # page segmentation mode (PageSegMode, include/tesseract/publictypes.h:
+    # 163-183; gates at src/textord/textord.cpp:224-231): 'auto' runs full
+    # layout analysis; 'single_block' assumes one uniform text block (no
+    # column/table finding); 'single_line' treats the page as one text line.
+    psm: str = "auto"
+    # restrict recognition to these characters (SetBlackAndWhitelist,
+    # /root/reference/src/api/baseapi.cpp:1338): decode picks the nearest
+    # whitelisted glyph. None → full glyph set.
+    char_whitelist: str | None = None

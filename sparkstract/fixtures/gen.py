@@ -162,6 +162,12 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             DiscImage(d_units=int(rng.integers(30, 50)), col=0),
             Text(_lines(rng, 2, 16), col=0),
         ], scale=2, seed=seed)
+    if family == "broken_page":  # F23 — broken-char repair, strokewidth.cpp:588
+        # a 1px white scan-line artifact slices every glyph it crosses into
+        # fragments; repair (C3 FixBrokenCJK analog) must rejoin them.
+        # scale=3 so the lost pixel column never flips a downsampled bit.
+        return PageSpec(elements=[Text(_lines(rng, 3, 12), col=0)], scale=3,
+                        cut_x_frac=float(rng.uniform(0.3, 0.6)), seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[
@@ -178,6 +184,7 @@ PAGE_FAMILIES = [
     "ruled_page", "table_page", "skewed_page", "rotated_page",
     "textured_photo", "gradient_page", "contents_page", "equation_page",
     "vertical_page", "disc_page", "tracked_page", "bowed_page",
+    "broken_page",
 ]
 
 

@@ -154,6 +154,13 @@ class PageSpec:
     rot90: int = 0         # quarter-turns applied after layout (C10 OSD)
     gradient_depth: int = 0  # uneven illumination: bg falls to 255-depth
                              # across the page and ink tracks bg-110 (F10)
+    rtl: bool = False      # right-to-left reading order: columns read
+                           # rightmost-first (layout_test.cc:215-236 Hebrew);
+                           # elements must then be grouped by DESCENDING col
+    cut_x_frac: float | None = None  # white out a 1px vertical strip at
+                           # x = page_w*frac AFTER layout: splits glyphs into
+                           # fragments the broken-char repair must rejoin
+                           # (C3, strokewidth.cpp:588 FixBrokenCJK)
     seed: int = 0
 
 
@@ -199,12 +206,14 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
     col_w = spec.width_chars * cw
     page_w = 2 * margin + spec.n_cols * col_w + (spec.n_cols - 1) * gutter
 
-    # --- order sanity: full-width first, then by column ascending ---
+    # --- order sanity: full-width first, then by column in reading order
+    # (ascending for LTR, descending for RTL) ---
     order_keys = [(-1 if e.col is None else e.col) for e in spec.elements]
     fw = [k for k in order_keys if k == -1]
     assert order_keys[: len(fw)] == fw, "full-width elements must come first"
     cols_seen = [k for k in order_keys if k >= 0]
-    assert cols_seen == sorted(cols_seen), "elements must be grouped by column"
+    assert cols_seen == sorted(cols_seen, reverse=spec.rtl), \
+        "elements must be grouped by column in reading order"
 
     # --- measure heights ---
     def elem_height(e) -> int:
@@ -362,9 +371,12 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
 
     for e, y0 in fw_pos:
         draw(e, y0, None)
-    for c in sorted(col_pos):
+    for c in sorted(col_pos, reverse=spec.rtl):
         for e, y0 in col_pos[c]:
             draw(e, y0, c)
+
+    if spec.cut_x_frac is not None:
+        canvas[:, int(page_w * spec.cut_x_frac)] = WHITE
 
     if spec.noise_frac > 0:
         rng = np.random.default_rng(spec.seed)

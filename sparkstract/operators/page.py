@@ -36,7 +36,6 @@ from ..fixtures.font import (
     DECODE_MATRIX,
     GLYPH_H,
     GLYPH_W,
-    decode_glyph_dist,
 )
 
 DECODE_BOOL = DECODE_MATRIX.astype(bool)
@@ -86,15 +85,22 @@ class Block:
 
 
 def _merge_x_overlaps(left: np.ndarray, top: np.ndarray, right: np.ndarray,
-                      bottom: np.ndarray) -> tuple[np.ndarray, ...]:
+                      bottom: np.ndarray,
+                      repair_gap: int = 0) -> tuple[np.ndarray, ...]:
     """Merge blobs in one row whose x-intervals overlap (J6 diacritic/fragment
-    attachment, strokewidth.cpp:1491) → char-group boxes sorted by x."""
+    attachment, strokewidth.cpp:1491) → char-group boxes sorted by x.
+
+    repair_gap > 0 additionally merges fragments separated by at most that
+    many white pixels — broken-character repair (C3, strokewidth.cpp:588
+    FixBrokenCJK rejoins glyphs split by scanning artifacts). The gap is set
+    below the inter-char gap (one scale unit), so genuine character
+    boundaries never merge."""
     order = np.argsort(left, kind="stable")
     left, top, right, bottom = left[order], top[order], right[order], bottom[order]
     # group where next left > running max right
     run_max = np.maximum.accumulate(right)
     new_grp = np.ones(left.shape[0], dtype=bool)
-    new_grp[1:] = left[1:] > run_max[:-1]
+    new_grp[1:] = left[1:] > run_max[:-1] + repair_gap
     gid = np.cumsum(new_grp) - 1
     k = gid[-1] + 1
     gl = np.full(k, np.iinfo(np.int64).max)
@@ -108,8 +114,23 @@ def _merge_x_overlaps(left: np.ndarray, top: np.ndarray, right: np.ndarray,
     return gl, gt, gr, gb
 
 
+def decode_tables(whitelist: str | None) -> tuple[list[str], np.ndarray]:
+    """(chars, bool glyph matrix) restricted to a character whitelist
+    (SetBlackAndWhitelist, baseapi.cpp:1338) — decode picks the nearest
+    glyph among these only. None/empty → the full shared LUT."""
+    if not whitelist:
+        return DECODE_CHARS, DECODE_BOOL
+    allow = set(whitelist)
+    idx = [i for i, c in enumerate(DECODE_CHARS) if c in allow]
+    if not idx:
+        return DECODE_CHARS, DECODE_BOOL
+    return [DECODE_CHARS[i] for i in idx], DECODE_BOOL[idx]
+
+
 def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
-                gl: np.ndarray, gr: np.ndarray, s: int) -> tuple[str, int, int]:
+                gl: np.ndarray, gr: np.ndarray, s: int,
+                lut: tuple[list[str], np.ndarray] = (DECODE_CHARS, DECODE_BOOL),
+                ) -> tuple[str, int, int]:
     """Template-decode one text row: split char-groups into words by gap, map
     each word onto its char-cell grid, downsample cells to 5x7, LUT match.
     Each cell is sampled at ±1px offsets and the best-scoring match wins, so
@@ -120,6 +141,7 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     start distance of adjacent in-word char groups, falling back to the
     nominal 6s grid on rows with no adjacent pairs (wide tracking renders
     every glyph separate, so starts ARE the pitch samples)."""
+    lut_chars, lut_bits = lut
     page_h, page_w = ink.shape
     # a glyph cell at scale s must fit on the page (noise "rows" on garbage
     # input can imply scales larger than the bitmap)
@@ -153,10 +175,10 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         bits = (
             band.reshape(GLYPH_H, s, n, GLYPH_W, s).mean(axis=(1, 4)) > 0.5
         ).transpose(1, 0, 2).reshape(n, GLYPH_H * GLYPH_W)
-        dists = (bits[:, None, :] ^ DECODE_BOOL[None, :, :]).sum(axis=2)
+        dists = (bits[:, None, :] ^ lut_bits[None, :, :]).sum(axis=2)
         best = np.argmin(dists, axis=1)
         best_d = dists[np.arange(n), best]
-        chars = [DECODE_CHARS[int(b)] for b in best]
+        chars = [lut_chars[int(b)] for b in best]
         # slow path (rare: deskew/bow/rotation jitter): re-sample imperfect
         # cells at offsets up to ±2px vertically (residual quadratic-bow
         # correction error reaches ±2px at the page edges), ±1 horizontally,
@@ -170,9 +192,10 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                     xx = min(max(cx + dx, 0), page_w - GLYPH_W * s)
                     cell = ink[yy : yy + GLYPH_H * s, xx : xx + GLYPH_W * s]
                     cb = cell.reshape(GLYPH_H, s, GLYPH_W, s).mean(axis=(1, 3)) > 0.5
-                    ch, d = decode_glyph_dist(cb)
-                    if d < bd:
-                        bc, bd = ch, d
+                    dd = (cb.ravel()[None, :] ^ lut_bits).sum(axis=1)
+                    j = int(np.argmin(dd))
+                    if int(dd[j]) < bd:
+                        bc, bd = lut_chars[j], int(dd[j])
                     if bd == 0:
                         break
                 if bd == 0:
@@ -274,9 +297,13 @@ def _coverage_gaps(left: np.ndarray, right: np.ndarray, min_gap: int) -> list[tu
 
 
 def _xy_cut(boxes: list[tuple[int, int, int, int]], idx: list[int],
-            vertical_first: bool = True) -> list[int]:
+            vertical_first: bool = True, rtl: bool = False) -> list[int]:
     """Recursive XY-cut, vertical cuts first → Tesseract's column-major
-    reading order (W2). boxes are (l, t, r, b); returns idx in reading order."""
+    reading order (W2). boxes are (l, t, r, b); returns idx in reading order.
+    rtl reverses the left-right order of vertical-cut groups — the reference
+    achieves the same by reflecting the y-axis for RTL scripts before the
+    column walk (colfind.cpp:347-354, :1591; Hebrew case layout_test.cc:
+    215-236): columns read right→left, still top→bottom within a column."""
     if len(idx) <= 1:
         return list(idx)
 
@@ -301,12 +328,15 @@ def _xy_cut(boxes: list[tuple[int, int, int, int]], idx: list[int],
     for axis in axes:
         groups = try_cut(axis)
         if groups:
+            if rtl and axis == 0:
+                groups = groups[::-1]
             out: list[int] = []
             for g in groups:
-                out.extend(_xy_cut(boxes, g, vertical_first))
+                out.extend(_xy_cut(boxes, g, vertical_first, rtl))
             return out
-    # no cut possible: top-down, then left-right (stable final tiebreak)
-    return sorted(idx, key=lambda i: (boxes[i][1], boxes[i][0]))
+    # no cut possible: top-down, then left-right (right-left for RTL)
+    return sorted(idx, key=lambda i: (boxes[i][1],
+                                      -boxes[i][0] if rtl else boxes[i][0]))
 
 
 SKEW_APPLY_MIN_DEG = 0.15  # measured skew below this → page already straight
@@ -333,12 +363,20 @@ def _voting_centroids(blobs: Blobs):
     return cx[small], cy[small], float(np.median(hh[small]))
 
 
-def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block], float]:
+def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
+                 rtl: bool = False, psm: str = "auto",
+                 lut: tuple[list[str], np.ndarray] = (DECODE_CHARS, DECODE_BOOL),
+                 ) -> tuple[list[Block], float]:
     """Analyse one binarized page; returns (blocks in reading order,
     mean per-char decode distance — the page's recognition quality).
     skew_bin_div sets the projection-profile bin granularity (median blob
     height / div); the retry loop tries an alternate granularity when the
-    default mis-estimates on sparse pages."""
+    default mis-estimates on sparse pages.
+
+    psm gates stages exactly like the reference's PageSegMode inequalities
+    (publictypes.h:192-213, used textord.cpp:224-231): 'single_block' skips
+    column/table finding and block splitting (one uniform text block);
+    'single_line' additionally skips row clustering (all glyphs one row)."""
     blobs: Blobs = label_blobs(ink)
     if len(blobs) == 0:
         return [], 0.0
@@ -466,7 +504,16 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
     # by top (J3), then attach small fragments to the row containing their
     # center (J6 diacritic attachment); unattached fragments drop as noise ----
     rows: list[dict] = []
-    if tl.shape[0] > 0:
+    if psm == "single_line" and tl.shape[0] > 0:
+        # PSM_SINGLE_TEXT_LINE (publictypes.h:173): the whole page is one
+        # text line — no clustering, every glyph joins the single row
+        r_top, r_bot = int(tt.min()), int(tb.max())
+        s = max(1, int(round((r_bot - r_top + 1) / GLYPH_H)))
+        gl, _gt, gr, _gb = _merge_x_overlaps(tl, tt, tr, tb, max(0, s - 1))
+        rows.append(dict(top=r_top, bottom=r_bot, left=int(gl.min()),
+                         right=int(gr.max()), s=s, gl=gl, gr=gr,
+                         cov_l=gl, cov_r=gr))
+    elif tl.shape[0] > 0:
         hh_all = tb - tt + 1
         # the size median must come from glyph-sized blobs: a page where
         # leader dots outnumber glyphs would otherwise flip the median to
@@ -503,25 +550,29 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
             if not txt_ids:
                 continue  # leader-only row: nothing to read
             mi = np.array(txt_ids)
-            gl, gt, gr, gb = _merge_x_overlaps(tl[mi], tt[mi], tr[mi], tb[mi])
+            r_top, r_bot = int(row_tops[r]), int(row_bots[r])
+            s = max(1, int(round((r_bot - r_top + 1) / GLYPH_H)))
+            # fragments closer than one scale unit rejoin (C3 repair); the
+            # nominal inter-char ink gap is exactly s px, so s-1 is safe
+            repair = max(0, s - 1)
+            gl, gt, gr, gb = _merge_x_overlaps(tl[mi], tt[mi], tr[mi], tb[mi],
+                                               repair)
             if len(txt_ids) != len(all_ids):
                 # leader dots stay in the COVERAGE geometry (they bridge the
                 # big gap, so it never reads as a column gutter) but are
                 # excluded from decode groups
                 ai = np.array(all_ids)
                 cov_l, _ct, cov_r, _cb = _merge_x_overlaps(
-                    tl[ai], tt[ai], tr[ai], tb[ai])
+                    tl[ai], tt[ai], tr[ai], tb[ai], repair)
             else:
                 cov_l, cov_r = gl, gr
-            r_top, r_bot = int(row_tops[r]), int(row_bots[r])
-            s = max(1, int(round((r_bot - r_top + 1) / GLYPH_H)))
             rows.append(dict(top=r_top, bottom=r_bot, left=int(gl.min()),
                              right=int(gr.max()), s=s, gl=gl, gr=gr,
                              cov_l=cov_l, cov_r=cov_r))
 
     body_s = int(np.median([r["s"] for r in rows])) if rows else 1
     for r in rows:
-        r["heading"] = r["s"] >= HEADING_RATIO * body_s
+        r["heading"] = psm == "auto" and r["s"] >= HEADING_RATIO * body_s
 
     # ---- table rows (C8, tablefind.cpp:200): a row with >= TABLE_MIN_GAPS
     # wide internal gaps has 3+ aligned cells — one gap is a column gutter,
@@ -535,7 +586,8 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
             if g > TABLE_GAP_UNITS * r["s"]:
                 gaps.append((int(gr[i]) + 1, int(gl[i + 1]) - 1))
         r["tgaps"] = gaps
-        r["tably"] = (not r["heading"]) and len(gaps) >= TABLE_MIN_GAPS
+        r["tably"] = (psm == "auto" and not r["heading"]
+                      and len(gaps) >= TABLE_MIN_GAPS)
 
     table_blocks: list[dict] = []
     rest: list[dict] = []
@@ -564,7 +616,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
     # ---- columns from body-row blob x-projection (C5/W1) ----
     col_ranges: list[tuple[int, int]] = []
     body_rows = [r for r in rows if not r["heading"]]
-    if body_rows:
+    if body_rows and psm == "auto":
         bl = np.concatenate([r["cov_l"] for r in body_rows])
         br = np.concatenate([r["cov_r"] for r in body_rows])
         gaps = _coverage_gaps(bl, br, GUTTER_UNITS * body_s)
@@ -604,7 +656,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
         rws.sort(key=lambda r: r["top"])
         cur: list[dict] = []
         for r in rws:
-            if cur and (
+            if psm == "auto" and cur and (
                 r["heading"] != cur[-1]["heading"]
                 or r["top"] - cur[-1]["bottom"] - 1 > BLOCK_GAP_UNITS * cur[-1]["s"]
             ):
@@ -629,9 +681,10 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
         blocks.append(dict(rows=None, box=lx[:4], image=False,
                            line_kind=lx[4], heading=False))
 
-    # ---- reading order: vertical-first XY-cut (W2) ----
+    # ---- reading order: vertical-first XY-cut (W2; RTL reverses column
+    # order, colfind.cpp:347-354) ----
     boxes = [b["box"] for b in blocks]
-    order = _xy_cut(boxes, list(range(len(blocks))))
+    order = _xy_cut(boxes, list(range(len(blocks))), rtl=rtl)
 
     # ---- kind typing (C7) + caption attachment (J8) ----
     page_w_ink = (max(bx[2] for bx in boxes) - min(bx[0] for bx in boxes) + 1) if boxes else 1
@@ -644,7 +697,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
         lines = []
         for rr in b["rows"]:
             text, d, n = _decode_row(ink, rr["top"], rr["bottom"],
-                                     rr["gl"], rr["gr"], rr["s"])
+                                     rr["gl"], rr["gr"], rr["s"], lut)
             lines.append(text)
             q_dist += d
             q_chars += n
@@ -666,7 +719,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
         # vertical text (strokewidth.cpp:211 IsVerticallyAlignedText →
         # PT_VERTICAL_TEXT): a stack of single glyphs one char-cell wide,
         # read top-to-bottom with no line breaks
-        if (not b["heading"] and len(b["rows"]) >= VERT_MIN_CHARS
+        if (psm == "auto" and not b["heading"] and len(b["rows"]) >= VERT_MIN_CHARS
                 and all(rr["gl"].shape[0] == 1 for rr in b["rows"])
                 and (r_ - l + 1) <= 6 * b["rows"][0]["s"]):
             out.append(Block(rank, VERTICAL_TEXT, decode_block(b, ""),
@@ -676,7 +729,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
             out.append(Block(rank, HEADING_TEXT, decode_block(b), l, t, r_, bo))
             continue
         txt = decode_block(b)
-        if _is_equation(txt):
+        if psm == "auto" and _is_equation(txt):
             kind = EQUATION
         else:
             kind = FLOWING_TEXT
@@ -693,24 +746,32 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0) -> tuple[list[Block
 OSD_RETRY_DIST = 2.0  # mean bits/char above this → try the other 3 rotations
 
 
-def analyse_page(gray: np.ndarray) -> list[Block]:
+def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
+                 whitelist: str | None = None) -> list[Block]:
     """Full page analysis + recognition: binarize, analyse; if recognition
     quality is poor, retry at 90/180/270 degrees and keep the best — the
     orientation-detection pass (C10, osdetect.cpp:239) fused with the
-    retry-with-alternate-config loop (ProcessPages, baseapi.h:732)."""
+    retry-with-alternate-config loop (ProcessPages, baseapi.h:732).
+
+    rtl/psm/whitelist are the SetVariable-style knobs (ExtractConfig):
+    column direction, PageSegMode stage gating, SetBlackAndWhitelist."""
+    lut = decode_tables(whitelist)
     ink = binarize(gray)
-    out, quality = _analyse_ink(ink)
+    out, quality = _analyse_ink(ink, rtl=rtl, psm=psm, lut=lut)
     if quality > 0:
         # any imperfect decode → cheap alternate-config retry first: finer
         # skew-profile bins (sparse pages can alias at the default
         # granularity). ProcessPages retry_config, baseapi.h:732.
-        cand, q = _analyse_ink(ink, skew_bin_div=8.0)
+        cand, q = _analyse_ink(ink, skew_bin_div=8.0, rtl=rtl, psm=psm, lut=lut)
         if q < quality:
             out, quality = cand, q
-    if quality > OSD_RETRY_DIST:
-        # still bad → try the three other orientations (C10), both bins
+    if quality > OSD_RETRY_DIST and psm == "auto":
+        # still bad → try the three other orientations (C10), both bins.
+        # OSD only runs in auto mode, like the reference's PSM_OSD gate
+        # (publictypes.h:192 PSM_OSD_ENABLED).
         for k, div in [(1, 4.0), (2, 4.0), (3, 4.0), (1, 8.0), (2, 8.0), (3, 8.0)]:
-            cand, q = _analyse_ink(np.rot90(ink, k), skew_bin_div=div)
+            cand, q = _analyse_ink(np.rot90(ink, k), skew_bin_div=div,
+                                   rtl=rtl, lut=lut)
             if q < quality:
                 out, quality = cand, q
             if quality <= OSD_RETRY_DIST:

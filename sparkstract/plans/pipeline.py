@@ -56,7 +56,8 @@ def _page_kernel(cfg: ExtractConfig):
                 if cfg.crop is not None:
                     cl, ct, cr, cb = cfg.crop
                     gray = gray[ct:cb, cl:cr]
-                for blk in analyse_page(gray):
+                for blk in analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
+                                        whitelist=cfg.char_whitelist):
                     out["doc_id"].append(doc_id)
                     out["offset"].append(offset)
                     out["block_order"].append(blk.order)
@@ -124,13 +125,9 @@ def analyse_layout(spark: SparkSession, docs: DataFrame, media: DataFrame,
                    cfg: ExtractConfig | None = None) -> DataFrame:
     """Layout-only slice: blocks + order + kinds, no recognition — mirrors
     TessBaseAPI::AnalyseLayout (/root/reference/src/api/baseapi.cpp:1298)."""
-    base = cfg or ExtractConfig()
-    cfg = ExtractConfig(
-        work_partitions=base.work_partitions,
-        broadcast_media_max_rows=base.broadcast_media_max_rows,
-        recognize=False,
-        arrow_max_records=base.arrow_max_records,
-    )
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg or ExtractConfig(), recognize=False)
     return extract(spark, docs, media, cfg)
 
 
