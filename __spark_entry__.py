@@ -105,6 +105,44 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract(spark, docs, media)
 
 
+@functools.lru_cache(maxsize=1)
+def _rtl_fixture():
+    """Deterministic RTL two-column page + truth (Hebrew layout_test case,
+    /root/reference/unittest/layout_test.cc:215-236): rightmost column reads
+    first under ExtractConfig(rtl=True)."""
+    from sparkstract.fixtures.render import PageSpec, Text, render_page
+    from sparkstract.functions.png import encode_gray
+
+    spec = PageSpec(
+        elements=[Text(["RIGHT COLUMN ONE", "RIGHT COLUMN TWO"], col=1),
+                  Text(["LEFT COLUMN ONE", "LEFT COLUMN TWO"], col=0)],
+        n_cols=2, scale=2, width_chars=17, rtl=True)
+    img, truth = render_page(spec)
+    return encode_gray(img), img.shape, truth
+
+
+def q_extract_rtl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstract.config import ExtractConfig
+    from sparkstract.fixtures.gen import DOCS_SCHEMA, MEDIA_SCHEMA
+
+    png, shape, _truth = _rtl_fixture()
+    docs = spark.createDataFrame(
+        [("d-rtl", [dict(kind="media", text=None, media_ref="m-rtl", offset=0)])],
+        DOCS_SCHEMA)
+    media = spark.createDataFrame(
+        [("m-rtl", shape[1], shape[0], png)], MEDIA_SCHEMA)
+    return extract(spark, docs, media, ExtractConfig(rtl=True))
+
+
+def q_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyseLayout slice (baseapi.cpp:1298): kinds + order without
+    recognition — extracted spans carry NULL text, pass-through text stays."""
+    from sparkstract.plans.pipeline import analyse_layout
+
+    docs, media, _ = _fixture_frames(spark)
+    return analyse_layout(spark, docs, media)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -217,6 +255,48 @@ def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the classic large-scale clickstream shape):
+    a >30 min silence starts a new session. lag + running sum windows — both
+    partition-local per user after one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        # interval comparison: exact to the microsecond, timezone-free (ts is
+        # TIMESTAMP_NTZ), and identical semantics in the DuckDB oracle
+        .withColumn("new_s", F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES")),
+            1).otherwise(0))
+        .withColumn("session_id", F.sum("new_s").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each brand: join + agg + per-group
+    top-k window (rank computed AFTER rounding, part-key tie-break)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("p_brand", "rank")
     )
 
 
@@ -434,6 +514,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": q_extract_spans,
+        "extract_rtl": q_extract_rtl,
+        "layout_blocks": q_layout_blocks,
+        "event_sessions": q_event_sessions,
+        "top_parts_by_brand": q_top_parts_by_brand,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "quantity_quartiles": q_quantity_quartiles,
@@ -508,8 +592,58 @@ def oracle_sql() -> dict[str, str]:
         f"('{cid}', {exp})" for cid, _d, _l, exp in _BIDI_CASES
     )
 
+    _png, _shape, rtl_truth = _rtl_fixture()
+    rtl_rows = ",\n".join(
+        f"('d-rtl', {i}, {_sql_quote(b.kind)}, "
+        f"{_sql_quote(b.text) if b.text is not None else 'CAST(NULL AS VARCHAR)'}, "
+        f"'m-rtl')"
+        for i, b in enumerate(rtl_truth))
+
     return {
         "extract_spans": _truth_values_sql(),
+        "extract_rtl": f"""
+            SELECT * FROM (VALUES
+            {rtl_rows}
+            ) AS t(doc_id, "order", kind, text, media_ref)
+        """,
+        "layout_blocks": f"""
+            WITH truth AS ({_truth_values_sql()})
+            SELECT doc_id, "order", kind,
+                   CASE WHEN kind = 'text' THEN text
+                        ELSE CAST(NULL AS VARCHAR) END AS text,
+                   media_ref
+            FROM truth
+        """,
+        "event_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, event_id, ts,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS BIGINT) AS session_id
+              FROM o)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_parts_by_brand": """
+            WITH agg AS (
+              SELECT p_brand, p_partkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2),
+            r AS (
+              SELECT p_brand, p_partkey, revenue,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY revenue DESC, p_partkey ASC) AS rank
+              FROM agg)
+            SELECT p_brand, p_partkey, revenue, rank FROM r WHERE rank <= 3
+            ORDER BY p_brand, rank
+        """,
         "render_text": f"""
             WITH truth AS ({_truth_values_sql()})
             SELECT doc_id,
