@@ -41,8 +41,9 @@ class ExtractConfig:
     rtl: bool = False
     # page segmentation mode (PageSegMode, include/tesseract/publictypes.h:
     # 163-183; gates at src/textord/textord.cpp:224-231): 'auto' runs full
-    # layout analysis; 'single_block' assumes one uniform text block (no
-    # column/table finding); 'single_line' treats the page as one text line.
+    # layout analysis; 'single_column' keeps block/heading structure but
+    # skips column/table finding; 'single_block' assumes one uniform text
+    # block; 'single_line' treats the page as one text line.
     psm: str = "auto"
     # restrict recognition to these characters (SetBlackAndWhitelist,
     # /root/reference/src/api/baseapi.cpp:1338): decode picks the nearest

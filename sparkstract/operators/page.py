@@ -374,9 +374,10 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
     default mis-estimates on sparse pages.
 
     psm gates stages exactly like the reference's PageSegMode inequalities
-    (publictypes.h:192-213, used textord.cpp:224-231): 'single_block' skips
-    column/table finding and block splitting (one uniform text block);
-    'single_line' additionally skips row clustering (all glyphs one row)."""
+    (publictypes.h:192-213, used textord.cpp:224-231): 'single_column' skips
+    column/table finding but keeps block/heading structure; 'single_block'
+    also skips block splitting (one uniform text block); 'single_line'
+    additionally skips row clustering (all glyphs one row)."""
     blobs: Blobs = label_blobs(ink)
     if len(blobs) == 0:
         return [], 0.0
@@ -571,8 +572,10 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                              cov_l=cov_l, cov_r=cov_r))
 
     body_s = int(np.median([r["s"] for r in rows])) if rows else 1
+    structured = psm in ("auto", "single_column")  # PSM_SINGLE_COLUMN keeps
+    # block/heading structure, drops column segmentation (publictypes.h:175)
     for r in rows:
-        r["heading"] = psm == "auto" and r["s"] >= HEADING_RATIO * body_s
+        r["heading"] = structured and r["s"] >= HEADING_RATIO * body_s
 
     # ---- table rows (C8, tablefind.cpp:200): a row with >= TABLE_MIN_GAPS
     # wide internal gaps has 3+ aligned cells — one gap is a column gutter,
@@ -656,7 +659,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         rws.sort(key=lambda r: r["top"])
         cur: list[dict] = []
         for r in rws:
-            if psm == "auto" and cur and (
+            if structured and cur and (
                 r["heading"] != cur[-1]["heading"]
                 or r["top"] - cur[-1]["bottom"] - 1 > BLOCK_GAP_UNITS * cur[-1]["s"]
             ):

@@ -72,6 +72,18 @@ def test_psm_single_line_ignores_column_gutter():
     assert got[0].text == "AA BB"
 
 
+def test_psm_single_column_merges_gutter_keeps_blocks():
+    # two columns with rows at the same heights — single_column ignores the
+    # gutter (rows span it, gap reads as a word space) but keeps y-structure
+    spec = PageSpec(elements=[Text(["AA", "CC"], col=0), Text(["BB", "DD"], col=1)],
+                    n_cols=2, scale=2, width_chars=6)
+    img, _ = render_page(spec)
+    assert len(analyse_page(img)) == 2  # auto: one block per column
+    got = analyse_page(img, psm="single_column")
+    assert len(got) == 1
+    assert got[0].text == "AA BB\nCC DD"
+
+
 def test_char_whitelist_restricts_decode():
     spec = PageSpec(elements=[Text(["DOG 0K"], col=0)], scale=2)
     img, _ = render_page(spec)
