@@ -150,61 +150,69 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         return "", 0, 0
     gaps = gl[1:] - gr[:-1] - 1
     word_break = gaps > WORD_GAP_UNITS * s
-    wid = np.concatenate([[0], np.cumsum(word_break)])
     # pitch histogram over adjacent in-word group starts (A7)
     deltas = (gl[1:] - gl[:-1])[~word_break]
     deltas = deltas[(deltas >= 5 * s) & (deltas <= 10 * s)]
     pitch = int(np.median(deltas)) if deltas.shape[0] >= 2 else 6 * s
-    words: list[str] = []
-    dist_sum = 0
-    n_chars = 0
+    # word extents: groups are x-sorted and non-overlapping, so each word's
+    # x0 is its first group's left and x1 its last group's right
+    w_first = np.nonzero(np.concatenate([[True], word_break]))[0]
+    w_last = np.concatenate([w_first[1:] - 1, [gl.shape[0] - 1]])
+    x0s = gl[w_first]
+    ns = np.maximum(np.rint(
+        (gr[w_last] - x0s + 1 - GLYPH_W * s + pitch) / pitch).astype(np.int64), 1)
+    # ALL cells of ALL words in one flat grid: one gather, one downsample,
+    # one LUT hamming for the whole row
+    n = int(ns.sum())
+    cum = np.concatenate([[0], np.cumsum(ns)])
+    in_word = np.arange(n) - np.repeat(cum[:-1], ns)
+    starts = np.minimum(np.repeat(x0s, ns) + pitch * in_word,
+                        page_w - GLYPH_W * s)
+    y0 = min(max(row_top, 0), page_h - GLYPH_H * s)
     cell_px = np.arange(GLYPH_W * s, dtype=np.int64)
-    for wi in range(wid[-1] + 1):
-        sel = wid == wi
-        x0 = int(gl[sel].min())
-        x1 = int(gr[sel].max())
-        n = int(round((x1 - x0 + 1 - GLYPH_W * s + pitch) / pitch))
-        n = max(n, 1)
-        # fast path: sample ALL n cells at (0,0) offset in one gather, match
-        # every char against the whole LUT with one vectorized hamming
-        starts = np.minimum(x0 + pitch * np.arange(n, dtype=np.int64),
-                            page_w - GLYPH_W * s)
-        y0 = min(max(row_top, 0), page_h - GLYPH_H * s)
-        cols = (starts[:, None] + cell_px[None, :]).ravel()
-        band = ink[y0 : y0 + GLYPH_H * s, cols]
-        bits = (
-            band.reshape(GLYPH_H, s, n, GLYPH_W, s).mean(axis=(1, 4)) > 0.5
-        ).transpose(1, 0, 2).reshape(n, GLYPH_H * GLYPH_W)
-        dists = (bits[:, None, :] ^ lut_bits[None, :, :]).sum(axis=2)
-        best = np.argmin(dists, axis=1)
-        best_d = dists[np.arange(n), best]
-        chars = [lut_chars[int(b)] for b in best]
-        # slow path (rare: deskew/bow/rotation jitter): re-sample imperfect
-        # cells at offsets up to ±2px vertically (residual quadratic-bow
-        # correction error reaches ±2px at the page edges), ±1 horizontally,
-        # keep the best-scoring match
-        for k in np.nonzero(best_d > 0)[0]:
-            cx = int(starts[k])
-            bc, bd = chars[k], int(best_d[k])
-            for dy in (0, -1, 1, -2, 2):
-                for dx in (0, -1, 1):
-                    yy = min(max(row_top + dy, 0), page_h - GLYPH_H * s)
-                    xx = min(max(cx + dx, 0), page_w - GLYPH_W * s)
-                    cell = ink[yy : yy + GLYPH_H * s, xx : xx + GLYPH_W * s]
-                    cb = cell.reshape(GLYPH_H, s, GLYPH_W, s).mean(axis=(1, 3)) > 0.5
-                    dd = (cb.ravel()[None, :] ^ lut_bits).sum(axis=1)
-                    j = int(np.argmin(dd))
-                    if int(dd[j]) < bd:
-                        bc, bd = lut_chars[j], int(dd[j])
-                    if bd == 0:
-                        break
-                if bd == 0:
-                    break
-            chars[k], best_d[k] = bc, bd
-        dist_sum += int(best_d.sum())
-        n_chars += n
-        words.append("".join(chars))
-    return " ".join(words), dist_sum, n_chars
+    cols = (starts[:, None] + cell_px[None, :]).ravel()
+    band = ink[y0 : y0 + GLYPH_H * s, cols]
+    bits = (
+        band.reshape(GLYPH_H, s, n, GLYPH_W, s).mean(axis=(1, 4)) > 0.5
+    ).transpose(1, 0, 2).reshape(n, GLYPH_H * GLYPH_W)
+    dists = (bits[:, None, :] ^ lut_bits[None, :, :]).sum(axis=2)
+    best = np.argmin(dists, axis=1)
+    best_d = dists[np.arange(n), best]
+    chars = [lut_chars[int(b)] for b in best]
+    # slow path (rare: deskew/bow/rotation jitter): re-sample imperfect
+    # cells at offsets up to ±2px vertically (residual quadratic-bow
+    # correction error reaches ±2px at the page edges), ±1 horizontally,
+    # keep the best-scoring match. Vectorized: one gather of
+    # (bad cells × 15 offsets), one downsample, one hamming — offset
+    # order preserved via argmin-first so ties resolve like the
+    # sequential scan did.
+    bad = np.nonzero(best_d > 0)[0]
+    if bad.shape[0]:
+        offs = np.array([(dy, dx) for dy in (0, -1, 1, -2, 2)
+                         for dx in (0, -1, 1)], dtype=np.int64)
+        gh, gw = GLYPH_H * s, GLYPH_W * s
+        oy = np.clip(row_top + offs[:, 0], 0, page_h - gh)         # (15,)
+        ox = np.clip(starts[bad, None] + offs[None, :, 1],
+                     0, page_w - gw)                               # (m,15)
+        Y = oy[:, None] + np.arange(gh)[None, :]                   # (15,gh)
+        X = ox[:, :, None] + np.arange(gw)[None, None, :]          # (m,15,gw)
+        cells = ink[Y[None, :, :, None], X[:, :, None, :]]         # (m,15,gh,gw)
+        cb = (cells.reshape(bad.shape[0], offs.shape[0],
+                            GLYPH_H, s, GLYPH_W, s).mean(axis=(3, 5)) > 0.5)
+        bits2 = cb.reshape(bad.shape[0], offs.shape[0], GLYPH_H * GLYPH_W)
+        d2 = (bits2[:, :, None, :] ^ lut_bits[None, None, :, :]).sum(axis=3)
+        per_off_min = d2.min(axis=2)
+        per_off_arg = d2.argmin(axis=2)
+        best_off = per_off_min.argmin(axis=1)
+        rows_m = np.arange(bad.shape[0])
+        newd = per_off_min[rows_m, best_off]
+        newg = per_off_arg[rows_m, best_off]
+        for t in np.nonzero(newd < best_d[bad])[0]:
+            k = int(bad[t])
+            chars[k] = lut_chars[int(newg[t])]
+            best_d[k] = newd[t]
+    words = ["".join(chars[cum[w] : cum[w + 1]]) for w in range(ns.shape[0])]
+    return " ".join(words), int(best_d.sum()), n
 
 
 VERT_MIN_CHARS = 3      # stacked single glyphs to call vertical text (C1/W)
