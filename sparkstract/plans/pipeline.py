@@ -31,7 +31,8 @@ from ..operators.page import analyse_page
 
 EXTRACTED_SCHEMA = (
     "doc_id string, offset int, block_order int, kind string, "
-    "text string, media_ref string"
+    "text string, media_ref string, "
+    "left int, top int, right int, bottom int"
 )
 SPANS_SCHEMA = "doc_id string, order int, kind string, text string, media_ref string"
 
@@ -48,7 +49,8 @@ def _page_kernel(cfg: ExtractConfig):
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in
                                     ("doc_id", "offset", "block_order", "kind",
-                                     "text", "media_ref")}
+                                     "text", "media_ref",
+                                     "left", "top", "right", "bottom")}
             for doc_id, offset, ref, png in zip(
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
             ):
@@ -64,17 +66,19 @@ def _page_kernel(cfg: ExtractConfig):
                     out["kind"].append(blk.kind)
                     out["text"].append(blk.text if cfg.recognize else None)
                     out["media_ref"].append(ref)
+                    out["left"].append(blk.left)
+                    out["top"].append(blk.top)
+                    out["right"].append(blk.right)
+                    out["bottom"].append(blk.bottom)
             yield pd.DataFrame(out)
 
     return kernel
 
 
-def extract(spark: SparkSession, docs: DataFrame, media: DataFrame,
-            cfg: ExtractConfig | None = None) -> DataFrame:
-    """Run the full pipeline; returns flat spans (doc_id, order, kind, text,
-    media_ref) — `order` dense 0-based per doc, the north-rule invariant key."""
-    cfg = cfg or ExtractConfig()
-
+def _extracted_blocks(docs: DataFrame, media: DataFrame,
+                      cfg: ExtractConfig) -> tuple[DataFrame, DataFrame]:
+    """Shared plumbing: (per-block kernel output incl. geometry, text
+    pass-through spans)."""
     exploded = docs.select("doc_id", F.explode("spans").alias("span")).select(
         "doc_id",
         F.col("span.kind").alias("kind"),
@@ -112,13 +116,38 @@ def extract(spark: SparkSession, docs: DataFrame, media: DataFrame,
             work = work.repartition("doc_id", "offset")
 
     extracted = work.mapInPandas(_page_kernel(cfg), schema=EXTRACTED_SCHEMA)
+    return extracted, text_pass
 
-    unioned = extracted.unionByName(text_pass)
+
+def extract(spark: SparkSession, docs: DataFrame, media: DataFrame,
+            cfg: ExtractConfig | None = None) -> DataFrame:
+    """Run the full pipeline; returns flat spans (doc_id, order, kind, text,
+    media_ref) — `order` dense 0-based per doc, the north-rule invariant key."""
+    cfg = cfg or ExtractConfig()
+    extracted, text_pass = _extracted_blocks(docs, media, cfg)
+
+    unioned = extracted.drop("left", "top", "right", "bottom") \
+        .unionByName(text_pass)
     w = Window.partitionBy("doc_id").orderBy("offset", "block_order")
     return (
         unioned.withColumn("order", F.row_number().over(w) - 1)
         .select("doc_id", "order", "kind", "text", "media_ref")
     )
+
+
+def extract_blocks(spark: SparkSession, docs: DataFrame, media: DataFrame,
+                   cfg: ExtractConfig | None = None) -> DataFrame:
+    """Per-block geometry view: one row per layout block with its bounding
+    box (top-down y) — the level of detail the reference's TSV/hOCR
+    renderers emit (S7, /root/reference/src/api/baseapi.cpp:2205
+    GetTSVText level/left/top/width/height; hocrrenderer.cpp:123 bbox).
+    Text spans are not included; this is the page-geometry sidecar of
+    `extract`, sharing the same plan up to the kernel."""
+    cfg = cfg or ExtractConfig()
+    extracted, _ = _extracted_blocks(docs, media, cfg)
+    return extracted.select(
+        "doc_id", "offset", "block_order", "kind", "text", "media_ref",
+        "left", "top", "right", "bottom")
 
 
 def analyse_layout(spark: SparkSession, docs: DataFrame, media: DataFrame,

@@ -87,6 +87,13 @@ def _escape_html(col):
     return F.regexp_replace(out, ">", "&gt;")
 
 
+def _has_boxes(spans: DataFrame) -> bool:
+    """Geometry-bearing input (extract_blocks output) vs plain spans — the
+    renderers emit real coordinates when they have them, like the reference's
+    renderers always do (hocrrenderer.cpp:123 bbox; altorenderer HPOS/VPOS)."""
+    return {"left", "top", "right", "bottom"}.issubset(spans.columns)
+
+
 def _ordered_join(spans: DataFrame, elem, out_name: str,
                   prefix, suffix) -> DataFrame:
     """Fold per-span fragments into one document string in span order."""
@@ -120,23 +127,34 @@ def render_alto(spans: DataFrame) -> DataFrame:
     <TextBlock>/<Illustration>/<GraphicalElement> per block in iterator
     order; we carry kind in TAGREFS since our spans keep no geometry)."""
     sid = F.col("order").cast("string")
+    if _has_boxes(spans):
+        # real coordinates, ALTO-style top-left + extent attributes
+        pos = F.concat(
+            F.lit("' HPOS='"), F.col("left").cast("string"),
+            F.lit("' VPOS='"), F.col("top").cast("string"),
+            F.lit("' WIDTH='"), (F.col("right") - F.col("left") + 1).cast("string"),
+            F.lit("' HEIGHT='"), (F.col("bottom") - F.col("top") + 1).cast("string"),
+        )
+    else:
+        pos = F.lit("")
     elem = (
         F.when(
             F.col("kind").isin(*LINE_KINDS),
             F.concat(F.lit("    <GraphicalElement ID='block_"), sid,
-                     F.lit("' TAGREFS='"), F.col("kind"), F.lit("'/>")),
+                     F.lit("' TAGREFS='"), F.col("kind"), pos, F.lit("'/>")),
         )
         .when(
             F.col("kind").isin(*IMAGE_KINDS) | F.col("text").isNull(),
             F.concat(F.lit("    <Illustration ID='block_"), sid,
-                     F.lit("' TAGREFS='"), F.col("kind"), F.lit("' FILEID='"),
+                     F.lit("' TAGREFS='"), F.col("kind"), pos, F.lit("' FILEID='"),
                      _escape_xml(F.coalesce(F.col("media_ref"), F.lit(""))),
                      F.lit("'/>")),
         )
         .otherwise(
             F.concat(
                 F.lit("    <TextBlock ID='block_"), sid,
-                F.lit("' TAGREFS='"), F.col("kind"), F.lit("'><TextLine><String CONTENT='"),
+                F.lit("' TAGREFS='"), F.col("kind"), pos,
+                F.lit("'><TextLine><String CONTENT='"),
                 _escape_xml(F.regexp_replace(F.col("text"), "\n", " ")),
                 F.lit("'/></TextLine></TextBlock>"),
             )
@@ -214,11 +232,20 @@ def render_page_xml(spans: DataFrame) -> DataFrame:
 def render_hocr(spans: DataFrame) -> DataFrame:
     """(doc_id, hocr): minimal hOCR document — a div per span with its kind
     as the hOCR class annotation."""
+    title = F.col("kind")
+    if _has_boxes(spans):
+        # hOCR bbox property (hocrrenderer.cpp:123): title='kind; bbox l t r b'
+        title = F.concat(
+            F.col("kind"), F.lit("; bbox "),
+            F.concat_ws(" ", F.col("left").cast("string"),
+                        F.col("top").cast("string"),
+                        F.col("right").cast("string"),
+                        F.col("bottom").cast("string")))
     body_div = F.concat(
         F.lit("  <div class='ocr_carea' id='block_"),
         F.col("order").cast("string"),
         F.lit("' title='"),
-        F.col("kind"),
+        title,
         F.lit("'>"),
         F.when(
             F.col("text").isNotNull(), _escape_html(F.col("text"))

@@ -120,3 +120,28 @@ def test_crop_restricts_extraction(spark):
     assert [r["kind"] for r in rows] == ["flowing_text"]
     first_truth = [r for r in sorted(full, key=lambda r: r["order"])][0]
     assert rows[0]["text"] == first_truth["text"]
+
+
+def test_extract_blocks_geometry(spark, fixture_set):
+    """extract_blocks exposes per-block bounding boxes (reference TSV/hOCR
+    level): kinds mirror the span truth and the geometry obeys the layout
+    invariants of layout_test.cc:122 (caption below image, boxes in-page)."""
+    from sparkstract.plans.pipeline import extract_blocks
+
+    docs, media, truth = fixture_set.to_spark(spark)
+    docs = docs.filter(F.col("doc_id") == "d-interleaved_order")
+    got = extract_blocks(spark, docs, media).toPandas() \
+        .sort_values("block_order").reset_index(drop=True)
+    want = truth.toPandas()
+    want = want[(want["doc_id"] == "d-interleaved_order")
+                & (want["kind"] != "text")].reset_index(drop=True)
+    assert list(got["kind"]) == list(want["kind"])
+    assert (got["right"] >= got["left"]).all()
+    assert (got["bottom"] >= got["top"]).all()
+    assert (got[["left", "top"]] >= 0).all().all()
+    img = got[got["kind"] == "pullout_image"].iloc[0]
+    cap = got[got["kind"] == "caption_text"].iloc[0]
+    assert cap["top"] > img["bottom"]  # caption attaches BELOW its image
+    # heading spans the page top: first in reading order and highest box
+    assert got.iloc[0]["kind"] == "heading_text"
+    assert got["top"].idxmin() == 0

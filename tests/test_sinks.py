@@ -78,3 +78,26 @@ def test_render_hocr_escapes(spark):
     assert "<img src='m-1'/>" in out["d1"]
     # reading order preserved
     assert out["d1"].index("TITLE") < out["d1"].index("m-1") < out["d1"].index("BODY A")
+
+
+def test_box_aware_renderers(spark, fixture_set):
+    """Fed extract_blocks output (geometry present), hOCR titles carry real
+    bbox properties and ALTO elements carry HPOS/VPOS/WIDTH/HEIGHT — like
+    the reference renderers (hocrrenderer.cpp:123, altorenderer.cpp)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkstract.plans.pipeline import extract_blocks
+    from sparkstract.sinks import render_alto, render_hocr
+
+    docs, media, _ = fixture_set.to_spark(spark)
+    docs = docs.filter(F.col("doc_id") == "d-interleaved_order")
+    blocks = extract_blocks(spark, docs, media) \
+        .withColumn("order", F.col("block_order"))
+    hocr = render_hocr(blocks).collect()[0]["hocr"]
+    boxes = re.findall(r"bbox (\d+) (\d+) (\d+) (\d+)", hocr)
+    assert boxes, hocr
+    assert all(int(r) >= int(l) and int(b) >= int(t) for l, t, r, b in boxes)
+    alto = render_alto(blocks).collect()[0]["alto"]
+    assert re.search(r"HPOS='\d+' VPOS='\d+' WIDTH='\d+' HEIGHT='\d+'", alto)
