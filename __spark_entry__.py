@@ -475,6 +475,17 @@ def q_bidi_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (geometry has no SQL oracle; kind/text/order equality
+    is covered by extract_spans): per-block bounding boxes at the reference's
+    TSV/hOCR level of detail."""
+    from sparkstract.plans.pipeline import extract_blocks
+
+    docs, media, _ = _fixture_frames(spark)
+    return extract_blocks(spark, docs, media) \
+        .orderBy("doc_id", "offset", "block_order")
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (no DuckDB oracle: PNG decode is not SQL-expressible).
     Decodes every fixture page image and emits per-image features."""
@@ -543,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bidi_order": q_bidi_order,
         "image_features": q_image_features,
         "thumbnails": q_thumbnails,
+        "layout_geometry": q_layout_geometry,
     }
 
 

@@ -145,3 +145,13 @@ def test_extract_blocks_geometry(spark, fixture_set):
     # heading spans the page top: first in reading order and highest box
     assert got.iloc[0]["kind"] == "heading_text"
     assert got["top"].idxmin() == 0
+
+
+def test_big_media_shuffle_join_path(spark, fixture_set):
+    """broadcast_media_max_rows=0 forces the production big-media plan (hash
+    join on media_ref, salt AFTER the join) — results must be identical to
+    the broadcast path."""
+    docs, media, truth = fixture_set.to_spark(spark)
+    res = extract(spark, docs, media,
+                  ExtractConfig(broadcast_media_max_rows=0)).toPandas()
+    pd.testing.assert_frame_equal(_norm(res), _norm(truth.toPandas()))
