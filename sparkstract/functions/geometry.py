@@ -76,15 +76,25 @@ def shift_columns(img: np.ndarray, off: np.ndarray, fill) -> np.ndarray:
     return out
 
 
+def _sharpness(yp_all: np.ndarray, bin_px: float) -> np.ndarray:
+    """Postl's projection-profile criterion, batched: for each row of
+    `yp_all` (one deprojection candidate, shape (m, n_blobs)), the sum of
+    squared row-histogram counts — all m candidates in ONE bincount over a
+    candidate-offset flattened bin array (no per-candidate Python)."""
+    mins = yp_all.min(axis=1, keepdims=True)
+    bins = ((yp_all - mins) / bin_px).astype(np.int64)
+    width = int(bins.max()) + 1
+    m = yp_all.shape[0]
+    flat = bins + (np.arange(m, dtype=np.int64)[:, None] * width)
+    counts = np.bincount(flat.ravel(), minlength=m * width) \
+        .astype(np.float64).reshape(m, width)
+    return (counts * counts).sum(axis=1)
+
+
 def _profile_scores(cx: np.ndarray, cy: np.ndarray, bin_px: float,
                     angles: np.ndarray) -> np.ndarray:
-    scores = np.empty(angles.shape[0])
-    for k, deg in enumerate(angles):
-        yp = cy - cx * np.tan(np.deg2rad(deg))
-        bins = ((yp - yp.min()) / bin_px).astype(np.int64)
-        counts = np.bincount(bins).astype(np.float64)
-        scores[k] = float((counts * counts).sum())
-    return scores
+    yp_all = cy[None, :] - np.outer(np.tan(np.deg2rad(angles)), cx)
+    return _sharpness(yp_all, bin_px)
 
 
 def _plateau_center(angles: np.ndarray, scores: np.ndarray) -> float:
@@ -137,21 +147,15 @@ def estimate_skew_bow(cx: np.ndarray, cy: np.ndarray, bin_px: float,
     half = max(float(page_w) / 2.0, 1.0)
     u = ((cx - float(page_w) / 2.0) / half) ** 2
 
-    def score_row(deg: float, bows: np.ndarray, bp: float) -> np.ndarray:
-        base = cy - cx * np.tan(np.deg2rad(deg))
-        out = np.empty(bows.shape[0])
-        for k, b in enumerate(bows):
-            yp = base - b * u
-            bins = ((yp - yp.min()) / bp).astype(np.int64)
-            counts = np.bincount(bins).astype(np.float64)
-            out[k] = float((counts * counts).sum())
-        return out
-
     # phase 1 — coarse joint grid localizes (deg, bow) well enough that row
-    # clusters separate (row pitch >> residual)
+    # clusters separate (row pitch >> residual); the whole (deg × bow)
+    # product scores in one batched bincount
     degs = np.arange(-max_deg, max_deg + 0.375, 0.75)
     bows = np.arange(-max_bow_px, max_bow_px + 1.5, 3.0)
-    grid = np.stack([score_row(d, bows, bin_px) for d in degs])
+    base = cy[None, :] - np.outer(np.tan(np.deg2rad(degs)), cx)   # (D,n)
+    yp_all = (base[:, None, :] - bows[None, :, None] * u[None, None, :]) \
+        .reshape(degs.shape[0] * bows.shape[0], -1)
+    grid = _sharpness(yp_all, bin_px).reshape(degs.shape[0], bows.shape[0])
     di, bi = np.unravel_index(int(np.argmax(grid)), grid.shape)
     d0, b0 = float(degs[di]), float(bows[bi])
 
@@ -200,10 +204,5 @@ def estimate_bow(cx: np.ndarray, cy: np.ndarray, bin_px: float, page_w: float,
     half = max(float(page_w) / 2.0, 1.0)
     u = ((cx - float(page_w) / 2.0) / half) ** 2
     bows = np.arange(-max_bow_px, max_bow_px + step_px / 2, step_px)
-    scores = np.empty(bows.shape[0])
-    for k, b in enumerate(bows):
-        yp = cy - b * u
-        bins = ((yp - yp.min()) / bin_px).astype(np.int64)
-        counts = np.bincount(bins).astype(np.float64)
-        scores[k] = float((counts * counts).sum())
+    scores = _sharpness(cy[None, :] - bows[:, None] * u[None, :], bin_px)
     return _plateau_center(bows, scores)
