@@ -107,6 +107,83 @@ def stream_event_rollup(
     return writer.start()
 
 
+def stream_assemble_docs(
+    spark: SparkSession,
+    spans_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    streaming form of the A11 ordered doc reassembly. Span rows of one doc
+    may arrive across micro-batches (pages finish out of order on a real
+    cluster); per-doc state accumulates (order, kind, text, media_ref) until
+    the doc's declared n_spans have all arrived, then the completed doc is
+    emitted exactly once and its state dropped — bounded, self-clearing
+    state, the property the reference's cross-page adaptive-classifier state
+    (/root/reference/src/ccmain/control.cpp:585-597) lacks and the north
+    rule requires at 10^12-doc scale.
+
+    Input schema: (doc_id, order, kind, text, media_ref, n_spans).
+    Output: (doc_id, n_spans, spans_json) with spans ordered by `order`.
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, order int, kind string, text string, "
+            "media_ref string, n_spans int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spans_dir)
+    )
+
+    def assemble(key, pdfs, state: GroupState):
+        rows: list[list] = []
+        if state.exists:
+            (pending,) = state.get
+            rows = json.loads(pending)
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                rows.append([
+                    int(r.order), r.kind,
+                    None if pd.isna(r.text) else r.text,
+                    None if pd.isna(r.media_ref) else r.media_ref,
+                    int(r.n_spans),
+                ])
+        want = rows[0][4] if rows else 0
+        if rows and len(rows) >= want:
+            rows.sort(key=lambda x: x[0])
+            spans = [dict(order=o, kind=k, text=t, media_ref=m)
+                     for o, k, t, m, _n in rows]
+            state.remove()
+            yield pd.DataFrame([dict(doc_id=key[0], n_spans=want,
+                                     spans_json=json.dumps(spans))])
+        else:
+            state.update((json.dumps(rows),))
+
+    assembled = stream.groupBy("doc_id").applyInPandasWithState(
+        assemble,
+        "doc_id string, n_spans int, spans_json string",
+        "pending string",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        assembled.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stream_dedup(
     spark: SparkSession,
     docs_dir: str,

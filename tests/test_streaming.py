@@ -106,3 +106,44 @@ def test_stream_dedup_keeps_first_copy(spark, tmp_path):
     got = spark.read.parquet(str(out))
     fps = [r["fp"] for r in got.collect()]
     assert len(fps) == len(set(fps)) == 2  # one row per distinct fingerprint
+
+
+def test_stream_assemble_docs_cross_batch_state(spark, fixture_set, tmp_path):
+    """Custom stateful op: each doc's spans are split across two source
+    files (two micro-batches at maxFilesPerTrigger=1), so completion REQUIRES
+    carrying state between batches; every doc must be emitted exactly once
+    with its spans back in order."""
+    import json
+    import time as _time
+
+    from sparkstract.plans.pipeline import extract
+    from sparkstract.streaming.stream import stream_assemble_docs
+
+    docs, media, _ = fixture_set.to_spark(spark)
+    spans = extract(spark, docs, media).toPandas()
+    spans["n_spans"] = spans.groupby("doc_id")["order"].transform("size") \
+        .astype("int32")
+    spans["order"] = spans["order"].astype("int32")
+    src = str(tmp_path / "spans_src")
+    schema = ("doc_id string, order int, kind string, text string, "
+              "media_ref string, n_spans int")
+    for i, part in enumerate((spans[spans["order"] % 2 == 0],
+                              spans[spans["order"] % 2 == 1])):
+        spark.createDataFrame(part, schema).coalesce(1).write \
+            .mode("overwrite" if i == 0 else "append").parquet(src)
+        _time.sleep(1.1)
+
+    out = str(tmp_path / "docs_out")
+    stream_assemble_docs(spark, src, out, str(tmp_path / "ckpt"))
+
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == spans["doc_id"].nunique()          # exactly once each
+    assert got["doc_id"].is_unique
+    for row in got.itertuples(index=False):
+        want = spans[spans["doc_id"] == row.doc_id].sort_values("order")
+        assert row.n_spans == len(want)
+        assembled = json.loads(row.spans_json)
+        assert [s["order"] for s in assembled] == list(want["order"])
+        assert [s["kind"] for s in assembled] == list(want["kind"])
+        assert [s["text"] for s in assembled] == \
+            [None if pd.isna(t) else t for t in want["text"]]
