@@ -168,6 +168,15 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         # scale=3 so the lost pixel column never flips a downsampled bit.
         return PageSpec(elements=[Text(_lines(rng, 3, 12), col=0)], scale=3,
                         cut_x_frac=float(rng.uniform(0.3, 0.6)), seed=seed)
+    if family == "margin_note":  # F24 — pullout typing (C7): a one-line side
+        # column is a margin note, PT_PULLOUT_TEXT (SetPartitionTypes,
+        # colpartitionset.cpp: partitions outside the column set)
+        short = [w for w in _VOCAB if len(w) <= 6]
+        note = short[int(rng.integers(0, len(short)))]
+        return PageSpec(elements=[
+            Text(_lines(rng, 4, 14), col=0),
+            Text([note], role="pullout", col=1),
+        ], n_cols=2, scale=2, width_chars=15, seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[
@@ -184,7 +193,7 @@ PAGE_FAMILIES = [
     "ruled_page", "table_page", "skewed_page", "rotated_page",
     "textured_photo", "gradient_page", "contents_page", "equation_page",
     "vertical_page", "disc_page", "tracked_page", "bowed_page",
-    "broken_page",
+    "broken_page", "margin_note",
 ]
 
 

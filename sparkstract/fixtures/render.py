@@ -32,6 +32,7 @@ INK = np.uint8(0)
 FLOWING_TEXT = "flowing_text"
 HEADING_TEXT = "heading_text"
 CAPTION_TEXT = "caption_text"
+PULLOUT_TEXT = "pullout_text"
 FLOWING_IMAGE = "flowing_image"
 PULLOUT_IMAGE = "pullout_image"
 HORZ_LINE = "horz_line"
@@ -40,8 +41,8 @@ TABLE = "table"
 EQUATION = "equation"
 VERTICAL_TEXT = "vertical_text"
 
-TEXT_KINDS = {FLOWING_TEXT, HEADING_TEXT, CAPTION_TEXT, TABLE, EQUATION,
-              VERTICAL_TEXT}
+TEXT_KINDS = {FLOWING_TEXT, HEADING_TEXT, CAPTION_TEXT, PULLOUT_TEXT, TABLE,
+              EQUATION, VERTICAL_TEXT}
 IMAGE_KINDS = {FLOWING_IMAGE, PULLOUT_IMAGE}
 LINE_KINDS = {HORZ_LINE, VERT_LINE}
 
@@ -354,7 +355,8 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
                     _render_line(canvas, x0, yy, ln, es, advance=adv)
                 yy += 12 * es
             kind = {"body": FLOWING_TEXT, "heading": HEADING_TEXT,
-                    "caption": CAPTION_TEXT, "equation": EQUATION}[e.role]
+                    "caption": CAPTION_TEXT, "equation": EQUATION,
+                    "pullout": PULLOUT_TEXT}[e.role]
             truth.append(TruthBlock(kind, "\n".join(e.lines)))
         else:
             if e.full_page:

@@ -47,6 +47,7 @@ from ..fixtures.render import (
     HEADING_TEXT,
     HORZ_LINE,
     PULLOUT_IMAGE,
+    PULLOUT_TEXT,
     TABLE,
     VERT_LINE,
     VERTICAL_TEXT,
@@ -663,6 +664,11 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
     for r in rows:
         for key, sub in split_row(r):
             groups.setdefault(key, []).append(sub)
+    # rows per column: a "column" carried by a single row is not column
+    # structure — its text is a pull-out (margin note / callout),
+    # PT_PULLOUT_TEXT (C7, SetPartitionTypes colpartitionset.cpp: partitions
+    # that don't fit the column set type as pullout)
+    col_row_counts = {k: len(v) for k, v in groups.items() if isinstance(k, int)}
     for key, rws in groups.items():
         rws.sort(key=lambda r: r["top"])
         cur: list[dict] = []
@@ -671,11 +677,11 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                 r["heading"] != cur[-1]["heading"]
                 or r["top"] - cur[-1]["bottom"] - 1 > BLOCK_GAP_UNITS * cur[-1]["s"]
             ):
-                blocks.append(dict(rows=cur))
+                blocks.append(dict(rows=cur, col_key=key))
                 cur = []
             cur.append(r)
         if cur:
-            blocks.append(dict(rows=cur))
+            blocks.append(dict(rows=cur, col_key=key))
 
     blocks.extend(table_blocks)
     for b in blocks:
@@ -738,6 +744,13 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             continue
         if b["heading"]:
             out.append(Block(rank, HEADING_TEXT, decode_block(b), l, t, r_, bo))
+            continue
+        # pull-out text (C7): a single-row "column" in a multi-column layout
+        # is a margin note / callout, not column structure
+        if (psm == "auto" and len(col_ranges) > 1
+                and isinstance(b.get("col_key"), int)
+                and col_row_counts.get(b["col_key"], 0) == 1):
+            out.append(Block(rank, PULLOUT_TEXT, decode_block(b), l, t, r_, bo))
             continue
         txt = decode_block(b)
         if psm == "auto" and _is_equation(txt):

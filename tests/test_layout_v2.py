@@ -124,3 +124,7 @@ def test_bowed_page_family():
     # A4 quadratic baseline fit: bowed rows straightened by integer column
     # shifts from the joint skew+bow least-squares estimate
     _run_family("bowed_page", seed=110, trials=8)
+
+
+def test_margin_note_family():
+    _run_family("margin_note", seed=105, trials=8)
