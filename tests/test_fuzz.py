@@ -84,3 +84,22 @@ def test_binarize_is_boolean_partition(seed):
     gray = (rng.random((25, 25)) * 255).astype(np.uint8)
     ink = binarize(gray)
     assert ink.dtype == bool and ink.shape == gray.shape
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1),
+       st.sampled_from(["auto", "single_column", "single_block", "single_line"]),
+       st.booleans(),
+       st.sampled_from([None, "AB", "0123456789", "XYZ-=+"]))
+def test_analyse_page_modes_never_crash(seed, psm, rtl, whitelist):
+    """Any psm/rtl/whitelist combination on garbage input: typed blocks out,
+    dense ascending order, whitelist respected when set."""
+    rng = np.random.default_rng(seed)
+    gray = (rng.random((60, 80)) * 255).astype(np.uint8)
+    blocks = analyse_page(gray, rtl=rtl, psm=psm, whitelist=whitelist)
+    assert [b.order for b in blocks] == list(range(len(blocks)))
+    if whitelist:
+        for b in blocks:
+            if b.text:
+                assert set(b.text.replace(" ", "").replace("\n", "")) \
+                    <= set(whitelist)
