@@ -175,11 +175,27 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile grading WITHOUT a global window: an unpartitioned
+    ntile/row_number funnels the whole table through ONE task — dead at
+    100 TB. Instead: exact quartile boundaries via one aggregate (partial
+    agg merges per-partition), broadcast the 1-row boundary frame, assign
+    grades with a CASE — a single map pass, fully parallel. Boundaries are
+    rounded to 6 dp in both engines so the CASE comparisons are identical."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    bounds = li.agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("q2"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q3"),
+    )
+    graded = li.crossJoin(F.broadcast(bounds)).withColumn(
+        "grade",
+        F.when(F.col("l_quantity") <= F.col("q1"), 1)
+        .when(F.col("l_quantity") <= F.col("q2"), 2)
+        .when(F.col("l_quantity") <= F.col("q3"), 3)
+        .otherwise(4),
+    )
     return (
-        li.withColumn("grade", F.ntile(4).over(w))
-        .groupBy("grade")
+        graded.groupBy("grade")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .orderBy("grade")
@@ -468,17 +484,23 @@ def q_bidi_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         [(cid, dirs, ltr) for cid, dirs, ltr, _exp in _BIDI_CASES],
         "line_id string, word_dirs array<int>, paragraph_is_ltr boolean")
+    # serialize the order array: the driver's canonicalizer sorts every
+    # column with pandas, which cannot factorize list cells — a deterministic
+    # comma-joined string compares exactly and hashes stably in both engines
     return (
         reorder_words(df)
-        .select("line_id", "reading_order")
+        .select("line_id",
+                F.array_join("reading_order", ",").alias("reading_order"))
         .orderBy("line_id")
     )
 
 
 def q_layout_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (geometry has no SQL oracle; kind/text/order equality
-    is covered by extract_spans): per-block bounding boxes at the reference's
-    TSV/hOCR level of detail."""
+    """Per-block bounding boxes at the reference's TSV/hOCR level of detail.
+    Oracle: VALUES literal computed at build time by running the identical
+    page kernel single-process over the deterministic fixture media — the
+    check pins the *distributed* path (explode, media join, Arrow batching,
+    kernel, schema) to the single-process ground truth."""
     from sparkstract.plans.pipeline import extract_blocks
 
     docs, media, _ = _fixture_frames(spark)
@@ -487,20 +509,73 @@ def q_layout_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (no DuckDB oracle: PNG decode is not SQL-expressible).
-    Decodes every fixture page image and emits per-image features."""
+    """Decodes every fixture page image and emits per-image features.
+    Oracle: VALUES literal from the same numpy kernels run single-process
+    (PNG decode is not SQL-expressible; the fixture set is deterministic, so
+    the features are constants). ink_ratio rounded to 6 dp in both engines."""
     from sparkstract.operators.multimodal import image_features
 
     _docs, media, _ = _fixture_frames(spark)
-    return image_features(media).orderBy("media_ref")
+    return image_features(media).select(
+        "media_ref", "width", "height",
+        F.round("ink_ratio", 6).alias("ink_ratio"),
+        "otsu_threshold", "n_components",
+    ).orderBy("media_ref")
 
 
 def q_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: block-mean downsample + PNG re-encode per image."""
+    """Block-mean downsample + PNG re-encode per image. Oracle: thumb dims
+    are pure arithmetic on the fixture media dimensions — a VALUES literal
+    independent of the decode path entirely."""
     from sparkstract.operators.multimodal import thumbnails
 
     _docs, media, _ = _fixture_frames(spark)
     return thumbnails(media).select("media_ref", "thumb_w", "thumb_h").orderBy("media_ref")
+
+
+@functools.lru_cache(maxsize=1)
+def _media_truth() -> tuple[list[tuple], list[tuple]]:
+    """Single-process ground truth for the media-table queries (the fixture
+    set is deterministic, so these are constants)."""
+    import numpy as np
+
+    from sparkstract.functions.cclabel import label_blobs
+    from sparkstract.functions.otsu import binarize, otsu_threshold
+    from sparkstract.functions.png import decode_gray
+
+    feats: list[tuple] = []
+    thumbs: list[tuple] = []
+    for r in _fixture_set().media.itertuples():
+        gray = decode_gray(bytes(r.image))
+        ink = binarize(gray)
+        feats.append((r.media_ref, gray.shape[1], gray.shape[0],
+                      round(float(ink.mean()), 6), int(otsu_threshold(gray)),
+                      len(label_blobs(ink))))
+        f = max(1, int(np.ceil(max(gray.shape) / 64)))
+        thumbs.append((r.media_ref, gray.shape[1] // f, gray.shape[0] // f))
+    return feats, thumbs
+
+
+@functools.lru_cache(maxsize=1)
+def _layout_geometry_truth() -> list[tuple]:
+    """Single-process ground truth for layout_geometry: the same page kernel
+    run locally per fixture media span, in docs-table order."""
+    from sparkstract.functions.png import decode_gray
+    from sparkstract.operators.page import analyse_page
+
+    fs = _fixture_set()
+    img_by_ref = {r.media_ref: r.image for r in fs.media.itertuples()}
+    rows: list[tuple] = []
+    for d in fs.docs.itertuples():
+        for span in d.spans:
+            if span["kind"] != "media":
+                continue
+            gray = decode_gray(bytes(img_by_ref[span["media_ref"]]))
+            for blk in analyse_page(gray):
+                rows.append((d.doc_id, span["offset"], blk.order, blk.kind,
+                             blk.text, span["media_ref"],
+                             blk.left, blk.top, blk.right, blk.bottom))
+    return rows
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -601,8 +676,21 @@ def oracle_sql() -> dict[str, str]:
         for i, exp in enumerate(expected)
     )
     bidi_rows = ",\n".join(
-        f"('{cid}', {exp})" for cid, _d, _l, exp in _BIDI_CASES
+        f"('{cid}', '{','.join(str(i) for i in exp)}')"
+        for cid, _d, _l, exp in _BIDI_CASES
     )
+
+    feats, thumbs = _media_truth()
+    feat_rows = ",\n".join(
+        f"('{ref}', {w}, {h}, {ink}, {thr}, {nc})"
+        for ref, w, h, ink, thr, nc in feats)
+    thumb_rows = ",\n".join(
+        f"('{ref}', {tw}, {th})" for ref, tw, th in thumbs)
+    geom_rows = ",\n".join(
+        f"({_sql_quote(doc)}, {off}, {bo}, {_sql_quote(kind)}, "
+        f"{_sql_quote(text) if text is not None else 'CAST(NULL AS VARCHAR)'}, "
+        f"{_sql_quote(ref)}, {l}, {t}, {r}, {b})"
+        for doc, off, bo, kind, text, ref, l, t, r, b in _layout_geometry_truth())
 
     _png, _shape, rtl_truth = _rtl_fixture()
     rtl_rows = ",\n".join(
@@ -708,10 +796,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name ORDER BY n_name
         """,
         "quantity_quartiles": """
-            WITH g AS (
+            WITH b AS (
+              SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+                     round(quantile_cont(l_quantity, 0.50), 6) AS q2,
+                     round(quantile_cont(l_quantity, 0.75), 6) AS q3
+              FROM lineitem),
+            g AS (
               SELECT l_quantity,
-                     ntile(4) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS grade
-              FROM lineitem)
+                     CASE WHEN l_quantity <= q1 THEN 1
+                          WHEN l_quantity <= q2 THEN 2
+                          WHEN l_quantity <= q3 THEN 3
+                          ELSE 4 END AS grade
+              FROM lineitem CROSS JOIN b)
             SELECT grade, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
             FROM g GROUP BY grade ORDER BY grade
         """,
@@ -895,6 +991,26 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, rank, vec_id, score FROM rr
             WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "image_features": f"""
+            SELECT * FROM (VALUES
+            {feat_rows}
+            ) AS t(media_ref, width, height, ink_ratio, otsu_threshold,
+                   n_components)
+            ORDER BY media_ref
+        """,
+        "thumbnails": f"""
+            SELECT * FROM (VALUES
+            {thumb_rows}
+            ) AS t(media_ref, thumb_w, thumb_h)
+            ORDER BY media_ref
+        """,
+        "layout_geometry": f"""
+            SELECT * FROM (VALUES
+            {geom_rows}
+            ) AS t(doc_id, "offset", block_order, kind, text, media_ref,
+                   "left", "top", "right", "bottom")
+            ORDER BY doc_id, "offset", block_order
         """,
         "cosine_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
