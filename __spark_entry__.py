@@ -868,10 +868,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": f"""
             {_dd_ngrams(3)},
             sig AS (SELECT doc_id, {minhash_aggs} FROM grams GROUP BY doc_id),
-            banded AS ({band_selects})
+            banded AS ({band_selects}),
+            -- bucket-size cap twin (minhash_lsh_pairs max_bucket=64): drop
+            -- oversized buckets exactly like the Spark side
+            bc AS (SELECT band, key FROM banded GROUP BY band, key
+                   HAVING count(*) BETWEEN 2 AND 64)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    count(DISTINCT a.band) AS n_bands
-            FROM banded a JOIN banded b
+            FROM banded a
+            JOIN bc ON bc.band = a.band AND bc.key = a.key
+            JOIN banded b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
             GROUP BY 1, 2 ORDER BY doc_a, doc_b
         """,
@@ -889,10 +895,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             {_dd_ngrams(3)},
-            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+            -- document-frequency cap twin (ngram_jaccard_pairs max_df=1000):
+            -- stop-shingles drop from pairing AND sizes in both engines
+            dfc AS (SELECT ngram FROM grams GROUP BY ngram
+                    HAVING count(*) <= 1000),
+            g2 AS (SELECT g.* FROM grams g JOIN dfc USING (ngram)),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM g2 GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-              FROM grams a JOIN grams b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+              FROM g2 a JOIN g2 b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT doc_a, doc_b,
                    round(n_common / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard

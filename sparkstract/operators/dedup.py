@@ -34,9 +34,13 @@ _HASH_MOD = 1 << 32
 def spread(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     """Re-spread a small scan across the cluster. A tiny parquet file arrives
     as ONE input partition, serializing every downstream expression onto one
-    core; at 100 TB the scan has thousands of splits and this is a no-op-cost
-    round-robin. Explicit because Catalyst will not add parallelism for us."""
+    core. CONDITIONAL: repartition is always a full round-robin shuffle of
+    the corpus text, so when the scan already has enough splits (any real
+    100 TB input does) this is a no-op — the shuffle only happens for
+    under-partitioned test-scale inputs."""
     n = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= n:
+        return docs
     return docs.repartition(n)
 
 
@@ -110,7 +114,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> Dat
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
-                      n: int = 3) -> DataFrame:
+                      n: int = 3, max_bucket: int = 64) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band (rows = hashes per
     band). Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
 
@@ -119,8 +123,13 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     both sides (two full input scans). Grouping by (band, key) and emitting
     in-bucket pairs computes signatures once and shuffles only (band, key,
     doc_id). Bucket pair fan-out is quadratic in bucket size by LSH
-    *semantics* (those docs are all candidate dups of each other) — run
-    exact dedup first at scale so identical docs don't pile into one bucket.
+    *semantics* (those docs are all candidate dups of each other), so
+    `max_bucket` ENFORCES the "run exact dedup first" contract: a bucket
+    bigger than that is a pile of (near-)identical docs the exact pass owns,
+    and emitting its k²/2 pairs (one giant collect_list row + a quadratic
+    explode) is how an executor OOMs at 100 TB. Oversized buckets are
+    dropped, not truncated — use `lsh_bucket_stats` to audit what was
+    dropped before trusting a run on a new corpus.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n)
@@ -137,7 +146,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     # all ordered pairs within a bucket via a row-local cartesian (two
     # Generate nodes — stays in whole-stage codegen, unlike nested
@@ -150,6 +159,32 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band").alias("n_bands"))
+    )
+
+
+def lsh_bucket_stats(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                     n: int = 3, max_bucket: int = 64) -> DataFrame:
+    """Audit companion to `minhash_lsh_pairs`: one row per OVERSIZED
+    (band, key) bucket that the cap dropped, with its size — the "log what
+    was dropped" side channel. A non-empty result means exact dedup was not
+    run first (those docs are byte-identical clusters) or the corpus has a
+    degenerate shingle distribution worth inspecting."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
     )
 
 
@@ -190,19 +225,32 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.4) -> DataFrame:
+                        threshold: float = 0.4,
+                        max_df: int = 1000) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
     At scale this runs only on LSH candidates; here it is also the oracle-able
-    exact form. Returns (doc_a, doc_b, jaccard) above threshold."""
+    exact form. Returns (doc_a, doc_b, jaccard) above threshold.
+
+    `max_df` is the standard document-frequency cap: a stop-shingle shared
+    by k docs builds a k-sized bucket and emits k²/2 pairs — for a common
+    trigram k approaches corpus size, a quadratic blow-up no cluster
+    absorbs. Shingles with df > max_df carry ~zero similarity signal (they
+    are the corpus's stop-grams) and are dropped from BOTH the pairing and
+    the per-doc sizes, so the Jaccard stays a true Jaccard over the
+    informative shingle set."""
     grams = word_ngrams(docs, n=n)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    # bucket aggregation instead of a gram self-join (which would recompute
-    # the shingle pipeline for both sides — see minhash_lsh_pairs)
-    buckets = (
+    # df filter FIRST, then sizes over the surviving shingles — one extra
+    # aggregate on (ngram), bounded output, no quadratic bucket
+    df_ok = (
         grams.groupBy("ngram")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter(F.size("ids") <= max_df)
     )
+    sizes = (
+        df_ok.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    buckets = df_ok.filter(F.size("ids") >= 2)
     common = (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))

@@ -97,23 +97,38 @@ def run_job(spark: SparkSession, docs: DataFrame, media: DataFrame,
 
     Re-invoking on the same out_dir skips committed groups (exactly-once per
     doc: buckets partition doc_ids). Returns the full committed result.
+
+    Scan discipline: `pmod(xxhash64(doc_id))` filters do NOT prune a plain
+    parquet scan, so a naive loop re-reads the full input once per group —
+    an n_groups× read tax at 100 TB. Two defenses, layered:
+      * on Iceberg, set n_groups equal to (a divisor of) the table's
+        `bucket(N, doc_id)` partition-spec count (sources/docs.py DDL uses
+        1024) and the same hash — the group filter then IS partition
+        pruning and each group scans only its own files;
+      * here (plain parquet, no bucketing metadata) the bucketed frame is
+        persisted once and every group filter reads the cached blocks, so
+        the input is scanned exactly once regardless of n_groups.
     """
     cfg = cfg or ExtractConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
     done = committed_groups(out_dir)
     shutil.rmtree(os.path.join(out_dir, "_tmp"), ignore_errors=True)
 
-    bucketed = docs.withColumn("_grp", _bucket_col(n_groups))
-    committed_count = 0
-    for g in range(n_groups):
-        if g in done:
-            continue
-        sub = bucketed.filter(F.col("_grp") == g).drop("_grp")
-        result = extract(spark, sub, media, cfg)
-        _commit_group(result, out_dir, run_id, g)
-        committed_count += 1
-        if fail_after_groups is not None and committed_count >= fail_after_groups:
-            raise InjectedFailure(f"injected failure after {committed_count} groups")
+    bucketed = docs.withColumn("_grp", _bucket_col(n_groups)).persist()
+    try:
+        committed_count = 0
+        for g in range(n_groups):
+            if g in done:
+                continue
+            sub = bucketed.filter(F.col("_grp") == g).drop("_grp")
+            result = extract(spark, sub, media, cfg)
+            _commit_group(result, out_dir, run_id, g)
+            committed_count += 1
+            if fail_after_groups is not None and committed_count >= fail_after_groups:
+                raise InjectedFailure(
+                    f"injected failure after {committed_count} groups")
+    finally:
+        bucketed.unpersist()
 
     return read_result(spark, out_dir)
 

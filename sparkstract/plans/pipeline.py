@@ -55,9 +55,15 @@ def _page_kernel(cfg: ExtractConfig):
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
             ):
                 gray = decode_gray(bytes(png))
+                # crop (SetRectangle, baseapi.cpp:949) restricts ANALYSIS,
+                # but emitted geometry stays in original-image coordinates —
+                # the reference adds rect_left_/rect_top_ back on every
+                # BoundingBox call (pageiterator.cpp:366)
+                crop_dx = crop_dy = 0
                 if cfg.crop is not None:
                     cl, ct, cr, cb = cfg.crop
                     gray = gray[ct:cb, cl:cr]
+                    crop_dx, crop_dy = cl, ct
                 for blk in analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
                                         whitelist=cfg.char_whitelist):
                     out["doc_id"].append(doc_id)
@@ -66,10 +72,10 @@ def _page_kernel(cfg: ExtractConfig):
                     out["kind"].append(blk.kind)
                     out["text"].append(blk.text if cfg.recognize else None)
                     out["media_ref"].append(ref)
-                    out["left"].append(blk.left)
-                    out["top"].append(blk.top)
-                    out["right"].append(blk.right)
-                    out["bottom"].append(blk.bottom)
+                    out["left"].append(blk.left + crop_dx)
+                    out["top"].append(blk.top + crop_dy)
+                    out["right"].append(blk.right + crop_dx)
+                    out["bottom"].append(blk.bottom + crop_dy)
             yield pd.DataFrame(out)
 
     return kernel

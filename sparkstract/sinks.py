@@ -144,7 +144,12 @@ def render_alto(spans: DataFrame) -> DataFrame:
                      F.lit("' TAGREFS='"), F.col("kind"), pos, F.lit("'/>")),
         )
         .when(
-            F.col("kind").isin(*IMAGE_KINDS) | F.col("text").isNull(),
+            # branch on KIND, not text-nullness: layout-only output
+            # (recognize=False) carries NULL text on genuine text blocks,
+            # and those must stay TextBlocks (empty CONTENT), exactly like
+            # the reference's renderers type by PTIsTextType, never by
+            # whether recognition ran (publictypes.h:74-92)
+            F.col("kind").isin(*IMAGE_KINDS),
             F.concat(F.lit("    <Illustration ID='block_"), sid,
                      F.lit("' TAGREFS='"), F.col("kind"), pos, F.lit("' FILEID='"),
                      _escape_xml(F.coalesce(F.col("media_ref"), F.lit(""))),
@@ -155,7 +160,8 @@ def render_alto(spans: DataFrame) -> DataFrame:
                 F.lit("    <TextBlock ID='block_"), sid,
                 F.lit("' TAGREFS='"), F.col("kind"), pos,
                 F.lit("'><TextLine><String CONTENT='"),
-                _escape_xml(F.regexp_replace(F.col("text"), "\n", " ")),
+                _escape_xml(F.regexp_replace(
+                    F.coalesce(F.col("text"), F.lit("")), "\n", " ")),
                 F.lit("'/></TextLine></TextBlock>"),
             )
         )
@@ -183,7 +189,9 @@ def render_page_xml(spans: DataFrame) -> DataFrame:
                      F.lit("' custom='"), F.col("kind"), F.lit("'/>")),
         )
         .when(
-            F.col("kind").isin(*IMAGE_KINDS) | F.col("text").isNull(),
+            # kind-typed, like render_alto: a layout-only text block (NULL
+            # text under recognize=False) is still a TextRegion
+            F.col("kind").isin(*IMAGE_KINDS),
             F.concat(F.lit("    <ImageRegion id='r"), sid,
                      F.lit("' custom='"), F.col("kind"), F.lit("' imageFilename='"),
                      _escape_xml(F.coalesce(F.col("media_ref"), F.lit(""))),
@@ -196,7 +204,9 @@ def render_page_xml(spans: DataFrame) -> DataFrame:
                 F.lit("'><TextEquiv><Unicode>"),
                 # line breaks as char refs: the per-doc fold joins fragments
                 # with \n, so literal newlines inside a region are off-limits
-                F.regexp_replace(_escape_xml(F.col("text")), "\n", "&#10;"),
+                F.regexp_replace(
+                    _escape_xml(F.coalesce(F.col("text"), F.lit(""))),
+                    "\n", "&#10;"),
                 F.lit("</Unicode></TextEquiv></TextRegion>"),
             )
         )
@@ -247,11 +257,17 @@ def render_hocr(spans: DataFrame) -> DataFrame:
         F.lit("' title='"),
         title,
         F.lit("'>"),
+        # kind-typed like the XML sinks: image kinds embed the media ref,
+        # line kinds have no body, text kinds show their (possibly empty
+        # under recognize=False) text
         F.when(
-            F.col("text").isNotNull(), _escape_html(F.col("text"))
-        ).otherwise(F.concat(F.lit("<img src='"),
-                             F.coalesce(F.col("media_ref"), F.lit("")),
-                             F.lit("'/>"))),
+            F.col("kind").isin(*IMAGE_KINDS),
+            F.concat(F.lit("<img src='"),
+                     F.coalesce(F.col("media_ref"), F.lit("")),
+                     F.lit("'/>")),
+        )
+        .when(F.col("kind").isin(*LINE_KINDS), F.lit(""))
+        .otherwise(_escape_html(F.coalesce(F.col("text"), F.lit("")))),
         F.lit("</div>"),
     )
     return (

@@ -113,24 +113,41 @@ def stream_assemble_docs(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    state_ttl_ms: int = 600_000,
 ):
     """Custom stateful streaming operator (applyInPandasWithState): the
     streaming form of the A11 ordered doc reassembly. Span rows of one doc
     may arrive across micro-batches (pages finish out of order on a real
     cluster); per-doc state accumulates (order, kind, text, media_ref) until
     the doc's declared n_spans have all arrived, then the completed doc is
-    emitted exactly once and its state dropped — bounded, self-clearing
-    state, the property the reference's cross-page adaptive-classifier state
-    (/root/reference/src/ccmain/control.cpp:585-597) lacks and the north
-    rule requires at 10^12-doc scale.
+    emitted exactly once (complete=true) and its state dropped.
+
+    State is bounded by a processing-time TTL in the CONTINUOUS mode
+    (available_now=False — the unbounded-stream deployment): a doc whose
+    declared spans never fully arrive (dropped span, inconsistent count)
+    would otherwise pin its accumulated state forever. After `state_ttl_ms`
+    without new rows the doc is emitted as-is with complete=false and its
+    state cleared — the self-clearing property the reference's cross-page
+    adaptive-classifier state (/root/reference/src/ccmain/control.cpp:585-597)
+    lacks and the north rule requires at 10^12-doc scale.
+
+    The available_now=True drain intentionally runs NoTimeout instead:
+    FlatMapGroupsWithStateExec.shouldRunAnotherBatch is unconditionally true
+    under ProcessingTimeTimeout (a later batch might expire more timeouts),
+    so an availableNow trigger would spin empty "cleaning up state"
+    micro-batches forever and never terminate (measured, Spark 4.1). A
+    drain's state is bounded by the drain itself, so the TTL adds nothing
+    there.
 
     Input schema: (doc_id, order, kind, text, media_ref, n_spans).
-    Output: (doc_id, n_spans, spans_json) with spans ordered by `order`.
+    Output: (doc_id, n_spans, spans_json, complete), spans ordered by `order`.
     """
     import json
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    use_ttl = not available_now
 
     stream = (
         spark.readStream.schema(
@@ -145,6 +162,22 @@ def stream_assemble_docs(
         if state.exists:
             (pending,) = state.get
             rows = json.loads(pending)
+
+        def emit(complete: bool):
+            rows.sort(key=lambda x: x[0])
+            spans = [dict(order=o, kind=k, text=t, media_ref=m)
+                     for o, k, t, m, _n in rows]
+            want = rows[0][4] if rows else 0
+            state.remove()
+            return pd.DataFrame([dict(doc_id=key[0], n_spans=want,
+                                      spans_json=json.dumps(spans),
+                                      complete=complete)])
+
+        if state.hasTimedOut:
+            # TTL expired with the doc still incomplete: flush what arrived,
+            # flagged, so downstream can route it to a repair/retry pass
+            yield emit(False)
+            return
         for pdf in pdfs:
             for r in pdf.itertuples(index=False):
                 rows.append([
@@ -155,21 +188,19 @@ def stream_assemble_docs(
                 ])
         want = rows[0][4] if rows else 0
         if rows and len(rows) >= want:
-            rows.sort(key=lambda x: x[0])
-            spans = [dict(order=o, kind=k, text=t, media_ref=m)
-                     for o, k, t, m, _n in rows]
-            state.remove()
-            yield pd.DataFrame([dict(doc_id=key[0], n_spans=want,
-                                     spans_json=json.dumps(spans))])
+            yield emit(True)
         else:
             state.update((json.dumps(rows),))
+            if use_ttl:
+                state.setTimeoutDuration(state_ttl_ms)
 
     assembled = stream.groupBy("doc_id").applyInPandasWithState(
         assemble,
-        "doc_id string, n_spans int, spans_json string",
+        "doc_id string, n_spans int, spans_json string, complete boolean",
         "pending string",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout if use_ttl
+        else GroupStateTimeout.NoTimeout,
     )
     writer = (
         assembled.writeStream.format("parquet")

@@ -122,6 +122,37 @@ def test_crop_restricts_extraction(spark):
     assert rows[0]["text"] == first_truth["text"]
 
 
+def test_crop_geometry_in_original_coordinates(spark):
+    """S3 SetRectangle reports block boxes in ORIGINAL-image coordinates:
+    the reference adds rect_left_/rect_top_ back on every BoundingBox call
+    (pageiterator.cpp:366), so cropped output must line up with uncropped."""
+    from sparkstract.config import ExtractConfig
+    from sparkstract.fixtures.gen import _Builder
+    from sparkstract.functions.png import decode_gray
+    from sparkstract.plans.pipeline import extract_blocks
+
+    b = _Builder(seed=99)
+    b.add_doc("d-cropgeo", [("media", "single_column")])
+    fs = b.build()
+    docs, media, _ = fs.to_spark(spark)
+
+    full = extract_blocks(spark, docs, media).collect()
+    assert len(full) == 1
+    blk = full[0]
+
+    # crop with a non-zero origin that still contains the whole text block
+    img = decode_gray(bytes(fs.media["image"][0]))
+    cl, ct = blk["left"] - 4, blk["top"] - 4
+    cropped = extract_blocks(
+        spark, docs, media,
+        ExtractConfig(crop=(cl, ct, img.shape[1], img.shape[0]))).collect()
+    assert len(cropped) == 1
+    got = cropped[0]
+    assert got["text"] == blk["text"]
+    assert (got["left"], got["top"], got["right"], got["bottom"]) == \
+        (blk["left"], blk["top"], blk["right"], blk["bottom"])
+
+
 def test_extract_blocks_geometry(spark, fixture_set):
     """extract_blocks exposes per-block bounding boxes (reference TSV/hOCR
     level): kinds mirror the span truth and the geometry obeys the layout

@@ -147,3 +147,45 @@ def test_stream_assemble_docs_cross_batch_state(spark, fixture_set, tmp_path):
         assert [s["kind"] for s in assembled] == list(want["kind"])
         assert [s["text"] for s in assembled] == \
             [None if pd.isna(t) else t for t in want["text"]]
+
+
+def test_stream_assemble_docs_ttl_flushes_incomplete(spark, tmp_path):
+    """Continuous mode (available_now=False): a doc whose declared n_spans
+    never fully arrive is flushed by the processing-time TTL with
+    complete=false and its state cleared — bounded state on an unbounded
+    stream. (The availableNow drain deliberately runs NoTimeout: under
+    ProcessingTimeTimeout Spark keeps scheduling state-cleanup batches
+    forever and the drain never terminates.)"""
+    import time as _time
+
+    from sparkstract.streaming.stream import stream_assemble_docs
+
+    src = str(tmp_path / "spans_src")
+    schema = ("doc_id string, order int, kind string, text string, "
+              "media_ref string, n_spans int")
+    # one doc declaring 3 spans; only 2 ever arrive
+    spark.createDataFrame(
+        [("d-incomplete", 0, "text", "t0", None, 3),
+         ("d-incomplete", 1, "text", "t1", None, 3)], schema
+    ).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "docs_out")
+    q = stream_assemble_docs(spark, src, out, str(tmp_path / "ckpt"),
+                             available_now=False, state_ttl_ms=3000)
+    try:
+        got = None
+        for _ in range(60):
+            _time.sleep(2)
+            try:
+                pdf = spark.read.parquet(out).toPandas()
+            except Exception:
+                continue
+            if len(pdf):
+                got = pdf
+                break
+        assert got is not None, "TTL never flushed the incomplete doc"
+        assert list(got["doc_id"]) == ["d-incomplete"]
+        assert not got["complete"].iloc[0]
+        assert got["n_spans"].iloc[0] == 3  # the declared count, unmet
+    finally:
+        q.stop()
