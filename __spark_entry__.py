@@ -134,6 +134,39 @@ def q_extract_rtl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract(spark, docs, media, ExtractConfig(rtl=True))
 
 
+@functools.lru_cache(maxsize=1)
+def _bidi_fixture():
+    """Mixed-direction RTL page (W4, resultiterator.cpp:285): words drawn in
+    POSITIONAL left-to-right order, truth hand-written in LOGICAL bidi order
+    per the reference's permutation tests (resultiterator_test.cc:480-539)."""
+    from sparkstract.fixtures.render import PageSpec, Text, render_page
+    from sparkstract.functions.png import encode_gray
+
+    spec = PageSpec(elements=[Text(
+        ["אב גד FOX DOG הו", "זח טי"],
+        truth_lines=["הו FOX DOG גד אב", "טי זח"], col=0)],
+        scale=2, width_chars=17, rtl=True)
+    img, truth = render_page(spec)
+    return encode_gray(img), img.shape, truth
+
+
+def q_extract_bidi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExtractConfig(rtl=True) path of the bidi reorder (the reference
+    gets direction from the loaded language). The script-VOTE path — same
+    reorder, no config flag — is exercised by the bidi_page / rotated_rtl
+    fixture families inside extract_spans."""
+    from sparkstract.config import ExtractConfig
+    from sparkstract.fixtures.gen import DOCS_SCHEMA, MEDIA_SCHEMA
+
+    png, shape, _truth = _bidi_fixture()
+    docs = spark.createDataFrame(
+        [("d-bidi", [dict(kind="media", text=None, media_ref="m-bidi", offset=0)])],
+        DOCS_SCHEMA)
+    media = spark.createDataFrame(
+        [("m-bidi", shape[1], shape[0], png)], MEDIA_SCHEMA)
+    return extract(spark, docs, media, ExtractConfig(rtl=True))
+
+
 def q_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AnalyseLayout slice (baseapi.cpp:1298): kinds + order without
     recognition — extracted spans carry NULL text, pass-through text stays."""
@@ -601,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": q_extract_spans,
         "extract_rtl": q_extract_rtl,
+        "extract_bidi": q_extract_bidi,
         "layout_blocks": q_layout_blocks,
         "event_sessions": q_event_sessions,
         "top_parts_by_brand": q_top_parts_by_brand,
@@ -699,11 +733,23 @@ def oracle_sql() -> dict[str, str]:
         f"'m-rtl')"
         for i, b in enumerate(rtl_truth))
 
+    _bpng, _bshape, bidi_truth = _bidi_fixture()
+    bidi_span_rows = ",\n".join(
+        f"('d-bidi', {i}, {_sql_quote(b.kind)}, "
+        f"{_sql_quote(b.text) if b.text is not None else 'CAST(NULL AS VARCHAR)'}, "
+        f"'m-bidi')"
+        for i, b in enumerate(bidi_truth))
+
     return {
         "extract_spans": _truth_values_sql(),
         "extract_rtl": f"""
             SELECT * FROM (VALUES
             {rtl_rows}
+            ) AS t(doc_id, "order", kind, text, media_ref)
+        """,
+        "extract_bidi": f"""
+            SELECT * FROM (VALUES
+            {bidi_span_rows}
             ) AS t(doc_id, "order", kind, text, media_ref)
         """,
         "layout_blocks": f"""

@@ -76,6 +76,33 @@ _RAW = {
     "+": ["00100", "00100", "11111", "00100", "00100", "00100", "00100"],
 }
 
+# Strongly right-to-left glyphs (Hebrew subset) for the bidi fixtures: the
+# reference resolves per-word StrongScriptDirection from the script of the
+# recognized unichars (src/ccmain/osdetect.cpp scripts;
+# resultiterator.cpp:121 CalculateBlobOrder consumes them). Stylized 5x7
+# faces — legibility is irrelevant, only pairwise distinctness (min hamming
+# 3 vs the whole LUT, >= the Latin set's own floor of 2) and edge contact.
+_RAW_RTL = {
+    "א": ["11001", "01001", "01010", "00100", "01010", "10010", "10011"],
+    "ב": ["11110", "00001", "00001", "00001", "00001", "10001", "11111"],
+    "ג": ["00110", "00010", "00010", "00110", "01010", "10010", "10011"],
+    "ד": ["11111", "00001", "00001", "00001", "00001", "00001", "00001"],
+    "ה": ["11111", "00001", "00001", "00001", "10001", "10001", "10001"],
+    "ו": ["01110", "00100", "00100", "00100", "00100", "00100", "00100"],
+    "ז": ["11111", "00100", "00100", "01000", "01000", "10000", "10000"],
+    "ח": ["11111", "10001", "10001", "10001", "10001", "10001", "10001"],
+    "ט": ["10001", "10001", "10101", "10101", "10101", "10001", "01110"],
+    "י": ["00110", "00010", "00010", "00000", "00000", "00000", "00000"],
+}
+_RAW.update(_RAW_RTL)
+
+# the strong-direction vocabulary consumed by the kernel's word-direction
+# classifier (page.py _word_direction): RTL = these; LTR = Latin letters;
+# digits and punctuation are direction-neutral
+STRONG_RTL: frozenset[str] = frozenset(_RAW_RTL)
+STRONG_LTR: frozenset[str] = frozenset(
+    ch for ch in _RAW if ch.isalpha() and ch not in _RAW_RTL)
+
 
 def _conform(bits: np.ndarray) -> np.ndarray:
     """Add deterministic serif pixels so ink touches all four cell edges."""

@@ -177,6 +177,25 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Text(_lines(rng, 4, 14), col=0),
             Text([note], role="pullout", col=1),
         ], n_cols=2, scale=2, width_chars=15, seed=seed)
+    if family == "bidi_page":  # F25 — bidi textline order (W4),
+        # resultiterator.cpp:285; expected logical orders hand-derived from
+        # the reference's permutation tests (resultiterator_test.cc:480-539):
+        # positional [RTL RTL LTR LTR RTL] reads tail-first with the LTR
+        # minor run kept left-to-right; a pure-RTL line simply reverses.
+        # The page carries majority strong-RTL glyphs, so the script half of
+        # OSD (osdetect.cpp:286) must fire and enable RTL ordering without
+        # any config flag.
+        return PageSpec(elements=[Text(
+            ["אב גד FOX DOG הו", "זח טי"],
+            truth_lines=["הו FOX DOG גד אב", "טי זח"], col=0)],
+            scale=2, width_chars=17, rtl=True, seed=seed)
+    if family == "rotated_rtl":  # F26 — script-vote OSD on a rotated page:
+        # orientation retry (C10) must find upright AND the script vote must
+        # then flip word order to RTL (osdetect.cpp:239 + :286)
+        return PageSpec(elements=[Text(
+            ["אב גד הו", "זח טי בג"],
+            truth_lines=["הו גד אב", "בג טי זח"], col=0)],
+            scale=2, rot90=int(rng.integers(1, 4)), rtl=True, seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[
@@ -193,7 +212,7 @@ PAGE_FAMILIES = [
     "ruled_page", "table_page", "skewed_page", "rotated_page",
     "textured_photo", "gradient_page", "contents_page", "equation_page",
     "vertical_page", "disc_page", "tracked_page", "bowed_page",
-    "broken_page", "margin_note",
+    "broken_page", "margin_note", "bidi_page", "rotated_rtl",
 ]
 
 

@@ -60,6 +60,11 @@ class Text:
     track_units: int = 0  # extra letter-spacing in font units: char advance
                           # becomes (CELL_W + track_units) * s — exercises the
                           # fixed-pitch estimator (A7, topitch.cpp:74)
+    truth_lines: list[str] | None = None  # hand-written LOGICAL reading
+                          # order when it differs from the POSITIONAL
+                          # rendering order — the bidi fixtures (W4,
+                          # resultiterator_test.cc:480-539) draw words
+                          # left-to-right but read them in bidi order
 
 
 @dataclass
@@ -357,7 +362,7 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             kind = {"body": FLOWING_TEXT, "heading": HEADING_TEXT,
                     "caption": CAPTION_TEXT, "equation": EQUATION,
                     "pullout": PULLOUT_TEXT}[e.role]
-            truth.append(TruthBlock(kind, "\n".join(e.lines)))
+            truth.append(TruthBlock(kind, "\n".join(e.truth_lines or e.lines)))
         else:
             if e.full_page:
                 h = page_h - 2 * margin - (y0 - margin)

@@ -36,7 +36,10 @@ from ..fixtures.font import (
     DECODE_MATRIX,
     GLYPH_H,
     GLYPH_W,
+    STRONG_LTR,
+    STRONG_RTL,
 )
+from .bidi import DIR_LTR, DIR_MIX, DIR_NEUTRAL, DIR_RTL, textline_order
 
 DECODE_BOOL = DECODE_MATRIX.astype(bool)
 from ..fixtures.render import (
@@ -128,10 +131,26 @@ def decode_tables(whitelist: str | None) -> tuple[list[str], np.ndarray]:
     return [DECODE_CHARS[i] for i in idx], DECODE_BOOL[idx]
 
 
+def _word_direction(word: str) -> int:
+    """StrongScriptDirection of one decoded word (the per-word input of the
+    bidi reorder, reference resultiterator.cpp:121 CalculateBlobOrder /
+    osdetect.cpp script votes): letters vote their script, digits and
+    punctuation are neutral, both scripts in one word = MIX."""
+    has_rtl = any(c in STRONG_RTL for c in word)
+    has_ltr = any(c in STRONG_LTR for c in word)
+    if has_rtl and has_ltr:
+        return DIR_MIX
+    if has_rtl:
+        return DIR_RTL
+    if has_ltr:
+        return DIR_LTR
+    return DIR_NEUTRAL
+
+
 def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                 gl: np.ndarray, gr: np.ndarray, s: int,
                 lut: tuple[list[str], np.ndarray] = (DECODE_CHARS, DECODE_BOOL),
-                ) -> tuple[str, int, int]:
+                rtl: bool = False) -> tuple[str, int, int]:
     """Template-decode one text row: split char-groups into words by gap, map
     each word onto its char-cell grid, downsample cells to 5x7, LUT match.
     Each cell is sampled at ±1px offsets and the best-scoring match wins, so
@@ -213,6 +232,13 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
             chars[k] = lut_chars[int(newg[t])]
             best_d[k] = newd[t]
     words = ["".join(chars[cum[w] : cum[w + 1]]) for w in range(ns.shape[0])]
+    if rtl and len(words) > 1:
+        # W4 bidi textline order (resultiterator.cpp:285
+        # CalculateTextlineOrder): the decode above walks glyphs in
+        # POSITIONAL (left-to-right) order; an RTL paragraph reads its words
+        # from the right, with embedded LTR minor runs kept left-to-right.
+        dirs = [_word_direction(w) for w in words]
+        words = [words[i] for i in textline_order(False, dirs) if i >= 0]
     return " ".join(words), int(best_d.sum()), n
 
 
@@ -714,7 +740,8 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         lines = []
         for rr in b["rows"]:
             text, d, n = _decode_row(ink, rr["top"], rr["bottom"],
-                                     rr["gl"], rr["gr"], rr["s"], lut)
+                                     rr["gl"], rr["gr"], rr["s"], lut,
+                                     rtl=rtl)
             lines.append(text)
             q_dist += d
             q_chars += n
@@ -770,17 +797,34 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
 OSD_RETRY_DIST = 2.0  # mean bits/char above this → try the other 3 rotations
 
 
+def _script_vote_rtl(blocks: list[Block]) -> bool:
+    """Script half of OSD (osdetect.cpp:286 os_detect_blobs scores scripts,
+    not just rotations): majority strong-RTL glyphs over the page's decoded
+    text means the page is set in an RTL script."""
+    n_rtl = n_ltr = 0
+    for b in blocks:
+        if b.text:
+            n_rtl += sum(c in STRONG_RTL for c in b.text)
+            n_ltr += sum(c in STRONG_LTR for c in b.text)
+    return n_rtl > n_ltr
+
+
 def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
                  whitelist: str | None = None) -> list[Block]:
     """Full page analysis + recognition: binarize, analyse; if recognition
     quality is poor, retry at 90/180/270 degrees and keep the best — the
     orientation-detection pass (C10, osdetect.cpp:239) fused with the
-    retry-with-alternate-config loop (ProcessPages, baseapi.h:732).
+    retry-with-alternate-config loop (ProcessPages, baseapi.h:732). After
+    orientation settles, a script vote (osdetect.cpp:286) flips the page to
+    RTL ordering when its decoded glyphs are majority strong-RTL — the
+    script half of OSD, gated to psm='auto' like the reference's
+    PSM_OSD_ENABLED inequality (publictypes.h:192).
 
     rtl/psm/whitelist are the SetVariable-style knobs (ExtractConfig):
     column direction, PageSegMode stage gating, SetBlackAndWhitelist."""
     lut = decode_tables(whitelist)
     ink = binarize(gray)
+    best_rot, best_div = 0, 4.0
     out, quality = _analyse_ink(ink, rtl=rtl, psm=psm, lut=lut)
     if quality > 0:
         # any imperfect decode → cheap alternate-config retry first: finer
@@ -788,7 +832,7 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
         # granularity). ProcessPages retry_config, baseapi.h:732.
         cand, q = _analyse_ink(ink, skew_bin_div=8.0, rtl=rtl, psm=psm, lut=lut)
         if q < quality:
-            out, quality = cand, q
+            out, quality, best_div = cand, q, 8.0
     if quality > OSD_RETRY_DIST and psm == "auto":
         # still bad → try the three other orientations (C10), both bins.
         # OSD only runs in auto mode, like the reference's PSM_OSD gate
@@ -797,7 +841,13 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
             cand, q = _analyse_ink(np.rot90(ink, k), skew_bin_div=div,
                                    rtl=rtl, lut=lut)
             if q < quality:
-                out, quality = cand, q
+                out, quality, best_rot, best_div = cand, q, k, div
             if quality <= OSD_RETRY_DIST:
                 break
+    if psm == "auto" and not rtl and _script_vote_rtl(out):
+        # script vote fired: re-run the winning orientation/config with RTL
+        # ordering (columns right→left, bidi word reorder per line) — one
+        # extra kernel pass, only on pages that actually decode as RTL
+        out, _q = _analyse_ink(np.rot90(ink, best_rot), skew_bin_div=best_div,
+                               rtl=True, psm=psm, lut=lut)
     return out

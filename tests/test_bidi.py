@@ -76,3 +76,55 @@ def test_textline_order_sanity_sweep():
             tmp //= 4
         _verify_sane(True, dirs)
         _verify_sane(False, dirs)
+
+
+def test_word_direction_classification():
+    """StrongScriptDirection per decoded word (resultiterator.cpp:121 feed):
+    Hebrew = RTL, Latin = LTR, digits/punct = neutral, both scripts = MIX."""
+    from sparkstract.operators.bidi import (
+        DIR_LTR,
+        DIR_MIX,
+        DIR_NEUTRAL,
+        DIR_RTL,
+    )
+    from sparkstract.operators.page import _word_direction
+
+    assert _word_direction("אב") == DIR_RTL
+    assert _word_direction("FOX") == DIR_LTR
+    assert _word_direction("123") == DIR_NEUTRAL
+    assert _word_direction("=+-") == DIR_NEUTRAL
+    assert _word_direction("אX") == DIR_MIX
+    assert _word_direction("א1") == DIR_RTL   # digits don't dilute a script
+    assert _word_direction("X1") == DIR_LTR
+
+
+def test_kernel_bidi_reorder_and_script_vote():
+    """End-to-end kernel: a page whose glyphs are majority strong-RTL is
+    detected by the script vote (osdetect.cpp:286) and its lines come out in
+    logical bidi order with the LTR minor run preserved — no config flag."""
+    from sparkstract.fixtures.render import PageSpec, Text, render_page
+    from sparkstract.operators.page import analyse_page
+
+    spec = PageSpec(elements=[Text(
+        ["אב גד FOX DOG הו", "זח טי"],
+        truth_lines=["הו FOX DOG גד אב", "טי זח"], col=0)],
+        scale=2, width_chars=17, rtl=True)
+    img, truth = render_page(spec)
+    # voted path (no rtl flag) and config path must agree with hand truth
+    for kwargs in ({}, {"rtl": True}):
+        blocks = analyse_page(img, **kwargs)
+        assert [(b.kind, b.text) for b in blocks] == \
+            [(t.kind, t.text) for t in truth], kwargs
+
+
+def test_ltr_page_unaffected_by_rtl_config():
+    """An all-Latin line under ExtractConfig(rtl=True) keeps positional word
+    order (resultiterator_test.cc left-rtl case: indices stay 0..n-1)."""
+    from sparkstract.fixtures.render import PageSpec, Text, render_page
+    from sparkstract.operators.page import analyse_page
+
+    spec = PageSpec(elements=[Text(["THE QUICK FOX"], col=0)], scale=2,
+                    width_chars=15)
+    img, _ = render_page(spec)
+    blocks = analyse_page(img, rtl=True)
+    assert blocks[0].text == "THE QUICK FOX"
