@@ -480,6 +480,42 @@ _PARA_BLOCKS: list[tuple[str, int, list[str], list[tuple[int, str, bool, bool]]]
       (2, "left", False, True), (2, "left", False, False),
       (3, "left", False, True), (3, "left", False, False),
       (4, "left", False, True)]),
+    # hanging-indent index entries (paragraphs_test.cc:724 IndexPageTest)
+    ("pd-3", 0,
+     ["Oats, 51                      ",
+      "O'Brien, Gregory, 175         ",
+      "Occupational composition, 110,",
+      "   138                        ",
+      "OECD rankings, 155, 172       ",
+      "Okiato (original capital), 47 "],
+     [(0, "left", False, False), (1, "left", False, False),
+      (2, "left", False, False), (2, "left", False, False),
+      (3, "left", False, False), (4, "left", False, False)]),
+    # single-line dialogue chain + wrapped body (paragraphs_test.cc:687)
+    ("pd-3", 1,
+     ['     "May I take the cast net?"                                     ',
+      '     "Of course."                                                   ',
+      "     There was  no  cast net  and  the boy  remembered  when  they had",
+      "sold it.   But they went through  this fiction every day. There was no",
+      "pot of yellow rice and fish and the boy knew this too.               "],
+     [(0, "left", False, False), (1, "left", False, False),
+      (2, "left", False, False), (2, "left", False, False),
+      (2, "left", False, False)]),
+    # stray indent-outlier row → unmodeled paragraph, PNONE
+    # (paragraphs_test.cc:470 TestStrayLineInBlock)
+    ("pd-4", 0,
+     ["The first paragraph on a page is",
+      "often not indented as the rest  ",
+      "of the paragraphs are.  Nonethe-",
+      "less it should be counted as the",
+      "same type of paragraph.         ",
+      "  Even a short second paragraph ",
+      "should suffice.                 ",
+      "             1235               "],
+     [(0, "left", True, False), (0, "left", False, False),
+      (0, "left", False, False), (0, "left", False, False),
+      (0, "left", False, False), (1, "left", False, False),
+      (1, "left", False, False), (2, None, False, False)]),
 ]
 
 
@@ -704,8 +740,9 @@ def oracle_sql() -> dict[str, str]:
 
     text_kinds_sql = ", ".join(f"'{k}'" for k in TEXT_KINDS)
     para_rows = ",\n".join(
-        f"('{doc}', '{blk}', {i}, {exp[0]}, '{exp[1]}', {str(exp[2]).upper()}, "
-        f"{str(exp[3]).upper()})"
+        f"('{doc}', '{blk}', {i}, {exp[0]}, "
+        f"{_sql_quote(exp[1]) if exp[1] is not None else 'CAST(NULL AS VARCHAR)'}, "
+        f"{str(exp[2]).upper()}, {str(exp[3]).upper()})"
         for doc, blk, lines, expected in _PARA_BLOCKS
         for i, exp in enumerate(expected)
     )

@@ -179,6 +179,23 @@ def _left_zone(rows: list[RowInfo], first_para_of_page: bool,
                 starts = r.lindent == low
                 out.append((starts, model, False, starts))
             return out
+        # hanging indent WITHOUT list markers — the index-page model
+        # (paragraphs_test.cc:724 IndexPageTest, e.g. "Occupational
+        # composition, 110, / [cont]   138"): entries start flush-left and
+        # rare overflow continuations sit deeper. Discriminator vs the
+        # classic first-line-indent model: a real first line fills its
+        # paragraph's width, an overflow continuation is a runt — if EVERY
+        # deep row is a short fragment (and deep rows are a minority), the
+        # deep level is the continuation level, not the start level.
+        width = max(len(r.text) for r in rows)
+        high_rows = [r for r in rows if r.lindent == high]
+        if (len(high_rows) * 2 < len(rows)
+                and all(r.rindent >= max(8, width // 2) for r in high_rows)):
+            model = ParaModel(JUST_LEFT, 0, low * _CHAR_PX, high * _CHAR_PX)
+            for r in rows:
+                starts = r.lindent < high
+                out.append((starts, model, False, False))
+            return out
         # classic first-line indent: starts at the high level
         model = ParaModel(JUST_LEFT, 0, high * _CHAR_PX, low * _CHAR_PX)
         for i, r in enumerate(rows):
@@ -212,15 +229,31 @@ def _left_zone(rows: list[RowInfo], first_para_of_page: bool,
 
 def _segment_left_zone(rows: list[RowInfo]) -> list[tuple[str, int, int]]:
     """Split a left zone at margin shifts: runs of rows indented well past
-    the base margin are block quotes (unless they continue a list item), and
-    runs led by list-mark rows are list segments. Returns (kind, lo, hi)
-    with kind in body|quote|list. The reference reaches the same grouping
-    through its model-consensus passes (paragraphs.cpp:2339-2429)."""
+    the base margin are block quotes (unless they continue a list item),
+    runs led by list-mark rows are list segments, and an indent OUTLIER is a
+    stray line (a centered page number or junk row — the reference marks it
+    PNONE, paragraphs_test.cc:455-473 kSubtleCrown/TestStrayLineInBlock).
+    Returns (kind, lo, hi) with kind in body|quote|list|stray. The reference
+    reaches the same grouping through its model-consensus passes
+    (paragraphs.cpp:2339-2429)."""
     base = min(r.lindent for r in rows)
-    deep = [r.lindent >= base + 3 for r in rows]
-    markish = [r.lindent <= base + 2 and likely_list_item(r.lword)
-               for r in rows]
     n = len(rows)
+    # stray = the single row at an extreme outlier indent: it must not feed
+    # the level set (it would fake a first-line-indent model) nor merge into
+    # any neighbouring run
+    lind = [r.lindent for r in rows]
+    mx = max(lind)
+    rest = [v for v in lind if v != mx]
+    stray = [False] * n
+    if rest and lind.count(mx) == 1 and mx - max(rest) >= 4:
+        stray[lind.index(mx)] = True
+    deep = [not stray[i] and r.lindent >= base + 3
+            for i, r in enumerate(rows)]
+    # a list marker is a SHORT pure mark ('1.', 'iv)', 'B.'): longer
+    # numeral-led words ('1993,' opening a body line) are prose, not markers
+    # (reference case paragraphs_test.cc:543 TestUnlvInsurance)
+    markish = [r.lindent <= base + 2 and likely_list_item(r.lword)
+               and len(r.lword) <= 3 for r in rows]
     # a list-mark word only OPENS a list segment with corroboration: its
     # wrapped continuation is deeper, or the next row is another item
     # ("a previous page..." must not read as item "a")
@@ -231,10 +264,13 @@ def _segment_left_zone(rows: list[RowInfo]) -> list[tuple[str, int, int]]:
     segments: list[tuple[str, int, int]] = []
     i = 0
     while i < n:
-        if is_list_start[i]:
+        if stray[i]:
+            segments.append(("stray", i, i + 1))
+            i += 1
+        elif is_list_start[i]:
             j = i
-            while j < n and (is_list_start[j] or deep[j]
-                             or (markish[j] and segments is not None and j > i)):
+            while j < n and not stray[j] and (
+                    is_list_start[j] or deep[j] or (markish[j] and j > i)):
                 j += 1
             segments.append(("list", i, j))
             i = j
@@ -242,14 +278,21 @@ def _segment_left_zone(rows: list[RowInfo]) -> list[tuple[str, int, int]]:
             j = i
             while j < n and deep[j]:
                 j += 1
-            if j - i >= 2:
-                segments.append(("quote", i, j))
-            else:
-                segments.append(("body", i, j))
+            looks_quote = j - i >= 2
+            if (looks_quote and j < n and not stray[j]
+                    and not _fit_break(rows[j - 1].rindent, rows[j].lword)):
+                # the run's last row is CONTINUED by the following base row
+                # (its first word would not have fit): these deep rows are
+                # first-line indents of base-margin paragraphs — a chain of
+                # indented dialogue starts, not a quote margin (reference
+                # kOldManAndSea, paragraphs_test.cc:687: "Have faith ... Di-"
+                # wraps to "Maggio." at the base margin)
+                looks_quote = False
+            segments.append(("quote" if looks_quote else "body", i, j))
             i = j
         else:
             j = i
-            while j < n and not deep[j] and not is_list_start[j]:
+            while j < n and not deep[j] and not is_list_start[j] and not stray[j]:
                 j += 1
             segments.append(("body", i, j))
             i = j
@@ -315,7 +358,12 @@ def detect_paragraphs(rows: list[RowInfo],
             marks = []
             for kind, lo, hi in _segment_left_zone(zone):
                 sub = zone[lo:hi]
-                if kind == "list":
+                if kind == "stray":
+                    # indent-outlier junk row (centered page number): its own
+                    # UNMODELED paragraph — PNONE in the reference harness
+                    # (paragraphs_test.cc:470 TestStrayLineInBlock)
+                    sub_marks = [(True, None, False, False)]
+                elif kind == "list":
                     sub_marks = _list_zone(sub)
                 elif kind == "quote":
                     sub_marks = _left_zone(sub, False, seed_models)

@@ -319,37 +319,100 @@ def test_subtle_crown():
     run_case(SUBTLE_CROWN)
 
 
-# Known gaps vs the reference's full matrix, recorded as strict xfails so
-# progress on them is visible (each cites the reference case that pins the
-# missing behavior):
-#  * paragraphs_test.cc:470 TestStrayLineInBlock — a stray centered number
-#    after the block ("1235") perturbs model fitting
-#  * paragraphs_test.cc:543 TestUnlvInsurance — digit-leading body line
-#    ("1993, $98 ...") must not fire the list-item start rule without
-#    hanging-indent structure
-#  * paragraphs_test.cc:687 NotOverlyAggressiveWithBlockQuotes — chains of
-#    single-line indented dialogue paragraphs
-#  * paragraphs_test.cc:724 IndexPageTest — hanging-indent (index) model:
-#    flush-left starts with deeper continuation lines
-
-@pytest.mark.xfail(strict=True,
-                   reason="stray trailing line perturbs model fit "
-                          "(paragraphs_test.cc:470)")
 def test_stray_line_in_block():
-    run_case(SUBTLE_CROWN
-             + [("             1235               ", "start")])
+    """paragraphs_test.cc:470 TestStrayLineInBlock: a stray centered number
+    after the block is its own UNMODELED row (PNONE in the reference — the
+    evaluation harness checks `detector_output[i]->model == nullptr`) and
+    must not perturb the crown/indent models of the preceding rows."""
+    rows = [RowInfo.from_ascii(c[0]) for c in SUBTLE_CROWN]
+    rows.append(RowInfo.from_ascii("             1235               "))
+    out = detect_paragraphs(rows)
+    # same breaks as SUBTLE_CROWN, stray breaks into its own paragraph
+    breaks = [out[i].para_id != out[i - 1].para_id for i in range(1, len(out))]
+    assert breaks == [False, False, False, False, True, False, True]
+    assert out[-1].model is None          # PNONE
+    assert out[0].is_crown                # crown evidence undisturbed
+    assert out[0].model.justification == "left"
 
 
-@pytest.mark.xfail(strict=True,
-                   reason="hanging-indent (index) model not implemented "
-                          "(paragraphs_test.cc:724)")
 def test_index_page():
+    """paragraphs_test.cc:724 IndexPageTest (excerpt): hanging-indent index
+    model — flush-left entry starts with rare deeper overflow lines."""
     case = [
-        ("Oats, 51                      ", "start"),
-        ("O'Brien, Gregory, 175         ", "start"),
-        ("Occupational composition, 110,", "start"),
+        ("Oats, 51                      ", "start", {"just": "left"}),
+        ("O'Brien, Gregory, 175         ", "start", {"just": "left"}),
+        ("Occupational composition, 110,", "start", {"just": "left"}),
         ("   138                        ", "cont"),
-        ("OECD rankings, 155, 172       ", "start"),
-        ("Okiato (original capital), 47 ", "start"),
+        ("OECD rankings, 155, 172       ", "start", {"just": "left"}),
+        ("Okiato (original capital), 47 ", "start", {"just": "left"}),
+        ("Oil shock: 1974, xxx, 143; 1979,", "start", {"just": "left"}),
+        ("   145                        ", "cont"),
+        ("Old Age Pensions, xxii, 89-90 ", "start", {"just": "left"}),
+        ("Old World evils, 77           ", "start", {"just": "left"}),
     ]
     run_case(case)
+
+
+# paragraphs_test.cc:607 kOldManAndSea (excerpt) — chains of single-line
+# 5-space-indented dialogue paragraphs between indented body paragraphs.
+# Row 0 carries {"crown": True}: the reference harness never evaluates row 0
+# (EvaluateParagraphDetection starts at i=1, paragraphs_test.cc:112), and an
+# un-indented page-opening row under an indented model IS a crown.
+OLD_MAN_AND_SEA = [
+    ("royal  palm  which  are called  guano  and  in it  there was a bed,  a", "start",
+     {"just": "left", "crown": True}),
+    ("table, one chair, and a place on the dirt floor to cook with charcoal.", "cont"),
+    ("On  the  brown  walls  of  the flattened,  overlapping  leaves  of  the", "cont"),
+    ("shirt.                                                                ", "cont"),
+    ("     \"What  do  you  have  to  eat?\"     the  boy   asked.          ", "start",
+     {"just": "left"}),
+    ("     \"A pot of yellow rice with fish. Do you want some?\"            ", "start",
+     {"just": "left"}),
+    ("     \"No. I will eat at home. Do you want me to make the fire?\"   ", "start",
+     {"just": "left"}),
+    ("     \"May I take the cast net?\"                                     ", "start",
+     {"just": "left"}),
+    ("     \"Of course.\"                                                   ", "start",
+     {"just": "left"}),
+    ("     There was  no  cast net  and  the boy  remembered  when  they had", "start",
+     {"just": "left"}),
+    ("sold it.   But they went through  this fiction every day. There was no", "cont"),
+    ("pot of yellow rice and fish and the boy knew this too.               ", "cont"),
+    ("     \"The Yankees cannot lose.\"                                     ", "start",
+     {"just": "left"}),
+    ("     \"But I fear the Indians of Cleveland.\"                         ", "start",
+     {"just": "left"}),
+    ("     \"Have faith  in  the Yankees  my son.   Think of  the great  Di-", "start",
+     {"just": "left"}),
+    ("Maggio.\"                                                             ", "cont"),
+]
+
+
+def test_dialogue_chains_not_overmerged():
+    # paragraphs_test.cc:687 NotOverlyAggressiveWithBlockQuotes
+    run_case(OLD_MAN_AND_SEA)
+
+
+# paragraphs_test.cc:543 TestUnlvInsurance (excerpt) — a body line opening
+# with "1993," must not fire the list-item rule; the zone is the classic
+# first-line-indent model.
+UNLV_INSURANCE = [
+    ("    Defined contribution plans cover employees in Australia, New", "start",
+     {"just": "left"}),
+    ("Zealand, Spain, the United Kingdom and some U.S. subsidiaries.  ", "cont"),
+    ("In addition, employees in the U.S. are eligible to participate in    ", "cont"),
+    ("charged to income for defined contribution plans were $92 in    ", "cont"),
+    ("1993, $98 in 1992 and $89 in 1991.                             ", "cont"),
+    ("     In addition to providing pension benefits, the Company pro- ", "start",
+     {"just": "left"}),
+    ("vides certain health care and life insurance benefits to retired     ", "cont"),
+    ("benefits were paid. These pretax costs amounted to $53 in 1991.   ", "cont"),
+    ("     The U.S. plan covering the parent company is the largest plan.", "start",
+     {"just": "left"}),
+    ("It provides medical and life insurance benefits including hospital,  ", "cont"),
+    ("benefits at any time.                                            ", "cont"),
+]
+
+
+def test_unlv_insurance_digit_lines():
+    run_case(UNLV_INSURANCE)
