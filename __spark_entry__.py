@@ -167,6 +167,51 @@ def q_extract_bidi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract(spark, docs, media, ExtractConfig(rtl=True))
 
 
+_TABLE_CELLS = [["PART", "GRID FOX", "X1"],
+                ["SCAN", "ROW", "Y2"],
+                ["JOIN", "THE DOG", "Z3"]]
+
+
+@functools.lru_cache(maxsize=1)
+def _table_fixture():
+    """Deterministic table page with a multi-word middle column: cell
+    structure (C8 v2, reference src/textord/tablerecog.cpp) requires the
+    decode to split at the aligned table gaps but NOT at intra-cell word
+    spaces."""
+    from sparkstract.fixtures.render import PageSpec, TableGrid, render_page
+    from sparkstract.functions.png import encode_gray
+
+    spec = PageSpec(elements=[TableGrid(cells=_TABLE_CELLS,
+                                        col_chars=[6, 9, 4], col=0)],
+                    scale=2, width_chars=27)
+    img, _truth = render_page(spec)
+    return encode_gray(img), img.shape
+
+
+def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-level table structure: one output row per (table row, cell)."""
+    from sparkstract.fixtures.gen import DOCS_SCHEMA, MEDIA_SCHEMA
+
+    png, shape = _table_fixture()
+    docs = spark.createDataFrame(
+        [("d-table", [dict(kind="media", text=None, media_ref="m-table",
+                           offset=0)])], DOCS_SCHEMA)
+    media = spark.createDataFrame(
+        [("m-table", shape[1], shape[0], png)], MEDIA_SCHEMA)
+    spans = extract(spark, docs, media)
+    by_line = (
+        spans.filter(F.col("kind") == "table")
+        .select("doc_id", "order",
+                F.posexplode(F.split("text", "\n")).alias("row_idx", "line"))
+    )
+    return (
+        by_line.select("doc_id", "order", "row_idx",
+                       F.posexplode(F.split("line", "\t"))
+                       .alias("cell_idx", "cell"))
+        .orderBy("doc_id", "order", "row_idx", "cell_idx")
+    )
+
+
 def q_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AnalyseLayout slice (baseapi.cpp:1298): kinds + order without
     recognition — extracted spans carry NULL text, pass-through text stays."""
@@ -671,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "extract_rtl": q_extract_rtl,
         "extract_bidi": q_extract_bidi,
+        "table_cells": q_table_cells,
         "layout_blocks": q_layout_blocks,
         "event_sessions": q_event_sessions,
         "top_parts_by_brand": q_top_parts_by_brand,
@@ -770,6 +816,11 @@ def oracle_sql() -> dict[str, str]:
         f"'m-rtl')"
         for i, b in enumerate(rtl_truth))
 
+    table_cell_rows = ",\n".join(
+        f"('d-table', 0, {ri}, {ci}, {_sql_quote(cell)})"
+        for ri, row in enumerate(_TABLE_CELLS)
+        for ci, cell in enumerate(row))
+
     _bpng, _bshape, bidi_truth = _bidi_fixture()
     bidi_span_rows = ",\n".join(
         f"('d-bidi', {i}, {_sql_quote(b.kind)}, "
@@ -788,6 +839,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
             {bidi_span_rows}
             ) AS t(doc_id, "order", kind, text, media_ref)
+        """,
+        "table_cells": f"""
+            SELECT * FROM (VALUES
+            {table_cell_rows}
+            ) AS t(doc_id, "order", row_idx, cell_idx, cell)
+            ORDER BY doc_id, "order", row_idx, cell_idx
         """,
         "layout_blocks": f"""
             WITH truth AS ({_truth_values_sql()})

@@ -128,16 +128,21 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     if family == "skewed_page":  # F13 — deskew, tabfind.cpp:1291
         return PageSpec(elements=[Text(_lines(rng, 4, 16))], scale=3,
                         skew_deg=float(rng.uniform(-2.0, 2.0)), seed=seed)
-    if family == "table_page":  # F12 — table detection, tablefind.cpp:200
+    if family == "table_page":  # F12 — table detection, tablefind.cpp:200;
+        # cell structure (C8 v2, tablerecog.cpp): the middle column carries a
+        # MULTI-word cell, so the cell/word distinction is real — the intra-
+        # cell space gap must stay one cell, the aligned table gaps must split
         short = [w for w in _VOCAB if len(w) <= 5]
         cells = [
             [short[int(rng.integers(0, len(short)))] for _ in range(3)]
             for _ in range(3)
         ]
+        cells[1][1] = (short[int(rng.integers(0, len(short)))] + " "
+                       + short[int(rng.integers(0, len(short)))])
         return PageSpec(elements=[
             Text(_lines(rng, 1, 24), col=0),
-            TableGrid(cells=cells, col_chars=[6, 6, 6], col=0),
-        ], scale=2, width_chars=26, seed=seed)
+            TableGrid(cells=cells, col_chars=[6, 13, 6], col=0),
+        ], scale=2, width_chars=34, seed=seed)
     if family == "equation_page":  # F18 — equation detection, equationdetect.cpp:132
         eqs = ["X = Y + 2", "E = M C 2", "A + B = C - 1", "2 + 2 = 4",
                "X 2 = A 2 + B 2"]

@@ -345,7 +345,10 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
                     assert len(cell) <= e.col_chars[j], (cell, e.col_chars[j])
                     _render_line(canvas, x0 + starts[j] * cw, yy, cell, s)
                 yy += 12 * s
-            truth.append(TruthBlock(TABLE, "\n".join(" ".join(r) for r in e.cells)))
+            # cell-structured truth (C8 v2, tablerecog.cpp): TAB between
+            # cells, newline between rows — matches decode_table's split at
+            # the aligned gaps
+            truth.append(TruthBlock(TABLE, "\n".join("\t".join(r) for r in e.cells)))
             return
         if isinstance(e, Text):
             es = s * (2 if e.role == "heading" else 1)

@@ -747,6 +747,33 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             q_chars += n
         return sep.join(lines)
 
+    def decode_table(b) -> str:
+        """C8 v2 cell structure (the reference recognizes table structure in
+        tablerecog.cpp after detection in tablefind.cpp:268): each table
+        row's decode is split at its aligned whitespace gaps (`tgaps`, the
+        same gaps that detected the table) into per-cell text — cells
+        TAB-separated within a row, rows newline-separated."""
+        nonlocal q_dist, q_chars
+        lines = []
+        for rr in b["rows"]:
+            gaps = rr.get("tgaps") or []
+            gap_rights = np.array([g[1] for g in gaps], dtype=np.int64)
+            cid = np.searchsorted(gap_rights, rr["gl"])
+            cells = []
+            for c in range(len(gaps) + 1):
+                sel = cid == c
+                if not sel.any():
+                    cells.append("")
+                    continue
+                text, d, n = _decode_row(ink, rr["top"], rr["bottom"],
+                                         rr["gl"][sel], rr["gr"][sel],
+                                         rr["s"], lut, rtl=rtl)
+                cells.append(text)
+                q_dist += d
+                q_chars += n
+            lines.append("\t".join(cells))
+        return "\n".join(lines)
+
     for rank, i in enumerate(order):
         b = blocks[i]
         l, t, r_, bo = b["box"]
@@ -758,7 +785,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             out.append(Block(rank, b["line_kind"], None, l, t, r_, bo))
             continue
         if b.get("kind") == TABLE:
-            out.append(Block(rank, TABLE, decode_block(b), l, t, r_, bo))
+            out.append(Block(rank, TABLE, decode_table(b), l, t, r_, bo))
             continue
         # vertical text (strokewidth.cpp:211 IsVerticallyAlignedText →
         # PT_VERTICAL_TEXT): a stack of single glyphs one char-cell wide,
