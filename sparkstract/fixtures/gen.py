@@ -22,6 +22,7 @@ from .render import (
     DiscImage,
     ImageRect,
     LeaderLine,
+    MixedText,
     PageSpec,
     Rule,
     TableGrid,
@@ -152,10 +153,30 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Text([eq], role="equation", col=0),
             Text(_lines(rng, 2, 16), col=0),
         ], scale=2, seed=seed)
+    if family == "inline_equation_page":  # F27 — PT_INLINE_EQUATION,
+        # equationdetect.cpp:351: a math row at NORMAL line pitch inside a
+        # paragraph (no block gap) must split into flowing / inline_equation
+        # / flowing, consecutive in reading order
+        eqs = ["A + B = C - 1", "2 + 2 = 4", "X = Y + 2"]
+        eq = eqs[int(rng.integers(0, len(eqs)))]
+        body = _lines(rng, 4, 16)
+        return PageSpec(elements=[MixedText(
+            lines=body[:2] + [eq] + body[2:], eq_rows=(2,), col=0)],
+            scale=2, seed=seed)
     if family == "bowed_page":  # F22 — quadratic baselines, baselinedetect.cpp:909
         bow = int(rng.choice([-1, 1])) * int(rng.integers(5, 11))
         return PageSpec(elements=[Text(_lines(rng, 4, 16))], scale=2,
                         bow_px=bow, seed=seed)
+    if family == "wavy_page":  # F28 — multi-bow (spline) baselines: a full
+        # sine period (an S-curve and more) cannot be flattened by one
+        # quadratic term; the piecewise residual pass must (A4 v2,
+        # baselinedetect.cpp:909 QSPLINE fallback). Amplitude is capped so
+        # the INTRA-glyph shear (slope × glyph width ≈ 1.3 px) stays inside
+        # what integer column shifts + decode resampling can absorb — the
+        # same budget the bowed family lives within.
+        wave = int(rng.integers(4, 7))
+        return PageSpec(elements=[Text(_lines(rng, 4, 12))], scale=3,
+                        wave_px=wave, wave_periods=1.0, seed=seed)
     if family == "tracked_page":  # F21 — fixed-pitch estimate, topitch.cpp:74
         t = int(rng.integers(1, 3))  # letter-spacing +1 or +2 font units
         return PageSpec(elements=[
@@ -218,6 +239,7 @@ PAGE_FAMILIES = [
     "textured_photo", "gradient_page", "contents_page", "equation_page",
     "vertical_page", "disc_page", "tracked_page", "bowed_page",
     "broken_page", "margin_note", "bidi_page", "rotated_rtl",
+    "inline_equation_page", "wavy_page",
 ]
 
 

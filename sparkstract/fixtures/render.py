@@ -39,10 +39,11 @@ HORZ_LINE = "horz_line"
 VERT_LINE = "vert_line"
 TABLE = "table"
 EQUATION = "equation"
+INLINE_EQUATION = "inline_equation"
 VERTICAL_TEXT = "vertical_text"
 
 TEXT_KINDS = {FLOWING_TEXT, HEADING_TEXT, CAPTION_TEXT, PULLOUT_TEXT, TABLE,
-              EQUATION, VERTICAL_TEXT}
+              EQUATION, INLINE_EQUATION, VERTICAL_TEXT}
 IMAGE_KINDS = {FLOWING_IMAGE, PULLOUT_IMAGE}
 LINE_KINDS = {HORZ_LINE, VERT_LINE}
 
@@ -65,6 +66,19 @@ class Text:
                           # rendering order — the bidi fixtures (W4,
                           # resultiterator_test.cc:480-539) draw words
                           # left-to-right but read them in bidi order
+
+
+@dataclass
+class MixedText:
+    """A flowing paragraph with equation rows embedded at NORMAL line pitch
+    (no block gap) — the inline-equation shape (PT_INLINE_EQUATION,
+    /root/reference/src/ccmain/equationdetect.cpp:351 grows equation seeds
+    INSIDE flowing text). Truth: alternating flowing_text / inline_equation
+    blocks, consecutive in reading order."""
+
+    lines: list[str]
+    eq_rows: tuple[int, ...]
+    col: int | None = 0
 
 
 @dataclass
@@ -156,6 +170,11 @@ class PageSpec:
     noise_frac: float = 0.0
     bow_px: int = 0        # quadratic baseline sag: columns shift down by
                            # bow_px*((x-xc)/(w/2))^2 after layout (A4)
+    wave_px: int = 0       # sinusoidal multi-bow warp: columns shift by
+                           # wave_px*sin(2π*wave_periods*x/w) — beyond one
+                           # quadratic term, needs the spline residual pass
+                           # (A4 v2, baselinedetect.cpp:909 QSPLINE)
+    wave_periods: float = 1.5
     skew_deg: float = 0.0  # page rotated by this angle after layout (C6)
     rot90: int = 0         # quarter-turns applied after layout (C10 OSD)
     gradient_depth: int = 0  # uneven illumination: bg falls to 255-depth
@@ -227,6 +246,8 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             es = s * (2 if e.role == "heading" else 1)
             n = len(e.lines)
             return (n - 1) * 12 * es + GLYPH_H * es
+        if isinstance(e, MixedText):
+            return (len(e.lines) - 1) * 12 * s + GLYPH_H * s
         if isinstance(e, Rule):
             return e.thickness_units * s
         if isinstance(e, TexturedImage):
@@ -289,6 +310,22 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
     def draw(e, y0: int, col: int | None) -> None:
         x0 = margin if col is None else margin + col * (col_w + gutter)
         avail_w = page_w - 2 * margin if col is None else col_w
+        if isinstance(e, MixedText):
+            yy = y0
+            for ln in e.lines:
+                _render_line(canvas, x0, yy, ln, s)
+                yy += 12 * s
+            # truth: alternating flowing / inline_equation runs
+            i0 = 0
+            eq = [i in e.eq_rows for i in range(len(e.lines))]
+            for k in range(1, len(e.lines) + 1):
+                if k < len(e.lines) and eq[k] == eq[i0]:
+                    continue
+                truth.append(TruthBlock(
+                    INLINE_EQUATION if eq[i0] else FLOWING_TEXT,
+                    "\n".join(e.lines[i0:k])))
+                i0 = k
+            return
         if isinstance(e, Rule):
             canvas[y0 : y0 + e.thickness_units * s, x0 : x0 + avail_w] = INK
             truth.append(TruthBlock(HORZ_LINE, None))
@@ -419,6 +456,12 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
         half = max(page_w / 2.0, 1.0)
         u = ((np.arange(page_w) - page_w / 2.0) / half) ** 2
         canvas = shift_columns(canvas, np.rint(spec.bow_px * u), WHITE)
+    if spec.wave_px:
+        from ..functions.geometry import shift_columns
+
+        ph = np.sin(2.0 * np.pi * spec.wave_periods
+                    * np.arange(page_w) / page_w)
+        canvas = shift_columns(canvas, np.rint(spec.wave_px * ph), WHITE)
     if spec.skew_deg:
         from ..functions.geometry import rotate_nn
 

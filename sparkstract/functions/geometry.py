@@ -91,6 +91,13 @@ def _sharpness(yp_all: np.ndarray, bin_px: float) -> np.ndarray:
     return (counts * counts).sum(axis=1)
 
 
+def profile_sharpness(y: np.ndarray, bin_px: float) -> float:
+    """Public single-candidate Postl score: lets callers COMPARE competing
+    corrections (quadratic vs piecewise) on the same centroids before
+    paying an image-space shift + relabel for either."""
+    return float(_sharpness(y[None, :], max(2.0, float(bin_px)))[0])
+
+
 def _profile_scores(cx: np.ndarray, cy: np.ndarray, bin_px: float,
                     angles: np.ndarray) -> np.ndarray:
     yp_all = cy[None, :] - np.outer(np.tan(np.deg2rad(angles)), cx)
@@ -186,9 +193,115 @@ def estimate_skew_bow(cx: np.ndarray, cy: np.ndarray, bin_px: float,
     if det > 1e-9:
         s = (g22 * float(xh @ yh) - g12 * float(uh @ yh)) / det
         c = (g11 * float(uh @ yh) - g12 * float(xh @ yh)) / det
-        d0 = float(np.rad2deg(np.arctan(s)))
-        b0 = c
+        sd = float(np.rad2deg(np.arctan(s)))
+        # accept the refinement only inside the grid's search box: a refit
+        # far outside it means the row clustering broke (e.g. a multi-bow
+        # warp smearing rows together) and the OLS is fitting garbage — the
+        # grid value, chosen by profile sharpness, is then the safe answer
+        # (the spline residual pass owns what the quadratic can't express)
+        if abs(sd) <= max_deg + 0.5 and abs(c) <= max_bow_px * 1.5:
+            d0, b0 = sd, c
     return d0, b0
+
+
+def _align_profiles(profs: list[np.ndarray], base: np.ndarray,
+                    span: int, h: int) -> np.ndarray:
+    """Chained per-segment profile alignment: template-frame offsets (NaN
+    where a segment has no ink) — a segment whose content sits `d` px BELOW
+    the anchor frame scores best at off = -d. Ties prefer the smaller
+    |shift| around `base[s]`; the template accumulates every aligned
+    segment, so the anchor grows stronger left to right."""
+    pad = span + int(np.nanmax(np.abs(base))) + 1
+    n_s = len(profs)
+    off = np.full(n_s, np.nan)
+    ref = np.zeros(h + 2 * pad)
+    have_ref = False
+    deltas = sorted(range(-span, span + 1), key=abs)
+    for s_i in range(n_s):
+        p = profs[s_i]
+        if float(p.sum()) <= 0:
+            continue
+        b = int(base[s_i])
+        if not have_ref:
+            ref[pad + b : pad + b + h] += p  # anchor at its base offset
+            off[s_i] = b
+            have_ref = True
+            continue
+        best_d, best_score = 0, -np.inf
+        for dd in deltas:
+            d = b + dd
+            score = float(ref[pad + d : pad + d + h] @ p)
+            if score > best_score:
+                best_d, best_score = d, score
+        off[s_i] = best_d
+        ref[pad + best_d : pad + best_d + h] += p
+    # second sweep: re-align every strip against the COMPLETE template
+    # (own contribution removed) — the chained pass anchors early strips on
+    # a thin template, and that order-dependence is exactly where localized
+    # errors crept in
+    for s_i in range(n_s):
+        p = profs[s_i]
+        if np.isnan(off[s_i]) or float(p.sum()) <= 0:
+            continue
+        cur = int(off[s_i])
+        ref[pad + cur : pad + cur + h] -= p
+        b = int(base[s_i])
+        best_d, best_score = cur, -np.inf
+        for dd in deltas:
+            d = b + dd
+            score = float(ref[pad + d : pad + d + h] @ p)
+            if score > best_score:
+                best_d, best_score = d, score
+        off[s_i] = best_d
+        ref[pad + best_d : pad + best_d + h] += p
+    return off
+
+
+def estimate_warp(ink: np.ndarray, n_seg: int = 8,
+                  max_shift: int = 12) -> np.ndarray | None:
+    """Piecewise (spline) baseline residual — the QSPLINE analog: the
+    reference falls back from straight/quadratic baselines to quadratic
+    SPLINE segments for wavy lines
+    (/root/reference/src/textord/baselinedetect.cpp:909 → :593,
+    quspline.cpp). Divide the width into vertical strips and estimate each
+    strip's y-displacement by correlating its ink ROW PROFILE against the
+    running aligned template — every ink pixel votes, so the estimate stays
+    robust where blob-centroid methods starve (a strip holds thousands of
+    pixels but only a handful of glyphs). Coarse pass over `n_seg` strips
+    with a ±`max_shift` search, then a fine pass over 2×`n_seg` strips
+    constrained to ±3 px around the coarse curve (the reference likewise
+    grows spline segments with line length, quspline.cpp). Returns the
+    downward displacement f(x) per column, median-centered, or None for
+    degenerate pages."""
+    h, w = ink.shape
+    if w < n_seg * 4 or h < 4:
+        return None
+    xs = np.arange(w, dtype=np.float64)
+
+    def strip_profiles(n_s: int) -> tuple[list[np.ndarray], np.ndarray]:
+        bounds = np.linspace(0, w, n_s + 1).astype(np.int64)
+        profs = [ink[:, bounds[i]:bounds[i + 1]].sum(axis=1)
+                 .astype(np.float64) for i in range(n_s)]
+        centers = (bounds[:-1] + bounds[1:]) / 2.0
+        return profs, centers
+
+    profs, centers = strip_profiles(n_seg)
+    off = _align_profiles(profs, np.zeros(n_seg), max_shift, h)
+    valid = ~np.isnan(off)
+    if valid.sum() < 2:
+        return None
+    f = np.interp(xs, centers[valid], off[valid])
+
+    profs2, centers2 = strip_profiles(2 * n_seg)
+    base2 = np.rint(np.interp(centers2, xs, f))
+    off2 = _align_profiles(profs2, base2, 3, h)
+    valid2 = ~np.isnan(off2)
+    if valid2.sum() >= 2:
+        f = np.interp(xs, centers2[valid2], off2[valid2])
+    # template-frame offset → downward page displacement (negate): content
+    # sitting BELOW the anchor frame aligned at a negative offset
+    f = -f
+    return f - np.median(f)
 
 
 def estimate_bow(cx: np.ndarray, cy: np.ndarray, bin_px: float, page_w: float,

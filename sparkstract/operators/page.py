@@ -49,6 +49,7 @@ from ..fixtures.render import (
     FLOWING_TEXT,
     HEADING_TEXT,
     HORZ_LINE,
+    INLINE_EQUATION,
     PULLOUT_IMAGE,
     PULLOUT_TEXT,
     TABLE,
@@ -56,7 +57,13 @@ from ..fixtures.render import (
     VERTICAL_TEXT,
 )
 from ..functions.cclabel import Blobs, label_blobs
-from ..functions.geometry import estimate_skew_bow, shear_y, shift_columns
+from ..functions.geometry import (
+    estimate_skew_bow,
+    estimate_warp,
+    profile_sharpness,
+    shear_y,
+    shift_columns,
+)
 from ..functions.otsu import binarize
 
 NOISE_AREA = 2          # blobs with <= this many ink px are specks (F4)
@@ -150,11 +157,20 @@ def _word_direction(word: str) -> int:
 def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                 gl: np.ndarray, gr: np.ndarray, s: int,
                 lut: tuple[list[str], np.ndarray] = (DECODE_CHARS, DECODE_BOOL),
-                rtl: bool = False) -> tuple[str, int, int]:
+                rtl: bool = False,
+                gt: np.ndarray | None = None) -> tuple[str, int, int]:
     """Template-decode one text row: split char-groups into words by gap, map
     each word onto its char-cell grid, downsample cells to 5x7, LUT match.
     Each cell is sampled at ±1px offsets and the best-scoring match wins, so
     the 1px jitter a deskewed page carries doesn't corrupt the decode.
+
+    `gt` (per-group top edges, aligned with gl) anchors each cell's sample
+    band at ITS OWN glyph top instead of the row top: the font invariant
+    (ink in glyph row 0) makes the two identical on a clean page, but under
+    residual warp (A4 v2 spline pages) glyph tops drift ±2-3 px across a
+    row and a single row-top band mis-samples the drifted cells — this is
+    the per-blob half of the reference's baseline normalization (each blob
+    is placed relative to its own fitted baseline, baselinedetect.cpp).
 
     The cell pitch is not assumed: it is the fixed-pitch decision (A7/C14,
     topitch.cpp:74 compute_fixed_pitch / fpchop.cpp:63) — the median start-to-
@@ -188,13 +204,22 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     in_word = np.arange(n) - np.repeat(cum[:-1], ns)
     starts = np.minimum(np.repeat(x0s, ns) + pitch * in_word,
                         page_w - GLYPH_W * s)
-    y0 = min(max(row_top, 0), page_h - GLYPH_H * s)
     cell_px = np.arange(GLYPH_W * s, dtype=np.int64)
-    cols = (starts[:, None] + cell_px[None, :]).ravel()
-    band = ink[y0 : y0 + GLYPH_H * s, cols]
+    # per-cell top: the owning group's own top edge (nearest group by left
+    # edge); falls back to the row top when no group array is supplied
+    if gt is not None:
+        g_idx = np.clip(np.searchsorted(gl, starts, side="right") - 1,
+                        0, gl.shape[0] - 1)
+        y0s = np.clip(gt[g_idx], 0, page_h - GLYPH_H * s)
+    else:
+        y0s = np.full(n, min(max(row_top, 0), page_h - GLYPH_H * s),
+                      dtype=np.int64)
+    Yc = y0s[:, None] + np.arange(GLYPH_H * s, dtype=np.int64)[None, :]
+    Xc = starts[:, None] + cell_px[None, :]
+    band = ink[Yc[:, :, None], Xc[:, None, :]]          # (n, gh, gw)
     bits = (
-        band.reshape(GLYPH_H, s, n, GLYPH_W, s).mean(axis=(1, 4)) > 0.5
-    ).transpose(1, 0, 2).reshape(n, GLYPH_H * GLYPH_W)
+        band.reshape(n, GLYPH_H, s, GLYPH_W, s).mean(axis=(2, 4)) > 0.5
+    ).reshape(n, GLYPH_H * GLYPH_W)
     dists = (bits[:, None, :] ^ lut_bits[None, :, :]).sum(axis=2)
     best = np.argmin(dists, axis=1)
     best_d = dists[np.arange(n), best]
@@ -211,12 +236,13 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         offs = np.array([(dy, dx) for dy in (0, -1, 1, -2, 2)
                          for dx in (0, -1, 1)], dtype=np.int64)
         gh, gw = GLYPH_H * s, GLYPH_W * s
-        oy = np.clip(row_top + offs[:, 0], 0, page_h - gh)         # (15,)
+        oy = np.clip(y0s[bad, None] + offs[None, :, 0],
+                     0, page_h - gh)                               # (m,15)
         ox = np.clip(starts[bad, None] + offs[None, :, 1],
                      0, page_w - gw)                               # (m,15)
-        Y = oy[:, None] + np.arange(gh)[None, :]                   # (15,gh)
+        Y = oy[:, :, None] + np.arange(gh)[None, None, :]          # (m,15,gh)
         X = ox[:, :, None] + np.arange(gw)[None, None, :]          # (m,15,gw)
-        cells = ink[Y[None, :, :, None], X[:, :, None, :]]         # (m,15,gh,gw)
+        cells = ink[Y[:, :, :, None], X[:, :, None, :]]            # (m,15,gh,gw)
         cb = (cells.reshape(bad.shape[0], offs.shape[0],
                             GLYPH_H, s, GLYPH_W, s).mean(axis=(3, 5)) > 0.5)
         bits2 = cb.reshape(bad.shape[0], offs.shape[0], GLYPH_H * GLYPH_W)
@@ -425,35 +451,67 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
     # A second pass refines the residual ONLY when a first correction was
     # applied, so straight pages never pick up spurious ±1px shifts.)
     vote = _voting_centroids(blobs)
-    for it in range(2):
+    warped_before = False
+    for it in range(4):
         if vote is None:
             break
         cx, cy, med_h = vote
-        deg, bow = estimate_skew_bow(cx, cy, bin_px=med_h / skew_bin_div,
+        bin_px = med_h / skew_bin_div
+        deg, bow = estimate_skew_bow(cx, cy, bin_px=bin_px,
                                      page_w=ink.shape[1])
         apply_skew = abs(deg) >= SKEW_APPLY_MIN_DEG
         apply_bow = abs(bow) >= (BOW_APPLY_MIN_PX if it == 0 else 1.0)
-        if not (apply_skew or apply_bow):
-            break
-        if apply_skew:
-            # undo via vertical shear (integer column shifts — no second
-            # resampling pass over glyph interiors)
-            ink = shear_y(ink, np.tan(np.deg2rad(deg)), False)
-        if apply_bow:
-            # the correction is integer column shifts, so pick the INTEGER
-            # bow around the fit that sharpest-flattens the actual ink-row
-            # profile — a fractional residual would leave irregular ±1px
-            # shifts inside glyphs that no sampling offset can undo
+        # ---- spline residual (A4 v2): multi-bow / wavy pages exceed the
+        # one-quadratic model — the reference's QSPLINE fallback
+        # (baselinedetect.cpp:909, quspline.cpp). The two candidate
+        # corrections COMPETE on the Postl sharpness of the centroids they
+        # would produce: on a sine-warped page the quadratic fit is
+        # untrustworthy (its row clustering is smeared), and applying it
+        # blind can shear the page beyond recovery.
+        warp = estimate_warp(ink)
+        # once a warp has been applied the page is known wavy: residuals
+        # down to 3 px are still worth flattening (straight pages never
+        # reach this branch, so they can't pick up spurious small shifts)
+        warp_gate = 3.0 if warped_before else 4.0
+        warp_sig = (warp is not None
+                    and float(warp.max() - warp.min()) >= warp_gate)
+        if warp_sig:
             half = max(ink.shape[1] / 2.0, 1.0)
-            u = ((np.arange(ink.shape[1]) - ink.shape[1] / 2.0) / half) ** 2
-            best = None
-            for bb in np.unique(np.rint([bow - 1.0, bow, bow + 1.0])):
-                cand = shift_columns(ink, -np.rint(bb * u), False)
-                prof = cand.sum(axis=1).astype(np.float64)
-                sharp = float((prof * prof).sum())
-                if best is None or sharp > best[0]:
-                    best = (sharp, cand)
-            ink = best[1]
+            uc = ((cx - ink.shape[1] / 2.0) / half) ** 2
+            y_quad = (cy
+                      - (np.tan(np.deg2rad(deg)) * cx if apply_skew else 0.0)
+                      - (bow * uc if apply_bow else 0.0))
+            y_warp = cy - warp[np.clip(cx.astype(np.int64), 0,
+                                       ink.shape[1] - 1)]
+            if profile_sharpness(y_warp, bin_px) <= \
+                    profile_sharpness(y_quad, bin_px):
+                warp_sig = False
+        if warp_sig:
+            ink = shift_columns(ink, -np.rint(warp), False)
+            warped_before = True
+        elif apply_skew or apply_bow:
+            if apply_skew:
+                # undo via vertical shear (integer column shifts — no second
+                # resampling pass over glyph interiors)
+                ink = shear_y(ink, np.tan(np.deg2rad(deg)), False)
+            if apply_bow:
+                # the correction is integer column shifts, so pick the
+                # INTEGER bow around the fit that sharpest-flattens the
+                # actual ink-row profile — a fractional residual would leave
+                # irregular ±1px shifts inside glyphs that no sampling
+                # offset can undo
+                half = max(ink.shape[1] / 2.0, 1.0)
+                u = ((np.arange(ink.shape[1]) - ink.shape[1] / 2.0) / half) ** 2
+                best = None
+                for bb in np.unique(np.rint([bow - 1.0, bow, bow + 1.0])):
+                    cand = shift_columns(ink, -np.rint(bb * u), False)
+                    prof = cand.sum(axis=1).astype(np.float64)
+                    sharp = float((prof * prof).sum())
+                    if best is None or sharp > best[0]:
+                        best = (sharp, cand)
+                ink = best[1]
+        else:
+            break
         blobs = label_blobs(ink)
         if len(blobs) == 0:
             return [], 0.0
@@ -544,10 +602,14 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         # PSM_SINGLE_TEXT_LINE (publictypes.h:173): the whole page is one
         # text line — no clustering, every glyph joins the single row
         r_top, r_bot = int(tt.min()), int(tb.max())
-        s = max(1, int(round((r_bot - r_top + 1) / GLYPH_H)))
-        gl, _gt, gr, _gb = _merge_x_overlaps(tl, tt, tr, tb, max(0, s - 1))
+        hh_sl = tb - tt + 1
+        big = hh_sl > MICRO_MAX_SIDE
+        est_h = float(np.median(hh_sl[big])) if big.any() \
+            else float(r_bot - r_top + 1)
+        s = max(1, int(round(est_h / GLYPH_H)))
+        gl, gt, gr, _gb = _merge_x_overlaps(tl, tt, tr, tb, max(0, s - 1))
         rows.append(dict(top=r_top, bottom=r_bot, left=int(gl.min()),
-                         right=int(gr.max()), s=s, gl=gl, gr=gr,
+                         right=int(gr.max()), s=s, gl=gl, gr=gr, gt=gt,
                          cov_l=gl, cov_r=gr))
     elif tl.shape[0] > 0:
         hh_all = tb - tt + 1
@@ -587,7 +649,18 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                 continue  # leader-only row: nothing to read
             mi = np.array(txt_ids)
             r_top, r_bot = int(row_tops[r]), int(row_bots[r])
-            s = max(1, int(round((r_bot - r_top + 1) / GLYPH_H)))
+            # row scale from the median GLYPH height, not the row extent:
+            # residual warp (wavy pages) inflates the top-to-bottom extent
+            # by the across-row drift, which at the margin rounds s up one
+            # and breaks the whole pitch grid. Every conformed glyph spans
+            # exactly 7s, so the member-height median IS the scale (A2
+            # line-size-from-height-mode, tordmain.cpp:287).
+            mh = tb[mi] - tt[mi] + 1
+            mh = mh[mh >= 0.75 * med_h]
+            if mh.shape[0]:
+                s = max(1, int(round(float(np.median(mh)) / GLYPH_H)))
+            else:
+                s = max(1, int(round((r_bot - r_top + 1) / GLYPH_H)))
             # fragments closer than one scale unit rejoin (C3 repair); the
             # nominal inter-char ink gap is exactly s px, so s-1 is safe
             repair = max(0, s - 1)
@@ -603,7 +676,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             else:
                 cov_l, cov_r = gl, gr
             rows.append(dict(top=r_top, bottom=r_bot, left=int(gl.min()),
-                             right=int(gr.max()), s=s, gl=gl, gr=gr,
+                             right=int(gr.max()), s=s, gl=gl, gr=gr, gt=gt,
                              cov_l=cov_l, cov_r=cov_r))
 
     body_s = int(np.median([r["s"] for r in rows])) if rows else 1
@@ -681,7 +754,8 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             gl, gr = r["gl"][sel], r["gr"][sel]
             out.append((int(c), dict(top=r["top"], bottom=r["bottom"],
                                      left=int(gl.min()), right=int(gr.max()),
-                                     s=r["s"], heading=False, gl=gl, gr=gr)))
+                                     s=r["s"], heading=False, gl=gl, gr=gr,
+                                     gt=r["gt"][sel])))
         return out
 
     # ---- blocks: stack rows per column, split on class change / big gap (W2) ----
@@ -735,17 +809,20 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
     q_dist = 0
     q_chars = 0
 
-    def decode_block(b, sep: str = "\n") -> str:
+    def decode_rows(b) -> list[str]:
         nonlocal q_dist, q_chars
         lines = []
         for rr in b["rows"]:
             text, d, n = _decode_row(ink, rr["top"], rr["bottom"],
                                      rr["gl"], rr["gr"], rr["s"], lut,
-                                     rtl=rtl)
+                                     rtl=rtl, gt=rr.get("gt"))
             lines.append(text)
             q_dist += d
             q_chars += n
-        return sep.join(lines)
+        return lines
+
+    def decode_block(b, sep: str = "\n") -> str:
+        return sep.join(decode_rows(b))
 
     def decode_table(b) -> str:
         """C8 v2 cell structure (the reference recognizes table structure in
@@ -765,9 +842,11 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                 if not sel.any():
                     cells.append("")
                     continue
+                gt_r = rr.get("gt")
                 text, d, n = _decode_row(ink, rr["top"], rr["bottom"],
                                          rr["gl"][sel], rr["gr"][sel],
-                                         rr["s"], lut, rtl=rtl)
+                                         rr["s"], lut, rtl=rtl,
+                                         gt=None if gt_r is None else gt_r[sel])
                 cells.append(text)
                 q_dist += d
                 q_chars += n
@@ -806,18 +885,46 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                 and col_row_counts.get(b["col_key"], 0) == 1):
             out.append(Block(rank, PULLOUT_TEXT, decode_block(b), l, t, r_, bo))
             continue
-        txt = decode_block(b)
+        lines_txt = decode_rows(b)
+        txt = "\n".join(lines_txt)
         if psm == "auto" and _is_equation(txt):
-            kind = EQUATION
-        else:
-            kind = FLOWING_TEXT
-            for ib in image_boxes:
-                x_overlap = min(r_, ib[2]) >= max(l, ib[0])
-                dy = t - ib[3]
-                if x_overlap and 0 <= dy <= CAPTION_GAP_UNITS * b["rows"][0]["s"]:
-                    kind = CAPTION_TEXT
-                    break
+            out.append(Block(rank, EQUATION, txt, l, t, r_, bo))
+            continue
+        # inline equations (C9 second half, equationdetect.cpp:351: seeds
+        # GROW inside flowing text): an equation row embedded at normal line
+        # pitch inside a paragraph splits it into flowing / inline_equation
+        # / flowing sub-blocks, kept consecutive at the parent's position in
+        # reading order (PT_INLINE_EQUATION, publictypes.h:60)
+        eqrow = [psm == "auto" and _is_equation(ln) for ln in lines_txt]
+        if any(eqrow) and len(lines_txt) > 1:
+            rows_b = b["rows"]
+            i0 = 0
+            for k in range(1, len(lines_txt) + 1):
+                if k < len(lines_txt) and eqrow[k] == eqrow[i0]:
+                    continue
+                seg = rows_b[i0:k]
+                out.append(Block(
+                    rank,
+                    INLINE_EQUATION if eqrow[i0] else FLOWING_TEXT,
+                    "\n".join(lines_txt[i0:k]),
+                    min(r2["left"] for r2 in seg),
+                    min(r2["top"] for r2 in seg),
+                    max(r2["right"] for r2 in seg),
+                    max(r2["bottom"] for r2 in seg)))
+                i0 = k
+            continue
+        kind = FLOWING_TEXT
+        for ib in image_boxes:
+            x_overlap = min(r_, ib[2]) >= max(l, ib[0])
+            dy = t - ib[3]
+            if x_overlap and 0 <= dy <= CAPTION_GAP_UNITS * b["rows"][0]["s"]:
+                kind = CAPTION_TEXT
+                break
         out.append(Block(rank, kind, txt, l, t, r_, bo))
+    # sub-block splits above may have emitted several blocks for one rank —
+    # renumber densely, preserving emission (reading) order
+    for i, blk in enumerate(out):
+        blk.order = i
     return out, (q_dist / q_chars if q_chars else 0.0)
 
 
