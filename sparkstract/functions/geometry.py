@@ -215,8 +215,12 @@ def _align_profiles(profs: list[np.ndarray], base: np.ndarray,
     n_s = len(profs)
     off = np.full(n_s, np.nan)
     ref = np.zeros(h + 2 * pad)
+    # a VIEW over the mutating template buffer: in-place += updates below
+    # are visible through it, so one construction serves every strip
+    wins = np.lib.stride_tricks.sliding_window_view(ref, h)
     have_ref = False
-    deltas = sorted(range(-span, span + 1), key=abs)
+    deltas = np.array(sorted(range(-span, span + 1), key=abs),
+                      dtype=np.int64)
     for s_i in range(n_s):
         p = profs[s_i]
         if float(p.sum()) <= 0:
@@ -227,12 +231,10 @@ def _align_profiles(profs: list[np.ndarray], base: np.ndarray,
             off[s_i] = b
             have_ref = True
             continue
-        best_d, best_score = 0, -np.inf
-        for dd in deltas:
-            d = b + dd
-            score = float(ref[pad + d : pad + d + h] @ p)
-            if score > best_score:
-                best_d, best_score = d, score
+        # all candidate windows in one matmul; deltas are |δ|-ordered so the
+        # strict argmax keeps ties at the smallest shift
+        scores = wins[pad + b + deltas] @ p
+        best_d = b + int(deltas[int(np.argmax(scores))])
         off[s_i] = best_d
         ref[pad + best_d : pad + best_d + h] += p
     # second sweep: re-align every strip against the COMPLETE template
@@ -246,12 +248,8 @@ def _align_profiles(profs: list[np.ndarray], base: np.ndarray,
         cur = int(off[s_i])
         ref[pad + cur : pad + cur + h] -= p
         b = int(base[s_i])
-        best_d, best_score = cur, -np.inf
-        for dd in deltas:
-            d = b + dd
-            score = float(ref[pad + d : pad + d + h] @ p)
-            if score > best_score:
-                best_d, best_score = d, score
+        scores = wins[pad + b + deltas] @ p
+        best_d = b + int(deltas[int(np.argmax(scores))])
         off[s_i] = best_d
         ref[pad + best_d : pad + best_d + h] += p
     return off
@@ -291,6 +289,11 @@ def estimate_warp(ink: np.ndarray, n_seg: int = 8,
     if valid.sum() < 2:
         return None
     f = np.interp(xs, centers[valid], off[valid])
+    if float(off[valid].max() - off[valid].min()) < 2.0:
+        # coarsely flat: the fine pass can't push the range past any
+        # application gate — skip it (the common straight-page case)
+        f = -f
+        return f - np.median(f)
 
     profs2, centers2 = strip_profiles(2 * n_seg)
     base2 = np.rint(np.interp(centers2, xs, f))

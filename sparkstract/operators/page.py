@@ -214,12 +214,24 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     else:
         y0s = np.full(n, min(max(row_top, 0), page_h - GLYPH_H * s),
                       dtype=np.int64)
-    Yc = y0s[:, None] + np.arange(GLYPH_H * s, dtype=np.int64)[None, :]
-    Xc = starts[:, None] + cell_px[None, :]
-    band = ink[Yc[:, :, None], Xc[:, None, :]]          # (n, gh, gw)
-    bits = (
-        band.reshape(n, GLYPH_H, s, GLYPH_W, s).mean(axis=(2, 4)) > 0.5
-    ).reshape(n, GLYPH_H * GLYPH_W)
+    if np.all(y0s == y0s[0]):
+        # clean-page fast path: one contiguous band slice + column gather
+        # (every glyph top equals the row top by the font edge invariant)
+        y0 = int(y0s[0])
+        cols = (starts[:, None] + cell_px[None, :]).ravel()
+        band = ink[y0 : y0 + GLYPH_H * s, cols]
+        bits = (
+            band.reshape(GLYPH_H, s, n, GLYPH_W, s).mean(axis=(1, 4)) > 0.5
+        ).transpose(1, 0, 2).reshape(n, GLYPH_H * GLYPH_W)
+    else:
+        # drifted rows (residual warp): full per-cell gather at each cell's
+        # own top
+        Yc = y0s[:, None] + np.arange(GLYPH_H * s, dtype=np.int64)[None, :]
+        Xc = starts[:, None] + cell_px[None, :]
+        band = ink[Yc[:, :, None], Xc[:, None, :]]      # (n, gh, gw)
+        bits = (
+            band.reshape(n, GLYPH_H, s, GLYPH_W, s).mean(axis=(2, 4)) > 0.5
+        ).reshape(n, GLYPH_H * GLYPH_W)
     dists = (bits[:, None, :] ^ lut_bits[None, :, :]).sum(axis=2)
     best = np.argmin(dists, axis=1)
     best_d = dists[np.arange(n), best]
@@ -454,6 +466,12 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
     warped_before = False
     for it in range(4):
         if vote is None:
+            break
+        # quadratic-only refinement converges in two passes (the original
+        # loop bound); only a latched wavy page earns the extra iterations —
+        # without this cap, ±1px bow-estimate noise keeps straight pages
+        # looping and re-labeling to no effect
+        if it >= 2 and not warped_before:
             break
         cx, cy, med_h = vote
         bin_px = med_h / skew_bin_div
