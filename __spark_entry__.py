@@ -212,6 +212,41 @@ def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZONE_LINES = ["SPARK QUERY SCAN", "MERGE BATCH GRID",
+               "PAGE LINE WORD", "TOKEN GLYPH ROW"]
+_ZONE_SPLIT = 58  # between rows 2 and 3 (tops 16/40/64/88 at scale 2)
+
+
+@functools.lru_cache(maxsize=1)
+def _zone_fixture():
+    from sparkstract.fixtures.render import PageSpec, Text, render_page
+    from sparkstract.functions.png import encode_gray
+
+    img, _ = render_page(PageSpec(elements=[Text(_ZONE_LINES)], scale=2,
+                                  width_chars=17))
+    return encode_gray(img), img.shape
+
+
+def q_zone_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 zone-file source: a zones side table overrides segmentation per
+    media_ref (read_unlv_file, blread.cpp; honored pagesegmain.cpp:114-127)
+    — the supplied two-zone split wins over the single auto block."""
+    from sparkstract.fixtures.gen import DOCS_SCHEMA, MEDIA_SCHEMA
+    from sparkstract.plans.pipeline import ZONES_SCHEMA
+
+    png, (h, w) = _zone_fixture()
+    docs = spark.createDataFrame(
+        [("d-zone", [dict(kind="media", text=None, media_ref="m-zone",
+                          offset=0)])], DOCS_SCHEMA)
+    media = spark.createDataFrame([("m-zone", w, h, png)], MEDIA_SCHEMA)
+    zones = spark.createDataFrame(
+        [("m-zone", [dict(left=0, top=0, right=w - 1,
+                          bottom=_ZONE_SPLIT - 1, kind="flowing_text"),
+                     dict(left=0, top=_ZONE_SPLIT, right=w - 1,
+                          bottom=h - 1, kind="flowing_text")])], ZONES_SCHEMA)
+    return extract(spark, docs, media, zones=zones)
+
+
 def q_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AnalyseLayout slice (baseapi.cpp:1298): kinds + order without
     recognition — extracted spans carry NULL text, pass-through text stays."""
@@ -717,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_rtl": q_extract_rtl,
         "extract_bidi": q_extract_bidi,
         "table_cells": q_table_cells,
+        "zone_override": q_zone_override,
         "layout_blocks": q_layout_blocks,
         "event_sessions": q_event_sessions,
         "top_parts_by_brand": q_top_parts_by_brand,
@@ -845,6 +881,14 @@ def oracle_sql() -> dict[str, str]:
             {table_cell_rows}
             ) AS t(doc_id, "order", row_idx, cell_idx, cell)
             ORDER BY doc_id, "order", row_idx, cell_idx
+        """,
+        "zone_override": f"""
+            SELECT * FROM (VALUES
+            ('d-zone', 0, 'flowing_text',
+             {_sql_quote(chr(10).join(_ZONE_LINES[:2]))}, 'm-zone'),
+            ('d-zone', 1, 'flowing_text',
+             {_sql_quote(chr(10).join(_ZONE_LINES[2:]))}, 'm-zone')
+            ) AS t(doc_id, "order", kind, text, media_ref)
         """,
         "layout_blocks": f"""
             WITH truth AS ({_truth_values_sql()})

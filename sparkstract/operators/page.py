@@ -961,6 +961,32 @@ def _script_vote_rtl(blocks: list[Block]) -> bool:
     return n_rtl > n_ltr
 
 
+def analyse_zones(gray: np.ndarray, zones: list[dict], rtl: bool = False,
+                  whitelist: str | None = None) -> list[Block]:
+    """S10 zone-file SOURCE: segmentation supplied by the caller overrides
+    page analysis entirely — the reference reads UNLV .uzn zone files
+    (src/ccstruct/blread.cpp read_unlv_file) and a non-empty block list
+    makes SegmentPage skip AutoPageSeg (src/ccmain/pagesegmain.cpp:114-127).
+    One Block per zone, in the given order, with the given kind; text zones
+    are recognized as one uniform block (PSM_SINGLE_BLOCK semantics) inside
+    their rectangle, image/line zones pass through untyped."""
+    lut = decode_tables(whitelist)
+    ink = binarize(gray)
+    out: list[Block] = []
+    for i, z in enumerate(zones):
+        l, t = int(z["left"]), int(z["top"])
+        r, b = int(z["right"]), int(z["bottom"])
+        kind = z["kind"]
+        if kind in (FLOWING_IMAGE, PULLOUT_IMAGE, HORZ_LINE, VERT_LINE):
+            out.append(Block(i, kind, None, l, t, r, b))
+            continue
+        sub = ink[max(t, 0) : b + 1, max(l, 0) : r + 1]
+        blocks, _q = _analyse_ink(sub, rtl=rtl, psm="single_block", lut=lut)
+        text = "\n".join(bb.text for bb in blocks if bb.text)
+        out.append(Block(i, kind, text or None, l, t, r, b))
+    return out
+
+
 def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
                  whitelist: str | None = None) -> list[Block]:
     """Full page analysis + recognition: binarize, analyse; if recognition

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import ExtractConfig
-from ..operators.page import analyse_page
+from ..operators.page import analyse_page, analyse_zones
+
+ZONES_SCHEMA = ("media_ref string, zones array<struct<left:int,top:int,"
+                "right:int,bottom:int,kind:string>>")
 
 EXTRACTED_SCHEMA = (
     "doc_id string, offset int, block_order int, kind string, "
@@ -51,10 +54,30 @@ def _page_kernel(cfg: ExtractConfig):
                                     ("doc_id", "offset", "block_order", "kind",
                                      "text", "media_ref",
                                      "left", "top", "right", "bottom")}
-            for doc_id, offset, ref, png in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
+            zones_col = pdf["zones"] if "zones" in pdf.columns \
+                else [None] * len(pdf)
+            for doc_id, offset, ref, png, page_zones in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
+                zones_col,
             ):
                 gray = decode_gray(bytes(png))
+                if page_zones is not None and len(page_zones):
+                    # S10 zone-override source: supplied segmentation wins
+                    # (read_unlv_file, pagesegmain.cpp:114-127)
+                    for blk in analyse_zones(gray, list(page_zones),
+                                             rtl=cfg.rtl,
+                                             whitelist=cfg.char_whitelist):
+                        out["doc_id"].append(doc_id)
+                        out["offset"].append(offset)
+                        out["block_order"].append(blk.order)
+                        out["kind"].append(blk.kind)
+                        out["text"].append(blk.text if cfg.recognize else None)
+                        out["media_ref"].append(ref)
+                        out["left"].append(blk.left)
+                        out["top"].append(blk.top)
+                        out["right"].append(blk.right)
+                        out["bottom"].append(blk.bottom)
+                    continue
                 # crop (SetRectangle, baseapi.cpp:949) restricts ANALYSIS,
                 # but emitted geometry stays in original-image coordinates —
                 # the reference adds rect_left_/rect_top_ back on every
@@ -82,9 +105,13 @@ def _page_kernel(cfg: ExtractConfig):
 
 
 def _extracted_blocks(docs: DataFrame, media: DataFrame,
-                      cfg: ExtractConfig) -> tuple[DataFrame, DataFrame]:
+                      cfg: ExtractConfig,
+                      zones: DataFrame | None = None
+                      ) -> tuple[DataFrame, DataFrame]:
     """Shared plumbing: (per-block kernel output incl. geometry, text
-    pass-through spans)."""
+    pass-through spans). `zones` (ZONES_SCHEMA) optionally overrides
+    segmentation per media_ref — the S10 zone-file source; pages without a
+    zones row fall through to full analysis."""
     exploded = docs.select("doc_id", F.explode("spans").alias("span")).select(
         "doc_id",
         F.col("span.kind").alias("kind"),
@@ -101,6 +128,12 @@ def _extracted_blocks(docs: DataFrame, media: DataFrame,
     )
 
     media_side = media.select("media_ref", "image")
+    if zones is not None:
+        # zone tables are segmentation hints — tiny relative to media bytes,
+        # always broadcast-joined on the same key
+        media_side = media_side.join(
+            F.broadcast(zones.select("media_ref", "zones")), "media_ref",
+            "left")
     refs = exploded.filter(F.col("kind") == "media").select(
         "doc_id", "offset", "media_ref")
     if cfg.broadcast_media_max_rows:
@@ -126,11 +159,14 @@ def _extracted_blocks(docs: DataFrame, media: DataFrame,
 
 
 def extract(spark: SparkSession, docs: DataFrame, media: DataFrame,
-            cfg: ExtractConfig | None = None) -> DataFrame:
+            cfg: ExtractConfig | None = None,
+            zones: DataFrame | None = None) -> DataFrame:
     """Run the full pipeline; returns flat spans (doc_id, order, kind, text,
-    media_ref) — `order` dense 0-based per doc, the north-rule invariant key."""
+    media_ref) — `order` dense 0-based per doc, the north-rule invariant key.
+    `zones` (ZONES_SCHEMA) optionally overrides segmentation per media_ref
+    (S10 zone-file source)."""
     cfg = cfg or ExtractConfig()
-    extracted, text_pass = _extracted_blocks(docs, media, cfg)
+    extracted, text_pass = _extracted_blocks(docs, media, cfg, zones)
 
     unioned = extracted.drop("left", "top", "right", "bottom") \
         .unionByName(text_pass)

@@ -120,3 +120,44 @@ def test_broken_cut_actually_splits_components():
     assert n_cut > n_ref
     # and the repaired decode is still exact
     assert analyse_page(render_page(cut)[0])[0].text == "HHHH"
+
+
+def test_zone_override_source(spark):
+    """S10 zone-file source (read_unlv_file, pagesegmain.cpp:114-127): a
+    zones table overrides segmentation per media_ref — here it splits one
+    auto-detected block into two forced zones; pages without zones rows
+    keep full analysis."""
+    from sparkstract.fixtures.gen import DOCS_SCHEMA, MEDIA_SCHEMA
+    from sparkstract.fixtures.render import PageSpec, Text, render_page
+    from sparkstract.functions.png import encode_gray
+    from sparkstract.plans.pipeline import ZONES_SCHEMA, extract
+
+    lines = ["SPARK QUERY SCAN", "MERGE BATCH GRID",
+             "PAGE LINE WORD", "TOKEN GLYPH ROW"]
+    img, _ = render_page(PageSpec(elements=[Text(lines)], scale=2,
+                                  width_chars=17))
+    h, w = img.shape
+    # layout contract (render.py): margin 8s, line pitch 12s → rows top at
+    # 16/40/64/88 at scale 2; split between rows 2 and 3
+    split = 58
+    docs = spark.createDataFrame(
+        [("d-z", [dict(kind="media", text=None, media_ref="m-z", offset=0)])],
+        DOCS_SCHEMA)
+    media = spark.createDataFrame([("m-z", w, h, encode_gray(img))],
+                                  MEDIA_SCHEMA)
+    zones = spark.createDataFrame(
+        [("m-z", [dict(left=0, top=0, right=w - 1, bottom=split - 1,
+                       kind="flowing_text"),
+                  dict(left=0, top=split, right=w - 1, bottom=h - 1,
+                       kind="flowing_text")])], ZONES_SCHEMA)
+
+    # without zones: one auto-detected block
+    auto = extract(spark, docs, media).collect()
+    assert [r["text"] for r in sorted(auto, key=lambda r: r["order"])] == \
+        ["\n".join(lines)]
+    # with zones: forced two-block segmentation, kinds from the zone table
+    got = sorted(extract(spark, docs, media, zones=zones).collect(),
+                 key=lambda r: r["order"])
+    assert [(r["kind"], r["text"]) for r in got] == [
+        ("flowing_text", "\n".join(lines[:2])),
+        ("flowing_text", "\n".join(lines[2:]))]
