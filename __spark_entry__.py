@@ -465,6 +465,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).orderBy("doc_a", "doc_b")
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per doc (count + sum of the distinct
+    selected hashes — a compact deterministic digest of the fp set)."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(docs, k=5, window=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"), F.sum("fp").alias("fp_sum"))
+        .orderBy("doc_id")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -769,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
+        "winnow_fp": q_winnow_fp,
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
@@ -1076,6 +1095,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
             FROM per_bit GROUP BY doc_id ORDER BY doc_id
+        """,
+        "simhash_near_dup": f"""
+            WITH toks AS ({_DD_TOKENS}),
+            tok AS (SELECT doc_id, unnest(tl) AS tok FROM toks),
+            hashed AS (SELECT doc_id, {_DD_HEX2LONG.format(v='tok')} AS h FROM tok),
+            bitted AS (
+              SELECT doc_id, j, CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM hashed, range(0, 32) bits(j)),
+            per_bit AS (SELECT doc_id, j, sum(v) AS s FROM bitted GROUP BY doc_id, j),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sh
+              FROM per_bit GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, sh, CAST(band AS INTEGER) AS band,
+                     (sh >> CAST(8 * band AS INTEGER)) & 255 AS key
+              FROM sig, range(0, 4) b(band)),
+            -- oversized-bucket cap twin (max_bucket=64)
+            bc AS (SELECT band, key FROM banded GROUP BY band, key
+                   HAVING count(*) BETWEEN 2 AND 64)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.sh, b.sh)) AS hamming
+            FROM banded a
+            JOIN bc ON bc.band = a.band AND bc.key = a.key
+            JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        "winnow_fp": f"""
+            WITH toks AS ({_DD_TOKENS}),
+            gl AS (
+              SELECT doc_id, unnest(list_transform(
+                range(0, greatest(len(tl) - 4, 0)),
+                i -> {{'i': i, 'ngram': array_to_string(
+                       tl[CAST(i + 1 AS BIGINT):CAST(i + 5 AS BIGINT)], ' ')}}
+              )) AS g
+              FROM toks),
+            grams AS (SELECT doc_id, g.i AS i, g.ngram AS ngram FROM gl),
+            hashed AS (SELECT doc_id, i, {_DD_HEX2LONG.format(v='ngram')} AS h FROM grams),
+            win AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in_win
+              FROM hashed),
+            sel AS (SELECT DISTINCT doc_id, fp FROM win WHERE n_in_win = 4)
+            SELECT doc_id, count(*) AS n_fp,
+                   CAST(sum(fp) AS BIGINT) AS fp_sum
+            FROM sel GROUP BY doc_id ORDER BY doc_id
         """,
         "ngram_jaccard": f"""
             {_dd_ngrams(3)},

@@ -224,6 +224,90 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     )
 
 
+def simhash_near_dup_pairs(docs: DataFrame, bits: int = 32, bands: int = 4,
+                           max_hamming: int = 3,
+                           max_bucket: int = 64) -> DataFrame:
+    """Near-dup pairs from SimHash signatures via hamming BANDING: split the
+    `bits`-bit signature into `bands` equal byte-bands; by pigeonhole, two
+    signatures within `max_hamming` (< bands) differ in at most max_hamming
+    bands, so they MUST agree on at least one band — candidates are pairs
+    sharing any exact band value, verified with an exact popcount on the
+    XOR. Same bucket-aggregation shape (and the same oversized-bucket cap)
+    as minhash_lsh_pairs: one signature computation, shuffles only
+    (band, key, doc_id), no all-pairs join. Returns
+    (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    assert bits % bands == 0
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(docs, bits=bits)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.expr(f"shiftright(simhash, {b * width}) & {mask}")
+                 .alias("key"))
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "simhash",
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select("band", F.explode("ids").alias("a"), "ids")
+        .select("band", "a", F.explode("ids").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    standard LOCAL fingerprinting behind large-scale copy detection): hash
+    every word k-gram, slide a window of `window` consecutive hashes, keep
+    each window's minimum. Guarantee: any shared token run of length
+    >= k + window - 1 contributes at least one common fingerprint, so
+    near-dup detection needs only an equi-join on fp — no pair enumeration.
+    Returns distinct (doc_id, fp). One posexplode + one doc-partitioned
+    window pass: at 100 TB the only shuffle is on doc_id and the window is
+    partition-local."""
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                F.posexplode(grams).alias("i", "ngram"))
+        .select("doc_id", "i", hex_prefix_to_long(F.md5("ngram"), 8).alias("h"))
+    )
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, window - 1)
+    return (
+        pos.select("doc_id",
+                   F.min("h").over(w).alias("fp"),
+                   F.count(F.lit(1)).over(w).alias("n_in_win"))
+        .filter(F.col("n_in_win") == window)  # complete windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.4,
                         max_df: int = 1000) -> DataFrame:
