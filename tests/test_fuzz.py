@@ -103,3 +103,56 @@ def test_analyse_page_modes_never_crash(seed, psm, rtl, whitelist):
             if b.text:
                 assert set(b.text.replace(" ", "").replace("\n", "")) \
                     <= set(whitelist)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_estimate_warp_total_on_noise(seed):
+    """The spline-residual estimator must return a bounded finite curve (or
+    None) for ANY ink pattern — it runs unconditionally inside the
+    correction loop, so a crash here is a crash for every page."""
+    from sparkstract.functions.geometry import estimate_warp
+
+    rng = np.random.default_rng(seed)
+    ink = rng.random((40, 64)) < rng.uniform(0.0, 0.6)
+    f = estimate_warp(ink)
+    if f is not None:
+        assert f.shape == (64,)
+        assert np.isfinite(f).all()
+        assert float(np.abs(f).max()) <= 2 * 12 + 3  # bounded by search span
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 4))
+def test_analyse_zones_total_on_noise(seed, n_zones):
+    """Zone-override recognition must survive arbitrary zone rectangles over
+    arbitrary ink — including empty, degenerate, and out-of-range zones."""
+    from sparkstract.operators.page import analyse_zones
+
+    rng = np.random.default_rng(seed)
+    gray = (rng.random((50, 70)) * 255).astype(np.uint8)
+    zones = []
+    for _ in range(n_zones):
+        l, t = int(rng.integers(0, 69)), int(rng.integers(0, 49))
+        zones.append(dict(left=l, top=t,
+                          right=int(rng.integers(l, 75)),
+                          bottom=int(rng.integers(t, 55)),
+                          kind="flowing_text"))
+    out = analyse_zones(gray, zones)
+    assert len(out) == len(zones)
+    assert [b.order for b in out] == list(range(len(zones)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 3), min_size=1, max_size=10))
+def test_word_direction_feeds_textline_order(dirs):
+    """The kernel's per-word direction vocabulary is exactly what
+    textline_order consumes — round-trip on synthetic words of each class."""
+    from sparkstract.operators.page import _word_direction
+
+    sample = {0: "123", 1: "FOX", 2: "אב", 3: "אX"}
+    words = [sample[d] for d in dirs]
+    got = [_word_direction(w) for w in words]
+    assert got == dirs
+    order = textline_order(False, got)
+    assert sorted(word_indices_only(order)) == list(range(len(dirs)))
