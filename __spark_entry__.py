@@ -535,6 +535,27 @@ def q_render_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_tsv(extract(spark, docs, media)).orderBy("doc_id")
 
 
+def q_render_hocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstract.sinks import render_hocr
+
+    docs, media, _ = _fixture_frames(spark)
+    return render_hocr(extract(spark, docs, media)).orderBy("doc_id")
+
+
+def q_render_alto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstract.sinks import render_alto
+
+    docs, media, _ = _fixture_frames(spark)
+    return render_alto(extract(spark, docs, media)).orderBy("doc_id")
+
+
+def q_render_page_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstract.sinks import render_page_xml
+
+    docs, media, _ = _fixture_frames(spark)
+    return render_page_xml(extract(spark, docs, media)).orderBy("doc_id")
+
+
 # Paragraph-detection contract rows: ASCII blocks from the reference's own
 # test tables (unittest/paragraphs_test.cc) with hand-written expected
 # assignments — an oracle independent of the detector implementation.
@@ -796,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "render_text": q_render_text,
         "render_tsv": q_render_tsv,
+        "render_hocr": q_render_hocr,
+        "render_alto": q_render_alto,
+        "render_page_xml": q_render_page_xml,
         "paragraphs": q_paragraphs,
         "bidi_order": q_bidi_order,
         "image_features": q_image_features,
@@ -964,6 +988,107 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(regexp_replace(text, '[\\t\\n]', ' ', 'g'), ''),
                      chr(10) ORDER BY "order") AS tsv
             FROM truth GROUP BY doc_id ORDER BY doc_id
+        """,
+        "render_hocr": f"""
+            WITH truth AS ({_truth_values_sql()})
+            SELECT doc_id,
+                   '<html><body>' || chr(10) ||
+                   string_agg(
+                     '  <div class=''ocr_carea'' id=''block_' ||
+                     CAST("order" AS VARCHAR) || ''' title=''' || kind ||
+                     '''>' ||
+                     CASE
+                       WHEN kind IN ('flowing_image', 'heading_image',
+                                     'pullout_image')
+                       THEN '<img src=''' || coalesce(media_ref, '') || '''/>'
+                       WHEN kind IN ('horz_line', 'vert_line') THEN ''
+                       ELSE replace(replace(replace(coalesce(text, ''),
+                            '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                     END || '</div>',
+                     chr(10) ORDER BY "order") ||
+                   chr(10) || '</body></html>' AS hocr
+            FROM truth GROUP BY doc_id ORDER BY doc_id
+        """,
+        "render_alto": f"""
+            WITH truth AS ({_truth_values_sql()}),
+            esc AS (
+              SELECT doc_id, "order", kind, media_ref,
+                     replace(replace(replace(replace(
+                       coalesce(replace(text, chr(10), ' '), ''),
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                       chr(39), '&apos;') AS etext,
+                     replace(replace(replace(replace(
+                       coalesce(media_ref, ''),
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                       chr(39), '&apos;') AS emedia
+              FROM truth)
+            SELECT doc_id,
+                   '<alto xmlns=''http://www.loc.gov/standards/alto/ns-v3#''>'
+                   || '<Layout><Page ID=''' || doc_id || '''><PrintSpace>'
+                   || chr(10) ||
+                   string_agg(
+                     CASE
+                       WHEN kind IN ('horz_line', 'vert_line')
+                       THEN '    <GraphicalElement ID=''block_' ||
+                            CAST("order" AS VARCHAR) || ''' TAGREFS=''' ||
+                            kind || '''/>'
+                       WHEN kind IN ('flowing_image', 'heading_image',
+                                     'pullout_image')
+                       THEN '    <Illustration ID=''block_' ||
+                            CAST("order" AS VARCHAR) || ''' TAGREFS=''' ||
+                            kind || ''' FILEID=''' || emedia || '''/>'
+                       ELSE '    <TextBlock ID=''block_' ||
+                            CAST("order" AS VARCHAR) || ''' TAGREFS=''' ||
+                            kind || '''><TextLine><String CONTENT=''' ||
+                            etext || '''/></TextLine></TextBlock>'
+                     END,
+                     chr(10) ORDER BY "order") ||
+                   chr(10) || '</PrintSpace></Page></Layout></alto>' AS alto
+            FROM esc GROUP BY doc_id ORDER BY doc_id
+        """,
+        "render_page_xml": f"""
+            WITH truth AS ({_truth_values_sql()}),
+            esc AS (
+              SELECT doc_id, "order", kind, media_ref,
+                     replace(replace(replace(replace(replace(
+                       coalesce(text, ''),
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                       chr(39), '&apos;'), chr(10), '&#10;') AS etext,
+                     replace(replace(replace(replace(
+                       coalesce(media_ref, ''),
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                       chr(39), '&apos;') AS emedia
+              FROM truth)
+            SELECT doc_id,
+                   '<PcGts xmlns=''http://schema.primaresearch.org/PAGE/gts/'
+                   || 'pagecontent/2019-07-15''>' || chr(10) ||
+                   '  <Page imageFilename=''' || doc_id || '''>' || chr(10) ||
+                   '    <ReadingOrder><OrderedGroup id=''ro''>' || chr(10) ||
+                   string_agg(
+                     '      <RegionRefIndexed index=''' ||
+                     CAST("order" AS VARCHAR) || ''' regionRef=''r' ||
+                     CAST("order" AS VARCHAR) || '''/>',
+                     chr(10) ORDER BY "order") || chr(10) ||
+                   '    </OrderedGroup></ReadingOrder>' || chr(10) ||
+                   string_agg(
+                     CASE
+                       WHEN kind IN ('horz_line', 'vert_line')
+                       THEN '    <SeparatorRegion id=''r' ||
+                            CAST("order" AS VARCHAR) || ''' custom=''' ||
+                            kind || '''/>'
+                       WHEN kind IN ('flowing_image', 'heading_image',
+                                     'pullout_image')
+                       THEN '    <ImageRegion id=''r' ||
+                            CAST("order" AS VARCHAR) || ''' custom=''' ||
+                            kind || ''' imageFilename=''' || emedia || '''/>'
+                       ELSE '    <TextRegion id=''r' ||
+                            CAST("order" AS VARCHAR) || ''' custom=''' ||
+                            kind || '''><TextEquiv><Unicode>' || etext ||
+                            '</Unicode></TextEquiv></TextRegion>'
+                     END,
+                     chr(10) ORDER BY "order") || chr(10) ||
+                   '  </Page>' || chr(10) || '</PcGts>' AS page_xml
+            FROM esc GROUP BY doc_id ORDER BY doc_id
         """,
         "paragraphs": f"""
             SELECT * FROM (VALUES
