@@ -455,6 +455,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).orderBy("doc_a", "doc_b")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → one cluster id + keep flag
+    per document (alternating large-star/small-star; oracle is a recursive
+    transitive closure over the identical pair set, tractable at sf0.01)."""
+    from sparkstract.operators.cluster import dedup_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return dedup_assign(docs, pairs).orderBy("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32).orderBy("doc_id")
@@ -806,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returnflag_rollup": q_returnflag_rollup,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_fp": q_winnow_fp,
@@ -1208,6 +1220,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN banded b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
             GROUP BY 1, 2 ORDER BY doc_a, doc_b
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_dd_ngrams(3)[5:]},
+            sig AS (SELECT doc_id, {minhash_aggs} FROM grams GROUP BY doc_id),
+            banded AS ({band_selects}),
+            bc AS (SELECT band, key FROM banded GROUP BY band, key
+                   HAVING count(*) BETWEEN 2 AND 64),
+            pairs AS (
+              SELECT a.doc_id AS pu, b.doc_id AS pv
+              FROM banded a
+              JOIN bc ON bc.band = a.band AND bc.key = a.key
+              JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (SELECT pu AS u, pv AS v FROM pairs
+                      UNION SELECT pv, pu FROM pairs),
+            -- transitive closure: exact (and tractable) at oracle scale;
+            -- the Spark side reaches the same fixpoint in O(log n) rounds
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              FROM reach GROUP BY u),
+            csize AS (SELECT cluster_id, count(*) AS cluster_size
+                      FROM comp GROUP BY cluster_id)
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   coalesce(s.cluster_size, 1) AS cluster_size,
+                   (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+            FROM documents d
+            LEFT JOIN comp c ON c.doc_id = d.doc_id
+            LEFT JOIN csize s ON s.cluster_id = c.cluster_id
+            ORDER BY d.doc_id
         """,
         "simhash": f"""
             WITH toks AS ({_DD_TOKENS}),

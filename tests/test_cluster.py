@@ -1,0 +1,89 @@
+"""Connected-components dup clustering vs a brute-force union-find."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _uf_components(nodes, pairs):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    out = {}
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _spark_components(spark, pairs):
+    from sparkstract.operators.cluster import connected_components
+
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    return {r["node"]: r["cluster_id"]
+            for r in connected_components(df).collect()}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [
+    (1, 12, 6),     # sparse: mostly singletons + small chains
+    (2, 30, 25),    # mixed component sizes
+    (3, 40, 80),    # dense: few big components
+    (4, 64, 63),    # long-path regime (CC needs the log-round contraction)
+])
+def test_cc_matches_union_find(spark, seed, n_nodes, n_edges):
+    rng = random.Random(seed)
+    nodes = [f"d{i:03d}" for i in range(n_nodes)]
+    if seed == 4:
+        pairs = [(nodes[i], nodes[i + 1]) for i in range(n_nodes - 1)]
+    else:
+        pairs = [tuple(rng.sample(nodes, 2)) for _ in range(n_edges)]
+    expected = _uf_components(nodes, pairs)
+    got = _spark_components(spark, pairs)
+    touched = {n for p in pairs for n in p}
+    assert got == {n: c for n, c in expected.items() if n in touched}
+
+
+def test_cc_empty_and_self_pairs(spark):
+    from sparkstract.operators.cluster import connected_components
+
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame(
+        [("a", "a"), ("a", "b")], "doc_a string, doc_b string")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(loops).collect()}
+    assert got == {"a": "a", "b": "a"}
+
+
+def test_dedup_assign_singletons_and_keep(spark):
+    from sparkstract.operators.cluster import dedup_assign
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(6)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("d1", "d3"), ("d3", "d5"), ("d0", "d4")],
+        "doc_a string, doc_b string")
+    rows = {r["doc_id"]: r for r in dedup_assign(docs, pairs).collect()}
+    assert rows["d1"]["cluster_id"] == "d1"
+    assert rows["d3"]["cluster_id"] == "d1"
+    assert rows["d5"]["cluster_id"] == "d1"
+    assert rows["d5"]["cluster_size"] == 3
+    assert rows["d0"]["cluster_id"] == "d0" and rows["d4"]["cluster_id"] == "d0"
+    assert rows["d2"]["cluster_id"] == "d2" and rows["d2"]["cluster_size"] == 1
+    kept = {d for d, r in rows.items() if r["keep"]}
+    assert kept == {"d0", "d1", "d2"}
