@@ -222,6 +222,25 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             ["אב גד הו", "זח טי בג"],
             truth_lines=["הו גד אב", "בג טי זח"], col=0)],
             scale=2, rot90=int(rng.integers(1, 4)), rtl=True, seed=seed)
+    if family == "ragged_page":  # F29 — tab-vector column finding (J4,
+        # tabfind.cpp:833 FindTabVectors + partner pairing): one col-0 line
+        # runs long (15 chars at track 1 → ink ends 11s short of column 1,
+        # below the 12s x-coverage gutter threshold), so the merged coverage
+        # profile has NO qualifying gap — the gutter is only recoverable
+        # from column 1's aligned left edges (a left tab vector) partnered
+        # with the ragged right ink edge.
+        five = [w for w in _VOCAB if len(w) == 5]
+        three = [w for w in _VOCAB if len(w) == 3]
+        intruder = (f"{five[int(rng.integers(0, len(five)))]} "
+                    f"{five[int(rng.integers(0, len(five)))]} "
+                    f"{three[int(rng.integers(0, len(three)))]}")
+        assert len(intruder) == 15
+        col0 = _lines(rng, 3, 14)
+        col0[1] = intruder
+        return PageSpec(
+            elements=[Text(col0, col=0, track_lines={1: 1}),
+                      Text(_lines(rng, 3, 14), col=1)],
+            n_cols=2, scale=2, width_chars=15, seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[
@@ -239,7 +258,7 @@ PAGE_FAMILIES = [
     "textured_photo", "gradient_page", "contents_page", "equation_page",
     "vertical_page", "disc_page", "tracked_page", "bowed_page",
     "broken_page", "margin_note", "bidi_page", "rotated_rtl",
-    "inline_equation_page", "wavy_page",
+    "inline_equation_page", "wavy_page", "ragged_page",
 ]
 
 

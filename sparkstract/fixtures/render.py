@@ -61,6 +61,10 @@ class Text:
     track_units: int = 0  # extra letter-spacing in font units: char advance
                           # becomes (CELL_W + track_units) * s — exercises the
                           # fixed-pitch estimator (A7, topitch.cpp:74)
+    track_lines: dict[int, int] | None = None  # per-line letter-spacing
+                          # override (line index → track units): lets ONE line
+                          # run long into the gutter (ragged_page, the J4
+                          # tab-vector fixture) while the rest stay nominal
     truth_lines: list[str] | None = None  # hand-written LOGICAL reading
                           # order when it differs from the POSITIONAL
                           # rendering order — the bidi fixtures (W4,
@@ -389,9 +393,10 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             return
         if isinstance(e, Text):
             es = s * (2 if e.role == "heading" else 1)
-            adv = (CELL_W + e.track_units) * es
             yy = y0
-            for ln in e.lines:
+            for li, ln in enumerate(e.lines):
+                tr = (e.track_lines or {}).get(li, e.track_units)
+                adv = (CELL_W + tr) * es
                 if e.role == "equation":
                     need = (len(ln) - 1) * adv + GLYPH_W * es
                     _render_line(canvas, x0 + (avail_w - need) // 2, yy, ln, es,

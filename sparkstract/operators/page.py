@@ -79,6 +79,11 @@ LINE_MIN_LEN = 40       # separator rule (F5, linefind.cpp:706)
 TABLE_GAP_UNITS = 14    # internal aligned gap > 14*s → table cell gap (C8)
 TABLE_MIN_GAPS = 2      # >= 2 aligned gaps (3+ columns) → table, not gutter
 MICRO_MAX_SIDE = 4      # blob sides <= this → halftone-dot candidate (F7)
+TAB_CLEAR_UNITS = 8     # whitespace left of an edge >= 8*s → tab candidate;
+                        # word gaps are 7*s at nominal tracking, so they
+                        # never qualify (J4, tabfind.cpp:833)
+TAB_MIN_ROWS = 3        # aligned candidate edges from >= 3 distinct rows
+                        # form a tab vector (tabvector.cpp minimum support)
 DENSITY_CELL_PX = 16    # density-grid cell size
 DENSITY_CELL_MIN = 3    # micro blobs per cell to call the cell photo-dense
 DENSITY_MIN_BLOBS = 16  # skip the mask entirely below this page total
@@ -367,6 +372,82 @@ def _coverage_gaps(left: np.ndarray, right: np.ndarray, min_gap: int) -> list[tu
                 gaps.append((run_end + 1, int(l[i]) - 1))
         run_end = max(run_end, int(r[i]))
     return gaps
+
+
+def _tab_partner_gutters(rows: list[dict], body_s: int) -> list[tuple[int, int]]:
+    """J4 tab partner join (tabfind.cpp:833 FindTabVectors + partner pairing,
+    tabvector.cpp): a LEFT TAB VECTOR is >= TAB_MIN_ROWS decode-group left
+    edges, aligned within one scale unit across distinct rows, each with
+    >= TAB_CLEAR_UNITS*s of whitespace immediately to its left. The vector
+    only becomes a column gutter when (a) the clearance band holds for EVERY
+    row its vertical extent spans (the reference's clear-gutter requirement)
+    and (b) a PARTNER right ink edge exists left of the band — a tab at the
+    page's own left margin has no partner and is not a gutter.
+
+    This recovers gutters the pure x-coverage profile misses: one long line
+    intruding into the gutter erases the full-height coverage gap, but the
+    aligned left edges of the next column survive (ragged_page family).
+    Whitespace is measured on the COVERAGE geometry (cov_l/cov_r, leader
+    dots included) so dot leaders never read as clearance.
+
+    The clearance requirement is RELATIVE as well as absolute: a gutter must
+    be wider than ~1.4x the page's own median inter-word gap, or
+    letter-spaced text (word gaps (7+2t)*s at tracking t) sprouts a phantom
+    tab wherever three word starts happen to align on the pitch grid — the
+    reference makes the same word-space-vs-gutter distinction between
+    tospace.cpp gap statistics and tabfind's gutter test."""
+    gap_samples: list[int] = []
+    for r in rows:
+        gl, gr = r["gl"], r["gr"]
+        for i in range(gl.shape[0] - 1):
+            g = int(gl[i + 1]) - int(gr[i]) - 1
+            # WORD gaps only: letter-spaced text splits into per-char decode
+            # groups whose intra-word gaps would drag the median down to the
+            # letter gap and defeat the word-space-vs-gutter test
+            if WORD_GAP_UNITS * r["s"] < g < GUTTER_UNITS * body_s:
+                gap_samples.append(g)
+    med_gap = float(np.median(gap_samples)) if gap_samples else 0.0
+    clear = max(TAB_CLEAR_UNITS * body_s, int(np.ceil(1.4 * med_gap)))
+    cands: list[tuple[int, int]] = []  # (x, row_index)
+    for ri, r in enumerate(rows):
+        cov_r = r["cov_r"]
+        for x in r["gl"]:
+            x = int(x)
+            left_ink = cov_r[cov_r < x]
+            if left_ink.size and x - 1 - int(left_ink.max()) >= clear:
+                cands.append((x, ri))
+    cands.sort()
+    gutters: list[tuple[int, int]] = []
+    i = 0
+    while i < len(cands):
+        j = i
+        xs: list[int] = []
+        rids: set[int] = set()
+        while j < len(cands) and cands[j][0] - cands[i][0] <= body_s:
+            xs.append(cands[j][0])
+            rids.add(cands[j][1])
+            j += 1
+        i = j
+        if len(rids) < TAB_MIN_ROWS:
+            continue
+        xt = int(np.median(xs))
+        y0 = min(rows[ri]["top"] for ri in rids)
+        y1 = max(rows[ri]["bottom"] for ri in rids)
+        span = [r for r in rows if r["bottom"] >= y0 and r["top"] <= y1]
+        partner = None
+        ok = True
+        for r in span:
+            cl, cr = r["cov_l"], r["cov_r"]
+            if ((cl <= xt - 1) & (cr >= xt - clear)).any():
+                ok = False  # ink inside the gutter band → not a clear tab
+                break
+            lefts = cr[cr < xt - clear]
+            if lefts.size:
+                p = int(lefts.max())
+                partner = p if partner is None else max(partner, p)
+        if ok and partner is not None:
+            gutters.append((partner + 1, xt - 1))
+    return gutters
 
 
 def _xy_cut(boxes: list[tuple[int, int, int, int]], idx: list[int],
@@ -749,6 +830,14 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         bl = np.concatenate([r["cov_l"] for r in body_rows])
         br = np.concatenate([r["cov_r"] for r in body_rows])
         gaps = _coverage_gaps(bl, br, GUTTER_UNITS * body_s)
+        # J4: tab-vector gutters recover column boundaries the coverage
+        # profile misses (an intruding long line bridges the full-height
+        # gap); a tab gutter that overlaps a coverage gap is the same
+        # boundary already found — only novel ones are added
+        for tg in _tab_partner_gutters(body_rows, body_s):
+            if all(min(tg[1], g[1]) < max(tg[0], g[0]) for g in gaps):
+                gaps.append(tg)
+        gaps.sort()
         x_lo, x_hi = int(bl.min()), int(br.max())
         cuts = [x_lo - 1] + [g[0] - 1 for g in gaps] + [x_hi + 1]
         starts = [x_lo] + [g[1] + 1 for g in gaps]

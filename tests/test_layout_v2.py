@@ -128,3 +128,31 @@ def test_bowed_page_family():
 
 def test_margin_note_family():
     _run_family("margin_note", seed=105, trials=8)
+
+
+def test_ragged_page_family():
+    # J4 tab partner join: the gutter is bridged by one intruding long line,
+    # so only the aligned-left-edge tab vector can recover the two columns
+    _run_family("ragged_page", seed=104, trials=8)
+
+
+def test_ragged_page_requires_tab_vectors(monkeypatch):
+    # control: with tab gutters suppressed, coverage-only segmentation must
+    # FAIL on this family — guards the fixture against becoming trivially
+    # solvable (and the tab path against going dead)
+    import sparkstract.operators.page as P
+
+    rng = np.random.default_rng(104)
+    spec = page_spec("ragged_page", rng)
+    img, truth = render_page(spec)
+    monkeypatch.setattr(P, "_tab_partner_gutters", lambda rows, s: [])
+    got = P.analyse_page(img)
+    assert [(g.kind, g.text) for g in got] != \
+        [(t.kind, t.text) for t in truth]
+
+
+def test_tab_vector_not_spurious_on_single_column():
+    # a plain single-column page must never grow a tab-vector gutter: word
+    # gaps are 7*s < TAB_CLEAR_UNITS*s and the left margin has no partner
+    _run_family("single_column", seed=105, trials=6)
+    _run_family("tracked_page", seed=106, trials=8)
