@@ -466,6 +466,19 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_assign(docs, pairs).orderBy("doc_id")
 
 
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation composition: content gates (tokens /
+    language / quality) + keep-one-per-near-dup-cluster, with a per-doc
+    verdict and reason. Thresholds chosen so the sf tables exercise every
+    reason branch."""
+    from sparkstract.operators.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return curate_corpus(docs, pairs, min_tokens=20, langs=("en",),
+                         min_quality=0.1).orderBy("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32).orderBy("doc_id")
@@ -818,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dup_clusters": q_dup_clusters,
+        "curated_corpus": q_curated_corpus,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_fp": q_winnow_fp,
@@ -1255,6 +1269,67 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN comp c ON c.doc_id = d.doc_id
             LEFT JOIN csize s ON s.cluster_id = c.cluster_id
             ORDER BY d.doc_id
+        """,
+        "curated_corpus": f"""
+            WITH RECURSIVE {_dd_ngrams(3)[5:]},
+            sig AS (SELECT doc_id, {minhash_aggs} FROM grams GROUP BY doc_id),
+            banded AS ({band_selects}),
+            bc AS (SELECT band, key FROM banded GROUP BY band, key
+                   HAVING count(*) BETWEEN 2 AND 64),
+            pairs AS (
+              SELECT a.doc_id AS pu, b.doc_id AS pv
+              FROM banded a
+              JOIN bc ON bc.band = a.band AND bc.key = a.key
+              JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (SELECT pu AS u, pv AS v FROM pairs
+                      UNION SELECT pv, pu FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              FROM reach GROUP BY u),
+            t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS tl,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS tl_raw
+              FROM documents),
+            s AS (
+              SELECT doc_id, len(tl_raw) AS n_tokens, {lang_expr} AS lang,
+                     round(
+                       least(length(text) / 500.0, 1.0)
+                       * (1.0 - CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)
+                          ELSE 0 END)
+                       * least(1.0, (CASE WHEN len(tl) > 0
+                          THEN len(list_filter(tl, x -> list_contains({stop_list}, x))) * 1.0 / len(tl)
+                          ELSE 0 END) * 5.0),
+                     6) AS quality
+              FROM t),
+            g AS (
+              SELECT s.*, (c.doc_id IS NOT NULL) AS in_pairs,
+                     coalesce(c.cluster_id, s.doc_id) AS cluster_id,
+                     (n_tokens >= 20 AND lang IN ('en')
+                      AND quality >= 0.1) AS content_pass
+              FROM s LEFT JOIN comp c ON c.doc_id = s.doc_id),
+            w AS (SELECT cluster_id, min(doc_id) AS keep_id FROM g
+                  WHERE content_pass AND in_pairs GROUP BY cluster_id)
+            SELECT g.doc_id, g.lang, g.n_tokens, g.quality, g.cluster_id,
+                   (content_pass AND (NOT in_pairs OR g.doc_id = w.keep_id)) AS kept,
+                   CASE WHEN n_tokens < 20 THEN 'too_short'
+                        WHEN lang NOT IN ('en') THEN 'wrong_lang'
+                        WHEN quality < 0.1 THEN 'low_quality'
+                        WHEN NOT (content_pass
+                                  AND (NOT in_pairs OR g.doc_id = w.keep_id))
+                          THEN 'duplicate'
+                        ELSE 'kept' END AS reason
+            FROM g LEFT JOIN w ON w.cluster_id = g.cluster_id
+            ORDER BY g.doc_id
         """,
         "simhash": f"""
             WITH toks AS ({_DD_TOKENS}),

@@ -87,3 +87,34 @@ def test_dedup_assign_singletons_and_keep(spark):
     assert rows["d2"]["cluster_id"] == "d2" and rows["d2"]["cluster_size"] == 1
     kept = {d for d, r in rows.items() if r["keep"]}
     assert kept == {"d0", "d1", "d2"}
+
+
+def test_curate_corpus_reasons_and_winner(spark):
+    from sparkstract.operators.curate import curate_corpus
+
+    good = ("the fox and the dog is it to of in " * 6).strip()  # en, long, stopwordy
+    docs = spark.createDataFrame(
+        [
+            ("d0", good),                      # kept (cluster winner)
+            ("d1", good + " extra"),           # duplicate of d0 (passing)
+            ("d2", "short text"),              # too_short
+            ("d3", "der die und ist das " * 8),  # wrong_lang (de)
+            ("d4", ("of # " * 12).strip()),    # low_quality: en-marked but
+                                               # short + punct-heavy
+            ("d5", good + " more"),            # kept: its cluster-min d6 FAILS
+            ("d6", "tiny"),                    # too_short, cluster-min of {d5,d6}
+        ],
+        "doc_id string, text string")
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d5", "d6")], "doc_a string, doc_b string")
+    rows = {r["doc_id"]: r for r in
+            curate_corpus(docs, pairs, min_tokens=20, langs=("en",),
+                          min_quality=0.1).collect()}
+    assert rows["d0"]["reason"] == "kept" and rows["d0"]["kept"]
+    assert rows["d1"]["reason"] == "duplicate" and not rows["d1"]["kept"]
+    assert rows["d2"]["reason"] == "too_short"
+    assert rows["d3"]["reason"] == "wrong_lang"
+    assert rows["d4"]["reason"] == "low_quality"
+    # the winner is the min among PASSING members, not the raw cluster min
+    assert rows["d5"]["reason"] == "kept" and rows["d5"]["kept"]
+    assert rows["d6"]["reason"] == "too_short" and not rows["d6"]["kept"]
