@@ -172,6 +172,9 @@ def main() -> None:
         "extract_spans", "pricing_summary", "revenue_by_nation",
         "user_event_sequence", "dedup_exact", "minhash_lsh_pairs",
         "simhash", "text_stats", "ann_brute_topk", "ann_ivf_topk",
+        # round 2 additions (totals therefore not directly comparable to
+        # BENCH_r01's 10-query total — compare per-query)
+        "dup_clusters", "curated_corpus",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the
