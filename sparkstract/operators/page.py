@@ -410,12 +410,16 @@ def _tab_partner_gutters(rows: list[dict], body_s: int) -> list[tuple[int, int]]
     clear = max(TAB_CLEAR_UNITS * body_s, int(np.ceil(1.4 * med_gap)))
     cands: list[tuple[int, int]] = []  # (x, row_index)
     for ri, r in enumerate(rows):
-        cov_r = r["cov_r"]
-        for x in r["gl"]:
-            x = int(x)
-            left_ink = cov_r[cov_r < x]
-            if left_ink.size and x - 1 - int(left_ink.max()) >= clear:
-                cands.append((x, ri))
+        gl = r["gl"]
+        # max cov_r strictly left of each edge = predecessor in sort order —
+        # O(g log g) instead of a per-edge scan (dense pages have hundreds
+        # of groups per row; this runs inside the hot page kernel)
+        cs = np.sort(r["cov_r"])
+        idx = np.searchsorted(cs, gl, side="left")
+        has_left = idx > 0
+        pred = cs[np.maximum(idx - 1, 0)]
+        ok = has_left & (gl - 1 - pred >= clear)
+        cands.extend((int(x), ri) for x in gl[ok])
     cands.sort()
     gutters: list[tuple[int, int]] = []
     i = 0
