@@ -241,6 +241,22 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             elements=[Text(col0, col=0, track_lines={1: 1}),
                       Text(_lines(rng, 3, 14), col=1)],
             n_cols=2, scale=2, width_chars=15, seed=seed)
+    if family == "embedded_vertical":  # F30 — good-neighbour flow (J2,
+        # strokewidth.cpp:872-892 FindGoodNeighbour): a vertical word drawn
+        # BESIDE the flowing lines, 7 font units right of the longest line —
+        # below the 12u coverage-gutter threshold and the tab clearance, so
+        # no column split separates it; its glyphs share rows with the text.
+        # Only the flow pass (nearest vertical neighbour at 5u beats the 7u
+        # horizontal gap) can pull the chain out before row building.
+        words = [w for w in _VOCAB if 3 <= len(w) <= 5]
+        word = words[int(rng.integers(0, len(words)))]
+        five = [w for w in _VOCAB if len(w) == 5]
+        lines = _lines(rng, 5, 13)
+        lines[2] = (f"{five[int(rng.integers(0, len(five)))]} "
+                    f"{five[int(rng.integers(0, len(five)))]} A")  # exactly 13
+        return PageSpec(elements=[Text(lines, col=0)],
+                        side_stack=(word, 92, 0),
+                        scale=2, width_chars=15, seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[
@@ -258,7 +274,7 @@ PAGE_FAMILIES = [
     "textured_photo", "gradient_page", "contents_page", "equation_page",
     "vertical_page", "disc_page", "tracked_page", "bowed_page",
     "broken_page", "margin_note", "bidi_page", "rotated_rtl",
-    "inline_equation_page", "wavy_page", "ragged_page",
+    "inline_equation_page", "wavy_page", "ragged_page", "embedded_vertical",
 ]
 
 

@@ -186,6 +186,14 @@ class PageSpec:
     rtl: bool = False      # right-to-left reading order: columns read
                            # rightmost-first (layout_test.cc:215-236 Hebrew);
                            # elements must then be grouped by DESCENDING col
+    side_stack: tuple[str, int, int] | None = None  # (chars, x_units, row0):
+                           # a vertically-set word drawn at absolute
+                           # x = x_units*s (font units from page left),
+                           # starting at column-row row0, BESIDE the column
+                           # text rather than between blocks — the embedded
+                           # vertical-text case only good-neighbour flow can
+                           # separate (J2). Truth appends it LAST (it must
+                           # sit right of every line's ink).
     cut_x_frac: float | None = None  # white out a 1px vertical strip at
                            # x = page_w*frac AFTER layout: splits glyphs into
                            # fragments the broken-char repair must rejoin
@@ -426,6 +434,14 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
     for c in sorted(col_pos, reverse=spec.rtl):
         for e, y0 in col_pos[c]:
             draw(e, y0, c)
+
+    if spec.side_stack is not None:
+        chars, x_units, row0 = spec.side_stack
+        yy = col_y0 + row0 * 12 * s
+        for ch in chars:
+            _render_line(canvas, x_units * s, yy, ch, s)
+            yy += 12 * s
+        truth.append(TruthBlock(VERTICAL_TEXT, chars))
 
     if spec.cut_x_frac is not None:
         canvas[:, int(page_w * spec.cut_x_frac)] = WHITE

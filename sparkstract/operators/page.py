@@ -286,9 +286,83 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
 
 
 VERT_MIN_CHARS = 3      # stacked single glyphs to call vertical text (C1/W)
+VERT_FLOW_MAX = 2000    # blob count above which the O(n^2) good-neighbour
+                        # flow pass is skipped (block-shape backstop remains)
 
 STROKE_SOLID_FRAC = 0.4  # median ink run >= this frac of min side → solid (C1)
 STROKE_MIN_FILL = 0.4    # don't bother below this bbox fill
+
+
+def _flow_vertical_chains(tl: np.ndarray, tt: np.ndarray, tr: np.ndarray,
+                          tb: np.ndarray,
+                          min_chain: int = VERT_MIN_CHARS) -> list[np.ndarray]:
+    """J2 good-neighbour flow (FindGoodNeighbour + textline flow direction,
+    strokewidth.cpp:872-892): for each blob, the distance to its nearest
+    size-compatible ALIGNED neighbour horizontally (y-overlap >= half the
+    smaller height) vs vertically (x-overlap >= half the smaller width).
+    A blob whose best vertical neighbour is strictly closer than any
+    horizontal one flows vertically; maximal vertical-linked groups of
+    >= min_chain such blobs are vertical-text chains, returned as index
+    arrays sorted top-to-bottom.
+
+    This is what recovers vertical text EMBEDDED beside flowing lines
+    (embedded_vertical family): the stack's glyphs share rows with the
+    flowing text, so the post-row block-shape rule never sees them as a
+    narrow block — but each stack glyph's nearest neighbour is the glyph
+    above/below it, not the line text several word-gaps away. In flowing
+    text the intra-word letter gap (~1 scale unit) always beats the
+    inter-row gap, so normal glyphs flow horizontally; isolated single-char
+    words chain only with non-flow neighbours and never reach min_chain."""
+    n = tl.shape[0]
+    if n < min_chain:
+        return []
+    w = tr - tl + 1
+    h = tb - tt + 1
+    hh = np.minimum(h[:, None], h[None, :])
+    compat = np.maximum(h[:, None], h[None, :]) <= 2.5 * hh
+    np.fill_diagonal(compat, False)
+    oy = np.minimum(tb[:, None], tb[None, :]) - np.maximum(tt[:, None], tt[None, :]) + 1
+    ox = np.minimum(tr[:, None], tr[None, :]) - np.maximum(tl[:, None], tl[None, :]) + 1
+    gx = np.maximum(tl[None, :] - tr[:, None], tl[:, None] - tr[None, :]) - 1
+    gy = np.maximum(tt[None, :] - tb[:, None], tt[:, None] - tb[None, :]) - 1
+    horiz_ok = compat & (oy >= 0.5 * hh) & (gx >= 0)
+    vert_ok = compat & (ox >= 0.5 * np.minimum(w[:, None], w[None, :])) & (gy >= 0)
+    inf = np.iinfo(np.int64).max
+    dh = np.where(horiz_ok, gx, inf).min(axis=1)
+    dv = np.where(vert_ok, gy, inf).min(axis=1)
+    vflow = (dv < inf) & (dv < dh)
+    ids = np.nonzero(vflow)[0]
+    if ids.shape[0] < min_chain:
+        return []
+    # link vflow blobs through their actual vertical neighbours (gap within
+    # 1.5x either end's own nearest distance), then take components
+    sub_v = vert_ok[np.ix_(ids, ids)]
+    sub_g = gy[np.ix_(ids, ids)]
+    lim = 1.5 * np.minimum(dv[ids][:, None], dv[ids][None, :])
+    adj = sub_v & (sub_g <= lim)
+    m = ids.shape[0]
+    seen = np.zeros(m, dtype=bool)
+    chains: list[np.ndarray] = []
+    for s0 in range(m):
+        if seen[s0]:
+            continue
+        stack = [s0]
+        seen[s0] = True
+        comp = []
+        while stack:
+            k = stack.pop()
+            comp.append(k)
+            nxt = np.nonzero(adj[k] & ~seen)[0]
+            seen[nxt] = True
+            stack.extend(nxt.tolist())
+        if len(comp) < min_chain:
+            continue
+        members = ids[np.array(comp)]
+        # a genuine vertical chain is one glyph wide
+        if (tr[members].max() - tl[members].min() + 1) > 1.5 * float(np.median(w[members])):
+            continue
+        chains.append(members[np.argsort(tt[members], kind="stable")])
+    return chains
 
 
 def _median_run(sub: np.ndarray) -> float:
@@ -697,6 +771,33 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         if not keep_mask.all():
             tl, tt, tr, tb = tl[keep_mask], tt[keep_mask], tr[keep_mask], tb[keep_mask]
 
+    # ---- J2 good-neighbour flow: pull vertical-text chains out BEFORE row
+    # building, or their glyphs merge into the horizontal rows they sit
+    # beside and corrupt the line decode (strokewidth.cpp:872 runs its flow
+    # pass before makerow for the same reason) ----
+    vert_chains: list[dict] = []
+    if psm == "auto" and VERT_MIN_CHARS <= tl.shape[0] <= VERT_FLOW_MAX:
+        # flow only over CORE-sized blobs: sub-glyph fragments (broken-char
+        # slivers, diacritics) have no size-compatible horizontal anchor and
+        # would chain into phantom vertical text; they belong to the row
+        # repair/attachment passes instead
+        hh0 = tb - tt + 1
+        gsz = hh0 > MICRO_MAX_SIDE
+        med0 = float(np.median(hh0[gsz])) if gsz.any() else float(np.median(hh0))
+        core0 = np.nonzero(hh0 >= 0.75 * med0)[0]
+        chains = [core0[ch] for ch in _flow_vertical_chains(
+            tl[core0], tt[core0], tr[core0], tb[core0])]
+        if chains:
+            drop = np.zeros(tl.shape[0], dtype=bool)
+            for ch in chains:
+                drop[ch] = True
+                vert_chains.append(dict(
+                    box=(int(tl[ch].min()), int(tt[ch].min()),
+                         int(tr[ch].max()), int(tb[ch].max())),
+                    glyphs=[(int(tl[k]), int(tt[k]), int(tr[k]), int(tb[k]))
+                            for k in ch]))
+            tl, tt, tr, tb = tl[~drop], tt[~drop], tr[~drop], tb[~drop]
+
     # ---- rows: size-grade blobs (F4, tordmain.cpp:232), cluster CORE blobs
     # by top (J3), then attach small fragments to the row containing their
     # center (J6 diacritic attachment); unattached fragments drop as noise ----
@@ -902,6 +1003,10 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         b["image"] = False
         b["line_kind"] = None
         b["heading"] = rws[0]["heading"]
+    for vc in vert_chains:
+        blocks.append(dict(rows=None, box=vc["box"], image=False,
+                           line_kind=None, heading=False,
+                           vglyphs=vc["glyphs"]))
     for ib in image_boxes:
         blocks.append(dict(rows=None, box=ib, image=True, line_kind=None,
                            heading=False))
@@ -973,6 +1078,21 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             continue
         if b["line_kind"] is not None:
             out.append(Block(rank, b["line_kind"], None, l, t, r_, bo))
+            continue
+        if b.get("vglyphs") is not None:
+            # flow-extracted vertical chain (J2): decode each glyph at its
+            # own cell, top-to-bottom, no separators — same contract as the
+            # block-shape vertical path below
+            parts = []
+            for gl_, gt_, gr_, gb_ in b["vglyphs"]:
+                vs = max(1, int(round((gb_ - gt_ + 1) / GLYPH_H)))
+                txt, d, nch = _decode_row(ink, gt_, gb_,
+                                          np.array([gl_]), np.array([gr_]),
+                                          vs, lut, rtl=rtl)
+                parts.append(txt)
+                q_dist += d
+                q_chars += nch
+            out.append(Block(rank, VERTICAL_TEXT, "".join(parts), l, t, r_, bo))
             continue
         if b.get("kind") == TABLE:
             out.append(Block(rank, TABLE, decode_table(b), l, t, r_, bo))

@@ -156,3 +156,22 @@ def test_tab_vector_not_spurious_on_single_column():
     # gaps are 7*s < TAB_CLEAR_UNITS*s and the left margin has no partner
     _run_family("single_column", seed=105, trials=6)
     _run_family("tracked_page", seed=106, trials=8)
+
+
+def test_embedded_vertical_family():
+    # J2 good-neighbour flow: vertical word beside flowing lines, no gutter
+    _run_family("embedded_vertical", seed=107, trials=8)
+
+
+def test_embedded_vertical_requires_flow(monkeypatch):
+    # control: without the flow pass, the stack glyphs pollute the rows —
+    # the block-shape vertical rule alone cannot solve this family
+    import sparkstract.operators.page as P
+
+    rng = np.random.default_rng(107)
+    spec = page_spec("embedded_vertical", rng)
+    img, truth = render_page(spec)
+    monkeypatch.setattr(P, "_flow_vertical_chains", lambda *a, **k: [])
+    got = P.analyse_page(img)
+    assert [(g.kind, g.text) for g in got] != \
+        [(t.kind, t.text) for t in truth]
