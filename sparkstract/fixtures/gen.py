@@ -241,6 +241,21 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             elements=[Text(col0, col=0, track_lines={1: 1}),
                       Text(_lines(rng, 3, 14), col=1)],
             n_cols=2, scale=2, width_chars=15, seed=seed)
+    if family == "sparse_texture":  # F31 — textline projection (C4,
+        # textlineprojection.cpp:67,364): halftone dots at pitch 10px — too
+        # sparse for the fixed 16px density grid (max 2.56 dots/cell < 3),
+        # so without the adaptive projection pass the dots silently drop as
+        # noise and the photo region is LOST (not merely mis-typed). One
+        # full-width line pins page_w_ink so the 0.6-width texture stays
+        # below the 0.7 flowing-image ratio in every variant.
+        top = _lines(rng, 2, 16)
+        top[0] = "QUICK LAZY OVER"
+        return PageSpec(elements=[
+            Text(top, col=0),
+            TexturedImage(h_units=50, w_frac=0.6, dot_px=2, pitch_px=10,
+                          col=0),
+            Text(_lines(rng, 2, 16), col=0),
+        ], scale=2, seed=seed)
     if family == "embedded_vertical":  # F30 — good-neighbour flow (J2,
         # strokewidth.cpp:872-892 FindGoodNeighbour): a vertical word drawn
         # BESIDE the flowing lines, 7 font units right of the longest line —
@@ -275,6 +290,7 @@ PAGE_FAMILIES = [
     "vertical_page", "disc_page", "tracked_page", "bowed_page",
     "broken_page", "margin_note", "bidi_page", "rotated_rtl",
     "inline_equation_page", "wavy_page", "ragged_page", "embedded_vertical",
+    "sparse_texture",
 ]
 
 

@@ -771,6 +771,70 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         if not keep_mask.all():
             tl, tt, tr, tb = tl[keep_mask], tt[keep_mask], tr[keep_mask], tb[keep_mask]
 
+    # ---- C4 textline-projection analog (textlineprojection.cpp:67,364):
+    # SPARSE halftones whose dot pitch exceeds the dense grid's count
+    # threshold leave no >=3-per-cell cells, so the pass above never fires
+    # and the dots would silently drop as noise. The reference smears ink
+    # at line-size scale and reads occupancy; our analog re-grids the
+    # remaining micro blobs at a cell size ADAPTED to their estimated pitch
+    # (sqrt(extent-area / n), so same-pitch dots always land in adjacent
+    # cells regardless of grid phase) and takes connected occupied cells.
+    # Guards against page-scatter noise masquerading as texture: a region
+    # must hold >= DENSITY_MIN_BLOBS dots, span IMAGE_MIN_SIDE both ways,
+    # and contain NO glyph-sized blob center (texture is not interleaved
+    # with text; percolating noise chains over a text page are). ----
+    micro2 = (tb - tt + 1 <= MICRO_MAX_SIDE) & (tr - tl + 1 <= MICRO_MAX_SIDE)
+    if int(micro2.sum()) >= DENSITY_MIN_BLOBS:
+        mx = ((tl[micro2] + tr[micro2]) / 2.0)
+        my = ((tt[micro2] + tb[micro2]) / 2.0)
+        ext = max(1.0, (mx.max() - mx.min() + 1) * (my.max() - my.min() + 1))
+        pitch = np.sqrt(ext / float(micro2.sum()))
+        g2 = int(np.clip(np.ceil(pitch) + 2, DENSITY_CELL_PX // 2,
+                         DENSITY_CELL_PX))
+        occ = np.zeros((int(ink.shape[0]) // g2 + 1,
+                        int(ink.shape[1]) // g2 + 1), dtype=bool)
+        occ[(my / g2).astype(np.int64), (mx / g2).astype(np.int64)] = True
+        regions = label_blobs(occ)
+        keep_mask = np.ones(tl.shape[0], dtype=bool)
+        ctr_x = (tl + tr) / 2.0
+        ctr_y = (tt + tb) / 2.0
+        for ri in range(len(regions)):
+            rl, rt = int(regions.left[ri]) * g2, int(regions.top[ri]) * g2
+            rr = (int(regions.right[ri]) + 1) * g2 - 1
+            rb = (int(regions.bottom[ri]) + 1) * g2 - 1
+            inside = ((ctr_x >= rl - 2) & (ctr_x <= rr + 2)
+                      & (ctr_y >= rt - 2) & (ctr_y <= rb + 2))
+            m_in = inside & micro2
+            if int(m_in.sum()) < DENSITY_MIN_BLOBS or (inside & ~micro2).any():
+                continue
+            bl_, bt_ = int(tl[m_in].min()), int(tt[m_in].min())
+            br_, bb_ = int(tr[m_in].max()), int(tb[m_in].max())
+            if br_ - bl_ + 1 < IMAGE_MIN_SIDE or bb_ - bt_ + 1 < IMAGE_MIN_SIDE:
+                continue
+            image_boxes.append((bl_, bt_, br_, bb_))
+            keep_mask &= ~inside
+        if not keep_mask.all():
+            tl, tt, tr, tb = tl[keep_mask], tt[keep_mask], tr[keep_mask], tb[keep_mask]
+
+    # one sparse halftone can be claimed piecewise (the dense pass fires on
+    # a high-count sub-patch, the projection pass on the rest) — overlapping
+    # photo boxes are one photo
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(image_boxes)):
+            for j in range(i + 1, len(image_boxes)):
+                a, b = image_boxes[i], image_boxes[j]
+                if (a[0] <= b[2] + 2 and b[0] <= a[2] + 2
+                        and a[1] <= b[3] + 2 and b[1] <= a[3] + 2):
+                    image_boxes[i] = (min(a[0], b[0]), min(a[1], b[1]),
+                                      max(a[2], b[2]), max(a[3], b[3]))
+                    del image_boxes[j]
+                    merged = True
+                    break
+            if merged:
+                break
+
     # ---- J2 good-neighbour flow: pull vertical-text chains out BEFORE row
     # building, or their glyphs merge into the horizontal rows they sit
     # beside and corrupt the line decode (strokewidth.cpp:872 runs its flow

@@ -175,3 +175,9 @@ def test_embedded_vertical_requires_flow(monkeypatch):
     got = P.analyse_page(img)
     assert [(g.kind, g.text) for g in got] != \
         [(t.kind, t.text) for t in truth]
+
+
+def test_sparse_texture_family():
+    # C4 textline projection: dot pitch 10px defeats the fixed dense grid;
+    # the adaptive projection pass must recover the photo region
+    _run_family("sparse_texture", seed=108, trials=8)
