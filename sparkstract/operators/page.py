@@ -286,8 +286,14 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
 
 
 VERT_MIN_CHARS = 3      # stacked single glyphs to call vertical text (C1/W)
-VERT_FLOW_MAX = 2000    # blob count above which the O(n^2) good-neighbour
-                        # flow pass is skipped (block-shape backstop remains)
+VERT_FLOW_MAX = 1000    # core-blob count above which the O(n^2) good-
+                        # neighbour flow pass is skipped: its pairwise
+                        # matrices cost ~n^2*8B*6 (~50 MB at 1000) PER TASK,
+                        # and executor memory is shared by
+                        # arrow-batch-size concurrent pages. Bigger pages
+                        # fall back to the block-shape vertical rule (the
+                        # reference bounds the same search with its BBGrid
+                        # instead, strokewidth.cpp:872)
 
 STROKE_SOLID_FRAC = 0.4  # median ink run >= this frac of min side → solid (C1)
 STROKE_MIN_FILL = 0.4    # don't bother below this bbox fill
