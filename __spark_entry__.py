@@ -511,6 +511,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         ts.token_count(F.col("text")).alias("n_tokens"),
+        ts.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.round(ts.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(ts.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
         F.round(ts.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
@@ -1424,6 +1425,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id,
                    len(tl_raw) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
                    round(CASE WHEN length(text) > 0
                          THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)
                          ELSE 0 END, 6) AS punct_ratio,

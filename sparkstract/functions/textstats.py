@@ -36,6 +36,20 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenizer pattern (the GPT-2 pre-split shape, ASCII-restricted
+# so Java regex and DuckDB/RE2 agree byte-for-byte): letter runs, digit runs,
+# and single punctuation marks each count as one token — the standard
+# LLM-pipeline "token count" estimate when no tokenizer model is loadable.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — a closer
+    LLM-token estimate than whitespace words (splits punctuation and
+    digit runs), still a pure JVM-side expression."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     n = F.length(col)
