@@ -156,3 +156,47 @@ def test_word_direction_feeds_textline_order(dirs):
     assert got == dirs
     order = textline_order(False, got)
     assert sorted(word_indices_only(order)) == list(range(len(dirs)))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(4, 60))
+def test_flow_vertical_chains_invariants(seed, n):
+    from sparkstract.operators.page import _flow_vertical_chains
+
+    rng = np.random.default_rng(seed)
+    tl = rng.integers(0, 400, n)
+    tt = rng.integers(0, 400, n)
+    w = rng.integers(1, 14, n)
+    h = rng.integers(1, 16, n)
+    chains = _flow_vertical_chains(tl, tt, tl + w, tt + h)
+    seen = set()
+    for ch in chains:
+        assert len(ch) >= 3
+        assert not (set(ch.tolist()) & seen)  # chains are disjoint
+        seen |= set(ch.tolist())
+        assert np.all(np.diff(tt[ch]) >= 0)  # sorted top-to-bottom
+        # one glyph wide by construction
+        width = tl[ch].max() + w[ch].max() - tl[ch].min()
+        assert width <= 1.5 * np.median(w[ch]) + w.max()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 8), st.integers(1, 12))
+def test_tab_partner_gutters_total_and_sane(seed, n_rows, n_groups):
+    from sparkstract.operators.page import _tab_partner_gutters
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n_rows):
+        gl = np.sort(rng.integers(0, 500, n_groups))
+        gw = rng.integers(3, 30, n_groups)
+        top = int(rng.integers(0, 300))
+        rows.append(dict(top=top, bottom=top + 13,
+                         gl=gl, gr=gl + gw, cov_l=gl, cov_r=gl + gw,
+                         s=int(rng.integers(1, 4))))
+    for a, b in _tab_partner_gutters(rows, body_s=2):
+        # non-degenerate, non-negative interval with a real partner: some
+        # row's ink ends exactly at a-1 and some row's group starts near b+1
+        assert 0 <= a <= b
+        assert any((r["cov_r"] == a - 1).any() for r in rows)
+        assert any((np.abs(r["gl"] - (b + 1)) <= 2).any() for r in rows)
