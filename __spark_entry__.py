@@ -440,6 +440,35 @@ def q_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Curly-punctuation variant rows: each pair collapses to ONE fingerprint
+# only under normstrngs folding (normalize_text), never under the raw
+# canonicalizer — the rows that make dedup_exact_norm exercise the fold.
+_NORM_VARIANTS: list[tuple[str, str]] = [
+    ("v-q1", "The “QUICK” fox — isn’t lazy…"),
+    ("v-q2", "The \"QUICK\" fox - isn't lazy..."),
+    ("v-l1", "ﬁne ﬂow – test"),
+    ("v-l2", "fine  flow - test"),
+]
+
+
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the normstrngs-folded canonical form
+    (unittest/normstrngs_test.cc): curly quotes/dashes/ligatures fold to
+    ASCII before fingerprinting. The documents table is unioned with fixed
+    curly-variant rows so the fold is genuinely exercised at the gate."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    extra = spark.createDataFrame(_NORM_VARIANTS, "doc_id string, text string")
+    return (
+        docs.union(extra)
+        .select("doc_id", ts.fingerprint_normalized(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -830,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_late_orders": q_priority_late_orders,
         "returnflag_rollup": q_returnflag_rollup,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_norm": q_dedup_exact_norm,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dup_clusters": q_dup_clusters,
         "curated_corpus": q_curated_corpus,
@@ -902,6 +932,15 @@ def oracle_sql() -> dict[str, str]:
         f"('{cid}', '{','.join(str(i) for i in exp)}')"
         for cid, _d, _l, exp in _BIDI_CASES
     )
+
+    # normstrngs fold chain, generated from the SAME table the Spark side
+    # uses (ts.NORM_FOLDS) — engine parity by construction
+    norm_expr = "text"
+    for _src, _dst in ts.NORM_FOLDS:
+        norm_expr = f"replace({norm_expr}, {_sql_quote(_src)}, {_sql_quote(_dst)})"
+    norm_expr = f"lower(regexp_replace(trim({norm_expr}), '\\s+', ' ', 'g'))"
+    norm_variant_rows = ",\n".join(
+        f"({_sql_quote(d)}, {_sql_quote(t)})" for d, t in _NORM_VARIANTS)
 
     feats, thumbs = _media_truth()
     feat_rows = ",\n".join(
@@ -1219,6 +1258,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
                    count(*) AS n_docs, min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1 ORDER BY fp
+        """,
+        "dedup_exact_norm": f"""
+            WITH u AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+              {norm_variant_rows}
+              ) AS v(doc_id, text))
+            SELECT md5({norm_expr}) AS fp,
+                   count(*) AS n_docs, min(doc_id) AS keep_doc_id
+            FROM u GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
         """,
         "minhash_lsh_pairs": f"""
             {_dd_ngrams(3)},

@@ -105,6 +105,36 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(col), "\\s+", " ")))
 
 
+# Unicode-punctuation folding table (the normstrngs analog — the reference
+# normalizes curly quotes / dashes / ligatures before string comparison,
+# unittest/normstrngs_test.cc). One shared table generates BOTH engines'
+# replace chains, so parity holds by construction.
+NORM_FOLDS: list[tuple[str, str]] = [
+    ("‘", "'"), ("’", "'"), ("‛", "'"),   # curly apostrophes
+    ("“", '"'), ("”", '"'), ("‟", '"'),   # curly double quotes
+    ("–", "-"), ("—", "-"), ("−", "-"),   # en/em dash, minus
+    ("ﬁ", "fi"), ("ﬂ", "fl"),                   # ff/fi ligatures
+    (" ", " "),                                      # no-break space
+    ("…", "..."),                                    # ellipsis
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """normstrngs-style canonical form: fold unicode punctuation variants to
+    ASCII, lowercase, collapse whitespace, trim. The dedup canonicalizer for
+    web text where the same sentence circulates with straight and curly
+    quotes, hyphens and em-dashes."""
+    out = col
+    for src, dst in NORM_FOLDS:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return F.lower(F.regexp_replace(F.trim(out), "\\s+", " "))
+
+
+def fingerprint_normalized(col: Column) -> Column:
+    """Exact-dedup key over the normstrngs-folded canonical form."""
+    return F.md5(normalize_text(col))
+
+
 def hex_prefix_to_long(hex_col: Column, n_hex: int = 8) -> Column:
     """First n_hex hex chars of a hash string → non-negative bigint.
     Twin of the DuckDB generate_series/strpos construction in oracle SQL."""

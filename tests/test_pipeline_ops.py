@@ -139,3 +139,31 @@ def test_multimodal_stubs_raise(spark, fixture_set):
         multimodal.decode_audio(media)
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(media)
+
+
+def test_normalize_text_folds_unicode_variants(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstract.functions.textstats import (
+        fingerprint,
+        fingerprint_normalized,
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "The “QUICK” fox — isn’t lazy…"),
+         ("b", "The \"QUICK\" fox - isn't lazy..."),
+         ("c", "ﬁne ﬂow – test"),
+         ("d", "fine  flow - test")],
+        "doc_id string, text string")
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm"),
+        fingerprint(F.col("text")).alias("raw_fp"),
+        fingerprint_normalized(F.col("text")).alias("norm_fp"),
+    ).collect()}
+    assert rows["a"]["norm"] == rows["b"]["norm"] == \
+        'the "quick" fox - isn\'t lazy...'
+    assert rows["a"]["norm_fp"] == rows["b"]["norm_fp"]
+    assert rows["a"]["raw_fp"] != rows["b"]["raw_fp"]  # raw key misses it
+    assert rows["c"]["norm_fp"] == rows["d"]["norm_fp"]
