@@ -258,20 +258,22 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         ], scale=2, seed=seed)
     if family == "embedded_vertical":  # F30 — good-neighbour flow (J2,
         # strokewidth.cpp:872-892 FindGoodNeighbour): a vertical word drawn
-        # BESIDE the flowing lines, 7 font units right of the longest line —
-        # below the 12u coverage-gutter threshold and the tab clearance, so
-        # no column split separates it; its glyphs share rows with the text.
-        # Only the flow pass (nearest vertical neighbour at 5u beats the 7u
-        # horizontal gap) can pull the chain out before row building.
+        # BESIDE the flowing lines, 10 font units right of the longest line
+        # (track-1 text, so word gaps are 9u and the tab-clearance bar is
+        # 1.4*9u = 12.6u > 10u) — below the 12u coverage-gutter threshold
+        # AND the tab clearance, so no column split separates it; its
+        # glyphs share rows with the text. Only the flow pass (vertical
+        # neighbour at 5u DOMINATES the 10u horizontal gap 2:1) can pull
+        # the chain out before row building.
         words = [w for w in _VOCAB if 3 <= len(w) <= 5]
         word = words[int(rng.integers(0, len(words)))]
         five = [w for w in _VOCAB if len(w) == 5]
         lines = _lines(rng, 5, 13)
         lines[2] = (f"{five[int(rng.integers(0, len(five)))]} "
                     f"{five[int(rng.integers(0, len(five)))]} A")  # exactly 13
-        return PageSpec(elements=[Text(lines, col=0)],
-                        side_stack=(word, 92, 0),
-                        scale=2, width_chars=15, seed=seed)
+        return PageSpec(elements=[Text(lines, col=0, track_units=1)],
+                        side_stack=(word, 107, 0),
+                        scale=2, width_chars=18, seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[

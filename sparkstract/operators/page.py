@@ -286,14 +286,15 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
 
 
 VERT_MIN_CHARS = 3      # stacked single glyphs to call vertical text (C1/W)
-VERT_FLOW_MAX = 1000    # core-blob count above which the O(n^2) good-
-                        # neighbour flow pass is skipped: its pairwise
-                        # matrices cost ~n^2*8B*6 (~50 MB at 1000) PER TASK,
-                        # and executor memory is shared by
-                        # arrow-batch-size concurrent pages. Bigger pages
-                        # fall back to the block-shape vertical rule (the
-                        # reference bounds the same search with its BBGrid
-                        # instead, strokewidth.cpp:872)
+VERT_FLOW_MAX = 50000   # core-blob count above which good-neighbour flow is
+                        # skipped outright. Within it, the horizontal-anchor
+                        # prefilter reduces the pairwise pass to kept x n
+                        # (typically <5% x n), and the function bails if
+                        # kept*n would exceed 8M cells (~400 MB of matrices
+                        # per task is the real bound, not n itself). Pages
+                        # beyond either bound fall back to the block-shape
+                        # vertical rule (the reference bounds the same
+                        # search with its BBGrid, strokewidth.cpp:872)
 
 STROKE_SOLID_FRAC = 0.4  # median ink run >= this frac of min side → solid (C1)
 STROKE_MIN_FILL = 0.4    # don't bother below this bbox fill
@@ -324,27 +325,58 @@ def _flow_vertical_chains(tl: np.ndarray, tt: np.ndarray, tr: np.ndarray,
         return []
     w = tr - tl + 1
     h = tb - tt + 1
-    hh = np.minimum(h[:, None], h[None, :])
-    compat = np.maximum(h[:, None], h[None, :]) <= 2.5 * hh
-    np.fill_diagonal(compat, False)
-    oy = np.minimum(tb[:, None], tb[None, :]) - np.maximum(tt[:, None], tt[None, :]) + 1
-    ox = np.minimum(tr[:, None], tr[None, :]) - np.maximum(tl[:, None], tl[None, :]) + 1
-    gx = np.maximum(tl[None, :] - tr[:, None], tl[:, None] - tr[None, :]) - 1
-    gy = np.maximum(tt[None, :] - tb[:, None], tt[:, None] - tb[None, :]) - 1
+    # ---- exact horizontal-anchor prefilter: a blob whose nearest same-line
+    # neighbour sits closer than half its height is horizontal flow by
+    # typography (line pitch >= glyph height, so no vertical neighbour can
+    # be nearer). >95% of a text page's glyphs are anchored this way; the
+    # expensive pairwise pass then runs kept x n — with EXACT distances for
+    # the survivors — instead of n x n.
+    med_h = max(1.0, float(np.median(h)))
+    band = (tt / med_h).astype(np.int64)
+    order = np.lexsort((tl, band))
+    ob, otl, otr = band[order], tl[order], tr[order]
+    ott, otb, oh = tt[order], tb[order], h[order]
+    i_, j_ = np.arange(n - 1), np.arange(1, n)
+    mh_ = np.minimum(oh[i_], oh[j_])
+    oy_ = np.minimum(otb[i_], otb[j_]) - np.maximum(ott[i_], ott[j_]) + 1
+    gap_ = otl[j_] - otr[i_] - 1
+    close = ((ob[i_] == ob[j_])
+             & (np.maximum(oh[i_], oh[j_]) <= 2.5 * mh_)
+             & (oy_ >= 0.5 * mh_) & (gap_ >= 0) & (gap_ < 0.5 * mh_))
+    anchored = np.zeros(n, dtype=bool)
+    anchored[order[:-1][close]] = True
+    anchored[order[1:][close]] = True
+    K = np.nonzero(~anchored)[0]
+    if K.shape[0] < min_chain or K.shape[0] * n > 8_000_000:
+        return []
+    hh = np.minimum(h[K, None], h[None, :])
+    compat = np.maximum(h[K, None], h[None, :]) <= 2.5 * hh
+    compat[np.arange(K.shape[0]), K] = False
+    oy = np.minimum(tb[K, None], tb[None, :]) - np.maximum(tt[K, None], tt[None, :]) + 1
+    ox = np.minimum(tr[K, None], tr[None, :]) - np.maximum(tl[K, None], tl[None, :]) + 1
+    gx = np.maximum(tl[None, :] - tr[K, None], tl[K, None] - tr[None, :]) - 1
+    gy = np.maximum(tt[None, :] - tb[K, None], tt[K, None] - tb[None, :]) - 1
     horiz_ok = compat & (oy >= 0.5 * hh) & (gx >= 0)
-    vert_ok = compat & (ox >= 0.5 * np.minimum(w[:, None], w[None, :])) & (gy >= 0)
+    vert_ok = compat & (ox >= 0.5 * np.minimum(w[K, None], w[None, :])) & (gy >= 0)
     inf = np.iinfo(np.int64).max
     dh = np.where(horiz_ok, gx, inf).min(axis=1)
     dv = np.where(vert_ok, gy, inf).min(axis=1)
-    vflow = (dv < inf) & (dv < dh)
-    ids = np.nonzero(vflow)[0]
+    # DOMINANCE, not a bare win: the vertical neighbour must be at most half
+    # the horizontal distance (or there must be none). A bare dv < dh calls
+    # every vertically-aligned column of single-char words — list numbers,
+    # a right-margin character column — vertical text, because line pitch
+    # minus glyph height (~0.7h) always beats a word gap (~h). True vertical
+    # text is ISOLATED sideways; a factor-2 bar encodes that.
+    vflow = (dv < inf) & ((dh == inf) | (dh >= 2 * dv))
+    rows_v = np.nonzero(vflow)[0]
+    ids = K[rows_v]
     if ids.shape[0] < min_chain:
         return []
     # link vflow blobs through their actual vertical neighbours (gap within
     # 1.5x either end's own nearest distance), then take components
-    sub_v = vert_ok[np.ix_(ids, ids)]
-    sub_g = gy[np.ix_(ids, ids)]
-    lim = 1.5 * np.minimum(dv[ids][:, None], dv[ids][None, :])
+    sub_v = vert_ok[np.ix_(rows_v, ids)]
+    sub_g = gy[np.ix_(rows_v, ids)]
+    lim = 1.5 * np.minimum(dv[rows_v][:, None], dv[rows_v][None, :])
     adj = sub_v & (sub_g <= lim)
     m = ids.shape[0]
     seen = np.zeros(m, dtype=bool)
