@@ -119,9 +119,12 @@ def dedup_assign(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                  a: str = "doc_a", b: str = "doc_b") -> DataFrame:
     """Cluster assignment for EVERY document: (doc_id, cluster_id,
     cluster_size, keep). Docs in no pair are their own singleton cluster;
-    the kept canonical doc is the cluster min (deterministic). The pair
-    frame is tiny relative to the corpus (it only contains near-dups), so
-    the component map broadcasts; the corpus itself is never shuffled."""
+    the kept canonical doc is the cluster min (deterministic). The join
+    strategy is left to AQE deliberately: the component map is bounded by
+    the near-dup pair graph, which is usually tiny — but on a heavily
+    duplicated corpus it is CORPUS-scale, and a hand-forced broadcast
+    would OOM the driver at 10^12 docs. AQE broadcasts when it measures
+    small and degrades to a co-partitioned shuffle join when it doesn't."""
     comp = connected_components(pairs, a=a, b=b)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"))
@@ -129,7 +132,7 @@ def dedup_assign(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         F.col("node").alias(id_col), "cluster_id", "cluster_size")
     return (
         docs.select(id_col)
-        .join(F.broadcast(comp), id_col, "left")
+        .join(comp, id_col, "left")
         .select(
             id_col,
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),

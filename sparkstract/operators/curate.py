@@ -4,11 +4,13 @@ score) followed by keep-one-per-duplicate-cluster — with an auditable
 verdict per document (what was dropped and WHY), not just the survivors.
 
 Scale shape: the stats are pure column expressions (whole-stage codegen,
-one corpus scan). The duplicate side never shuffles the corpus: connected
-components run over the near-dup PAIR graph only (docs that appear in some
-pair), the component map and the per-cluster winner table are both bounded
-by the pair set and broadcast. Total cost = one corpus map pass + the CC
-rounds over the (much smaller) pair graph + two broadcast joins.
+one corpus scan). Connected components run over the near-dup PAIR graph
+only (docs that appear in some pair); the component map and the
+per-cluster winner table are both bounded by the pair set. Their joins
+back to the corpus are left to AQE on purpose: usually the maps are tiny
+and AQE broadcasts them, but on a heavily duplicated corpus the pair
+graph is corpus-scale and a hand-forced broadcast would OOM the driver —
+AQE degrades those joins to co-partitioned shuffles instead.
 
 Reason precedence is fixed (too_short > wrong_lang > low_quality >
 duplicate) so the verdict column is deterministic and the DuckDB oracle twin
@@ -41,7 +43,7 @@ def curate_corpus(docs: DataFrame, pairs: DataFrame, min_tokens: int = 20,
     )
     comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
     g = (
-        stats.join(F.broadcast(comp), "doc_id", "left")
+        stats.join(comp, "doc_id", "left")
         .withColumn("in_pairs", F.col("cluster_id").isNotNull())
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
         .withColumn(
@@ -52,14 +54,14 @@ def curate_corpus(docs: DataFrame, pairs: DataFrame, min_tokens: int = 20,
         )
     )
     # winner per cluster among content-passing members — the filter keeps
-    # only pair-involved docs, so the aggregate and its broadcast stay
-    # bounded by the pair graph, never the corpus
+    # only pair-involved docs, so the aggregate stays bounded by the pair
+    # graph, never the corpus
     winners = (
         g.filter(F.col("content_pass") & F.col("in_pairs"))
         .groupBy("cluster_id")
         .agg(F.min("doc_id").alias("keep_id"))
     )
-    g = g.join(F.broadcast(winners), "cluster_id", "left")
+    g = g.join(winners, "cluster_id", "left")
     kept = F.col("content_pass") & (
         ~F.col("in_pairs") | (F.col("doc_id") == F.col("keep_id")))
     reason = (
