@@ -77,6 +77,15 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _truncate(df: DataFrame) -> DataFrame:
+    """Cut the iteration's lineage. Reliable checkpoint when the job has a
+    checkpoint dir configured (survives executor loss on a real cluster);
+    executor-local checkpoint otherwise (tests, local mode)."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def _checksum(edges: DataFrame) -> tuple:
     # decimal(38,0) sums: xxhash64 values fill the long range, so a plain
     # long sum overflows under ANSI mode after two rows
@@ -96,10 +105,10 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
     the lexicographic min of the component. Alternating large/small-star,
     converged when the canonical edge set's checksum is stable."""
     edges = _canon(pairs.select(F.col(a).alias("u"), F.col(b).alias("v")))
-    edges = edges.localCheckpoint(eager=True)
+    edges = _truncate(edges)
     prev = _checksum(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _truncate(_small_star(_large_star(edges)))
         cur = _checksum(edges)
         if cur == prev:
             break
