@@ -535,6 +535,41 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic HTML fixture docs for the boilerplate-strip query: scripts,
+# styles, nav/footer chrome, comments, entities, inline markup, link-dense
+# menu lines — each exercising one drop/keep rule.
+_HTML_DOCS: list[tuple[str, str]] = [
+    ("h1", "<html><head><script>var x = 1 < 2;</script><style>p{color:red}"
+           "</style></head><body><nav><a href='/'>Home</a> <a href='/a'>"
+           "About</a></nav><h1>The Quick Study</h1>"
+           "<p>The quick brown fox jumps over the lazy dog every day.</p>"
+           "<p>A second paragraph of real body prose continues right here."
+           "</p><footer>Copyright 2026 Example Corp</footer></body></html>"),
+    ("h2", "<div>Short</div><div>Menu: <a href='x'>one</a> <a href='y'>two"
+           "</a> <a href='z'>three four five six</a></div>"
+           "<div>This line has &quot;entities&quot; &amp; should survive "
+           "fine.</div>"),
+    ("h3", "<!-- boilerplate comment --><p>Line with <b>inline</b> markup "
+           "stays as one block line.</p><ul><li>tiny</li><li>items</li></ul>"),
+    ("h4", "<p>An article body with a citation <a href='/ref'>see the full "
+           "reference text</a> inside keeps its line when prose dominates "
+           "the anchors overall.</p>"),
+]
+
+
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip + line-density main-content extraction (the
+    north rule's 'HTML boilerplate strip, DOM heuristics' operator) over a
+    deterministic HTML corpus. Pure higher-order column expressions; the
+    DuckDB twin is generated from the SAME regex/entity constants."""
+    from sparkstract.functions.html import strip_boilerplate
+
+    df = spark.createDataFrame(_HTML_DOCS, "doc_id string, html string")
+    return df.select(
+        "doc_id", strip_boilerplate(F.col("html")).alias("main_text")
+    ).orderBy("doc_id")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -867,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_fp": q_winnow_fp,
         "ngram_jaccard": q_ngram_jaccard,
+        "html_main_content": q_html_main_content,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "ann_brute_topk": q_ann_brute_topk,
@@ -932,6 +968,49 @@ def oracle_sql() -> dict[str, str]:
         f"('{cid}', '{','.join(str(i) for i in exp)}')"
         for cid, _d, _l, exp in _BIDI_CASES
     )
+
+    # HTML boilerplate-strip twin, generated from the SAME constants as
+    # sparkstract.functions.html (patterns are RE2-safe: no backreferences)
+    from sparkstract.functions import html as _html
+
+    def _ent(expr: str) -> str:
+        for _s, _d in _html.HTML_ENTITIES:
+            expr = f"replace({expr}, {_sql_quote(_s)}, {_sql_quote(_d)})"
+        return expr
+
+    def _line_txt(v: str) -> str:
+        return _ent(
+            f"trim(regexp_replace(regexp_replace({v}, "
+            f"{_sql_quote(_html.ANY_TAG_RE)}, ' ', 'g'), '\\s+', ' ', 'g'))")
+
+    html_rows = ",\n".join(
+        f"({_sql_quote(d)}, {_sql_quote(h)})" for d, h in _HTML_DOCS)
+    html_oracle = f"""
+            WITH h AS (SELECT * FROM (VALUES
+            {html_rows}
+            ) AS t(doc_id, html)),
+            c AS (SELECT doc_id,
+                    regexp_replace(regexp_replace(html,
+                      {_sql_quote(_html.DROP_BLOCKS_RE)}, ' ', 'g'),
+                      {_sql_quote(_html.COMMENTS_RE)}, ' ', 'g') AS x
+                  FROM h),
+            l AS (SELECT doc_id, string_split(regexp_replace(x,
+                    {_sql_quote(_html.BLOCK_TAGS_RE)}, chr(10), 'g'),
+                    chr(10)) AS lines FROM c),
+            s AS (SELECT doc_id, list_transform(lines, ln -> struct_pack(
+                    txt := {_line_txt('ln')},
+                    link := coalesce(list_sum(list_transform(
+                      regexp_extract_all(ln,
+                        {_sql_quote(_html.ANCHOR_TEXT_RE)}, 1),
+                      a -> length({_line_txt('a')}))), 0))) AS sc
+                  FROM l)
+            SELECT doc_id,
+                   array_to_string(list_transform(list_filter(sc, v ->
+                     len(string_split(v.txt, ' ')) >= 4 AND v.txt <> ''
+                     AND v.link <= 0.4 * length(v.txt)),
+                     v -> v.txt), chr(10)) AS main_text
+            FROM s ORDER BY doc_id
+        """
 
     # normstrngs fold chain, generated from the SAME table the Spark side
     # uses (ts.NORM_FOLDS) — engine parity by construction
@@ -1458,13 +1537,16 @@ def oracle_sql() -> dict[str, str]:
               FROM g2 a JOIN g2 b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT doc_a, doc_b,
-                   round(n_common / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard
+                   round(n_common / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard,
+                   round(n_common * 1.0 / sa.n_grams, 6) AS containment_a,
+                   round(n_common * 1.0 / sb.n_grams, 6) AS containment_b
             FROM common
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common / (sa.n_grams + sb.n_grams - n_common) >= 0.2
             ORDER BY doc_a, doc_b
         """,
+        "html_main_content": html_oracle,
         "text_stats": f"""
             WITH t AS (
               SELECT doc_id, text,

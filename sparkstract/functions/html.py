@@ -1,0 +1,85 @@
+"""HTML main-content extraction: boilerplate strip + line-density heuristic.
+
+The north rule's extraction tier names "HTML boilerplate strip, DOM
+heuristics" alongside the layout path; this is that operator for text spans
+that carry raw HTML. The heuristic is the boilerpipe/jusText family's core
+signal pair, computed per BLOCK-level line:
+
+  * word count  — short fragments (menu items, buttons) are boilerplate
+  * link density — chars inside <a> anchors / total text chars; navigation
+    chrome is link-dense, body prose is not
+
+Everything is pyspark.sql column expressions (split / transform / filter /
+aggregate higher-order functions + regexp) — JVM-side, no Python in the hot
+path — with a DuckDB twin in `__spark_entry__.oracle_sql` built from the
+SAME pattern constants. Patterns avoid backreferences (RE2 has none) and
+stick to (?is)-style inline flags both engines accept.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# containers whose CONTENT is boilerplate wholesale (scripts, styling,
+# navigation chrome) — dropped before anything else. Explicit per-tag
+# alternation: RE2 (the DuckDB oracle engine) does not support the
+# backreference form <(script|style)>.*?</\1>.
+DROP_BLOCKS_RE = "|".join(
+    f"(?is)<{t}[^>]*>.*?</{t}>" for t in
+    ("script", "style", "nav", "header", "footer", "aside"))
+COMMENTS_RE = "(?s)<!--.*?-->"
+# block-level boundaries become line breaks so "lines" approximate DOM blocks
+BLOCK_TAGS_RE = ("(?i)</?(p|br|div|li|h1|h2|h3|h4|h5|h6|tr|td|ul|ol|table|"
+                 "section|article|blockquote)[^>]*>")
+ANCHOR_TEXT_RE = "(?is)<a[^>]*>(.*?)</a>"
+ANY_TAG_RE = "<[^>]+>"
+
+# minimal entity table (shared with the oracle, applied in this order —
+# &amp; LAST so &amp;lt; decodes to the literal text "&lt;", not "<")
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def _decode_entities(col: Column) -> Column:
+    for src, dst in HTML_ENTITIES:
+        col = F.replace(col, F.lit(src), F.lit(dst))
+    return col
+
+
+def _line_text(line: Column) -> Column:
+    """Visible text of one block line: tags out, entities decoded,
+    whitespace collapsed."""
+    return _decode_entities(
+        F.trim(F.regexp_replace(
+            F.regexp_replace(line, ANY_TAG_RE, " "), "\\s+", " ")))
+
+
+def strip_boilerplate(col: Column, min_words: int = 4,
+                      max_link_density: float = 0.4) -> Column:
+    """Main content of an HTML string: block lines that read like prose
+    (>= min_words words, link density <= max_link_density), newline-joined.
+    NULL-safe: null html -> null output."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(col, DROP_BLOCKS_RE, " "), COMMENTS_RE, " ")
+    lines = F.split(F.regexp_replace(cleaned, BLOCK_TAGS_RE, "\n"), "\n")
+    scored = F.transform(
+        lines,
+        lambda ln: F.struct(
+            _line_text(ln).alias("txt"),
+            F.aggregate(
+                F.transform(
+                    F.regexp_extract_all(ln, F.lit(ANCHOR_TEXT_RE), F.lit(1)),
+                    lambda a: F.length(_line_text(a))),
+                F.lit(0), lambda acc, x: acc + x).alias("link_chars"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.size(F.split(s["txt"], " ")) >= min_words)
+        & (s["txt"] != "")
+        & (s["link_chars"] <= max_link_density * F.length(s["txt"])),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")

@@ -351,5 +351,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                     F.round(F.col("n_common") /
                             (F.col("ga") + F.col("gb") - F.col("n_common")), 6))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        # containment (Broder's resemblance companion): |A∩B| / |A| — a doc
+        # EMBEDDED in a larger one has low Jaccard but containment ≈ 1; the
+        # quote/subset-duplication signal a symmetric score misses
+        .withColumn("containment_a",
+                    F.round(F.col("n_common") / F.col("ga"), 6))
+        .withColumn("containment_b",
+                    F.round(F.col("n_common") / F.col("gb"), 6))
+        .select("doc_a", "doc_b", "jaccard", "containment_a", "containment_b")
     )

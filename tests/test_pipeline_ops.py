@@ -167,3 +167,33 @@ def test_normalize_text_folds_unicode_variants(spark):
     assert rows["a"]["norm_fp"] == rows["b"]["norm_fp"]
     assert rows["a"]["raw_fp"] != rows["b"]["raw_fp"]  # raw key misses it
     assert rows["c"]["norm_fp"] == rows["d"]["norm_fp"]
+
+
+def test_strip_boilerplate_rules(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstract.functions.html import strip_boilerplate
+
+    docs = [
+        ("h1", "<script>var x=1;</script><nav><a href='/'>Home</a> "
+               "<a href='/a'>About</a></nav>"
+               "<p>The quick brown fox jumps over the lazy dog.</p>"
+               "<footer>Copyright 2026 Example Corp</footer>"),
+        ("h2", "<div>Menu: <a href='x'>one</a> <a href='y'>two</a> "
+               "<a href='z'>three four five six</a></div>"
+               "<div>This line has &quot;entities&quot; &amp; markup that "
+               "should survive.</div>"),
+        ("h3", "<!-- c --><p>Inline <b>bold</b> text stays one line.</p>"),
+        ("h4", None),
+    ]
+    rows = {r["doc_id"]: r["main"] for r in spark.createDataFrame(
+        docs, "doc_id string, html string"
+    ).select("doc_id", strip_boilerplate(F.col("html")).alias("main")).collect()}
+    assert rows["h1"] == "The quick brown fox jumps over the lazy dog."
+    # nav/script/footer gone
+    assert "Home" not in rows["h1"] and "var x" not in rows["h1"] \
+        and "Copyright" not in rows["h1"]
+    # link-dense menu dropped, entity line decoded and kept
+    assert rows["h2"] == 'This line has "entities" & markup that should survive.'
+    assert rows["h3"] == "Inline bold text stays one line."
+    assert rows["h4"] is None  # null-safe
