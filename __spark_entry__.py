@@ -484,6 +484,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).orderBy("doc_a", "doc_b")
 
 
+def q_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'log what was dropped' side channel for minhash_lsh_pairs'
+    oversized-bucket cap: one row per dropped (band, key) bucket with its
+    size. Empty result = the cap dropped nothing at this SF — and the
+    oracle PINS that emptiness instead of leaving the cap silent."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.lsh_bucket_stats(docs, num_hashes=8, bands=4)
+            .orderBy("band", "key"))
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → one cluster id + keep flag
     per document (alternating large-star/small-star; oracle is a recursive
@@ -896,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_norm": q_dedup_exact_norm,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_bucket_audit": q_lsh_bucket_audit,
         "dup_clusters": q_dup_clusters,
         "curated_corpus": q_curated_corpus,
         "simhash": q_simhash,
@@ -1364,6 +1375,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN banded b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
             GROUP BY 1, 2 ORDER BY doc_a, doc_b
+        """,
+        "lsh_bucket_audit": f"""
+            {_dd_ngrams(3)},
+            sig AS (SELECT doc_id, {minhash_aggs} FROM grams GROUP BY doc_id),
+            banded AS ({band_selects})
+            SELECT band, key, count(*) AS bucket_size
+            FROM banded GROUP BY band, key
+            HAVING count(*) > 64
+            ORDER BY band, key
         """,
         "dup_clusters": f"""
             WITH RECURSIVE {_dd_ngrams(3)[5:]},
