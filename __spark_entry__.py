@@ -591,6 +591,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ts.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
         ts.lang_id(F.col("text")).alias("pred_lang"),
         ts.fingerprint(F.col("text")).alias("fp"),
+        ts.bigram_coherence(F.col("text")).alias("bigram_coherence"),
     ).orderBy("doc_id")
 
 
@@ -1022,6 +1023,8 @@ def oracle_sql() -> dict[str, str]:
                      v -> v.txt), chr(10)) AS main_text
             FROM s ORDER BY doc_id
         """
+
+    bigram_list = "[" + ", ".join(f"'{b}'" for b in ts.COMMON_BIGRAMS) + "]"
 
     # normstrngs fold chain, generated from the SAME table the Spark side
     # uses (ts.NORM_FOLDS) — engine parity by construction
@@ -1589,7 +1592,15 @@ def oracle_sql() -> dict[str, str]:
                          THEN list_sum(list_transform(tl_raw, x -> length(x))) * 1.0 / len(tl_raw)
                          ELSE 0 END, 6) AS mean_word_len,
                    {lang_expr} AS pred_lang,
-                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   CASE WHEN length(regexp_replace(lower(text), '[^a-z]', '', 'g')) >= 2
+                        THEN round(len(list_filter(list_transform(
+                               range(1, length(regexp_replace(lower(text), '[^a-z]', '', 'g'))),
+                               i -> substring(regexp_replace(lower(text), '[^a-z]', '', 'g'),
+                                              CAST(i AS INTEGER), 2)),
+                               g -> list_contains({bigram_list}, g))) * 1.0
+                             / (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) - 1), 6)
+                        ELSE 0 END AS bigram_coherence
             FROM t ORDER BY doc_id
         """,
         "quality_score": f"""

@@ -77,6 +77,29 @@ def mean_word_len(col: Column) -> Column:
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 
+# the 50 most frequent English letter bigrams (standard frequency tables) —
+# the basis of the cheap gibberish detector below
+COMMON_BIGRAMS = (
+    "th he in er an re on at en nd ti es or te of ed is it al ar st to nt "
+    "ng se ha as ou io le ve co me de hi ri ro ic ne ea ra ce li ch ll be "
+    "ma si om ur ta el".split())
+
+
+def bigram_coherence(col: Column) -> Column:
+    """Fraction of the text's letter bigrams that are common English
+    bigrams — the cheap proxy for an LM-perplexity filter (random keyboard
+    mash scores near 0, prose near 0.5+). Pure column expressions: strip
+    non-letters, slide a width-2 window with transform over a sequence,
+    count membership. Short texts (< 2 letters) score 0."""
+    letters = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    n = F.length(letters)
+    grams = F.transform(F.sequence(F.lit(1), n - 1),
+                        lambda i: F.substr(letters, i, F.lit(2)))
+    hits = F.size(F.filter(
+        grams, lambda g: g.isin(*COMMON_BIGRAMS)))
+    return F.when(n >= 2, F.round(hits / (n - 1), 6)).otherwise(F.lit(0.0))
+
+
 def quality_score(col: Column) -> Column:
     """Composite document-quality heuristic in [0, 1]:
     length signal * (1 - punct_ratio) * clamp(stopword presence)."""

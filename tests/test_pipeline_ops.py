@@ -197,3 +197,19 @@ def test_strip_boilerplate_rules(spark):
     assert rows["h2"] == 'This line has "entities" & markup that should survive.'
     assert rows["h3"] == "Inline bold text stays one line."
     assert rows["h4"] is None  # null-safe
+
+
+def test_bigram_coherence_separates_prose_from_mash(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstract.functions.textstats import bigram_coherence
+
+    docs = [("prose", "the weather in northern regions is rather pleasant"),
+            ("mash", "xq zk jv qx wz kq vj zx qj xz"),
+            ("tiny", "a"), ("nullt", None)]
+    rows = {r["doc_id"]: r["c"] for r in spark.createDataFrame(
+        docs, "doc_id string, text string"
+    ).select("doc_id", bigram_coherence(F.col("text")).alias("c")).collect()}
+    assert rows["prose"] > 0.4
+    assert rows["mash"] < 0.1
+    assert rows["tiny"] == 0.0 and rows["nullt"] == 0.0
