@@ -567,6 +567,15 @@ _HTML_DOCS: list[tuple[str, str]] = [
 ]
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filters (Rae et al. 2021 A1.1):
+    duplicate-line fraction + top-word-bigram character share, per doc."""
+    from sparkstract.operators.repetition import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2).orderBy("doc_id")
+
+
 def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate strip + line-density main-content extraction (the
     north rule's 'HTML boilerplate strip, DOM heuristics' operator) over a
@@ -915,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "ngram_jaccard": q_ngram_jaccard,
         "html_main_content": q_html_main_content,
+        "repetition_stats": q_repetition_stats,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1570,6 +1580,49 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "html_main_content": html_oracle,
+        "repetition_stats": f"""
+            WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+                          FROM documents),
+            chars AS (SELECT doc_id,
+                        length(regexp_replace(lower(text), '\\s', '', 'g'))
+                          AS n_chars FROM base),
+            ln AS (SELECT doc_id, trim(l) AS line
+                   FROM base, unnest(string_split(text, chr(10))) AS u(l)
+                   WHERE trim(l) <> ''),
+            lc AS (SELECT doc_id, line, count(*) AS c FROM ln
+                   GROUP BY doc_id, line),
+            line_stats AS (
+              SELECT doc_id, sum(c) AS n_lines,
+                     round((sum(c) - count(*)) * 1.0 / sum(c), 6)
+                       AS dup_line_frac
+              FROM lc GROUP BY doc_id),
+            toks AS ({_DD_TOKENS.replace('FROM documents',
+                      'FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)')}),
+            gl AS (SELECT doc_id, unnest(list_transform(
+                     range(0, greatest(len(tl) - 1, 0)),
+                     i -> array_to_string(tl[CAST(i + 1 AS BIGINT):CAST(i + 2 AS BIGINT)], ' ')
+                   )) AS gram FROM toks),
+            gc AS (SELECT doc_id, gram, count(*) AS c FROM gl
+                   GROUP BY doc_id, gram),
+            top AS (SELECT doc_id, gram AS top_ngram, c AS top_c FROM (
+                      SELECT doc_id, gram, c,
+                             row_number() OVER (PARTITION BY doc_id
+                               ORDER BY c DESC, gram DESC) AS rn
+                      FROM gc) WHERE rn = 1)
+            SELECT ch.doc_id,
+                   CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+                   coalesce(ls.dup_line_frac, 0) AS dup_line_frac,
+                   t.top_ngram,
+                   CASE WHEN t.top_c IS NOT NULL AND ch.n_chars > 0
+                        THEN round(t.top_c * length(regexp_replace(
+                               t.top_ngram, '\\s', '', 'g')) * 1.0
+                               / ch.n_chars, 6)
+                        ELSE 0 END AS top_ngram_char_frac
+            FROM chars ch
+            LEFT JOIN line_stats ls ON ls.doc_id = ch.doc_id
+            LEFT JOIN top t ON t.doc_id = ch.doc_id
+            ORDER BY ch.doc_id
+        """,
         "text_stats": f"""
             WITH t AS (
               SELECT doc_id, text,

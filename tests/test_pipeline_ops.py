@@ -213,3 +213,25 @@ def test_bigram_coherence_separates_prose_from_mash(spark):
     assert rows["prose"] > 0.4
     assert rows["mash"] < 0.1
     assert rows["tiny"] == 0.0 and rows["nullt"] == 0.0
+
+
+def test_repetition_stats_gopher_rules(spark):
+    from sparkstract.operators.repetition import repetition_stats
+
+    docs = [
+        ("clean", "alpha beta gamma\ndelta epsilon zeta\neta theta iota"),
+        ("dupl", "same line here\nsame line here\nsame line here\nunique one"),
+        ("stuffed", "buy cheap " * 10 + "now"),
+        ("empty", ""),
+    ]
+    rows = {r["doc_id"]: r for r in repetition_stats(
+        spark.createDataFrame(docs, "doc_id string, text string")).collect()}
+    assert rows["clean"]["dup_line_frac"] == 0.0
+    assert rows["clean"]["top_ngram_char_frac"] < 0.3
+    assert rows["dupl"]["n_lines"] == 4
+    assert rows["dupl"]["dup_line_frac"] == 0.5  # 2 repeats of 4 lines
+    assert rows["stuffed"]["top_ngram"] == "buy cheap"
+    assert rows["stuffed"]["top_ngram_char_frac"] > 0.4
+    assert rows["empty"]["n_lines"] == 0
+    assert rows["empty"]["top_ngram"] is None
+    assert rows["empty"]["top_ngram_char_frac"] == 0.0
