@@ -28,30 +28,50 @@ from .cluster import connected_components
 
 def curate_corpus(docs: DataFrame, pairs: DataFrame, min_tokens: int = 20,
                   langs: tuple[str, ...] = ("en",), min_quality: float = 0.1,
+                  min_coherence: float | None = None,
+                  max_dup_line_frac: float | None = None,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per input document: (doc_id, lang, n_tokens, quality,
     cluster_id, kept, reason). `pairs` is any near-dup pair frame
     (doc_a, doc_b) — minhash_lsh_pairs / simhash_near_dup_pairs output.
     The kept doc of a duplicate cluster is the lexicographic min among the
     docs that pass the content gates (a cluster whose canonical doc is
-    low-quality should not lose its good members to it)."""
+    low-quality should not lose its good members to it).
+
+    Optional gates (None = off): `min_coherence` drops gibberish via the
+    char-bigram score ('gibberish' reason); `max_dup_line_frac` drops
+    line-repetitive docs via the Gopher rule ('repetitive' reason)."""
     stats = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
         ts.token_count(F.col(text_col)).alias("n_tokens"),
         ts.lang_id(F.col(text_col)).alias("lang"),
         ts.quality_score(F.col(text_col)).alias("quality"),
     )
+    if min_coherence is not None:
+        stats = stats.withColumn(
+            "coherence", ts.bigram_coherence(F.col("__text")))
+    if max_dup_line_frac is not None:
+        from .repetition import repetition_stats
+
+        rep = repetition_stats(docs, id_col=id_col, text_col=text_col) \
+            .select("doc_id", "dup_line_frac")
+        stats = stats.join(rep, "doc_id")
+    stats = stats.drop("__text")
+    content_pass = ((F.col("n_tokens") >= min_tokens)
+                    & F.col("lang").isin(*langs)
+                    & (F.col("quality") >= min_quality))
+    if min_coherence is not None:
+        content_pass = content_pass & (F.col("coherence") >= min_coherence)
+    if max_dup_line_frac is not None:
+        content_pass = content_pass & (
+            F.col("dup_line_frac") <= max_dup_line_frac)
     comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
     g = (
         stats.join(comp, "doc_id", "left")
         .withColumn("in_pairs", F.col("cluster_id").isNotNull())
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
-        .withColumn(
-            "content_pass",
-            (F.col("n_tokens") >= min_tokens)
-            & F.col("lang").isin(*langs)
-            & (F.col("quality") >= min_quality),
-        )
+        .withColumn("content_pass", content_pass)
     )
     # winner per cluster among content-passing members — the filter keeps
     # only pair-involved docs, so the aggregate stays bounded by the pair
@@ -68,8 +88,14 @@ def curate_corpus(docs: DataFrame, pairs: DataFrame, min_tokens: int = 20,
         F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
         .when(~F.col("lang").isin(*langs), F.lit("wrong_lang"))
         .when(F.col("quality") < min_quality, F.lit("low_quality"))
-        .when(~kept, F.lit("duplicate"))
-        .otherwise(F.lit("kept"))
     )
+    if min_coherence is not None:
+        reason = reason.when(F.col("coherence") < min_coherence,
+                             F.lit("gibberish"))
+    if max_dup_line_frac is not None:
+        reason = reason.when(F.col("dup_line_frac") > max_dup_line_frac,
+                             F.lit("repetitive"))
+    reason = (reason.when(~kept, F.lit("duplicate"))
+              .otherwise(F.lit("kept")))
     return g.select("doc_id", "lang", "n_tokens", "quality", "cluster_id",
                     kept.alias("kept"), reason.alias("reason"))

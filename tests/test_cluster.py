@@ -118,3 +118,23 @@ def test_curate_corpus_reasons_and_winner(spark):
     # the winner is the min among PASSING members, not the raw cluster min
     assert rows["d5"]["reason"] == "kept" and rows["d5"]["kept"]
     assert rows["d6"]["reason"] == "too_short" and not rows["d6"]["kept"]
+
+
+def test_curate_optional_gates(spark):
+    from sparkstract.operators.curate import curate_corpus
+
+    good = ("the fox and the dog is it to of in " * 6).strip()
+    docs = spark.createDataFrame(
+        [
+            ("d0", good),
+            ("d1", ("xq zk jv qx wz of qj xz kq vj " * 4).strip()),
+            ("d2", "\n".join(["the fox and the dog is it to of in"] * 8)),
+        ],
+        "doc_id string, text string")
+    pairs = spark.createDataFrame([], "doc_a string, doc_b string")
+    rows = {r["doc_id"]: r for r in curate_corpus(
+        docs, pairs, min_tokens=20, langs=("en",), min_quality=0.05,
+        min_coherence=0.25, max_dup_line_frac=0.5).collect()}
+    assert rows["d0"]["reason"] == "kept"
+    assert rows["d1"]["reason"] == "gibberish"
+    assert rows["d2"]["reason"] == "repetitive"
