@@ -567,6 +567,27 @@ _HTML_DOCS: list[tuple[str, str]] = [
 ]
 
 
+# PII-bearing literal docs: one per pattern family + a clean control + an
+# overlap case (email containing digits a phone pattern could nibble at)
+_PII_DOCS: list[tuple[str, str]] = [
+    ("p1", "Contact jane.doe+spam@example.co.uk or call 555-867-5309 now"),
+    ("p2", "Server at 192.168.10.254 answered; backup at 10.0.0.1 did not"),
+    ("p3", "SSN 123-45-6789 must never appear; order 12345 is fine"),
+    ("p4", "Call (800) 555-0100 or +1 415 555 2671 before noon"),
+    ("p5", "No contact data here, just plain prose about nothing at all"),
+    ("p6", "mail a.b-1@x.io and visit 8.8.8.8"),
+]
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (emails/phones/IPs/SSNs → typed tokens), the standard
+    pre-training scrub pass, over literal docs covering each pattern."""
+    df = spark.createDataFrame(_PII_DOCS, "doc_id string, text string")
+    return df.select(
+        "doc_id", ts.scrub_pii(F.col("text")).alias("scrubbed")
+    ).orderBy("doc_id")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition filters (Rae et al. 2021 A1.1):
     duplicate-line fraction + top-word-bigram character share, per doc."""
@@ -925,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "html_main_content": q_html_main_content,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1035,6 +1057,14 @@ def oracle_sql() -> dict[str, str]:
         """
 
     bigram_list = "[" + ", ".join(f"'{b}'" for b in ts.COMMON_BIGRAMS) + "]"
+
+    # PII scrub twin from the same pattern table
+    pii_expr = "text"
+    for _pat, _tok in ts.PII_PATTERNS:
+        pii_expr = (f"regexp_replace({pii_expr}, {_sql_quote(_pat)}, "
+                    f"{_sql_quote(_tok)}, 'g')")
+    pii_rows = ",\n".join(
+        f"({_sql_quote(d)}, {_sql_quote(t)})" for d, t in _PII_DOCS)
 
     # normstrngs fold chain, generated from the SAME table the Spark side
     # uses (ts.NORM_FOLDS) — engine parity by construction
@@ -1580,6 +1610,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "html_main_content": html_oracle,
+        "pii_scrub": f"""
+            SELECT doc_id, {pii_expr} AS scrubbed
+            FROM (VALUES
+            {pii_rows}
+            ) AS t(doc_id, text)
+            ORDER BY doc_id
+        """,
         "repetition_stats": f"""
             WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
                           FROM documents),

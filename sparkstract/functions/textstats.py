@@ -158,6 +158,30 @@ def fingerprint_normalized(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+# PII patterns (ASCII-only so Java regex and RE2 agree; conservative on
+# purpose — a training-data scrubber prefers false positives on strings that
+# merely look like contact data)
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email before phone: an address like a.b-1@x.io contains digit runs a
+    # phone pattern could nibble at
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("(?:\\+?[0-9]{1,3}[-. ])?(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}",
+     "<PHONE>"),
+    ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask emails / phone numbers / IPv4 addresses / SSN-shaped ids with
+    typed placeholder tokens — the standard pre-training scrub pass. Pure
+    chained regexp_replace (whole-stage codegen); the DuckDB twin is
+    generated from the SAME pattern table."""
+    for pat, tok in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tok)
+    return col
+
+
 def hex_prefix_to_long(hex_col: Column, n_hex: int = 8) -> Column:
     """First n_hex hex chars of a hash string → non-negative bigint.
     Twin of the DuckDB generate_series/strpos construction in oracle SQL."""

@@ -235,3 +235,16 @@ def test_repetition_stats_gopher_rules(spark):
     assert rows["empty"]["n_lines"] == 0
     assert rows["empty"]["top_ngram"] is None
     assert rows["empty"]["top_ngram_char_frac"] == 0.0
+
+
+def test_scrub_pii_masks_each_family(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstract.functions.textstats import scrub_pii
+
+    docs = [("a", "mail x@y.org, call 555-867-5309, host 10.0.0.1, "
+                  "ssn 123-45-6789, order 12345 stays")]
+    out = spark.createDataFrame(docs, "doc_id string, text string") \
+        .select(scrub_pii(F.col("text")).alias("s")).collect()[0]["s"]
+    assert out == ("mail <EMAIL>, call <PHONE>, host <IP>, "
+                   "ssn <SSN>, order 12345 stays")
