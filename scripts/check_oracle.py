@@ -34,6 +34,37 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class matching the driver's TYPED value hash: an int
+    column vs a str column hash-mismatches even when str(values) agree (the
+    repetition_stats r02 failure), and int vs float does too (DuckDB HUGEINT
+    → float). Object columns are classified by their first non-null value."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    nn = s.dropna()
+    if len(nn) == 0:
+        return "empty"
+    v = nn.iloc[0]
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    return type(v).__name__
+
+
 def cells_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -93,6 +124,16 @@ def main() -> int:
             continue
         if len(g) != len(w):
             print(f"FAIL  {name}: rows {len(g)} != {len(w)}")
+            failures.append(name)
+            continue
+        bad_types = [
+            (c, dtype_class(g[c]), dtype_class(w[c]))
+            for c in g.columns
+            if "empty" not in (dtype_class(g[c]), dtype_class(w[c]))
+            and dtype_class(g[c]) != dtype_class(w[c])
+        ]
+        if bad_types:
+            print(f"FAIL  {name}: dtype mismatch {bad_types}")
             failures.append(name)
             continue
         bad = 0

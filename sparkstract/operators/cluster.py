@@ -14,9 +14,11 @@ state; `localCheckpoint` truncates the lineage each round so the plan does
 not grow with iterations (on a real cluster use `spark.sparkContext
 .setCheckpointDir` + `checkpoint()` for fault-tolerant truncation).
 
-Node ids are compared lexicographically (doc_ids are strings) — the same
-total order DuckDB's min() uses, so the oracle twin (a recursive-CTE
-transitive closure, tractable at test scale) is bit-identical.
+Node ids are compared with min()/least() under whatever total order the id
+column's type carries (the driver tables use BIGINT doc_ids → numeric order;
+string ids order lexicographically) — DuckDB's min() agrees in both cases,
+so the oracle twin (a recursive-CTE transitive closure, tractable at test
+scale) is bit-identical.
 
 100 TB notes: every round shuffles the CURRENT edge set only — after the
 first large-star the set contracts toward one edge per non-root node, so
@@ -80,10 +82,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _truncate(df: DataFrame) -> DataFrame:
     """Cut the iteration's lineage. Reliable checkpoint when the job has a
     checkpoint dir configured (survives executor loss on a real cluster);
-    executor-local checkpoint otherwise (tests, local mode)."""
+    executor-local checkpoint otherwise (tests, local mode).
+
+    The local path is LAZY (eager=False) on purpose: every _truncate here is
+    immediately followed by `_checksum`, whose aggregate is the action that
+    materializes the checkpoint — the round's edges are computed in ONE job
+    (materialize + checksum fused) instead of two full-edge-set passes per
+    round. The reliable path stays eager: a lazy `checkpoint()` recomputes
+    the plan for the checkpoint write on top of the first action."""
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 
 def _checksum(edges: DataFrame) -> tuple:

@@ -130,6 +130,14 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     explode) is how an executor OOMs at 100 TB. Oversized buckets are
     dropped, not truncated — use `lsh_bucket_stats` to audit what was
     dropped before trusting a run on a new corpus.
+
+    Buffer discipline: the cap is applied COUNT-FIRST — aggregate a plain
+    count per (band, key), filter by the cap, semi-join the survivors back,
+    and only then collect the bucket arrays. Filtering on size(collect_list)
+    would materialize a degenerate bucket's full array in one aggregation
+    buffer before dropping it (executor OOM at exactly the corpus the cap
+    exists for); count-first costs one extra small shuffle and bounds every
+    buffer by max_bucket.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n)
@@ -143,10 +151,16 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    buckets = (
+    ok = (
         banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "key")
+    )
+    buckets = (
+        banded.join(ok, ["band", "key"], "left_semi")
+        .groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     # all ordered pairs within a bucket via a row-local cartesian (two
     # Generate nodes — stays in whole-stage codegen, unlike nested
@@ -237,6 +251,10 @@ def simhash_near_dup_pairs(docs: DataFrame, bits: int = 32, bands: int = 4,
     (band, key, doc_id), no all-pairs join. Returns
     (doc_a, doc_b, hamming) with doc_a < doc_b."""
     assert bits % bands == 0
+    # pigeonhole completeness REQUIRES max_hamming < bands: with h >= bands
+    # differing bits a pair can miss every band, silently losing qualifying
+    # pairs — refuse the config instead
+    assert max_hamming < bands
     width = bits // bands
     mask = (1 << width) - 1
     sig = simhash(docs, bits=bits)
@@ -250,11 +268,19 @@ def simhash_near_dup_pairs(docs: DataFrame, bits: int = 32, bands: int = 4,
         "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "simhash",
              F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    buckets = (
+    # count-first cap (see minhash_lsh_pairs): never materialize an
+    # oversized bucket's struct array in an aggregation buffer
+    ok = (
         banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "key")
+    )
+    buckets = (
+        banded.join(ok, ["band", "key"], "left_semi")
+        .groupBy("band", "key")
         .agg(F.array_sort(
             F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     pairs = (
         buckets.select("band", F.explode("ids").alias("a"), "ids")
@@ -323,18 +349,24 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     the per-doc sizes, so the Jaccard stays a true Jaccard over the
     informative shingle set."""
     grams = word_ngrams(docs, n=n)
-    # df filter FIRST, then sizes over the surviving shingles — one extra
-    # aggregate on (ngram), bounded output, no quadratic bucket
-    df_ok = (
+    # df filter FIRST and COUNT-FIRST: count per ngram, drop stop-shingles,
+    # semi-join survivors back, and only then build the (now max_df-bounded)
+    # bucket arrays — a stop-gram's corpus-sized id list never touches an
+    # aggregation buffer. Sizes are counted over the same surviving shingles
+    # so the Jaccard stays a true Jaccard over the informative set.
+    ok = (
         grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("ngram")
+    )
+    kept = grams.join(ok, "ngram", "left_semi")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    buckets = (
+        kept.groupBy("ngram")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") <= max_df)
+        .filter(F.size("ids") >= 2)
     )
-    sizes = (
-        df_ok.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    )
-    buckets = df_ok.filter(F.size("ids") >= 2)
     common = (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))

@@ -1340,7 +1340,12 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
     if psm == "auto" and not rtl and _script_vote_rtl(out):
         # script vote fired: re-run the winning orientation/config with RTL
         # ordering (columns right→left, bidi word reorder per line) — one
-        # extra kernel pass, only on pages that actually decode as RTL
-        out, _q = _analyse_ink(np.rot90(ink, best_rot), skew_bin_div=best_div,
+        # extra kernel pass, only on pages that actually decode as RTL.
+        # Keep the re-run only if decode quality did not degrade: a marginal
+        # vote on a near-letterless page must not replace a good LTR result
+        # (osdetect keeps the best-scoring hypothesis, not the last one).
+        cand, q = _analyse_ink(np.rot90(ink, best_rot), skew_bin_div=best_div,
                                rtl=True, psm=psm, lut=lut)
+        if q <= quality:
+            out = cand
     return out

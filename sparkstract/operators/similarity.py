@@ -112,18 +112,49 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          label_col: str = "label") -> DataFrame:
+                          label_col: str = "label",
+                          max_label: int = 4096) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by label so the
     quadratic pair join stays within buckets (the IVF trick applied to
-    dedup). Returns (id_a, id_b, score) with id_a < id_b."""
-    a = spread(emb).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                           F.col(label_col).alias("label"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                   F.col(label_col).alias("label"))
+    dedup). Returns (id_a, id_b, score) with id_a < id_b.
+
+    `max_label` is the hot-bucket cap, same contract as minhash_lsh_pairs'
+    max_bucket: a label with k members emits k²/2 candidate rows, and one
+    dominant cluster label (the common case on real corpora) is a quadratic
+    blow-up no executor absorbs. Labels above the cap are dropped, not
+    truncated — audit with `cosine_label_stats`, and split a genuinely hot
+    label upstream (e.g. sub-bucket by an embedding-sign band) before
+    re-running. Count-first discipline: the cap filters a plain count
+    aggregate and survivors come back via a semi-join, so nothing
+    corpus-sized ever sits in one buffer."""
+    base = spread(emb).select(F.col(id_col).alias("vid"),
+                              F.col(vec_col).alias("vec"),
+                              F.col(label_col).alias("label"))
+    ok = (
+        base.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_label))
+        .select("label")
+    )
+    kept = base.join(ok, "label", "left_semi")
+    a = kept.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), "label")
+    b = kept.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "label")
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
                 F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"))
         .filter(F.col("score") >= threshold)
+    )
+
+
+def cosine_label_stats(emb: DataFrame, label_col: str = "label",
+                       max_label: int = 4096) -> DataFrame:
+    """Audit companion to `cosine_near_dup_pairs`: one row per OVERSIZED
+    label the cap dropped, with its size — the same "log what was dropped"
+    side channel as lsh_bucket_stats. Count-only aggregate, bounded output."""
+    return (
+        emb.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("label_size"))
+        .filter(F.col("label_size") > max_label)
     )
