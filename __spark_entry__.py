@@ -837,6 +837,20 @@ def q_bidi_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level sidecar (GetTSVText levels 3-5, baseapi.cpp:2205): one row
+    per recognized word with block/paragraph/line/word numbering — paragraphs
+    from the detector WIRED into the kernel (W6, DetectParagraphs-in-
+    Recognize baseapi.cpp:1417; the para_page family splits [0,0,0,1,1]) —
+    and its bounding box + confidence. Oracle: VALUES from the identical
+    kernel run single-process over the deterministic fixture media."""
+    from sparkstract.plans.pipeline import extract_words
+
+    docs, media, _ = _fixture_frames(spark)
+    return extract_words(spark, docs, media).orderBy(
+        "doc_id", "offset", "block_order", "para_num", "line_num", "word_num")
+
+
 def q_layout_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block bounding boxes at the reference's TSV/hOCR level of detail.
     Oracle: VALUES literal computed at build time by running the identical
@@ -882,13 +896,13 @@ def _media_truth() -> tuple[list[tuple], list[tuple]]:
     import numpy as np
 
     from sparkstract.functions.cclabel import label_blobs
+    from sparkstract.functions.codecs import decode_gray_any
     from sparkstract.functions.otsu import binarize, otsu_threshold
-    from sparkstract.functions.png import decode_gray
 
     feats: list[tuple] = []
     thumbs: list[tuple] = []
     for r in _fixture_set().media.itertuples():
-        gray = decode_gray(bytes(r.image))
+        gray = decode_gray_any(bytes(r.image))
         ink = binarize(gray)
         feats.append((r.media_ref, gray.shape[1], gray.shape[0],
                       round(float(ink.mean()), 6), int(otsu_threshold(gray)),
@@ -899,10 +913,10 @@ def _media_truth() -> tuple[list[tuple], list[tuple]]:
 
 
 @functools.lru_cache(maxsize=1)
-def _layout_geometry_truth() -> list[tuple]:
-    """Single-process ground truth for layout_geometry: the same page kernel
-    run locally per fixture media span, in docs-table order."""
-    from sparkstract.functions.png import decode_gray
+def _words_truth() -> list[tuple]:
+    """Single-process ground truth for extract_words: the same page kernel
+    run locally per fixture media span, word rows in docs-table order."""
+    from sparkstract.functions.codecs import decode_pages
     from sparkstract.operators.page import analyse_page
 
     fs = _fixture_set()
@@ -912,11 +926,43 @@ def _layout_geometry_truth() -> list[tuple]:
         for span in d.spans:
             if span["kind"] != "media":
                 continue
-            gray = decode_gray(bytes(img_by_ref[span["media_ref"]]))
-            for blk in analyse_page(gray):
-                rows.append((d.doc_id, span["offset"], blk.order, blk.kind,
-                             blk.text, span["media_ref"],
-                             blk.left, blk.top, blk.right, blk.bottom))
+            base = 0
+            for gray in decode_pages(bytes(img_by_ref[span["media_ref"]])):
+                blocks = analyse_page(gray)
+                for blk in blocks:
+                    if not blk.words:
+                        continue
+                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in blk.words:
+                        rows.append((d.doc_id, span["offset"],
+                                     base + blk.order, p, ln,
+                                     wn, wtext, span["media_ref"],
+                                     wl, wt, wr, wb, conf))
+                base += len(blocks)
+    return rows
+
+
+@functools.lru_cache(maxsize=1)
+def _layout_geometry_truth() -> list[tuple]:
+    """Single-process ground truth for layout_geometry: the same page kernel
+    run locally per fixture media span, in docs-table order."""
+    from sparkstract.functions.codecs import decode_pages
+    from sparkstract.operators.page import analyse_page
+
+    fs = _fixture_set()
+    img_by_ref = {r.media_ref: r.image for r in fs.media.itertuples()}
+    rows: list[tuple] = []
+    for d in fs.docs.itertuples():
+        for span in d.spans:
+            if span["kind"] != "media":
+                continue
+            base = 0
+            for gray in decode_pages(bytes(img_by_ref[span["media_ref"]])):
+                blocks = analyse_page(gray)
+                for blk in blocks:
+                    rows.append((d.doc_id, span["offset"], base + blk.order,
+                                 blk.kind, blk.text, span["media_ref"],
+                                 blk.left, blk.top, blk.right, blk.bottom))
+                base += len(blocks)
     return rows
 
 
@@ -988,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "thumbnails": q_thumbnails,
         "layout_geometry": q_layout_geometry,
+        "extract_words": q_extract_words,
     }
 
 
@@ -1112,6 +1159,11 @@ def oracle_sql() -> dict[str, str]:
         f"{_sql_quote(text) if text is not None else 'CAST(NULL AS VARCHAR)'}, "
         f"{_sql_quote(ref)}, {l}, {t}, {r}, {b})"
         for doc, off, bo, kind, text, ref, l, t, r, b in _layout_geometry_truth())
+    word_rows = ",\n".join(
+        f"({_sql_quote(doc)}, {off}, {bo}, {p}, {ln}, {wn}, "
+        f"{_sql_quote(wtext)}, {_sql_quote(ref)}, {l}, {t}, {r}, {b}, {conf})"
+        for doc, off, bo, p, ln, wn, wtext, ref, l, t, r, b, conf
+        in _words_truth())
 
     _png, _shape, rtl_truth = _rtl_fixture()
     rtl_rows = ",\n".join(
@@ -1803,6 +1855,15 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(doc_id, "offset", block_order, kind, text, media_ref,
                    "left", "top", "right", "bottom")
             ORDER BY doc_id, "offset", block_order
+        """,
+        "extract_words": f"""
+            SELECT * FROM (VALUES
+            {word_rows}
+            ) AS t(doc_id, "offset", block_order, para_num, line_num,
+                   word_num, word, media_ref, "left", "top", "right",
+                   "bottom", conf)
+            ORDER BY doc_id, "offset", block_order, para_num, line_num,
+                     word_num
         """,
         "cosine_near_dup": """
             -- hot-label cap twin (cosine_near_dup_pairs max_label=4096):

@@ -96,10 +96,31 @@ _RAW_RTL = {
 }
 _RAW.update(_RAW_RTL)
 
+# Greek glyph family (uppercase shapes that differ from the Latin set) —
+# widens the script vote beyond the binary RTL/LTR pair, mirroring the
+# reference's per-script OSD scoring (src/ccmain/osdetect.cpp:286 scores
+# 10+ scripts). Greek is LTR, so bidi behavior is Latin-like; what the
+# vote needs is only the per-script tally.
+_RAW_GREEK = {
+    "Γ": ["11111", "10000", "10000", "10000", "10000", "10000", "10000"],
+    "Δ": ["00100", "00100", "01010", "01010", "10001", "10001", "11111"],
+    "Θ": ["01110", "10001", "10001", "11111", "10001", "10001", "01110"],
+    "Λ": ["00100", "00100", "01010", "01010", "10001", "10001", "10001"],
+    "Ξ": ["11111", "00000", "00000", "01110", "00000", "00000", "11111"],
+    "Π": ["11111", "01010", "01010", "01010", "01010", "01010", "11011"],
+    "Σ": ["11111", "10000", "01000", "00100", "01000", "10000", "11111"],
+    "Φ": ["00100", "01110", "10101", "10101", "10101", "01110", "00100"],
+    "Ψ": ["10101", "10101", "10101", "01110", "00100", "00100", "00100"],
+    "Ω": ["01110", "10001", "10001", "10001", "01010", "01010", "11011"],
+}
+_RAW.update(_RAW_GREEK)
+
 # the strong-direction vocabulary consumed by the kernel's word-direction
-# classifier (page.py _word_direction): RTL = these; LTR = Latin letters;
-# digits and punctuation are direction-neutral
+# classifier (page.py _word_direction): RTL = these; LTR = Latin AND Greek
+# letters (both left-to-right scripts); digits and punctuation are
+# direction-neutral. STRONG_GREEK feeds the per-script OSD vote.
 STRONG_RTL: frozenset[str] = frozenset(_RAW_RTL)
+STRONG_GREEK: frozenset[str] = frozenset(_RAW_GREEK)
 STRONG_LTR: frozenset[str] = frozenset(
     ch for ch in _RAW if ch.isalpha() and ch not in _RAW_RTL)
 

@@ -64,6 +64,11 @@ def _lines(rng: np.random.Generator, n_lines: int, max_chars: int) -> list[str]:
 
 def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     """Deterministic page spec per fixture family (FIXTURES.md table)."""
+    if family in ("tiff_page", "tiff_multipage"):
+        # container-level families: the page CONTENT is a plain spec — the
+        # TIFF packaging (LZW / multipage IFD chain) happens in
+        # _Builder.add_page, where the encoder choice lives
+        return page_spec("single_column", rng)
     seed = int(rng.integers(0, 2**31))
     if family == "single_column":  # F01 — baseapi_test.cc:74 golden text
         return PageSpec(elements=[Text(_lines(rng, 4, 16))], scale=2, seed=seed)
@@ -274,6 +279,28 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         return PageSpec(elements=[Text(lines, col=0, track_units=1)],
                         side_stack=(word, 107, 0),
                         scale=2, width_chars=18, seed=seed)
+    if family == "para_page":  # F32 — paragraph detection WIRED into the
+        # recognition pass (W6, DetectParagraphs inside Recognize,
+        # baseapi.cpp:1417): one flowing block at normal line pitch whose
+        # first-line indents (2 cells) must split it into paragraphs
+        # [0,0,0,1,1] in the word sidecar (classic first-line-indent model,
+        # paragraphs_test.cc kTwoParagraphs). Ragged right edges keep the
+        # zone classifier off the centered/right branches. Leading spaces
+        # render as indentation; truth text is the stripped decode.
+        lines = ["  VECTOR STREAM GRID", "RASTER VECTOR COLUMN A",
+                 "GLYPH PIXEL TOKEN", "  SHARD INDEX WORD",
+                 "QUERY MERGE BATCH A"]
+        return PageSpec(elements=[Text(
+            lines, truth_lines=[ln.strip() for ln in lines], col=0)],
+            scale=2, width_chars=23, seed=seed)
+    if family == "greek_page":  # F33 — per-script OSD vote beyond the RTL
+        # set (osdetect.cpp:286 scores 10+ scripts): a Greek page must
+        # decode via the widened glyph LUT and the script vote must pick
+        # 'greek' (an LTR script — no RTL flip), not fall through to the
+        # binary RTL/LTR coin the round-2 vote was.
+        return PageSpec(elements=[Text(
+            ["ΓΔΛ ΠΣΦ ΨΩΘ", "ΞΣΔ ΓΠΦ ΛΩΨ", "ΔΘΓ ΣΞΠ ΩΦΛ"])],
+            scale=2, width_chars=13, seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[
@@ -292,7 +319,8 @@ PAGE_FAMILIES = [
     "vertical_page", "disc_page", "tracked_page", "bowed_page",
     "broken_page", "margin_note", "bidi_page", "rotated_rtl",
     "inline_equation_page", "wavy_page", "ragged_page", "embedded_vertical",
-    "sparse_texture",
+    "sparse_texture", "para_page", "tiff_page", "tiff_multipage",
+    "greek_page",
 ]
 
 
@@ -320,12 +348,29 @@ class _Builder:
         self._media_n = 0
 
     def add_page(self, family: str) -> tuple[str, list]:
-        spec = page_spec(family, self.rng)
-        img, blocks = render_page(spec)
+        # TIFF families exercise the codec-dispatch seam (SetImage,
+        # baseapi.cpp:881): same rendered pages, different container.
+        # tiff_multipage packs TWO pages into one media ref — truth blocks
+        # run page 1 then page 2 (ProcessPagesMultipageTiff baseapi.cpp:1657).
+        if family == "tiff_page":
+            from ..functions.tiff import encode_gray_tiff
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_tiff(img, "lzw")
+        elif family == "tiff_multipage":
+            from ..functions.tiff import encode_gray_tiff
+
+            img, b1 = render_page(page_spec("single_column", self.rng))
+            img2, b2 = render_page(page_spec("interleaved_order", self.rng))
+            payload = encode_gray_tiff([img, img2], "none")
+            blocks = b1 + b2
+        else:
+            img, blocks = render_page(page_spec(family, self.rng))
+            payload = encode_gray(img)
         ref = f"m-{family}-{self._media_n:06d}"
         self._media_n += 1
         self.media.append(dict(media_ref=ref, width=img.shape[1],
-                               height=img.shape[0], image=encode_gray(img)))
+                               height=img.shape[0], image=payload))
         return ref, blocks
 
     def add_doc(self, doc_id: str, parts: list[tuple[str, str]]) -> None:

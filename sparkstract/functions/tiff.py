@@ -1,0 +1,236 @@
+"""Minimal pure-Python TIFF codec: 8-bit grayscale, none/LZW compression,
+multipage (IFD chain).
+
+The reference ingests any Leptonica-readable raster and TIFF is the OCR
+lingua franca (SetImage /root/reference/src/api/baseapi.cpp:881,906;
+multipage driver ProcessPagesMultipageTiff baseapi.cpp:1657). This container
+has no PIL/leptonica, so — like functions/png.py — the codec is from-scratch
+and the point is that the media column carries genuine encoded TIFF bytes
+through the same Arrow/mapInPandas plumbing.
+
+Writer: little-endian ("II"), one strip per page, compression 1 (none) or
+5 (TIFF-LZW, MSB-first bit packing, early code-width change). Reader:
+either byte order, multi-strip, predictor 2 (horizontal differencing)
+supported for robustness against externally produced files.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_CLEAR, _EOI = 256, 257
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._acc = 0
+        self._nbits = 0
+        self._out = bytearray()
+
+    def write(self, code: int, width: int) -> None:
+        self._acc = (self._acc << width) | code
+        self._nbits += width
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self._out.append((self._acc >> self._nbits) & 0xFF)
+
+    def bytes(self) -> bytes:
+        if self._nbits:
+            self._out.append((self._acc << (8 - self._nbits)) & 0xFF)
+            self._acc = self._nbits = 0
+        return bytes(self._out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read(self, width: int) -> int | None:
+        while self._nbits < width:
+            if self._pos >= len(self._data):
+                return None
+            self._acc = (self._acc << 8) | self._data[self._pos]
+            self._pos += 1
+            self._nbits += 8
+        self._nbits -= width
+        return (self._acc >> self._nbits) & ((1 << width) - 1)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-LZW (TIFF6 §13): 9→12-bit codes, MSB-first, EARLY width change
+    (the encoder bumps the code width one entry before the table actually
+    needs it, because the decoder's table lags one entry behind)."""
+    out = _BitWriter()
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    out.write(_CLEAR, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        out.write(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        w = c
+        if next_code >= 4094:  # table nearly full → flush + reset
+            out.write(table[w], width)
+            out.write(_CLEAR, width)
+            table, next_code, width = fresh()
+            w = b""
+    if w:
+        out.write(table[w], width)
+    out.write(_EOI, width)
+    return out.bytes()
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    br = _BitReader(data)
+    out = bytearray()
+
+    def fresh() -> tuple[dict[int, bytes], int, int]:
+        return {i: bytes([i]) for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    prev: bytes | None = None
+    while True:
+        code = br.read(width)
+        if code is None or code == _EOI:
+            break
+        if code == _CLEAR:
+            table, next_code, width = fresh()
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # early change, decoder side: the decoder's table lags the
+            # encoder's by exactly one entry (the first code after a clear
+            # adds nothing), so it must bump the width one entry earlier
+            # than the encoder's 2^w - 1 — at 510/1022/2046 (libtiff's
+            # maxcode-1 rule)
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
+                     compression: str = "none") -> bytes:
+    """uint8 HxW array(s) -> (multipage) grayscale TIFF bytes.
+
+    One IFD per page chained via the next-IFD pointer — the structure
+    ProcessPagesMultipageTiff walks (baseapi.cpp:1657)."""
+    if isinstance(pages, np.ndarray):
+        pages = [pages]
+    assert pages, "at least one page"
+    comp_id = {"none": 1, "lzw": 5}[compression]
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD0 offset patched below
+    ifd_ptr_pos = 4
+    for img in pages:
+        if img.dtype != np.uint8 or img.ndim != 2:
+            raise ValueError("encode_gray_tiff expects 2-D uint8 arrays")
+        h, w = img.shape
+        raw = img.tobytes()
+        strip = raw if comp_id == 1 else _lzw_encode(raw)
+        strip_off = len(out)
+        out += strip
+        if len(out) % 2:
+            out += b"\x00"  # IFDs must be word-aligned
+        ifd_off = len(out)
+        # patch the previous chain pointer to this IFD
+        struct.pack_into("<I", out, ifd_ptr_pos, ifd_off)
+        entries = [  # ascending tag order (required by the spec)
+            (256, 4, 1, w),            # ImageWidth
+            (257, 4, 1, h),            # ImageLength
+            (258, 3, 1, 8),            # BitsPerSample
+            (259, 3, 1, comp_id),      # Compression
+            (262, 3, 1, 1),            # Photometric: BlackIsZero
+            (273, 4, 1, strip_off),    # StripOffsets
+            (277, 3, 1, 1),            # SamplesPerPixel
+            (278, 4, 1, h),            # RowsPerStrip (one strip)
+            (279, 4, 1, len(strip)),   # StripByteCounts
+        ]
+        out += struct.pack("<H", len(entries))
+        for tag, typ, count, value in entries:
+            out += struct.pack("<HHI", tag, typ, count)
+            out += struct.pack("<I", value) if typ == 4 \
+                else struct.pack("<HH", value, 0)
+        ifd_ptr_pos = len(out)
+        out += struct.pack("<I", 0)  # next-IFD pointer (patched or final 0)
+    return bytes(out)
+
+
+def _read_values(data: bytes, fmt: str, typ: int, count: int,
+                 raw: bytes) -> list[int]:
+    size = _TYPE_SIZE[typ] * count
+    if size > 4:
+        (off,) = struct.unpack(fmt + "I", raw)
+        raw = data[off : off + size]
+    else:
+        raw = raw[:size]
+    ch = {1: "B", 3: "H", 4: "I"}[typ]
+    return list(struct.unpack(f"{fmt}{count}{ch}", raw))
+
+
+def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
+    """(multipage) grayscale TIFF bytes -> list of uint8 HxW arrays."""
+    if data[:4] == b"II*\x00":
+        fmt = "<"
+    elif data[:4] == b"MM\x00*":
+        fmt = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack_from(fmt + "I", data, 4)
+    pages: list[np.ndarray] = []
+    while ifd_off:
+        (n,) = struct.unpack_from(fmt + "H", data, ifd_off)
+        tags: dict[int, list[int]] = {}
+        for i in range(n):
+            pos = ifd_off + 2 + 12 * i
+            tag, typ, count = struct.unpack_from(fmt + "HHI", data, pos)
+            if typ in _TYPE_SIZE:
+                tags[tag] = _read_values(data, fmt, typ, count,
+                                         data[pos + 8 : pos + 12])
+        (ifd_off,) = struct.unpack_from(fmt + "I", data,
+                                        ifd_off + 2 + 12 * n)
+        w, h = tags[256][0], tags[257][0]
+        if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
+            raise ValueError("only 8-bit single-sample TIFF supported")
+        comp = tags.get(259, [1])[0]
+        offs, cnts = tags[273], tags[279]
+        raw = b"".join(
+            data[o : o + c] if comp == 1 else _lzw_decode(data[o : o + c])
+            for o, c in zip(offs, cnts)
+        )
+        img = np.frombuffer(raw[: h * w], dtype=np.uint8).reshape(h, w)
+        if tags.get(317, [1])[0] == 2:  # horizontal-differencing predictor
+            img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+        if tags.get(262, [1])[0] == 0:  # WhiteIsZero → invert to BlackIsZero
+            img = (255 - img.astype(np.int64)).astype(np.uint8)
+        pages.append(img.copy())
+    if not pages:
+        raise ValueError("TIFF has no pages")
+    return pages

@@ -32,14 +32,14 @@ def image_features(media: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.cclabel import label_blobs
+        from ..functions.codecs import decode_gray_any
         from ..functions.otsu import binarize, otsu_threshold
-        from ..functions.png import decode_gray
 
         for pdf in batches:
             out = {k: [] for k in ("media_ref", "width", "height", "ink_ratio",
                                    "otsu_threshold", "n_components")}
             for ref, png in zip(pdf["media_ref"], pdf["image"]):
-                gray = decode_gray(bytes(png))
+                gray = decode_gray_any(bytes(png))
                 ink = binarize(gray)
                 out["media_ref"].append(ref)
                 out["width"].append(gray.shape[1])
@@ -57,12 +57,13 @@ def thumbnails(media: DataFrame, max_side: int = 64) -> DataFrame:
     """Integer-factor downsample (block mean) re-encoded as PNG."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.png import decode_gray, encode_gray
+        from ..functions.codecs import decode_gray_any
+        from ..functions.png import encode_gray
 
         for pdf in batches:
             out = {k: [] for k in ("media_ref", "thumb_w", "thumb_h", "thumb")}
             for ref, png in zip(pdf["media_ref"], pdf["image"]):
-                gray = decode_gray(bytes(png))
+                gray = decode_gray_any(bytes(png))
                 h, w = gray.shape
                 f = max(1, int(np.ceil(max(h, w) / max_side)))
                 th, tw = h // f, w // f

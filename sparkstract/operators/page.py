@@ -32,6 +32,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..fixtures.font import (
+    CELL_W,
     DECODE_CHARS,
     DECODE_MATRIX,
     GLYPH_H,
@@ -98,6 +99,13 @@ class Block:
     top: int
     right: int
     bottom: int
+    # word-level hierarchy (S5/S7 full renderer depth, GetTSVText levels 3-5
+    # baseapi.cpp:2205; hOCR ocr_par/ocr_line/ocrx_word hocrrenderer.cpp:136):
+    # flat (para_num, line_num, word_num, text, l, t, r, b, conf) per word,
+    # para_num from the wired paragraph detector (W6, DetectParagraphs inside
+    # Recognize, baseapi.cpp:1417). None for blocks with no word decode
+    # (images, rules, tables, vertical chains, layout-only runs).
+    words: list[tuple] | None = None
 
 
 def _merge_x_overlaps(left: np.ndarray, top: np.ndarray, right: np.ndarray,
@@ -163,7 +171,9 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                 gl: np.ndarray, gr: np.ndarray, s: int,
                 lut: tuple[list[str], np.ndarray] = (DECODE_CHARS, DECODE_BOOL),
                 rtl: bool = False,
-                gt: np.ndarray | None = None) -> tuple[str, int, int]:
+                gt: np.ndarray | None = None,
+                gb: np.ndarray | None = None
+                ) -> tuple[str, int, int, list[tuple]]:
     """Template-decode one text row: split char-groups into words by gap, map
     each word onto its char-cell grid, downsample cells to 5x7, LUT match.
     Each cell is sampled at ±1px offsets and the best-scoring match wins, so
@@ -188,7 +198,7 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     # input can imply scales larger than the bitmap)
     s = max(1, min(s, page_h // GLYPH_H, page_w // GLYPH_W))
     if GLYPH_H * s > page_h or GLYPH_W * s > page_w:
-        return "", 0, 0
+        return "", 0, 0, []
     gaps = gl[1:] - gr[:-1] - 1
     word_break = gaps > WORD_GAP_UNITS * s
     # pitch histogram over adjacent in-word group starts (A7)
@@ -275,14 +285,30 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
             chars[k] = lut_chars[int(newg[t])]
             best_d[k] = newd[t]
     words = ["".join(chars[cum[w] : cum[w + 1]]) for w in range(ns.shape[0])]
+    # per-word geometry + confidence (the WERD-level output the reference's
+    # TSV/hOCR renderers consume, GetTSVText baseapi.cpp:2205): word bbox
+    # spans its first group's left to its last group's right; vertical
+    # extent from the groups' own edges when available, else the row band.
+    # conf = 100 * (1 - hamming/bits), the template-decode analog of
+    # WERD_RES certainty (ratngs.h:270).
+    recs: list[tuple] = []
+    for wi in range(ns.shape[0]):
+        a, z = int(w_first[wi]), int(w_last[wi])
+        wl, wr = int(gl[a]), int(gr[z])
+        wt_ = int(gt[a : z + 1].min()) if gt is not None else int(max(row_top, 0))
+        wb_ = int(gb[a : z + 1].max()) if gb is not None else int(row_bottom)
+        d_w = int(best_d[cum[wi] : cum[wi + 1]].sum())
+        conf = int(round(100.0 * (1.0 - d_w / (GLYPH_H * GLYPH_W * float(ns[wi])))))
+        recs.append((words[wi], wl, wt_, wr, wb_, conf))
     if rtl and len(words) > 1:
         # W4 bidi textline order (resultiterator.cpp:285
         # CalculateTextlineOrder): the decode above walks glyphs in
         # POSITIONAL (left-to-right) order; an RTL paragraph reads its words
         # from the right, with embedded LTR minor runs kept left-to-right.
+        # Word records follow the same logical permutation.
         dirs = [_word_direction(w) for w in words]
-        words = [words[i] for i in textline_order(False, dirs) if i >= 0]
-    return " ".join(words), int(best_d.sum()), n
+        recs = [recs[i] for i in textline_order(False, dirs) if i >= 0]
+    return " ".join(r[0] for r in recs), int(best_d.sum()), n, recs
 
 
 VERT_MIN_CHARS = 3      # stacked single glyphs to call vertical text (C1/W)
@@ -913,9 +939,9 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         est_h = float(np.median(hh_sl[big])) if big.any() \
             else float(r_bot - r_top + 1)
         s = max(1, int(round(est_h / GLYPH_H)))
-        gl, gt, gr, _gb = _merge_x_overlaps(tl, tt, tr, tb, max(0, s - 1))
+        gl, gt, gr, gb = _merge_x_overlaps(tl, tt, tr, tb, max(0, s - 1))
         rows.append(dict(top=r_top, bottom=r_bot, left=int(gl.min()),
-                         right=int(gr.max()), s=s, gl=gl, gr=gr, gt=gt,
+                         right=int(gr.max()), s=s, gl=gl, gr=gr, gt=gt, gb=gb,
                          cov_l=gl, cov_r=gr))
     elif tl.shape[0] > 0:
         hh_all = tb - tt + 1
@@ -983,7 +1009,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                 cov_l, cov_r = gl, gr
             rows.append(dict(top=r_top, bottom=r_bot, left=int(gl.min()),
                              right=int(gr.max()), s=s, gl=gl, gr=gr, gt=gt,
-                             cov_l=cov_l, cov_r=cov_r))
+                             gb=gb, cov_l=cov_l, cov_r=cov_r))
 
     body_s = int(np.median([r["s"] for r in rows])) if rows else 1
     structured = psm in ("auto", "single_column")  # PSM_SINGLE_COLUMN keeps
@@ -1069,7 +1095,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             out.append((int(c), dict(top=r["top"], bottom=r["bottom"],
                                      left=int(gl.min()), right=int(gr.max()),
                                      s=r["s"], heading=False, gl=gl, gr=gr,
-                                     gt=r["gt"][sel])))
+                                     gt=r["gt"][sel], gb=r["gb"][sel])))
         return out
 
     # ---- blocks: stack rows per column, split on class change / big gap (W2) ----
@@ -1127,20 +1153,23 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
     q_dist = 0
     q_chars = 0
 
-    def decode_rows(b) -> list[str]:
+    def decode_rows(b) -> tuple[list[str], list[list[tuple]]]:
         nonlocal q_dist, q_chars
-        lines = []
+        lines: list[str] = []
+        rws: list[list[tuple]] = []
         for rr in b["rows"]:
-            text, d, n = _decode_row(ink, rr["top"], rr["bottom"],
-                                     rr["gl"], rr["gr"], rr["s"], lut,
-                                     rtl=rtl, gt=rr.get("gt"))
+            text, d, n, recs = _decode_row(ink, rr["top"], rr["bottom"],
+                                           rr["gl"], rr["gr"], rr["s"], lut,
+                                           rtl=rtl, gt=rr.get("gt"),
+                                           gb=rr.get("gb"))
             lines.append(text)
+            rws.append(recs)
             q_dist += d
             q_chars += n
-        return lines
+        return lines, rws
 
     def decode_block(b, sep: str = "\n") -> str:
-        return sep.join(decode_rows(b))
+        return sep.join(decode_rows(b)[0])
 
     def decode_table(b) -> str:
         """C8 v2 cell structure (the reference recognizes table structure in
@@ -1161,10 +1190,10 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                     cells.append("")
                     continue
                 gt_r = rr.get("gt")
-                text, d, n = _decode_row(ink, rr["top"], rr["bottom"],
-                                         rr["gl"][sel], rr["gr"][sel],
-                                         rr["s"], lut, rtl=rtl,
-                                         gt=None if gt_r is None else gt_r[sel])
+                text, d, n, _recs = _decode_row(
+                    ink, rr["top"], rr["bottom"],
+                    rr["gl"][sel], rr["gr"][sel], rr["s"], lut, rtl=rtl,
+                    gt=None if gt_r is None else gt_r[sel])
                 cells.append(text)
                 q_dist += d
                 q_chars += n
@@ -1188,9 +1217,10 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             parts = []
             for gl_, gt_, gr_, gb_ in b["vglyphs"]:
                 vs = max(1, int(round((gb_ - gt_ + 1) / GLYPH_H)))
-                txt, d, nch = _decode_row(ink, gt_, gb_,
-                                          np.array([gl_]), np.array([gr_]),
-                                          vs, lut, rtl=rtl)
+                txt, d, nch, _recs = _decode_row(ink, gt_, gb_,
+                                                 np.array([gl_]),
+                                                 np.array([gr_]),
+                                                 vs, lut, rtl=rtl)
                 parts.append(txt)
                 q_dist += d
                 q_chars += nch
@@ -1209,19 +1239,27 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                              l, t, r_, bo))
             continue
         if b["heading"]:
-            out.append(Block(rank, HEADING_TEXT, decode_block(b), l, t, r_, bo))
+            h_lines, h_words = decode_rows(b)
+            out.append(Block(rank, HEADING_TEXT, "\n".join(h_lines),
+                             l, t, r_, bo,
+                             words=_attach_words(b["rows"], h_lines, h_words)))
             continue
         # pull-out text (C7): a single-row "column" in a multi-column layout
         # is a margin note / callout, not column structure
         if (psm == "auto" and len(col_ranges) > 1
                 and isinstance(b.get("col_key"), int)
                 and col_row_counts.get(b["col_key"], 0) == 1):
-            out.append(Block(rank, PULLOUT_TEXT, decode_block(b), l, t, r_, bo))
+            p_lines, p_words = decode_rows(b)
+            out.append(Block(rank, PULLOUT_TEXT, "\n".join(p_lines),
+                             l, t, r_, bo,
+                             words=_attach_words(b["rows"], p_lines, p_words)))
             continue
-        lines_txt = decode_rows(b)
+        lines_txt, words_rows = decode_rows(b)
         txt = "\n".join(lines_txt)
         if psm == "auto" and _is_equation(txt):
-            out.append(Block(rank, EQUATION, txt, l, t, r_, bo))
+            out.append(Block(rank, EQUATION, txt, l, t, r_, bo,
+                             words=_attach_words(b["rows"], lines_txt,
+                                                 words_rows)))
             continue
         # inline equations (C9 second half, equationdetect.cpp:351: seeds
         # GROW inside flowing text): an equation row embedded at normal line
@@ -1243,7 +1281,9 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                     min(r2["left"] for r2 in seg),
                     min(r2["top"] for r2 in seg),
                     max(r2["right"] for r2 in seg),
-                    max(r2["bottom"] for r2 in seg)))
+                    max(r2["bottom"] for r2 in seg),
+                    words=_attach_words(seg, lines_txt[i0:k],
+                                        words_rows[i0:k])))
                 i0 = k
             continue
         kind = FLOWING_TEXT
@@ -1253,7 +1293,9 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             if x_overlap and 0 <= dy <= CAPTION_GAP_UNITS * b["rows"][0]["s"]:
                 kind = CAPTION_TEXT
                 break
-        out.append(Block(rank, kind, txt, l, t, r_, bo))
+        out.append(Block(rank, kind, txt, l, t, r_, bo,
+                         words=_attach_words(b["rows"], lines_txt,
+                                             words_rows)))
     # sub-block splits above may have emitted several blocks for one rank —
     # renumber densely, preserving emission (reading) order
     for i, blk in enumerate(out):
@@ -1261,19 +1303,84 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
     return out, (q_dist / q_chars if q_chars else 0.0)
 
 
+def _attach_words(rows_seg: list[dict], lines_txt: list[str],
+                  row_words: list[list[tuple]]) -> list[tuple] | None:
+    """Build one text block's flat word table with paragraph structure —
+    W6 wired into the recognition pass exactly where the reference runs
+    DetectParagraphs inside Recognize (baseapi.cpp:1417 → paragraphs.cpp:2588).
+
+    Row geometry → RowInfo in monospace cells (the detector's native unit,
+    paragraphs_test.cc:49 AsciiToRowInfo maps 1 char = 1 cell): lindent from
+    the row's left edge vs the block's left margin, rindent vs the block's
+    right margin, both divided by the row's own char pitch. detect_paragraphs
+    then assigns para ids; output rows are
+    (para_num, line_num, word_num, text, l, t, r, b, conf) with para_num
+    densely renumbered per block, line_num within para, word_num within line
+    (the GetTSVText numbering contract, baseapi.cpp:2205)."""
+    from .paragraphs import RowInfo, detect_paragraphs
+
+    if not rows_seg or not any(row_words):
+        return None
+    bl = min(r["left"] for r in rows_seg)
+    br = max(r["right"] for r in rows_seg)
+    infos = []
+    for r, txt in zip(rows_seg, lines_txt):
+        cell = max(1, CELL_W * r["s"])
+        lind = int(round((r["left"] - bl) / cell))
+        rind = int(round((br - r["right"]) / cell))
+        ws = txt.split()
+        infos.append(RowInfo(text=" " * lind + txt + " " * rind,
+                             lindent=lind, rindent=rind,
+                             lword=ws[0] if ws else "",
+                             rword=ws[-1] if ws else "",
+                             num_words=len(ws)))
+    ras = detect_paragraphs(infos)
+    out: list[tuple] = []
+    pid_map: dict[int, int] = {}
+    line_in_para: dict[int, int] = {}
+    for i, ra in enumerate(ras):
+        p = pid_map.setdefault(ra.para_id, len(pid_map))
+        ln = line_in_para.get(p, 0)
+        line_in_para[p] = ln + 1
+        for wnum, (wt, l, t, rgt, b, conf) in enumerate(row_words[i]):
+            out.append((p, ln, wnum, wt, l, t, rgt, b, conf))
+    return out
+
+
 OSD_RETRY_DIST = 2.0  # mean bits/char above this → try the other 3 rotations
 
 
-def _script_vote_rtl(blocks: list[Block]) -> bool:
-    """Script half of OSD (osdetect.cpp:286 os_detect_blobs scores scripts,
-    not just rotations): majority strong-RTL glyphs over the page's decoded
-    text means the page is set in an RTL script."""
-    n_rtl = n_ltr = 0
+def _page_script(blocks: list[Block]) -> str:
+    """Script half of OSD (osdetect.cpp:286 os_detect_blobs scores every
+    script, not just rotations): per-script strong-glyph tally over the
+    page's decoded text, argmax wins. Deterministic tie-break: a later
+    script needs STRICTLY more hits than latin (the reference's vote is
+    likewise a max over per-script scores)."""
+    from ..fixtures.font import STRONG_GREEK
+
+    scripts = (("latin", STRONG_LTR - STRONG_GREEK),
+               ("greek", STRONG_GREEK),
+               ("hebrew", STRONG_RTL))
+    tally = dict.fromkeys((n for n, _ in scripts), 0)
     for b in blocks:
         if b.text:
-            n_rtl += sum(c in STRONG_RTL for c in b.text)
-            n_ltr += sum(c in STRONG_LTR for c in b.text)
-    return n_rtl > n_ltr
+            for c in b.text:
+                for name, glyphs in scripts:
+                    if c in glyphs:
+                        tally[name] += 1
+                        break
+    best, best_n = "latin", tally["latin"]
+    for name in ("greek", "hebrew"):
+        if tally[name] > best_n:
+            best, best_n = name, tally[name]
+    return best
+
+
+def _script_vote_rtl(blocks: list[Block]) -> bool:
+    """RTL consequence of the script vote: only an RTL-script win flips the
+    page's reading order (Greek/Latin are both LTR — the vote identifies
+    them but changes nothing downstream)."""
+    return _page_script(blocks) == "hebrew"
 
 
 def analyse_zones(gray: np.ndarray, zones: list[dict], rtl: bool = False,

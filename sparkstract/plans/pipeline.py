@@ -39,6 +39,15 @@ EXTRACTED_SCHEMA = (
 )
 SPANS_SCHEMA = "doc_id string, order int, kind string, text string, media_ref string"
 
+# word-level sidecar (GetTSVText levels 3-5, baseapi.cpp:2205; hOCR
+# ocr_par/ocr_line/ocrx_word, hocrrenderer.cpp:136): one row per recognized
+# word with its paragraph/line/word position inside the block and its box
+WORDS_SCHEMA = (
+    "doc_id string, offset int, block_order int, para_num int, line_num int, "
+    "word_num int, word string, media_ref string, "
+    "left int, top int, right int, bottom int, conf int"
+)
+
 
 def _page_kernel(cfg: ExtractConfig):
     """Build the mapInPandas kernel: one Arrow batch of (doc_id, offset,
@@ -46,7 +55,7 @@ def _page_kernel(cfg: ExtractConfig):
     numpy inside analyse_page; the only Python loop is over pages in the
     batch (the reference's page loop, ProcessPagesInternal baseapi.cpp:1731).
     """
-    from ..functions.png import decode_gray  # import inside for executor pickling
+    from ..functions.codecs import decode_pages  # in-fn for executor pickling
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -60,58 +69,56 @@ def _page_kernel(cfg: ExtractConfig):
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
                 zones_col,
             ):
-                gray = decode_gray(bytes(png))
-                if page_zones is not None and len(page_zones):
-                    # S10 zone-override source: supplied segmentation wins
-                    # (read_unlv_file, pagesegmain.cpp:114-127)
-                    for blk in analyse_zones(gray, list(page_zones),
-                                             rtl=cfg.rtl,
-                                             whitelist=cfg.char_whitelist):
+                # codec dispatch (SetImage, baseapi.cpp:881): PNG or TIFF;
+                # a multipage TIFF yields several pages from ONE media span
+                # (ProcessPagesMultipageTiff baseapi.cpp:1657) — block order
+                # continues across its pages in file order
+                base = 0
+                for gray in decode_pages(bytes(png)):
+                    if page_zones is not None and len(page_zones):
+                        # S10 zone-override source: supplied segmentation wins
+                        # (read_unlv_file, pagesegmain.cpp:114-127)
+                        blocks = analyse_zones(gray, list(page_zones),
+                                               rtl=cfg.rtl,
+                                               whitelist=cfg.char_whitelist)
+                        crop_dx = crop_dy = 0
+                    else:
+                        # crop (SetRectangle, baseapi.cpp:949) restricts
+                        # ANALYSIS, but emitted geometry stays in original-
+                        # image coordinates — the reference adds rect_left_/
+                        # rect_top_ back on every BoundingBox call
+                        # (pageiterator.cpp:366)
+                        crop_dx = crop_dy = 0
+                        if cfg.crop is not None:
+                            cl, ct, cr, cb = cfg.crop
+                            gray = gray[ct:cb, cl:cr]
+                            crop_dx, crop_dy = cl, ct
+                        blocks = analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
+                                              whitelist=cfg.char_whitelist)
+                    for blk in blocks:
                         out["doc_id"].append(doc_id)
                         out["offset"].append(offset)
-                        out["block_order"].append(blk.order)
+                        out["block_order"].append(base + blk.order)
                         out["kind"].append(blk.kind)
                         out["text"].append(blk.text if cfg.recognize else None)
                         out["media_ref"].append(ref)
-                        out["left"].append(blk.left)
-                        out["top"].append(blk.top)
-                        out["right"].append(blk.right)
-                        out["bottom"].append(blk.bottom)
-                    continue
-                # crop (SetRectangle, baseapi.cpp:949) restricts ANALYSIS,
-                # but emitted geometry stays in original-image coordinates —
-                # the reference adds rect_left_/rect_top_ back on every
-                # BoundingBox call (pageiterator.cpp:366)
-                crop_dx = crop_dy = 0
-                if cfg.crop is not None:
-                    cl, ct, cr, cb = cfg.crop
-                    gray = gray[ct:cb, cl:cr]
-                    crop_dx, crop_dy = cl, ct
-                for blk in analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
-                                        whitelist=cfg.char_whitelist):
-                    out["doc_id"].append(doc_id)
-                    out["offset"].append(offset)
-                    out["block_order"].append(blk.order)
-                    out["kind"].append(blk.kind)
-                    out["text"].append(blk.text if cfg.recognize else None)
-                    out["media_ref"].append(ref)
-                    out["left"].append(blk.left + crop_dx)
-                    out["top"].append(blk.top + crop_dy)
-                    out["right"].append(blk.right + crop_dx)
-                    out["bottom"].append(blk.bottom + crop_dy)
+                        out["left"].append(blk.left + crop_dx)
+                        out["top"].append(blk.top + crop_dy)
+                        out["right"].append(blk.right + crop_dx)
+                        out["bottom"].append(blk.bottom + crop_dy)
+                    base += len(blocks)
             yield pd.DataFrame(out)
 
     return kernel
 
 
-def _extracted_blocks(docs: DataFrame, media: DataFrame,
-                      cfg: ExtractConfig,
-                      zones: DataFrame | None = None
-                      ) -> tuple[DataFrame, DataFrame]:
-    """Shared plumbing: (per-block kernel output incl. geometry, text
-    pass-through spans). `zones` (ZONES_SCHEMA) optionally overrides
-    segmentation per media_ref — the S10 zone-file source; pages without a
-    zones row fall through to full analysis."""
+def _work_frame(docs: DataFrame, media: DataFrame, cfg: ExtractConfig,
+                zones: DataFrame | None = None
+                ) -> tuple[DataFrame, DataFrame]:
+    """Shared plumbing up to the kernel: (work frame of media rows ready for
+    a page kernel, text pass-through spans). `zones` (ZONES_SCHEMA)
+    optionally overrides segmentation per media_ref — the S10 zone-file
+    source; pages without a zones row fall through to full analysis."""
     exploded = docs.select("doc_id", F.explode("spans").alias("span")).select(
         "doc_id",
         F.col("span.kind").alias("kind"),
@@ -153,7 +160,15 @@ def _extracted_blocks(docs: DataFrame, media: DataFrame,
             work = work.repartition(cfg.work_partitions, "doc_id", "offset")
         else:
             work = work.repartition("doc_id", "offset")
+    return work, text_pass
 
+
+def _extracted_blocks(docs: DataFrame, media: DataFrame,
+                      cfg: ExtractConfig,
+                      zones: DataFrame | None = None
+                      ) -> tuple[DataFrame, DataFrame]:
+    """(per-block kernel output incl. geometry, text pass-through spans)."""
+    work, text_pass = _work_frame(docs, media, cfg, zones)
     extracted = work.mapInPandas(_page_kernel(cfg), schema=EXTRACTED_SCHEMA)
     return extracted, text_pass
 
@@ -190,6 +205,68 @@ def extract_blocks(spark: SparkSession, docs: DataFrame, media: DataFrame,
     return extracted.select(
         "doc_id", "offset", "block_order", "kind", "text", "media_ref",
         "left", "top", "right", "bottom")
+
+
+def _word_kernel(cfg: ExtractConfig):
+    """mapInPandas kernel emitting one row per recognized WORD (the level-5
+    output of GetTSVText, baseapi.cpp:2205): paragraph/line/word numbering
+    comes from the page kernel's wired paragraph detector (W6,
+    DetectParagraphs-in-Recognize, baseapi.cpp:1417)."""
+    from ..functions.codecs import decode_pages
+
+    cols = ("doc_id", "offset", "block_order", "para_num", "line_num",
+            "word_num", "word", "media_ref", "left", "top", "right",
+            "bottom", "conf")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, offset, ref, png in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
+            ):
+                base = 0
+                for gray in decode_pages(bytes(png)):
+                    crop_dx = crop_dy = 0
+                    if cfg.crop is not None:
+                        cl, ct, cr, cb = cfg.crop
+                        gray = gray[ct:cb, cl:cr]
+                        crop_dx, crop_dy = cl, ct
+                    blocks = analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
+                                          whitelist=cfg.char_whitelist)
+                    for blk in blocks:
+                        if not blk.words:
+                            continue
+                        for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in blk.words:
+                            out["doc_id"].append(doc_id)
+                            out["offset"].append(offset)
+                            out["block_order"].append(base + blk.order)
+                            out["para_num"].append(p)
+                            out["line_num"].append(ln)
+                            out["word_num"].append(wn)
+                            out["word"].append(wtext)
+                            out["media_ref"].append(ref)
+                            out["left"].append(wl + crop_dx)
+                            out["top"].append(wt + crop_dy)
+                            out["right"].append(wr + crop_dx)
+                            out["bottom"].append(wb + crop_dy)
+                            out["conf"].append(conf)
+                    base += len(blocks)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def extract_words(spark: SparkSession, docs: DataFrame, media: DataFrame,
+                  cfg: ExtractConfig | None = None) -> DataFrame:
+    """Word-level sidecar of `extract`: one row per recognized word with its
+    block/paragraph/line/word position and bounding box — the full renderer
+    depth of the reference's TSV/hOCR (GetTSVText levels 3-5
+    baseapi.cpp:2205; hOCR ocrx_word hocrrenderer.cpp:136). Shares the plan
+    with `extract` up to the kernel: same explode, same salted media join,
+    same partitioning — one kernel pass over the corpus."""
+    cfg = cfg or ExtractConfig()
+    work, _ = _work_frame(docs, media, cfg)
+    return work.mapInPandas(_word_kernel(cfg), schema=WORDS_SCHEMA)
 
 
 def analyse_layout(spark: SparkSession, docs: DataFrame, media: DataFrame,

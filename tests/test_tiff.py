@@ -1,0 +1,93 @@
+"""TIFF codec: roundtrips (none/LZW, single/multipage), dispatch, and the
+LZW edge cases (width growth past 511/1023 entries, KwKwK, table reset)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparkstract.functions.codecs import decode_gray_any, decode_pages
+from sparkstract.functions.png import encode_gray
+from sparkstract.functions.tiff import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gray_tiff,
+    encode_gray_tiff,
+)
+
+
+def _img(seed: int, h: int = 40, w: int = 60) -> np.ndarray:
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8)
+
+
+def test_roundtrip_uncompressed():
+    img = _img(1)
+    (out,) = decode_gray_tiff(encode_gray_tiff(img, "none"))
+    assert (out == img).all()
+
+
+def test_roundtrip_lzw():
+    img = _img(2, 80, 120)  # noisy → table passes 511 and 1023 entries
+    (out,) = decode_gray_tiff(encode_gray_tiff(img, "lzw"))
+    assert (out == img).all()
+
+
+def test_roundtrip_lzw_structured():
+    # page-like content: long white runs + ink — high compression path
+    img = np.full((120, 200), 255, dtype=np.uint8)
+    img[20:30, 10:150] = 0
+    img[60:62, :] = 0
+    enc = encode_gray_tiff(img, "lzw")
+    assert len(enc) < img.size // 2  # it actually compresses
+    (out,) = decode_gray_tiff(enc)
+    assert (out == img).all()
+
+
+def test_multipage_roundtrip():
+    pages = [_img(3, 30, 40), _img(4, 50, 20), _img(5, 10, 10)]
+    outs = decode_gray_tiff(encode_gray_tiff(pages, "lzw"))
+    assert len(outs) == 3
+    for a, b in zip(pages, outs):
+        assert (a == b).all()
+
+
+def test_lzw_stream_edges():
+    # KwKwK pattern (code == next_code on decode)
+    data = b"ABABABABABABABA" * 3
+    assert _lzw_decode(_lzw_encode(data)) == data
+    # force a table reset: >4094 distinct entries
+    rng = np.random.default_rng(6)
+    big = bytes(rng.integers(0, 256, size=30000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(big)) == big
+    assert _lzw_decode(_lzw_encode(b"")) == b""
+
+
+def test_dispatch():
+    img = _img(7)
+    assert (decode_gray_any(encode_gray(img)) == img).all()
+    assert (decode_gray_any(encode_gray_tiff(img, "lzw")) == img).all()
+    assert len(decode_pages(encode_gray_tiff([img, img]))) == 2
+    with pytest.raises(ValueError):
+        decode_pages(b"GIF89a...")
+
+
+def test_big_endian_read():
+    # hand-flip our writer's output? simpler: synthesize a tiny MM file
+    import struct
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    strip = img.tobytes()
+    out = bytearray(b"MM\x00*" + struct.pack(">I", 8 + len(strip)))
+    out += strip
+    entries = [(256, 4, 1, 4), (257, 4, 1, 3), (258, 3, 1, 8),
+               (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, 8),
+               (277, 3, 1, 1), (278, 4, 1, 3), (279, 4, 1, len(strip))]
+    out += struct.pack(">H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack(">HHI", tag, typ, count)
+        out += struct.pack(">I", value) if typ == 4 \
+            else struct.pack(">HH", value, 0)
+    out += struct.pack(">I", 0)
+    (got,) = decode_gray_tiff(bytes(out))
+    assert (got == img).all()
