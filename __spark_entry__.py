@@ -851,6 +851,30 @@ def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "offset", "block_order", "para_num", "line_num", "word_num")
 
 
+def q_render_tsv_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hierarchy TSV (GetTSVText levels 1-5, baseapi.cpp:2205) over the
+    fixture corpus. Oracle: the identical string assembled single-process
+    from the kernel truth tables — pins the distributed 5-level fold."""
+    from sparkstract.plans.pipeline import extract_blocks, extract_words
+    from sparkstract.sinks import render_tsv_levels
+
+    docs, media, _ = _fixture_frames(spark)
+    return render_tsv_levels(extract_blocks(spark, docs, media),
+                             extract_words(spark, docs, media)).orderBy("doc_id")
+
+
+def q_render_hocr_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hOCR with the reference's full nesting (ocr_page → ocr_carea →
+    ocr_par → ocr_line → ocrx_word, hocrrenderer.cpp:136-250), word boxes
+    and x_wconf included."""
+    from sparkstract.plans.pipeline import extract_blocks, extract_words
+    from sparkstract.sinks import render_hocr_words
+
+    docs, media, _ = _fixture_frames(spark)
+    return render_hocr_words(extract_blocks(spark, docs, media),
+                             extract_words(spark, docs, media)).orderBy("doc_id")
+
+
 def q_layout_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block bounding boxes at the reference's TSV/hOCR level of detail.
     Oracle: VALUES literal computed at build time by running the identical
@@ -966,6 +990,113 @@ def _layout_geometry_truth() -> list[tuple]:
     return rows
 
 
+def _esc_html(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+@functools.lru_cache(maxsize=1)
+def _hier_render_truth() -> tuple[list[tuple], list[tuple]]:
+    """Single-process twins of render_tsv_levels / render_hocr_words:
+    the same hierarchy strings assembled from the kernel truth tables
+    (_layout_geometry_truth blocks + _words_truth words), so the oracle
+    pins the distributed 5-level fold to a locally computed constant."""
+    blocks = _layout_geometry_truth()
+    wordsr = _words_truth()
+    from collections import defaultdict
+
+    blk_by_doc: dict[str, list[tuple]] = defaultdict(list)
+    for row in blocks:
+        blk_by_doc[row[0]].append(row)
+    words_by_blk: dict[tuple, list[tuple]] = defaultdict(list)
+    for row in wordsr:
+        words_by_blk[(row[0], row[1], row[2])].append(row)
+
+    def bbox(rows, li, ti, ri, bi):
+        return (min(r[li] for r in rows), min(r[ti] for r in rows),
+                max(r[ri] for r in rows), max(r[bi] for r in rows))
+
+    tsv_out: list[tuple] = []
+    hocr_out: list[tuple] = []
+    for doc in sorted(blk_by_doc):
+        offsets = sorted({r[1] for r in blk_by_doc[doc]})
+        tsv_rows: list[str] = []
+        page_htmls: list[str] = []
+        for pnum, off in enumerate(offsets, start=1):
+            pblocks = sorted((r for r in blk_by_doc[doc] if r[1] == off),
+                             key=lambda r: r[2])
+            pl, pt, pr, pb = bbox(pblocks, 6, 7, 8, 9)
+            tsv_rows.append("\t".join(
+                ["1", str(pnum), "0", "0", "0", "0", str(pl), str(pt),
+                 str(pr - pl + 1), str(pb - pt + 1), "-1", ""]))
+            block_htmls: list[str] = []
+            for blk in pblocks:
+                _d, _o, bo, kind, text, ref, l, t, r, b = blk
+                tsv_rows.append("\t".join(
+                    ["2", str(pnum), str(bo + 1), "0", "0", "0", str(l),
+                     str(t), str(r - l + 1), str(b - t + 1), "-1", ""]))
+                ws = words_by_blk.get((doc, off, bo), [])
+                if ws:
+                    para_htmls: list[str] = []
+                    for p in sorted({w[3] for w in ws}):
+                        pws = [w for w in ws if w[3] == p]
+                        al, at, ar, ab = bbox(pws, 8, 9, 10, 11)
+                        tsv_rows.append("\t".join(
+                            ["3", str(pnum), str(bo + 1), str(p + 1), "0",
+                             "0", str(al), str(at), str(ar - al + 1),
+                             str(ab - at + 1), "-1", ""]))
+                        line_htmls: list[str] = []
+                        for ln in sorted({w[4] for w in pws}):
+                            lws = sorted((w for w in pws if w[4] == ln),
+                                         key=lambda w: w[5])
+                            ll, lt, lr, lb = bbox(lws, 8, 9, 10, 11)
+                            tsv_rows.append("\t".join(
+                                ["4", str(pnum), str(bo + 1), str(p + 1),
+                                 str(ln + 1), "0", str(ll), str(lt),
+                                 str(lr - ll + 1), str(lb - lt + 1),
+                                 "-1", ""]))
+                            wfrags: list[str] = []
+                            for w in lws:
+                                (_d2, _o2, _b2, _p2, _l2, wn, wtext, _ref,
+                                 wl, wt, wr, wb, conf) = w
+                                tsv_rows.append("\t".join(
+                                    ["5", str(pnum), str(bo + 1), str(p + 1),
+                                     str(ln + 1), str(wn + 1), str(wl),
+                                     str(wt), str(wr - wl + 1),
+                                     str(wb - wt + 1), str(conf), wtext]))
+                                wfrags.append(
+                                    f"<span class='ocrx_word' id='word_{off}"
+                                    f"_{bo}_{p}_{ln}_{wn}' title='bbox {wl} "
+                                    f"{wt} {wr} {wb}; x_wconf {conf}'>"
+                                    f"{_esc_html(wtext)}</span>")
+                            line_htmls.append(
+                                f"<span class='ocr_line' id='line_{off}_{bo}"
+                                f"_{p}_{ln}' title='bbox {ll} {lt} {lr} "
+                                f"{lb}'>" + " ".join(wfrags) + "</span>")
+                        para_htmls.append(
+                            f"<p class='ocr_par' id='par_{off}_{bo}_{p}' "
+                            f"title='bbox {al} {at} {ar} {ab}'>"
+                            + "\n".join(line_htmls) + "</p>")
+                    content = "\n".join(para_htmls)
+                else:
+                    if kind in ("flowing_image", "heading_image",
+                                "pullout_image"):
+                        content = f"<img src='{ref or ''}'/>"
+                    elif kind in ("horz_line", "vert_line"):
+                        content = ""
+                    else:
+                        content = _esc_html(text or "")
+                block_htmls.append(
+                    f"  <div class='ocr_carea' id='block_{off}_{bo}' "
+                    f"title='{kind}; bbox {l} {t} {r} {b}'>{content}</div>")
+            page_htmls.append(
+                f" <div class='ocr_page' id='page_{pnum}' title='bbox {pl} "
+                f"{pt} {pr} {pb}'>\n" + "\n".join(block_htmls) + "\n </div>")
+        tsv_out.append((doc, "\n".join(tsv_rows)))
+        hocr_out.append((doc, "<html><body>\n" + "\n".join(page_htmls)
+                         + "\n</body></html>"))
+    return tsv_out, hocr_out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction over an interleaved docs table whose text spans
     come from sf0.001 documents, with synthetic media pages spliced in."""
@@ -1035,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thumbnails": q_thumbnails,
         "layout_geometry": q_layout_geometry,
         "extract_words": q_extract_words,
+        "render_tsv_levels": q_render_tsv_levels,
+        "render_hocr_words": q_render_hocr_words,
     }
 
 
@@ -1164,6 +1297,11 @@ def oracle_sql() -> dict[str, str]:
         f"{_sql_quote(wtext)}, {_sql_quote(ref)}, {l}, {t}, {r}, {b}, {conf})"
         for doc, off, bo, p, ln, wn, wtext, ref, l, t, r, b, conf
         in _words_truth())
+    tsv_truth, hocr_truth = _hier_render_truth()
+    tsv_level_rows = ",\n".join(
+        f"({_sql_quote(doc)}, {_sql_quote(tsv)})" for doc, tsv in tsv_truth)
+    hocr_word_rows = ",\n".join(
+        f"({_sql_quote(doc)}, {_sql_quote(h)})" for doc, h in hocr_truth)
 
     _png, _shape, rtl_truth = _rtl_fixture()
     rtl_rows = ",\n".join(
@@ -1864,6 +2002,16 @@ def oracle_sql() -> dict[str, str]:
                    "bottom", conf)
             ORDER BY doc_id, "offset", block_order, para_num, line_num,
                      word_num
+        """,
+        "render_tsv_levels": f"""
+            SELECT * FROM (VALUES
+            {tsv_level_rows}
+            ) AS t(doc_id, tsv) ORDER BY doc_id
+        """,
+        "render_hocr_words": f"""
+            SELECT * FROM (VALUES
+            {hocr_word_rows}
+            ) AS t(doc_id, hocr) ORDER BY doc_id
         """,
         "cosine_near_dup": """
             -- hot-label cap twin (cosine_near_dup_pairs max_label=4096):

@@ -26,7 +26,7 @@ aggregation stays JVM-side, and the per-doc fold is one shuffle on doc_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Span kinds that carry text into the plain-text rendering (PTIsTextType,
@@ -287,4 +287,215 @@ def render_hocr(spans: DataFrame) -> DataFrame:
                 F.lit("\n</body></html>"),
             ).alias("hocr")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-hierarchy renderers (S5/S7 at reference depth): page → block → para →
+# line → word, fed by the extract_blocks + extract_words kernel outputs.
+# A "page" is one media span; a multipage container's pages are already
+# flattened into its block sequence (ProcessPagesMultipageTiff,
+# /root/reference/src/api/baseapi.cpp:1657).
+# ---------------------------------------------------------------------------
+
+
+def _bbox_agg():
+    return [F.min("left").alias("left"), F.min("top").alias("top"),
+            F.max("right").alias("right"), F.max("bottom").alias("bottom")]
+
+
+def _page_nums(blocks: DataFrame) -> DataFrame:
+    """(doc_id, offset, page_num, page bbox): page_num is the 1-based rank
+    of the media span within its doc (GetTSVText page counter)."""
+    pages = blocks.groupBy("doc_id", "offset").agg(*_bbox_agg())
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return pages.withColumn("page_num", F.row_number().over(w))
+
+
+def _sort_struct(offset, block, par, line, word, level, text):
+    return F.struct(
+        offset.alias("o"), block.alias("b"), par.alias("p"),
+        line.alias("l"), word.alias("w"), F.lit(level).alias("lv"),
+        text.alias("line"))
+
+
+def render_tsv_levels(blocks: DataFrame, words: DataFrame) -> DataFrame:
+    """(doc_id, tsv) at the reference's full TSV depth (GetTSVText,
+    /root/reference/src/api/baseapi.cpp:2205): one 12-column row per
+    hierarchy node — level page block par line word left top width height
+    conf text — level 1 page, 2 block, 3 paragraph, 4 line, 5 word.
+    Non-word levels carry conf -1 and empty text, exactly like the
+    reference. Inputs are the two kernel views (extract_blocks,
+    extract_words); all assembly is built-in aggregations — hierarchy
+    levels are groupBys over the word sidecar, the doc fold one sorted
+    array_join."""
+    m1 = F.lit(-1)
+
+    def fmt(level, page, block, par, line, word, conf, text):
+        return F.concat_ws(
+            "\t", F.lit(str(level)), page.cast("string"),
+            block.cast("string"), par.cast("string"), line.cast("string"),
+            word.cast("string"), F.col("left").cast("string"),
+            F.col("top").cast("string"),
+            (F.col("right") - F.col("left") + 1).cast("string"),
+            (F.col("bottom") - F.col("top") + 1).cast("string"),
+            conf.cast("string"), text)
+
+    pages = _page_nums(blocks)
+    pnum = pages.select("doc_id", "offset", "page_num")
+    zero = F.lit(0)
+    page_rows = pages.select(
+        "doc_id",
+        _sort_struct(F.col("offset"), m1, m1, m1, m1, 1,
+                     fmt(1, F.col("page_num"), zero, zero, zero, zero, m1,
+                         F.lit(""))).alias("s"))
+    blk = blocks.join(pnum, ["doc_id", "offset"])
+    block_rows = blk.select(
+        "doc_id",
+        _sort_struct(F.col("offset"), F.col("block_order"), m1, m1, m1, 2,
+                     fmt(2, F.col("page_num"), F.col("block_order") + 1,
+                         zero, zero, zero, m1, F.lit(""))).alias("s"))
+    paras = (words.groupBy("doc_id", "offset", "block_order", "para_num")
+             .agg(*_bbox_agg()).join(pnum, ["doc_id", "offset"]))
+    para_rows = paras.select(
+        "doc_id",
+        _sort_struct(F.col("offset"), F.col("block_order"),
+                     F.col("para_num"), m1, m1, 3,
+                     fmt(3, F.col("page_num"), F.col("block_order") + 1,
+                         F.col("para_num") + 1, zero, zero, m1,
+                         F.lit(""))).alias("s"))
+    lines = (words.groupBy("doc_id", "offset", "block_order", "para_num",
+                           "line_num")
+             .agg(*_bbox_agg()).join(pnum, ["doc_id", "offset"]))
+    line_rows = lines.select(
+        "doc_id",
+        _sort_struct(F.col("offset"), F.col("block_order"),
+                     F.col("para_num"), F.col("line_num"), m1, 4,
+                     fmt(4, F.col("page_num"), F.col("block_order") + 1,
+                         F.col("para_num") + 1, F.col("line_num") + 1, zero,
+                         m1, F.lit(""))).alias("s"))
+    word_rows = words.join(pnum, ["doc_id", "offset"]).select(
+        "doc_id",
+        _sort_struct(F.col("offset"), F.col("block_order"),
+                     F.col("para_num"), F.col("line_num"), F.col("word_num"),
+                     5,
+                     fmt(5, F.col("page_num"), F.col("block_order") + 1,
+                         F.col("para_num") + 1, F.col("line_num") + 1,
+                         F.col("word_num") + 1, F.col("conf"),
+                         F.col("word"))).alias("s"))
+    allr = page_rows.unionByName(block_rows).unionByName(para_rows) \
+        .unionByName(line_rows).unionByName(word_rows)
+    return (
+        allr.groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")),
+                        lambda s: s["line"]), "\n").alias("tsv"))
+    )
+
+
+def render_hocr_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
+    """(doc_id, hocr) with the reference's full hOCR nesting
+    (hocrrenderer.cpp:136-250): ocr_page → ocr_carea → ocr_par →
+    ocr_line → ocrx_word, each with its bbox (words also x_wconf).
+    Blocks with no word decode (images, rules, tables, vertical chains,
+    layout-only runs) keep the flat carea body of render_hocr. Assembly
+    is four groupBy folds (word→line→para→block content) plus the page
+    and doc folds — built-ins only, shuffles keyed on doc-prefixed keys."""
+    def bbox(l=None):
+        return F.concat_ws(" ", F.col("left").cast("string"),
+                           F.col("top").cast("string"),
+                           F.col("right").cast("string"),
+                           F.col("bottom").cast("string"))
+
+    wid = F.concat_ws("_", F.col("offset").cast("string"),
+                      F.col("block_order").cast("string"),
+                      F.col("para_num").cast("string"),
+                      F.col("line_num").cast("string"),
+                      F.col("word_num").cast("string"))
+    frag = F.concat(
+        F.lit("<span class='ocrx_word' id='word_"), wid,
+        F.lit("' title='bbox "), bbox(), F.lit("; x_wconf "),
+        F.col("conf").cast("string"), F.lit("'>"),
+        _escape_html(F.col("word")), F.lit("</span>"))
+    lines = (
+        words.select("doc_id", "offset", "block_order", "para_num",
+                     "line_num", "left", "top", "right", "bottom",
+                     F.struct(F.col("word_num").alias("w"),
+                              frag.alias("f")).alias("wf"))
+        .groupBy("doc_id", "offset", "block_order", "para_num", "line_num")
+        .agg(*_bbox_agg(),
+             F.array_join(F.transform(F.array_sort(F.collect_list("wf")),
+                                      lambda s: s["f"]), " ").alias("body"))
+    )
+    lid = F.concat_ws("_", F.col("offset").cast("string"),
+                      F.col("block_order").cast("string"),
+                      F.col("para_num").cast("string"),
+                      F.col("line_num").cast("string"))
+    line_html = F.concat(F.lit("<span class='ocr_line' id='line_"), lid,
+                         F.lit("' title='bbox "), bbox(), F.lit("'>"),
+                         F.col("body"), F.lit("</span>"))
+    paras = (
+        lines.select("doc_id", "offset", "block_order", "para_num",
+                     "left", "top", "right", "bottom",
+                     F.struct(F.col("line_num").alias("l"),
+                              line_html.alias("h")).alias("lh"))
+        .groupBy("doc_id", "offset", "block_order", "para_num")
+        .agg(*_bbox_agg(),
+             F.array_join(F.transform(F.array_sort(F.collect_list("lh")),
+                                      lambda s: s["h"]), "\n").alias("body"))
+    )
+    pid = F.concat_ws("_", F.col("offset").cast("string"),
+                      F.col("block_order").cast("string"),
+                      F.col("para_num").cast("string"))
+    para_html = F.concat(F.lit("<p class='ocr_par' id='par_"), pid,
+                         F.lit("' title='bbox "), bbox(), F.lit("'>"),
+                         F.col("body"), F.lit("</p>"))
+    block_bodies = (
+        paras.select("doc_id", "offset", "block_order",
+                     F.struct(F.col("para_num").alias("p"),
+                              para_html.alias("h")).alias("ph"))
+        .groupBy("doc_id", "offset", "block_order")
+        .agg(F.array_join(F.transform(F.array_sort(F.collect_list("ph")),
+                                      lambda s: s["h"]), "\n").alias("wbody"))
+    )
+    blk = blocks.join(block_bodies, ["doc_id", "offset", "block_order"],
+                      "left")
+    flat_body = (
+        F.when(F.col("kind").isin(*IMAGE_KINDS),
+               F.concat(F.lit("<img src='"),
+                        F.coalesce(F.col("media_ref"), F.lit("")),
+                        F.lit("'/>")))
+        .when(F.col("kind").isin(*LINE_KINDS), F.lit(""))
+        .otherwise(_escape_html(F.coalesce(F.col("text"), F.lit("")))))
+    bid = F.concat_ws("_", F.col("offset").cast("string"),
+                      F.col("block_order").cast("string"))
+    block_html = F.concat(
+        F.lit("  <div class='ocr_carea' id='block_"), bid,
+        F.lit("' title='"), F.col("kind"), F.lit("; bbox "), bbox(),
+        F.lit("'>"), F.coalesce(F.col("wbody"), flat_body),
+        F.lit("</div>"))
+    pages = (
+        blk.select("doc_id", "offset", "left", "top", "right", "bottom",
+                   F.struct(F.col("block_order").alias("b"),
+                            block_html.alias("h")).alias("bh"))
+        .groupBy("doc_id", "offset")
+        .agg(*_bbox_agg(),
+             F.array_join(F.transform(F.array_sort(F.collect_list("bh")),
+                                      lambda s: s["h"]), "\n").alias("body"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    page_html = F.concat(F.lit(" <div class='ocr_page' id='page_"),
+                         F.col("page_num").cast("string"),
+                         F.lit("' title='bbox "), bbox(), F.lit("'>\n"),
+                         F.col("body"), F.lit("\n </div>"))
+    paged = pages.withColumn("page_num", F.row_number().over(w)).select(
+        "doc_id", F.struct(F.col("offset").alias("o"),
+                           page_html.alias("h")).alias("ph"))
+    return (
+        paged.groupBy("doc_id")
+        .agg(F.concat(
+            F.lit("<html><body>\n"),
+            F.array_join(F.transform(F.array_sort(F.collect_list("ph")),
+                                     lambda s: s["h"]), "\n"),
+            F.lit("\n</body></html>")).alias("hocr"))
     )

@@ -101,3 +101,40 @@ def test_box_aware_renderers(spark, fixture_set):
     assert all(int(r) >= int(l) and int(b) >= int(t) for l, t, r, b in boxes)
     alto = render_alto(blocks).collect()[0]["alto"]
     assert re.search(r"HPOS='\d+' VPOS='\d+' WIDTH='\d+' HEIGHT='\d+'", alto)
+
+
+def test_hierarchy_renderers(spark, fixture_set):
+    """Full-depth TSV (levels 1-5) and nested hOCR over the para_page doc:
+    the wired paragraph detector must show up as par rows / ocr_par divs."""
+    from pyspark.sql import functions as F
+
+    from sparkstract.plans.pipeline import extract_blocks, extract_words
+    from sparkstract.sinks import render_hocr_words, render_tsv_levels
+
+    docs, media, _ = fixture_set.to_spark(spark)
+    docs = docs.filter(F.col("doc_id") == "d-para_page")
+    blocks = extract_blocks(spark, docs, media)
+    words = extract_words(spark, docs, media)
+
+    tsv = render_tsv_levels(blocks, words).collect()[0]["tsv"]
+    lines = tsv.split("\n")
+    levels = [ln.split("\t")[0] for ln in lines]
+    assert levels[0] == "1"  # page row first
+    # two paragraphs in the para_page block → two level-3 rows for block 1
+    par_rows = [ln for ln in lines
+                if ln.split("\t")[0] == "3" and ln.split("\t")[2] == "1"]
+    assert len(par_rows) == 2
+    # word rows are 12 columns with text last and conf 100
+    wrow = next(ln for ln in lines if ln.split("\t")[0] == "5")
+    cells = wrow.split("\t")
+    assert len(cells) == 12 and cells[10] == "100" and cells[11]
+    # nesting order: each level-4 line row is followed by its level-5 words
+    i4 = levels.index("4")
+    assert levels[i4 + 1] == "5"
+
+    hocr = render_hocr_words(blocks, words).collect()[0]["hocr"]
+    assert hocr.count("class='ocr_par'") == 2
+    assert "class='ocr_line'" in hocr and "x_wconf 100" in hocr
+    assert hocr.index("ocr_page") < hocr.index("ocr_carea") \
+        < hocr.index("ocr_par") < hocr.index("ocr_line") \
+        < hocr.index("ocrx_word")
