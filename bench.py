@@ -175,6 +175,12 @@ def main() -> None:
         # round 2 additions (totals therefore not directly comparable to
         # BENCH_r01's 10-query total — compare per-query)
         "dup_clusters", "curated_corpus",
+        # round 3: the word-level sidecar (second kernel view). NOTE:
+        # minhash_lsh_pairs persists the pair frame (production pattern for
+        # the compound dedup queries), so dup_clusters/curated_corpus start
+        # from cached pairs — their timings measure CC + curation, not a
+        # recompute of the shingle pipeline.
+        "extract_words",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the

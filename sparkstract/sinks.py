@@ -328,7 +328,16 @@ def render_tsv_levels(blocks: DataFrame, words: DataFrame) -> DataFrame:
     reference. Inputs are the two kernel views (extract_blocks,
     extract_words); all assembly is built-in aggregations — hierarchy
     levels are groupBys over the word sidecar, the doc fold one sorted
-    array_join."""
+    array_join.
+
+    Both inputs are PERSISTED here: the level frames consume the block view
+    twice and the word view three times, and without a cache each branch
+    re-executes the page kernel (9 kernel passes measured) — the persist
+    collapses that to one pass per view. Both views are text+geometry only
+    (no image bytes), so the cache is corpus-text-sized and spillable;
+    long-running callers can unpersist after the action."""
+    blocks = blocks.persist()
+    words = words.persist()
     m1 = F.lit(-1)
 
     def fmt(level, page, block, par, line, word, conf, text):
@@ -400,7 +409,11 @@ def render_hocr_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
     Blocks with no word decode (images, rules, tables, vertical chains,
     layout-only runs) keep the flat carea body of render_hocr. Assembly
     is four groupBy folds (word→line→para→block content) plus the page
-    and doc folds — built-ins only, shuffles keyed on doc-prefixed keys."""
+    and doc folds — built-ins only, shuffles keyed on doc-prefixed keys.
+    The block view is persisted (consumed by the carea join and the page
+    fold); the word chain is linear and needs no cache."""
+    blocks = blocks.persist()
+
     def bbox(l=None):
         return F.concat_ws(" ", F.col("left").cast("string"),
                            F.col("top").cast("string"),
