@@ -64,9 +64,9 @@ def _lines(rng: np.random.Generator, n_lines: int, max_chars: int) -> list[str]:
 
 def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     """Deterministic page spec per fixture family (FIXTURES.md table)."""
-    if family in ("tiff_page", "tiff_multipage"):
+    if family in ("tiff_page", "tiff_multipage", "pnm_page", "bmp_page"):
         # container-level families: the page CONTENT is a plain spec — the
-        # TIFF packaging (LZW / multipage IFD chain) happens in
+        # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
         return page_spec("single_column", rng)
     seed = int(rng.integers(0, 2**31))
@@ -293,6 +293,16 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         return PageSpec(elements=[Text(
             lines, truth_lines=[ln.strip() for ln in lines], col=0)],
             scale=2, width_chars=23, seed=seed)
+    if family == "music_page":  # F34 — music mask, pagesegmain.cpp:253
+        # (photomask |= musicmask): a 5-line staff with note dots must come
+        # out as ONE image region — not five separator rules + text noise
+        from .render import StaffLines
+
+        return PageSpec(elements=[
+            Text(_lines(rng, 2, 16), col=0),
+            StaffLines(n_lines=5, pitch_units=4, n_notes=4, col=0),
+            Text(_lines(rng, 2, 16), col=0),
+        ], scale=2, seed=seed)
     if family == "greek_page":  # F33 — per-script OSD vote beyond the RTL
         # set (osdetect.cpp:286 scores 10+ scripts): a Greek page must
         # decode via the widened glyph LUT and the script vote must pick
@@ -320,7 +330,7 @@ PAGE_FAMILIES = [
     "broken_page", "margin_note", "bidi_page", "rotated_rtl",
     "inline_equation_page", "wavy_page", "ragged_page", "embedded_vertical",
     "sparse_texture", "para_page", "tiff_page", "tiff_multipage",
-    "greek_page",
+    "greek_page", "music_page", "pnm_page", "bmp_page",
 ]
 
 
@@ -364,6 +374,16 @@ class _Builder:
             img2, b2 = render_page(page_spec("interleaved_order", self.rng))
             payload = encode_gray_tiff([img, img2], "none")
             blocks = b1 + b2
+        elif family == "pnm_page":
+            from ..functions.raster import encode_gray_pnm
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_pnm(img, binary=True)
+        elif family == "bmp_page":
+            from ..functions.raster import encode_gray_bmp
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_bmp(img)
         else:
             img, blocks = render_page(page_spec(family, self.rng))
             payload = encode_gray(img)

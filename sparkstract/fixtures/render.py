@@ -143,6 +143,21 @@ class Rule:
 
 
 @dataclass
+class StaffLines:
+    """A music staff: n thin full-width horizontal rules at a tight regular
+    pitch, with a few note dots between the lines. The reference ORs a
+    music mask into the photo mask (pagesegmain.cpp:253
+    `photomask_pix |= musicmask_pix`), so the whole staff must come out as
+    ONE image region — not five separator rules plus noise."""
+
+    n_lines: int = 5
+    pitch_units: int = 4      # top-to-top pitch in s units
+    thickness_units: int = 1
+    n_notes: int = 4
+    col: int | None = 0
+
+
+@dataclass
 class TableGrid:
     """A monospace table: rows of left-aligned cells at fixed column starts,
     separated by sep_chars blank cells — the aligned-whitespace structure
@@ -262,6 +277,8 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             return (len(e.lines) - 1) * 12 * s + GLYPH_H * s
         if isinstance(e, Rule):
             return e.thickness_units * s
+        if isinstance(e, StaffLines):
+            return (e.n_lines - 1) * e.pitch_units * s + e.thickness_units * s
         if isinstance(e, TexturedImage):
             return e.h_units * s
         if isinstance(e, LeaderLine):
@@ -341,6 +358,25 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
         if isinstance(e, Rule):
             canvas[y0 : y0 + e.thickness_units * s, x0 : x0 + avail_w] = INK
             truth.append(TruthBlock(HORZ_LINE, None))
+            return
+        if isinstance(e, StaffLines):
+            th = e.thickness_units * s
+            pitch = e.pitch_units * s
+            for i in range(e.n_lines):
+                yy = y0 + i * pitch
+                canvas[yy : yy + th, x0 : x0 + avail_w] = INK
+            # note dots between the lines, clear of the lines (>=1px gap);
+            # they must be swallowed by the music mask, not read as text
+            gap = pitch - th
+            dside = max(2, gap - 2)
+            for k in range(e.n_notes):
+                line_i = k % (e.n_lines - 1)
+                ny = y0 + line_i * pitch + th + 1
+                nx = x0 + int(avail_w * (k + 1) / (e.n_notes + 1))
+                canvas[ny : ny + dside, nx : nx + dside] = INK
+            frac = avail_w / (page_w - 2 * margin)
+            truth.append(TruthBlock(
+                FLOWING_IMAGE if frac > 0.7 else PULLOUT_IMAGE, None))
             return
         if isinstance(e, LeaderLine):
             lw = _render_line(canvas, x0, y0, e.left_text, s)

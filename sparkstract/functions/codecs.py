@@ -2,11 +2,14 @@
 
 The reference accepts any Leptonica-readable raster and sniffs the format
 from the byte stream (SetImage /root/reference/src/api/baseapi.cpp:881,906;
-pixReadMem does the magic-number dispatch). Here: PNG (functions/png.py) and
-TIFF incl. multipage + LZW (functions/tiff.py). A multipage container yields
-several pages from ONE media ref — the ProcessPagesMultipageTiff contract
-(baseapi.cpp:1657): downstream block order runs page 1's blocks, then
-page 2's, in file order.
+pixReadMem does the magic-number dispatch). Here: PNG (functions/png.py),
+TIFF incl. multipage + LZW (functions/tiff.py), PNM P2/P5 and 8-bit BMP
+(functions/raster.py). A multipage container yields several pages from ONE
+media ref — the ProcessPagesMultipageTiff contract (baseapi.cpp:1657):
+downstream block order runs page 1's blocks, then page 2's, in file order.
+JPEG/WEBP are documented out of scope (no codec libs in the container and a
+DCT/VP8 decoder is not a from-scratch afternoon); the dispatch error names
+the format so a user hits a clear seam, not a silent drop.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from .png import decode_gray
+from .raster import decode_gray_bmp, decode_gray_pnm
 from .tiff import decode_gray_tiff
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -25,7 +29,15 @@ def decode_pages(data: bytes) -> list[np.ndarray]:
         return [decode_gray(data)]
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_gray_tiff(data)
-    raise ValueError("unsupported image format (PNG and TIFF supported)")
+    if data[:2] in (b"P2", b"P5"):
+        return [decode_gray_pnm(data)]
+    if data[:2] == b"BM":
+        return [decode_gray_bmp(data)]
+    if data[:3] == b"\xff\xd8\xff":
+        raise ValueError("JPEG input: out of scope (no codec libs; "
+                         "transcode to PNG/TIFF/PNM/BMP upstream)")
+    raise ValueError(
+        "unsupported image format (PNG, TIFF, PNM, BMP supported)")
 
 
 def decode_gray_any(data: bytes) -> np.ndarray:

@@ -1,0 +1,120 @@
+"""Minimal pure-Python PNM (P2/P5) and BMP (8-bit) grayscale codecs.
+
+Rounds out the SetImage ingest matrix (the reference reads any
+Leptonica-supported raster — TIFF/PNG/JPEG/BMP/PNM/WEBP, SetImage
+/root/reference/src/api/baseapi.cpp:881,906). JPEG/WEBP stay out of scope
+(a DCT/VP8 decoder is a project of its own and the container has no codec
+libs); PNM and BMP are byte-level formats the same class as png.py/tiff.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- PNM (PGM)
+
+
+def encode_gray_pnm(img: np.ndarray, binary: bool = True) -> bytes:
+    """uint8 HxW -> P5 (binary) or P2 (ASCII) PGM bytes."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("encode_gray_pnm expects a 2-D uint8 array")
+    h, w = img.shape
+    if binary:
+        return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+    body = "\n".join(" ".join(str(v) for v in row) for row in img.tolist())
+    return (f"P2\n{w} {h}\n255\n{body}\n").encode()
+
+
+def _pnm_tokens(data: bytes, n: int, pos: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated ints, skipping '#' comments."""
+    out: list[int] = []
+    cur = b""
+    while len(out) < n and pos <= len(data):
+        c = data[pos : pos + 1]
+        pos += 1
+        if c == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        if c.isdigit():
+            cur += c
+        elif cur:
+            out.append(int(cur))
+            cur = b""
+        if not c and cur:
+            out.append(int(cur))
+            cur = b""
+    if len(out) < n:
+        raise ValueError("truncated PNM header")
+    return out, pos
+
+
+def decode_gray_pnm(data: bytes) -> np.ndarray:
+    """P5/P2 PGM bytes -> uint8 HxW array (maxval <= 255)."""
+    magic = data[:2]
+    if magic not in (b"P5", b"P2"):
+        raise ValueError("not a P2/P5 PGM")
+    (w, h, maxval), pos = _pnm_tokens(data, 3, 2)
+    if maxval > 255:
+        raise ValueError("16-bit PGM not supported")
+    if magic == b"P5":
+        # exactly one whitespace byte separates maxval from raster data;
+        # _pnm_tokens already consumed it
+        raw = np.frombuffer(data[pos : pos + h * w], dtype=np.uint8)
+        if raw.size < h * w:
+            raise ValueError("truncated PGM raster")
+        img = raw.reshape(h, w).astype(np.float64)
+    else:
+        vals, _ = _pnm_tokens(data, h * w, pos)
+        img = np.array(vals, dtype=np.float64).reshape(h, w)
+    if maxval != 255:
+        img = img * (255.0 / maxval)
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------------- BMP 8bpp
+
+
+def encode_gray_bmp(img: np.ndarray) -> bytes:
+    """uint8 HxW -> 8-bit palette BMP (grayscale palette, bottom-up rows)."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("encode_gray_bmp expects a 2-D uint8 array")
+    h, w = img.shape
+    stride = (w + 3) & ~3
+    palette = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = img[::-1]  # bottom-up
+    data_off = 14 + 40 + len(palette)
+    size = data_off + rows.size
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, rows.size,
+                       2835, 2835, 256, 0)
+    return header + info + palette + rows.tobytes()
+
+
+def decode_gray_bmp(data: bytes) -> np.ndarray:
+    """8-bit palette BMP bytes -> uint8 HxW grayscale (palette luma)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 8 or comp != 0:
+        raise ValueError("only uncompressed 8-bit BMP supported")
+    n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+    pal_off = 14 + hdr_size
+    pal = np.frombuffer(data[pal_off : pal_off + 4 * n_colors],
+                        dtype=np.uint8).reshape(-1, 4)
+    # BGR -> ITU-R 601 luma (a gray palette maps to identity)
+    luma = np.clip(np.rint(0.114 * pal[:, 0] + 0.587 * pal[:, 1]
+                           + 0.299 * pal[:, 2]), 0, 255).astype(np.uint8)
+    top_down = h < 0
+    h = abs(h)
+    stride = (w + 3) & ~3
+    raw = np.frombuffer(data[data_off : data_off + h * stride],
+                        dtype=np.uint8).reshape(h, stride)[:, :w]
+    if not top_down:
+        raw = raw[::-1]
+    return luma[raw].copy()

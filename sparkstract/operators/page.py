@@ -497,6 +497,56 @@ def _drop_leader_dots(member_ids: list[int], tl, tt, tr, tb) -> list[int]:
     return [i for i in member_ids if i not in drop]
 
 
+STAFF_MIN_LINES = 4     # horizontal rules forming a music staff (5-line
+STAFF_PITCH_TOL = 2     # px deviation from the group's pitch allowed
+STAFF_PITCH_MAX_TH = 6  # pitch <= this x line thickness → staff-tight; real
+                        # separator rules sit block_gap (30s) apart and
+                        # never qualify
+
+
+def _find_staffs(line_boxes: list[tuple]) -> tuple[list[tuple], list[tuple]]:
+    """Music-staff mask (pagesegmain.cpp:253 `photomask_pix |=
+    musicmask_pix`): >= STAFF_MIN_LINES horizontal rules at a tight regular
+    pitch with overlapping x-extents are a staff — ONE image region, not a
+    stack of separators. Returns (staff boxes, remaining line boxes)."""
+    hl = [i for i, lx in enumerate(line_boxes) if lx[4] == HORZ_LINE]
+    if len(hl) < STAFF_MIN_LINES:
+        return [], line_boxes
+    hl.sort(key=lambda i: line_boxes[i][1])
+    groups: list[list[int]] = []
+    cur = [hl[0]]
+    cur_pitch: int | None = None
+    for j in hl[1:]:
+        a, b = line_boxes[cur[-1]], line_boxes[j]
+        pitch = b[1] - a[1]
+        th = max(a[3] - a[1] + 1, b[3] - b[1] + 1)
+        x_ov = min(a[2], b[2]) - max(a[0], b[0]) + 1
+        wmin = min(a[2] - a[0], b[2] - b[0]) + 1
+        tight = (pitch <= STAFF_PITCH_MAX_TH * th and x_ov >= 0.8 * wmin
+                 and (cur_pitch is None
+                      or abs(pitch - cur_pitch) <= STAFF_PITCH_TOL))
+        if tight:
+            if cur_pitch is None:
+                cur_pitch = pitch
+            cur.append(j)
+        else:
+            groups.append(cur)
+            cur, cur_pitch = [j], None
+    groups.append(cur)
+    staffs: list[tuple] = []
+    drop: set[int] = set()
+    for g in groups:
+        if len(g) < STAFF_MIN_LINES:
+            continue
+        bs = [line_boxes[i] for i in g]
+        staffs.append((min(b[0] for b in bs), min(b[1] for b in bs),
+                       max(b[2] for b in bs), max(b[3] for b in bs)))
+        drop.update(g)
+    if not drop:
+        return [], line_boxes
+    return staffs, [lx for i, lx in enumerate(line_boxes) if i not in drop]
+
+
 def _coverage_gaps(left: np.ndarray, right: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
     """Maximal whitespace gaps >= min_gap strictly inside the x-extent of the
     given intervals (the tab-stop/gutter finder, tabfind.cpp:833)."""
@@ -877,6 +927,21 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                 continue
             image_boxes.append((bl_, bt_, br_, bb_))
             keep_mask &= ~inside
+        if not keep_mask.all():
+            tl, tt, tr, tb = tl[keep_mask], tt[keep_mask], tr[keep_mask], tb[keep_mask]
+
+    # ---- music-staff mask (pagesegmain.cpp:253): tightly pitched rule
+    # groups become ONE image region, and the note blobs between the lines
+    # leave the text flow with them ----
+    staff_boxes, line_boxes = _find_staffs(line_boxes)
+    if staff_boxes:
+        image_boxes.extend(staff_boxes)
+        keep_mask = np.ones(tl.shape[0], dtype=bool)
+        ctr_x = (tl + tr) / 2.0
+        ctr_y = (tt + tb) / 2.0
+        for (sl, st, sr, sb) in staff_boxes:
+            keep_mask &= ~((ctr_x >= sl - 2) & (ctr_x <= sr + 2)
+                           & (ctr_y >= st - 2) & (ctr_y <= sb + 2))
         if not keep_mask.all():
             tl, tt, tr, tb = tl[keep_mask], tt[keep_mask], tr[keep_mask], tb[keep_mask]
 
