@@ -853,26 +853,28 @@ def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_render_tsv_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-hierarchy TSV (GetTSVText levels 1-5, baseapi.cpp:2205) over the
-    fixture corpus. Oracle: the identical string assembled single-process
-    from the kernel truth tables — pins the distributed 5-level fold."""
-    from sparkstract.plans.pipeline import extract_blocks, extract_words
+    fixture corpus — both input views from ONE kernel pass
+    (extract_hierarchy, persisted). Oracle: the identical string assembled
+    single-process from the kernel truth tables — pins the distributed
+    5-level fold."""
+    from sparkstract.plans.pipeline import extract_hierarchy, hierarchy_views
     from sparkstract.sinks import render_tsv_levels
 
     docs, media, _ = _fixture_frames(spark)
-    return render_tsv_levels(extract_blocks(spark, docs, media),
-                             extract_words(spark, docs, media)).orderBy("doc_id")
+    h = extract_hierarchy(spark, docs, media).persist()
+    return render_tsv_levels(*hierarchy_views(h)).orderBy("doc_id")
 
 
 def q_render_hocr_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hOCR with the reference's full nesting (ocr_page → ocr_carea →
     ocr_par → ocr_line → ocrx_word, hocrrenderer.cpp:136-250), word boxes
-    and x_wconf included."""
-    from sparkstract.plans.pipeline import extract_blocks, extract_words
+    and x_wconf included; one kernel pass via extract_hierarchy."""
+    from sparkstract.plans.pipeline import extract_hierarchy, hierarchy_views
     from sparkstract.sinks import render_hocr_words
 
     docs, media, _ = _fixture_frames(spark)
-    return render_hocr_words(extract_blocks(spark, docs, media),
-                             extract_words(spark, docs, media)).orderBy("doc_id")
+    h = extract_hierarchy(spark, docs, media).persist()
+    return render_hocr_words(*hierarchy_views(h)).orderBy("doc_id")
 
 
 def q_layout_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:

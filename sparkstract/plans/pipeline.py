@@ -48,6 +48,15 @@ WORDS_SCHEMA = (
     "left int, top int, right int, bottom int, conf int"
 )
 
+# combined view: block rows AND word rows from ONE kernel pass (level =
+# 'block' | 'word') — the scale path for consumers that need both (the
+# hierarchy renderers), instead of decoding the corpus twice
+HIERARCHY_SCHEMA = (
+    "doc_id string, offset int, block_order int, level string, kind string, "
+    "text string, media_ref string, left int, top int, right int, "
+    "bottom int, para_num int, line_num int, word_num int, conf int"
+)
+
 
 def _page_kernel(cfg: ExtractConfig):
     """Build the mapInPandas kernel: one Arrow batch of (doc_id, offset,
@@ -267,6 +276,94 @@ def extract_words(spark: SparkSession, docs: DataFrame, media: DataFrame,
     cfg = cfg or ExtractConfig()
     work, _ = _work_frame(docs, media, cfg)
     return work.mapInPandas(_word_kernel(cfg), schema=WORDS_SCHEMA)
+
+
+def _hier_kernel(cfg: ExtractConfig):
+    """mapInPandas kernel emitting BOTH hierarchy views in one decode pass:
+    a level='block' row per layout block and a level='word' row per
+    recognized word (see HIERARCHY_SCHEMA)."""
+    from ..functions.codecs import decode_pages
+
+    cols = ("doc_id", "offset", "block_order", "level", "kind", "text",
+            "media_ref", "left", "top", "right", "bottom",
+            "para_num", "line_num", "word_num", "conf")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+
+            def emit(doc_id, offset, ref, level, order, kind, text,
+                     l, t, r, b, p=None, ln=None, wn=None, conf=None):
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["block_order"].append(order)
+                out["level"].append(level)
+                out["kind"].append(kind)
+                out["text"].append(text)
+                out["media_ref"].append(ref)
+                out["left"].append(l)
+                out["top"].append(t)
+                out["right"].append(r)
+                out["bottom"].append(b)
+                out["para_num"].append(p)
+                out["line_num"].append(ln)
+                out["word_num"].append(wn)
+                out["conf"].append(conf)
+
+            for doc_id, offset, ref, png in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
+            ):
+                base = 0
+                for gray in decode_pages(bytes(png)):
+                    crop_dx = crop_dy = 0
+                    if cfg.crop is not None:
+                        cl, ct, cr, cb = cfg.crop
+                        gray = gray[ct:cb, cl:cr]
+                        crop_dx, crop_dy = cl, ct
+                    blocks = analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
+                                          whitelist=cfg.char_whitelist)
+                    for blk in blocks:
+                        emit(doc_id, offset, ref, "block", base + blk.order,
+                             blk.kind, blk.text if cfg.recognize else None,
+                             blk.left + crop_dx, blk.top + crop_dy,
+                             blk.right + crop_dx, blk.bottom + crop_dy)
+                        if not (blk.words and cfg.recognize):
+                            continue
+                        for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in blk.words:
+                            emit(doc_id, offset, ref, "word",
+                                 base + blk.order, blk.kind, wtext,
+                                 wl + crop_dx, wt + crop_dy,
+                                 wr + crop_dx, wb + crop_dy,
+                                 p, ln, wn, conf)
+                    base += len(blocks)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def extract_hierarchy(spark: SparkSession, docs: DataFrame, media: DataFrame,
+                      cfg: ExtractConfig | None = None) -> DataFrame:
+    """Block AND word rows from ONE kernel pass (HIERARCHY_SCHEMA) — the
+    scale path for the hierarchy renderers: `extract_blocks` +
+    `extract_words` each run their own kernel, so a consumer needing both
+    would decode the corpus twice; this frame, persisted and filtered on
+    `level`, decodes it once."""
+    cfg = cfg or ExtractConfig()
+    work, _ = _work_frame(docs, media, cfg)
+    return work.mapInPandas(_hier_kernel(cfg), schema=HIERARCHY_SCHEMA)
+
+
+def hierarchy_views(h: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split an extract_hierarchy frame into the (blocks, words) views the
+    renderers take. Persist `h` first when both views feed one job."""
+    blocks = h.filter(F.col("level") == "block").select(
+        "doc_id", "offset", "block_order", "kind", "text", "media_ref",
+        "left", "top", "right", "bottom")
+    words = h.filter(F.col("level") == "word").select(
+        "doc_id", "offset", "block_order", "para_num", "line_num",
+        "word_num", F.col("text").alias("word"), "media_ref",
+        "left", "top", "right", "bottom", "conf")
+    return blocks, words
 
 
 def analyse_layout(spark: SparkSession, docs: DataFrame, media: DataFrame,
