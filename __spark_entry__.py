@@ -668,6 +668,21 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
 
 
+def q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free embedding near-dup via random-hyperplane sign-LSH
+    (Charikar 2002) — the LSH-bucketed ANN scale path: banded signatures →
+    capped candidate buckets → exact cosine verify. Hyperplanes are
+    deterministic 6-dp literals shared with the DuckDB twin. Threshold 0.35
+    at the gate: the driver's embeddings are near-random (max pairwise
+    cosine ≈ 0.47, so the production default 0.9 returns zero rows like
+    cosine_near_dup) and a non-empty result is what actually pins the
+    bucket → verify → score path value-by-value."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = similarity.random_hyperplanes(32, 64, seed=7)
+    return similarity.cosine_lsh_pairs(emb, planes, threshold=0.35) \
+        .orderBy("id_a", "id_b")
+
+
 def q_cosine_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'log what was dropped' side channel for cosine_near_dup_pairs'
     hot-label cap: one row per dropped label with its size. Empty result =
@@ -1156,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dup": q_cosine_near_dup,
+        "cosine_lsh": q_cosine_lsh,
         "cosine_label_audit": q_cosine_label_audit,
         "render_text": q_render_text,
         "render_tsv": q_render_tsv,
@@ -1299,6 +1315,16 @@ def oracle_sql() -> dict[str, str]:
         f"{_sql_quote(wtext)}, {_sql_quote(ref)}, {l}, {t}, {r}, {b}, {conf})"
         for doc, off, bo, p, ln, wn, wtext, ref, l, t, r, b, conf
         in _words_truth())
+    # sign-LSH twin: same 6-dp hyperplane literals, same band/cap shape
+    from sparkstract.operators.similarity import random_hyperplanes
+
+    _planes = random_hyperplanes(32, 64, seed=7)
+    _sig_terms = " + ".join(
+        "(CASE WHEN round(list_inner_product(embedding::DOUBLE[], "
+        f"CAST([{', '.join(repr(x) for x in p)}] AS DOUBLE[])), 6) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes))
+
     tsv_truth, hocr_truth = _hier_render_truth()
     tsv_level_rows = ",\n".join(
         f"({_sql_quote(doc)}, {_sql_quote(tsv)})" for doc, tsv in tsv_truth)
@@ -2034,5 +2060,28 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings GROUP BY label
             HAVING count(*) > 4096
             ORDER BY label
+        """,
+        "cosine_lsh": f"""
+            WITH sig AS (
+              SELECT vec_id, embedding,
+                     CAST({_sig_terms} AS BIGINT) AS sig
+              FROM embeddings),
+            banded AS (
+              SELECT vec_id, embedding, sig, CAST(band AS INTEGER) AS band,
+                     (sig >> CAST(8 * band AS INTEGER)) & 255 AS key
+              FROM sig, range(0, 4) b(band)),
+            -- count-first bucket-cap twin (max_bucket=1024)
+            bc AS (SELECT band, key FROM banded GROUP BY band, key
+                   HAVING count(*) BETWEEN 2 AND 1024)
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS score
+            FROM banded a
+            JOIN bc ON bc.band = a.band AND bc.key = a.key
+            JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.35
+            ORDER BY id_a, id_b
         """,
     }

@@ -148,6 +148,79 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     )
 
 
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random-hyperplane set for sign-LSH (Charikar 2002
+    SimHash for vectors): components rounded to 6 dp so BOTH engines (Spark
+    expressions and the DuckDB oracle) evaluate the exact same literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n_planes, dim))
+    return [[round(float(x), 6) for x in row] for row in m]
+
+
+def cosine_lsh_pairs(emb: DataFrame, planes: list[list[float]],
+                     threshold: float = 0.9, bands: int = 4,
+                     max_bucket: int = 1024,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane (sign) LSH — the
+    LABEL-FREE scale path beside the label-bucketed `cosine_near_dup_pairs`:
+    signature bit j = sign(v·plane_j), signatures banded like SimHash, and
+    candidates sharing any exact band value get an exact cosine verify.
+    This is the standard ANN candidate generator: recall is probabilistic
+    (P[bit match] = 1 − θ/π per Charikar), precision is exact via the
+    verify, and the quadratic work is confined to buckets.
+
+    Same count-first bucket-cap discipline as the other pair emitters:
+    counts per (band, key), cap filter, semi-join survivors back, bounded
+    collect. Dot-product signs are rounded to 6 dp before the >= 0 test so
+    engine-order float noise cannot flip a signature bit.
+    Returns (id_a, id_b, score) with id_a < id_b, score >= threshold."""
+    n = len(planes)
+    assert n % bands == 0
+    width = n // bands
+    mask = (1 << width) - 1
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    sig_col = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        sig_col = sig_col + F.when(
+            F.round(_dot(vd, plane_lit), 6) >= 0,
+            F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    sig = spread(emb).select(F.col(id_col).alias("vid"),
+                             F.col(vec_col).alias("vec"),
+                             sig_col.alias("sig"))
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.expr(f"shiftright(sig, {b * width}) & {mask}").alias("key"))
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "vid", "vec", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("vid", "vec",
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "key")
+    )
+    kept = banded.join(ok, ["band", "key"], "left_semi")
+    a = kept.select("band", "key", F.col("vid").alias("id_a"),
+                    F.col("vec").alias("va"))
+    b = kept.select("band", "key", F.col("vid").alias("id_b"),
+                    F.col("vec").alias("vb"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )
+
+
 def cosine_label_stats(emb: DataFrame, label_col: str = "label",
                        max_label: int = 4096) -> DataFrame:
     """Audit companion to `cosine_near_dup_pairs`: one row per OVERSIZED

@@ -248,3 +248,27 @@ def test_scrub_pii_masks_each_family(spark):
         .select(scrub_pii(F.col("text")).alias("s")).collect()[0]["s"]
     assert out == ("mail <EMAIL>, call <PHONE>, host <IP>, "
                    "ssn <SSN>, order 12345 stays")
+
+
+def test_cosine_lsh_pairs(spark):
+    """Sign-LSH near-dup: a perturbed copy (cosine ~0.999) MUST surface
+    through the banded buckets; unrelated random vectors must not."""
+    import numpy as np
+
+    from sparkstract.operators.similarity import (
+        cosine_lsh_pairs,
+        random_hyperplanes,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    near = base + 0.01 * rng.standard_normal(64)
+    rows = [("a", [float(x) for x in base]),
+            ("b", [float(x) for x in near])]
+    rows += [(f"r{i}", [float(x) for x in rng.standard_normal(64)])
+             for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    planes = random_hyperplanes(32, 64, seed=7)
+    got = cosine_lsh_pairs(emb, planes, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [("a", "b")]
+    assert got[0]["score"] > 0.99
