@@ -58,64 +58,72 @@ HIERARCHY_SCHEMA = (
 )
 
 
+def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
+    """Shared kernel skeleton: decode each work row's media bytes (codec
+    dispatch, SetImage baseapi.cpp:881; a multipage TIFF yields several
+    pages from ONE media span, ProcessPagesMultipageTiff baseapi.cpp:1657 —
+    block order continues across its pages in file order), apply the
+    zone-override source or crop + analyse, and yield
+    (doc_id, offset, media_ref, crop_dx, crop_dy, base_order, blocks)
+    per decoded page. The emitting kernels differ only in which Block
+    fields they flatten."""
+    from ..functions.codecs import decode_pages
+
+    zones_col = pdf["zones"] if "zones" in pdf.columns else [None] * len(pdf)
+    for doc_id, offset, ref, png, page_zones in zip(
+        pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
+        zones_col,
+    ):
+        base = 0
+        for gray in decode_pages(bytes(png)):
+            if page_zones is not None and len(page_zones):
+                # S10 zone-override source: supplied segmentation wins
+                # (read_unlv_file, pagesegmain.cpp:114-127)
+                blocks = analyse_zones(gray, list(page_zones),
+                                       rtl=cfg.rtl,
+                                       whitelist=cfg.char_whitelist)
+                crop_dx = crop_dy = 0
+            else:
+                # crop (SetRectangle, baseapi.cpp:949) restricts ANALYSIS,
+                # but emitted geometry stays in original-image coordinates —
+                # the reference adds rect_left_/rect_top_ back on every
+                # BoundingBox call (pageiterator.cpp:366)
+                crop_dx = crop_dy = 0
+                if cfg.crop is not None:
+                    cl, ct, cr, cb = cfg.crop
+                    gray = gray[ct:cb, cl:cr]
+                    crop_dx, crop_dy = cl, ct
+                blocks = analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
+                                      whitelist=cfg.char_whitelist)
+            yield doc_id, offset, ref, crop_dx, crop_dy, base, blocks
+            base += len(blocks)
+
+
 def _page_kernel(cfg: ExtractConfig):
     """Build the mapInPandas kernel: one Arrow batch of (doc_id, offset,
     media_ref, image) rows in → extracted block rows out. All heavy work is
     numpy inside analyse_page; the only Python loop is over pages in the
     batch (the reference's page loop, ProcessPagesInternal baseapi.cpp:1731).
     """
-    from ..functions.codecs import decode_pages  # in-fn for executor pickling
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in
                                     ("doc_id", "offset", "block_order", "kind",
                                      "text", "media_ref",
                                      "left", "top", "right", "bottom")}
-            zones_col = pdf["zones"] if "zones" in pdf.columns \
-                else [None] * len(pdf)
-            for doc_id, offset, ref, png, page_zones in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
-                zones_col,
-            ):
-                # codec dispatch (SetImage, baseapi.cpp:881): PNG or TIFF;
-                # a multipage TIFF yields several pages from ONE media span
-                # (ProcessPagesMultipageTiff baseapi.cpp:1657) — block order
-                # continues across its pages in file order
-                base = 0
-                for gray in decode_pages(bytes(png)):
-                    if page_zones is not None and len(page_zones):
-                        # S10 zone-override source: supplied segmentation wins
-                        # (read_unlv_file, pagesegmain.cpp:114-127)
-                        blocks = analyse_zones(gray, list(page_zones),
-                                               rtl=cfg.rtl,
-                                               whitelist=cfg.char_whitelist)
-                        crop_dx = crop_dy = 0
-                    else:
-                        # crop (SetRectangle, baseapi.cpp:949) restricts
-                        # ANALYSIS, but emitted geometry stays in original-
-                        # image coordinates — the reference adds rect_left_/
-                        # rect_top_ back on every BoundingBox call
-                        # (pageiterator.cpp:366)
-                        crop_dx = crop_dy = 0
-                        if cfg.crop is not None:
-                            cl, ct, cr, cb = cfg.crop
-                            gray = gray[ct:cb, cl:cr]
-                            crop_dx, crop_dy = cl, ct
-                        blocks = analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
-                                              whitelist=cfg.char_whitelist)
-                    for blk in blocks:
-                        out["doc_id"].append(doc_id)
-                        out["offset"].append(offset)
-                        out["block_order"].append(base + blk.order)
-                        out["kind"].append(blk.kind)
-                        out["text"].append(blk.text if cfg.recognize else None)
-                        out["media_ref"].append(ref)
-                        out["left"].append(blk.left + crop_dx)
-                        out["top"].append(blk.top + crop_dy)
-                        out["right"].append(blk.right + crop_dx)
-                        out["bottom"].append(blk.bottom + crop_dy)
-                    base += len(blocks)
+            for doc_id, offset, ref, dx, dy, base, blocks \
+                    in _iter_page_blocks(cfg, pdf):
+                for blk in blocks:
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(offset)
+                    out["block_order"].append(base + blk.order)
+                    out["kind"].append(blk.kind)
+                    out["text"].append(blk.text if cfg.recognize else None)
+                    out["media_ref"].append(ref)
+                    out["left"].append(blk.left + dx)
+                    out["top"].append(blk.top + dy)
+                    out["right"].append(blk.right + dx)
+                    out["bottom"].append(blk.bottom + dy)
             yield pd.DataFrame(out)
 
     return kernel
@@ -221,8 +229,6 @@ def _word_kernel(cfg: ExtractConfig):
     output of GetTSVText, baseapi.cpp:2205): paragraph/line/word numbering
     comes from the page kernel's wired paragraph detector (W6,
     DetectParagraphs-in-Recognize, baseapi.cpp:1417)."""
-    from ..functions.codecs import decode_pages
-
     cols = ("doc_id", "offset", "block_order", "para_num", "line_num",
             "word_num", "word", "media_ref", "left", "top", "right",
             "bottom", "conf")
@@ -230,36 +236,25 @@ def _word_kernel(cfg: ExtractConfig):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
-            for doc_id, offset, ref, png in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
-            ):
-                base = 0
-                for gray in decode_pages(bytes(png)):
-                    crop_dx = crop_dy = 0
-                    if cfg.crop is not None:
-                        cl, ct, cr, cb = cfg.crop
-                        gray = gray[ct:cb, cl:cr]
-                        crop_dx, crop_dy = cl, ct
-                    blocks = analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
-                                          whitelist=cfg.char_whitelist)
-                    for blk in blocks:
-                        if not blk.words:
-                            continue
-                        for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in blk.words:
-                            out["doc_id"].append(doc_id)
-                            out["offset"].append(offset)
-                            out["block_order"].append(base + blk.order)
-                            out["para_num"].append(p)
-                            out["line_num"].append(ln)
-                            out["word_num"].append(wn)
-                            out["word"].append(wtext)
-                            out["media_ref"].append(ref)
-                            out["left"].append(wl + crop_dx)
-                            out["top"].append(wt + crop_dy)
-                            out["right"].append(wr + crop_dx)
-                            out["bottom"].append(wb + crop_dy)
-                            out["conf"].append(conf)
-                    base += len(blocks)
+            for doc_id, offset, ref, dx, dy, base, blocks \
+                    in _iter_page_blocks(cfg, pdf):
+                for blk in blocks:
+                    if not blk.words:
+                        continue
+                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in blk.words:
+                        out["doc_id"].append(doc_id)
+                        out["offset"].append(offset)
+                        out["block_order"].append(base + blk.order)
+                        out["para_num"].append(p)
+                        out["line_num"].append(ln)
+                        out["word_num"].append(wn)
+                        out["word"].append(wtext)
+                        out["media_ref"].append(ref)
+                        out["left"].append(wl + dx)
+                        out["top"].append(wt + dy)
+                        out["right"].append(wr + dx)
+                        out["bottom"].append(wb + dy)
+                        out["conf"].append(conf)
             yield pd.DataFrame(out)
 
     return kernel
@@ -282,8 +277,6 @@ def _hier_kernel(cfg: ExtractConfig):
     """mapInPandas kernel emitting BOTH hierarchy views in one decode pass:
     a level='block' row per layout block and a level='word' row per
     recognized word (see HIERARCHY_SCHEMA)."""
-    from ..functions.codecs import decode_pages
-
     cols = ("doc_id", "offset", "block_order", "level", "kind", "text",
             "media_ref", "left", "top", "right", "bottom",
             "para_num", "line_num", "word_num", "conf")
@@ -310,32 +303,20 @@ def _hier_kernel(cfg: ExtractConfig):
                 out["word_num"].append(wn)
                 out["conf"].append(conf)
 
-            for doc_id, offset, ref, png in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
-            ):
-                base = 0
-                for gray in decode_pages(bytes(png)):
-                    crop_dx = crop_dy = 0
-                    if cfg.crop is not None:
-                        cl, ct, cr, cb = cfg.crop
-                        gray = gray[ct:cb, cl:cr]
-                        crop_dx, crop_dy = cl, ct
-                    blocks = analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
-                                          whitelist=cfg.char_whitelist)
-                    for blk in blocks:
-                        emit(doc_id, offset, ref, "block", base + blk.order,
-                             blk.kind, blk.text if cfg.recognize else None,
-                             blk.left + crop_dx, blk.top + crop_dy,
-                             blk.right + crop_dx, blk.bottom + crop_dy)
-                        if not (blk.words and cfg.recognize):
-                            continue
-                        for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in blk.words:
-                            emit(doc_id, offset, ref, "word",
-                                 base + blk.order, blk.kind, wtext,
-                                 wl + crop_dx, wt + crop_dy,
-                                 wr + crop_dx, wb + crop_dy,
-                                 p, ln, wn, conf)
-                    base += len(blocks)
+            for doc_id, offset, ref, dx, dy, base, blocks \
+                    in _iter_page_blocks(cfg, pdf):
+                for blk in blocks:
+                    emit(doc_id, offset, ref, "block", base + blk.order,
+                         blk.kind, blk.text if cfg.recognize else None,
+                         blk.left + dx, blk.top + dy,
+                         blk.right + dx, blk.bottom + dy)
+                    if not (blk.words and cfg.recognize):
+                        continue
+                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in blk.words:
+                        emit(doc_id, offset, ref, "word",
+                             base + blk.order, blk.kind, wtext,
+                             wl + dx, wt + dy, wr + dx, wb + dy,
+                             p, ln, wn, conf)
             yield pd.DataFrame(out)
 
     return kernel
