@@ -1467,10 +1467,24 @@ def analyse_zones(gray: np.ndarray, zones: list[dict], rtl: bool = False,
         if kind in (FLOWING_IMAGE, PULLOUT_IMAGE, HORZ_LINE, VERT_LINE):
             out.append(Block(i, kind, None, l, t, r, b))
             continue
-        sub = ink[max(t, 0) : b + 1, max(l, 0) : r + 1]
+        x0, y0 = max(l, 0), max(t, 0)
+        sub = ink[y0 : b + 1, x0 : r + 1]
         blocks, _q = _analyse_ink(sub, rtl=rtl, psm="single_block", lut=lut)
         text = "\n".join(bb.text for bb in blocks if bb.text)
-        out.append(Block(i, kind, text or None, l, t, r, b))
+        # word hierarchy carries through the zone: inner sub-blocks become
+        # consecutive paragraphs, boxes restored to page coordinates (the
+        # same rect_left_/rect_top_ restoration the crop path does)
+        words: list[tuple] = []
+        para_base = 0
+        for bb in blocks:
+            if not bb.words:
+                continue
+            for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in bb.words:
+                words.append((para_base + p, ln, wn, wtext,
+                              wl + x0, wt + y0, wr + x0, wb + y0, conf))
+            para_base += max(w[0] for w in bb.words) + 1
+        out.append(Block(i, kind, text or None, l, t, r, b,
+                         words=words or None))
     return out
 
 

@@ -261,15 +261,17 @@ def _word_kernel(cfg: ExtractConfig):
 
 
 def extract_words(spark: SparkSession, docs: DataFrame, media: DataFrame,
-                  cfg: ExtractConfig | None = None) -> DataFrame:
+                  cfg: ExtractConfig | None = None,
+                  zones: DataFrame | None = None) -> DataFrame:
     """Word-level sidecar of `extract`: one row per recognized word with its
     block/paragraph/line/word position and bounding box — the full renderer
     depth of the reference's TSV/hOCR (GetTSVText levels 3-5
     baseapi.cpp:2205; hOCR ocrx_word hocrrenderer.cpp:136). Shares the plan
     with `extract` up to the kernel: same explode, same salted media join,
-    same partitioning — one kernel pass over the corpus."""
+    same partitioning — one kernel pass over the corpus. Zone-override
+    pages carry words too (inner sub-blocks number as paragraphs)."""
     cfg = cfg or ExtractConfig()
-    work, _ = _work_frame(docs, media, cfg)
+    work, _ = _work_frame(docs, media, cfg, zones)
     return work.mapInPandas(_word_kernel(cfg), schema=WORDS_SCHEMA)
 
 
@@ -323,14 +325,15 @@ def _hier_kernel(cfg: ExtractConfig):
 
 
 def extract_hierarchy(spark: SparkSession, docs: DataFrame, media: DataFrame,
-                      cfg: ExtractConfig | None = None) -> DataFrame:
+                      cfg: ExtractConfig | None = None,
+                      zones: DataFrame | None = None) -> DataFrame:
     """Block AND word rows from ONE kernel pass (HIERARCHY_SCHEMA) — the
     scale path for the hierarchy renderers: `extract_blocks` +
     `extract_words` each run their own kernel, so a consumer needing both
     would decode the corpus twice; this frame, persisted and filtered on
     `level`, decodes it once."""
     cfg = cfg or ExtractConfig()
-    work, _ = _work_frame(docs, media, cfg)
+    work, _ = _work_frame(docs, media, cfg, zones)
     return work.mapInPandas(_hier_kernel(cfg), schema=HIERARCHY_SCHEMA)
 
 

@@ -93,3 +93,29 @@ def test_non_text_blocks_carry_no_words():
             # every word appears in the block text
             for w in b.words:
                 assert w[3] in b.text
+
+
+def test_zone_override_words(spark):
+    """S10 zone-override pages carry the word hierarchy too: boxes restored
+    to page coordinates, inner sub-blocks numbered as paragraphs."""
+    from sparkstract.fixtures.gen import DOCS_SCHEMA, MEDIA_SCHEMA
+    from sparkstract.fixtures.render import PageSpec, Text, render_page
+    from sparkstract.functions.png import encode_gray
+    from sparkstract.plans.pipeline import ZONES_SCHEMA, extract_words
+
+    img, _ = render_page(PageSpec(elements=[Text(["FOX DOG", "CAT RAT"])],
+                                  scale=2))
+    h, w = img.shape
+    docs = spark.createDataFrame(
+        [("dz", [dict(kind="media", text=None, media_ref="mz", offset=0)])],
+        DOCS_SCHEMA)
+    media = spark.createDataFrame([("mz", w, h, encode_gray(img))],
+                                  MEDIA_SCHEMA)
+    zones = spark.createDataFrame(
+        [("mz", [dict(left=0, top=0, right=w - 1, bottom=h - 1,
+                      kind="flowing_text")])], ZONES_SCHEMA)
+    rows = extract_words(spark, docs, media, zones=zones) \
+        .orderBy("line_num", "word_num").collect()
+    assert [r["word"] for r in rows] == ["FOX", "DOG", "CAT", "RAT"]
+    # page coordinates: margin 8s = 16
+    assert rows[0]["left"] == 16 and rows[0]["top"] == 16
