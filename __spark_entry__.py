@@ -484,16 +484,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (session, sf_dir) and persisting means the compound queries start from the
 # cached pair frame instead of re-scanning the corpus (pairs are tiny —
 # bounded by the near-dup graph, safe to keep resident).
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# value = (session, frame): the session object is kept and identity-checked
+# so a recycled id() from a stopped session can never serve a stale frame
+_PAIRS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    df = _PAIRS_CACHE.get(key)
-    if df is None:
-        docs = _t(spark, sf_dir, "documents")
-        df = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).persist()
-        _PAIRS_CACHE[key] = df
+    hit = _PAIRS_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    docs = _t(spark, sf_dir, "documents")
+    df = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).persist()
+    _PAIRS_CACHE[sf_dir] = (spark, df)
     return df
 
 

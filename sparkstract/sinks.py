@@ -414,7 +414,7 @@ def render_hocr_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
     fold); the word chain is linear and needs no cache."""
     blocks = blocks.persist()
 
-    def bbox(l=None):
+    def bbox():
         return F.concat_ws(" ", F.col("left").cast("string"),
                            F.col("top").cast("string"),
                            F.col("right").cast("string"),
