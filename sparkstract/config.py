@@ -49,3 +49,12 @@ class ExtractConfig:
     # /root/reference/src/api/baseapi.cpp:1338): decode picks the nearest
     # whitelisted glyph. None → full glyph set.
     char_whitelist: str | None = None
+    # undecodable media policy. 'span' (default): emit ONE auditable
+    # kind='decode_error' block carrying the exception text and keep going —
+    # the reference's page driver likewise skips a failed page and continues
+    # (ProcessPagesInternal, /root/reference/src/api/baseapi.cpp:1731); at
+    # 10^12 docs a single corrupt image must never kill the job, and a
+    # flagged span (unlike a silent skip) keeps the drop auditable
+    # downstream. 'fail': raise, failing the task — for tests/CI where a
+    # corrupt fixture IS the bug.
+    decode_errors: str = "span"

@@ -69,13 +69,24 @@ def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
     fields they flatten."""
     from ..functions.codecs import decode_pages
 
+    from ..operators.page import Block
+
     zones_col = pdf["zones"] if "zones" in pdf.columns else [None] * len(pdf)
     for doc_id, offset, ref, png, page_zones in zip(
         pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
         zones_col,
     ):
+        try:
+            pages = decode_pages(bytes(png))
+        except Exception as e:  # noqa: BLE001 — corrupt media is data, not a bug
+            if cfg.decode_errors == "fail":
+                raise
+            yield (doc_id, offset, ref, 0, 0, 0,
+                   [Block(0, "decode_error", f"{type(e).__name__}: {e}",
+                          0, 0, 0, 0)])
+            continue
         base = 0
-        for gray in decode_pages(bytes(png)):
+        for gray in pages:
             if page_zones is not None and len(page_zones):
                 # S10 zone-override source: supplied segmentation wins
                 # (read_unlv_file, pagesegmain.cpp:114-127)

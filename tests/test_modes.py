@@ -161,3 +161,41 @@ def test_zone_override_source(spark):
     assert [(r["kind"], r["text"]) for r in got] == [
         ("flowing_text", "\n".join(lines[:2])),
         ("flowing_text", "\n".join(lines[2:]))]
+
+
+def test_decode_error_policy(spark):
+    """A corrupt media blob must not kill the job: default policy emits one
+    auditable decode_error span and the rest of the corpus extracts
+    normally (ProcessPagesInternal skips failed pages, baseapi.cpp:1731);
+    decode_errors='fail' raises instead."""
+    import pytest
+
+    from sparkstract.config import ExtractConfig
+    from sparkstract.fixtures.gen import DOCS_SCHEMA, MEDIA_SCHEMA
+    from sparkstract.fixtures.render import PageSpec, Text, render_page
+    from sparkstract.functions.png import encode_gray
+    from sparkstract.plans.pipeline import extract
+
+    img, _ = render_page(PageSpec(elements=[Text(["FOX DOG"])], scale=2))
+    docs = spark.createDataFrame(
+        [("good", [dict(kind="media", text=None, media_ref="m-ok", offset=0)]),
+         ("bad", [dict(kind="text", text="BEFORE", media_ref=None, offset=0),
+                  dict(kind="media", text=None, media_ref="m-bad", offset=1)])],
+        DOCS_SCHEMA)
+    media = spark.createDataFrame(
+        [("m-ok", img.shape[1], img.shape[0], encode_gray(img)),
+         ("m-bad", 10, 10, b"\x89PNG\r\n\x1a\n garbage after the signature")],
+        MEDIA_SCHEMA)
+    rows = extract(spark, docs, media).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["kind"] for r in sorted(by_doc["bad"], key=lambda r: r["order"])] \
+        == ["text", "decode_error"]
+    assert [r["kind"] for r in by_doc["good"]] == ["flowing_text"]
+    err = next(r for r in by_doc["bad"] if r["kind"] == "decode_error")
+    assert err["text"]  # carries the exception message
+
+    with pytest.raises(Exception, match="PythonException|ValueError"):
+        extract(spark, docs, media,
+                ExtractConfig(decode_errors="fail")).collect()
