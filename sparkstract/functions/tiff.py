@@ -205,7 +205,14 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         raise ValueError("not a TIFF")
     (ifd_off,) = struct.unpack_from(fmt + "I", data, 4)
     pages: list[np.ndarray] = []
+    seen: set[int] = set()
     while ifd_off:
+        # a malformed next-IFD pointer can form a CYCLE — unguarded, that is
+        # an infinite loop inside an executor task (a hang, worse than a
+        # crash at 10^12-doc scale); cap the chain and refuse revisits
+        if ifd_off in seen or len(pages) >= 10_000:
+            raise ValueError("cyclic or oversized TIFF IFD chain")
+        seen.add(ifd_off)
         (n,) = struct.unpack_from(fmt + "H", data, ifd_off)
         tags: dict[int, list[int]] = {}
         for i in range(n):

@@ -91,3 +91,17 @@ def test_big_endian_read():
     out += struct.pack(">I", 0)
     (got,) = decode_gray_tiff(bytes(out))
     assert (got == img).all()
+
+
+def test_cyclic_ifd_chain_rejected():
+    """A next-IFD pointer cycle must raise, not hang the executor task."""
+    import struct
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(encode_gray_tiff(img))
+    # point the (single) IFD's next pointer back at the IFD itself
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    struct.pack_into("<I", data, ifd_off + 2 + 12 * n, ifd_off)
+    with pytest.raises(ValueError, match="cyclic"):
+        decode_gray_tiff(bytes(data))
