@@ -894,6 +894,18 @@ def q_render_hocr_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_hocr_words(*hierarchy_views(h)).orderBy("doc_id")
 
 
+def q_render_alto_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTO at the reference's full depth (altorenderer.cpp:131: TextBlock →
+    TextLine → String per word with HPOS/VPOS/WIDTH/HEIGHT + WC), one
+    <Page> per media span; single kernel pass via extract_hierarchy."""
+    from sparkstract.plans.pipeline import extract_hierarchy, hierarchy_views
+    from sparkstract.sinks import render_alto_words
+
+    docs, media, _ = _fixture_frames(spark)
+    h = extract_hierarchy(spark, docs, media).persist()
+    return render_alto_words(*hierarchy_views(h)).orderBy("doc_id")
+
+
 def q_layout_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block bounding boxes at the reference's TSV/hOCR level of detail.
     Oracle: VALUES literal computed at build time by running the identical
@@ -1013,12 +1025,21 @@ def _esc_html(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
+def _esc_xml(s: str) -> str:
+    return _esc_html(s).replace("'", "&apos;")
+
+
+def _alto_pos(l: int, t: int, r: int, b: int) -> str:
+    return (f" HPOS='{l}' VPOS='{t}' WIDTH='{r - l + 1}'"
+            f" HEIGHT='{b - t + 1}'")
+
+
 @functools.lru_cache(maxsize=1)
-def _hier_render_truth() -> tuple[list[tuple], list[tuple]]:
-    """Single-process twins of render_tsv_levels / render_hocr_words:
-    the same hierarchy strings assembled from the kernel truth tables
-    (_layout_geometry_truth blocks + _words_truth words), so the oracle
-    pins the distributed 5-level fold to a locally computed constant."""
+def _hier_render_truth() -> tuple[list[tuple], list[tuple], list[tuple]]:
+    """Single-process twins of render_tsv_levels / render_hocr_words /
+    render_alto_words: the same hierarchy strings assembled from the kernel
+    truth tables (_layout_geometry_truth blocks + _words_truth words), so
+    the oracle pins the distributed folds to locally computed constants."""
     blocks = _layout_geometry_truth()
     wordsr = _words_truth()
     from collections import defaultdict
@@ -1036,10 +1057,12 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple]]:
 
     tsv_out: list[tuple] = []
     hocr_out: list[tuple] = []
+    alto_out: list[tuple] = []
     for doc in sorted(blk_by_doc):
         offsets = sorted({r[1] for r in blk_by_doc[doc]})
         tsv_rows: list[str] = []
         page_htmls: list[str] = []
+        page_altos: list[str] = []
         for pnum, off in enumerate(offsets, start=1):
             pblocks = sorted((r for r in blk_by_doc[doc] if r[1] == off),
                              key=lambda r: r[2])
@@ -1048,12 +1071,14 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple]]:
                 ["1", str(pnum), "0", "0", "0", "0", str(pl), str(pt),
                  str(pr - pl + 1), str(pb - pt + 1), "-1", ""]))
             block_htmls: list[str] = []
+            block_altos: list[str] = []
             for blk in pblocks:
                 _d, _o, bo, kind, text, ref, l, t, r, b = blk
                 tsv_rows.append("\t".join(
                     ["2", str(pnum), str(bo + 1), "0", "0", "0", str(l),
                      str(t), str(r - l + 1), str(b - t + 1), "-1", ""]))
                 ws = words_by_blk.get((doc, off, bo), [])
+                alto_lines: list[str] = []
                 if ws:
                     para_htmls: list[str] = []
                     for p in sorted({w[3] for w in ws}):
@@ -1074,6 +1099,7 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple]]:
                                  str(lr - ll + 1), str(lb - lt + 1),
                                  "-1", ""]))
                             wfrags: list[str] = []
+                            alto_wfrags: list[str] = []
                             for w in lws:
                                 (_d2, _o2, _b2, _p2, _l2, wn, wtext, _ref,
                                  wl, wt, wr, wb, conf) = w
@@ -1087,10 +1113,20 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple]]:
                                     f"_{bo}_{p}_{ln}_{wn}' title='bbox {wl} "
                                     f"{wt} {wr} {wb}; x_wconf {conf}'>"
                                     f"{_esc_html(wtext)}</span>")
+                                alto_wfrags.append(
+                                    f"      <String ID='word_{off}_{bo}_{p}"
+                                    f"_{ln}_{wn}'{_alto_pos(wl, wt, wr, wb)}"
+                                    f" WC='{conf / 100.0:.2f}' CONTENT='"
+                                    f"{_esc_xml(wtext)}'/>")
                             line_htmls.append(
                                 f"<span class='ocr_line' id='line_{off}_{bo}"
                                 f"_{p}_{ln}' title='bbox {ll} {lt} {lr} "
                                 f"{lb}'>" + " ".join(wfrags) + "</span>")
+                            alto_lines.append(
+                                f"     <TextLine ID='line_{off}_{bo}_{p}"
+                                f"_{ln}'{_alto_pos(ll, lt, lr, lb)}>\n"
+                                + "\n".join(alto_wfrags)
+                                + "\n     </TextLine>")
                         para_htmls.append(
                             f"<p class='ocr_par' id='par_{off}_{bo}_{p}' "
                             f"title='bbox {al} {at} {ar} {ab}'>"
@@ -1107,13 +1143,42 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple]]:
                 block_htmls.append(
                     f"  <div class='ocr_carea' id='block_{off}_{bo}' "
                     f"title='{kind}; bbox {l} {t} {r} {b}'>{content}</div>")
+                bpos = _alto_pos(l, t, r, b)
+                if kind in ("horz_line", "vert_line"):
+                    block_altos.append(
+                        f"    <GraphicalElement ID='block_{off}_{bo}' "
+                        f"TAGREFS='{kind}'{bpos}/>")
+                elif kind in ("flowing_image", "heading_image",
+                              "pullout_image"):
+                    block_altos.append(
+                        f"    <Illustration ID='block_{off}_{bo}' "
+                        f"TAGREFS='{kind}'{bpos} FILEID='{ref or ''}'/>")
+                elif alto_lines:
+                    block_altos.append(
+                        f"    <TextBlock ID='block_{off}_{bo}' "
+                        f"TAGREFS='{kind}'{bpos}>\n"
+                        + "\n".join(alto_lines) + "\n    </TextBlock>")
+                else:
+                    flat = _esc_xml((text or "").replace("\n", " "))
+                    block_altos.append(
+                        f"    <TextBlock ID='block_{off}_{bo}' "
+                        f"TAGREFS='{kind}'{bpos}><TextLine><String "
+                        f"CONTENT='{flat}'/></TextLine></TextBlock>")
             page_htmls.append(
                 f" <div class='ocr_page' id='page_{pnum}' title='bbox {pl} "
                 f"{pt} {pr} {pb}'>\n" + "\n".join(block_htmls) + "\n </div>")
+            page_altos.append(
+                f"  <Page ID='page_{pnum}' PHYSICAL_IMG_NR='{pnum}'"
+                f"{_alto_pos(pl, pt, pr, pb)}>\n   <PrintSpace>\n"
+                + "\n".join(block_altos) + "\n   </PrintSpace>\n  </Page>")
         tsv_out.append((doc, "\n".join(tsv_rows)))
         hocr_out.append((doc, "<html><body>\n" + "\n".join(page_htmls)
                          + "\n</body></html>"))
-    return tsv_out, hocr_out
+        alto_out.append((doc,
+                         "<alto xmlns='http://www.loc.gov/standards/alto/"
+                         "ns-v3#'>\n <Layout>\n" + "\n".join(page_altos)
+                         + "\n </Layout>\n</alto>"))
+    return tsv_out, hocr_out, alto_out
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1188,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_words": q_extract_words,
         "render_tsv_levels": q_render_tsv_levels,
         "render_hocr_words": q_render_hocr_words,
+        "render_alto_words": q_render_alto_words,
     }
 
 
@@ -1327,11 +1393,13 @@ def oracle_sql() -> dict[str, str]:
         f"THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(_planes))
 
-    tsv_truth, hocr_truth = _hier_render_truth()
+    tsv_truth, hocr_truth, alto_truth = _hier_render_truth()
     tsv_level_rows = ",\n".join(
         f"({_sql_quote(doc)}, {_sql_quote(tsv)})" for doc, tsv in tsv_truth)
     hocr_word_rows = ",\n".join(
         f"({_sql_quote(doc)}, {_sql_quote(h)})" for doc, h in hocr_truth)
+    alto_word_rows = ",\n".join(
+        f"({_sql_quote(doc)}, {_sql_quote(a)})" for doc, a in alto_truth)
 
     _png, _shape, rtl_truth = _rtl_fixture()
     rtl_rows = ",\n".join(
@@ -2042,6 +2110,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
             {hocr_word_rows}
             ) AS t(doc_id, hocr) ORDER BY doc_id
+        """,
+        "render_alto_words": f"""
+            SELECT * FROM (VALUES
+            {alto_word_rows}
+            ) AS t(doc_id, alto) ORDER BY doc_id
         """,
         "cosine_near_dup": """
             -- hot-label cap twin (cosine_near_dup_pairs max_label=4096):

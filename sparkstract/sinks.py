@@ -512,3 +512,116 @@ def render_hocr_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
                                      lambda s: s["h"]), "\n"),
             F.lit("\n</body></html>")).alias("hocr"))
     )
+
+
+def render_alto_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
+    """(doc_id, alto) at the reference's ALTO depth (altorenderer.cpp:131
+    writes TextBlock → TextLine → String per word with HPOS/VPOS/WIDTH/
+    HEIGHT and WC): one <Page> per media span (PHYSICAL_IMG_NR), word-level
+    <String CONTENT=.. WC=..> elements inside per-(para,line) <TextLine>s.
+    Blocks without a word decode keep the flat Illustration/
+    GraphicalElement/TextBlock element of render_alto. Same fold shape as
+    render_hocr_words; the block view is persisted (used by the typed-
+    element join and the page fold)."""
+    blocks = blocks.persist()
+
+    def pos():
+        return F.concat(
+            F.lit(" HPOS='"), F.col("left").cast("string"),
+            F.lit("' VPOS='"), F.col("top").cast("string"),
+            F.lit("' WIDTH='"), (F.col("right") - F.col("left") + 1).cast("string"),
+            F.lit("' HEIGHT='"), (F.col("bottom") - F.col("top") + 1).cast("string"),
+            F.lit("'"))
+
+    wid = F.concat_ws("_", F.col("offset").cast("string"),
+                      F.col("block_order").cast("string"),
+                      F.col("para_num").cast("string"),
+                      F.col("line_num").cast("string"),
+                      F.col("word_num").cast("string"))
+    frag = F.concat(
+        F.lit("      <String ID='word_"), wid, F.lit("'"), pos(),
+        F.lit(" WC='"), F.format_string("%.2f", F.col("conf") / 100.0),
+        F.lit("' CONTENT='"), _escape_xml(F.col("word")), F.lit("'/>"))
+    lines = (
+        words.select("doc_id", "offset", "block_order", "para_num",
+                     "line_num", "left", "top", "right", "bottom",
+                     F.struct(F.col("word_num").alias("w"),
+                              frag.alias("f")).alias("wf"))
+        .groupBy("doc_id", "offset", "block_order", "para_num", "line_num")
+        .agg(*_bbox_agg(),
+             F.array_join(F.transform(F.array_sort(F.collect_list("wf")),
+                                      lambda s: s["f"]), "\n").alias("body"))
+    )
+    lid = F.concat_ws("_", F.col("offset").cast("string"),
+                      F.col("block_order").cast("string"),
+                      F.col("para_num").cast("string"),
+                      F.col("line_num").cast("string"))
+    line_xml = F.concat(F.lit("     <TextLine ID='line_"), lid, F.lit("'"),
+                        pos(), F.lit(">\n"), F.col("body"),
+                        F.lit("\n     </TextLine>"))
+    block_bodies = (
+        lines.select("doc_id", "offset", "block_order",
+                     F.struct(F.col("para_num").alias("p"),
+                              F.col("line_num").alias("l"),
+                              line_xml.alias("h")).alias("lh"))
+        .groupBy("doc_id", "offset", "block_order")
+        .agg(F.array_join(F.transform(F.array_sort(F.collect_list("lh")),
+                                      lambda s: s["h"]), "\n").alias("wbody"))
+    )
+    blk = blocks.join(block_bodies, ["doc_id", "offset", "block_order"],
+                      "left")
+    bid = F.concat_ws("_", F.col("offset").cast("string"),
+                      F.col("block_order").cast("string"))
+    elem = (
+        F.when(
+            F.col("kind").isin(*LINE_KINDS),
+            F.concat(F.lit("    <GraphicalElement ID='block_"), bid,
+                     F.lit("' TAGREFS='"), F.col("kind"), F.lit("'"), pos(),
+                     F.lit("/>")))
+        .when(
+            F.col("kind").isin(*IMAGE_KINDS),
+            F.concat(F.lit("    <Illustration ID='block_"), bid,
+                     F.lit("' TAGREFS='"), F.col("kind"), F.lit("'"), pos(),
+                     F.lit(" FILEID='"),
+                     _escape_xml(F.coalesce(F.col("media_ref"), F.lit(""))),
+                     F.lit("'/>")))
+        .otherwise(
+            F.concat(
+                F.lit("    <TextBlock ID='block_"), bid,
+                F.lit("' TAGREFS='"), F.col("kind"), F.lit("'"), pos(),
+                F.when(
+                    F.col("wbody").isNotNull(),
+                    F.concat(F.lit(">\n"), F.col("wbody"),
+                             F.lit("\n    </TextBlock>")))
+                .otherwise(F.concat(
+                    F.lit("><TextLine><String CONTENT='"),
+                    _escape_xml(F.regexp_replace(
+                        F.coalesce(F.col("text"), F.lit("")), "\n", " ")),
+                    F.lit("'/></TextLine></TextBlock>"))))))
+    pages = (
+        blk.select("doc_id", "offset", "left", "top", "right", "bottom",
+                   F.struct(F.col("block_order").alias("b"),
+                            elem.alias("h")).alias("bh"))
+        .groupBy("doc_id", "offset")
+        .agg(*_bbox_agg(),
+             F.array_join(F.transform(F.array_sort(F.collect_list("bh")),
+                                      lambda s: s["h"]), "\n").alias("body"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    page_xml = F.concat(
+        F.lit("  <Page ID='page_"), F.col("page_num").cast("string"),
+        F.lit("' PHYSICAL_IMG_NR='"), F.col("page_num").cast("string"),
+        F.lit("'"), pos(), F.lit(">\n   <PrintSpace>\n"), F.col("body"),
+        F.lit("\n   </PrintSpace>\n  </Page>"))
+    paged = pages.withColumn("page_num", F.row_number().over(w)).select(
+        "doc_id", F.struct(F.col("offset").alias("o"),
+                           page_xml.alias("h")).alias("ph"))
+    return (
+        paged.groupBy("doc_id")
+        .agg(F.concat(
+            F.lit("<alto xmlns='http://www.loc.gov/standards/alto/ns-v3#'>"
+                  "\n <Layout>\n"),
+            F.array_join(F.transform(F.array_sort(F.collect_list("ph")),
+                                     lambda s: s["h"]), "\n"),
+            F.lit("\n </Layout>\n</alto>")).alias("alto"))
+    )
