@@ -906,6 +906,19 @@ def q_render_alto_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_alto_words(*hierarchy_views(h)).orderBy("doc_id")
 
 
+def q_render_page_xml_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE XML at the reference's full depth (pagerenderer.cpp: TextRegion
+    → TextLine → Word with Coords polygons, word/line TextEquiv, and a
+    per-page ReadingOrder of RegionRefIndexed refs); one kernel pass via
+    extract_hierarchy."""
+    from sparkstract.plans.pipeline import extract_hierarchy, hierarchy_views
+    from sparkstract.sinks import render_page_xml_words
+
+    docs, media, _ = _fixture_frames(spark)
+    h = extract_hierarchy(spark, docs, media).persist()
+    return render_page_xml_words(*hierarchy_views(h)).orderBy("doc_id")
+
+
 def q_layout_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block bounding boxes at the reference's TSV/hOCR level of detail.
     Oracle: VALUES literal computed at build time by running the identical
@@ -1034,12 +1047,19 @@ def _alto_pos(l: int, t: int, r: int, b: int) -> str:
             f" HEIGHT='{b - t + 1}'")
 
 
+def _pg_coords(indent: str, l: int, t: int, r: int, b: int) -> str:
+    return (f"{indent}<Coords points='{l},{t} {r},{t} {r},{b} "
+            f"{l},{b}'/>")
+
+
 @functools.lru_cache(maxsize=1)
-def _hier_render_truth() -> tuple[list[tuple], list[tuple], list[tuple]]:
+def _hier_render_truth() -> tuple[
+        list[tuple], list[tuple], list[tuple], list[tuple]]:
     """Single-process twins of render_tsv_levels / render_hocr_words /
-    render_alto_words: the same hierarchy strings assembled from the kernel
-    truth tables (_layout_geometry_truth blocks + _words_truth words), so
-    the oracle pins the distributed folds to locally computed constants."""
+    render_alto_words / render_page_xml_words: the same hierarchy strings
+    assembled from the kernel truth tables (_layout_geometry_truth blocks +
+    _words_truth words), so the oracle pins the distributed folds to
+    locally computed constants."""
     blocks = _layout_geometry_truth()
     wordsr = _words_truth()
     from collections import defaultdict
@@ -1058,11 +1078,13 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple], list[tuple]]:
     tsv_out: list[tuple] = []
     hocr_out: list[tuple] = []
     alto_out: list[tuple] = []
+    page_out: list[tuple] = []
     for doc in sorted(blk_by_doc):
         offsets = sorted({r[1] for r in blk_by_doc[doc]})
         tsv_rows: list[str] = []
         page_htmls: list[str] = []
         page_altos: list[str] = []
+        page_pagexml: list[str] = []
         for pnum, off in enumerate(offsets, start=1):
             pblocks = sorted((r for r in blk_by_doc[doc] if r[1] == off),
                              key=lambda r: r[2])
@@ -1072,13 +1094,18 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple], list[tuple]]:
                  str(pr - pl + 1), str(pb - pt + 1), "-1", ""]))
             block_htmls: list[str] = []
             block_altos: list[str] = []
+            pg_regions: list[str] = []
+            pg_refs: list[str] = []
             for blk in pblocks:
                 _d, _o, bo, kind, text, ref, l, t, r, b = blk
+                pg_refs.append(f"   <RegionRefIndexed index='{bo}' "
+                               f"regionRef='r{off}_{bo}'/>")
                 tsv_rows.append("\t".join(
                     ["2", str(pnum), str(bo + 1), "0", "0", "0", str(l),
                      str(t), str(r - l + 1), str(b - t + 1), "-1", ""]))
                 ws = words_by_blk.get((doc, off, bo), [])
                 alto_lines: list[str] = []
+                pg_lines: list[str] = []
                 if ws:
                     para_htmls: list[str] = []
                     for p in sorted({w[3] for w in ws}):
@@ -1100,6 +1127,8 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple], list[tuple]]:
                                  "-1", ""]))
                             wfrags: list[str] = []
                             alto_wfrags: list[str] = []
+                            pg_wfrags: list[str] = []
+                            pg_wtexts: list[str] = []
                             for w in lws:
                                 (_d2, _o2, _b2, _p2, _l2, wn, wtext, _ref,
                                  wl, wt, wr, wb, conf) = w
@@ -1118,6 +1147,15 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple], list[tuple]]:
                                     f"_{ln}_{wn}'{_alto_pos(wl, wt, wr, wb)}"
                                     f" WC='{conf / 100.0:.2f}' CONTENT='"
                                     f"{_esc_xml(wtext)}'/>")
+                                pg_wfrags.append(
+                                    f"    <Word id='w{off}_{bo}_{p}_{ln}"
+                                    f"_{wn}'>\n"
+                                    f"{_pg_coords('     ', wl, wt, wr, wb)}"
+                                    f"\n     <TextEquiv conf="
+                                    f"'{conf / 100.0:.2f}'><Unicode>"
+                                    f"{_esc_xml(wtext)}</Unicode>"
+                                    f"</TextEquiv>\n    </Word>")
+                                pg_wtexts.append(_esc_xml(wtext))
                             line_htmls.append(
                                 f"<span class='ocr_line' id='line_{off}_{bo}"
                                 f"_{p}_{ln}' title='bbox {ll} {lt} {lr} "
@@ -1127,6 +1165,13 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple], list[tuple]]:
                                 f"_{ln}'{_alto_pos(ll, lt, lr, lb)}>\n"
                                 + "\n".join(alto_wfrags)
                                 + "\n     </TextLine>")
+                            pg_lines.append(
+                                f"   <TextLine id='l{off}_{bo}_{p}_{ln}'>\n"
+                                f"{_pg_coords('    ', ll, lt, lr, lb)}\n"
+                                + "\n".join(pg_wfrags)
+                                + "\n    <TextEquiv><Unicode>"
+                                + " ".join(pg_wtexts)
+                                + "</Unicode></TextEquiv>\n   </TextLine>")
                         para_htmls.append(
                             f"<p class='ocr_par' id='par_{off}_{bo}_{p}' "
                             f"title='bbox {al} {at} {ar} {ab}'>"
@@ -1164,6 +1209,28 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple], list[tuple]]:
                         f"    <TextBlock ID='block_{off}_{bo}' "
                         f"TAGREFS='{kind}'{bpos}><TextLine><String "
                         f"CONTENT='{flat}'/></TextLine></TextBlock>")
+                pgc = _pg_coords("   ", l, t, r, b)
+                if kind in ("horz_line", "vert_line"):
+                    pg_regions.append(
+                        f"  <SeparatorRegion id='r{off}_{bo}' "
+                        f"custom='{kind}'>\n{pgc}\n  </SeparatorRegion>")
+                elif kind in ("flowing_image", "heading_image",
+                              "pullout_image"):
+                    pg_regions.append(
+                        f"  <ImageRegion id='r{off}_{bo}' custom='{kind}' "
+                        f"imageFilename='{ref or ''}'>\n{pgc}\n"
+                        f"  </ImageRegion>")
+                elif pg_lines:
+                    pg_regions.append(
+                        f"  <TextRegion id='r{off}_{bo}' custom='{kind}'>"
+                        f"\n{pgc}\n" + "\n".join(pg_lines)
+                        + "\n  </TextRegion>")
+                else:
+                    pg_flat = _esc_xml(text or "").replace("\n", "&#10;")
+                    pg_regions.append(
+                        f"  <TextRegion id='r{off}_{bo}' custom='{kind}'>"
+                        f"\n{pgc}\n   <TextEquiv><Unicode>{pg_flat}"
+                        f"</Unicode></TextEquiv>\n  </TextRegion>")
             page_htmls.append(
                 f" <div class='ocr_page' id='page_{pnum}' title='bbox {pl} "
                 f"{pt} {pr} {pb}'>\n" + "\n".join(block_htmls) + "\n </div>")
@@ -1171,6 +1238,13 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple], list[tuple]]:
                 f"  <Page ID='page_{pnum}' PHYSICAL_IMG_NR='{pnum}'"
                 f"{_alto_pos(pl, pt, pr, pb)}>\n   <PrintSpace>\n"
                 + "\n".join(block_altos) + "\n   </PrintSpace>\n  </Page>")
+            page_ref = max((r[5] for r in pblocks if r[5]), default="")
+            page_pagexml.append(
+                f" <Page id='page_{pnum}' imageFilename='{page_ref}'>\n"
+                f"  <ReadingOrder><OrderedGroup id='ro_{pnum}'>\n"
+                + "\n".join(pg_refs)
+                + "\n  </OrderedGroup></ReadingOrder>\n"
+                + "\n".join(pg_regions) + "\n </Page>")
         tsv_out.append((doc, "\n".join(tsv_rows)))
         hocr_out.append((doc, "<html><body>\n" + "\n".join(page_htmls)
                          + "\n</body></html>"))
@@ -1178,7 +1252,11 @@ def _hier_render_truth() -> tuple[list[tuple], list[tuple], list[tuple]]:
                          "<alto xmlns='http://www.loc.gov/standards/alto/"
                          "ns-v3#'>\n <Layout>\n" + "\n".join(page_altos)
                          + "\n </Layout>\n</alto>"))
-    return tsv_out, hocr_out, alto_out
+        page_out.append((doc,
+                         "<PcGts xmlns='http://schema.primaresearch.org/"
+                         "PAGE/gts/pagecontent/2019-07-15'>\n"
+                         + "\n".join(page_pagexml) + "\n</PcGts>"))
+    return tsv_out, hocr_out, alto_out, page_out
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1254,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_tsv_levels": q_render_tsv_levels,
         "render_hocr_words": q_render_hocr_words,
         "render_alto_words": q_render_alto_words,
+        "render_page_xml_words": q_render_page_xml_words,
     }
 
 
@@ -1393,13 +1472,15 @@ def oracle_sql() -> dict[str, str]:
         f"THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(_planes))
 
-    tsv_truth, hocr_truth, alto_truth = _hier_render_truth()
+    tsv_truth, hocr_truth, alto_truth, pagexml_truth = _hier_render_truth()
     tsv_level_rows = ",\n".join(
         f"({_sql_quote(doc)}, {_sql_quote(tsv)})" for doc, tsv in tsv_truth)
     hocr_word_rows = ",\n".join(
         f"({_sql_quote(doc)}, {_sql_quote(h)})" for doc, h in hocr_truth)
     alto_word_rows = ",\n".join(
         f"({_sql_quote(doc)}, {_sql_quote(a)})" for doc, a in alto_truth)
+    pagexml_word_rows = ",\n".join(
+        f"({_sql_quote(doc)}, {_sql_quote(p)})" for doc, p in pagexml_truth)
 
     _png, _shape, rtl_truth = _rtl_fixture()
     rtl_rows = ",\n".join(
@@ -2115,6 +2196,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
             {alto_word_rows}
             ) AS t(doc_id, alto) ORDER BY doc_id
+        """,
+        "render_page_xml_words": f"""
+            SELECT * FROM (VALUES
+            {pagexml_word_rows}
+            ) AS t(doc_id, page_xml) ORDER BY doc_id
         """,
         "cosine_near_dup": """
             -- hot-label cap twin (cosine_near_dup_pairs max_label=4096):

@@ -625,3 +625,138 @@ def render_alto_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
                                      lambda s: s["h"]), "\n"),
             F.lit("\n </Layout>\n</alto>")).alias("alto"))
     )
+
+
+def render_page_xml_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
+    """(doc_id, page_xml) at the reference's PAGE XML depth
+    (src/api/pagerenderer.cpp writes TextRegion → TextLine → Word, each
+    with a <Coords points=..> polygon, word/line TextEquiv, and a per-page
+    <ReadingOrder> of RegionRefIndexed entries): one <Page> per media span,
+    regions typed by kind (SeparatorRegion / ImageRegion / TextRegion,
+    like the flat render_page_xml), nested lines and words inside text
+    regions that have a word decode, a flat TextEquiv fallback otherwise.
+    Same fold shape as render_alto_words — word→line→region groupBys, then
+    a page fold that collects the region elements AND the reading-order
+    refs from the same pass; the block view is persisted (region join +
+    page fold)."""
+    blocks = blocks.persist()
+
+    def coords(indent: str):
+        x0, y0 = F.col("left").cast("string"), F.col("top").cast("string")
+        x1 = F.col("right").cast("string")
+        y1 = F.col("bottom").cast("string")
+        return F.concat(
+            F.lit(indent + "<Coords points='"), x0, F.lit(","), y0,
+            F.lit(" "), x1, F.lit(","), y0, F.lit(" "), x1, F.lit(","), y1,
+            F.lit(" "), x0, F.lit(","), y1, F.lit("'/>"))
+
+    wid = F.concat_ws("_", F.col("offset").cast("string"),
+                      F.col("block_order").cast("string"),
+                      F.col("para_num").cast("string"),
+                      F.col("line_num").cast("string"),
+                      F.col("word_num").cast("string"))
+    wfrag = F.concat(
+        F.lit("    <Word id='w"), wid, F.lit("'>\n"), coords("     "),
+        F.lit("\n     <TextEquiv conf='"),
+        F.format_string("%.2f", F.col("conf") / 100.0),
+        F.lit("'><Unicode>"), _escape_xml(F.col("word")),
+        F.lit("</Unicode></TextEquiv>\n    </Word>"))
+    lines = (
+        words.select("doc_id", "offset", "block_order", "para_num",
+                     "line_num", "left", "top", "right", "bottom",
+                     F.struct(F.col("word_num").alias("w"),
+                              wfrag.alias("f"),
+                              _escape_xml(F.col("word")).alias("t"))
+                     .alias("wf"))
+        .groupBy("doc_id", "offset", "block_order", "para_num", "line_num")
+        .agg(*_bbox_agg(),
+             F.array_sort(F.collect_list("wf")).alias("ws"))
+        .withColumn("body", F.array_join(
+            F.transform(F.col("ws"), lambda s: s["f"]), "\n"))
+        .withColumn("plain", F.array_join(
+            F.transform(F.col("ws"), lambda s: s["t"]), " "))
+    )
+    lid = F.concat_ws("_", F.col("offset").cast("string"),
+                      F.col("block_order").cast("string"),
+                      F.col("para_num").cast("string"),
+                      F.col("line_num").cast("string"))
+    line_xml = F.concat(
+        F.lit("   <TextLine id='l"), lid, F.lit("'>\n"), coords("    "),
+        F.lit("\n"), F.col("body"), F.lit("\n    <TextEquiv><Unicode>"),
+        F.col("plain"), F.lit("</Unicode></TextEquiv>\n   </TextLine>"))
+    block_bodies = (
+        lines.select("doc_id", "offset", "block_order",
+                     F.struct(F.col("para_num").alias("p"),
+                              F.col("line_num").alias("l"),
+                              line_xml.alias("h")).alias("lh"))
+        .groupBy("doc_id", "offset", "block_order")
+        .agg(F.array_join(F.transform(F.array_sort(F.collect_list("lh")),
+                                      lambda s: s["h"]), "\n").alias("wbody"))
+    )
+    blk = blocks.join(block_bodies, ["doc_id", "offset", "block_order"],
+                      "left")
+    rid = F.concat_ws("_", F.col("offset").cast("string"),
+                      F.col("block_order").cast("string"))
+    region = (
+        F.when(
+            F.col("kind").isin(*LINE_KINDS),
+            F.concat(F.lit("  <SeparatorRegion id='r"), rid,
+                     F.lit("' custom='"), F.col("kind"), F.lit("'>\n"),
+                     coords("   "), F.lit("\n  </SeparatorRegion>")))
+        .when(
+            F.col("kind").isin(*IMAGE_KINDS),
+            F.concat(F.lit("  <ImageRegion id='r"), rid,
+                     F.lit("' custom='"), F.col("kind"),
+                     F.lit("' imageFilename='"),
+                     _escape_xml(F.coalesce(F.col("media_ref"), F.lit(""))),
+                     F.lit("'>\n"), coords("   "),
+                     F.lit("\n  </ImageRegion>")))
+        .otherwise(
+            F.concat(
+                F.lit("  <TextRegion id='r"), rid, F.lit("' custom='"),
+                F.col("kind"), F.lit("'>\n"), coords("   "), F.lit("\n"),
+                F.when(F.col("wbody").isNotNull(), F.col("wbody"))
+                .otherwise(F.concat(
+                    F.lit("   <TextEquiv><Unicode>"),
+                    F.regexp_replace(
+                        _escape_xml(F.coalesce(F.col("text"), F.lit(""))),
+                        "\n", "&#10;"),
+                    F.lit("</Unicode></TextEquiv>"))),
+                F.lit("\n  </TextRegion>"))))
+    ref = F.concat(F.lit("   <RegionRefIndexed index='"),
+                   F.col("block_order").cast("string"),
+                   F.lit("' regionRef='r"), rid, F.lit("'/>"))
+    pages = (
+        blk.select("doc_id", "offset", "media_ref",
+                   F.struct(F.col("block_order").alias("b"),
+                            region.alias("h")).alias("bh"),
+                   F.struct(F.col("block_order").alias("b"),
+                            ref.alias("h")).alias("rh"))
+        .groupBy("doc_id", "offset")
+        .agg(F.max("media_ref").alias("page_ref"),
+             F.array_join(F.transform(F.array_sort(F.collect_list("bh")),
+                                      lambda s: s["h"]), "\n").alias("body"),
+             F.array_join(F.transform(F.array_sort(F.collect_list("rh")),
+                                      lambda s: s["h"]), "\n").alias("refs"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    pn = F.col("page_num").cast("string")
+    page_xml = F.concat(
+        F.lit(" <Page id='page_"), pn, F.lit("' imageFilename='"),
+        _escape_xml(F.coalesce(F.col("page_ref"), F.lit(""))),
+        F.lit("'>\n  <ReadingOrder><OrderedGroup id='ro_"), pn,
+        F.lit("'>\n"), F.col("refs"),
+        F.lit("\n  </OrderedGroup></ReadingOrder>\n"), F.col("body"),
+        F.lit("\n </Page>"))
+    paged = pages.withColumn("page_num", F.row_number().over(w)).select(
+        "doc_id", F.struct(F.col("offset").alias("o"),
+                           page_xml.alias("h")).alias("ph"))
+    return (
+        paged.groupBy("doc_id")
+        .agg(F.concat(
+            F.lit("<PcGts xmlns='http://schema.primaresearch.org/PAGE/gts/"
+                  "pagecontent/2019-07-15'>\n"),
+            F.array_join(F.transform(F.array_sort(F.collect_list("ph")),
+                                     lambda s: s["h"]), "\n"),
+            F.lit("\n</PcGts>")).alias("page_xml"))
+    )

@@ -138,3 +138,40 @@ def test_hierarchy_renderers(spark, fixture_set):
     assert hocr.index("ocr_page") < hocr.index("ocr_carea") \
         < hocr.index("ocr_par") < hocr.index("ocr_line") \
         < hocr.index("ocrx_word")
+
+
+def test_render_page_xml_words(spark, fixture_set):
+    """Word-level PAGE XML: Page → ReadingOrder + TextRegion → TextLine →
+    Word with Coords polygons; line TextEquiv joins its words."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkstract.plans.pipeline import extract_blocks, extract_words
+    from sparkstract.sinks import render_page_xml_words
+
+    docs, media, _ = fixture_set.to_spark(spark)
+    docs = docs.filter(F.col("doc_id") == "d-para_page")
+    blocks = extract_blocks(spark, docs, media)
+    words = extract_words(spark, docs, media)
+
+    xml = render_page_xml_words(blocks, words).collect()[0]["page_xml"]
+    assert xml.startswith("<PcGts") and xml.endswith("</PcGts>")
+    # reading order lists every region exactly once, before the regions
+    refs = re.findall(r"regionRef='(r[\d_]+)'", xml)
+    rids = re.findall(r"<\w+Region id='(r[\d_]+)'", xml)
+    assert refs == rids
+    assert xml.index("<ReadingOrder>") < xml.index("Region id=")
+    # nesting: region → line → word, each with a 4-point Coords polygon
+    assert xml.index("<TextRegion") < xml.index("<TextLine") \
+        < xml.index("<Word")
+    pts = re.findall(r"points='([\d, ]+)'", xml)
+    assert pts and all(len(p.split(" ")) == 4 for p in pts)
+    # a line's TextEquiv is the space-join of its word TextEquivs
+    m = re.search(
+        r"<TextLine.*?</TextLine>", xml, re.S)
+    wtexts = re.findall(r"<Word.*?<Unicode>(.*?)</Unicode>", m.group(0),
+                        re.S)
+    lt = re.findall(r"</Word>\s*<TextEquiv><Unicode>(.*?)</Unicode>",
+                    m.group(0), re.S)
+    assert lt == [" ".join(wtexts)]
