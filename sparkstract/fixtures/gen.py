@@ -64,7 +64,8 @@ def _lines(rng: np.random.Generator, n_lines: int, max_chars: int) -> list[str]:
 
 def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     """Deterministic page spec per fixture family (FIXTURES.md table)."""
-    if family in ("tiff_page", "tiff_multipage", "pnm_page", "bmp_page"):
+    if family in ("tiff_page", "tiff_multipage", "pnm_page", "bmp_page",
+                  "jpeg_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -330,7 +331,7 @@ PAGE_FAMILIES = [
     "broken_page", "margin_note", "bidi_page", "rotated_rtl",
     "inline_equation_page", "wavy_page", "ragged_page", "embedded_vertical",
     "sparse_texture", "para_page", "tiff_page", "tiff_multipage",
-    "greek_page", "music_page", "pnm_page", "bmp_page",
+    "greek_page", "music_page", "pnm_page", "bmp_page", "jpeg_page",
 ]
 
 
@@ -384,6 +385,14 @@ class _Builder:
 
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_gray_bmp(img)
+        elif family == "jpeg_page":
+            # LOSSY container: q=95 keeps glyph bitmaps Otsu-separable (the
+            # codec roundtrip test pins bilevel fidelity), so the decode
+            # truth is unchanged from the PNG rendering of the same page
+            from ..functions.jpeg import encode_gray_jpeg
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_jpeg(img, quality=95)
         else:
             img, blocks = render_page(page_spec(family, self.rng))
             payload = encode_gray(img)

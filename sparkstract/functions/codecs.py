@@ -7,15 +7,16 @@ TIFF incl. multipage + LZW (functions/tiff.py), PNM P2/P5 and 8-bit BMP
 (functions/raster.py). A multipage container yields several pages from ONE
 media ref — the ProcessPagesMultipageTiff contract (baseapi.cpp:1657):
 downstream block order runs page 1's blocks, then page 2's, in file order.
-JPEG/WEBP are documented out of scope (no codec libs in the container and a
-DCT/VP8 decoder is not a from-scratch afternoon); the dispatch error names
-the format so a user hits a clear seam, not a silent drop.
+Baseline JPEG (incl. color: luma-only reconstruction) is decoded by
+functions/jpeg.py; progressive JPEG and WEBP raise NAMED out-of-scope
+errors so a user hits a clear seam, not a silent drop.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from .jpeg import decode_gray_jpeg
 from .png import decode_gray
 from .raster import decode_gray_bmp, decode_gray_pnm
 from .tiff import decode_gray_tiff
@@ -34,10 +35,12 @@ def decode_pages(data: bytes) -> list[np.ndarray]:
     if data[:2] == b"BM":
         return [decode_gray_bmp(data)]
     if data[:3] == b"\xff\xd8\xff":
-        raise ValueError("JPEG input: out of scope (no codec libs; "
-                         "transcode to PNG/TIFF/PNM/BMP upstream)")
+        return [decode_gray_jpeg(data)]
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        raise ValueError("WEBP input: out of scope (no codec libs and a "
+                         "VP8 decoder is not in scope; transcode upstream)")
     raise ValueError(
-        "unsupported image format (PNG, TIFF, PNM, BMP supported)")
+        "unsupported image format (PNG, TIFF, PNM, BMP, JPEG supported)")
 
 
 def decode_gray_any(data: bytes) -> np.ndarray:

@@ -1,0 +1,451 @@
+"""Baseline JPEG codec (pure numpy + python), grayscale-oriented.
+
+The reference ingests JPEG through Leptonica's pixReadMem dispatch
+(SetImage /root/reference/src/api/baseapi.cpp:881,906); this is the
+from-scratch equivalent for the one mainstream format the container has no
+library for. Scope:
+
+- decode: baseline DCT (SOF0/SOF1), 8-bit, grayscale OR interleaved color
+  (any sampling factors); color reconstructs the LUMA component only —
+  the pipeline is grayscale, so Cb/Cr coefficients are Huffman-consumed
+  (the bitstream demands it) but never inverse-transformed. Restart
+  markers (DRI/RSTn) and stuffed bytes handled. Progressive (SOF2) and
+  other SOFn raise a NAMED error at the seam, like the WEBP branch in
+  codecs.py — a clear "transcode upstream", not a silent drop.
+- encode (fixture side): baseline grayscale with the Annex-K luminance
+  quantization table scaled by `quality` (libjpeg's 5000/q | 200-2q
+  formula) and the Annex-K standard Huffman tables; optional 4:4:4 color
+  mode (constant chroma) and restart intervals exist solely so the
+  decoder's multi-component and RST paths are testable in-container.
+
+All heavy math is vectorized: the forward/inverse DCT run as one einsum
+over every 8x8 block at once; only the entropy coding walks bit-by-bit
+(bounded by the compressed size, a few hundred KB per page).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# Annex K.1 luminance quantization (natural row-major order)
+_QUANT_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+# Annex K.3.1 standard DC luminance Huffman spec
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+
+# Annex K.3.2 standard AC luminance Huffman spec
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for d in range(15):
+        rs = (range(min(d, 7), max(0, d - 7) - 1, -1) if d % 2 == 0
+              else range(max(0, d - 7), min(d, 7) + 1))
+        out.extend((r, d - r) for r in rs)
+    return out
+
+
+_ZZ = _zigzag()
+_ZZ_FLAT = np.array([r * 8 + c for r, c in _ZZ])        # natural idx per zz pos
+_UNZZ = np.argsort(_ZZ_FLAT)                            # zz pos per natural idx
+
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT[_k, _n] = math.cos(math.pi * (2 * _n + 1) * _k / 16) * (
+            math.sqrt(1 / 8) if _k == 0 else math.sqrt(2 / 8))
+
+
+def _scaled_quant(quality: int) -> np.ndarray:
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    tbl = (_QUANT_LUM * scale + 50) // 100
+    return np.clip(tbl, 1, 255).astype(np.int32)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) with JPEG canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    return {(ln, code): sym
+            for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+
+
+# ---------------------------------------------------------------- encoder
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:            # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_align(self) -> None:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, dc_pred: int,
+                  dc_codes, ac_codes) -> int:
+    diff = int(zz[0]) - dc_pred
+    s = abs(diff).bit_length()
+    code, ln = dc_codes[s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if i > last_nz:
+            code, ln = ac_codes[0x00]       # EOB
+            w.put(code, ln)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]       # ZRL
+            w.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        w.put(code, ln)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return int(zz[0])
+
+
+def encode_gray_jpeg(img: np.ndarray, quality: int = 90,
+                     restart_interval: int = 0, color: bool = False) -> bytes:
+    """uint8 HxW -> baseline JFIF bytes. `color` wraps the same gray data
+    as a 3-component 4:4:4 YCbCr stream with constant chroma (decoder
+    multi-component test path); `restart_interval` emits DRI/RSTn."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    quant = _scaled_quant(quality)
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    hh, ww = padded.shape
+    nby, nbx = hh // 8, ww // 8
+    blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ij,nmjk,lk->nmil", _DCT, blocks, _DCT)
+    q = np.round(coef / quant).astype(np.int32)
+    zz = q.reshape(nby, nbx, 64)[:, :, _ZZ_FLAT]
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    ncomp = 3 if color else 1
+    out = bytearray(b"\xff\xd8")                                    # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(
+        int(quant.reshape(64)[_ZZ_FLAT][i]) for i in range(64)))    # DQT
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0x00])
+    out += _seg(0xC0, bytes(sof))                                   # SOF0
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))      # DRI
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, bytes(sos))                                   # SOS
+
+    bw = _BitWriter()
+    # constant-128 chroma: level-shifted to 0 -> all-zero block
+    zero_zz = np.zeros(64, dtype=np.int32)
+    preds = [0] * ncomp
+    rst = 0
+    mcu = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.pad_align()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * ncomp
+            preds[0] = _encode_block(bw, zz[by, bx], preds[0],
+                                     dc_codes, ac_codes)
+            for c in range(1, ncomp):
+                preds[c] = _encode_block(bw, zero_zz, preds[c],
+                                         dc_codes, ac_codes)
+            mcu += 1
+    bw.pad_align()
+    out += bw.out
+    out += b"\xff\xd9"                                              # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("invalid JPEG: truncated entropy data")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG: bad Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_block(reader: _BitReader, dc_tbl, ac_tbl, pred: int,
+                  out: np.ndarray | None) -> int:
+    s = _huff(reader, dc_tbl)
+    pred += _extend(reader.bits(s), s) if s else 0
+    if out is not None:
+        out[0] = pred
+    i = 1
+    while i < 64:
+        sym = _huff(reader, ac_tbl)
+        if sym == 0x00:                  # EOB
+            break
+        if sym == 0xF0:                  # ZRL
+            i += 16
+            continue
+        i += sym >> 4
+        s = sym & 0x0F
+        if i > 63:
+            raise ValueError("invalid JPEG: AC index overflow")
+        v = _extend(reader.bits(s), s)
+        if out is not None:
+            out[i] = v
+        i += 1
+    return pred
+
+
+def decode_gray_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 HxW grayscale (luma of color input)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("invalid JPEG: missing SOI")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []   # (id, h, v, tq)
+    hsize = wsize = 0
+    restart = 0
+    scan: list[tuple[int, int]] = []              # (comp idx, td, ta)
+    ent_start = -1
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("invalid JPEG: marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        seg = data[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:                         # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq:
+                    tbl = np.frombuffer(seg[p:p + 128], dtype=">u2")
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                    p += 64
+                nat = np.zeros(64, dtype=np.int32)
+                nat[_ZZ_FLAT] = tbl.astype(np.int32)
+                quant[tq] = nat
+        elif marker == 0xC4:                       # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                (huff_ac if tc else huff_dc)[th] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):               # SOF0/1 baseline
+            hsize = int.from_bytes(seg[1:3], "big")
+            wsize = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = [(seg[6 + 3 * i], seg[7 + 3 * i] >> 4,
+                      seg[7 + 3 * i] & 0x0F, seg[8 + 3 * i])
+                     for i in range(nc)]
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2): out of scope — "
+                             "transcode to baseline upstream")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG SOF{marker - 0xC0}: only baseline "
+                             "(SOF0/SOF1) is supported")
+        elif marker == 0xDD:                       # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:                       # SOS
+            ns = seg[0]
+            ids = [c[0] for c in comps]
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((ids.index(cid), tt >> 4, tt & 0x0F))
+            ent_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if ent_start < 0 or not comps:
+        raise ValueError("invalid JPEG: no scan found")
+
+    # split entropy-coded data at RST markers, drop stuffed zero bytes
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = ent_start
+    while p < n:
+        b = data[p]
+        if b == 0xFF and p + 1 < n:
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break                                   # EOI or next marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-wsize // (8 * hmax))
+    mcuy = -(-hsize // (8 * vmax))
+    _, h0, v0, tq0 = comps[0]
+    bw0, bh0 = mcux * h0, mcuy * v0
+    coef0 = np.zeros((bh0, bw0, 64), dtype=np.int32)
+
+    reader = _BitReader(segments[0])
+    seg_i = 0
+    preds = [0] * len(comps)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu and mcu % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("invalid JPEG: missing restart segment")
+                reader = _BitReader(segments[seg_i])
+                preds = [0] * len(comps)
+            for ci, td, ta in scan:
+                _, ch, cv, _tq = comps[ci]
+                for v in range(cv):
+                    for hb in range(ch):
+                        out = (coef0[my * cv + v, mx * ch + hb]
+                               if ci == 0 else None)
+                        preds[ci] = _decode_block(
+                            reader, huff_dc[td], huff_ac[ta], preds[ci], out)
+            mcu += 1
+
+    if tq0 not in quant:
+        raise ValueError("invalid JPEG: missing quantization table")
+    # coef0 is in zigzag order; de-zigzag to natural, then dequantize with
+    # the natural-order table and IDCT every block in one einsum
+    coef_nat = coef0[:, :, _UNZZ].astype(np.float64)
+    deq = coef_nat * quant[tq0][np.newaxis, np.newaxis, :]
+    blocks = deq.reshape(bh0, bw0, 8, 8)
+    pix = np.einsum("ji,nmjk,kl->nmil", _DCT, blocks, _DCT)
+    img = pix.transpose(0, 2, 1, 3).reshape(bh0 * 8, bw0 * 8) + 128.0
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    if h0 < hmax or v0 < vmax:
+        img = np.repeat(np.repeat(img, vmax // v0, axis=0), hmax // h0, axis=1)
+    return img[:hsize, :wsize]
