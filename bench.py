@@ -109,7 +109,9 @@ Spark job measures {round(eff_top, 3)} raw efficiency from local[{4 * n_cores}] 
 local[32], which is {round(rel_top, 3)} of the raw page kernel's own
 {KERNEL_CEIL_8_32} ceiling over that range (hardware-normalized comparison —
 the job tracks the kernel, so the loss is the VM's core-scaling limit, not
-Spark overhead).
+Spark overhead). Values near or above 1.0 mean the job out-scaled the
+kernel control on this run; the shared VM swings ±10% run to run, so only
+the sign of the gap is meaningful, not its third decimal.
 """
 
     md = f"""# BENCH — measured results
