@@ -359,6 +359,11 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1):               # SOF0/1 baseline
             hsize = int.from_bytes(seg[1:3], "big")
             wsize = int.from_bytes(seg[3:5], "big")
+            # memory-cost guard before any allocation, like the reference's
+            # CheckAndReportIfImageTooLarge (baseapi.cpp:354): a corrupt
+            # SOF must not provoke a multi-GB coefficient buffer
+            if hsize * wsize > 100_000_000:
+                raise ValueError("invalid JPEG: image dimensions too large")
             nc = seg[5]
             comps = [(seg[6 + 3 * i], seg[7 + 3 * i] >> 4,
                       seg[7 + 3 * i] & 0x0F, seg[8 + 3 * i])

@@ -89,6 +89,33 @@ def test_bad_magic_raises():
         decode_gray_jpeg(b"\x00\x01\x02\x03")
 
 
+def test_oversized_dims_guarded():
+    """A corrupt SOF must fail fast, not allocate a multi-GB buffer
+    (CheckAndReportIfImageTooLarge, baseapi.cpp:354)."""
+    enc = bytearray(encode_gray_jpeg(_gradient(16, 16), quality=90))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 5 : i + 9] = (60000).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="too large"):
+        decode_gray_jpeg(bytes(enc))
+
+
+def test_decoder_total_on_mutations():
+    """Byte-flipped streams must terminate promptly — either decode or
+    raise; the pipeline's decode-failure isolation handles the rest."""
+    rng = np.random.default_rng(11)
+    img = _gradient(24, 24, seed=5)
+    base = bytearray(encode_gray_jpeg(img, quality=85))
+    for _ in range(200):
+        enc = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            enc[int(rng.integers(0, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            out = decode_gray_jpeg(bytes(enc))
+            assert out.dtype == np.uint8
+        except Exception:
+            pass  # corrupt media is data, not a bug
+
+
 def test_sixteen_bit_quant_table_read():
     """DQT with Pq=1 (16-bit entries) must parse — external encoders use
     it at very high quality."""
