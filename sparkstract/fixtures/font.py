@@ -115,12 +115,33 @@ _RAW_GREEK = {
 }
 _RAW.update(_RAW_GREEK)
 
+# Cyrillic glyph family (uppercase shapes chosen to be bitmap-distinct from
+# the Latin AND Greek sets — И/Я are mirrored N/R, not reuses) — second
+# non-Latin LTR script for the per-script OSD vote, so the vote is a real
+# argmax over 4 scripts rather than a Greek-vs-rest special case
+# (osdetect.cpp:286 scores every loaded script the same way).
+_RAW_CYRILLIC = {
+    "Б": ["11111", "10000", "10000", "11110", "10001", "10001", "11110"],
+    "Ж": ["10101", "10101", "01110", "00100", "01110", "10101", "10101"],
+    "З": ["01110", "10001", "00001", "00110", "00001", "10001", "01110"],
+    "И": ["10001", "10001", "10011", "10101", "11001", "10001", "10001"],
+    "Ц": ["10010", "10010", "10010", "10010", "10010", "11111", "00001"],
+    "Ч": ["10001", "10001", "10001", "01111", "00001", "00001", "00001"],
+    "Ш": ["10101", "10101", "10101", "10101", "10101", "10101", "11111"],
+    "Щ": ["10101", "10101", "10101", "10101", "10101", "11111", "00001"],
+    "Ю": ["10010", "10101", "10101", "11101", "10101", "10101", "10010"],
+    "Я": ["01111", "10001", "10001", "01111", "00101", "01001", "10001"],
+}
+_RAW.update(_RAW_CYRILLIC)
+
 # the strong-direction vocabulary consumed by the kernel's word-direction
-# classifier (page.py _word_direction): RTL = these; LTR = Latin AND Greek
-# letters (both left-to-right scripts); digits and punctuation are
-# direction-neutral. STRONG_GREEK feeds the per-script OSD vote.
+# classifier (page.py _word_direction): RTL = these; LTR = Latin, Greek AND
+# Cyrillic letters (all left-to-right scripts); digits and punctuation are
+# direction-neutral. STRONG_GREEK/STRONG_CYRILLIC feed the per-script OSD
+# vote.
 STRONG_RTL: frozenset[str] = frozenset(_RAW_RTL)
 STRONG_GREEK: frozenset[str] = frozenset(_RAW_GREEK)
+STRONG_CYRILLIC: frozenset[str] = frozenset(_RAW_CYRILLIC)
 STRONG_LTR: frozenset[str] = frozenset(
     ch for ch in _RAW if ch.isalpha() and ch not in _RAW_RTL)
 

@@ -312,6 +312,14 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         return PageSpec(elements=[Text(
             ["ΓΔΛ ΠΣΦ ΨΩΘ", "ΞΣΔ ΓΠΦ ΛΩΨ", "ΔΘΓ ΣΞΠ ΩΦΛ"])],
             scale=2, width_chars=13, seed=seed)
+    if family == "cyrillic_page":  # F38 — second non-Latin LTR script: a
+        # Cyrillic page must decode via the widened LUT and the 4-way
+        # script vote must pick 'cyrillic' (no RTL flip, no greek
+        # misattribution) — proves the vote is a real per-script argmax,
+        # not a Greek special case (osdetect.cpp:286).
+        return PageSpec(elements=[Text(
+            ["БЖЗ ИЦЧ ШЩЮ", "ЯЗБ ЖИШ ЦЮЧ", "ЗЧЯ БШЖ ЮИЦ"])],
+            scale=2, width_chars=13, seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[
@@ -332,6 +340,7 @@ PAGE_FAMILIES = [
     "inline_equation_page", "wavy_page", "ragged_page", "embedded_vertical",
     "sparse_texture", "para_page", "tiff_page", "tiff_multipage",
     "greek_page", "music_page", "pnm_page", "bmp_page", "jpeg_page",
+    "cyrillic_page",
 ]
 
 

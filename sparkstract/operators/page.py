@@ -1421,10 +1421,11 @@ def _page_script(blocks: list[Block]) -> str:
     page's decoded text, argmax wins. Deterministic tie-break: a later
     script needs STRICTLY more hits than latin (the reference's vote is
     likewise a max over per-script scores)."""
-    from ..fixtures.font import STRONG_GREEK
+    from ..fixtures.font import STRONG_CYRILLIC, STRONG_GREEK
 
-    scripts = (("latin", STRONG_LTR - STRONG_GREEK),
+    scripts = (("latin", STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC),
                ("greek", STRONG_GREEK),
+               ("cyrillic", STRONG_CYRILLIC),
                ("hebrew", STRONG_RTL))
     tally = dict.fromkeys((n for n, _ in scripts), 0)
     for b in blocks:
@@ -1435,7 +1436,7 @@ def _page_script(blocks: list[Block]) -> str:
                         tally[name] += 1
                         break
     best, best_n = "latin", tally["latin"]
-    for name in ("greek", "hebrew"):
+    for name in ("greek", "cyrillic", "hebrew"):
         if tally[name] > best_n:
             best, best_n = name, tally[name]
     return best

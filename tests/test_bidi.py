@@ -128,3 +128,37 @@ def test_ltr_page_unaffected_by_rtl_config():
     img, _ = render_page(spec)
     blocks = analyse_page(img, rtl=True)
     assert blocks[0].text == "THE QUICK FOX"
+
+
+def test_page_script_four_way_vote():
+    """The per-script OSD vote (osdetect.cpp:286) is a real argmax over
+    latin/greek/cyrillic/hebrew — each script's page elects its own script,
+    and only the RTL winner flips reading order."""
+    from sparkstract.fixtures.render import PageSpec, Text, render_page
+    from sparkstract.operators.page import _page_script, analyse_page
+
+    cases = {
+        "latin": ["THE QUICK FOX", "JUMPS OVER IT"],
+        "greek": ["ΓΔΛ ΠΣΦ ΨΩΘ", "ΞΣΔ ΓΠΦ ΛΩΨ"],
+        "cyrillic": ["БЖЗ ИЦЧ ШЩЮ", "ЯЗБ ЖИШ ЦЮЧ"],
+    }
+    for want, lines in cases.items():
+        spec = PageSpec(elements=[Text(lines, col=0)], scale=2,
+                        width_chars=15)
+        img, truth = render_page(spec)
+        blocks = analyse_page(img)
+        assert _page_script(blocks) == want
+        # LTR scripts must not trigger the RTL re-run: text is verbatim
+        assert [b.text for b in blocks] == [t.text for t in truth]
+
+
+def test_page_script_mixed_majority():
+    """A page mixing scripts elects the majority script; a bare-majority
+    cyrillic page must not fall back to latin (strictly-more tie-break)."""
+    from sparkstract.fixtures.render import PageSpec, Text, render_page
+    from sparkstract.operators.page import _page_script, analyse_page
+
+    spec = PageSpec(elements=[Text(["БЖЗИЦ FOX", "ШЩЮЯЗ DOG"], col=0)],
+                    scale=2, width_chars=11)
+    img, _ = render_page(spec)
+    assert _page_script(analyse_page(img)) == "cyrillic"
