@@ -552,6 +552,19 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in for
+    the eval set, the rest are the training corpus. n=3 at test scale
+    (production default is 8 — the synthetic word-soup never collides at
+    8-grams and a 0-row query would be vacuous)."""
+    from sparkstract.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=3).orderBy("doc_id")
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint summary per doc (count + sum of the distinct
     selected hashes — a compact deterministic digest of the fp set)."""
@@ -1308,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_fp": q_winnow_fp,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
         "html_main_content": q_html_main_content,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
@@ -2003,6 +2017,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common / (sa.n_grams + sb.n_grams - n_common) >= 0.2
             ORDER BY doc_a, doc_b
+        """,
+        "decontaminate": f"""
+            {_dd_ngrams(3)},
+            bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0),
+            tg AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+            per AS (
+              SELECT t.doc_id, count(*) AS n_grams,
+                     count(b.ngram) AS n_overlap
+              FROM tg t LEFT JOIN bench b ON t.ngram = b.ngram
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(n_overlap, 0) AS n_overlap,
+                   CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                        ELSE round(n_overlap * 1.0 / n_grams, 6)
+                   END AS overlap_frac,
+                   coalesce(n_overlap, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+            WHERE d.doc_id % 97 <> 0
+            ORDER BY d.doc_id
         """,
         "html_main_content": html_oracle,
         "pii_scrub": f"""

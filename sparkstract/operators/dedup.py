@@ -60,7 +60,12 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, ngram)."""
+    """Distinct word n-gram shingles per doc: (doc_id, ngram).
+
+    Distinctness is per-doc by construction (doc_id is in the pair), and
+    each doc arrives as ONE input row — so `array_distinct` before the
+    explode dedups row-locally and the corpus-wide `.distinct()` shuffle
+    a (doc_id, ngram) Exchange would cost is never paid."""
     toks = tokens(F.lower(F.col(text_col)))
     grams = F.when(
         F.size(toks) >= n,
@@ -69,10 +74,9 @@ def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        spread(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("ngram"))
-        .distinct()
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("ngram"),
     )
 
 

@@ -272,3 +272,26 @@ def test_cosine_lsh_pairs(spark):
     got = cosine_lsh_pairs(emb, planes, threshold=0.9).collect()
     assert [(r["id_a"], r["id_b"]) for r in got] == [("a", "b")]
     assert got[0]["score"] > 0.99
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """A train doc quoting an eval 3-gram verbatim is contaminated; a doc
+    shorter than n words has 0 grams and stays clean; counts are distinct
+    n-gram counts."""
+    from sparkstract.operators.decontam import decontaminate
+
+    bench = spark.createDataFrame(
+        [("e1", "the secret eval answer is forty two")],
+        "doc_id string, text string")
+    train = spark.createDataFrame(
+        [("t1", "model memorized the secret eval answer somehow"),
+         ("t2", "totally unrelated training text goes here now"),
+         ("t3", "too short")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           decontaminate(train, bench, n=3).collect()}
+    # shared 3-grams: "the secret eval", "secret eval answer"
+    assert out["t1"]["contaminated"] and out["t1"]["n_overlap"] == 2
+    assert out["t2"]["n_overlap"] == 0 and not out["t2"]["contaminated"]
+    assert out["t3"]["n_grams"] == 0 and not out["t3"]["contaminated"]
+    assert out["t1"]["n_grams"] == 5  # 7 words → 5 distinct 3-grams
