@@ -679,8 +679,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-bucketed embedding near-dup. Threshold 0.4 at the gate (like
+    cosine_lsh's 0.35): the driver's embeddings are near-random with max
+    within-label cosine ≈ 0.475, so the production default 0.9 returns zero
+    rows — vacuous evidence. 0.4 yields a handful of pairs that pin the
+    label-bucket → pair → score path value-by-value."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_dup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
 def q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2247,7 +2252,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN lc ON lc.label = a.label
             JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
             ORDER BY id_a, id_b
         """,
         "cosine_label_audit": """
