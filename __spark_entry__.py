@@ -95,6 +95,72 @@ def _dd_ngrams(n: int = 3) -> str:
     )
 
 
+def _sampling_oracles() -> dict[str, str]:
+    """DuckDB twins for the sampling/mixture/chunk/vocab queries. The
+    keep/copy thresholds are the SAME integers the Spark side compiles
+    (rate_threshold / int(frac*2^32) over the shared dict literals)."""
+    from sparkstract.operators.sampling import rate_threshold
+
+    mod = 1 << 32
+
+    def case(table: dict[str, float], default: float, to_int) -> str:
+        whens = " ".join(f"WHEN '{s}' THEN {to_int(r)}"
+                         for s, r in sorted(table.items()))
+        return f"CASE lang {whens} ELSE {to_int(default)} END"
+
+    strat_case = case(_SAMPLE_RATES, 0.8, rate_threshold)
+    base_case = case(_MIX_WEIGHTS, 1.0, int)
+    frac_case = case(_MIX_WEIGHTS, 1.0, lambda w: int((w - int(w)) * mod))
+    h_strat = _DD_HEX2LONG.format(v="'strata:' || CAST(doc_id AS VARCHAR)")
+    h_mix = _DD_HEX2LONG.format(v="'mix:' || CAST(doc_id AS VARCHAR)")
+    raw_toks = (
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS tl "
+        "FROM documents"
+    )
+    return {
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source
+            FROM (SELECT doc_id, lang, source, {h_strat} AS h FROM documents)
+            WHERE h < {strat_case}
+            ORDER BY doc_id
+        """,
+        "weighted_mixture": f"""
+            WITH m AS (
+              SELECT doc_id, lang,
+                     {base_case}
+                     + CASE WHEN {h_mix} < {frac_case} THEN 1 ELSE 0 END AS n
+              FROM documents)
+            SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy
+            FROM m ORDER BY doc_id, copy
+        """,
+        "chunk_docs": f"""
+            WITH toks AS ({raw_toks}),
+            c AS (
+              SELECT doc_id, len(tl) AS n, tl,
+                     unnest(range(0, CASE WHEN len(tl) = 0 THEN 0
+                       ELSE 1 + CAST(ceil(greatest(len(tl) - 32, 0) / 24.0)
+                                     AS BIGINT) END)) AS chunk_id
+              FROM toks)
+            SELECT doc_id, chunk_id,
+                   least(32, n - chunk_id * 24) AS n_tokens,
+                   array_to_string(tl[CAST(chunk_id * 24 + 1 AS BIGINT):
+                                      CAST(chunk_id * 24 + 32 AS BIGINT)],
+                                   ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id
+        """,
+        "vocab_topk": f"""
+            WITH toks AS ({_DD_TOKENS}),
+            tok AS (SELECT doc_id, unnest(tl) AS token FROM toks)
+            SELECT token, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM tok GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 50
+        """,
+    }
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -563,6 +629,58 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(train, bench, n=3).orderBy("doc_id")
+
+
+# Shared gate parameters for the sampling/mixture queries — the oracle
+# interpolates the SAME integer thresholds (see oracle_sql), so parity is
+# by construction, not by parallel float arithmetic.
+_SAMPLE_RATES = {"en": 0.5, "zh": 1.0}      # default 0.8
+_MIX_WEIGHTS = {"en": 0.4, "de": 2.5}       # default 1.0
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-lang downsampling (md5 coin — reproducible under
+    task retry, unlike F.rand)."""
+    from sparkstract.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_sample(docs, _SAMPLE_RATES, default_rate=0.8,
+                              strata_col="lang")
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
+def q_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style mixture weighting: en 0.4 (subsample), de 2.5 (2-3
+    copies each), others 1.0."""
+    from sparkstract.operators.sampling import weighted_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return (weighted_mixture(docs, _MIX_WEIGHTS, default_weight=1.0,
+                             strata_col="lang")
+            .select("doc_id", "lang", F.col("copy").cast("long").alias("copy"))
+            .orderBy("doc_id", "copy"))
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM training-window chunking: 32-token windows every 24 tokens
+    (8-token overlap); tail chunk kept. Gate window is small because the
+    synthetic docs run 8-90 tokens (production default 128/96)."""
+    from sparkstract.operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return (chunk_documents(docs, window=32, stride=24)
+            .select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "chunk_text")
+            .orderBy("doc_id", "chunk_id"))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary by occurrences (tf + df per token)."""
+    from sparkstract.operators.sampling import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=50)
 
 
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1327,6 +1445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "weighted_mixture": q_weighted_mixture,
+        "chunk_docs": q_chunk_docs,
+        "vocab_topk": q_vocab_topk,
         "html_main_content": q_html_main_content,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
@@ -2043,6 +2165,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 97 <> 0
             ORDER BY d.doc_id
         """,
+        "stratified_sample": _sampling_oracles()["stratified_sample"],
+        "weighted_mixture": _sampling_oracles()["weighted_mixture"],
+        "chunk_docs": _sampling_oracles()["chunk_docs"],
+        "vocab_topk": _sampling_oracles()["vocab_topk"],
         "html_main_content": html_oracle,
         "pii_scrub": f"""
             SELECT doc_id, {pii_expr} AS scrubbed
