@@ -590,6 +590,17 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_assign(docs, pairs).orderBy("doc_id")
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val split: the md5 coin is flipped on the
+    near-dup CLUSTER id, so no near-duplicate pair ever straddles the
+    boundary. Reuses the cached minhash pair frame."""
+    from sparkstract.operators.cluster import cluster_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(spark, sf_dir)
+    return cluster_split(docs, pairs, val_fraction=0.2).orderBy("doc_id")
+
+
 def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation composition: content gates (tokens /
     language / quality) + keep-one-per-near-dup-cluster, with a per-doc
@@ -1439,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_bucket_audit": q_lsh_bucket_audit,
         "dup_clusters": q_dup_clusters,
+        "cluster_split": q_cluster_split,
         "curated_corpus": q_curated_corpus,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1478,6 +1490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sparkstract.operators.sampling import rate_threshold
+
+    _split_thr = rate_threshold(0.2)  # cluster_split val_fraction gate value
     stop_list = "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS_EN) + "]"
     lang_cases = ""
     # argmax with deterministic code-order tie-break, mirroring ts.lang_id:
@@ -1998,6 +2013,43 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN comp c ON c.doc_id = d.doc_id
             LEFT JOIN csize s ON s.cluster_id = c.cluster_id
             ORDER BY d.doc_id
+        """,
+        "cluster_split": f"""
+            WITH RECURSIVE {_dd_ngrams(3)[5:]},
+            sig AS (SELECT doc_id, {minhash_aggs} FROM grams GROUP BY doc_id),
+            banded AS ({band_selects}),
+            bc AS (SELECT band, key FROM banded GROUP BY band, key
+                   HAVING count(*) BETWEEN 2 AND 64),
+            pairs AS (
+              SELECT a.doc_id AS pu, b.doc_id AS pv
+              FROM banded a
+              JOIN bc ON bc.band = a.band AND bc.key = a.key
+              JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (SELECT pu AS u, pv AS v FROM pairs
+                      UNION SELECT pv, pu FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              FROM reach GROUP BY u),
+            csize AS (SELECT cluster_id, count(*) AS cluster_size
+                      FROM comp GROUP BY cluster_id),
+            assigned AS (
+              SELECT d.doc_id,
+                     coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                     coalesce(s.cluster_size, 1) AS cluster_size
+              FROM documents d
+              LEFT JOIN comp c ON c.doc_id = d.doc_id
+              LEFT JOIN csize s ON s.cluster_id = c.cluster_id)
+            SELECT doc_id, cluster_id, cluster_size,
+                   CASE WHEN {_DD_HEX2LONG.format(
+                       v="'split:' || CAST(cluster_id AS VARCHAR)")}
+                        < {_split_thr} THEN 'val' ELSE 'train' END AS split
+            FROM assigned ORDER BY doc_id
         """,
         "curated_corpus": f"""
             WITH RECURSIVE {_dd_ngrams(3)[5:]},

@@ -133,6 +133,31 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
     )
 
 
+def cluster_split(docs: DataFrame, pairs: DataFrame,
+                  val_fraction: float = 0.1, salt: str = "split",
+                  id_col: str = "doc_id", a: str = "doc_a",
+                  b: str = "doc_b") -> DataFrame:
+    """Contamination-safe train/validation split: (doc_id, cluster_id,
+    cluster_size, split). The coin is flipped on the CLUSTER id, not the
+    doc id, so every member of a near-dup cluster lands on the same side —
+    a plain per-doc split leaks near-duplicates of validation docs into
+    training (the eval-inflation failure benchmark decontamination guards
+    against, here prevented structurally). The coin is the deterministic
+    md5 construction from operators/sampling.py: reproducible under task
+    retry and bit-identical in the DuckDB oracle. Singleton docs are their
+    own cluster, so the realized val fraction tracks `val_fraction` over
+    clusters, weighted by cluster size."""
+    from .sampling import _salted_key, _u32, rate_threshold
+
+    assigned = dedup_assign(docs, pairs, id_col=id_col, a=a, b=b)
+    coin = _u32(_salted_key(salt, "cluster_id"))
+    return assigned.select(
+        id_col, "cluster_id", "cluster_size",
+        F.when(coin < rate_threshold(val_fraction), F.lit("val"))
+         .otherwise(F.lit("train")).alias("split"),
+    )
+
+
 def dedup_assign(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                  a: str = "doc_a", b: str = "doc_b") -> DataFrame:
     """Cluster assignment for EVERY document: (doc_id, cluster_id,

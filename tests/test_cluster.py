@@ -89,6 +89,27 @@ def test_dedup_assign_singletons_and_keep(spark):
     assert kept == {"d0", "d1", "d2"}
 
 
+def test_cluster_split_keeps_clusters_whole(spark):
+    from sparkstract.operators.cluster import cluster_split
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(40)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("d1", "d3"), ("d3", "d5"), ("d0", "d4")],
+        "doc_a string, doc_b string")
+    rows = {r["doc_id"]: r for r in
+            cluster_split(docs, pairs, val_fraction=0.3).collect()}
+    # a cluster never straddles the split boundary
+    assert rows["d1"]["split"] == rows["d3"]["split"] == rows["d5"]["split"]
+    assert rows["d0"]["split"] == rows["d4"]["split"]
+    sides = {r["split"] for r in rows.values()}
+    assert sides == {"train", "val"}  # 0.3 over 37 clusters hits both
+    # deterministic md5 coin: identical re-run
+    again = {r["doc_id"]: r["split"] for r in
+             cluster_split(docs, pairs, val_fraction=0.3).collect()}
+    assert again == {d: r["split"] for d, r in rows.items()}
+
+
 def test_curate_corpus_reasons_and_winner(spark):
     from sparkstract.operators.curate import curate_corpus
 
