@@ -183,6 +183,10 @@ def main() -> None:
         # from cached pairs — their timings measure CC + curation, not a
         # recompute of the shingle pipeline.
         "extract_words",
+        # round 3 (this session): the training-data prep family — the
+        # broadcast-probe decontaminator and the explode-heavy chunker
+        # (totals again not comparable round-over-round; compare per-query)
+        "decontaminate", "chunk_docs",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the
