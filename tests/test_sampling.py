@@ -72,6 +72,41 @@ def test_chunk_documents_windows_and_tail(spark):
     assert rows[(2, 0)]["n_tokens"] == 2
 
 
+def test_stratified_sample_is_monotone_in_rate(corpus):
+    """keep = u32 < rate*2^32, so a higher rate keeps a superset — lets a
+    pipeline tighten its sampling without resampling from scratch."""
+    lo = {r["doc_id"] for r in
+          stratified_sample(corpus, {}, default_rate=0.3).collect()}
+    hi = {r["doc_id"] for r in
+          stratified_sample(corpus, {}, default_rate=0.6).collect()}
+    assert lo < hi
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Property over 120 random-length docs: token at 1-based position p
+    belongs to chunk i iff i*stride < p <= i*stride + window, and every
+    token lands in at least one chunk (the tail rule guarantees it)."""
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(rng.randint(0, 40))))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    window, stride = 7, 5
+    got = chunk_documents(docs, window=window, stride=stride).collect()
+    seen: dict[int, set[str]] = {}
+    for r in got:
+        toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        assert len(toks) == r["n_tokens"] <= window
+        start = r["chunk_id"] * stride
+        expect = rows[r["doc_id"]][1].split()[start:start + window]
+        assert toks == expect
+        seen.setdefault(r["doc_id"], set()).update(toks)
+    for i, text in rows:
+        want = set(text.split())
+        assert seen.get(i, set()) == want  # full coverage, nothing dropped
+
+
 def test_vocab_topk_counts_and_tiebreak(spark):
     docs = spark.createDataFrame(
         [(1, "The the apple"), (2, "the Banana banana apple zz")],
