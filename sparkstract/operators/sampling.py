@@ -82,6 +82,7 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     keep iff u32(md5(salt:doc_id)) < rate * 2^32. Returns the kept subset
     with all original columns. Rates are exact at the population level in
     expectation and reproducible row-by-row."""
+    assert default_rate >= 0 and all(r >= 0 for r in rates.values())
     keep = _u32(_salted_key(salt, id_col)) < _case_literal(
         rates, default_rate, strata_col, rate_threshold)
     return docs.filter(keep)
@@ -97,6 +98,7 @@ def weighted_mixture(docs: DataFrame, weights: dict[str, float],
     repeat index); weight 0.3 subsamples, 2.5 oversamples. The fractional
     coin uses a DIFFERENT salt than stratified_sample so composing the two
     does not correlate decisions."""
+    assert default_weight >= 0 and all(w >= 0 for w in weights.values())
     base = _case_literal(weights, default_weight, strata_col, int)
     # fractional-part threshold: int(frac(w) * 2^32), an exact literal
     frac_thr = _case_literal(weights, default_weight, strata_col,
@@ -140,18 +142,26 @@ def chunk_documents(docs: DataFrame, window: int = 128, stride: int = 96,
 
 
 def vocab_topk(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text", approx_df: bool = False) -> DataFrame:
     """Top-k corpus vocabulary by occurrence count: (token, n_occurrences,
     n_docs), lowercased, ties broken by token asc so the result is total-
     ordered. The orderBy+limit pair compiles to TakeOrdered — a
-    per-partition top-k heap, not a global sort."""
+    per-partition top-k heap, not a global sort.
+
+    `approx_df=True` swaps the exact document frequency for
+    approx_count_distinct (HLL++): the exact count shuffles deduped
+    (token, doc_id) pairs — corpus-sized at 100 TB — while the HLL sketch
+    keeps the exchange at one fixed-size buffer per token. Use it whenever
+    df feeds a threshold rather than a report."""
     tok = (docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(tokens(F.lower(F.col(text_col))))
                        .alias("token")))
+    df_agg = (F.approx_count_distinct("doc_id") if approx_df
+              else F.countDistinct("doc_id"))
     return (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"),
-             F.countDistinct("doc_id").alias("n_docs"))
+             df_agg.alias("n_docs"))
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(k)
     )

@@ -115,3 +115,13 @@ def test_vocab_topk_counts_and_tiebreak(spark):
            for r in vocab_topk(docs, k=3).collect()]
     # 'the' x3; 'apple' and 'banana' x2 tie → token asc breaks it
     assert got == [("the", 3, 2), ("apple", 2, 2), ("banana", 2, 1)]
+
+
+def test_vocab_topk_approx_df_close_to_exact(corpus):
+    exact = {r["token"]: r["n_docs"]
+             for r in vocab_topk(corpus, k=10).collect()}
+    approx = {r["token"]: r["n_docs"]
+              for r in vocab_topk(corpus, k=10, approx_df=True).collect()}
+    assert set(approx) == set(exact)  # same top-k (order keys are exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.1 * n)  # HLL++ ~2% rsd
