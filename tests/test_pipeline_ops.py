@@ -53,6 +53,26 @@ def test_minhash_lsh_finds_exact_dup(docs):
     assert by_pair[("a", "b")] == 4  # identical docs share every band
 
 
+def test_minhash_cap_drops_degenerate_bucket_and_audits_it(spark):
+    """The 100x hazard scenario: 2000 near-identical docs all land in one
+    LSH bucket per band. The count-first cap must drop the bucket (no k^2/2
+    pair explosion, no 2000-element aggregation buffer) and the audit must
+    report exactly what was dropped."""
+    from sparkstract.operators.dedup import lsh_bucket_stats, minhash_lsh_pairs
+
+    base = "the same sentence repeated for every single document here"
+    degenerate = [(i, base) for i in range(2000)]
+    # plus one genuinely distinct duplicate pair that must SURVIVE the cap
+    distinct = [(5001, "salmon river canyon drains a granite plateau"),
+                (5002, "salmon river canyon drains a granite plateau")]
+    docs = spark.createDataFrame(degenerate + distinct, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(5001, 5002)]
+    dropped = lsh_bucket_stats(docs, num_hashes=8, bands=4).collect()
+    assert len(dropped) == 4  # one oversized bucket per band
+    assert all(r["bucket_size"] == 2000 for r in dropped)
+
+
 def test_simhash_properties(docs):
     out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=32).collect()}
     assert out["a"] == out["b"]  # identical text → identical signature
