@@ -601,6 +601,35 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(docs, pairs, val_fraction=0.2).orderBy("doc_id")
 
 
+def q_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep composition: benchmark
+    decontamination (drop any doc sharing an eval n-gram) → cluster-coherent
+    split (train side only) → fixed-window chunking. What a user actually
+    ships to a trainer: (doc_id, chunk_id, n_tokens, chunk_text) over clean,
+    leak-free train docs. Reuses the cached minhash pair frame; every stage
+    is an existing oracled operator, composed."""
+    from sparkstract.operators.cluster import cluster_split
+    from sparkstract.operators.decontam import decontaminate
+    from sparkstract.operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 97 != 0)
+    clean = (decontaminate(train_docs, bench, n=3)
+             .filter(~F.col("contaminated")).select("doc_id"))
+    split = cluster_split(docs, _minhash_pairs(spark, sf_dir),
+                          val_fraction=0.2)
+    train_ids = split.filter(F.col("split") == "train").select("doc_id")
+    keep = (train_docs.join(clean, "doc_id", "left_semi")
+            .join(train_ids, "doc_id", "left_semi"))
+    return (chunk_documents(keep, window=32, stride=24)
+            .select("doc_id",
+                    F.col("chunk_id").cast("long").alias("chunk_id"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "chunk_text")
+            .orderBy("doc_id", "chunk_id"))
+
+
 def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation composition: content gates (tokens /
     language / quality) + keep-one-per-near-dup-cluster, with a per-doc
@@ -1451,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_audit": q_lsh_bucket_audit,
         "dup_clusters": q_dup_clusters,
         "cluster_split": q_cluster_split,
+        "training_samples": q_training_samples,
         "curated_corpus": q_curated_corpus,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2050,6 +2080,65 @@ def oracle_sql() -> dict[str, str]:
                        v="'split:' || CAST(cluster_id AS VARCHAR)")}
                         < {_split_thr} THEN 'val' ELSE 'train' END AS split
             FROM assigned ORDER BY doc_id
+        """,
+        "training_samples": f"""
+            WITH RECURSIVE {_dd_ngrams(3)[5:]},
+            sig AS (SELECT doc_id, {minhash_aggs} FROM grams GROUP BY doc_id),
+            banded AS ({band_selects}),
+            bc AS (SELECT band, key FROM banded GROUP BY band, key
+                   HAVING count(*) BETWEEN 2 AND 64),
+            pairs AS (
+              SELECT a.doc_id AS pu, b.doc_id AS pv
+              FROM banded a
+              JOIN bc ON bc.band = a.band AND bc.key = a.key
+              JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (SELECT pu AS u, pv AS v FROM pairs
+                      UNION SELECT pv, pu FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              FROM reach GROUP BY u),
+            splitq AS (
+              SELECT d.doc_id,
+                     coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d
+              LEFT JOIN comp c ON c.doc_id = d.doc_id),
+            train_side AS (
+              SELECT doc_id FROM splitq
+              WHERE {_DD_HEX2LONG.format(
+                  v="'split:' || CAST(cluster_id AS VARCHAR)")}
+                    >= {_split_thr}),
+            bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0),
+            contaminated AS (
+              SELECT DISTINCT g.doc_id FROM grams g
+              JOIN bench b ON g.ngram = b.ngram
+              WHERE g.doc_id % 97 <> 0),
+            keep AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN train_side t ON t.doc_id = d.doc_id
+              WHERE d.doc_id % 97 <> 0
+                AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            rt AS (
+              SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END AS tl
+              FROM keep),
+            c AS (
+              SELECT doc_id, len(tl) AS n, tl,
+                     unnest(range(0, CASE WHEN len(tl) = 0 THEN 0
+                       ELSE 1 + CAST(ceil(greatest(len(tl) - 32, 0) / 24.0)
+                                     AS BIGINT) END)) AS chunk_id
+              FROM rt)
+            SELECT doc_id, chunk_id,
+                   least(32, n - chunk_id * 24) AS n_tokens,
+                   array_to_string(tl[CAST(chunk_id * 24 + 1 AS BIGINT):
+                                      CAST(chunk_id * 24 + 32 AS BIGINT)],
+                                   ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id
         """,
         "curated_corpus": f"""
             WITH RECURSIVE {_dd_ngrams(3)[5:]},
