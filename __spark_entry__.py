@@ -723,6 +723,34 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, k=50)
 
 
+def q_strip_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring removal (Lee et al. 2022 style):
+    drop every token covered by a 3-token window shared by >= 2 docs.
+    k=3 at test scale (production ~50 — the synthetic word-soup has no
+    long shared runs, so k=50 would be a vacuous 0-removal check)."""
+    from sparkstract.operators.substrings import strip_repeated_substrings
+
+    docs = _t(spark, sf_dir, "documents")
+    return (strip_repeated_substrings(docs, k=3, min_docs=2)
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_removed").cast("long").alias("n_removed"),
+                    "clean_text")
+            .orderBy("doc_id"))
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the crawl per-domain quota): at most 21
+    docs per source, deterministic md5 ranking. The doc_id % 7 prefilter
+    makes per-source counts straddle the quota so BOTH paths run: sources
+    at <= 21 take the no-window broadcast bypass, sources at 22 pay the
+    bounded rank window."""
+    from sparkstract.operators.sampling import cap_per_source
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
+    return (cap_per_source(docs, max_docs=21, strata_col="source")
+            .select("doc_id", "source", "lang").orderBy("doc_id"))
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint summary per doc (count + sum of the distinct
     selected hashes — a compact deterministic digest of the fp set)."""
@@ -1491,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mixture": q_weighted_mixture,
         "chunk_docs": q_chunk_docs,
         "vocab_topk": q_vocab_topk,
+        "strip_substrings": q_strip_substrings,
+        "source_quota": q_source_quota,
         "html_main_content": q_html_main_content,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
@@ -2310,6 +2340,68 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mixture": _sampling_oracles()["weighted_mixture"],
         "chunk_docs": _sampling_oracles()["chunk_docs"],
         "vocab_topk": _sampling_oracles()["vocab_topk"],
+        "strip_substrings": f"""
+            WITH lt AS ({_DD_TOKENS}),
+            pos AS (
+              SELECT doc_id, tl,
+                     unnest(range(0, CASE WHEN len(tl) >= 3
+                                          THEN len(tl) - 2 ELSE 0 END)) AS i
+              FROM lt),
+            g AS (
+              SELECT doc_id, i,
+                     md5(array_to_string(
+                         tl[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)],
+                         ' ')) AS h
+              FROM pos),
+            dup AS (
+              SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+              GROUP BY h HAVING count(*) >= 2),
+            cov AS (
+              SELECT DISTINCT g.doc_id, g.i + o.o AS pos
+              FROM g JOIN dup USING (h)
+              CROSS JOIN (SELECT unnest(range(0, 3)) AS o) o),
+            rt AS (
+              SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END AS rl
+              FROM documents),
+            trows AS (
+              SELECT doc_id, rl, unnest(range(0, len(rl))) AS pos FROM rt),
+            tok AS (
+              SELECT doc_id, pos, rl[CAST(pos + 1 AS BIGINT)] AS tok
+              FROM trows),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok FROM tok t
+              WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                WHERE c.doc_id = t.doc_id
+                                  AND c.pos = t.pos)),
+            reb AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT r.doc_id,
+                   CAST(len(r.rl) AS BIGINT) AS n_tokens,
+                   CAST(len(r.rl) - coalesce(b.n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   coalesce(b.clean_text, '') AS clean_text
+            FROM rt r LEFT JOIN reb b USING (doc_id)
+            ORDER BY r.doc_id
+        """,
+        "source_quota": f"""
+            WITH d AS (SELECT doc_id, source, lang FROM documents
+                       WHERE doc_id % 7 <> 0),
+            c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+            r AS (
+              SELECT d.doc_id, d.source, d.lang, c.n,
+                     row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY {_DD_HEX2LONG.format(
+                           v="'cap:' || CAST(d.doc_id AS VARCHAR)")} ASC,
+                                d.doc_id ASC) AS rk
+              FROM d JOIN c USING (source))
+            SELECT doc_id, source, lang FROM r
+            WHERE n <= 21 OR rk <= 21
+            ORDER BY doc_id
+        """,
         "html_main_content": html_oracle,
         "pii_scrub": f"""
             SELECT doc_id, {pii_expr} AS scrubbed

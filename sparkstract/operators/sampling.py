@@ -165,3 +165,44 @@ def vocab_topk(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(k)
     )
+
+
+def cap_per_source(docs: DataFrame, max_docs: int,
+                   strata_col: str = "source", id_col: str = "doc_id",
+                   salt: str = "cap", exact: bool = True) -> DataFrame:
+    """Per-source document quota (the CommonCrawl-pipeline per-domain cap):
+    keep at most `max_docs` docs per stratum, chosen deterministically by
+    the md5 coin (ties by id), so a re-run keeps the same subset.
+
+    exact=True (default, oracle-matched): sources at-or-under quota bypass
+    the window entirely via a broadcast count join (the per-source count
+    table is tiny at any corpus size — its cardinality is the number of
+    DOMAINS); only over-quota docs pay the rank shuffle, and the window
+    input for each hot source is that source's rows only.
+
+    exact=False (the 100 TB default): no window at all — keep iff
+    u32(md5(salt:id)) < max_docs / count * 2^32, a pure codegen filter
+    after the same broadcast join. Quota holds in expectation with
+    binomial variance; zero skew risk because no per-source ordering ever
+    happens. Use it when "about K per domain" is the real requirement —
+    which, for a crawl cap, it always is."""
+    assert max_docs >= 0
+    counts = (docs.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("__n")))
+    joined = docs.join(F.broadcast(counts), strata_col, "left")
+    if not exact:
+        thr = F.least(
+            F.lit(_U32_MOD),
+            F.floor(F.lit(max_docs) * F.lit(_U32_MOD) / F.col("__n"))
+            .cast("long"))
+        return (joined.filter(_u32(_salted_key(salt, id_col)) < thr)
+                .drop("__n"))
+    under = joined.filter(F.col("__n") <= max_docs).drop("__n")
+    over = joined.filter(F.col("__n") > max_docs).drop("__n")
+    from pyspark.sql import Window
+    w = (Window.partitionBy(strata_col)
+         .orderBy(_u32(_salted_key(salt, id_col)).asc(),
+                  F.col(id_col).asc()))
+    capped = (over.withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") <= max_docs).drop("__rk"))
+    return under.unionByName(capped)

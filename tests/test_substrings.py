@@ -1,0 +1,112 @@
+"""Cross-document repeated-substring removal + per-source quota cap."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstract.operators.sampling import cap_per_source
+from sparkstract.operators.substrings import (
+    repeated_gram_hashes,
+    strip_repeated_substrings,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "something THE QUICK BROWN FOX ate yesterday"),  # case-folded hit
+        (3, "entirely different content with no shared runs"),
+        (4, ""),                                             # empty
+        (5, "quick brown"),                                  # shorter than k
+        (6, "alpha beta gamma alpha beta gamma"),            # intra-doc only
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _by_id(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_shared_run_removed_case_insensitively(docs):
+    out = _by_id(strip_repeated_substrings(docs, k=3))
+    # "the quick brown fox" (4 tokens) is covered by two shared trigrams
+    assert out[1]["clean_text"] == "jumps over the lazy dog"
+    assert out[1]["n_removed"] == 4
+    # removal preserves the survivor's ORIGINAL case and order
+    assert out[2]["clean_text"] == "something ate yesterday"
+    assert out[2]["n_removed"] == 4
+
+
+def test_unshared_short_and_empty_docs_untouched(docs):
+    out = _by_id(strip_repeated_substrings(docs, k=3))
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].startswith("entirely different")
+    assert out[4] ["n_tokens"] == 0 and out[4]["clean_text"] == ""
+    assert out[5]["n_removed"] == 0  # doc shorter than k never matches
+    # intra-doc repetition is NOT cross-document: min_docs counts DISTINCT
+    # docs, so doc 6's self-repeated trigram survives
+    assert out[6]["n_removed"] == 0
+
+
+def test_row_count_and_min_docs_threshold(docs):
+    out = strip_repeated_substrings(docs, k=3, min_docs=3)
+    rows = out.collect()
+    assert len(rows) == 6                      # one row per input doc
+    assert all(r["n_removed"] == 0 for r in rows)  # no trigram in 3+ docs
+
+
+def test_fully_boilerplate_doc_empties(spark):
+    df = spark.createDataFrame(
+        [(1, "same old text"), (2, "same old text")],
+        "doc_id long, text string")
+    out = _by_id(strip_repeated_substrings(df, k=3))
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 3
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 3
+
+
+def test_repeated_gram_hashes_count_distinct_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z"), (3, "a b c")],
+        "doc_id long, text string")
+    # "a b c" occurs twice in doc 1 + once in doc 3 -> 2 distinct docs
+    assert repeated_gram_hashes(df, k=3, min_docs=2).count() == 1
+    assert repeated_gram_hashes(df, k=3, min_docs=3).count() == 0
+
+
+@pytest.fixture(scope="module")
+def sourced(spark):
+    rows = [(i, f"text {i}", f"s{i % 4}") for i in range(40)]
+    # s0..s3 have 10 docs each; s4 has 2 (under any cap)
+    rows += [(100, "text 100", "s4"), (101, "text 101", "s4")]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_cap_per_source_exact_quota_and_determinism(sourced):
+    out = cap_per_source(sourced, max_docs=5)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").count().withColumnRenamed("count", "n")
+           .collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5, "s3": 5, "s4": 2}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in cap_per_source(sourced, 5).collect())
+    assert a == b  # md5 coin, not rand: identical subset on re-run
+
+
+def test_cap_per_source_under_quota_bypass_keeps_all(sourced):
+    assert cap_per_source(sourced, max_docs=10).count() == 42
+    assert cap_per_source(sourced, max_docs=0).count() == 0
+
+
+def test_cap_per_source_approximate_path(sourced):
+    out = cap_per_source(sourced, max_docs=5, exact=False)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").count().withColumnRenamed("count", "n")
+           .collect()}
+    # expectation 5 per 10-doc source; binomial spread allowed, cap=1.0
+    # for the under-quota source keeps everything
+    assert per.get("s4", 0) == 2
+    assert all(0 < per[s] <= 10 for s in ("s0", "s1", "s2", "s3"))
+    again = cap_per_source(sourced, max_docs=5, exact=False)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
