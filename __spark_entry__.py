@@ -751,6 +751,21 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "lang").orderBy("doc_id"))
 
 
+def q_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection scores: target = the en docs with doc_id % 5
+    == 0 (standing in for a curated in-domain sample), raw = the whole
+    corpus; B = 10^4 hash buckets (the paper's setting)."""
+    from sparkstract.operators.sampling import importance_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    return (importance_scores(docs, target, n_buckets=10_000)
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "score")
+            .orderBy("doc_id"))
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint summary per doc (count + sum of the distinct
     selected hashes — a compact deterministic digest of the fp set)."""
@@ -1521,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "strip_substrings": q_strip_substrings,
         "source_quota": q_source_quota,
+        "importance_scores": q_importance_scores,
         "html_main_content": q_html_main_content,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
@@ -2401,6 +2417,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang FROM r
             WHERE n <= 21 OR rk <= 21
             ORDER BY doc_id
+        """,
+        "importance_scores": f"""
+            WITH lt AS ({_DD_TOKENS}),
+            occ AS (
+              SELECT doc_id,
+                     ({_DD_HEX2LONG.format(v="tok")}) % 10000 AS bucket
+              FROM (SELECT doc_id, unnest(tl) AS tok FROM lt)),
+            tids AS (SELECT doc_id FROM documents
+                     WHERE lang = 'en' AND doc_id % 5 = 0),
+            ct AS (SELECT bucket, count(*) AS ct FROM occ
+                   WHERE doc_id IN (SELECT doc_id FROM tids)
+                   GROUP BY bucket),
+            cr AS (SELECT bucket, count(*) AS cr FROM occ GROUP BY bucket),
+            nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct),
+            nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cr),
+            lr AS (
+              SELECT bucket,
+                     ln(coalesce(ct, 0) + 1) - ln(nt + 10000)
+                     - ln(coalesce(cr, 0) + 1) + ln(nr + 10000) AS lr
+              FROM cr FULL OUTER JOIN ct USING (bucket)
+              CROSS JOIN nt CROSS JOIN nr),
+            pb AS (SELECT doc_id, bucket, count(*) AS m FROM occ
+                   GROUP BY doc_id, bucket),
+            sc AS (
+              SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                     round(sum(m * lr) / sum(m), 6) AS score
+              FROM pb JOIN lr USING (bucket) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.score, 0.0) AS score
+            FROM documents d LEFT JOIN sc s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "html_main_content": html_oracle,
         "pii_scrub": f"""

@@ -206,3 +206,69 @@ def cap_per_source(docs: DataFrame, max_docs: int,
     capped = (over.withColumn("__rk", F.row_number().over(w))
               .filter(F.col("__rk") <= max_docs).drop("__rk"))
     return under.unionByName(capped)
+
+
+def importance_scores(raw: DataFrame, target: DataFrame,
+                      n_buckets: int = 10_000, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """DSIR-style data-selection scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per raw document, the
+    mean hashed-unigram log-likelihood ratio between a TARGET distribution
+    (the high-quality / in-domain sample you want more of) and the RAW
+    corpus distribution. Positive = target-like; feed the score to
+    stratified/top-k selection. One row per raw doc:
+    (doc_id, n_tokens, score); empty docs score 0.0.
+
+    score(d) = mean over token occurrences of
+               ln (c_target[b]+1)/(N_target+B) - ln (c_raw[b]+1)/(N_raw+B)
+    where b = u32(md5(token)) % B — the hash-bucket trick is what makes
+    this scale: the unigram model is EXACTLY B rows regardless of corpus
+    vocabulary, so the model join is broadcast BY CONSTRUCTION (a raw
+    100 TB vocab would be billions of tokens; 10^4 buckets is the paper's
+    own setting). Laplace +1 smoothing keeps unseen buckets finite.
+
+    Scale shape: two bucket-count aggregations whose exchanges carry at
+    most B rows per map task (map-side combine over a B-bounded key space),
+    one broadcast join of the B-row model, one doc_id aggregation. The
+    per-doc collect buffer is bounded by the doc's own distinct-bucket
+    count. Scores round to 6dp so the DuckDB twin hash-matches (the only
+    float drift is sub-ulp libm/summation noise, far below 1e-6)."""
+    assert n_buckets > 0
+    B = n_buckets
+
+    def occ(df: DataFrame) -> DataFrame:
+        tok = F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+        out = df.select(F.col(id_col).alias("doc_id"), tok)
+        return out.select(
+            "doc_id",
+            (hex_prefix_to_long(F.md5("tok"), 8) % B).alias("bucket"))
+
+    def model(df: DataFrame, name: str) -> DataFrame:
+        return (occ(df).groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    ct, cr = model(target, "ct"), model(raw, "cr")
+    # totals as 1-row frames (an agg, not a collect) cross-joined in —
+    # broadcast either way, no driver round-trip in the plan
+    nt = ct.agg(F.sum("ct").alias("nt"))
+    nr = cr.agg(F.sum("cr").alias("nr"))
+    lr = (cr.join(ct, "bucket", "full_outer")
+          .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
+          .select(
+              "bucket",
+              (F.log(F.coalesce("ct", F.lit(0)) + F.lit(1))
+               - F.log(F.col("nt") + F.lit(B))
+               - F.log(F.coalesce("cr", F.lit(0)) + F.lit(1))
+               + F.log(F.col("nr") + F.lit(B))).alias("lr")))
+    per_bucket = (occ(raw).groupBy("doc_id", "bucket")
+                  .agg(F.count(F.lit(1)).alias("m")))
+    scored = (per_bucket.join(F.broadcast(lr), "bucket")
+              .groupBy("doc_id")
+              .agg(F.sum("m").alias("n_tokens"),
+                   F.round(F.sum(F.col("m") * F.col("lr"))
+                           / F.sum("m"), 6).alias("score")))
+    return (raw.select(F.col(id_col).alias("doc_id"))
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("score", F.lit(0.0)).alias("score")))

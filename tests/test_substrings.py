@@ -42,7 +42,7 @@ def test_unshared_short_and_empty_docs_untouched(docs):
     out = _by_id(strip_repeated_substrings(docs, k=3))
     assert out[3]["n_removed"] == 0
     assert out[3]["clean_text"].startswith("entirely different")
-    assert out[4] ["n_tokens"] == 0 and out[4]["clean_text"] == ""
+    assert out[4]["n_tokens"] == 0 and out[4]["clean_text"] == ""
     assert out[5]["n_removed"] == 0  # doc shorter than k never matches
     # intra-doc repetition is NOT cross-document: min_docs counts DISTINCT
     # docs, so doc 6's self-repeated trigram survives
@@ -110,3 +110,26 @@ def test_cap_per_source_approximate_path(sourced):
     again = cap_per_source(sourced, max_docs=5, exact=False)
     assert sorted(r["doc_id"] for r in out.collect()) == \
            sorted(r["doc_id"] for r in again.collect())
+
+
+def test_importance_scores_rank_target_like_docs_higher(spark):
+    from sparkstract.operators.sampling import importance_scores
+    rows = ([(i, "alpha beta gamma delta " * 5, "tgt") for i in range(20)]
+            + [(100 + i, "omega psi chi phi " * 5, "other")
+               for i in range(20)]
+            + [(999, "", "other")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    from pyspark.sql import functions as F
+    target = docs.filter(F.col("src") == "tgt")
+    out = {r["doc_id"]: r for r in
+           importance_scores(docs, target, n_buckets=1000).collect()}
+    assert len(out) == 41                       # one row per raw doc
+    assert out[999]["n_tokens"] == 0 and out[999]["score"] == 0.0
+    # docs drawn from the target vocabulary must outscore the rest
+    assert out[0]["score"] > out[100]["score"]
+    assert all(out[i]["score"] > 0 for i in range(20))
+    assert all(out[100 + i]["score"] < 0 for i in range(20))
+    # deterministic: identical on re-run
+    again = {r["doc_id"]: r["score"] for r in
+             importance_scores(docs, target, n_buckets=1000).collect()}
+    assert again == {k: v["score"] for k, v in out.items()}
