@@ -187,6 +187,10 @@ def main() -> None:
         # broadcast-probe decontaminator and the explode-heavy chunker
         # (totals again not comparable round-over-round; compare per-query)
         "decontaminate", "chunk_docs",
+        # round 3 (this session): substring-level dedup (range-window
+        # coverage, two corpus scans) and the DSIR importance scorer
+        # (B-bounded bucket model, broadcast join)
+        "strip_substrings", "importance_scores",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the
