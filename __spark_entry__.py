@@ -95,6 +95,50 @@ def _dd_ngrams(n: int = 3) -> str:
     )
 
 
+def _dd_kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd rounds twinning kmeans_fit/kmeans_assign: md5-seeded
+    init, 6dp-rounded distances with cid tiebreak, 6dp-rounded centroid
+    components after every update (the per-round resync that keeps both
+    engines bit-identical), empty clusters keep their previous centroid."""
+    h = _DD_HEX2LONG.format(v="'km:' || CAST(vec_id AS VARCHAR)")
+    parts = [f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                 list_transform(v, x -> round(x, 6)) AS cent
+          FROM (SELECT vec_id, v, {h} AS h FROM e
+                ORDER BY h, vec_id LIMIT {k}))"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+        , d{i} AS (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.v, c.cent), 6) ASC,
+                            c.cid ASC) AS r
+          FROM e CROSS JOIN c{p} c)
+        , a{i} AS (SELECT vec_id, v, cid FROM d{i} WHERE r = 1)
+        , u{i} AS (
+          SELECT cid, j, round(avg(v[CAST(j AS INTEGER)]), 6) AS m
+          FROM a{i}, range(1, {dim + 1}) t(j) GROUP BY cid, j)
+        , n{i} AS (SELECT cid, list(m ORDER BY j) AS cent
+                   FROM u{i} GROUP BY cid)
+        , c{i} AS (
+          SELECT c{p}.cid, coalesce(n{i}.cent, c{p}.cent) AS cent
+          FROM c{p} LEFT JOIN n{i} ON c{p}.cid = n{i}.cid)""")
+    parts.append(f"""
+        , fin AS (
+          SELECT e.vec_id, c.cid,
+                 round(list_distance(e.v, c.cent), 6) AS d,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.v, c.cent), 6) ASC,
+                            c.cid ASC) AS r
+          FROM e CROSS JOIN c{iters} c)
+        SELECT vec_id, CAST(cid AS BIGINT) AS cid, d AS dist
+        FROM fin WHERE r = 1 ORDER BY vec_id""")
+    return "".join(parts)
+
+
 def _sampling_oracles() -> dict[str, str]:
     """DuckDB twins for the sampling/mixture/chunk/vocab queries. The
     keep/copy thresholds are the SAME integers the Spark side compiles
@@ -764,6 +808,19 @@ def q_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     "score")
             .orderBy("doc_id"))
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8, 2 Lloyd rounds from md5-seeded init) over
+    the embeddings table, then nearest-centroid assignment — the IVF
+    codebook training path. Oracle unrolls the same two rounds in SQL."""
+    from sparkstract.operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2)
+    return (kmeans_assign(emb, cents)
+            .select("vec_id", F.col("cid").cast("long").alias("cid"), "dist")
+            .orderBy("vec_id"))
 
 
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_substrings": q_strip_substrings,
         "source_quota": q_source_quota,
         "importance_scores": q_importance_scores,
+        "kmeans": q_kmeans,
         "html_main_content": q_html_main_content,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
@@ -2450,6 +2508,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sc s USING (doc_id)
             ORDER BY d.doc_id
         """,
+        "kmeans": _dd_kmeans_sql(k=8, iters=2, dim=64),
         "html_main_content": html_oracle,
         "pii_scrub": f"""
             SELECT doc_id, {pii_expr} AS scrubbed

@@ -231,3 +231,95 @@ def cosine_label_stats(emb: DataFrame, label_col: str = "label",
         .agg(F.count(F.lit(1)).alias("label_size"))
         .filter(F.col("label_size") > max_label)
     )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cent_struct(cid: int, cent: list, vec: Column) -> Column:
+    lit_cent = F.array(*[F.lit(float(x)) for x in cent])
+    return F.struct(
+        F.round(F.sqrt(_sqdist(vec, lit_cent)), 6).alias("d"),
+        F.lit(cid).alias("cid"),
+    )
+
+
+def _assign_expr(centroids: list[tuple[int, list[float]]],
+                 vec: Column) -> Column:
+    """(d, cid) of the nearest centroid — array_min over literal-centroid
+    structs, so assignment is a PURE COLUMN EXPRESSION: one corpus scan,
+    zero shuffles, no per-vector window. Distances round to 6dp before the
+    argmin and ties break by cid asc, so both engines pick the same
+    centroid."""
+    return F.array_min(F.array(
+        *[_cent_struct(cid, cent, vec) for cid, cent in centroids]))
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               salt: str = "km") -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over the embedding column; returns the model as a
+    plain [(cid, centroid)] list — the real IVF training path (ivf_topk's
+    label_centroids assumes a pre-clustered label column; this builds one).
+
+    Deterministic throughout: seeds are the k vectors with the smallest
+    md5(salt:id) (reproducible under retry, same trick as
+    stratified_sample), assignment rounds distances to 6dp and breaks ties
+    by cid, and every updated centroid component rounds to 6dp — the
+    resync point that keeps a DuckDB twin bit-identical across rounds.
+
+    Scale shape (the Spark MLlib pattern): the MODEL is driver-sized
+    (k x dim floats — the only collects here), the DATA never moves.
+    Per Lloyd round: one corpus scan with a row-local argmin over k literal
+    centroids (no crossJoin row blow-up, no per-vector window shuffle) and
+    one aggregation whose exchange carries at most k x dim rows per map
+    task. Empty clusters keep their previous centroid."""
+    assert k >= 1 and iters >= 0
+    from ..functions.textstats import hex_prefix_to_long
+
+    base = spread(emb).select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("vec"),
+    )
+    h = hex_prefix_to_long(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col("vid").cast("string"))), 8)
+    seed_rows = (base.select("vid", "vec", h.alias("h"))
+                 .orderBy("h", "vid").limit(k).collect())
+    cents = [(i, [round(float(x), 6) for x in r["vec"]])
+             for i, r in enumerate(seed_rows)]
+    for _ in range(iters):
+        assigned = base.select(
+            "vec", _assign_expr(cents, F.col("vec")).alias("best"))
+        per_dim = (assigned.select(F.col("best")["cid"].alias("cid"),
+                                   F.posexplode("vec"))
+                   .groupBy("cid", "pos")
+                   .agg(F.round(F.avg("col"), 6).alias("m")))
+        rows = (per_dim.groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                     .alias("pm"))
+                .select("cid",
+                        F.transform("pm", lambda s: s["m"]).alias("cent"))
+                .collect())
+        updated = {r["cid"]: [float(x) for x in r["cent"]] for r in rows}
+        cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
+    return cents
+
+
+def kmeans_assign(emb: DataFrame,
+                  centroids: list[tuple[int, list[float]]],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cid, dist) — nearest-centroid assignment as one pure-column
+    scan (the model rides the plan as literals; nothing shuffles)."""
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    best = _assign_expr(centroids, vec)
+    return spread(emb).select(
+        F.col(id_col).alias("vec_id"),
+        best["cid"].alias("cid"),
+        best["d"].alias("dist"),
+    )

@@ -133,3 +133,29 @@ def test_importance_scores_rank_target_like_docs_higher(spark):
     again = {r["doc_id"]: r["score"] for r in
              importance_scores(docs, target, n_buckets=1000).collect()}
     assert again == {k: v["score"] for k, v in out.items()}
+
+
+def test_kmeans_separates_two_obvious_clusters(spark):
+    from sparkstract.operators.similarity import kmeans_assign, kmeans_fit
+    rows = ([(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(10)]
+            + [(100 + i, [0.0, 10.0 + (i % 3) * 0.1]) for i in range(10)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(emb, k=2, iters=3)
+    assert len(cents) == 2 and all(len(c) == 2 for _, c in cents)
+    out = {r["vec_id"]: r["cid"] for r in kmeans_assign(emb, cents).collect()}
+    left = {out[i] for i in range(10)}
+    right = {out[100 + i] for i in range(10)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    # deterministic: identical model on refit
+    assert cents == kmeans_fit(emb, k=2, iters=3)
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    from sparkstract.operators.similarity import kmeans_fit
+    # k=3 over 2 distinct points: one centroid never wins a vector and
+    # must keep its previous (seed) position instead of vanishing
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [9.0, 9.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(emb, k=3, iters=2)
+    assert len(cents) == 3
+    assert all(len(c) == 2 for _, c in cents)
