@@ -95,11 +95,12 @@ def _dd_ngrams(n: int = 3) -> str:
     )
 
 
-def _dd_kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd rounds twinning kmeans_fit/kmeans_assign: md5-seeded
-    init, 6dp-rounded distances with cid tiebreak, 6dp-rounded centroid
+def _dd_kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd rounds twinning kmeans_fit: md5-seeded init,
+    6dp-rounded distances with cid tiebreak, 6dp-rounded centroid
     components after every update (the per-round resync that keeps both
-    engines bit-identical), empty clusters keep their previous centroid."""
+    engines bit-identical), empty clusters keep their previous centroid.
+    Returns the WITH chain ending at c{iters} (the trained codebook)."""
     h = _DD_HEX2LONG.format(v="'km:' || CAST(vec_id AS VARCHAR)")
     parts = [f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -126,7 +127,12 @@ def _dd_kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         , c{i} AS (
           SELECT c{p}.cid, coalesce(n{i}.cent, c{p}.cent) AS cent
           FROM c{p} LEFT JOIN n{i} ON c{p}.cid = n{i}.cid)""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _dd_kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """kmeans_assign twin: nearest trained centroid per vector."""
+    return _dd_kmeans_cte(k, iters, dim) + f"""
         , fin AS (
           SELECT e.vec_id, c.cid,
                  round(list_distance(e.v, c.cent), 6) AS d,
@@ -135,8 +141,36 @@ def _dd_kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
                             c.cid ASC) AS r
           FROM e CROSS JOIN c{iters} c)
         SELECT vec_id, CAST(cid AS BIGINT) AS cid, d AS dist
-        FROM fin WHERE r = 1 ORDER BY vec_id""")
-    return "".join(parts)
+        FROM fin WHERE r = 1 ORDER BY vec_id"""
+
+
+def _dd_ivf_kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                       topk: int = 10, n_queries: int = 5) -> str:
+    """ivf_kmeans_topk twin: assign data + queries to the trained codebook,
+    brute-force cosine inside the routed bucket, rank per query."""
+    return _dd_kmeans_cte(k, iters, dim) + f"""
+        , asg AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_distance(e.v, c.cent), 6) ASC,
+                              c.cid ASC) AS r
+            FROM e CROSS JOIN c{iters} c) WHERE r = 1)
+        , q AS (SELECT vec_id AS query_id, v AS qv, cid FROM asg
+                WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                 ORDER BY vec_id LIMIT {n_queries}))
+        , scored AS (
+          SELECT q.query_id, a.vec_id,
+                 round(list_cosine_similarity(a.v, q.qv), 6) AS score
+          FROM asg a JOIN q ON a.cid = q.cid
+          WHERE a.vec_id <> q.query_id)
+        , rr AS (
+          SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, rank, vec_id, score FROM rr
+        WHERE rank <= {topk} ORDER BY query_id, rank"""
 
 
 def _sampling_oracles() -> dict[str, str]:
@@ -936,6 +970,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, q, k=10).orderBy("query_id", "rank")
 
 
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over the TRAINED k-means codebook (train -> assign -> probe):
+    the full self-contained ANN path, no pre-clustered label column."""
+    from sparkstract.operators.similarity import ivf_kmeans_topk, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2)
+    q = (emb.orderBy("vec_id").limit(5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return (ivf_kmeans_topk(emb, q, cents, k=10)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "score")
+            .orderBy("query_id", "rank"))
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-bucketed embedding near-dup. Threshold 0.4 at the gate (like
     cosine_lsh's 0.35): the driver's embeddings are near-random with max
@@ -1595,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "importance_scores": q_importance_scores,
         "kmeans": q_kmeans,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "html_main_content": q_html_main_content,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
@@ -2509,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "kmeans": _dd_kmeans_sql(k=8, iters=2, dim=64),
+        "ann_ivf_kmeans_topk": _dd_ivf_kmeans_sql(k=8, iters=2, dim=64),
         "html_main_content": html_oracle,
         "pii_scrub": f"""
             SELECT doc_id, {pii_expr} AS scrubbed

@@ -323,3 +323,35 @@ def kmeans_assign(emb: DataFrame,
         best["cid"].alias("cid"),
         best["d"].alias("dist"),
     )
+
+
+def ivf_kmeans_topk(emb: DataFrame, queries: DataFrame,
+                    centroids: list[tuple[int, list[float]]], k: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF search over a TRAINED codebook (kmeans_fit output) instead of a
+    pre-clustered label column: assign every vector to its nearest centroid
+    (row-local argmin, zero shuffles), route each query the same way, and
+    brute-force only inside the routed bucket. At scale the assignment is
+    computed once at ingest and the table written partitioned by cid, so
+    the probe is a partition-pruned scan; here the assignment rides the
+    same plan. Ranking contract matches brute_force_topk: score rounded to
+    6dp before ranking, ties (score desc, vec_id asc)."""
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    data = spread(emb).select(
+        F.col(id_col).alias("vec_id"), vec.alias("v"),
+        _assign_expr(centroids, vec)["cid"].alias("cid"))
+    qvec = F.transform(F.col("query_vec"), lambda v: v.cast("double"))
+    probe = queries.select(
+        "query_id", qvec.alias("qv"),
+        _assign_expr(centroids, qvec)["cid"].alias("cid"))
+    scored = (data.join(F.broadcast(probe), "cid")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine(F.col("v"), F.col("qv")), 6)
+                       .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "score"))

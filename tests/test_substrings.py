@@ -159,3 +159,20 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     cents = kmeans_fit(emb, k=3, iters=2)
     assert len(cents) == 3
     assert all(len(c) == 2 for _, c in cents)
+
+
+def test_ivf_kmeans_topk_finds_in_bucket_neighbours(spark):
+    from sparkstract.operators.similarity import ivf_kmeans_topk, kmeans_fit
+    from pyspark.sql import functions as F
+    rows = ([(i, [10.0, float(i % 3)]) for i in range(8)]
+            + [(100 + i, [0.0, 10.0 + (i % 3)]) for i in range(8)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(emb, k=2, iters=2)
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = ivf_kmeans_topk(emb, q, cents, k=20).collect()
+    ids = {r["vec_id"] for r in out}
+    assert ids == set(range(1, 8))       # own bucket only, self excluded
+    ranks = [r["rank"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranks == list(range(1, 8))
