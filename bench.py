@@ -191,6 +191,9 @@ def main() -> None:
         # coverage, two corpus scans) and the DSIR importance scorer
         # (B-bounded bucket model, broadcast join)
         "strip_substrings", "importance_scores",
+        # round 3 (this session): Lloyd training + IVF probe over the
+        # trained codebook (driver round-trips are model-sized only)
+        "kmeans", "ann_ivf_kmeans_topk",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the

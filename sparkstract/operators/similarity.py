@@ -262,7 +262,8 @@ def _assign_expr(centroids: list[tuple[int, list[float]]],
 
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               salt: str = "km") -> list[tuple[int, list[float]]]:
+               salt: str = "km",
+               cache: bool = True) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means over the embedding column; returns the model as a
     plain [(cid, centroid)] list — the real IVF training path (ivf_topk's
     label_centroids assumes a pre-clustered label column; this builds one).
@@ -286,27 +287,38 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("vec"),
     )
-    h = hex_prefix_to_long(
-        F.md5(F.concat_ws(":", F.lit(salt), F.col("vid").cast("string"))), 8)
-    seed_rows = (base.select("vid", "vec", h.alias("h"))
-                 .orderBy("h", "vid").limit(k).collect())
-    cents = [(i, [round(float(x), 6) for x in r["vec"]])
-             for i, r in enumerate(seed_rows)]
-    for _ in range(iters):
-        assigned = base.select(
-            "vec", _assign_expr(cents, F.col("vec")).alias("best"))
-        per_dim = (assigned.select(F.col("best")["cid"].alias("cid"),
-                                   F.posexplode("vec"))
-                   .groupBy("cid", "pos")
-                   .agg(F.round(F.avg("col"), 6).alias("m")))
-        rows = (per_dim.groupBy("cid")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                     .alias("pm"))
-                .select("cid",
-                        F.transform("pm", lambda s: s["m"]).alias("cent"))
-                .collect())
-        updated = {r["cid"]: [float(x) for x in r["cent"]] for r in rows}
-        cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
+    # Lloyd re-scans the input once per round; persisting it is the MLlib
+    # pattern (its KMeans warns when the input is uncached). The cached
+    # frame is (id, vector) — the embedding TABLE, not the raw corpus —
+    # and MEMORY_AND_DISK spills rather than OOMs at scale.
+    if cache:
+        base = base.persist()
+    try:
+        h = hex_prefix_to_long(
+            F.md5(F.concat_ws(":", F.lit(salt),
+                              F.col("vid").cast("string"))), 8)
+        seed_rows = (base.select("vid", "vec", h.alias("h"))
+                     .orderBy("h", "vid").limit(k).collect())
+        cents = [(i, [round(float(x), 6) for x in r["vec"]])
+                 for i, r in enumerate(seed_rows)]
+        for _ in range(iters):
+            assigned = base.select(
+                "vec", _assign_expr(cents, F.col("vec")).alias("best"))
+            per_dim = (assigned.select(F.col("best")["cid"].alias("cid"),
+                                       F.posexplode("vec"))
+                       .groupBy("cid", "pos")
+                       .agg(F.round(F.avg("col"), 6).alias("m")))
+            rows = (per_dim.groupBy("cid")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                         .alias("pm"))
+                    .select("cid",
+                            F.transform("pm", lambda s: s["m"]).alias("cent"))
+                    .collect())
+            updated = {r["cid"]: [float(x) for x in r["cent"]] for r in rows}
+            cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
+    finally:
+        if cache:
+            base.unpersist()
     return cents
 
 
