@@ -85,6 +85,16 @@ _DD_HEX2LONG = (
 )
 
 
+def _dd_hexslice(v: str, start: int) -> str:
+    """Hex chars [start, start+8) of md5(v) -> bigint — DuckDB twin of
+    hex_slice_to_long (sketch hashing uses all four 8-char md5 slices)."""
+    return (
+        f"list_sum(list_transform(range({start + 1}, {start + 9}), i -> "
+        f"CAST((strpos('0123456789abcdef', md5({v})[i]) - 1) "
+        f"* CAST(power(16, {start + 8} - i) AS BIGINT) AS BIGINT)))"
+    )
+
+
 def _dd_ngrams(n: int = 3) -> str:
     return (
         f"WITH toks AS ({_DD_TOKENS}), "
@@ -855,6 +865,44 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kmeans_assign(emb, cents)
             .select("vec_id", F.col("cid").cast("long").alias("cid"), "dist")
             .orderBy("vec_id"))
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch estimates vs exact counts for the 20
+    alphabetically-first tokens; width=16 forces collisions (the corpus vocab is only ~31 tokens) at test scale
+    so est > exact is actually exercised (est >= exact always — the CMS
+    one-sided error, identical in both engines because buckets are md5)."""
+    from sparkstract.operators.sketch import cms_lookup, cms_table
+
+    docs = _t(spark, sf_dir, "documents")
+    cms = cms_table(docs, depth=4, width=16)
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    keys = tok.distinct().orderBy("token").limit(20)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    return (cms_lookup(cms, keys, depth=4, width=16)
+            .join(exact, "token")
+            .select("token", "est", "exact")
+            .orderBy("token"))
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (same split as `decontaminate`):
+    m=4096 bits / 3 hashes at test scale gives a deterministic, nonzero
+    false-positive rate shared bit-for-bit with the oracle — n_hits >=
+    the exact overlap, never below."""
+    from sparkstract.operators.sketch import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return (decontaminate_bloom(train, bench, n=3, m_bits=4096, n_hashes=3)
+            .select("doc_id",
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    F.col("n_hits").cast("long").alias("n_hits"),
+                    "contaminated")
+            .orderBy("doc_id"))
 
 
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,6 +1694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_scores": q_importance_scores,
         "kmeans": q_kmeans,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
@@ -2557,6 +2607,78 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_tokens, 0) AS n_tokens,
                    coalesce(s.score, 0.0) AS score
             FROM documents d LEFT JOIN sc s USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "cms_heavy_hitters": f"""
+            WITH lt AS ({_DD_TOKENS}),
+            tok AS (SELECT unnest(tl) AS tok FROM lt),
+            stream AS (
+              SELECT 0 AS row, ({_dd_hexslice('tok', 0)}) % 16 AS bucket
+              FROM tok
+              UNION ALL
+              SELECT 1, ({_dd_hexslice('tok', 8)}) % 16 FROM tok
+              UNION ALL
+              SELECT 2, ({_dd_hexslice('tok', 16)}) % 16 FROM tok
+              UNION ALL
+              SELECT 3, ({_dd_hexslice('tok', 24)}) % 16 FROM tok),
+            cms AS (SELECT row, bucket, count(*) AS cnt FROM stream
+                    GROUP BY row, bucket),
+            keys AS (SELECT DISTINCT tok AS token FROM tok
+                     ORDER BY token LIMIT 20),
+            probes AS (
+              SELECT token, 0 AS row,
+                     ({_dd_hexslice('token', 0)}) % 16 AS bucket FROM keys
+              UNION ALL
+              SELECT token, 1, ({_dd_hexslice('token', 8)}) % 16 FROM keys
+              UNION ALL
+              SELECT token, 2, ({_dd_hexslice('token', 16)}) % 16 FROM keys
+              UNION ALL
+              SELECT token, 3, ({_dd_hexslice('token', 24)}) % 16 FROM keys),
+            est AS (
+              SELECT p.token,
+                     CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+              FROM probes p LEFT JOIN cms c
+                ON c.row = p.row AND c.bucket = p.bucket
+              GROUP BY p.token),
+            exact AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS exact
+                      FROM tok GROUP BY tok)
+            SELECT e.token, e.est, x.exact
+            FROM est e JOIN exact x ON e.token = x.token
+            ORDER BY e.token
+        """,
+        "decontaminate_bloom": f"""
+            {_dd_ngrams(3)},
+            bgr AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0),
+            bbits AS (SELECT DISTINCT bit FROM (
+              SELECT ({_dd_hexslice('ngram', 0)}) % 4096 AS bit FROM bgr
+              UNION ALL
+              SELECT ({_dd_hexslice('ngram', 8)}) % 4096 FROM bgr
+              UNION ALL
+              SELECT ({_dd_hexslice('ngram', 16)}) % 4096 FROM bgr)),
+            tg AS (SELECT doc_id, ngram FROM grams WHERE doc_id % 97 <> 0),
+            probes AS (
+              SELECT doc_id, ngram,
+                     ({_dd_hexslice('ngram', 0)}) % 4096 AS bit FROM tg
+              UNION ALL
+              SELECT doc_id, ngram, ({_dd_hexslice('ngram', 8)}) % 4096
+              FROM tg
+              UNION ALL
+              SELECT doc_id, ngram, ({_dd_hexslice('ngram', 16)}) % 4096
+              FROM tg),
+            pg AS (
+              SELECT p.doc_id, p.ngram,
+                     CASE WHEN count(b.bit) = 3 THEN 1 ELSE 0 END AS hit
+              FROM probes p LEFT JOIN bbits b ON b.bit = p.bit
+              GROUP BY p.doc_id, p.ngram),
+            pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                          CAST(sum(hit) AS BIGINT) AS n_hits
+                   FROM pg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(pd.n_grams, 0) AS n_grams,
+                   coalesce(pd.n_hits, 0) AS n_hits,
+                   coalesce(pd.n_hits, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN pd ON pd.doc_id = d.doc_id
             ORDER BY d.doc_id
         """,
         "kmeans": _dd_kmeans_sql(k=8, iters=2, dim=64),
