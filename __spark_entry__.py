@@ -105,39 +105,49 @@ def _dd_ngrams(n: int = 3) -> str:
     )
 
 
-def _dd_kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd rounds twinning kmeans_fit: md5-seeded init,
-    6dp-rounded distances with cid tiebreak, 6dp-rounded centroid
-    components after every update (the per-round resync that keeps both
-    engines bit-identical), empty clusters keep their previous centroid.
-    Returns the WITH chain ending at c{iters} (the trained codebook)."""
-    h = _DD_HEX2LONG.format(v="'km:' || CAST(vec_id AS VARCHAR)")
+_DD_EMB = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+def _dd_lloyd(k: int, iters: int, dim: int, src: str = "e",
+              salt: str = "km", pfx: str = "") -> str:
+    """Unrolled Lloyd rounds twinning kmeans_fit over CTE `src`(vec_id, v):
+    md5-seeded init, 6dp-rounded distances with cid tiebreak, 6dp-rounded
+    centroid components after every update (the per-round resync that
+    keeps both engines bit-identical), empty clusters keep their previous
+    centroid. Returns ', {pfx}c0 AS ... , {pfx}c{iters} AS ...' — the
+    trained codebook chain, prefix-namespaced so PQ can emit one chain per
+    subspace."""
+    h = _DD_HEX2LONG.format(v=f"'{salt}:' || CAST(vec_id AS VARCHAR)")
     parts = [f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        c0 AS (
+        , {pfx}c0 AS (
           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
                  list_transform(v, x -> round(x, 6)) AS cent
-          FROM (SELECT vec_id, v, {h} AS h FROM e
+          FROM (SELECT vec_id, v, {h} AS h FROM {src}
                 ORDER BY h, vec_id LIMIT {k}))"""]
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(f"""
-        , d{i} AS (
-          SELECT e.vec_id, e.v, c.cid,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY round(list_distance(e.v, c.cent), 6) ASC,
+        , {pfx}d{i} AS (
+          SELECT s.vec_id, s.v, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id
+                   ORDER BY round(list_distance(s.v, c.cent), 6) ASC,
                             c.cid ASC) AS r
-          FROM e CROSS JOIN c{p} c)
-        , a{i} AS (SELECT vec_id, v, cid FROM d{i} WHERE r = 1)
-        , u{i} AS (
+          FROM {src} s CROSS JOIN {pfx}c{p} c)
+        , {pfx}a{i} AS (SELECT vec_id, v, cid FROM {pfx}d{i} WHERE r = 1)
+        , {pfx}u{i} AS (
           SELECT cid, j, round(avg(v[CAST(j AS INTEGER)]), 6) AS m
-          FROM a{i}, range(1, {dim + 1}) t(j) GROUP BY cid, j)
-        , n{i} AS (SELECT cid, list(m ORDER BY j) AS cent
-                   FROM u{i} GROUP BY cid)
-        , c{i} AS (
-          SELECT c{p}.cid, coalesce(n{i}.cent, c{p}.cent) AS cent
-          FROM c{p} LEFT JOIN n{i} ON c{p}.cid = n{i}.cid)""")
+          FROM {pfx}a{i}, range(1, {dim + 1}) t(j) GROUP BY cid, j)
+        , {pfx}n{i} AS (SELECT cid, list(m ORDER BY j) AS cent
+                        FROM {pfx}u{i} GROUP BY cid)
+        , {pfx}c{i} AS (
+          SELECT o.cid, coalesce(n.cent, o.cent) AS cent
+          FROM {pfx}c{p} o LEFT JOIN {pfx}n{i} n ON o.cid = n.cid)""")
     return "".join(parts)
+
+
+def _dd_kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    return (f"WITH e AS ({_DD_EMB})"
+            + _dd_lloyd(k, iters, dim, src="e", salt="km", pfx=""))
 
 
 def _dd_kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
@@ -181,6 +191,60 @@ def _dd_ivf_kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
           FROM scored)
         SELECT query_id, rank, vec_id, score FROM rr
         WHERE rank <= {topk} ORDER BY query_id, rank"""
+
+
+def _dd_pq_sql(m: int = 4, sub_k: int = 8, iters: int = 1, dim: int = 64,
+               topk: int = 10, n_queries: int = 5) -> str:
+    """pq_train/pq_encode/pq_topk twin: per-subspace Lloyd chains, code
+    assignment, per-query ADC distance tables (6dp-rounded entries), sum of
+    m lookups (6dp-rounded) ranked asc."""
+    d = dim // m
+    parts = [f"WITH e AS ({_DD_EMB})"]
+    for s in range(m):
+        parts.append(
+            f", e{s} AS (SELECT vec_id, "
+            f"v[{s * d + 1}:{(s + 1) * d}] AS v FROM e)")
+        parts.append(_dd_lloyd(sub_k, iters, d, src=f"e{s}",
+                               salt=f"pq{s}", pfx=f"p{s}"))
+        parts.append(f"""
+        , asg{s} AS (
+          SELECT vec_id, cid FROM (
+            SELECT t.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY round(list_distance(t.v, c.cent), 6) ASC,
+                              c.cid ASC) AS r
+            FROM e{s} t CROSS JOIN p{s}c{iters} c) WHERE r = 1)""")
+    parts.append(f"""
+        , q AS (SELECT vec_id AS query_id, v FROM e
+                WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                 ORDER BY vec_id LIMIT {n_queries}))""")
+    dtabs = []
+    for s in range(m):
+        dtabs.append(f"""
+          SELECT q.query_id, {s} AS s, c.cid AS code,
+                 round(sum((q.v[CAST({s * d} + j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])
+                           * (q.v[CAST({s * d} + j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])), 6) AS dsq
+          FROM q CROSS JOIN p{s}c{iters} c, range(1, {d + 1}) t(j)
+          GROUP BY q.query_id, c.cid""")
+    parts.append(", dtab AS (" + " UNION ALL ".join(dtabs) + ")")
+    probes = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, cid AS code FROM asg{s}"
+        for s in range(m))
+    parts.append(f"""
+        , probes AS ({probes})
+        , sc AS (
+          SELECT d.query_id, p.vec_id, round(sum(d.dsq), 6) AS adist
+          FROM probes p JOIN dtab d ON d.s = p.s AND d.code = p.code
+          WHERE p.vec_id <> d.query_id
+          GROUP BY d.query_id, p.vec_id)
+        , rr AS (
+          SELECT query_id, vec_id, adist,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY adist ASC, vec_id ASC) AS rank
+          FROM sc)
+        SELECT query_id, rank, vec_id, adist FROM rr
+        WHERE rank <= {topk} ORDER BY query_id, rank""")
+    return "".join(parts)
 
 
 def _sampling_oracles() -> dict[str, str]:
@@ -1034,6 +1098,23 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jegou et al. 2011): 4 subspace
+    codebooks of 8 codes (one Lloyd round each), vectors compressed to 4
+    codes, per-query distance = sum of 4 table lookups."""
+    from sparkstract.operators.similarity import pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=4, sub_k=8, iters=1, dim=64)
+    q = (emb.orderBy("vec_id").limit(5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return (pq_topk(emb, q, books, k=10)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "adist")
+            .orderBy("query_id", "rank"))
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-bucketed embedding near-dup. Threshold 0.4 at the gate (like
     cosine_lsh's 0.35): the driver's embeddings are near-random with max
@@ -1694,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_scores": q_importance_scores,
         "kmeans": q_kmeans,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -2683,6 +2765,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": _dd_kmeans_sql(k=8, iters=2, dim=64),
         "ann_ivf_kmeans_topk": _dd_ivf_kmeans_sql(k=8, iters=2, dim=64),
+        "ann_pq_topk": _dd_pq_sql(m=4, sub_k=8, iters=1, dim=64),
         "html_main_content": html_oracle,
         "pii_scrub": f"""
             SELECT doc_id, {pii_expr} AS scrubbed

@@ -194,6 +194,9 @@ def main() -> None:
         # round 3 (this session): Lloyd training + IVF probe over the
         # trained codebook (driver round-trips are model-sized only)
         "kmeans", "ann_ivf_kmeans_topk",
+        # round 3 (this session): PQ/ADC search — encode scan + broadcast
+        # distance-table lookups, the compressed-domain ANN scale path
+        "ann_pq_topk",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the

@@ -176,3 +176,31 @@ def test_ivf_kmeans_topk_finds_in_bucket_neighbours(spark):
     assert ids == set(range(1, 8))       # own bucket only, self excluded
     ranks = [r["rank"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ranks == list(range(1, 8))
+
+
+def test_pq_adc_recovers_subspace_structure(spark):
+    from sparkstract.operators.similarity import pq_encode, pq_topk, pq_train
+    from pyspark.sql import functions as F
+    # two well-separated groups in a 4-dim space, m=2 subspaces of 2 dims
+    rows = ([(i, [5.0, 5.0, float(i % 2), 0.0]) for i in range(6)]
+            + [(100 + i, [-5.0, -5.0, 0.0, float(i % 2)]) for i in range(6)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(emb, m=2, sub_k=2, iters=2, dim=4)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    codes = pq_encode(emb, books)
+    got = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in codes.collect()}
+    # subspace 0 separates the two groups: same code within, different across
+    assert len({got[i][0] for i in range(6)}) == 1
+    assert len({got[100 + i][0] for i in range(6)}) == 1
+    assert got[0][0] != got[100][0]
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = sorted(pq_topk(emb, q, books, k=12).collect(),
+                 key=lambda r: r["rank"])
+    # ADC ranks every own-group member above every cross-group member
+    own = [r for r in out if r["vec_id"] < 100]
+    other = [r for r in out if r["vec_id"] >= 100]
+    assert own and other
+    assert max(r["rank"] for r in own) < min(r["rank"] for r in other)
+    assert all(r["adist"] >= 0 for r in out)
