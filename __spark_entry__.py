@@ -193,6 +193,46 @@ def _dd_ivf_kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
         WHERE rank <= {topk} ORDER BY query_id, rank"""
 
 
+def _dd_semdedup_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                     threshold: float = 0.35,
+                     max_cluster: int = 4096) -> str:
+    """semdedup twin: final-codebook assignment (same fin shape as the
+    kmeans oracle), within-cluster cosine pairs at 6dp, keeper = the
+    farther-from-centroid member (tie -> smaller vec_id stays)."""
+    return _dd_kmeans_cte(k, iters, dim) + f"""
+        , fin AS (
+          SELECT vec_id, v, cid, d AS cdist FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   round(list_distance(e.v, c.cent), 6) AS d,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_distance(e.v, c.cent), 6) ASC,
+                              c.cid ASC) AS r
+            FROM e CROSS JOIN c{iters} c) WHERE r = 1)
+        , okc AS (SELECT cid FROM fin GROUP BY cid
+                  HAVING count(*) BETWEEN 2 AND {max_cluster})
+        , kept AS (SELECT * FROM fin WHERE cid IN (SELECT cid FROM okc))
+        , dup AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 x.cdist AS da, y.cdist AS db
+          FROM kept x JOIN kept y
+            ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold})
+        , drops AS (
+          SELECT DISTINCT CASE WHEN da < db THEN id_a ELSE id_b END AS vec_id
+          FROM dup)
+        , nd AS (
+          SELECT vec_id, count(*) AS n_dups FROM (
+            SELECT id_a AS vec_id FROM dup
+            UNION ALL SELECT id_b FROM dup) GROUP BY vec_id)
+        SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cid,
+               CAST(coalesce(nd.n_dups, 0) AS BIGINT) AS n_dups,
+               (dr.vec_id IS NULL) AS keep
+        FROM fin f
+        LEFT JOIN nd ON f.vec_id = nd.vec_id
+        LEFT JOIN drops dr ON f.vec_id = dr.vec_id
+        ORDER BY f.vec_id"""
+
+
 def _dd_pq_sql(m: int = 4, sub_k: int = 8, iters: int = 1, dim: int = 64,
                topk: int = 10, n_queries: int = 5) -> str:
     """pq_train/pq_encode/pq_topk twin: per-subspace Lloyd chains, code
@@ -1115,6 +1155,21 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdicts (Abbas et al. 2023): k-means cluster (k=8, the
+    trained `kmeans` codebook), within-cluster cosine >= 0.35 = semantic
+    duplicate (115 pairs at sf0.01 — non-vacuous), keep the
+    farther-from-centroid pair member. One row per vector."""
+    from sparkstract.operators.similarity import kmeans_fit, semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2)
+    return (semdedup(emb, cents, threshold=0.35)
+            .select("vec_id", F.col("cid").cast("long").alias("cid"),
+                    "n_dups", "keep")
+            .orderBy("vec_id"))
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-bucketed embedding near-dup. Threshold 0.4 at the gate (like
     cosine_lsh's 0.35): the driver's embeddings are near-random with max
@@ -1776,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "semdedup": q_semdedup,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -2766,6 +2822,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _dd_kmeans_sql(k=8, iters=2, dim=64),
         "ann_ivf_kmeans_topk": _dd_ivf_kmeans_sql(k=8, iters=2, dim=64),
         "ann_pq_topk": _dd_pq_sql(m=4, sub_k=8, iters=1, dim=64),
+        "semdedup": _dd_semdedup_sql(k=8, iters=2, dim=64),
         "html_main_content": html_oracle,
         "pii_scrub": f"""
             SELECT doc_id, {pii_expr} AS scrubbed

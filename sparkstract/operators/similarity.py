@@ -369,6 +369,60 @@ def ivf_kmeans_topk(emb: DataFrame, queries: DataFrame,
             .select("query_id", "rank", "vec_id", "score"))
 
 
+def semdedup(emb: DataFrame, centroids: list[tuple[int, list[float]]],
+             threshold: float = 0.35, max_cluster: int = 4096,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    with a trained k-means codebook, call within-cluster pairs whose cosine
+    clears `threshold` semantic duplicates, and for each duplicate pair keep
+    the member FARTHER from its cluster centroid (the paper's
+    low-centroid-similarity keeper), ties broken by smaller vec_id. Returns
+    one verdict row per vector: (vec_id, cid, n_dups, keep) — auditable
+    drops, same contract as curated_corpus.
+
+    Scale shape: assignment is the zero-shuffle row-local argmin (the model
+    rides the plan as literals), the quadratic pair join is confined to
+    clusters with the count-first cap discipline of cosine_near_dup_pairs
+    (counts per cid, cap filter, semi-join survivors — nothing corpus-sized
+    in one buffer; at 100 TB you pick k so n/k is bucket-sized, exactly the
+    paper's 50k-cluster setup). Oversized clusters are dropped, not
+    truncated — audit via cosine_label_stats over the assignment frame.
+    Cosine and centroid distance round to 6dp (the engine-parity contract)
+    before any comparison."""
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    best = _assign_expr(centroids, vec)
+    base = spread(emb).select(
+        F.col(id_col).alias("vec_id"), vec.alias("v"),
+        best["cid"].alias("cid"), best["d"].alias("cdist"))
+    ok = (base.groupBy("cid")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .filter((F.col("n") >= 2) & (F.col("n") <= max_cluster))
+          .select("cid"))
+    kept = base.join(ok, "cid", "left_semi")
+    a = kept.select("cid", F.col("vec_id").alias("id_a"),
+                    F.col("v").alias("va"), F.col("cdist").alias("da"))
+    b = kept.select("cid", F.col("vec_id").alias("id_b"),
+                    F.col("v").alias("vb"), F.col("cdist").alias("db"))
+    dup = (a.join(b, "cid")
+           .filter(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b", "da", "db",
+                   F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+           .filter(F.col("cos") >= threshold))
+    # keeper = farther-from-centroid member; on a tie the smaller id stays
+    drops = dup.select(
+        F.when(F.col("da") < F.col("db"), F.col("id_a"))
+         .otherwise(F.col("id_b")).alias("vec_id")).distinct()
+    n_dups = (dup.select(F.col("id_a").alias("vec_id"))
+              .unionAll(dup.select(F.col("id_b").alias("vec_id")))
+              .groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_dups")))
+    return (base.join(n_dups, "vec_id", "left")
+            .join(drops.withColumn("dropped", F.lit(True)), "vec_id", "left")
+            .select("vec_id", "cid",
+                    F.coalesce(F.col("n_dups"), F.lit(0)).cast("long")
+                     .alias("n_dups"),
+                    F.col("dropped").isNull().alias("keep")))
+
+
 def pq_train(emb: DataFrame, m: int = 4, sub_k: int = 8, iters: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int | None = None) -> list[list[tuple[int, list[float]]]]:

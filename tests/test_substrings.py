@@ -204,3 +204,27 @@ def test_pq_adc_recovers_subspace_structure(spark):
     assert own and other
     assert max(r["rank"] for r in own) < min(r["rank"] for r in other)
     assert all(r["adist"] >= 0 for r in out)
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    from sparkstract.operators.similarity import kmeans_fit, semdedup
+    # tight group A (ids 0-2, near-identical), tight pair B (ids 100-101,
+    # identical), one A-aligned outlier (id 50) below the dup threshold
+    rows = [(0, [10.0, 0.0, 0.0, 0.0]),
+            (1, [10.0, 0.1, 0.0, 0.0]),
+            (2, [10.0, 0.2, 0.0, 0.0]),
+            (50, [0.1, 10.0, 0.0, 0.0]),
+            (100, [-10.0, 0.0, 0.0, 0.0]),
+            (101, [-10.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(emb, k=2, iters=2)
+    out = {r["vec_id"]: r for r in semdedup(emb, cents, 0.99).collect()}
+    assert len(out) == 6
+    # group A: only the farthest-from-centroid member survives; the
+    # symmetric-distance tie (0 vs 2) resolves to the smaller id
+    assert out[0]["keep"] and not out[1]["keep"] and not out[2]["keep"]
+    assert out[0]["n_dups"] == 2 and out[1]["n_dups"] == 2
+    # identical pair: smaller id stays
+    assert out[100]["keep"] and not out[101]["keep"]
+    # outlier is no one's duplicate
+    assert out[50]["keep"] and out[50]["n_dups"] == 0
