@@ -1170,6 +1170,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the OR-query {dup, spark, join} — one rare
+    term (df~25 at sf0.01, high idf) and two common ones, so the ranking
+    exercises both idf separation and the length normalization."""
+    from sparkstract.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["dup", "spark", "join"], topk=20)
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-bucketed embedding near-dup. Threshold 0.4 at the gate (like
     cosine_lsh's 0.35): the driver's embeddings are near-random with max
@@ -1832,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "semdedup": q_semdedup,
+        "bm25_topk": q_bm25_topk,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -2823,6 +2834,39 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans_topk": _dd_ivf_kmeans_sql(k=8, iters=2, dim=64),
         "ann_pq_topk": _dd_pq_sql(m=4, sub_k=8, iters=1, dim=64),
         "semdedup": _dd_semdedup_sql(k=8, iters=2, dim=64),
+        "bm25_topk": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents),
+            toks AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok
+                     FROM tk),
+            m AS (
+              SELECT doc_id, tok, dl, count(*) AS tf
+              FROM toks WHERE tok IN ('dup', 'spark', 'join')
+              GROUP BY doc_id, tok, dl),
+            dfs AS (SELECT tok, count(DISTINCT doc_id) AS df
+                    FROM m GROUP BY tok),
+            stats AS (
+              SELECT count(*) AS n, round(avg(len(toks)), 6) AS avgdl
+              FROM tk),
+            sc AS (
+              SELECT m.doc_id,
+                     round(sum(round(
+                       ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * ((m.tf * (1.2 + 1.0))
+                          / (m.tf + 1.2 * ((1.0 - 0.75)
+                                           + (0.75 * m.dl) / s.avgdl))),
+                       6)), 6) AS score
+              FROM m JOIN dfs d ON m.tok = d.tok CROSS JOIN stats s
+              GROUP BY m.doc_id),
+            rr AS (SELECT doc_id, score,
+                          row_number() OVER (ORDER BY score DESC,
+                                             doc_id ASC) AS rank
+                   FROM sc)
+            SELECT rank, doc_id, score FROM rr
+            WHERE rank <= 20 ORDER BY rank
+        """,
         "html_main_content": html_oracle,
         "pii_scrub": f"""
             SELECT doc_id, {pii_expr} AS scrubbed

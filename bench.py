@@ -197,6 +197,9 @@ def main() -> None:
         # round 3 (this session): PQ/ADC search — encode scan + broadcast
         # distance-table lookups, the compressed-domain ANN scale path
         "ann_pq_topk",
+        # round 3 (this session): semantic dedup over the trained clusters
+        # and BM25 lexical retrieval
+        "semdedup", "bm25_topk",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the

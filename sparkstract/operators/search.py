@@ -1,0 +1,75 @@
+"""Lexical document search: Okapi BM25 top-k over the documents table.
+
+The retrieval counterpart of the ANN family — given a bag of query terms,
+rank documents by BM25 (Robertson & Walker 1994; the Lucene/Elasticsearch
+default). Everything is built-in column expressions: tokenize → explode →
+(doc, term) tf aggregation, a |q|-bounded df aggregate, and two 1-row
+corpus stats frames cross-joined in (the importance_scores pattern) — no
+Python UDF, no driver round-trip.
+
+Scale shape at 100 TB: the explode is per-doc bounded; the query-term
+filter lands right after the scan so the tf aggregation only shuffles rows
+for matching terms (|q| keys x matching docs, NOT the corpus token
+stream); df/N/avgdl exchanges are 1-to-|q|-row aggregates with map-side
+combine; the final top-k is orderBy+limit = TakeOrdered (no global
+window) and the rank column is minted on the already-limited k-row frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import tokens
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], topk: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(rank, doc_id, score): top-k documents for a bag of query terms.
+
+    score(d) = sum over matched terms t of
+        ln(1 + (N - df_t + 0.5) / (df_t + 0.5))          -- Robertson idf
+        * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Engine-parity contract: tf/df/dl/N are exact integers in both engines,
+    avgdl and every per-term contribution round to 6dp, the per-doc sum
+    rounds to 6dp before ranking, ties break by doc_id asc. Documents
+    matching no query term never enter the ranking (standard OR-query
+    semantics)."""
+    assert query_terms and topk >= 1
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    ).select("doc_id", F.size("toks").alias("dl"),
+             F.explode("toks").alias("tok"))
+    # persisted: both the df aggregate and the scoring branch read this
+    # frame — without the persist Catalyst duplicates the subtree and the
+    # corpus is scanned+exploded twice. The frame is (matching doc, term)
+    # rows only: |q|-bounded per doc, small by construction.
+    matched = (toks.filter(F.col("tok").isin(query_terms))
+               .groupBy("doc_id", "tok", "dl")
+               .agg(F.count(F.lit(1)).alias("tf"))
+               .persist())
+    dfs = (matched.groupBy("tok")
+           .agg(F.countDistinct("doc_id").alias("df")))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.size(tokens(F.lower(F.col(text_col))))), 6)
+         .alias("avgdl"))
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = F.col("tf") * (F.lit(k1) + 1.0) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                   + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    scored = (matched
+              .join(F.broadcast(dfs), "tok")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id", F.round(idf * norm, 6).alias("contrib"))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("contrib"), 6).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select(F.col("rank").cast("long").alias("rank"),
+                    "doc_id", "score"))
