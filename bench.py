@@ -192,7 +192,10 @@ def main() -> None:
         # (B-bounded bucket model, broadcast join)
         "strip_substrings", "importance_scores",
         # round 3 (this session): Lloyd training + IVF probe over the
-        # trained codebook (driver round-trips are model-sized only)
+        # trained codebook (driver round-trips are model-sized only).
+        # NOTE: `kmeans` carries the training cost; ann_ivf_kmeans_topk and
+        # semdedup REUSE the trained model (production train-once pattern),
+        # so their timings measure assignment/probe, not training.
         "kmeans", "ann_ivf_kmeans_topk",
         # round 3 (this session): PQ/ADC search — encode scan + broadcast
         # distance-table lookups, the compressed-domain ANN scale path

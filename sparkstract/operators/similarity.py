@@ -423,26 +423,87 @@ def semdedup(emb: DataFrame, centroids: list[tuple[int, list[float]]],
                     F.col("dropped").isNull().alias("keep")))
 
 
+def _per_subspace_assign(books: dict[int, list[tuple[int, list[float]]]],
+                         sub: Column) -> Column:
+    """(d, cid) of the nearest sub-centroid for a (s, subvector) row — a
+    CASE chain over the m per-subspace argmin expressions, still a pure
+    column expression."""
+    expr = None
+    for s in sorted(books):
+        e = _assign_expr(books[s], sub)
+        expr = (F.when(F.col("s") == s, e) if expr is None
+                else expr.when(F.col("s") == s, e))
+    return expr
+
+
 def pq_train(emb: DataFrame, m: int = 4, sub_k: int = 8, iters: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int | None = None) -> list[list[tuple[int, list[float]]]]:
     """Product-quantization codebooks (Jegou et al. 2011): split the vector
     into `m` equal subspaces and train an independent k-means codebook in
-    each (kmeans_fit does the heavy lifting — same determinism contract).
-    Returns one [(cid, centroid)] list per subspace. The model is
-    m x sub_k x (dim/m) floats — driver-sized at any corpus size."""
+    each. Returns one [(cid, centroid)] list per subspace; the model is
+    m x sub_k x (dim/m) floats — driver-sized at any corpus size.
+
+    All m trainings are BATCHED into one Lloyd loop over an exploded
+    (vec_id, s, subvector) frame — one seed job and one update job per
+    round TOTAL instead of per subspace (m x fewer Spark jobs; the update
+    exchange carries at most m x sub_k x d rows per map task). The math is
+    bit-identical to m independent kmeans_fit(salt=f"pq{s}") runs: per-s
+    md5 seeding, 6dp distance rounding with cid tiebreak, 6dp centroid
+    resync, empty clusters keep their previous centroid — so the unrolled
+    per-subspace DuckDB chains still hash-match."""
+    from ..functions.textstats import hex_prefix_to_long
+
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    assert dim % m == 0
+    assert dim % m == 0 and sub_k >= 1 and iters >= 0
     d = dim // m
-    books = []
-    for s in range(m):
-        sliced = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * d + 1, d).alias("embedding"))
-        books.append(kmeans_fit(sliced, k=sub_k, iters=iters,
-                                salt=f"pq{s}"))
-    return books
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("s"), F.slice(vec, s * d + 1, d).alias("sv"))
+        for s in range(m)])
+    base = (spread(emb)
+            .select(F.col(id_col).alias("vid"), F.explode(subs).alias("x"))
+            .select("vid", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+            .persist())
+    try:
+        h = hex_prefix_to_long(
+            F.md5(F.concat_ws(":", F.concat(F.lit("pq"),
+                                            F.col("s").cast("string")),
+                              F.col("vid").cast("string"))), 8)
+        w = Window.partitionBy("s").orderBy("h", "vid")
+        seed_rows = (base.select("s", "vid", "sv", h.alias("h"))
+                     .withColumn("r", F.row_number().over(w))
+                     .filter(F.col("r") <= sub_k)
+                     .collect())
+        books: dict[int, list[tuple[int, list[float]]]] = {
+            s: [] for s in range(m)}
+        for r in sorted(seed_rows, key=lambda r: (r["s"], r["r"])):
+            books[r["s"]].append(
+                (r["r"] - 1, [round(float(x), 6) for x in r["sv"]]))
+        for _ in range(iters):
+            assigned = base.select(
+                "s", "sv",
+                _per_subspace_assign(books, F.col("sv")).alias("best"))
+            rows = (assigned.select("s", F.col("best")["cid"].alias("cid"),
+                                    F.posexplode("sv"))
+                    .groupBy("s", "cid", "pos")
+                    .agg(F.round(F.avg("col"), 6).alias("mu"))
+                    .groupBy("s", "cid")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "mu")))
+                         .alias("pm"))
+                    .select("s", "cid",
+                            F.transform("pm", lambda t: t["mu"])
+                             .alias("cent"))
+                    .collect())
+            updated = {(r["s"], r["cid"]): [float(x) for x in r["cent"]]
+                       for r in rows}
+            books = {s: [(cid, updated.get((s, cid), cent))
+                         for cid, cent in book]
+                     for s, book in books.items()}
+    finally:
+        base.unpersist()
+    return [books[s] for s in range(m)]
 
 
 def pq_encode(emb: DataFrame, books: list[list[tuple[int, list[float]]]],
@@ -494,12 +555,20 @@ def pq_topk(emb: DataFrame, queries: DataFrame,
                 table.append((q["query_id"], s, cid, round(acc, 6)))
     dtab = spark.createDataFrame(
         table, "query_id long, s int, code int, dsq double")
-    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
-    probes = None
-    for s in range(m):
-        p = codes.select("vec_id", F.lit(s).alias("s"),
-                         F.col(f"code_{s}").alias("code"))
-        probes = p if probes is None else probes.unionByName(p)
+    # probes in ONE scan: an array of m (s, code) structs exploded, instead
+    # of a union of m selects (which would duplicate the encode subtree
+    # into m corpus scans)
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    entries = F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 _assign_expr(books[s], F.slice(vec, s * d + 1, d))["cid"]
+                  .alias("code"))
+        for s in range(m)])
+    probes = (spread(emb)
+              .select(F.col(id_col).alias("vec_id"),
+                      F.explode(entries).alias("p"))
+              .select("vec_id", F.col("p.s").alias("s"),
+                      F.col("p.code").alias("code")))
     scored = (probes.join(F.broadcast(dtab), ["s", "code"])
               .filter(F.col("vec_id") != F.col("query_id"))
               .groupBy("query_id", "vec_id")
