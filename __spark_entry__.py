@@ -1199,6 +1199,25 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["dup", "spark", "join"], topk=20)
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (smooth idf, sklearn
+    convention) — the per-doc description counterpart of bm25_topk."""
+    from sparkstract.operators.search import doc_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_keywords(docs, topk=3).orderBy("doc_id", "rank")
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card rollup: per-(lang, source) doc counts, within-stratum
+    exact-dup counts, token/char totals, mean length + rollup totals."""
+    from sparkstract.operators.report import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_report(docs).orderBy(F.asc_nulls_first("lang"),
+                                       F.asc_nulls_first("source"))
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-bucketed embedding near-dup. Threshold 0.4 at the gate (like
     cosine_lsh's 0.35): the driver's embeddings are near-random with max
@@ -1862,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "semdedup": q_semdedup,
         "bm25_topk": q_bm25_topk,
+        "doc_keywords": q_doc_keywords,
+        "corpus_report": q_corpus_report,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -2853,6 +2874,46 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans_topk": _dd_ivf_kmeans_sql(k=8, iters=2, dim=64),
         "ann_pq_topk": _dd_pq_sql(m=4, sub_k=8, iters=1, dim=64),
         "semdedup": _dd_semdedup_sql(k=8, iters=2, dim=64),
+        "doc_keywords": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM toks GROUP BY doc_id, tok),
+            dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            nn AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+              SELECT t.doc_id, t.tok,
+                     round(t.tf * (ln((nn.n + 1.0) / (d.df + 1.0)) + 1.0),
+                           6) AS score
+              FROM tf t JOIN dfs d ON t.tok = d.tok CROSS JOIN nn),
+            rr AS (SELECT doc_id, tok, score,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok ASC) AS rank
+                   FROM sc)
+            SELECT doc_id, rank, tok, score FROM rr
+            WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "corpus_report": r"""
+            WITH base AS (
+              SELECT lang, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_toks,
+                     length(text) AS n_chars,
+                     md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                       AS fp
+              FROM documents)
+            SELECT lang, source, count(*) AS n_docs,
+                   count(*) - count(DISTINCT fp) AS n_dup_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_toks), 6) AS avg_tokens
+            FROM base GROUP BY ROLLUP (lang, source)
+            ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
+        """,
         "bm25_topk": r"""
             WITH tk AS (
               SELECT doc_id,

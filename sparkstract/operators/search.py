@@ -73,3 +73,35 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], topk: int = 20,
     return (top.withColumn("rank", F.row_number().over(w))
             .select(F.col("rank").cast("long").alias("rank"),
                     "doc_id", "score"))
+
+
+def doc_keywords(docs: DataFrame, topk: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, rank, tok, score): top-k characteristic terms per document
+    by smoothed tf-idf — score = tf * (ln((N+1)/(df+1)) + 1), the
+    scikit-learn smooth_idf convention. The keyword-extraction counterpart
+    of bm25_topk (corpus-wide retrieval vs per-doc description).
+
+    Scale shape: tf is the (doc, term) aggregation (map-side combine); df
+    aggregates over the VOCABULARY key space (map-side combine absorbs
+    token skew — the exchange carries at most |vocab| rows per map task);
+    the df join shuffles on the term key (broadcast when the vocabulary is
+    small, AQE decides); the per-doc rank window partitions by doc_id, so
+    its state is bounded by one document's distinct terms. Scores round to
+    6dp before ranking, ties break by token asc."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    idf = F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) \
+        + F.lit(1.0)
+    scored = (tf.join(dfs, "tok").crossJoin(F.broadcast(n))
+              .select("doc_id", "tok",
+                      F.round(F.col("tf") * idf, 6).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("doc_id", F.col("rank").cast("long").alias("rank"),
+                    "tok", "score"))

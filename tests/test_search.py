@@ -39,3 +39,22 @@ def test_bm25_topk_truncates_and_orders(spark):
     by_rank = sorted(out, key=lambda r: r["rank"])
     scores = [r["score"] for r in by_rank]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_doc_keywords_prefers_rare_terms(spark):
+    from sparkstract.operators.search import doc_keywords
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common quartz quartz"),
+            (3, "common plain words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = doc_keywords(docs, topk=2)
+    rows = {(r["doc_id"], r["rank"]): r["tok"] for r in out.collect()}
+    # rare repeated term beats the corpus-wide common one
+    assert rows[(1, 1)] == "zebra"
+    assert rows[(2, 1)] == "quartz"
+    # every doc gets exactly topk (or its distinct-term count) rows
+    assert len([k for k in rows if k[0] == 1]) == 2
