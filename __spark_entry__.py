@@ -1199,6 +1199,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["dup", "spark", "join"], topk=20)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing over the chunk_docs output: chunks are
+    md5-shuffled into 8 hash buckets and concatenated into 256-token
+    sequences (bucket-local running sum — no global window)."""
+    from sparkstract.operators.packing import pack_sequences
+    from sparkstract.operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, window=32, stride=24)
+    return (pack_sequences(chunks, budget=256, n_buckets=8)
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    "seq_id", "start_in_seq", "doc_id",
+                    F.col("chunk_id").cast("long").alias("chunk_id"),
+                    "n_tokens")
+            .orderBy("bucket", "seq_id", "start_in_seq",
+                     "doc_id", "chunk_id"))
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf keywords per document (smooth idf, sklearn
     convention) — the per-doc description counterpart of bm25_topk."""
@@ -1883,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "doc_keywords": q_doc_keywords,
         "corpus_report": q_corpus_report,
+        "pack_sequences": q_pack_sequences,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -2874,6 +2893,40 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans_topk": _dd_ivf_kmeans_sql(k=8, iters=2, dim=64),
         "ann_pq_topk": _dd_pq_sql(m=4, sub_k=8, iters=1, dim=64),
         "semdedup": _dd_semdedup_sql(k=8, iters=2, dim=64),
+        "pack_sequences": f"""
+            WITH toks AS (
+              SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+                     ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS tl
+              FROM documents),
+            c AS (
+              SELECT doc_id, len(tl) AS n,
+                     unnest(range(0, CASE WHEN len(tl) = 0 THEN 0
+                       ELSE 1 + CAST(ceil(greatest(len(tl) - 32, 0) / 24.0)
+                                     AS BIGINT) END)) AS chunk_id
+              FROM toks),
+            ch AS (
+              SELECT doc_id, chunk_id,
+                     least(32, n - chunk_id * 24) AS n_tokens,
+                     {_DD_HEX2LONG.format(
+                         v="'pack:' || CAST(doc_id AS VARCHAR) || ':' "
+                           "|| CAST(chunk_id AS VARCHAR)")} AS h
+              FROM c),
+            pk AS (
+              SELECT doc_id, chunk_id, n_tokens, h % 8 AS bucket,
+                     CAST(sum(n_tokens) OVER (PARTITION BY h % 8
+                       ORDER BY h, doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT)
+                     - n_tokens AS strt
+              FROM ch)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(floor(strt / 256.0) AS BIGINT) AS seq_id,
+                   strt % 256 AS start_in_seq,
+                   doc_id, chunk_id, n_tokens
+            FROM pk
+            ORDER BY bucket, seq_id, start_in_seq, doc_id, chunk_id
+        """,
         "doc_keywords": r"""
             WITH toks AS (
               SELECT doc_id,

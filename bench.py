@@ -203,6 +203,9 @@ def main() -> None:
         # round 3 (this session): semantic dedup over the trained clusters
         # and BM25 lexical retrieval
         "semdedup", "bm25_topk",
+        # round 3 (this session): chunk->sequence packing (bucket-local
+        # running-sum window, the training-layout step after chunk_docs)
+        "pack_sequences",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the
