@@ -233,6 +233,74 @@ def _dd_semdedup_sql(k: int = 8, iters: int = 2, dim: int = 64,
         ORDER BY f.vec_id"""
 
 
+def _dd_minhash_match_sql(num_hashes: int = 8, bands: int = 4,
+                          max_bucket: int = 1024) -> str:
+    """minhash_match twin: signatures for the derived new-docs batch and
+    the corpus from the same Carter-Wegman family, (band, key) equi-join,
+    full-signature agreement count."""
+    def hex_slice(v: str, start: int) -> str:
+        return (
+            "list_sum(list_transform(range(1, 9), i -> "
+            f"CAST((strpos('0123456789abcdef', md5({v})[{start} + i]) - 1) "
+            "* CAST(power(16, 8 - i) AS BIGINT) AS BIGINT)))"
+        )
+
+    h1, h2 = hex_slice("ngram", 0), hex_slice("ngram", 8)
+    aggs = ", ".join(
+        f"min(({h1} + {i} * {h2}) % 4294967296) AS mh{i}"
+        for i in range(num_hashes))
+    rows = num_hashes // bands
+
+    def band_sel(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+            + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)"
+                        for r in range(rows))
+            + f")) AS key FROM {src}"
+            for b in range(bands))
+
+    def grams(toks: str) -> str:
+        return (f"SELECT DISTINCT doc_id, unnest(list_transform("
+                f"range(0, greatest(len(tl) - 2, 0)), "
+                f"i -> array_to_string(tl[CAST(i + 1 AS BIGINT):"
+                f"CAST(i + 3 AS BIGINT)], ' '))) AS ngram FROM {toks}")
+
+    agree = " + ".join(
+        f"CASE WHEN sn.mh{i} = sc.mh{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes))
+    return f"""
+        WITH tc AS ({_DD_TOKENS}),
+        newd AS (
+          SELECT 'n-' || CAST(doc_id AS VARCHAR) AS doc_id,
+                 CASE WHEN doc_id = 3 THEN text || ' zzz qqq zzz'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id IN (1, 2, 3)),
+        tn AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+                 ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                 END AS tl FROM newd),
+        gc AS ({grams('tc')}),
+        gn AS ({grams('tn')}),
+        sigc AS (SELECT doc_id, {aggs} FROM gc GROUP BY doc_id),
+        sign AS (SELECT doc_id, {aggs} FROM gn GROUP BY doc_id),
+        bc AS ({band_sel('sigc')}),
+        bn AS ({band_sel('sign')}),
+        okc AS (SELECT band, key FROM bc GROUP BY band, key
+                HAVING count(*) <= {max_bucket}),
+        cand AS (
+          SELECT n.doc_id AS new_id, c.doc_id, count(DISTINCT n.band)
+                   AS n_bands
+          FROM bn n
+          JOIN (SELECT b.* FROM bc b JOIN okc USING (band, key)) c
+            USING (band, key)
+          GROUP BY 1, 2)
+        SELECT cand.new_id, cand.doc_id, cand.n_bands,
+               CAST({agree} AS BIGINT) AS n_sig_match
+        FROM cand
+        JOIN sign sn ON sn.doc_id = cand.new_id
+        JOIN sigc sc ON sc.doc_id = cand.doc_id
+        ORDER BY cand.new_id, cand.doc_id"""
+
+
 def _dd_pq_sql(m: int = 4, sub_k: int = 8, iters: int = 1, dim: int = 64,
                topk: int = 10, n_queries: int = 5) -> str:
     """pq_train/pq_encode/pq_topk twin: per-subspace Lloyd chains, code
@@ -1199,6 +1267,27 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["dup", "spark", "join"], topk=20)
 
 
+def q_minhash_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup gate: a 3-doc 'new batch' derived from the corpus
+    (two exact copies + one with appended junk tokens) matched against the
+    full corpus via cross-side LSH band join + signature-agreement verify.
+    All three hit their originals at 4/4 bands, 8/8 components (the
+    appended junk adds shingles without displacing any minimum); the
+    partial-agreement path is exercised by a corpus near-dup of doc 1
+    matching at 1 band, 3/8 components."""
+    from sparkstract.operators.dedup import minhash_match
+
+    docs = _t(spark, sf_dir, "documents")
+    new = (docs.filter(F.col("doc_id").isin(1, 2, 3))
+           .select(F.concat(F.lit("n-"), F.col("doc_id").cast("string"))
+                    .alias("doc_id"),
+                   F.when(F.col("doc_id") == 3,
+                          F.concat(F.col("text"), F.lit(" zzz qqq zzz")))
+                    .otherwise(F.col("text")).alias("text")))
+    return (minhash_match(new, docs, num_hashes=8, bands=4)
+            .orderBy("new_id", "doc_id"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing over the chunk_docs output: chunks are
     md5-shuffled into 8 hash buckets and concatenated into 256-token
@@ -1902,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
+        "minhash_match": q_minhash_match,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -2893,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans_topk": _dd_ivf_kmeans_sql(k=8, iters=2, dim=64),
         "ann_pq_topk": _dd_pq_sql(m=4, sub_k=8, iters=1, dim=64),
         "semdedup": _dd_semdedup_sql(k=8, iters=2, dim=64),
+        "minhash_match": _dd_minhash_match_sql(num_hashes=8, bands=4),
         "pack_sequences": f"""
             WITH toks AS (
               SELECT doc_id, CASE WHEN trim(text) = '' THEN []

@@ -206,6 +206,8 @@ def main() -> None:
         # round 3 (this session): chunk->sequence packing (bucket-local
         # running-sum window, the training-layout step after chunk_docs)
         "pack_sequences",
+        # round 3 (this session): cross-corpus incremental dedup gate
+        "minhash_match",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the

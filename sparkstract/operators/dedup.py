@@ -117,6 +117,24 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> Dat
     )
 
 
+def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, key) — LSH band keys from a minhash_signatures frame:
+    key = md5 of the band's joined signature components (row-local explode,
+    no shuffle)."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
                       n: int = 3, max_bucket: int = 64) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band (rows = hashes per
@@ -143,18 +161,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     exists for); count-first costs one extra small shuffle and bounds every
     buffer by max_bucket.
     """
-    rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws("|", *cols)).alias("key"))
-        )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _band_keys(sig, num_hashes, bands)
     ok = (
         banded.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -396,3 +404,45 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                     F.round(F.col("n_common") / F.col("gb"), 6))
         .select("doc_a", "doc_b", "jaccard", "containment_a", "containment_b")
     )
+
+
+def minhash_match(new_docs: DataFrame, corpus: DataFrame,
+                  num_hashes: int = 16, bands: int = 4, n: int = 3,
+                  max_bucket: int = 1024) -> DataFrame:
+    """Incremental (cross-corpus) near-dup matching: which NEW documents
+    collide with the EXISTING corpus — the ingest-time dedup gate a crawl
+    pipeline runs before admitting a batch, where the within-corpus pair
+    emitters don't apply. Both sides get signatures from the SAME hash
+    family, so band keys are directly comparable; candidates are the
+    (new, corpus) band-key equi-join — never new x new or corpus x corpus
+    pairs — then every candidate is scored by full-signature agreement
+    (n_sig_match of num_hashes equal components ≈ Jaccard * num_hashes).
+
+    Scale shape: the corpus side is banded ONCE (at production scale the
+    banded keys are a precomputed index table; the join is then new-batch
+    x index on (band, key) — broadcast when the batch is small). Hot
+    corpus buckets are dropped count-first by `max_bucket` (a new doc
+    matching a degenerate bucket would fan out k-fold) — audit with
+    lsh_bucket_stats. Returns (new_id, doc_id, n_bands, n_sig_match)."""
+    sig_n = minhash_signatures(new_docs, num_hashes=num_hashes, n=n)
+    sig_c = minhash_signatures(corpus, num_hashes=num_hashes, n=n)
+    bn = _band_keys(sig_n, num_hashes, bands).withColumnRenamed(
+        "doc_id", "new_id")
+    bc = _band_keys(sig_c, num_hashes, bands)
+    ok = (bc.groupBy("band", "key")
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .filter(F.col("cnt") <= max_bucket)
+          .select("band", "key"))
+    cand = (bn.join(bc.join(ok, ["band", "key"], "left_semi"),
+                    ["band", "key"])
+            .groupBy("new_id", "doc_id")
+            .agg(F.countDistinct("band").alias("n_bands")))
+    sn = sig_n.select(F.col("doc_id").alias("new_id"),
+                      *[F.col(f"mh{i}").alias(f"nh{i}")
+                        for i in range(num_hashes)])
+    agree = sum(
+        F.when(F.col(f"nh{i}") == F.col(f"mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes))
+    return (cand.join(sn, "new_id").join(sig_c, "doc_id")
+            .select("new_id", "doc_id", "n_bands",
+                    agree.cast("long").alias("n_sig_match")))

@@ -315,3 +315,33 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out["t2"]["n_overlap"] == 0 and not out["t2"]["contaminated"]
     assert out["t3"]["n_grams"] == 0 and not out["t3"]["contaminated"]
     assert out["t1"]["n_grams"] == 5  # 7 words → 5 distinct 3-grams
+
+
+def test_minhash_match_cross_corpus(spark):
+    from pyspark.sql import functions as F
+    from sparkstract.operators.dedup import minhash_match
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "totally different words nothing shared at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("n-a", "alpha beta gamma delta epsilon zeta eta theta"),  # copy
+            ("n-b", "unrelated fresh content with no corpus overlap"),
+        ],
+        "doc_id string, text string",
+    )
+    out = minhash_match(new, corpus, num_hashes=8, bands=4).collect()
+    hits = {(r["new_id"], r["doc_id"]): r for r in out}
+    # the exact copy matches its source on every band and component
+    assert hits[("n-a", 1)]["n_bands"] == 4
+    assert hits[("n-a", 1)]["n_sig_match"] == 8
+    # the novel doc matches nothing
+    assert not any(k[0] == "n-b" for k in hits)
+    # no corpus x corpus or new x new pairs leak into the output
+    assert all(k[0].startswith("n-") and isinstance(k[1], int) for k in hits)
