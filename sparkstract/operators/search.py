@@ -43,14 +43,19 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], topk: int = 20,
         tokens(F.lower(F.col(text_col))).alias("toks"),
     ).select("doc_id", F.size("toks").alias("dl"),
              F.explode("toks").alias("tok"))
-    # persisted: both the df aggregate and the scoring branch read this
-    # frame — without the persist Catalyst duplicates the subtree and the
-    # corpus is scanned+exploded twice. The frame is (matching doc, term)
-    # rows only: |q|-bounded per doc, small by construction.
     matched = (toks.filter(F.col("tok").isin(query_terms))
                .groupBy("doc_id", "tok", "dl")
-               .agg(F.count(F.lit(1)).alias("tf"))
-               .persist())
+               .agg(F.count(F.lit(1)).alias("tf")))
+    # Both the df aggregate and the scoring branch read `matched`; without
+    # a persist Catalyst duplicates the subtree and the corpus is
+    # scanned+exploded twice. But a stop-word query term makes `matched`
+    # corpus-sized, so blanket-persisting it is the disk-exhaustion
+    # pattern run_job gates against (checkpoint.py) — same gate here:
+    # persist only when the input is small enough that the frame is known
+    # to be cache-safe; at scale eat the second scan (and get df from the
+    # ingest-time vocab table instead — see vocab_topk).
+    if docs.rdd.getNumPartitions() <= 1024:
+        matched = matched.persist()
     dfs = (matched.groupBy("tok")
            .agg(F.countDistinct("doc_id").alias("df")))
     stats = docs.select(
