@@ -1267,6 +1267,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["dup", "spark", "join"], topk=20)
 
 
+def q_semdedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'log what was dropped' side channel for semdedup's cluster cap
+    (max_cluster=4096): one row per oversized k-means cluster with its
+    size. Empty at this SF — and the oracle PINS that emptiness (same
+    contract as lsh_bucket_audit / cosine_label_audit)."""
+    from sparkstract.operators.similarity import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _kmeans_model(spark, sf_dir, k=8, iters=2)
+    return (kmeans_assign(emb, cents)
+            .groupBy(F.col("cid").cast("long").alias("cid"))
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .filter(F.col("cluster_size") > 4096)
+            .orderBy("cid"))
+
+
 def q_minhash_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup gate: a 3-doc 'new batch' derived from the corpus
     (two exact copies + one with appended junk tokens) matched against the
@@ -1992,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
         "minhash_match": q_minhash_match,
+        "semdedup_cluster_audit": q_semdedup_cluster_audit,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -2984,6 +3001,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _dd_pq_sql(m=4, sub_k=8, iters=1, dim=64),
         "semdedup": _dd_semdedup_sql(k=8, iters=2, dim=64),
         "minhash_match": _dd_minhash_match_sql(num_hashes=8, bands=4),
+        "semdedup_cluster_audit": _dd_kmeans_cte(8, 2, 64) + """
+            , fin AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_distance(e.v, c.cent), 6) ASC,
+                                  c.cid ASC) AS r
+                FROM e CROSS JOIN c2 c) WHERE r = 1)
+            SELECT CAST(cid AS BIGINT) AS cid, count(*) AS cluster_size
+            FROM fin GROUP BY cid HAVING count(*) > 4096 ORDER BY cid""",
         "pack_sequences": f"""
             WITH toks AS (
               SELECT doc_id, CASE WHEN trim(text) = '' THEN []
