@@ -1267,6 +1267,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["dup", "spark", "join"], topk=20)
 
 
+def q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: mean NLL per doc under the corpus's own
+    add-k bigram LM (the distributed KenLM-perplexity analog)."""
+    from sparkstract.operators.lm import lm_doc_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_doc_nll(docs, k=0.1).orderBy("doc_id")
+
+
 def q_semdedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'log what was dropped' side channel for semdedup's cluster cap
     (max_cluster=4096): one row per oversized k-means cluster with its
@@ -2009,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "minhash_match": q_minhash_match,
         "semdedup_cluster_audit": q_semdedup_cluster_audit,
+        "lm_doc_nll": q_lm_doc_nll,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -3001,6 +3011,36 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _dd_pq_sql(m=4, sub_k=8, iters=1, dim=64),
         "semdedup": _dd_semdedup_sql(k=8, iters=2, dim=64),
         "minhash_match": _dd_minhash_match_sql(num_hashes=8, bands=4),
+        "lm_doc_nll": f"""
+            WITH toks AS ({_DD_TOKENS}),
+            bg AS (
+              SELECT doc_id, unnest(list_transform(
+                range(0, greatest(len(tl) - 1, 0)),
+                i -> array_to_string(tl[CAST(i + 1 AS BIGINT):
+                                        CAST(i + 2 AS BIGINT)], ' ')))
+                AS bigram
+              FROM toks),
+            bc AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+                          count(*) AS c12
+                   FROM bg GROUP BY bigram),
+            uc AS (SELECT w1, count(*) AS c1 FROM
+                   (SELECT unnest(tl) AS w1 FROM toks) GROUP BY w1),
+            vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+            model AS (
+              SELECT bigram,
+                     CAST(round(-ln((c12 + 0.1) / (c1 + 0.1 * v))
+                                * 1000000.0) AS BIGINT) AS bnll_u
+              FROM bc JOIN uc USING (w1) CROSS JOIN vv),
+            sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                          round(CAST(sum(bnll_u) AS BIGINT)
+                                / (count(*) * 1000000.0), 6) AS nll
+                   FROM bg JOIN model USING (bigram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   sc.nll
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY doc_id
+        """,
         "semdedup_cluster_audit": _dd_kmeans_cte(8, 2, 64) + """
             , fin AS (SELECT vec_id, cid FROM (
                 SELECT e.vec_id, c.cid,

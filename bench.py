@@ -208,6 +208,8 @@ def main() -> None:
         "pack_sequences",
         # round 3 (this session): cross-corpus incremental dedup gate
         "minhash_match",
+        # round 3 (this session): corpus-trained bigram-LM quality score
+        "lm_doc_nll",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the
