@@ -233,6 +233,35 @@ def _dd_semdedup_sql(k: int = 8, iters: int = 2, dim: int = 64,
         ORDER BY f.vec_id"""
 
 
+def _dd_lm_nll_cte() -> str:
+    """WITH chain ending at sc(doc_id, n_bigrams, nll) — the add-k bigram
+    LM scores twinning lm_doc_nll (integer micro-nat quantization)."""
+    return f"""
+        WITH toks AS ({_DD_TOKENS}),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(
+            range(0, greatest(len(tl) - 1, 0)),
+            i -> array_to_string(tl[CAST(i + 1 AS BIGINT):
+                                    CAST(i + 2 AS BIGINT)], ' ')))
+            AS bigram
+          FROM toks),
+        bc AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+                      count(*) AS c12
+               FROM bg GROUP BY bigram),
+        uc AS (SELECT w1, count(*) AS c1 FROM
+               (SELECT unnest(tl) AS w1 FROM toks) GROUP BY w1),
+        vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+        model AS (
+          SELECT bigram,
+                 CAST(round(-ln((c12 + 0.1) / (c1 + 0.1 * v))
+                            * 1000000.0) AS BIGINT) AS bnll_u
+          FROM bc JOIN uc USING (w1) CROSS JOIN vv),
+        sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                      round(CAST(sum(bnll_u) AS BIGINT)
+                            / (count(*) * 1000000.0), 6) AS nll
+               FROM bg JOIN model USING (bigram) GROUP BY doc_id)"""
+
+
 def _dd_minhash_match_sql(num_hashes: int = 8, bands: int = 4,
                           max_bucket: int = 1024) -> str:
     """minhash_match twin: signatures for the derived new-docs batch and
@@ -1276,6 +1305,32 @@ def q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_doc_nll(docs, k=0.1).orderBy("doc_id")
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): docs
+    bucketed by terciles of their corpus-LM NLL. Boundaries via one
+    percentile aggregate + broadcast CASE — the quantity_quartiles scale
+    shape, never a global window; the bucket mean uses the same micro-nat
+    integer sum as lm_doc_nll (order-independent)."""
+    from sparkstract.operators.lm import lm_doc_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    s = lm_doc_nll(docs, k=0.1).filter(F.col("nll").isNotNull())
+    bounds = s.agg(
+        F.round(F.percentile("nll", F.lit(1.0 / 3.0)), 6).alias("b1"),
+        F.round(F.percentile("nll", F.lit(2.0 / 3.0)), 6).alias("b2"))
+    g = s.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("nll") <= F.col("b1"), F.lit("head"))
+         .when(F.col("nll") <= F.col("b2"), F.lit("middle"))
+         .otherwise(F.lit("tail")).alias("bucket"),
+        F.round(F.col("nll") * F.lit(1e6), 0).cast("long").alias("nll_u"))
+    return (g.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum("nll_u")
+                         / (F.count(F.lit(1)) * F.lit(1e6)), 6)
+                  .alias("mean_nll"))
+            .orderBy("bucket"))
+
+
 def q_semdedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'log what was dropped' side channel for semdedup's cluster cap
     (max_cluster=4096): one row per oversized k-means cluster with its
@@ -2019,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_match": q_minhash_match,
         "semdedup_cluster_audit": q_semdedup_cluster_audit,
         "lm_doc_nll": q_lm_doc_nll,
+        "perplexity_buckets": q_perplexity_buckets,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -3011,35 +3067,27 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _dd_pq_sql(m=4, sub_k=8, iters=1, dim=64),
         "semdedup": _dd_semdedup_sql(k=8, iters=2, dim=64),
         "minhash_match": _dd_minhash_match_sql(num_hashes=8, bands=4),
-        "lm_doc_nll": f"""
-            WITH toks AS ({_DD_TOKENS}),
-            bg AS (
-              SELECT doc_id, unnest(list_transform(
-                range(0, greatest(len(tl) - 1, 0)),
-                i -> array_to_string(tl[CAST(i + 1 AS BIGINT):
-                                        CAST(i + 2 AS BIGINT)], ' ')))
-                AS bigram
-              FROM toks),
-            bc AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1,
-                          count(*) AS c12
-                   FROM bg GROUP BY bigram),
-            uc AS (SELECT w1, count(*) AS c1 FROM
-                   (SELECT unnest(tl) AS w1 FROM toks) GROUP BY w1),
-            vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
-            model AS (
-              SELECT bigram,
-                     CAST(round(-ln((c12 + 0.1) / (c1 + 0.1 * v))
-                                * 1000000.0) AS BIGINT) AS bnll_u
-              FROM bc JOIN uc USING (w1) CROSS JOIN vv),
-            sc AS (SELECT doc_id, count(*) AS n_bigrams,
-                          round(CAST(sum(bnll_u) AS BIGINT)
-                                / (count(*) * 1000000.0), 6) AS nll
-                   FROM bg JOIN model USING (bigram) GROUP BY doc_id)
+        "lm_doc_nll": _dd_lm_nll_cte() + """
             SELECT d.doc_id,
                    CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    sc.nll
             FROM documents d LEFT JOIN sc USING (doc_id)
             ORDER BY doc_id
+        """,
+        "perplexity_buckets": _dd_lm_nll_cte() + """
+            , s AS (SELECT doc_id, nll FROM sc WHERE nll IS NOT NULL),
+            b AS (SELECT round(quantile_cont(nll, 1.0/3.0), 6) AS b1,
+                         round(quantile_cont(nll, 2.0/3.0), 6) AS b2
+                  FROM s),
+            g AS (SELECT CASE WHEN nll <= b1 THEN 'head'
+                              WHEN nll <= b2 THEN 'middle'
+                              ELSE 'tail' END AS bucket,
+                         CAST(round(nll * 1000000.0) AS BIGINT) AS nll_u
+                  FROM s CROSS JOIN b)
+            SELECT bucket, count(*) AS n_docs,
+                   round(CAST(sum(nll_u) AS BIGINT)
+                         / (count(*) * 1000000.0), 6) AS mean_nll
+            FROM g GROUP BY bucket ORDER BY bucket
         """,
         "semdedup_cluster_audit": _dd_kmeans_cte(8, 2, 64) + """
             , fin AS (SELECT vec_id, cid FROM (

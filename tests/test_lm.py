@@ -23,3 +23,31 @@ def test_lm_doc_nll_separates_fluent_from_gibberish(spark):
     assert out[5]["nll"] is None and out[5]["n_bigrams"] == 0
     assert out[4]["n_bigrams"] == 7
     assert all(out[i]["nll"] > 0 for i in (1, 2, 3, 4))
+
+
+def test_perplexity_buckets_tercile_semantics(spark):
+    # mirror of q_perplexity_buckets over a local frame via the operator +
+    # the same boundary CASE
+    from pyspark.sql import functions as F
+    from sparkstract.operators.lm import lm_doc_nll
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " + ("zz qq " * (i % 3)))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    s = lm_doc_nll(docs).filter(F.col("nll").isNotNull())
+    b = s.agg(F.round(F.percentile("nll", F.lit(1.0 / 3.0)), 6).alias("b1"),
+              F.round(F.percentile("nll", F.lit(2.0 / 3.0)), 6).alias("b2"))
+    out = (s.crossJoin(F.broadcast(b))
+           .select(F.when(F.col("nll") <= F.col("b1"), "head")
+                    .when(F.col("nll") <= F.col("b2"), "middle")
+                    .otherwise("tail").alias("bucket"), "nll")
+           .collect())
+    buckets = {}
+    for r in out:
+        buckets.setdefault(r["bucket"], []).append(r["nll"])
+    # all three buckets populated, ordered head < middle < tail by max/min
+    assert set(buckets) == {"head", "middle", "tail"}
+    assert max(buckets["head"]) <= min(buckets["middle"])
+    assert max(buckets["middle"]) <= min(buckets["tail"])
