@@ -359,8 +359,9 @@ def _dd_pq_sql(m: int = 4, sub_k: int = 8, iters: int = 1, dim: int = 64,
     for s in range(m):
         dtabs.append(f"""
           SELECT q.query_id, {s} AS s, c.cid AS code,
-                 round(sum((q.v[CAST({s * d} + j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])
-                           * (q.v[CAST({s * d} + j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])), 6) AS dsq
+                 CAST(round(sum((q.v[CAST({s * d} + j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])
+                           * (q.v[CAST({s * d} + j AS INTEGER)] - c.cent[CAST(j AS INTEGER)]))
+                       * 1000000.0) AS BIGINT) AS dsq_u
           FROM q CROSS JOIN p{s}c{iters} c, range(1, {d + 1}) t(j)
           GROUP BY q.query_id, c.cid""")
     parts.append(", dtab AS (" + " UNION ALL ".join(dtabs) + ")")
@@ -370,7 +371,8 @@ def _dd_pq_sql(m: int = 4, sub_k: int = 8, iters: int = 1, dim: int = 64,
     parts.append(f"""
         , probes AS ({probes})
         , sc AS (
-          SELECT d.query_id, p.vec_id, round(sum(d.dsq), 6) AS adist
+          SELECT d.query_id, p.vec_id,
+                 round(CAST(sum(d.dsq_u) AS BIGINT) / 1000000.0, 6) AS adist
           FROM probes p JOIN dtab d ON d.s = p.s AND d.code = p.code
           WHERE p.vec_id <> d.query_id
           GROUP BY d.query_id, p.vec_id)
@@ -3258,12 +3260,13 @@ def oracle_sql() -> dict[str, str]:
               FROM tk),
             sc AS (
               SELECT m.doc_id,
-                     round(sum(round(
+                     round(CAST(sum(CAST(round(
                        ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
                        * ((m.tf * (1.2 + 1.0))
                           / (m.tf + 1.2 * ((1.0 - 0.75)
-                                           + (0.75 * m.dl) / s.avgdl))),
-                       6)), 6) AS score
+                                           + (0.75 * m.dl) / s.avgdl)))
+                       * 1000000.0) AS BIGINT)) AS BIGINT)
+                       / 1000000.0, 6) AS score
               FROM m JOIN dfs d ON m.tok = d.tok CROSS JOIN stats s
               GROUP BY m.doc_id),
             rr AS (SELECT doc_id, score,

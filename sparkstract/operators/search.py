@@ -67,12 +67,20 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], topk: int = 20,
     norm = F.col("tf") * (F.lit(k1) + 1.0) / (
         F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b)
                                    + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    # per-term contributions are quantized to integer micro-units before
+    # the per-doc sum, so the score is independent of summation order
+    # across partitionings and engines (the lm_doc_nll determinism
+    # contract — a float sum of rounded doubles can land on a rounding
+    # boundary and flip the 6dp value between plans)
     scored = (matched
               .join(F.broadcast(dfs), "tok")
               .crossJoin(F.broadcast(stats))
-              .select("doc_id", F.round(idf * norm, 6).alias("contrib"))
+              .select("doc_id",
+                      F.round(idf * norm * F.lit(1e6), 0).cast("long")
+                       .alias("contrib_u"))
               .groupBy("doc_id")
-              .agg(F.round(F.sum("contrib"), 6).alias("score")))
+              .agg(F.round(F.sum("contrib_u") / F.lit(1e6), 6)
+                    .alias("score")))
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (top.withColumn("rank", F.row_number().over(w))

@@ -532,10 +532,11 @@ def pq_topk(emb: DataFrame, queries: DataFrame,
     of m table lookups. The corpus side is ONE scan producing (vec_id,
     subspace, code) probe rows, a broadcast join against the table, and a
     per-(query, vec) sum — no full-vector math per (query, vector) pair,
-    which is the entire point of PQ at 100 TB. Table entries and the final
-    sum round to 6dp (the kmeans resync contract) so the DuckDB twin
-    hash-matches. Returns (query_id, rank, vec_id, adist), rank by
-    distance asc, ties by vec_id."""
+    which is the entire point of PQ at 100 TB. Table entries are quantized
+    to integer micro-units and the m-lookup sum is exact integer
+    arithmetic (order-independent across engines and partitionings); the
+    final distance rounds to 6dp. Returns (query_id, rank, vec_id, adist),
+    rank by distance asc, ties by vec_id."""
     spark = emb.sparkSession
     m = len(books)
     d = len(books[0][0][1])
@@ -543,6 +544,9 @@ def pq_topk(emb: DataFrame, queries: DataFrame,
         "query_id",
         F.transform(F.col("query_vec"), lambda v: v.cast("double"))
          .alias("qv")).collect()
+    # distance-table entries are integer micro-units so the m-lookup sum
+    # per (query, vec) is exact integer arithmetic — independent of join
+    # and summation order across engines/partitionings
     table = []
     for q in qrows:
         qv = [float(x) for x in q["qv"]]
@@ -552,9 +556,9 @@ def pq_topk(emb: DataFrame, queries: DataFrame,
                 acc = 0.0
                 for a, b in zip(sub, cent):
                     acc += (a - b) * (a - b)
-                table.append((q["query_id"], s, cid, round(acc, 6)))
+                table.append((q["query_id"], s, cid, int(round(acc * 1e6))))
     dtab = spark.createDataFrame(
-        table, "query_id long, s int, code int, dsq double")
+        table, "query_id long, s int, code int, dsq_u long")
     # probes in ONE scan: an array of m (s, code) structs exploded, instead
     # of a union of m selects (which would duplicate the encode subtree
     # into m corpus scans)
@@ -572,7 +576,7 @@ def pq_topk(emb: DataFrame, queries: DataFrame,
     scored = (probes.join(F.broadcast(dtab), ["s", "code"])
               .filter(F.col("vec_id") != F.col("query_id"))
               .groupBy("query_id", "vec_id")
-              .agg(F.round(F.sum("dsq"), 6).alias("adist")))
+              .agg(F.round(F.sum("dsq_u") / F.lit(1e6), 6).alias("adist")))
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
