@@ -253,3 +253,66 @@ def stream_dedup(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_near_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming NEAR-dup admission gate — the crawl-ingest form of
+    minhash_match: each micro-batch's docs are banded with the same
+    Carter-Wegman MinHash family and matched against the persisted
+    band-key INDEX; any band collision rejects the doc, survivors are
+    appended to the output AND their band keys to the index. The index
+    grows only by admitted docs, so a later near-copy of anything ever
+    admitted is rejected — cross-batch near-dedup without holding
+    signatures in stream state (the index is a plain table, at production
+    scale the same precomputed Iceberg index minhash_match documents).
+
+    foreachBatch because the gate needs a batch join against the index
+    table (a stream-static join can't append to its own static side).
+    Within one micro-batch, docs are matched against the index as-of the
+    batch start — two near-copies arriving in the SAME batch are both
+    admitted (the micro-batch is the atomicity unit; run batch-internal
+    dedup upstream if that matters)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _band_keys, minhash_signatures
+
+    def process_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        banded = _band_keys(
+            minhash_signatures(batch_df, num_hashes=num_hashes),
+            num_hashes, bands)
+        try:
+            idx = spark.read.parquet(index_dir)
+        except Exception:
+            idx = spark.createDataFrame([], "band int, key string")
+        hits = (banded.join(idx.select("band", "key"), ["band", "key"],
+                            "left_semi")
+                .select("doc_id").distinct())
+        admitted = batch_df.join(hits, "doc_id", "left_anti")
+        admitted.write.mode("append").parquet(out_dir)
+        (banded.join(hits, "doc_id", "left_anti")
+         .select("band", "key")
+         .write.mode("append").parquet(index_dir))
+
+    stream = spark.readStream.schema("doc_id string, text string")
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = stream.parquet(docs_dir)
+    writer = (stream.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -189,3 +189,32 @@ def test_stream_assemble_docs_ttl_flushes_incomplete(spark, tmp_path):
         assert got["n_spans"].iloc[0] == 3  # the declared count, unmet
     finally:
         q.stop()
+
+
+def test_stream_near_dedup_rejects_cross_batch_near_copy(spark, tmp_path):
+    import pandas as pd
+
+    from sparkstract.streaming.stream import stream_near_dedup
+
+    src = tmp_path / "near_src"
+    src.mkdir()
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pd.DataFrame([
+        dict(doc_id="a1", text=base_text),
+        dict(doc_id="a2", text="one two three four five six seven eight"),
+    ]).to_parquet(str(src / "batch_a.parquet"))
+    pd.DataFrame([
+        dict(doc_id="b1", text=base_text + " lambda"),  # near-copy of a1
+        dict(doc_id="b2", text="completely novel content nothing shared x y"),
+    ]).to_parquet(str(src / "batch_b.parquet"))
+    out, idx = tmp_path / "near_out", tmp_path / "near_idx"
+    # maxFilesPerTrigger=1 forces two micro-batches; file order is by
+    # path, so batch_a is indexed before batch_b arrives
+    stream_near_dedup(spark, str(src), str(out), str(idx),
+                      str(tmp_path / "near_ckpt"),
+                      max_files_per_trigger=1)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {"a1", "a2", "b2"}  # the near-copy b1 was rejected
+    # the index holds band keys only for admitted docs
+    idx_rows = spark.read.parquet(str(idx)).count()
+    assert idx_rows == 3 * 4  # 3 admitted docs x 4 bands
