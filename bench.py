@@ -209,7 +209,8 @@ def main() -> None:
         # round 3 (this session): cross-corpus incremental dedup gate
         "minhash_match",
         # round 3 (this session): corpus-trained bigram-LM quality score
-        "lm_doc_nll",
+        # and the trained hashed-logreg quality classifier (4 GD rounds)
+        "lm_doc_nll", "quality_classifier",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the

@@ -1,0 +1,104 @@
+"""Trained quality classifier: hashed bag-of-words logistic regression —
+the fastText-style filter of real curation stacks (CCNet/RefinedWeb/LLaMA
+pipelines train a linear classifier to imitate an expensive quality signal,
+then score the corpus cheaply). Features are hashed unigram counts
+(the importance_scores hash-space trick: the model lives in a FIXED
+B-bucket space, so a 100 TB vocabulary never materializes); training is
+full-batch gradient descent with the kmeans scale pattern — the MODEL is
+the only thing that leaves the executors (B+1 floats per round), the data
+never moves.
+
+Determinism contract (two engines, any partitioning): weights are integer
+micro-units; a doc's margin is sum(x * w_u) — EXACT integer arithmetic
+(x is an integer count, w_u an integer weight); per-doc residuals quantize
+to micro-units before the gradient sum, which is again exact integer; and
+the weight update rounds inside the ENGINE (Spark/DuckDB round half-away,
+python's round is half-even — never round model state driver-side)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import hex_prefix_to_long, tokens
+from .dedup import spread
+
+
+def hashed_features(docs: DataFrame, buckets: int = 64,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, bucket, x): unigram counts hashed into a fixed bucket
+    space — md5-salted so the DuckDB twin is bit-identical."""
+    tok = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    b = hex_prefix_to_long(
+        F.md5(F.concat_ws(":", F.lit("feat"), F.col("tok"))), 8) % buckets
+    return (tok.select("doc_id", b.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("x")))
+
+
+def logreg_fit(feats: DataFrame, labels: DataFrame, buckets: int = 64,
+               lr: float = 0.5, iters: int = 2) -> tuple[dict[int, int], int]:
+    """Full-batch logistic-regression GD over (doc_id, bucket, x) features
+    and (doc_id, y) labels (y in {0.0, 1.0}). Returns the model as integer
+    micro-unit weights: ({bucket: w_u}, bias_u); real weight = w_u / 1e6.
+
+    Per round: one margin pass (join against the broadcast B-row weight
+    table, exact integer sum), one gradient aggregation whose key space is
+    B buckets (map-side combine — the exchange carries at most B rows per
+    map task), and a B-row collect. Weight updates are computed with
+    engine-side rounding (F.round), never python round."""
+    spark = feats.sparkSession
+    n = labels.count()
+    assert n > 0 and iters >= 0
+    w_u: dict[int, int] = {j: 0 for j in range(buckets)}
+    bias_u = 0
+    feats = feats.persist()
+    try:
+        for _ in range(iters):
+            wtab = spark.createDataFrame(
+                [(j, w) for j, w in w_u.items()], "bucket long, w_u long")
+            margins = (feats.join(F.broadcast(wtab), "bucket")
+                       .groupBy("doc_id")
+                       .agg(F.sum(F.col("x") * F.col("w_u")).alias("m_u")))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(
+                -((F.coalesce(F.col("m_u"), F.lit(0)) + F.lit(bias_u))
+                  / F.lit(1e6))))
+            resid = (labels.join(margins, "doc_id", "left")
+                     .select("doc_id",
+                             F.round((p - F.col("y")) * F.lit(1e6), 0)
+                              .cast("long").alias("r_u")))
+            grads = (feats.join(resid, "doc_id")
+                     .groupBy("bucket")
+                     .agg(F.round(F.lit(lr) * F.sum(F.col("x")
+                                                    * F.col("r_u"))
+                                  / F.lit(n), 0)
+                           .cast("long").alias("d_u"))
+                     .collect())
+            bias_row = resid.agg(
+                F.round(F.lit(lr) * F.sum("r_u") / F.lit(n), 0)
+                 .cast("long").alias("d_u")).collect()[0]
+            for r in grads:
+                w_u[r["bucket"]] -= r["d_u"]
+            bias_u -= bias_row["d_u"]
+    finally:
+        feats.unpersist()
+    return w_u, bias_u
+
+
+def logreg_score(feats: DataFrame, w_u: dict[int, int],
+                 bias_u: int) -> DataFrame:
+    """(doc_id, score): sigmoid of the exact integer margin under the
+    trained model, rounded to 6dp."""
+    spark = feats.sparkSession
+    wtab = spark.createDataFrame(
+        [(j, w) for j, w in w_u.items()], "bucket long, w_u long")
+    return (feats.join(F.broadcast(wtab), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w_u")).alias("m_u"))
+            .select("doc_id",
+                    F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(
+                        -((F.col("m_u") + F.lit(bias_u)) / F.lit(1e6)))),
+                        6).alias("score")))
