@@ -51,40 +51,55 @@ def logreg_fit(feats: DataFrame, labels: DataFrame, buckets: int = 64,
     map task), and a B-row collect. Weight updates are computed with
     engine-side rounding (F.round), never python round."""
     spark = feats.sparkSession
+    # labels are read every round (residuals) and may carry their own
+    # subplan (e.g. a percentile label gate) — persist once, it's one
+    # (doc_id, y) row per doc
+    labels = labels.persist()
     n = labels.count()
     assert n > 0 and iters >= 0
-    w_u: dict[int, int] = {j: 0 for j in range(buckets)}
-    bias_u = 0
-    feats = feats.persist()
+    # the bias rides as synthetic bucket -1 (x=1 for every labeled doc):
+    # margins then include it for free and the gradient aggregation covers
+    # it in the SAME pass — one Spark action per round instead of three
+    # (the arithmetic is identical: m_u + bias_u == sum over buckets+{-1})
+    bias_feats = labels.select(
+        "doc_id", F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("x"))
+    # co-partition by doc_id ONCE before the loop: every round's margin
+    # groupBy(doc_id) and gradient join(doc_id) then reuse the cached
+    # partitioning instead of re-shuffling the feature frame per round —
+    # the shuffle-once-reuse-across-iterations pattern iterative jobs need
+    all_feats = (feats.select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket"),
+        F.col("x").cast("long").alias("x")).unionByName(bias_feats)
+        .repartition("doc_id").persist())
     try:
+        w_u: dict[int, int] = {j: 0 for j in range(buckets)}
+        w_u[-1] = 0
         for _ in range(iters):
             wtab = spark.createDataFrame(
                 [(j, w) for j, w in w_u.items()], "bucket long, w_u long")
-            margins = (feats.join(F.broadcast(wtab), "bucket")
+            margins = (all_feats.join(F.broadcast(wtab), "bucket")
                        .groupBy("doc_id")
                        .agg(F.sum(F.col("x") * F.col("w_u")).alias("m_u")))
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(
-                -((F.coalesce(F.col("m_u"), F.lit(0)) + F.lit(bias_u))
-                  / F.lit(1e6))))
+                -(F.coalesce(F.col("m_u"), F.lit(0)) / F.lit(1e6))))
             resid = (labels.join(margins, "doc_id", "left")
                      .select("doc_id",
                              F.round((p - F.col("y")) * F.lit(1e6), 0)
                               .cast("long").alias("r_u")))
-            grads = (feats.join(resid, "doc_id")
+            grads = (all_feats.join(resid, "doc_id")
                      .groupBy("bucket")
                      .agg(F.round(F.lit(lr) * F.sum(F.col("x")
                                                     * F.col("r_u"))
                                   / F.lit(n), 0)
                            .cast("long").alias("d_u"))
                      .collect())
-            bias_row = resid.agg(
-                F.round(F.lit(lr) * F.sum("r_u") / F.lit(n), 0)
-                 .cast("long").alias("d_u")).collect()[0]
             for r in grads:
                 w_u[r["bucket"]] -= r["d_u"]
-            bias_u -= bias_row["d_u"]
     finally:
-        feats.unpersist()
+        all_feats.unpersist()
+        labels.unpersist()
+    bias_u = w_u.pop(-1)
     return w_u, bias_u
 
 
