@@ -38,3 +38,27 @@ def test_pack_sequences_deterministic_and_salted(spark):
     c = sorted(map(tuple,
                    pack_sequences(ch, budget=30, salt="other").collect()))
     assert a != c  # a different salt reshuffles the layout
+
+
+def test_pack_sequences_random_sizes_exact_running_sums(spark):
+    import random
+
+    rng = random.Random(17)
+    rows = [(d, c, rng.randint(1, 40))
+            for d in range(30) for c in range(rng.randint(1, 4))]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n_tokens int")
+    out = pack_sequences(chunks, budget=64, n_buckets=4).collect()
+    assert len(out) == len(rows)  # every chunk placed exactly once
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    placed = sorted((r["doc_id"], r["chunk_id"]) for r in out)
+    assert placed == sorted((d, c) for d, c, _ in rows)
+    for rows_b in by_bucket.values():
+        offs = sorted((r["seq_id"] * 64 + r["start_in_seq"], r["n_tokens"])
+                      for r in rows_b)
+        expect = 0
+        for off, n in offs:
+            assert off == expect  # contiguous concatenation, no gaps
+            expect += n

@@ -345,3 +345,28 @@ def test_minhash_match_cross_corpus(spark):
     assert not any(k[0] == "n-b" for k in hits)
     # no corpus x corpus or new x new pairs leak into the output
     assert all(k[0].startswith("n-") and isinstance(k[1], int) for k in hits)
+
+
+def test_minhash_match_always_finds_exact_copies(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from sparkstract.operators.dedup import minhash_match
+
+    rng = random.Random(99)
+    vocab = ["tok%d" % i for i in range(40)]
+    corpus_rows = [(i, " ".join(rng.choice(vocab) for _ in range(25)))
+                   for i in range(40)]
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "doc_id long, text string")
+    # every 4th corpus doc re-arrives as a new doc (exact copy)
+    new = spark.createDataFrame(
+        [("n-%d" % i, t) for i, t in corpus_rows if i % 4 == 0],
+        "doc_id string, text string")
+    out = minhash_match(new, corpus, num_hashes=8, bands=4)
+    hits = {(r["new_id"], r["doc_id"]): r for r in out.collect()}
+    for i, _ in corpus_rows:
+        if i % 4 == 0:
+            r = hits[("n-%d" % i, i)]
+            # an exact copy ALWAYS matches its source with a full signature
+            assert r["n_bands"] == 4 and r["n_sig_match"] == 8
