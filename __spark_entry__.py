@@ -951,6 +951,29 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(docs, pairs, val_fraction=0.2).orderBy("doc_id")
 
 
+def q_split_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pin cluster_split's structural guarantee: COUNT the near-dup pairs
+    whose endpoints land on different sides of the train/val boundary —
+    zero BY CONSTRUCTION (the coin is flipped on the cluster id), and the
+    oracle pins that zero instead of leaving the claim as prose. One row:
+    (n_pairs, n_leaking_pairs)."""
+    from sparkstract.operators.cluster import cluster_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(spark, sf_dir)
+    split = (cluster_split(docs, pairs, val_fraction=0.2)
+             .select("doc_id", "split"))
+    sa = split.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("split_b"))
+    joined = pairs.select("doc_a", "doc_b").join(sa, "doc_a").join(sb, "doc_b")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
+         .cast("long").alias("n_leaking_pairs"))
+
+
 def q_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data prep composition: benchmark
     decontamination (drop any doc sharing an eval n-gram) → cluster-coherent
@@ -2193,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "lsh_recall_audit": q_lsh_recall_audit,
         "quality_classifier": q_quality_classifier,
+        "split_leak_audit": q_split_leak_audit,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
@@ -2803,6 +2827,44 @@ def oracle_sql() -> dict[str, str]:
                        v="'split:' || CAST(cluster_id AS VARCHAR)")}
                         < {_split_thr} THEN 'val' ELSE 'train' END AS split
             FROM assigned ORDER BY doc_id
+        """,
+        "split_leak_audit": f"""
+            WITH RECURSIVE {_dd_ngrams(3)[5:]},
+            sig AS (SELECT doc_id, {minhash_aggs} FROM grams GROUP BY doc_id),
+            banded AS ({band_selects}),
+            bc AS (SELECT band, key FROM banded GROUP BY band, key
+                   HAVING count(*) BETWEEN 2 AND 64),
+            pairs AS (
+              SELECT a.doc_id AS pu, b.doc_id AS pv
+              FROM banded a
+              JOIN bc ON bc.band = a.band AND bc.key = a.key
+              JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (SELECT pu AS u, pv AS v FROM pairs
+                      UNION SELECT pv, pu FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              FROM reach GROUP BY u),
+            assigned AS (
+              SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+            spl AS (
+              SELECT doc_id,
+                     CASE WHEN {_DD_HEX2LONG.format(
+                         v="'split:' || CAST(cluster_id AS VARCHAR)")}
+                          < {_split_thr} THEN 'val' ELSE 'train' END AS split
+              FROM assigned)
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_leaking_pairs
+            FROM pairs p
+            JOIN spl sa ON sa.doc_id = p.pu
+            JOIN spl sb ON sb.doc_id = p.pv
         """,
         "training_samples": f"""
             WITH RECURSIVE {_dd_ngrams(3)[5:]},
