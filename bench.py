@@ -211,6 +211,10 @@ def main() -> None:
         # round 3 (this session): corpus-trained bigram-LM quality score
         # and the trained hashed-logreg quality classifier (4 GD rounds)
         "lm_doc_nll", "quality_classifier",
+        # round 3 (this session): BPE tokenizer training (6 merge rounds
+        # over the capped word-freq table; `bpe_merges` carries training,
+        # `bpe_tokens` reuses the model — the train-once pattern again)
+        "bpe_merges", "bpe_tokens",
     ]
     qs = entry_mod.queries()
     # steady-state warm-up (disclosed): spin up Python UDF workers, JIT the
