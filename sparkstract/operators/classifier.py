@@ -64,13 +64,16 @@ def logreg_fit(feats: DataFrame, labels: DataFrame, buckets: int = 64,
     bias_feats = labels.select(
         "doc_id", F.lit(-1).cast("long").alias("bucket"),
         F.lit(1).cast("long").alias("x"))
-    # co-partition by doc_id ONCE before the loop: every round's margin
-    # groupBy(doc_id) and gradient join(doc_id) then reuse the cached
-    # partitioning instead of re-shuffling the feature frame per round —
-    # the shuffle-once-reuse-across-iterations pattern iterative jobs need
+    # co-partition by doc_id ONCE before the loop, with the label folded
+    # into the feature rows: every round's margin groupBy(doc_id) and
+    # gradient join(doc_id) then reuse the cached partitioning, and the
+    # residual needs NO per-round label join (y rides the margin
+    # aggregation as first(y) — constant per doc). The
+    # shuffle-once-reuse-across-iterations pattern iterative jobs need.
     all_feats = (feats.select(
         "doc_id", F.col("bucket").cast("long").alias("bucket"),
         F.col("x").cast("long").alias("x")).unionByName(bias_feats)
+        .join(labels, "doc_id")
         .repartition("doc_id").persist())
     try:
         w_u: dict[int, int] = {j: 0 for j in range(buckets)}
@@ -78,15 +81,18 @@ def logreg_fit(feats: DataFrame, labels: DataFrame, buckets: int = 64,
         for _ in range(iters):
             wtab = spark.createDataFrame(
                 [(j, w) for j, w in w_u.items()], "bucket long, w_u long")
+            # every labeled doc has at least the bias row, so the margin
+            # aggregation covers the full label set — m_u is never null
             margins = (all_feats.join(F.broadcast(wtab), "bucket")
                        .groupBy("doc_id")
-                       .agg(F.sum(F.col("x") * F.col("w_u")).alias("m_u")))
+                       .agg(F.sum(F.col("x") * F.col("w_u")).alias("m_u"),
+                            F.first("y").alias("y")))
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(
-                -(F.coalesce(F.col("m_u"), F.lit(0)) / F.lit(1e6))))
-            resid = (labels.join(margins, "doc_id", "left")
-                     .select("doc_id",
-                             F.round((p - F.col("y")) * F.lit(1e6), 0)
-                              .cast("long").alias("r_u")))
+                -(F.col("m_u") / F.lit(1e6))))
+            resid = margins.select(
+                "doc_id",
+                F.round((p - F.col("y")) * F.lit(1e6), 0)
+                 .cast("long").alias("r_u"))
             grads = (all_feats.join(resid, "doc_id")
                      .groupBy("bucket")
                      .agg(F.round(F.lit(lr) * F.sum(F.col("x")
