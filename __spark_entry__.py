@@ -1044,6 +1044,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=3).orderBy("doc_id")
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reverse decontamination view (GPT-3 appendix C): per BENCHMARK
+    item, the fraction of its 3-grams that appear anywhere in the training
+    corpus — the clean/dirty eval split. Same bench/train partition as
+    q_decontaminate (doc_id % 97)."""
+    from sparkstract.operators.decontam import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return (contamination_report(train, bench, n=3, max_dirty_frac=0.5)
+            .orderBy("doc_id"))
+
+
 # Shared gate parameters for the sampling/mixture queries — the oracle
 # interpolates the SAME integer thresholds (see oracle_sql), so parity is
 # by construction, not by parallel float arithmetic.
@@ -2190,6 +2204,19 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, _bpe_model(spark, sf_dir))
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer data card under the trained BPE model:
+    fertility (tokens/word) and compression (chars/token) — the two
+    numbers a tokenizer report quotes per stratum. Reuses the cached merge
+    table (train-once pattern); ratios divide exact integer sums."""
+    from sparkstract.operators.bpe import bpe_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return (bpe_fertility(docs, _bpe_model(spark, sf_dir),
+                          strata_col="source")
+            .orderBy("stratum"))
+
+
 def _dd_bpe_chain(merges: int = _BPE_MERGES,
                   top_words: int = _BPE_TOP_WORDS) -> str:
     """Unrolled BPE training rounds: wf (capped word-freq) -> v0 (char
@@ -2229,6 +2256,32 @@ def _dd_bpe_chain(merges: int = _BPE_MERGES,
                                '¦'), '¦¦', '¦') AS s
           FROM v{p}, b{r} b)""")
     return "".join(parts)
+
+
+def _dd_bpe_fertility_sql(merges: int = _BPE_MERGES) -> str:
+    # per-word token length under the trained chain (same s{r} chain as
+    # bpe_tokens), aggregated to the source stratum
+    base = _dd_bpe_tokens_sql(merges)
+    head, _, _ = base.rpartition("SELECT d.doc_id")
+    return head + """
+        SELECT stratum, n_docs, n_words, n_tokens,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE round(n_tokens * 1.0 / n_words, 6)
+               END AS tokens_per_word,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE round(n_chars * 1.0 / n_tokens, 6)
+               END AS chars_per_token
+        FROM (
+          SELECT d.source AS stratum,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN trim(d.text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(lower(trim(d.text)),
+                                                         '\\s+')) END)
+                      AS BIGINT) AS n_words,
+                 CAST(sum(coalesce(pd.n_tokens, 0)) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(d.text)) AS BIGINT) AS n_chars
+          FROM documents d LEFT JOIN pd USING (doc_id)
+          GROUP BY d.source)"""
 
 
 def _dd_bpe_merges_sql(merges: int = _BPE_MERGES) -> str:
@@ -2371,6 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_page_xml_words": q_render_page_xml_words,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
+        "bpe_fertility": q_bpe_fertility,
+        "contamination_report": q_contamination_report,
     }
 
 
@@ -3807,4 +3862,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _dd_bpe_merges_sql(),
         "bpe_tokens": _dd_bpe_tokens_sql(),
+        "bpe_fertility": _dd_bpe_fertility_sql(),
+        "contamination_report": f"""
+            {_dd_ngrams(3)},
+            bg AS (SELECT doc_id, ngram FROM grams WHERE doc_id % 97 = 0),
+            tg AS (SELECT ngram FROM grams WHERE doc_id % 97 <> 0),
+            dirty AS (SELECT DISTINCT ngram FROM tg
+                      WHERE ngram IN (SELECT ngram FROM bg)),
+            per AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(count(d.ngram) AS BIGINT) AS n_dirty
+              FROM bg LEFT JOIN dirty d USING (ngram)
+              GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(per.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+                   coalesce(per.n_dirty, CAST(0 AS BIGINT)) AS n_dirty,
+                   CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+                        ELSE round(per.n_dirty * 1.0 / per.n_grams, 6)
+                   END AS dirty_frac,
+                   CASE WHEN coalesce(per.n_grams, 0) = 0 THEN TRUE
+                        ELSE round(per.n_dirty * 1.0 / per.n_grams, 6) <= 0.5
+                   END AS clean
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) b
+            LEFT JOIN per USING (doc_id)
+            ORDER BY b.doc_id
+        """,
     }

@@ -160,3 +160,40 @@ def bpe_token_counts(docs: DataFrame, model: list[tuple[int, str, str, int]],
             .select("doc_id",
                     F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
                      .alias("n_tokens")))
+
+
+def bpe_fertility(docs: DataFrame, model: list[tuple[int, str, str, int]],
+                  strata_col: str = "source", id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-stratum tokenizer data card: (stratum, n_docs, n_words,
+    n_tokens, tokens_per_word, chars_per_token) under the trained BPE
+    model. Fertility (tokens/word) and compression (chars/token) are THE
+    two numbers a tokenizer report quotes per language/source — a stratum
+    whose fertility is an outlier is under-served by the merge table.
+
+    Plan: rides bpe_token_counts' single corpus scan, joined back to the
+    (doc, stratum, chars) projection; the final aggregation's key space is
+    the stratum set. Ratios divide two exact integer sums, rounded 6dp —
+    deterministic under any partitioning."""
+    from ..functions.textstats import token_count
+
+    per_doc = bpe_token_counts(docs, model, id_col=id_col,
+                               text_col=text_col)
+    meta = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(strata_col).alias("stratum"),
+                       F.length(text_col).cast("long").alias("n_chars"),
+                       token_count(F.col(text_col)).cast("long")
+                        .alias("n_words"))
+    return (meta.join(per_doc, "doc_id")
+            .groupBy("stratum")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("n_words"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_chars").alias("n_chars"))
+            .select("stratum", "n_docs", "n_words", "n_tokens",
+                    F.when(F.col("n_words") == 0, F.lit(0.0))
+                     .otherwise(F.round(F.col("n_tokens") / F.col("n_words"),
+                                        6)).alias("tokens_per_word"),
+                    F.when(F.col("n_tokens") == 0, F.lit(0.0))
+                     .otherwise(F.round(F.col("n_chars") / F.col("n_tokens"),
+                                        6)).alias("chars_per_token")))

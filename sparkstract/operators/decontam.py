@@ -74,3 +74,48 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 8,
              .alias("contaminated"),
         )
     )
+
+
+def contamination_report(train: DataFrame, benchmark: DataFrame, n: int = 8,
+                         max_dirty_frac: float = 0.5,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """The reverse view of `decontaminate` — per BENCHMARK item, how dirty
+    is it: (doc_id, n_grams, n_dirty, dirty_frac, clean), where n_dirty
+    counts the item's distinct n-grams that appear anywhere in the
+    training corpus (GPT-3 appendix C reports eval results on exactly this
+    clean/dirty split; `clean` is dirty_frac <= max_dirty_frac).
+
+    Scale shape: the corpus gram set is corpus-sized, so the probe runs
+    the OTHER way from decontaminate's — the benchmark gram set broadcasts
+    to the corpus scan, the semi-join's distinct output is bounded by the
+    BENCHMARK gram count (a gram seen a billion times in the corpus
+    surfaces once), and that small dirty-gram set broadcasts back for the
+    per-item aggregation. One corpus scan, no corpus shuffle."""
+    bench_grams = word_ngrams(benchmark, n=n, id_col=id_col,
+                              text_col=text_col)
+    bench_set = bench_grams.select("ngram").distinct()
+    dirty = (word_ngrams(train, n=n, id_col=id_col, text_col=text_col)
+             .join(F.broadcast(bench_set), "ngram", "left_semi")
+             .select("ngram").distinct()
+             .withColumn("__hit", F.lit(1)))
+    per_item = (bench_grams.join(F.broadcast(dirty), "ngram", "left")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_grams"),
+                     F.count("__hit").alias("n_dirty")))
+    return (
+        benchmark.select(F.col(id_col).alias("doc_id"))
+        .join(per_item, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dirty", F.lit(0)).alias("n_dirty"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+             .otherwise(F.round(F.col("n_dirty") / F.col("n_grams"), 6))
+             .alias("dirty_frac"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(True))
+             .otherwise(F.round(F.col("n_dirty") / F.col("n_grams"), 6)
+                        <= max_dirty_frac)
+             .alias("clean"),
+        )
+    )

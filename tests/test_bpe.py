@@ -106,6 +106,25 @@ def test_bpe_token_counts_monotone_and_generalizes(spark):
     assert 0 < c4[4] <= 10
 
 
+def test_bpe_fertility_per_stratum(spark):
+    from sparkstract.operators.bpe import bpe_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab", "s1"), (2, "ab cd", "s1"), (3, "", "s2")],
+        "doc_id long, text string, source string")
+    model = bpe_train(docs, merges=1)  # learns (a, b)
+    out = {r["stratum"]: r for r in
+           bpe_fertility(docs, model, strata_col="source").collect()}
+    # s1: 5 words -> ab x4 = 1 token each, cd = 2 tokens -> 6 tokens
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["n_words"] == 5
+    assert out["s1"]["n_tokens"] == 6
+    assert out["s1"]["tokens_per_word"] == 1.2
+    # chars: len("ab ab ab") + len("ab cd") = 8 + 5 = 13 over 6 tokens
+    assert out["s1"]["chars_per_token"] == round(13 / 6, 6)
+    # empty stratum: zero everything, ratios 0.0 (no div-by-zero)
+    assert out["s2"]["n_tokens"] == 0 and out["s2"]["tokens_per_word"] == 0.0
+
+
 def test_bpe_early_stop_when_fully_merged(spark):
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     model = bpe_train(docs, merges=10)

@@ -317,6 +317,30 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out["t1"]["n_grams"] == 5  # 7 words → 5 distinct 3-grams
 
 
+def test_contamination_report_per_eval_item(spark):
+    """The reverse view: per BENCHMARK item, the fraction of its grams
+    found in train; a fully-quoted item is dirty, an unquoted one clean,
+    a too-short one has 0 grams and defaults clean."""
+    from sparkstract.operators.decontam import contamination_report
+
+    bench = spark.createDataFrame(
+        [("e1", "the secret eval answer is forty two"),
+         ("e2", "never seen by any training document ever"),
+         ("e3", "tiny one")],
+        "doc_id string, text string")
+    train = spark.createDataFrame(
+        [("t1", "model memorized the secret eval answer is forty two ok")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           contamination_report(train, bench, n=3,
+                                max_dirty_frac=0.5).collect()}
+    # every one of e1's 5 grams appears verbatim in t1
+    assert out["e1"]["n_grams"] == 5 and out["e1"]["n_dirty"] == 5
+    assert out["e1"]["dirty_frac"] == 1.0 and not out["e1"]["clean"]
+    assert out["e2"]["n_dirty"] == 0 and out["e2"]["clean"]
+    assert out["e3"]["n_grams"] == 0 and out["e3"]["clean"]
+
+
 def test_minhash_match_cross_corpus(spark):
     from pyspark.sql import functions as F
     from sparkstract.operators.dedup import minhash_match
