@@ -7,6 +7,8 @@ reference implementation inlined here (pure-Python BPE over a word-count
 dict), so any corpus is checkable."""
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from sparkstract.operators.bpe import (SEP, bpe_token_counts, bpe_train,
@@ -129,3 +131,23 @@ def test_bpe_early_stop_when_fully_merged(spark):
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     model = bpe_train(docs, merges=10)
     assert model == [(1, "a", "b", 2)]  # one pair exists, then vocab is atomic
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.dictionaries(
+    st.text(alphabet="ab", min_size=1, max_size=6),
+    st.integers(1, 5), min_size=1, max_size=6))
+def test_bpe_property_matches_reference(spark, word_freqs):
+    """Degenerate two-letter alphabet: maximal overlap pressure on the
+    leftmost-non-overlap merge and on count tie-breaks — the two paths
+    where a distributed formulation could silently diverge."""
+    ref_model, ref_vocab = _ref_bpe(word_freqs, merges=3)
+    got = bpe_train(_docs(spark, word_freqs), merges=3)
+    assert got == ref_model
+    df = spark.createDataFrame([(w,) for w in word_freqs], "w string")
+    segs = {r["w"]: tuple(r["s"].split(SEP)) for r in
+            df.select("w", segment_expr(F.col("w"), got).alias("s"))
+            .collect()}
+    ref_segs = {"".join(syms): syms for syms in ref_vocab}
+    for w in word_freqs:
+        assert segs[w] == ref_segs[w], (w, segs[w], ref_segs[w])
