@@ -867,6 +867,35 @@ _NORM_VARIANTS: list[tuple[str, str]] = [
 ]
 
 
+# Multi-line boilerplate docs unioned into line_dedup's gate input — the
+# corpus rows are single-line and globally unique, so without these the
+# query would pass vacuously (nothing to drop). ld-b's first/last lines
+# fold-match ld-a's (case, double space, curly punctuation); ld-c repeats
+# a line within one doc and carries a blank line.
+_LINE_DOCS: list[tuple[str, str]] = [
+    ("ld-a", "Subscribe to our newsletter\nunique first body\n"
+             "shared quote — “hello”"),
+    ("ld-b", "subscribe   to our NEWSLETTER\nunique second body\n"
+             'shared quote - "hello"'),
+    ("ld-c", "unique third body\n\nunique third body\ntail line"),
+]
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup (Wenzek et al. 2020 §4.1):
+    every line is hashed over its normstrngs-folded form and only the
+    corpus-wide FIRST occurrence (smallest (doc_id, pos)) survives — the
+    boilerplate-stripping pass. Corpus rows pass through untouched (they
+    are single-line and unique); the unioned _LINE_DOCS rows exercise the
+    drop/fold/blank/within-doc paths non-vacuously."""
+    from sparkstract.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    extra = spark.createDataFrame(_LINE_DOCS, "doc_id string, text string")
+    return line_dedup(docs.union(extra)).orderBy("doc_id")
+
+
 def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the normstrngs-folded canonical form
     (unittest/normstrngs_test.cc): curly quotes/dashes/ligatures fold to
@@ -2426,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "bpe_fertility": q_bpe_fertility,
         "contamination_report": q_contamination_report,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2558,6 +2588,15 @@ def oracle_sql() -> dict[str, str]:
     for _src, _dst in ts.NORM_FOLDS:
         norm_expr = f"replace({norm_expr}, {_sql_quote(_src)}, {_sql_quote(_dst)})"
     norm_expr = f"lower(regexp_replace(trim({norm_expr}), '\\s+', ' ', 'g'))"
+
+    # the same fold chain over a LINE (line_dedup hashes per-line)
+    line_norm = "u.line"
+    for _src, _dst in ts.NORM_FOLDS:
+        line_norm = (f"replace({line_norm}, {_sql_quote(_src)}, "
+                     f"{_sql_quote(_dst)})")
+    line_norm = f"lower(regexp_replace(trim({line_norm}), '\\s+', ' ', 'g'))"
+    line_doc_rows = ",\n".join(
+        f"({_sql_quote(d)}, {_sql_quote(t)})" for d, t in _LINE_DOCS)
     norm_variant_rows = ",\n".join(
         f"({_sql_quote(d)}, {_sql_quote(t)})" for d, t in _NORM_VARIANTS)
 
@@ -3862,6 +3901,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _dd_bpe_merges_sql(),
         "bpe_tokens": _dd_bpe_tokens_sql(),
+        "line_dedup": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES {line_doc_rows}) v(doc_id, text)),
+            raw AS (
+              SELECT doc_id, unnest(list_transform(
+                       range(1, len(arr) + 1),
+                       i -> {{'pos': CAST(i - 1 AS INTEGER),
+                             'line': arr[CAST(i AS BIGINT)]}})) AS u
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
+                    FROM base)),
+            lines AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line,
+                     md5({line_norm}) AS h
+              FROM raw WHERE trim(u.line) <> ''),
+            r AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rn
+              FROM lines),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)
+                       AS n_kept,
+                     CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS n_dropped,
+                     coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                         chr(10) ORDER BY pos), '')
+                       AS clean_text
+              FROM r GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                   coalesce(a.n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+            FROM (SELECT DISTINCT doc_id FROM base) b
+            LEFT JOIN agg a USING (doc_id)
+            ORDER BY b.doc_id
+        """,
         "bpe_fertility": _dd_bpe_fertility_sql(),
         "contamination_report": f"""
             {_dd_ngrams(3)},

@@ -446,3 +446,57 @@ def minhash_match(new_docs: DataFrame, corpus: DataFrame,
     return (cand.join(sn, "new_id").join(sig_c, "doc_id")
             .select("new_id", "doc_id", "n_bands",
                     agree.cast("long").alias("n_sig_match")))
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """CCNet-style cross-document line deduplication (Wenzek et al. 2020
+    §4.1: hash every line, drop all but the FIRST occurrence corpus-wide —
+    the pass that strips boilerplate like nav bars and cookie banners
+    because they repeat across pages). Returns one row per input doc:
+    (doc_id, clean_text, n_kept, n_dropped).
+
+    Semantics: lines split on \\n; blank lines are always dropped (CCNet
+    does the same); the dedup key is the md5 of the normstrngs-folded
+    lowercase line (normalize_text — curly quotes etc. fold before
+    hashing) while the KEPT text preserves the original bytes; "first" is
+    the smallest (doc_id, pos) — deterministic under any partitioning.
+
+    Scale shape: one corpus scan; the keeper aggregation groups on the
+    line-hash key space with map-side combine (a boilerplate line repeated
+    a billion times collapses to one row per map task); the keeper frame
+    joins back on the same hash key. Reassembly buffers one DOCUMENT's
+    kept lines — bounded by the input row itself, the same bound
+    chunking has. No windows, no corpus-sized driver state."""
+    from ..functions.textstats import normalize_text
+
+    lines = (spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+         .alias("pos", "line"))
+        .filter(F.trim("line") != "")
+        .withColumn("h", F.md5(normalize_text(F.col("line")))))
+    keep = (lines.groupBy("h")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("k")))
+    flagged = (lines.join(keep, "h")
+               .select("doc_id", "pos", "line",
+                       ((F.col("k.doc_id") == F.col("doc_id"))
+                        & (F.col("k.pos") == F.col("pos"))).alias("kept")))
+    agg = (flagged.groupBy("doc_id")
+           .agg(F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("kept"),
+                                   F.struct("pos", "line")))),
+                        lambda s: s["line"]),
+                    "\n").alias("clean_text")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept"),
+                    F.coalesce("n_dropped", F.lit(0)).cast("long")
+                     .alias("n_dropped")))

@@ -317,6 +317,28 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out["t1"]["n_grams"] == 5  # 7 words → 5 distinct 3-grams
 
 
+def test_line_dedup_keeps_first_occurrence(spark):
+    """CCNet line dedup: fold-matched boilerplate drops everywhere but its
+    first (doc_id, pos); within-doc repeats drop too; blanks always drop;
+    kept text preserves original bytes in original order."""
+    from sparkstract.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame([
+        (1, "unique alpha\nSubscribe to our newsletter\nbody one"),
+        (2, "subscribe to our  newsletter\nbody two\n\nbody two"),
+        (3, ""),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == (
+        "unique alpha\nSubscribe to our newsletter\nbody one")
+    assert out[1]["n_kept"] == 3 and out[1]["n_dropped"] == 0
+    # doc 2: newsletter line fold-matches doc 1's (case + double space),
+    # and its second "body two" is a within-doc duplicate
+    assert out[2]["clean_text"] == "body two"
+    assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 2
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+
+
 def test_contamination_report_per_eval_item(spark):
     """The reverse view: per BENCHMARK item, the fraction of its grams
     found in train; a fully-quoted item is dirty, an unquoted one clean,
