@@ -1073,6 +1073,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=3).orderBy("doc_id")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot delta: old = docs without the %11 family, new =
+    docs without the %5 family with ' v2' appended to the %7 family —
+    yields all three statuses (added/removed/changed) non-vacuously.
+    Unchanged docs never leave the operator."""
+    from sparkstract.operators.report import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 5 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.concat("text", F.lit(" v2")))
+                    .otherwise(F.col("text")).alias("text")))
+    return snapshot_diff(old, new).orderBy("doc_id")
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reverse decontamination view (GPT-3 appendix C): per BENCHMARK
     item, the fraction of its 3-grams that appear anywhere in the training
@@ -2456,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "contamination_report": q_contamination_report,
         "line_dedup": q_line_dedup,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -3898,6 +3916,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS fp_old
+              FROM documents WHERE doc_id % 11 <> 0),
+            n AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(trim(
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END), '\\s+', ' ', 'g'))) AS fp_new
+              FROM documents WHERE doc_id % 5 <> 0)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+               OR o.fp_old <> n.fp_new
+            ORDER BY 1
         """,
         "bpe_merges": _dd_bpe_merges_sql(),
         "bpe_tokens": _dd_bpe_tokens_sql(),

@@ -36,3 +36,30 @@ def corpus_report(docs: DataFrame, lang_col: str = "lang",
                  F.sum("n_toks").cast("long").alias("total_tokens"),
                  F.sum("n_chars").cast("long").alias("total_chars"),
                  F.round(F.avg("n_toks"), 6).alias("avg_tokens")))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, status): the delta between two corpus snapshots —
+    'added' (only in new), 'removed' (only in old), 'changed' (same id,
+    different content fingerprint). Unchanged docs are filtered out: the
+    DELTA is the small artifact an incremental pipeline run consumes (what
+    to re-extract, re-dedup, re-index — the batch-side companion of
+    minhash_match's incoming-batch gate).
+
+    Scale shape: fingerprints are computed map-side on each scan, the
+    full-outer join keys on the uniform doc_id, and the unchanged filter
+    runs before anything downstream — at 10^12 docs the output is
+    bounded by the churn rate, not the corpus."""
+    from ..functions.textstats import fingerprint
+
+    o = old.select(F.col(id_col).alias("doc_id"),
+                   fingerprint(F.col(text_col)).alias("fp_old"))
+    n = new.select(F.col(id_col).alias("doc_id"),
+                   fingerprint(F.col(text_col)).alias("fp_new"))
+    status = (F.when(F.col("fp_old").isNull(), "added")
+              .when(F.col("fp_new").isNull(), "removed")
+              .when(F.col("fp_old") != F.col("fp_new"), "changed"))
+    return (o.join(n, "doc_id", "full_outer")
+            .select("doc_id", status.alias("status"))
+            .filter(F.col("status").isNotNull()))

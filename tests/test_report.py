@@ -24,3 +24,18 @@ def test_corpus_report_rollup_and_dups(spark):
     assert rows[(None, None)]["n_docs"] == 4
     assert rows[(None, None)]["total_tokens"] == 8
     assert abs(rows[(None, None)]["avg_tokens"] - 2.0) < 1e-9
+
+
+def test_snapshot_diff_statuses(spark):
+    from sparkstract.operators.report import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same  TEXT"), (2, "did change"), (4, "brand new")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    # doc 1 is fingerprint-identical (case + whitespace fold): filtered out
+    assert out == {2: "changed", 3: "removed", 4: "added"}
