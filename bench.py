@@ -65,6 +65,37 @@ def _run_extract(master: str, fs, replicate: int, shuffle_parts: int) -> dict:
         spark.stop()
 
 
+def _span_match_rate(fs) -> float:
+    """Span-exact-match rate on the scaling corpus — the other half of the
+    BASELINE.json metric ('docs/sec + span-exact-match rate'): fraction of
+    docs whose extracted (kind, text, media_ref, order) sequence equals
+    the fixture truth exactly."""
+    from sparkstract.plans.pipeline import extract
+    from sparkstract.session import get_spark
+
+    spark = get_spark("local[8]", app="bench-match", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs, media, truth = fs.to_spark(spark)
+        got = extract(spark, docs, media).toPandas()
+        want = truth.toPandas()
+
+        def seqs(df):
+            df = df.fillna({"text": "", "media_ref": ""})
+            return {
+                d: list(zip(g["kind"], g["text"], g["media_ref"], g["order"]))
+                for d, g in df.sort_values(["doc_id", "order"])
+                              .groupby("doc_id")
+            }
+
+        gs, ws = seqs(got), seqs(want)
+        keys = set(gs) | set(ws)
+        matched = sum(1 for d in keys if gs.get(d) == ws.get(d))
+        return matched / max(len(keys), 1)
+    finally:
+        spark.stop()
+
+
 # Measured hardware ceiling of this 32-core VM across the 8→32 range:
 # multiprocessing.Pool over the raw page-analysis kernel (no Spark) reaches
 # 0.75, a pure-CPU integer loop 0.82 (controls table below). Used only to
@@ -88,7 +119,10 @@ def scaling_main() -> None:
         top = _run_extract("local[32]", fs, replicate, shuffle_parts=64)
         eff_top = (top["docs_per_sec"] / hi["docs_per_sec"]) / (32 / (4 * n_cores))
         rel_top = eff_top / KERNEL_CEIL_8_32
-    out = dict(bench="scaling", n=lo, four_n=hi, scaling_efficiency=round(eff, 3))
+    rate = _span_match_rate(fs)
+    out = dict(bench="scaling", n=lo, four_n=hi,
+               scaling_efficiency=round(eff, 3),
+               span_exact_match_rate=round(rate, 6))
     if top is not None:
         out["top"] = top
         out["eff_4n_to_32"] = round(eff_top, 3)
@@ -127,6 +161,11 @@ top-of-range behavior.
 Input: deterministic synthetic interleaved corpus — 500 docs x {replicate}
 replicas = {lo['docs']} docs ({lo['spans']} output spans), incl. one 32-page
 media-heavy doc per 100 (axis-B skew), salted repartition on (doc_id, offset).
+
+**Span-exact-match rate: {rate:.4f}** — fraction of corpus docs whose
+extracted (kind, text, media_ref, order) sequence equals the fixture truth
+exactly (the other half of the BASELINE.json metric; the pytest suite pins
+the same invariant per-family).
 
 | run | parallelism | wallclock (s) | docs/sec | scaling eff |
 |---|---|---|---|---|

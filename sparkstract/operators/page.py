@@ -1415,12 +1415,8 @@ def _attach_words(rows_seg: list[dict], lines_txt: list[str],
 OSD_RETRY_DIST = 2.0  # mean bits/char above this → try the other 3 rotations
 
 
-def _page_script(blocks: list[Block]) -> str:
-    """Script half of OSD (osdetect.cpp:286 os_detect_blobs scores every
-    script, not just rotations): per-script strong-glyph tally over the
-    page's decoded text, argmax wins. Deterministic tie-break: a later
-    script needs STRICTLY more hits than latin (the reference's vote is
-    likewise a max over per-script scores)."""
+def _script_tally(blocks: list[Block]) -> dict[str, int]:
+    """Per-script strong-glyph counts over the page's decoded text."""
     from ..fixtures.font import STRONG_CYRILLIC, STRONG_GREEK
 
     scripts = (("latin", STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC),
@@ -1435,11 +1431,41 @@ def _page_script(blocks: list[Block]) -> str:
                     if c in glyphs:
                         tally[name] += 1
                         break
+    return tally
+
+
+def _page_script(blocks: list[Block]) -> str:
+    """Script half of OSD (osdetect.cpp:286 os_detect_blobs scores every
+    script, not just rotations): per-script strong-glyph tally over the
+    page's decoded text, argmax wins. Deterministic tie-break: a later
+    script needs STRICTLY more hits than latin (the reference's vote is
+    likewise a max over per-script scores)."""
+    tally = _script_tally(blocks)
     best, best_n = "latin", tally["latin"]
     for name in ("greek", "cyrillic", "hebrew"):
         if tally[name] > best_n:
             best, best_n = name, tally[name]
     return best
+
+
+def _suspect_decode(blocks: list[Block], quality: float) -> bool:
+    """Should the orientation retry run? Bad hamming quality is the
+    original trigger; the second is an IMPERFECT decode that contains any
+    strong non-Latin glyph — rotated Latin glyphs can hamming-match
+    Greek/Hebrew LUT entries just under the distance threshold (the
+    multi-script LUT widened exactly this failure mode: 'ΞHבUב'-style
+    mixed-script garbage at q≈1.9). The tell is TWO OR MORE distinct
+    non-Latin scripts on one page: rotated-Latin garbage scatters across
+    the glyph space (measured: greek+hebrew together on every such page),
+    while a genuine bidi/Greek/Cyrillic page decodes exactly ONE foreign
+    script (and a clean one decodes q == 0 and pays nothing here) — so
+    real multilingual pages never enter the rotation ladder."""
+    if quality > OSD_RETRY_DIST:
+        return True
+    if quality <= 0:
+        return False
+    t = _script_tally(blocks)
+    return sum(1 for k in ("greek", "cyrillic", "hebrew") if t[k] > 0) >= 2
 
 
 def _script_vote_rtl(blocks: list[Block]) -> bool:
@@ -1507,22 +1533,29 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
     best_rot, best_div = 0, 4.0
     out, quality = _analyse_ink(ink, rtl=rtl, psm=psm, lut=lut)
     if quality > 0:
-        # any imperfect decode → cheap alternate-config retry first: finer
-        # skew-profile bins (sparse pages can alias at the default
-        # granularity). ProcessPages retry_config, baseapi.h:732.
-        cand, q = _analyse_ink(ink, skew_bin_div=8.0, rtl=rtl, psm=psm, lut=lut)
-        if q < quality:
-            out, quality, best_div = cand, q, 8.0
-    if quality > OSD_RETRY_DIST and psm == "auto":
-        # still bad → try the three other orientations (C10), both bins.
-        # OSD only runs in auto mode, like the reference's PSM_OSD gate
-        # (publictypes.h:192 PSM_OSD_ENABLED).
+        # any imperfect decode → cheap alternate-config retries first:
+        # finer skew-profile bins (sparse pages can alias at the default
+        # granularity) then COARSER bins (strong bows can overfit the
+        # default grid — residual warp at row edges turns R into P).
+        # ProcessPages retry_config, baseapi.h:732.
+        for div in (8.0, 2.0):
+            cand, q = _analyse_ink(ink, skew_bin_div=div, rtl=rtl, psm=psm,
+                                   lut=lut)
+            if q < quality:
+                out, quality, best_div = cand, q, div
+            if quality <= 0:
+                break
+    if _suspect_decode(out, quality) and psm == "auto":
+        # still bad (or imperfect with non-Latin glyphs — rotated Latin
+        # masquerading as Greek/Hebrew) → try the three other orientations
+        # (C10), both bins. OSD only runs in auto mode, like the
+        # reference's PSM_OSD gate (publictypes.h:192 PSM_OSD_ENABLED).
         for k, div in [(1, 4.0), (2, 4.0), (3, 4.0), (1, 8.0), (2, 8.0), (3, 8.0)]:
             cand, q = _analyse_ink(np.rot90(ink, k), skew_bin_div=div,
                                    rtl=rtl, lut=lut)
             if q < quality:
                 out, quality, best_rot, best_div = cand, q, k, div
-            if quality <= OSD_RETRY_DIST:
+            if not _suspect_decode(out, quality):
                 break
     if psm == "auto" and not rtl and _script_vote_rtl(out):
         # script vote fired: re-run the winning orientation/config with RTL
