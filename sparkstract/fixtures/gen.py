@@ -65,7 +65,7 @@ def _lines(rng: np.random.Generator, n_lines: int, max_chars: int) -> list[str]:
 def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     """Deterministic page spec per fixture family (FIXTURES.md table)."""
     if family in ("tiff_page", "tiff_multipage", "pnm_page", "bmp_page",
-                  "jpeg_page"):
+                  "jpeg_page", "exif_tiff_page", "exif_jpeg_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -340,7 +340,7 @@ PAGE_FAMILIES = [
     "inline_equation_page", "wavy_page", "ragged_page", "embedded_vertical",
     "sparse_texture", "para_page", "tiff_page", "tiff_multipage",
     "greek_page", "music_page", "pnm_page", "bmp_page", "jpeg_page",
-    "cyrillic_page",
+    "cyrillic_page", "exif_tiff_page", "exif_jpeg_page",
 ]
 
 
@@ -384,6 +384,26 @@ class _Builder:
             img2, b2 = render_page(page_spec("interleaved_order", self.rng))
             payload = encode_gray_tiff([img, img2], "none")
             blocks = b1 + b2
+        elif family == "exif_tiff_page":
+            # EXIF-rotated ingest (Orientation tag 274): the container
+            # stores the page rotated 90° CCW with orientation=6, so the
+            # decoder must un-rotate before analysis (Leptonica applies
+            # the tag on read; SetImage baseapi.cpp:881). Truth blocks are
+            # the UPRIGHT page's — identical to an untagged upright scan.
+            from ..functions.tiff import encode_gray_tiff
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_tiff(
+                np.ascontiguousarray(np.rot90(img, 1)), "none", orientation=6)
+        elif family == "exif_jpeg_page":
+            # same contract through the JPEG APP1 Exif path (phone-camera
+            # scans arrive rotated-with-tag)
+            from ..functions.jpeg import encode_gray_jpeg
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_jpeg(
+                np.ascontiguousarray(np.rot90(img, 1)), quality=95,
+                exif_orientation=6)
         elif family == "pnm_page":
             from ..functions.raster import encode_gray_pnm
 

@@ -29,6 +29,8 @@ import math
 
 import numpy as np
 
+from .raster import apply_exif_orientation
+
 # ---------------------------------------------------------------- tables
 
 # Annex K.1 luminance quantization (natural row-major order)
@@ -180,10 +182,13 @@ def _encode_block(w: _BitWriter, zz: np.ndarray, dc_pred: int,
 
 
 def encode_gray_jpeg(img: np.ndarray, quality: int = 90,
-                     restart_interval: int = 0, color: bool = False) -> bytes:
+                     restart_interval: int = 0, color: bool = False,
+                     exif_orientation: int | None = None) -> bytes:
     """uint8 HxW -> baseline JFIF bytes. `color` wraps the same gray data
     as a 3-component 4:4:4 YCbCr stream with constant chroma (decoder
-    multi-component test path); `restart_interval` emits DRI/RSTn."""
+    multi-component test path); `restart_interval` emits DRI/RSTn;
+    `exif_orientation` emits an APP1 Exif segment carrying tag 274
+    (pixels stored as given — the fixture side of EXIF-rotated ingest)."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape
     quant = _scaled_quant(quality)
@@ -202,6 +207,16 @@ def encode_gray_jpeg(img: np.ndarray, quality: int = 90,
     ncomp = 3 if color else 1
     out = bytearray(b"\xff\xd8")                                    # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if exif_orientation:
+        # minimal Exif: little-endian TIFF header + a 1-entry IFD0 (tag 274
+        # SHORT) + zero next-IFD pointer
+        ifd = ((1).to_bytes(2, "little")
+               + (274).to_bytes(2, "little") + (3).to_bytes(2, "little")
+               + (1).to_bytes(4, "little")
+               + exif_orientation.to_bytes(2, "little") + b"\x00\x00"
+               + (0).to_bytes(4, "little"))
+        out += _seg(0xE1, b"Exif\x00\x00" + b"II*\x00"
+                    + (8).to_bytes(4, "little") + ifd)
     out += _seg(0xDB, bytes([0x00]) + bytes(
         int(quant.reshape(64)[_ZZ_FLAT][i]) for i in range(64)))    # DQT
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
@@ -311,10 +326,39 @@ def _decode_block(reader: _BitReader, dc_tbl, ac_tbl, pred: int,
     return pred
 
 
+def _exif_orientation(t: bytes) -> int:
+    """Orientation (tag 274) from an APP1 Exif payload's embedded TIFF
+    structure — byte-order header + IFD0 entry scan. Anything malformed
+    degrades to 1 (display as stored), never an error: a broken Exif
+    blob must not fail an otherwise-valid image at ingest."""
+    if t[:4] == b"II*\x00":
+        bo = "little"
+    elif t[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return 1
+    off = int.from_bytes(t[4:8], bo)
+    if off + 2 > len(t):
+        return 1
+    n = int.from_bytes(t[off:off + 2], bo)
+    for i in range(min(n, 512)):
+        p = off + 2 + 12 * i
+        if p + 12 > len(t):
+            break
+        if (int.from_bytes(t[p:p + 2], bo) == 274
+                and int.from_bytes(t[p + 2:p + 4], bo) == 3):
+            return int.from_bytes(t[p + 8:p + 10], bo) or 1
+    return 1
+
+
 def decode_gray_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 HxW grayscale (luma of color input)."""
+    """Baseline JPEG bytes -> uint8 HxW grayscale (luma of color input),
+    upright per any APP1 Exif Orientation tag (phone-camera scans arrive
+    rotated-with-tag; the reference inherits the un-rotation from
+    Leptonica's read path, SetImage baseapi.cpp:881)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("invalid JPEG: missing SOI")
+    orientation = 1
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
@@ -375,6 +419,8 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG SOF{marker - 0xC0}: only baseline "
                              "(SOF0/SOF1) is supported")
+        elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":  # APP1 Exif
+            orientation = _exif_orientation(seg[6:])
         elif marker == 0xDD:                       # DRI
             restart = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:                       # SOS
@@ -453,4 +499,4 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     img = np.clip(np.round(img), 0, 255).astype(np.uint8)
     if h0 < hmax or v0 < vmax:
         img = np.repeat(np.repeat(img, vmax // v0, axis=0), hmax // h0, axis=1)
-    return img[:hsize, :wsize]
+    return apply_exif_orientation(img[:hsize, :wsize], orientation)

@@ -118,3 +118,32 @@ def decode_gray_bmp(data: bytes) -> np.ndarray:
     if not top_down:
         raw = raw[::-1]
     return luma[raw].copy()
+
+
+# ------------------------------------------------- EXIF / TIFF orientation
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Stored pixels -> upright pixels per Orientation tag 274 (TIFF6 /
+    EXIF 2.3). The reference gets this through Leptonica's read path on
+    ingest (SetImage baseapi.cpp:881): cameras and scanners store the
+    sensor raster and record how to display it, so the upright transform
+    must run BEFORE any layout analysis. Values 1-8: 1 normal, 2 mirror-H,
+    3 rotate 180, 4 mirror-V, 5 transpose, 6 rotate 90 CW to display,
+    7 transverse, 8 rotate 90 CCW to display. Unknown values pass through
+    unchanged (the reference is likewise lenient)."""
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1, :]
+    if orientation == 5:
+        return img.T
+    if orientation == 6:
+        return np.rot90(img, -1)
+    if orientation == 7:
+        return img[::-1, ::-1].T
+    if orientation == 8:
+        return np.rot90(img, 1)
+    return img

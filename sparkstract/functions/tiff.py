@@ -20,6 +20,8 @@ import struct
 
 import numpy as np
 
+from .raster import apply_exif_orientation
+
 _CLEAR, _EOI = 256, 257
 _TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
 
@@ -138,11 +140,14 @@ def _lzw_decode(data: bytes) -> bytes:
 
 
 def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
-                     compression: str = "none") -> bytes:
+                     compression: str = "none",
+                     orientation: int | None = None) -> bytes:
     """uint8 HxW array(s) -> (multipage) grayscale TIFF bytes.
 
     One IFD per page chained via the next-IFD pointer — the structure
-    ProcessPagesMultipageTiff walks (baseapi.cpp:1657)."""
+    ProcessPagesMultipageTiff walks (baseapi.cpp:1657). `orientation`
+    writes tag 274 (pixels are stored AS GIVEN; the tag tells readers how
+    to display them — the fixture side of the EXIF-rotation ingest path)."""
     if isinstance(pages, np.ndarray):
         pages = [pages]
     assert pages, "at least one page"
@@ -169,6 +174,7 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
             (259, 3, 1, comp_id),      # Compression
             (262, 3, 1, 1),            # Photometric: BlackIsZero
             (273, 4, 1, strip_off),    # StripOffsets
+            *([(274, 3, 1, orientation)] if orientation else []),
             (277, 3, 1, 1),            # SamplesPerPixel
             (278, 4, 1, h),            # RowsPerStrip (one strip)
             (279, 4, 1, len(strip)),   # StripByteCounts
@@ -237,6 +243,9 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
             img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
         if tags.get(262, [1])[0] == 0:  # WhiteIsZero → invert to BlackIsZero
             img = (255 - img.astype(np.int64)).astype(np.uint8)
+        # Orientation tag 274: un-rotate to upright BEFORE analysis, the
+        # way Leptonica's read path does on ingest (SetImage baseapi.cpp:881)
+        img = apply_exif_orientation(img, tags.get(274, [1])[0])
         pages.append(img.copy())
     if not pages:
         raise ValueError("TIFF has no pages")

@@ -128,3 +128,29 @@ def test_sixteen_bit_quant_table_read():
     patched = bytes(enc[:i]) + seg + bytes(enc[i + 4 + ln - 2 :])
     assert np.array_equal(decode_gray_jpeg(patched),
                           decode_gray_jpeg(bytes(enc)))
+
+
+def test_exif_orientation_app1_roundtrip():
+    """APP1 Exif Orientation: the tagged decode equals the untagged decode
+    put through the same transform (exact equality — identical DCT data,
+    the tag only adds the upright step)."""
+    from sparkstract.functions.raster import apply_exif_orientation
+
+    rng = np.random.default_rng(11)
+    for o in (2, 3, 4, 5, 6, 7, 8):
+        stored = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+        plain = decode_gray_jpeg(encode_gray_jpeg(stored, quality=95))
+        tagged = decode_gray_jpeg(
+            encode_gray_jpeg(stored, quality=95, exif_orientation=o))
+        assert (tagged == apply_exif_orientation(plain, o)).all(), o
+
+
+def test_exif_malformed_blob_is_ignored():
+    """A truncated/garbage Exif payload must degrade to orientation 1,
+    not fail the image."""
+    img = _gradient(16, 16, seed=3)
+    enc = bytearray(encode_gray_jpeg(img, quality=95, exif_orientation=6))
+    i = enc.find(b"Exif\x00\x00")
+    enc[i + 6 : i + 10] = b"XXXX"  # smash the TIFF byte-order header
+    plain = decode_gray_jpeg(encode_gray_jpeg(img, quality=95))
+    assert np.array_equal(decode_gray_jpeg(bytes(enc)), plain)

@@ -105,3 +105,27 @@ def test_cyclic_ifd_chain_rejected():
     struct.pack_into("<I", data, ifd_off + 2 + 12 * n, ifd_off)
     with pytest.raises(ValueError, match="cyclic"):
         decode_gray_tiff(bytes(data))
+
+
+def test_exif_orientation_all_values_decode_upright():
+    """Orientation tag 274: stored pixels carry any of the 8 EXIF
+    transforms; decode must return the upright image (Leptonica applies
+    the tag on read — SetImage baseapi.cpp:881)."""
+    rng = np.random.default_rng(7)
+    upright = rng.integers(0, 256, (12, 20), dtype=np.uint8)
+    stored = {
+        1: upright, 2: upright[:, ::-1], 3: upright[::-1, ::-1],
+        4: upright[::-1, :], 5: upright.T, 6: np.rot90(upright, 1),
+        7: upright[::-1, ::-1].T, 8: np.rot90(upright, -1),
+    }
+    for o, s in stored.items():
+        enc = encode_gray_tiff(np.ascontiguousarray(s), "lzw", orientation=o)
+        (got,) = decode_gray_tiff(enc)
+        assert (got == upright).all(), f"orientation {o}"
+
+
+def test_exif_orientation_unknown_value_passthrough():
+    img = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    enc = encode_gray_tiff(img, orientation=9)  # out-of-spec: lenient
+    (got,) = decode_gray_tiff(enc)
+    assert (got == img).all()
