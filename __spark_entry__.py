@@ -1914,7 +1914,10 @@ def _media_truth() -> tuple[list[tuple], list[tuple]]:
     feats: list[tuple] = []
     thumbs: list[tuple] = []
     for r in _fixture_set().media.itertuples():
-        gray = decode_gray_any(bytes(r.image))
+        try:
+            gray = decode_gray_any(bytes(r.image))
+        except ValueError:
+            continue  # non-raster media (PDF): same skip as the kernels
         ink = binarize(gray)
         feats.append((r.media_ref, gray.shape[1], gray.shape[0],
                       round(float(ink.mean()), 6), int(otsu_threshold(gray)),
@@ -1924,13 +1927,31 @@ def _media_truth() -> tuple[list[tuple], list[tuple]]:
     return feats, thumbs
 
 
+def _local_page_blocks(data: bytes) -> list[list]:
+    """The distributed kernel's per-media page iteration run locally (incl.
+    the PDF born-digital rule — text-layer pages parse, image-only pages
+    OCR), one block list per decoded page: the shared base for every
+    single-process truth constant."""
+    from sparkstract.functions.codecs import decode_pages
+    from sparkstract.functions.pdf import blocks_from_pdf_page, parse_pdf
+    from sparkstract.operators.page import analyse_page
+
+    if data[:5] == b"%PDF-":
+        out: list[list] = []
+        for pg in parse_pdf(data):
+            if pg.has_text:
+                out.append(blocks_from_pdf_page(pg))
+            else:
+                out.extend(analyse_page(it[1])
+                           for it in pg.items if it[0] == "image")
+        return out
+    return [analyse_page(gray) for gray in decode_pages(data)]
+
+
 @functools.lru_cache(maxsize=1)
 def _words_truth() -> list[tuple]:
     """Single-process ground truth for extract_words: the same page kernel
     run locally per fixture media span, word rows in docs-table order."""
-    from sparkstract.functions.codecs import decode_pages
-    from sparkstract.operators.page import analyse_page
-
     fs = _fixture_set()
     img_by_ref = {r.media_ref: r.image for r in fs.media.itertuples()}
     rows: list[tuple] = []
@@ -1939,8 +1960,8 @@ def _words_truth() -> list[tuple]:
             if span["kind"] != "media":
                 continue
             base = 0
-            for gray in decode_pages(bytes(img_by_ref[span["media_ref"]])):
-                blocks = analyse_page(gray)
+            for blocks in _local_page_blocks(
+                    bytes(img_by_ref[span["media_ref"]])):
                 for blk in blocks:
                     if not blk.words:
                         continue
@@ -1957,9 +1978,6 @@ def _words_truth() -> list[tuple]:
 def _layout_geometry_truth() -> list[tuple]:
     """Single-process ground truth for layout_geometry: the same page kernel
     run locally per fixture media span, in docs-table order."""
-    from sparkstract.functions.codecs import decode_pages
-    from sparkstract.operators.page import analyse_page
-
     fs = _fixture_set()
     img_by_ref = {r.media_ref: r.image for r in fs.media.itertuples()}
     rows: list[tuple] = []
@@ -1968,8 +1986,8 @@ def _layout_geometry_truth() -> list[tuple]:
             if span["kind"] != "media":
                 continue
             base = 0
-            for gray in decode_pages(bytes(img_by_ref[span["media_ref"]])):
-                blocks = analyse_page(gray)
+            for blocks in _local_page_blocks(
+                    bytes(img_by_ref[span["media_ref"]])):
                 for blk in blocks:
                     rows.append((d.doc_id, span["offset"], base + blk.order,
                                  blk.kind, blk.text, span["media_ref"],

@@ -65,7 +65,8 @@ def _lines(rng: np.random.Generator, n_lines: int, max_chars: int) -> list[str]:
 def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     """Deterministic page spec per fixture family (FIXTURES.md table)."""
     if family in ("tiff_page", "tiff_multipage", "pnm_page", "bmp_page",
-                  "jpeg_page", "exif_tiff_page", "exif_jpeg_page"):
+                  "jpeg_page", "exif_tiff_page", "exif_jpeg_page",
+                  "pdf_page", "pdf_scanned_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -340,7 +341,8 @@ PAGE_FAMILIES = [
     "inline_equation_page", "wavy_page", "ragged_page", "embedded_vertical",
     "sparse_texture", "para_page", "tiff_page", "tiff_multipage",
     "greek_page", "music_page", "pnm_page", "bmp_page", "jpeg_page",
-    "cyrillic_page", "exif_tiff_page", "exif_jpeg_page",
+    "cyrillic_page", "exif_tiff_page", "exif_jpeg_page", "pdf_page",
+    "pdf_scanned_page",
 ]
 
 
@@ -404,6 +406,47 @@ class _Builder:
             payload = encode_gray_jpeg(
                 np.ascontiguousarray(np.rot90(img, 1)), quality=95,
                 exif_orientation=6)
+        elif family == "pdf_page":
+            # born-digital PDF: text parses straight from the content
+            # stream (functions/pdf.py) — no OCR, so the vocabulary is NOT
+            # limited to the raster fixture font (mixed case proves it);
+            # an embedded image XObject interleaves as flowing_image
+            from ..functions.pdf import encode_simple_pdf
+            from .render import TruthBlock
+
+            cap = lambda s: " ".join(w.capitalize() for w in s.split())  # noqa: E731
+            top_lines = [cap(ln) for ln in _lines(self.rng, 3, 28)]
+            bot_lines = [cap(ln) for ln in _lines(self.rng, 2, 28)]
+            pic = (np.outer(np.arange(40), np.arange(60)) % 251
+                   ).astype(np.uint8)
+            els = [("text", 72, 700 - 16 * i, 12, ln)
+                   for i, ln in enumerate(top_lines)]
+            els.append(("image", pic, 72, 500))
+            els += [("text", 72, 300 - 16 * i, 12, ln)
+                    for i, ln in enumerate(bot_lines)]
+            payload = encode_simple_pdf([els])
+            blocks = [TruthBlock("flowing_text", "\n".join(top_lines)),
+                      TruthBlock("flowing_image", None),
+                      TruthBlock("flowing_text", "\n".join(bot_lines))]
+            img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
+        elif family == "pdf_scanned_page":
+            # mixed-mode PDF: page 1 carries a text layer (born-digital
+            # parse), page 2 is a wrapped scan (image-only → falls through
+            # to the raster OCR kernel) — the per-page "OCR only what has
+            # no text layer" rule, block order continuing across pages
+            from ..functions.pdf import encode_simple_pdf
+            from .render import TruthBlock
+
+            cap = lambda s: " ".join(w.capitalize() for w in s.split())  # noqa: E731
+            digital = [cap(ln) for ln in _lines(self.rng, 2, 28)]
+            img, scanned = render_page(page_spec("single_column", self.rng))
+            payload = encode_simple_pdf([
+                [("text", 72, 700 - 16 * i, 12, ln)
+                 for i, ln in enumerate(digital)],
+                [("image", img, 0, 0)],
+            ], page_size=(612, 792))
+            blocks = ([TruthBlock("flowing_text", "\n".join(digital))]
+                      + scanned)
         elif family == "pnm_page":
             from ..functions.raster import encode_gray_pnm
 

@@ -39,6 +39,9 @@ def decode_pages(data: bytes) -> list[np.ndarray]:
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         raise ValueError("WEBP input: out of scope (no codec libs and a "
                          "VP8 decoder is not in scope; transcode upstream)")
+    if data[:5] == b"%PDF-":
+        raise ValueError("PDF is not a raster: parsed at the pipeline seam "
+                         "(functions/pdf.py born-digital path)")
     raise ValueError(
         "unsupported image format (PNG, TIFF, PNM, BMP, JPEG supported)")
 

@@ -1,0 +1,628 @@
+"""Minimal from-scratch PDF writer + parser: the born-digital ingest path.
+
+The north rule names "PDF/layout parse" as part of main-content extraction
+over interleaved text+media documents. A real web pipeline OCRs a PDF page
+only when it has no text layer; born-digital pages are parsed directly from
+the content stream (and skip the raster kernel entirely). This module is
+that seam — the input-side complement of the raster codecs (the reference's
+PDF support is output-side only: its renderer `src/api/pdfrenderer.cpp`
+WRITES searchable PDFs whose text layer uses exactly the operator subset
+parsed here — BT/ET, Tf, Td/Tm, Tj/TJ — so a reference-produced PDF
+round-trips through this parser).
+
+Scope (named errors at the seam for everything else, like codecs.py):
+- classic cross-reference tables incl. /Prev chains and incremental
+  updates; xref STREAMS (PDF 1.5+) raise out-of-scope
+- content-stream filters: none / FlateDecode (stdlib zlib)
+- text: BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, ', ", TJ with kerning;
+  fixed-advance (Courier-style, 0.6 em) glyph metrics — per-glyph /Widths
+  arrays are a documented seam, not parsed
+- images: XObject /Image with DCTDecode (functions/jpeg.py) or
+  FlateDecode/raw 8-bit /DeviceGray, placed via the full q/Q + cm CTM
+- encrypted PDFs (/Encrypt) raise out-of-scope
+
+Coordinates: PDF user space is bottom-up; emitted geometry is top-down
+pixel space (1 unit = 1 px), matching the raster kernel's convention.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .jpeg import decode_gray_jpeg
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def encode_simple_pdf(pages: list[list[tuple]],
+                      page_size: tuple[int, int] = (612, 792),
+                      compress: bool = True) -> bytes:
+    """Build a minimal single-font PDF. Each page is a list of elements:
+
+    - ``("text", x, y_baseline, size, "line of text")`` — PDF coords (y up)
+    - ``("image", arr, x, y)`` — uint8 HxW grayscale placed at natural size
+      (FlateDecode /DeviceGray)
+    - ``("jpeg", arr, x, y, quality)`` — same, embedded as DCTDecode
+
+    Fixture-side only (like encode_gray_tiff): the parser is the product
+    surface, the writer exists so tests carry genuine PDF bytes."""
+    w, h = page_size
+    objs: list[bytes] = []  # body of object i+1
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    def add_stream(d: str, raw: bytes) -> int:
+        return add(f"<< {d} /Length {len(raw)} >>\nstream\n".encode()
+                   + raw + b"\nendstream")
+
+    add(b"<< /Type /Catalog /Pages 2 0 R >>")         # obj 1
+    pages_obj = add(b"PLACEHOLDER")                     # obj 2, patched below
+    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    kids: list[int] = []
+    for elements in pages:
+        content: list[str] = []
+        xobjects: dict[str, int] = {}
+        for el in elements:
+            if el[0] == "text":
+                _, x, y, size, txt = el
+                content.append(
+                    f"BT /F1 {size} Tf {x} {y} Td ({_esc(txt)}) Tj ET")
+            elif el[0] in ("image", "jpeg"):
+                arr, x, y = el[1], el[2], el[3]
+                ih, iw = arr.shape
+                if el[0] == "jpeg":
+                    from .jpeg import encode_gray_jpeg
+
+                    raw = encode_gray_jpeg(arr, quality=el[4])
+                    filt = "/DCTDecode"
+                else:
+                    raw = zlib.compress(arr.tobytes())
+                    filt = "/FlateDecode"
+                num = add_stream(
+                    f"/Type /XObject /Subtype /Image /Width {iw} "
+                    f"/Height {ih} /ColorSpace /DeviceGray "
+                    f"/BitsPerComponent 8 /Filter {filt}", raw)
+                name = f"Im{len(xobjects)}"
+                xobjects[name] = num
+                content.append(f"q {iw} 0 0 {ih} {x} {y} cm /{name} Do Q")
+            else:
+                raise ValueError(f"unknown element {el[0]!r}")
+        cs = "\n".join(content).encode()
+        filt = ""
+        if compress:
+            cs, filt = zlib.compress(cs), "/Filter /FlateDecode"
+        cnum = add_stream(filt, cs)
+        xo = "".join(f"/{n} {num} 0 R " for n, num in xobjects.items())
+        res = (f"<< /Font << /F1 {font} 0 R >>"
+               + (f" /XObject << {xo}>>" if xo else "") + " >>")
+        kids.append(add(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            f"/Resources {res} /Contents {cnum} 0 R >>".encode()))
+    objs[pages_obj - 1] = (
+        f"<< /Type /Pages /Kids [{' '.join(f'{k} 0 R' for k in kids)}] "
+        f"/Count {len(kids)} >>".encode())
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0] * (len(objs) + 1)
+    for i, body in enumerate(objs, start=1):
+        offsets[i] = len(out)
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for i in range(1, len(objs) + 1):
+        out += f"{offsets[i]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ parser
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+
+class _Lexer:
+    """Recursive-descent parser over PDF object syntax (ISO 32000 §7.3)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.d = data
+        self.i = pos
+
+    def _ws(self) -> None:
+        d, n = self.d, len(self.d)
+        while self.i < n:
+            c = self.d[self.i]
+            if c in _WS:
+                self.i += 1
+            elif c == 0x25:  # % comment to EOL
+                while self.i < n and d[self.i] not in b"\r\n":
+                    self.i += 1
+            else:
+                return
+
+    def token(self) -> bytes:
+        """Next regular token (keyword/number) — not strings/dicts."""
+        self._ws()
+        start = self.i
+        n = len(self.d)
+        while self.i < n and self.d[self.i] not in _WS \
+                and self.d[self.i] not in _DELIM:
+            self.i += 1
+        return self.d[start:self.i]
+
+    def value(self):  # noqa: C901 — one dispatch, flat branches
+        self._ws()
+        d, i = self.d, self.i
+        c = d[i:i + 1]
+        if c == b"<":
+            if d[i + 1:i + 2] == b"<":
+                return self._dict()
+            return self._hexstr()
+        if c == b"(":
+            return self._litstr()
+        if c == b"[":
+            self.i += 1
+            out = []
+            while True:
+                self._ws()
+                if d[self.i:self.i + 1] == b"]":
+                    self.i += 1
+                    return out
+                out.append(self.value())
+        if c == b"/":
+            self.i += 1
+            return "/" + self.token().decode("latin-1")
+        tok = self.token()
+        if tok in (b"true", b"false"):
+            return tok == b"true"
+        if tok == b"null":
+            return None
+        # number — possibly the start of an `N G R` indirect reference
+        txt = tok.decode("latin-1")
+        save = self.i
+        if txt.lstrip("+-").isdigit():
+            g = _Lexer(d, self.i)
+            t2 = g.token()
+            if t2.isdigit():
+                t3 = g.token()
+                if t3 == b"R":
+                    self.i = g.i
+                    return _Ref(int(txt))
+        self.i = save
+        try:
+            return int(txt)
+        except ValueError:
+            try:
+                return float(txt)
+            except ValueError:
+                raise ValueError(f"bad PDF token {txt!r}") from None
+
+    def _dict(self) -> dict:
+        self.i += 2
+        out: dict = {}
+        while True:
+            self._ws()
+            if self.d[self.i:self.i + 2] == b">>":
+                self.i += 2
+                return out
+            if self.d[self.i:self.i + 1] != b"/":
+                raise ValueError("PDF dict key must be a name")
+            self.i += 1
+            key = "/" + self.token().decode("latin-1")
+            out[key] = self.value()
+
+    def _hexstr(self) -> bytes:
+        j = self.d.index(b">", self.i)
+        hx = bytes(c for c in self.d[self.i + 1:j] if c not in _WS)
+        if len(hx) % 2:
+            hx += b"0"
+        self.i = j + 1
+        return bytes.fromhex(hx.decode("latin-1"))
+
+    def _litstr(self) -> bytes:
+        d = self.d
+        i = self.i + 1
+        depth = 1
+        out = bytearray()
+        while depth:
+            c = d[i:i + 1]
+            if not c:
+                raise ValueError("unterminated PDF string")
+            if c == b"\\":
+                e = d[i + 1:i + 2]
+                i += 2
+                if e in b"nrtbf":
+                    out += {b"n": b"\n", b"r": b"\r", b"t": b"\t",
+                            b"b": b"\b", b"f": b"\x0c"}[e]
+                elif e.isdigit():
+                    oct_ = e
+                    while len(oct_) < 3 and d[i:i + 1].isdigit():
+                        oct_ += d[i:i + 1]
+                        i += 1
+                    out.append(int(oct_, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == b"\r" and d[i:i + 1] == b"\n":
+                        i += 1
+                else:
+                    out += e
+                continue
+            if c == b"(":
+                depth += 1
+            elif c == b")":
+                depth -= 1
+                if not depth:
+                    i += 1
+                    break
+            out += c
+            i += 1
+        self.i = i
+        return bytes(out)
+
+
+@dataclass
+class PdfPage:
+    """One parsed page: size + content items in stream order.
+
+    items: ``("text", x, y_baseline, size, text)`` in PDF (bottom-up) user
+    space, or ``("image", arr, left, top, right, bottom)`` already in
+    top-down pixel space."""
+
+    width: int
+    height: int
+    items: list[tuple] = field(default_factory=list)
+
+    @property
+    def has_text(self) -> bool:
+        return any(it[0] == "text" for it in self.items)
+
+
+def _mat_mul(a, b):
+    """2x3 affine (a b c d e f) composition: result = a THEN b."""
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (a0 * b0 + a1 * b2, a0 * b1 + a1 * b3,
+            a2 * b0 + a3 * b2, a2 * b1 + a3 * b3,
+            a4 * b0 + a5 * b2 + b4, a4 * b1 + a5 * b3 + b5)
+
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+ADVANCE = 0.6  # Courier-style fixed advance, fraction of font size
+
+
+def parse_pdf(data: bytes) -> list[PdfPage]:
+    """PDF bytes -> list of PdfPage (the whole-document read path)."""
+    if data[:5] != b"%PDF-":
+        raise ValueError("not a PDF")
+    offsets, trailer = _xref(data)
+    if "/Encrypt" in trailer:
+        raise ValueError("encrypted PDF: out of scope (decrypt upstream)")
+
+    cache: dict[int, object] = {}
+
+    def getobj(num: int):
+        if num not in cache:
+            if num not in offsets:
+                raise ValueError(f"PDF object {num} missing from xref")
+            lx = _Lexer(data, offsets[num])
+            if not (lx.token().isdigit() and lx.token().isdigit()
+                    and lx.token() == b"obj"):
+                raise ValueError(f"PDF object {num}: bad header")
+            val = lx.value()
+            lx._ws()
+            if data[lx.i:lx.i + 6] == b"stream":
+                lx.i += 6
+                if data[lx.i:lx.i + 2] == b"\r\n":
+                    lx.i += 2
+                elif data[lx.i:lx.i + 1] in (b"\n", b"\r"):
+                    lx.i += 1
+                length = deref(val["/Length"])
+                raw = data[lx.i:lx.i + length]
+                val = ("stream", val, raw)
+            cache[num] = val
+        return cache[num]
+
+    def deref(v):
+        while isinstance(v, _Ref):
+            v = getobj(v.num)
+        return v
+
+    root = deref(trailer["/Root"])
+    pages: list[PdfPage] = []
+
+    def walk(node, inherited_box):
+        node = deref(node)
+        box = deref(node.get("/MediaBox", inherited_box))
+        if deref(node.get("/Type")) == "/Pages" or "/Kids" in node:
+            for kid in deref(node["/Kids"]):
+                walk(kid, box)
+            return
+        pages.append(_read_page(node, box, deref))
+        if len(pages) > 10_000:  # same executor-hang guard as the TIFF chain
+            raise ValueError("oversized PDF page tree")
+
+    walk(root["/Pages"], [0, 0, 612, 792])
+    return pages
+
+
+def _xref(data: bytes) -> tuple[dict[int, int], dict]:
+    at = data.rfind(b"startxref")
+    if at < 0:
+        raise ValueError("PDF has no startxref")
+    off = int(_Lexer(data, at + 9).token())
+    offsets: dict[int, int] = {}
+    trailer: dict | None = None
+    seen: set[int] = set()
+    while True:
+        if off in seen:
+            raise ValueError("cyclic PDF xref chain")
+        seen.add(off)
+        lx = _Lexer(data, off)
+        if lx.token() != b"xref":
+            raise ValueError("PDF xref streams (1.5+): out of scope — "
+                             "classic xref tables only (resave upstream)")
+        while True:
+            tok = lx.token()
+            if tok == b"trailer":
+                break
+            start, count = int(tok), int(lx.token())
+            for k in range(count):
+                o, _gen, kind = lx.token(), lx.token(), lx.token()
+                num = start + k
+                # incremental updates: the NEWEST table wins (first seen)
+                if kind == b"n" and num not in offsets:
+                    offsets[num] = int(o)
+        tr = lx.value()
+        if trailer is None:
+            trailer = tr
+        if "/Prev" not in tr:
+            return offsets, trailer
+        off = tr["/Prev"]
+
+
+def _apply_filters(d: dict, raw: bytes, deref) -> bytes:
+    filt = deref(d.get("/Filter"))
+    for f in ([filt] if not isinstance(filt, list) else filt):
+        f = deref(f)
+        if f is None:
+            continue
+        if f == "/FlateDecode":
+            raw = zlib.decompress(raw)
+        else:
+            raise ValueError(f"PDF filter {f}: out of scope "
+                             "(none/FlateDecode supported)")
+    return raw
+
+
+def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
+    w, h = deref(d["/Width"]), deref(d["/Height"])
+    filt = deref(d.get("/Filter"))
+    if filt == "/DCTDecode":
+        return decode_gray_jpeg(raw)
+    if deref(d.get("/BitsPerComponent", 8)) != 8 \
+            or deref(d.get("/ColorSpace", "/DeviceGray")) != "/DeviceGray":
+        raise ValueError("PDF image: only 8-bit /DeviceGray supported "
+                         "(or DCTDecode)")
+    if filt == "/FlateDecode":
+        raw = zlib.decompress(raw)
+    elif filt is not None:
+        raise ValueError(f"PDF image filter {filt}: out of scope")
+    return np.frombuffer(raw[:w * h], dtype=np.uint8).reshape(h, w)
+
+
+def _read_page(node: dict, box, deref) -> PdfPage:
+    x0, y0, x1, y1 = [float(deref(v)) for v in box]
+    pw, ph = int(round(x1 - x0)), int(round(y1 - y0))
+    page = PdfPage(width=pw, height=ph)
+
+    contents = deref(node.get("/Contents"))
+    if contents is None:
+        return page
+    parts = contents if isinstance(contents, list) else [contents]
+    stream = b"\n".join(
+        _apply_filters(s[1], s[2], deref)
+        for s in (deref(p) for p in parts) if isinstance(s, tuple))
+
+    res = deref(node.get("/Resources", {}))
+    xobjects = deref(res.get("/XObject", {}))
+
+    ctm_stack: list[tuple] = []
+    ctm = _ID
+    size, leading = 12.0, 0.0
+    lx_, ly_ = 0.0, 0.0     # text line origin (text space)
+    cx = 0.0                # pen x within the line
+    in_text = False
+
+    def emit(txt: bytes) -> None:
+        nonlocal cx
+        s = txt.decode("latin-1")
+        x, y = lx_ + cx, ly_
+        tx = x * ctm[0] + y * ctm[2] + ctm[4]
+        ty = x * ctm[1] + y * ctm[3] + ctm[5]
+        page.items.append(("text", tx - x0, ty - y0, size, s))
+        cx += ADVANCE * size * len(s)
+
+    lx = _Lexer(stream)
+    stack: list = []
+    while lx.i < len(stream):
+        lx._ws()
+        if lx.i >= len(stream):
+            break
+        c = stream[lx.i:lx.i + 1]
+        if c in b"(<[/" or c.isdigit() or c in b"+-.":
+            stack.append(lx.value())
+            continue
+        op = lx.token()
+        if op == b"BT":
+            in_text, lx_, ly_, cx = True, 0.0, 0.0, 0.0
+        elif op == b"ET":
+            in_text = False
+        elif op == b"Tf" and len(stack) >= 2:
+            size = float(stack[-1])
+        elif op == b"TL" and stack:
+            leading = float(stack[-1])
+        elif op in (b"Td", b"TD") and len(stack) >= 2:
+            lx_, ly_ = lx_ + float(stack[-2]), ly_ + float(stack[-1])
+            cx = 0.0
+            if op == b"TD":
+                leading = -float(stack[-1])
+        elif op == b"Tm" and len(stack) >= 6:
+            a, b_, c_, d_, e, f = (float(v) for v in stack[-6:])
+            lx_, ly_, cx = e, f, 0.0
+            size = size * max(abs(a), abs(d_)) if (a, d_) != (1.0, 1.0) \
+                else size
+        elif op == b"T*":
+            ly_ -= leading
+            cx = 0.0
+        elif op == b"Tj" and stack and in_text:
+            emit(stack[-1])
+        elif op == b"'" and stack and in_text:
+            ly_ -= leading
+            cx = 0.0
+            emit(stack[-1])
+        elif op == b'"' and len(stack) >= 3 and in_text:
+            ly_ -= leading
+            cx = 0.0
+            emit(stack[-1])
+        elif op == b"TJ" and stack and in_text:
+            for piece in stack[-1]:
+                if isinstance(piece, bytes):
+                    emit(piece)
+                else:
+                    cx -= float(piece) / 1000.0 * size
+        elif op == b"q":
+            ctm_stack.append(ctm)
+        elif op == b"Q":
+            ctm = ctm_stack.pop() if ctm_stack else _ID
+        elif op == b"cm" and len(stack) >= 6:
+            ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+        elif op == b"Do" and stack:
+            xo = deref(xobjects.get(stack[-1]))
+            if isinstance(xo, tuple) and xo[0] == "stream" \
+                    and deref(xo[1].get("/Subtype")) == "/Image":
+                arr = _decode_image(xo[1], xo[2], deref)
+                # unit square through the CTM → page box (axis-aligned)
+                xs = [ctm[4], ctm[0] + ctm[2] + ctm[4]]
+                ys = [ctm[5], ctm[1] + ctm[3] + ctm[5]]
+                left, right = min(xs) - x0, max(xs) - x0
+                bot, top = min(ys) - y0, max(ys) - y0
+                page.items.append(("image", arr,
+                                   int(round(left)), int(round(ph - top)),
+                                   int(round(right)), int(round(ph - bot))))
+        stack.clear()
+    return page
+
+
+# ------------------------------------------------- born-digital block layer
+
+
+def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
+    """Group a born-digital page's text runs into layout blocks — the PDF
+    analog of the raster kernel's output, same Block contract (top-down
+    integer geometry, flowing_text with \\n-joined lines, per-word boxes)
+    so every downstream renderer and hierarchy query works unchanged.
+
+    Lines = runs sharing a baseline (sorted by x); blocks = consecutive
+    lines whose baseline gap stays within 1.8 em. Word boxes use the
+    fixed-advance metric (ADVANCE em — exact for the Courier-class fonts
+    this parser scopes to). Confidence is 100: born-digital text has no
+    decode uncertainty. `crop` (l, t, r, b, top-down) keeps intersecting
+    blocks only — the SetRectangle analog for the non-raster path."""
+    from ..operators.page import Block
+
+    H = page.height
+    lines: dict[float, list] = {}
+    for it in page.items:
+        if it[0] != "text":
+            continue
+        _, x, y, size, txt = it
+        if not txt.strip():
+            continue
+        lines.setdefault(round(y, 1), []).append((x, size, txt))
+
+    assembled = []  # (baseline_desc, left, top, right, bottom, size, runs)
+    for y, runs in lines.items():
+        runs.sort(key=lambda r: r[0])
+        size = max(r[1] for r in runs)
+        left = runs[0][0]
+        right = max(r[0] + ADVANCE * r[1] * len(r[2]) for r in runs)
+        top, bottom = H - y - 0.75 * size, H - y + 0.25 * size
+        assembled.append((y, left, top, right, bottom, size, runs))
+    assembled.sort(key=lambda ln: (-ln[0], ln[1]))
+
+    groups: list[list] = []
+    for ln in assembled:
+        if groups and (groups[-1][-1][0] - ln[0]) <= 1.8 * groups[-1][-1][5]:
+            groups[-1].append(ln)
+        else:
+            groups.append([ln])
+
+    blocks = []
+    for grp in groups:
+        text_lines, words = [], []
+        for lnum, (y, left, top, bottom_, right_, size, runs) in enumerate(
+                (g[0], g[1], g[2], g[4], g[3], g[5], g[6]) for g in grp):
+            parts = []
+            wnum = 0
+            for x, rsize, txt in runs:
+                parts.append(txt)
+                i = 0
+                while i < len(txt):
+                    if txt[i] == " ":
+                        i += 1
+                        continue
+                    j = i
+                    while j < len(txt) and txt[j] != " ":
+                        j += 1
+                    words.append((0, lnum, wnum, txt[i:j],
+                                  int(round(x + ADVANCE * rsize * i)),
+                                  int(round(top)),
+                                  int(round(x + ADVANCE * rsize * j)),
+                                  int(round(bottom_)), 100))
+                    wnum += 1
+                    i = j
+            text_lines.append(" ".join(parts))
+        blocks.append(Block(
+            order=0, kind="flowing_text", text="\n".join(text_lines),
+            left=int(round(min(g[1] for g in grp))),
+            top=int(round(min(g[2] for g in grp))),
+            right=int(round(max(g[3] for g in grp))),
+            bottom=int(round(max(g[4] for g in grp))),
+            words=words))
+
+    for it in page.items:
+        if it[0] == "image":
+            _, _arr, left, top, right, bottom = it
+            blocks.append(Block(order=0, kind="flowing_image", text=None,
+                                left=left, top=top, right=right,
+                                bottom=bottom))
+
+    if crop is not None:
+        cl, ct, cr, cb = crop
+        blocks = [b for b in blocks
+                  if b.left < cr and b.right > cl
+                  and b.top < cb and b.bottom > ct]
+
+    blocks.sort(key=lambda b: (b.top, b.left))
+    return [Block(order=i, kind=b.kind, text=b.text, left=b.left, top=b.top,
+                  right=b.right, bottom=b.bottom, words=b.words)
+            for i, b in enumerate(blocks)]

@@ -39,7 +39,11 @@ def image_features(media: DataFrame) -> DataFrame:
             out = {k: [] for k in ("media_ref", "width", "height", "ink_ratio",
                                    "otsu_threshold", "n_components")}
             for ref, png in zip(pdf["media_ref"], pdf["image"]):
-                gray = decode_gray_any(bytes(png))
+                try:
+                    gray = decode_gray_any(bytes(png))
+                except ValueError:
+                    continue  # non-raster media (PDF containers) carry no
+                    # pixel features — parsed at the pipeline seam instead
                 ink = binarize(gray)
                 out["media_ref"].append(ref)
                 out["width"].append(gray.shape[1])
@@ -63,7 +67,10 @@ def thumbnails(media: DataFrame, max_side: int = 64) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("media_ref", "thumb_w", "thumb_h", "thumb")}
             for ref, png in zip(pdf["media_ref"], pdf["image"]):
-                gray = decode_gray_any(bytes(png))
+                try:
+                    gray = decode_gray_any(bytes(png))
+                except ValueError:
+                    continue  # non-raster media: no thumbnail
                 h, w = gray.shape
                 f = max(1, int(np.ceil(max(h, w) / max_side)))
                 th, tw = h // f, w // f

