@@ -66,7 +66,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     """Deterministic page spec per fixture family (FIXTURES.md table)."""
     if family in ("tiff_page", "tiff_multipage", "pnm_page", "bmp_page",
                   "jpeg_page", "exif_tiff_page", "exif_jpeg_page",
-                  "pdf_page", "pdf_scanned_page"):
+                  "pdf_page", "pdf_scanned_page", "pdf_two_column_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -342,7 +342,7 @@ PAGE_FAMILIES = [
     "sparse_texture", "para_page", "tiff_page", "tiff_multipage",
     "greek_page", "music_page", "pnm_page", "bmp_page", "jpeg_page",
     "cyrillic_page", "exif_tiff_page", "exif_jpeg_page", "pdf_page",
-    "pdf_scanned_page",
+    "pdf_scanned_page", "pdf_two_column_page",
 ]
 
 
@@ -429,6 +429,29 @@ class _Builder:
                       TruthBlock("flowing_image", None),
                       TruthBlock("flowing_text", "\n".join(bot_lines))]
             img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
+        elif family == "pdf_two_column_page":
+            # born-digital LAYOUT parse: header spanning two columns whose
+            # lines share baselines — a plain y-sort would merge the
+            # columns into single lines; the gutter-split + x-overlap
+            # chaining + XY-cut ordering must yield header, left column,
+            # right column (the W2 reading-order contract on the PDF path)
+            from ..functions.pdf import encode_simple_pdf
+            from .render import TruthBlock
+
+            cap = lambda s: " ".join(w.capitalize() for w in s.split())  # noqa: E731
+            head = cap(_lines(self.rng, 1, 30)[0])
+            lcol = [cap(ln) for ln in _lines(self.rng, 2, 16)]
+            rcol = [cap(ln) for ln in _lines(self.rng, 2, 16)]
+            els = ([("text", 72, 740, 12, head)]
+                   + [("text", 72, 700 - 16 * i, 12, ln)
+                      for i, ln in enumerate(lcol)]
+                   + [("text", 340, 700 - 16 * i, 12, ln)
+                      for i, ln in enumerate(rcol)])
+            payload = encode_simple_pdf([els])
+            blocks = [TruthBlock("flowing_text", head),
+                      TruthBlock("flowing_text", "\n".join(lcol)),
+                      TruthBlock("flowing_text", "\n".join(rcol))]
+            img = np.empty((792, 612), dtype=np.uint8)
         elif family == "pdf_scanned_page":
             # mixed-mode PDF: page 1 carries a text layer (born-digital
             # parse), page 2 is a wrapped scan (image-only → falls through

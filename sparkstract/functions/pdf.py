@@ -535,18 +535,57 @@ def _read_page(node: dict, box, deref) -> PdfPage:
 # ------------------------------------------------- born-digital block layer
 
 
+def _xy_order(boxes: list[tuple]) -> list[int]:
+    """Recursive XY-cut reading order over (l, t, r, b) boxes — the W2
+    analog for the born-digital path: split at any clean full-width
+    horizontal gap first (top before bottom), else at a clean full-height
+    vertical gap (left column before right), else fall back to (top,
+    left). Handles header-over-two-columns layouts the way the raster
+    kernel's column sort does."""
+    order: list[int] = []
+
+    def rec(ids: list[int]) -> None:
+        if len(ids) <= 1:
+            order.extend(ids)
+            return
+        by_top = sorted(ids, key=lambda i: (boxes[i][1], boxes[i][0]))
+        reach = boxes[by_top[0]][3]
+        for k in range(1, len(by_top)):
+            if boxes[by_top[k]][1] >= reach:
+                rec(by_top[:k])
+                rec(by_top[k:])
+                return
+            reach = max(reach, boxes[by_top[k]][3])
+        by_left = sorted(ids, key=lambda i: (boxes[i][0], boxes[i][1]))
+        reach = boxes[by_left[0]][2]
+        for k in range(1, len(by_left)):
+            if boxes[by_left[k]][0] >= reach:
+                rec(by_left[:k])
+                rec(by_left[k:])
+                return
+            reach = max(reach, boxes[by_left[k]][2])
+        order.extend(by_top)
+
+    rec(list(range(len(boxes))))
+    return order
+
+
 def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
     """Group a born-digital page's text runs into layout blocks — the PDF
     analog of the raster kernel's output, same Block contract (top-down
     integer geometry, flowing_text with \\n-joined lines, per-word boxes)
     so every downstream renderer and hierarchy query works unchanged.
 
-    Lines = runs sharing a baseline (sorted by x); blocks = consecutive
-    lines whose baseline gap stays within 1.8 em. Word boxes use the
-    fixed-advance metric (ADVANCE em — exact for the Courier-class fonts
-    this parser scopes to). Confidence is 100: born-digital text has no
-    decode uncertainty. `crop` (l, t, r, b, top-down) keeps intersecting
-    blocks only — the SetRectangle analog for the non-raster path."""
+    Layout parse, not just a y-sort: runs sharing a baseline merge while
+    their x-gap stays under 1.5 em and SPLIT into separate fragments at a
+    wider gap (a column gutter), fragments chain into blocks only when
+    they x-overlap the block by half the narrower width within 1.8 em of
+    leading (so side-by-side columns become separate blocks), and final
+    reading order is a recursive XY-cut. Word boxes use the fixed-advance
+    metric (ADVANCE em — exact for the Courier-class fonts this parser
+    scopes to). Confidence is 100: born-digital text has no decode
+    uncertainty. `crop` (l, t, r, b, top-down) keeps intersecting blocks
+    only — the SetRectangle analog for the non-raster path."""
     from ..operators.page import Block
 
     H = page.height
@@ -559,31 +598,53 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
             continue
         lines.setdefault(round(y, 1), []).append((x, size, txt))
 
-    assembled = []  # (baseline_desc, left, top, right, bottom, size, runs)
+    # baseline runs → line fragments (split at column gutters)
+    frags: list[dict] = []
     for y, runs in lines.items():
         runs.sort(key=lambda r: r[0])
-        size = max(r[1] for r in runs)
-        left = runs[0][0]
-        right = max(r[0] + ADVANCE * r[1] * len(r[2]) for r in runs)
-        top, bottom = H - y - 0.75 * size, H - y + 0.25 * size
-        assembled.append((y, left, top, right, bottom, size, runs))
-    assembled.sort(key=lambda ln: (-ln[0], ln[1]))
+        cur: dict | None = None
+        for x, rsize, txt in runs:
+            right = x + ADVANCE * rsize * len(txt)
+            if cur is not None and x - cur["right"] <= 1.5 * cur["size"]:
+                cur["runs"].append((x, rsize, txt))
+                cur["right"] = max(cur["right"], right)
+                cur["size"] = max(cur["size"], rsize)
+            else:
+                cur = dict(y=y, left=x, right=right, size=rsize,
+                           runs=[(x, rsize, txt)])
+                frags.append(cur)
+    frags.sort(key=lambda f: (-f["y"], f["left"]))
 
-    groups: list[list] = []
-    for ln in assembled:
-        if groups and (groups[-1][-1][0] - ln[0]) <= 1.8 * groups[-1][-1][5]:
-            groups[-1].append(ln)
+    # fragments → blocks: x-overlap chains within 1.8 em of leading
+    groups: list[dict] = []
+    for f in frags:
+        best, best_ov = None, 0.0
+        for g in groups:
+            last = g["frags"][-1]
+            if not 0 < last["y"] - f["y"] <= 1.8 * last["size"]:
+                continue
+            ov = min(g["right"], f["right"]) - max(g["left"], f["left"])
+            need = 0.5 * min(g["right"] - g["left"], f["right"] - f["left"])
+            if ov >= need and ov > best_ov:
+                best, best_ov = g, ov
+        if best is None:
+            groups.append(dict(frags=[f], left=f["left"], right=f["right"]))
         else:
-            groups.append([ln])
+            best["frags"].append(f)
+            best["left"] = min(best["left"], f["left"])
+            best["right"] = max(best["right"], f["right"])
 
     blocks = []
     for grp in groups:
         text_lines, words = [], []
-        for lnum, (y, left, top, bottom_, right_, size, runs) in enumerate(
-                (g[0], g[1], g[2], g[4], g[3], g[5], g[6]) for g in grp):
+        top_min, bot_max = float("inf"), float("-inf")
+        for lnum, f in enumerate(grp["frags"]):
+            top = H - f["y"] - 0.75 * f["size"]
+            bottom = H - f["y"] + 0.25 * f["size"]
+            top_min, bot_max = min(top_min, top), max(bot_max, bottom)
             parts = []
             wnum = 0
-            for x, rsize, txt in runs:
+            for x, rsize, txt in f["runs"]:
                 parts.append(txt)
                 i = 0
                 while i < len(txt):
@@ -597,16 +658,14 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
                                   int(round(x + ADVANCE * rsize * i)),
                                   int(round(top)),
                                   int(round(x + ADVANCE * rsize * j)),
-                                  int(round(bottom_)), 100))
+                                  int(round(bottom)), 100))
                     wnum += 1
                     i = j
             text_lines.append(" ".join(parts))
         blocks.append(Block(
             order=0, kind="flowing_text", text="\n".join(text_lines),
-            left=int(round(min(g[1] for g in grp))),
-            top=int(round(min(g[2] for g in grp))),
-            right=int(round(max(g[3] for g in grp))),
-            bottom=int(round(max(g[4] for g in grp))),
+            left=int(round(grp["left"])), top=int(round(top_min)),
+            right=int(round(grp["right"])), bottom=int(round(bot_max)),
             words=words))
 
     for it in page.items:
@@ -622,7 +681,9 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
                   if b.left < cr and b.right > cl
                   and b.top < cb and b.bottom > ct]
 
-    blocks.sort(key=lambda b: (b.top, b.left))
-    return [Block(order=i, kind=b.kind, text=b.text, left=b.left, top=b.top,
-                  right=b.right, bottom=b.bottom, words=b.words)
-            for i, b in enumerate(blocks)]
+    idx = _xy_order([(b.left, b.top, b.right, b.bottom) for b in blocks])
+    return [Block(order=i, kind=blocks[j].kind, text=blocks[j].text,
+                  left=blocks[j].left, top=blocks[j].top,
+                  right=blocks[j].right, bottom=blocks[j].bottom,
+                  words=blocks[j].words)
+            for i, j in enumerate(idx)]

@@ -198,3 +198,32 @@ def test_corrupt_pdf_is_decode_error_span(spark):
         MEDIA_SCHEMA)
     rows = extract(spark, docs, media).collect()
     assert len(rows) == 1 and rows[0]["kind"] == "decode_error"
+
+
+def test_two_column_layout_parse():
+    """Same-baseline columns must split at the gutter and read in XY-cut
+    order: header, left column (both lines), right column."""
+    head = [("text", 72, 740, 12, "WIDE HEADER OVER BOTH COLUMNS")]
+    left = [("text", 72, 700 - 16 * i, 12, t)
+            for i, t in enumerate(["Left one", "Left two"])]
+    right = [("text", 340, 700 - 16 * i, 12, t)
+             for i, t in enumerate(["Right one", "Right two"])]
+    (page,) = parse_pdf(encode_simple_pdf([head + left + right]))
+    blocks = blocks_from_pdf_page(page)
+    assert [b.text for b in blocks] == [
+        "WIDE HEADER OVER BOTH COLUMNS",
+        "Left one\nLeft two",
+        "Right one\nRight two",
+    ]
+
+
+def test_kerned_runs_stay_one_fragment():
+    """Adjacent TJ runs (kerning-sized gaps) must NOT split at the
+    gutter threshold."""
+    import zlib
+
+    content = b"BT /F1 10 Tf 50 500 Td [(AB) -500 (CD)] TJ ET"
+    pdf = _raw_pdf(zlib.compress(content), flate=True)
+    (page,) = parse_pdf(pdf)
+    blocks = blocks_from_pdf_page(page)
+    assert len(blocks) == 1 and blocks[0].text == "AB CD"
