@@ -47,13 +47,18 @@ def _esc(s: str) -> str:
 
 def encode_simple_pdf(pages: list[list[tuple]],
                       page_size: tuple[int, int] = (612, 792),
-                      compress: bool = True) -> bytes:
+                      compress: bool = True,
+                      widths: dict[str, int] | None = None) -> bytes:
     """Build a minimal single-font PDF. Each page is a list of elements:
 
     - ``("text", x, y_baseline, size, "line of text")`` — PDF coords (y up)
     - ``("image", arr, x, y)`` — uint8 HxW grayscale placed at natural size
       (FlateDecode /DeviceGray)
     - ``("jpeg", arr, x, y, quality)`` — same, embedded as DCTDecode
+
+    `widths` (char → advance in 1/1000 em, default 600) emits a
+    proportional font with /FirstChar+/Widths, the metric table the parser
+    reads for exact word geometry.
 
     Fixture-side only (like encode_gray_tiff): the parser is the product
     surface, the writer exists so tests carry genuine PDF bytes."""
@@ -70,7 +75,14 @@ def encode_simple_pdf(pages: list[list[tuple]],
 
     add(b"<< /Type /Catalog /Pages 2 0 R >>")         # obj 1
     pages_obj = add(b"PLACEHOLDER")                     # obj 2, patched below
-    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    if widths is None:
+        font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    else:
+        wlist = " ".join(str(widths.get(chr(c), 600))
+                         for c in range(32, 127))
+        font = add(f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                   f"/FirstChar 32 /LastChar 126 "
+                   f"/Widths [{wlist}] >>".encode())
     kids: list[int] = []
     for elements in pages:
         content: list[str] = []
@@ -282,8 +294,10 @@ class _Lexer:
 class PdfPage:
     """One parsed page: size + content items in stream order.
 
-    items: ``("text", x, y_baseline, size, text)`` in PDF (bottom-up) user
-    space, or ``("image", arr, left, top, right, bottom)`` already in
+    items: ``("text", x, y_baseline, size, text, cum)`` in PDF (bottom-up)
+    user space — `cum` is the cumulative per-char advance in user units
+    (len(text)+1 entries, from the font's /Widths table or the ADVANCE
+    fallback) — or ``("image", arr, left, top, right, bottom)`` already in
     top-down pixel space."""
 
     width: int
@@ -342,9 +356,14 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
         return cache[num]
 
     def deref(v):
-        while isinstance(v, _Ref):
+        # a self/cyclic reference chain (`1 0 obj 1 0 R endobj`) would spin
+        # forever — a hang inside an executor task, worse than a crash at
+        # 10^12-doc scale (same guard class as the TIFF IFD-cycle check)
+        for _ in range(64):
+            if not isinstance(v, _Ref):
+                return v
             v = getobj(v.num)
-        return v
+        raise ValueError("PDF reference chain too deep or cyclic")
 
     root = deref(trailer["/Root"])
     pages: list[PdfPage] = []
@@ -444,10 +463,26 @@ def _read_page(node: dict, box, deref) -> PdfPage:
 
     res = deref(node.get("/Resources", {}))
     xobjects = deref(res.get("/XObject", {}))
+    fonts = deref(res.get("/Font", {}))
+
+    metric_cache: dict[str, tuple[int, list | None]] = {}
+
+    def font_metrics(name) -> tuple[int, list | None]:
+        """(/FirstChar, /Widths) of a resource font — None widths means
+        the fixed ADVANCE fallback (fonts without a metric table)."""
+        if name not in metric_cache:
+            fd = deref(fonts.get(name))
+            first, w = 0, None
+            if isinstance(fd, dict) and "/Widths" in fd:
+                first = int(deref(fd.get("/FirstChar", 0)))
+                w = [float(deref(v)) for v in deref(fd["/Widths"])]
+            metric_cache[name] = (first, w)
+        return metric_cache[name]
 
     ctm_stack: list[tuple] = []
     ctm = _ID
     size, leading = 12.0, 0.0
+    first_char, char_widths = 0, None
     lx_, ly_ = 0.0, 0.0     # text line origin (text space)
     cx = 0.0                # pen x within the line
     in_text = False
@@ -458,8 +493,17 @@ def _read_page(node: dict, box, deref) -> PdfPage:
         x, y = lx_ + cx, ly_
         tx = x * ctm[0] + y * ctm[2] + ctm[4]
         ty = x * ctm[1] + y * ctm[3] + ctm[5]
-        page.items.append(("text", tx - x0, ty - y0, size, s))
-        cx += ADVANCE * size * len(s)
+        # cumulative per-char advance (user units): exact word geometry
+        # for proportional fonts with a /Widths table, ADVANCE fallback
+        cum = [0.0]
+        for ch in s:
+            idx = ord(ch) - first_char
+            w = (char_widths[idx] / 1000.0
+                 if char_widths is not None
+                 and 0 <= idx < len(char_widths) else ADVANCE)
+            cum.append(cum[-1] + w * size)
+        page.items.append(("text", tx - x0, ty - y0, size, s, cum))
+        cx += cum[-1]
 
     lx = _Lexer(stream)
     stack: list = []
@@ -472,12 +516,19 @@ def _read_page(node: dict, box, deref) -> PdfPage:
             stack.append(lx.value())
             continue
         op = lx.token()
+        if not op:
+            # token() stops without advancing on a stray delimiter byte
+            # ()]>{} — corrupt streams would otherwise spin this loop
+            # forever inside an executor task (found by the fuzz test)
+            lx.i += 1
+            continue
         if op == b"BT":
             in_text, lx_, ly_, cx = True, 0.0, 0.0, 0.0
         elif op == b"ET":
             in_text = False
         elif op == b"Tf" and len(stack) >= 2:
             size = float(stack[-1])
+            first_char, char_widths = font_metrics(stack[-2])
         elif op == b"TL" and stack:
             leading = float(stack[-1])
         elif op in (b"Td", b"TD") and len(stack) >= 2:
@@ -593,25 +644,25 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
     for it in page.items:
         if it[0] != "text":
             continue
-        _, x, y, size, txt = it
+        _, x, y, size, txt, cum = it
         if not txt.strip():
             continue
-        lines.setdefault(round(y, 1), []).append((x, size, txt))
+        lines.setdefault(round(y, 1), []).append((x, size, txt, cum))
 
     # baseline runs → line fragments (split at column gutters)
     frags: list[dict] = []
     for y, runs in lines.items():
         runs.sort(key=lambda r: r[0])
         cur: dict | None = None
-        for x, rsize, txt in runs:
-            right = x + ADVANCE * rsize * len(txt)
+        for x, rsize, txt, cum in runs:
+            right = x + cum[-1]
             if cur is not None and x - cur["right"] <= 1.5 * cur["size"]:
-                cur["runs"].append((x, rsize, txt))
+                cur["runs"].append((x, rsize, txt, cum))
                 cur["right"] = max(cur["right"], right)
                 cur["size"] = max(cur["size"], rsize)
             else:
                 cur = dict(y=y, left=x, right=right, size=rsize,
-                           runs=[(x, rsize, txt)])
+                           runs=[(x, rsize, txt, cum)])
                 frags.append(cur)
     frags.sort(key=lambda f: (-f["y"], f["left"]))
 
@@ -644,7 +695,7 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
             top_min, bot_max = min(top_min, top), max(bot_max, bottom)
             parts = []
             wnum = 0
-            for x, rsize, txt in f["runs"]:
+            for x, _rsize, txt, cum in f["runs"]:
                 parts.append(txt)
                 i = 0
                 while i < len(txt):
@@ -655,9 +706,9 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
                     while j < len(txt) and txt[j] != " ":
                         j += 1
                     words.append((0, lnum, wnum, txt[i:j],
-                                  int(round(x + ADVANCE * rsize * i)),
+                                  int(round(x + cum[i])),
                                   int(round(top)),
-                                  int(round(x + ADVANCE * rsize * j)),
+                                  int(round(x + cum[j])),
                                   int(round(bottom)), 100))
                     wnum += 1
                     i = j

@@ -227,3 +227,76 @@ def test_kerned_runs_stay_one_fragment():
     (page,) = parse_pdf(pdf)
     blocks = blocks_from_pdf_page(page)
     assert len(blocks) == 1 and blocks[0].text == "AB CD"
+
+
+def test_proportional_widths_word_geometry():
+    """/FirstChar+/Widths metrics: word boxes and line advance must follow
+    the per-char table, not the fixed-advance fallback."""
+    widths = {"I": 300, "W": 900}  # everything else 600
+    pdf = encode_simple_pdf([_text_page(["II WW II"])], widths=widths)
+    (page,) = parse_pdf(pdf)
+    (b,) = blocks_from_pdf_page(page)
+    assert [t for _, _, _, t, *_ in b.words] == ["II", "WW", "II"]
+    boxes = [(x[4], x[6]) for x in b.words]
+    # II: 2*300/1000*12 = 7.2 wide from x=72
+    assert boxes[0] == (72, 79)
+    # space 600 → WW starts at 72+7.2+7.2=86.4, 2*900/1000*12=21.6 wide
+    assert boxes[1] == (86, 108)
+    # trailing II after another 600 space: 108 + 7.2 → 115.2..122.4
+    assert boxes[2] == (115, 122)
+
+
+def test_widths_default_matches_courier_fallback():
+    """A /Widths table of all 600s must produce byte-identical geometry to
+    the no-table Courier fallback (the ADVANCE constant is 0.6 em)."""
+    plain = encode_simple_pdf([_text_page(["SAME BOXES HERE"])])
+    tabled = encode_simple_pdf([_text_page(["SAME BOXES HERE"])], widths={})
+    (a,) = blocks_from_pdf_page(parse_pdf(plain)[0])
+    (b,) = blocks_from_pdf_page(parse_pdf(tabled)[0])
+    assert a.words == b.words and (a.left, a.right) == (b.left, b.right)
+
+
+def test_self_referential_object_raises_not_hangs():
+    """`4 0 obj 4 0 R endobj` as the /Contents: the deref hop cap must
+    raise instead of spinning forever inside an executor task."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"4 0 R",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for i in range(1, len(objs) + 1):
+        out += f"{offs[i]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF\n").encode()
+    with pytest.raises(ValueError, match="too deep or cyclic"):
+        parse_pdf(bytes(out))
+
+
+def test_fuzz_corrupt_pdf_never_hangs():
+    """Random byte mutations of a valid PDF: every outcome is either a
+    clean parse or an exception (corrupt media is data, not a bug) —
+    never a hang or interpreter crash. Mirrors test_jpeg's fuzz."""
+    rng = np.random.default_rng(17)
+    arr = np.full((8, 8), 77, dtype=np.uint8)
+    base = bytearray(encode_simple_pdf(
+        [_text_page(["FUZZ TARGET LINE", "SECOND LINE"])
+         + [("image", arr, 72, 500)]]))
+    for _ in range(1500):
+        enc = bytearray(base)
+        for _ in range(int(rng.integers(1, 10))):
+            enc[int(rng.integers(0, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            pages = parse_pdf(bytes(enc))
+            for pg in pages:
+                blocks_from_pdf_page(pg)
+        except Exception:
+            pass
