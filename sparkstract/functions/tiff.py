@@ -139,6 +139,47 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF6 §9, compression 32773): runs of >=3 equal
+    bytes become (257-n, byte); literals batch up to 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal run: until the next >=3 repeat (or 128 bytes)
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c == 128:  # noop
+            continue
+        if c < 128:
+            out += data[i:i + c + 1]
+            i += c + 1
+        else:
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    return bytes(out)
+
+
 def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
                      compression: str = "none",
                      orientation: int | None = None) -> bytes:
@@ -151,7 +192,7 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
     if isinstance(pages, np.ndarray):
         pages = [pages]
     assert pages, "at least one page"
-    comp_id = {"none": 1, "lzw": 5}[compression]
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     out = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD0 offset patched below
     ifd_ptr_pos = 4
     for img in pages:
@@ -159,7 +200,8 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
             raise ValueError("encode_gray_tiff expects 2-D uint8 arrays")
         h, w = img.shape
         raw = img.tobytes()
-        strip = raw if comp_id == 1 else _lzw_encode(raw)
+        strip = {1: lambda b: b, 5: _lzw_encode,
+                 32773: _packbits_encode}[comp_id](raw)
         strip_off = len(out)
         out += strip
         if len(out) % 2:
@@ -233,11 +275,12 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
             raise ValueError("only 8-bit single-sample TIFF supported")
         comp = tags.get(259, [1])[0]
+        if comp not in (1, 5, 32773):
+            raise ValueError(f"TIFF compression {comp}: out of scope "
+                             "(none/LZW/PackBits supported)")
+        undo = {1: lambda b: b, 5: _lzw_decode, 32773: _packbits_decode}[comp]
         offs, cnts = tags[273], tags[279]
-        raw = b"".join(
-            data[o : o + c] if comp == 1 else _lzw_decode(data[o : o + c])
-            for o, c in zip(offs, cnts)
-        )
+        raw = b"".join(undo(data[o : o + c]) for o, c in zip(offs, cnts))
         img = np.frombuffer(raw[: h * w], dtype=np.uint8).reshape(h, w)
         if tags.get(317, [1])[0] == 2:  # horizontal-differencing predictor
             img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)

@@ -129,3 +129,36 @@ def test_exif_orientation_unknown_value_passthrough():
     enc = encode_gray_tiff(img, orientation=9)  # out-of-spec: lenient
     (got,) = decode_gray_tiff(enc)
     assert (got == img).all()
+
+
+def test_packbits_roundtrip():
+    """Compression 32773 (the other common scan compression besides LZW):
+    runs, literals, and the 128-byte batch limits all roundtrip."""
+    from sparkstract.functions.tiff import _packbits_decode, _packbits_encode
+
+    rng = np.random.default_rng(13)
+    cases = [
+        b"", b"A", b"A" * 2, b"A" * 3, b"A" * 200, b"ABCDEF",
+        b"AAABBBCCC" * 30, bytes(rng.integers(0, 4, 1000, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+    ]
+    for raw in cases:
+        assert _packbits_decode(_packbits_encode(raw)) == raw
+    img = (np.outer(np.arange(37), np.ones(53)) % 7 * 30).astype(np.uint8)
+    (got,) = decode_gray_tiff(encode_gray_tiff(img, "packbits"))
+    assert (got == img).all()
+
+
+def test_unknown_compression_named_out_of_scope():
+    import struct
+
+    data = bytearray(encode_gray_tiff(np.zeros((4, 4), dtype=np.uint8)))
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        pos = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", data, pos)
+        if tag == 259:
+            struct.pack_into("<H", data, pos + 8, 4)  # CCITT G4
+    with pytest.raises(ValueError, match="out of scope"):
+        decode_gray_tiff(bytes(data))
