@@ -66,7 +66,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     """Deterministic page spec per fixture family (FIXTURES.md table)."""
     if family in ("tiff_page", "tiff_multipage", "pnm_page", "bmp_page",
                   "jpeg_page", "exif_tiff_page", "exif_jpeg_page",
-                  "pdf_page", "pdf_scanned_page", "pdf_two_column_page"):
+                  "pdf_page", "pdf_scanned_page", "pdf_two_column_page",
+                  "rgb_png_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -342,7 +343,7 @@ PAGE_FAMILIES = [
     "sparse_texture", "para_page", "tiff_page", "tiff_multipage",
     "greek_page", "music_page", "pnm_page", "bmp_page", "jpeg_page",
     "cyrillic_page", "exif_tiff_page", "exif_jpeg_page", "pdf_page",
-    "pdf_scanned_page", "pdf_two_column_page",
+    "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
 ]
 
 
@@ -480,6 +481,19 @@ class _Builder:
 
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_gray_bmp(img)
+        elif family == "rgb_png_page":
+            # COLOR container: truecolor PNG collapses to BT.601 luma in
+            # the decoder (Leptonica pixConvertTo8 on read, SetImage
+            # baseapi.cpp:881). The tint r=y+29, g=y, b=y-77 cancels
+            # exactly in the integer luma (77*29 == 29*77), so the decoded
+            # gray equals the contrast-compressed rendering and truth is
+            # the plain page's.
+            from ..functions.png import encode_rgb
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            y = 64 + img.astype(np.int32) * 128 // 255
+            rgb = np.stack([y + 29, y, y - 77], axis=2).astype(np.uint8)
+            payload = encode_rgb(rgb)
         elif family == "jpeg_page":
             # LOSSY container: q=95 keeps glyph bitmaps Otsu-separable (the
             # codec roundtrip test pins bilevel fidelity), so the decode

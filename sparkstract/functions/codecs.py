@@ -2,8 +2,9 @@
 
 The reference accepts any Leptonica-readable raster and sniffs the format
 from the byte stream (SetImage /root/reference/src/api/baseapi.cpp:881,906;
-pixReadMem does the magic-number dispatch). Here: PNG (functions/png.py),
-TIFF incl. multipage + LZW (functions/tiff.py), PNM P2/P5 and 8-bit BMP
+pixReadMem does the magic-number dispatch). Here: PNG incl. RGB/RGBA/
+palette/16-bit collapsed to BT.601 luma (functions/png.py),
+TIFF incl. multipage + LZW + PackBits (functions/tiff.py), PNM P2/P5 and 8-bit BMP
 (functions/raster.py). A multipage container yields several pages from ONE
 media ref — the ProcessPagesMultipageTiff contract (baseapi.cpp:1657):
 downstream block order runs page 1's blocks, then page 2's, in file order.

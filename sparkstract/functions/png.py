@@ -1,15 +1,21 @@
-"""Minimal pure-Python PNG codec for 8-bit grayscale images.
+"""Minimal pure-Python PNG codec.
 
 The reference ingests any Leptonica-readable raster (SetImage,
-/root/reference/src/api/baseapi.cpp:906). This container has no PIL/leptonica,
-so the fixture generator encodes synthetic pages as real 8-bit grayscale PNGs
+/root/reference/src/api/baseapi.cpp:906; pixReadMem sniffs the container and
+pixConvertTo8 collapses color to gray before analysis). This container has no
+PIL/leptonica, so the fixture generator encodes synthetic pages as real PNGs
 with this codec and the decode UDF (operators/decode.py) parses them back.
 The point is that the media column holds genuine encoded image bytes — the
 Spark-side plumbing (BinaryType column → numpy in an Arrow batch) is the real
 thing; only the codec is minimal.
 
-Encoder: filter 0 (None) rows, one zlib stream. Decoder: supports all five
-standard PNG filters for robustness, grayscale 8-bit only.
+Encoder: filter 0 (None) rows, one zlib stream; grayscale-8 or RGB-8.
+Decoder: all five standard PNG filters, color types 0/2/3/4/6 (gray, RGB,
+palette, gray+alpha, RGBA) at bit depth 8, plus 16-bit gray/RGB/RGBA (high
+byte taken — the pipeline is 8-bit grayscale). Color collapses to BT.601
+luma ((77R + 150G + 29B + 128) >> 8); alpha is dropped, matching
+Leptonica's pixConvertRGBToGray which ignores the alpha sample. Interlaced
+(Adam7) PNGs raise a NAMED out-of-scope error.
 """
 
 from __future__ import annotations
@@ -20,6 +26,9 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
+
+# samples per pixel by color type (0 gray, 2 RGB, 3 palette, 4 GA, 6 RGBA)
+_NSAMP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -40,12 +49,36 @@ def encode_gray(img: np.ndarray) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def encode_rgb(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 array -> truecolor-8 PNG bytes (fixture side, so tests
+    carry genuine color PNGs through the gray pipeline)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_rgb expects an HxWx3 uint8 array")
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # bitdepth 8, RGB
+    raw = np.empty((h, 1 + 3 * w), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, 3 * w)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    """HxWx3 uint8 -> HxW uint8 BT.601 luma, integer arithmetic."""
+    r = rgb[:, :, 0].astype(np.int32)
+    g = rgb[:, :, 1].astype(np.int32)
+    b = rgb[:, :, 2].astype(np.int32)
+    return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+
+
 def decode_gray(data: bytes) -> np.ndarray:
-    """Grayscale-8 PNG bytes -> uint8 HxW array."""
+    """PNG bytes -> uint8 HxW grayscale array (color collapsed to luma)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = -1
+    depth = color = 0
+    plte: np.ndarray | None = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -54,16 +87,51 @@ def decode_gray(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or color != 0 or interlace != 0:
-                raise ValueError("only non-interlaced grayscale-8 supported")
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) PNG: out of scope")
+            if color not in _NSAMP:
+                raise ValueError(f"bad PNG color type {color}")
+            if depth != 8 and not (depth == 16 and color in (0, 2, 6)):
+                raise ValueError(
+                    f"PNG bit depth {depth}/color {color}: only 8-bit, "
+                    "and 16-bit gray/RGB/RGBA, supported")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
     if w < 0:
         raise ValueError("missing IHDR")
+    bpp = _NSAMP[color] * (depth // 8)  # filter distance, bytes per pixel
+    stride = w * bpp
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    raw = raw.reshape(h, w + 1)
+    raw = raw.reshape(h, stride + 1)
+    out = _defilter(raw, bpp)
+    if depth == 16:
+        out = out.reshape(h, w, _NSAMP[color], 2)[:, :, :, 0]  # high byte
+    else:
+        out = out.reshape(h, w, _NSAMP[color])
+    if color == 0:
+        return out[:, :, 0].copy()
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return _luma(plte[idx])
+    if color == 4:
+        return out[:, :, 0].copy()  # gray, alpha dropped
+    return _luma(out[:, :, :3])  # 2 / 6: RGB(A)
+
+
+def _defilter(raw: np.ndarray, bpp: int) -> np.ndarray:
+    """Undo per-scanline PNG filters. raw is (h, stride+1) uint8 with the
+    filter byte in column 0; `bpp` is the left-neighbour distance (whole
+    pixels, per the spec — filters act on bytes)."""
+    h, sp1 = raw.shape
+    stride = sp1 - 1
     filters = raw[:, 0]
     out = raw[:, 1:].astype(np.int32).copy()
     if not filters.any():
@@ -71,22 +139,24 @@ def decode_gray(data: bytes) -> np.ndarray:
     for y in range(h):
         f = filters[y]
         row = out[y]
-        up = out[y - 1] if y > 0 else np.zeros(w, dtype=np.int32)
+        up = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
         if f == 0:
             continue
         elif f == 1:  # Sub
-            for x in range(1, w):
-                row[x] = (row[x] + row[x - 1]) & 0xFF
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
         elif f == 2:  # Up
             out[y] = (row + up) & 0xFF
         elif f == 3:  # Average
-            row[0] = (row[0] + up[0] // 2) & 0xFF
-            for x in range(1, w):
-                row[x] = (row[x] + (row[x - 1] + up[x]) // 2) & 0xFF
+            for x in range(bpp):
+                row[x] = (row[x] + up[x] // 2) & 0xFF
+            for x in range(bpp, stride):
+                row[x] = (row[x] + (row[x - bpp] + up[x]) // 2) & 0xFF
         elif f == 4:  # Paeth
-            row[0] = (row[0] + up[0]) & 0xFF
-            for x in range(1, w):
-                a, b, c = row[x - 1], up[x], up[x - 1]
+            for x in range(bpp):
+                row[x] = (row[x] + up[x]) & 0xFF
+            for x in range(bpp, stride):
+                a, b, c = row[x - bpp], up[x], up[x - bpp]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
