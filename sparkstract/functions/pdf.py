@@ -13,12 +13,14 @@ round-trips through this parser).
 Scope (named errors at the seam for everything else, like codecs.py):
 - classic cross-reference tables incl. /Prev chains and incremental
   updates; xref STREAMS (PDF 1.5+) raise out-of-scope
-- content-stream filters: none / FlateDecode (stdlib zlib)
+- stream filters: none / FlateDecode (stdlib zlib) / ASCIIHexDecode /
+  ASCII85Decode / RunLengthDecode, chained per ISO 32000 §7.4
 - text: BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, ', ", TJ with kerning;
   fixed-advance (Courier-style, 0.6 em) glyph metrics — per-glyph /Widths
   arrays are a documented seam, not parsed
 - images: XObject /Image with DCTDecode (functions/jpeg.py) or
-  FlateDecode/raw 8-bit /DeviceGray, placed via the full q/Q + cm CTM
+  filtered/raw 8-bit /DeviceGray or /DeviceRGB (BT.601 luma collapse),
+  placed via the full q/Q + cm CTM
 - encrypted PDFs (/Encrypt) raise out-of-scope
 
 Coordinates: PDF user space is bottom-up; emitted geometry is top-down
@@ -418,33 +420,108 @@ def _xref(data: bytes) -> tuple[dict[int, int], dict]:
         off = tr["/Prev"]
 
 
-def _apply_filters(d: dict, raw: bytes, deref) -> bytes:
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    body = raw.split(b">", 1)[0]
+    hx = bytes(c for c in body if c not in _WS)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("latin-1"))
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    body = raw.split(b"~>", 1)[0]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    body = bytes(c for c in body if c not in _WS)
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        if body[i:i + 1] == b"z":  # shorthand for four zero bytes
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        grp = body[i:i + 5]
+        i += len(grp)
+        pad = 5 - len(grp)
+        grp += b"u" * pad
+        v = 0
+        for c in grp:
+            if not 33 <= c <= 117:
+                raise ValueError("bad ASCII85 character")
+            v = v * 85 + (c - 33)
+        if v > 0xFFFFFFFF:
+            raise ValueError("ASCII85 group overflow")
+        out += v.to_bytes(4, "big")[:4 - pad]
+    return bytes(out)
+
+
+def _rle_decode(raw: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5) — PackBits with an explicit
+    128 EOD byte."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        i += 1
+        if c == 128:  # EOD
+            break
+        if c < 128:
+            out += raw[i:i + c + 1]
+            i += c + 1
+        else:
+            out += bytes([raw[i]]) * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def _filter_chain(filters: list, raw: bytes) -> bytes:
+    for f in filters:
+        if f == "/FlateDecode" or f == "/Fl":
+            raw = zlib.decompress(raw)
+        elif f == "/ASCIIHexDecode" or f == "/AHx":
+            raw = _ascii_hex_decode(raw)
+        elif f == "/ASCII85Decode" or f == "/A85":
+            raw = _ascii85_decode(raw)
+        elif f == "/RunLengthDecode" or f == "/RL":
+            raw = _rle_decode(raw)
+        else:
+            raise ValueError(
+                f"PDF filter {f}: out of scope (none/Flate/ASCIIHex/"
+                "ASCII85/RunLength supported; DCT on images)")
+    return raw
+
+
+def _filter_list(d: dict, deref) -> list:
     filt = deref(d.get("/Filter"))
+    out = []
     for f in ([filt] if not isinstance(filt, list) else filt):
         f = deref(f)
-        if f is None:
-            continue
-        if f == "/FlateDecode":
-            raw = zlib.decompress(raw)
-        else:
-            raise ValueError(f"PDF filter {f}: out of scope "
-                             "(none/FlateDecode supported)")
-    return raw
+        if f is not None:
+            out.append(f)
+    return out
+
+
+def _apply_filters(d: dict, raw: bytes, deref) -> bytes:
+    return _filter_chain(_filter_list(d, deref), raw)
 
 
 def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
     w, h = deref(d["/Width"]), deref(d["/Height"])
-    filt = deref(d.get("/Filter"))
-    if filt == "/DCTDecode":
-        return decode_gray_jpeg(raw)
+    filters = _filter_list(d, deref)
+    if filters and filters[-1] in ("/DCTDecode", "/DCT"):
+        # transport filters (A85/AHx/RL) may wrap the JPEG bytes
+        return decode_gray_jpeg(_filter_chain(filters[:-1], raw))
+    cs = deref(d.get("/ColorSpace", "/DeviceGray"))
     if deref(d.get("/BitsPerComponent", 8)) != 8 \
-            or deref(d.get("/ColorSpace", "/DeviceGray")) != "/DeviceGray":
-        raise ValueError("PDF image: only 8-bit /DeviceGray supported "
-                         "(or DCTDecode)")
-    if filt == "/FlateDecode":
-        raw = zlib.decompress(raw)
-    elif filt is not None:
-        raise ValueError(f"PDF image filter {filt}: out of scope")
+            or cs not in ("/DeviceGray", "/DeviceRGB"):
+        raise ValueError("PDF image: only 8-bit /DeviceGray or /DeviceRGB "
+                         "supported (or DCTDecode)")
+    raw = _filter_chain(filters, raw)
+    if cs == "/DeviceRGB":
+        from .png import _luma
+
+        return _luma(np.frombuffer(raw[:w * h * 3],
+                                   dtype=np.uint8).reshape(h, w, 3))
     return np.frombuffer(raw[:w * h], dtype=np.uint8).reshape(h, w)
 
 

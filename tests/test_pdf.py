@@ -300,3 +300,95 @@ def test_fuzz_corrupt_pdf_never_hangs():
                 blocks_from_pdf_page(pg)
         except Exception:
             pass
+
+
+# ------------------------------------------------------- stream filters
+
+
+def _a85_encode(raw: bytes) -> bytes:
+    import struct
+    out = bytearray()
+    for k in range(0, len(raw), 4):
+        grp = raw[k:k + 4]
+        pad = 4 - len(grp)
+        (v,) = struct.unpack(">I", grp + b"\x00" * pad)
+        digs = []
+        for _ in range(5):
+            digs.append(v % 85)
+            v //= 85
+        out += bytes(33 + d for d in reversed(digs))[:5 - pad]
+    return bytes(out) + b"~>"
+
+
+def test_filter_units_roundtrip():
+    from sparkstract.functions.pdf import (_ascii85_decode,
+                                           _ascii_hex_decode, _rle_decode)
+    from sparkstract.functions.tiff import _packbits_encode
+
+    rng = np.random.default_rng(9)
+    for n in (0, 1, 3, 4, 5, 100, 1023):
+        raw = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert _ascii85_decode(_a85_encode(raw)) == raw
+        assert _ascii_hex_decode(raw.hex().encode() + b">") == raw
+        assert _rle_decode(_packbits_encode(raw) + b"\x80") == raw
+    # the z shorthand and whitespace tolerance
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii_hex_decode(b"48 65\n6C6C 6F>") == b"Hello"
+
+
+def _manual_pdf(content: bytes, filt: str, extra_objs: list[bytes] = (),
+                resources: bytes = b"") -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        + resources + b" /Contents 4 0 R >>",
+        f"<< /Length {len(content)} /Filter {filt} >>\nstream\n".encode()
+        + content + b"\nendstream",
+        *extra_objs,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for i in range(1, len(objs) + 1):
+        out += f"{offs[i]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def test_content_stream_ascii85_and_chain():
+    import zlib
+    cs = b"BT /F0 12 Tf 72 700 Td (FILTERED LINE) Tj ET"
+    pdf = _manual_pdf(_a85_encode(cs), "/ASCII85Decode")
+    (page,) = parse_pdf(pdf)
+    assert [it[4] for it in page.items if it[0] == "text"] == ["FILTERED LINE"]
+    # chain: Flate THEN ASCII85 on the wire → decode A85 first, then Flate
+    pdf = _manual_pdf(_a85_encode(zlib.compress(cs)),
+                      "[/ASCII85Decode /FlateDecode]")
+    (page,) = parse_pdf(pdf)
+    assert [it[4] for it in page.items if it[0] == "text"] == ["FILTERED LINE"]
+
+
+def test_rgb_image_xobject_luma():
+    import zlib
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    img_obj = (b"<< /Subtype /Image /Width 9 /Height 6 /BitsPerComponent 8"
+               b" /ColorSpace /DeviceRGB /Filter /FlateDecode /Length "
+               + str(len(zlib.compress(rgb.tobytes()))).encode()
+               + b" >>\nstream\n" + zlib.compress(rgb.tobytes())
+               + b"\nendstream")
+    cs = b"q 9 0 0 6 100 300 cm /Im0 Do Q"
+    pdf = _manual_pdf(cs, "null",
+                      extra_objs=[img_obj],
+                      resources=b"/Resources << /XObject << /Im0 5 0 R >> >>")
+    (page,) = parse_pdf(pdf)
+    imgs = [it for it in page.items if it[0] == "image"]
+    assert len(imgs) == 1
+    from sparkstract.functions.png import _luma
+    assert (imgs[0][1] == _luma(rgb)).all()
