@@ -183,7 +183,7 @@ def _packbits_decode(data: bytes) -> bytes:
 def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
                      compression: str = "none",
                      orientation: int | None = None) -> bytes:
-    """uint8 HxW array(s) -> (multipage) grayscale TIFF bytes.
+    """uint8 HxW (gray) or HxWx3 (RGB) array(s) -> (multipage) TIFF bytes.
 
     One IFD per page chained via the next-IFD pointer — the structure
     ProcessPagesMultipageTiff walks (baseapi.cpp:1657). `orientation`
@@ -196,9 +196,11 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
     out = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD0 offset patched below
     ifd_ptr_pos = 4
     for img in pages:
-        if img.dtype != np.uint8 or img.ndim != 2:
-            raise ValueError("encode_gray_tiff expects 2-D uint8 arrays")
-        h, w = img.shape
+        if img.dtype != np.uint8 or img.ndim not in (2, 3) \
+                or (img.ndim == 3 and img.shape[2] != 3):
+            raise ValueError("encode_gray_tiff expects HxW or HxWx3 uint8")
+        h, w = img.shape[:2]
+        nsamp = 1 if img.ndim == 2 else 3
         raw = img.tobytes()
         strip = {1: lambda b: b, 5: _lzw_encode,
                  32773: _packbits_encode}[comp_id](raw)
@@ -206,25 +208,31 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
         out += strip
         if len(out) % 2:
             out += b"\x00"  # IFDs must be word-aligned
+        if nsamp == 3:  # BitsPerSample count 3 > 4 bytes → stored out-of-line
+            bits_off = len(out)
+            out += struct.pack("<HHH", 8, 8, 8)
+            if len(out) % 2:
+                out += b"\x00"
         ifd_off = len(out)
         # patch the previous chain pointer to this IFD
         struct.pack_into("<I", out, ifd_ptr_pos, ifd_off)
         entries = [  # ascending tag order (required by the spec)
             (256, 4, 1, w),            # ImageWidth
             (257, 4, 1, h),            # ImageLength
-            (258, 3, 1, 8),            # BitsPerSample
+            (258, 3, nsamp, 8 if nsamp == 1 else bits_off),  # BitsPerSample
             (259, 3, 1, comp_id),      # Compression
-            (262, 3, 1, 1),            # Photometric: BlackIsZero
+            (262, 3, 1, 1 if nsamp == 1 else 2),  # BlackIsZero / RGB
             (273, 4, 1, strip_off),    # StripOffsets
             *([(274, 3, 1, orientation)] if orientation else []),
-            (277, 3, 1, 1),            # SamplesPerPixel
+            (277, 3, 1, nsamp),        # SamplesPerPixel
             (278, 4, 1, h),            # RowsPerStrip (one strip)
             (279, 4, 1, len(strip)),   # StripByteCounts
         ]
         out += struct.pack("<H", len(entries))
         for tag, typ, count, value in entries:
             out += struct.pack("<HHI", tag, typ, count)
-            out += struct.pack("<I", value) if typ == 4 \
+            # a >4-byte value field holds the OFFSET (packed as I)
+            out += struct.pack("<I", value) if typ == 4 or count > 2 \
                 else struct.pack("<HH", value, 0)
         ifd_ptr_pos = len(out)
         out += struct.pack("<I", 0)  # next-IFD pointer (patched or final 0)
@@ -244,7 +252,8 @@ def _read_values(data: bytes, fmt: str, typ: int, count: int,
 
 
 def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
-    """(multipage) grayscale TIFF bytes -> list of uint8 HxW arrays."""
+    """(multipage) TIFF bytes -> list of uint8 HxW grayscale arrays
+    (RGB/RGBA pages collapse to BT.601 luma, alpha dropped)."""
     if data[:4] == b"II*\x00":
         fmt = "<"
     elif data[:4] == b"MM\x00*":
@@ -272,8 +281,13 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         (ifd_off,) = struct.unpack_from(fmt + "I", data,
                                         ifd_off + 2 + 12 * n)
         w, h = tags[256][0], tags[257][0]
-        if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
-            raise ValueError("only 8-bit single-sample TIFF supported")
+        nsamp = tags.get(277, [1])[0]
+        # RGB (3) / RGBA (4, alpha dropped) collapse to BT.601 luma the way
+        # Leptonica's pixConvertTo8 does before analysis; chunky planar
+        # config only (PlanarConfiguration=2 stores whole planes — rare)
+        if nsamp not in (1, 3, 4) or tags.get(284, [1])[0] != 1 \
+                or any(b != 8 for b in tags.get(258, [8])):
+            raise ValueError("only 8-bit chunky gray/RGB/RGBA TIFF supported")
         comp = tags.get(259, [1])[0]
         if comp not in (1, 5, 32773):
             raise ValueError(f"TIFF compression {comp}: out of scope "
@@ -281,9 +295,18 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         undo = {1: lambda b: b, 5: _lzw_decode, 32773: _packbits_decode}[comp]
         offs, cnts = tags[273], tags[279]
         raw = b"".join(undo(data[o : o + c]) for o, c in zip(offs, cnts))
-        img = np.frombuffer(raw[: h * w], dtype=np.uint8).reshape(h, w)
+        img = np.frombuffer(raw[: h * w * nsamp], dtype=np.uint8)
+        img = img.reshape(h, w * nsamp)
         if tags.get(317, [1])[0] == 2:  # horizontal-differencing predictor
-            img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+            # per-channel differencing (TIFF6 §14): cumsum along each sample
+            img = (np.cumsum(img.reshape(h, w, nsamp).astype(np.int64),
+                             axis=1).astype(np.uint8).reshape(h, w * nsamp))
+        if nsamp > 1:
+            rgb = img.reshape(h, w, nsamp)[:, :, :3].astype(np.int32)
+            img = ((77 * rgb[:, :, 0] + 150 * rgb[:, :, 1]
+                    + 29 * rgb[:, :, 2] + 128) >> 8).astype(np.uint8)
+        else:
+            img = img.reshape(h, w)
         if tags.get(262, [1])[0] == 0:  # WhiteIsZero → invert to BlackIsZero
             img = (255 - img.astype(np.int64)).astype(np.uint8)
         # Orientation tag 274: un-rotate to upright BEFORE analysis, the
