@@ -67,7 +67,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     if family in ("tiff_page", "tiff_multipage", "pnm_page", "bmp_page",
                   "jpeg_page", "exif_tiff_page", "exif_jpeg_page",
                   "pdf_page", "pdf_scanned_page", "pdf_two_column_page",
-                  "rgb_png_page"):
+                  "rgb_png_page", "gif_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -344,6 +344,7 @@ PAGE_FAMILIES = [
     "greek_page", "music_page", "pnm_page", "bmp_page", "jpeg_page",
     "cyrillic_page", "exif_tiff_page", "exif_jpeg_page", "pdf_page",
     "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
+    "gif_page",
 ]
 
 
@@ -494,6 +495,15 @@ class _Builder:
             y = 64 + img.astype(np.int32) * 128 // 255
             rgb = np.stack([y + 29, y, y - 77], axis=2).astype(np.uint8)
             payload = encode_rgb(rgb)
+        elif family == "gif_page":
+            # GIF container (interlaced, gray palette): pixReadMem sniffs
+            # GIF too (SetImage baseapi.cpp:881). The identity (v,v,v)
+            # palette makes luma collapse exact, so truth is the plain
+            # page's.
+            from ..functions.gif import encode_gif
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gif(img, interlace=True)
         elif family == "jpeg_page":
             # LOSSY container: q=95 keeps glyph bitmaps Otsu-separable (the
             # codec roundtrip test pins bilevel fidelity), so the decode

@@ -37,6 +37,10 @@ def decode_pages(data: bytes) -> list[np.ndarray]:
         return [decode_gray_bmp(data)]
     if data[:3] == b"\xff\xd8\xff":
         return [decode_gray_jpeg(data)]
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gray_gif
+
+        return decode_gray_gif(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         raise ValueError("WEBP input: out of scope (no codec libs and a "
                          "VP8 decoder is not in scope; transcode upstream)")
@@ -44,7 +48,7 @@ def decode_pages(data: bytes) -> list[np.ndarray]:
         raise ValueError("PDF is not a raster: parsed at the pipeline seam "
                          "(functions/pdf.py born-digital path)")
     raise ValueError(
-        "unsupported image format (PNG, TIFF, PNM, BMP, JPEG supported)")
+        "unsupported image format (PNG, TIFF, PNM, BMP, JPEG, GIF supported)")
 
 
 def decode_gray_any(data: bytes) -> np.ndarray:
