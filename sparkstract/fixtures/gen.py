@@ -67,7 +67,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     if family in ("tiff_page", "tiff_multipage", "pnm_page", "bmp_page",
                   "jpeg_page", "exif_tiff_page", "exif_jpeg_page",
                   "pdf_page", "pdf_scanned_page", "pdf_two_column_page",
-                  "rgb_png_page", "gif_page"):
+                  "rgb_png_page", "gif_page", "progressive_jpeg_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -344,7 +344,7 @@ PAGE_FAMILIES = [
     "greek_page", "music_page", "pnm_page", "bmp_page", "jpeg_page",
     "cyrillic_page", "exif_tiff_page", "exif_jpeg_page", "pdf_page",
     "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
-    "gif_page",
+    "gif_page", "progressive_jpeg_page",
 ]
 
 
@@ -495,6 +495,16 @@ class _Builder:
             y = 64 + img.astype(np.int32) * 128 // 255
             rgb = np.stack([y + 29, y, y - 77], axis=2).astype(np.uint8)
             payload = encode_rgb(rgb)
+        elif family == "progressive_jpeg_page":
+            # SOF2 container (spectral selection + successive
+            # approximation): the dominant web-JPEG shape. q=95 keeps the
+            # glyphs Otsu-separable like jpeg_page; truth is the plain
+            # page's (the coefficient pipeline is identical to baseline,
+            # pinned bit-equal by test_jpeg.py).
+            from ..functions.jpeg import encode_progressive_jpeg
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_progressive_jpeg(img, quality=95)
         elif family == "gif_page":
             # GIF container (interlaced, gray palette): pixReadMem sniffs
             # GIF too (SetImage baseapi.cpp:881). The identity (v,v,v)

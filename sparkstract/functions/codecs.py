@@ -8,9 +8,10 @@ TIFF incl. multipage + LZW + PackBits (functions/tiff.py), PNM P2/P5 and 8-bit B
 (functions/raster.py). A multipage container yields several pages from ONE
 media ref — the ProcessPagesMultipageTiff contract (baseapi.cpp:1657):
 downstream block order runs page 1's blocks, then page 2's, in file order.
-Baseline JPEG (incl. color: luma-only reconstruction) is decoded by
-functions/jpeg.py; progressive JPEG and WEBP raise NAMED out-of-scope
-errors so a user hits a clear seam, not a silent drop.
+Baseline AND progressive JPEG (incl. color: luma-only reconstruction,
+non-luma progressive scans skipped wholesale) are decoded by
+functions/jpeg.py; WEBP raises a NAMED out-of-scope error so a user hits
+a clear seam, not a silent drop.
 """
 
 from __future__ import annotations

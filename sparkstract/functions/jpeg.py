@@ -5,18 +5,25 @@ The reference ingests JPEG through Leptonica's pixReadMem dispatch
 from-scratch equivalent for the one mainstream format the container has no
 library for. Scope:
 
-- decode: baseline DCT (SOF0/SOF1), 8-bit, grayscale OR interleaved color
-  (any sampling factors); color reconstructs the LUMA component only —
-  the pipeline is grayscale, so Cb/Cr coefficients are Huffman-consumed
-  (the bitstream demands it) but never inverse-transformed. Restart
-  markers (DRI/RSTn) and stuffed bytes handled. Progressive (SOF2) and
-  other SOFn raise a NAMED error at the seam, like the WEBP branch in
+- decode: baseline (SOF0/SOF1) AND progressive (SOF2) DCT, 8-bit,
+  grayscale OR interleaved color (any sampling factors); color
+  reconstructs the LUMA component only — the pipeline is grayscale, so
+  chroma data is consumed (baseline) or its AC scans skipped outright
+  (progressive scans are per-component, so a non-luma scan's entropy data
+  can be jumped without decoding). Progressive scans implement the full
+  T.81 §G.1.2 semantics: DC first/refine (point transform), AC first with
+  EOB runs, AC refinement with correction bits. Restart markers (DRI/
+  RSTn) and stuffed bytes handled in both modes. Other SOFn (lossless,
+  arithmetic) raise a NAMED error at the seam, like the WEBP branch in
   codecs.py — a clear "transcode upstream", not a silent drop.
 - encode (fixture side): baseline grayscale with the Annex-K luminance
   quantization table scaled by `quality` (libjpeg's 5000/q | 200-2q
   formula) and the Annex-K standard Huffman tables; optional 4:4:4 color
   mode (constant chroma) and restart intervals exist solely so the
   decoder's multi-component and RST paths are testable in-container.
+  `encode_progressive_jpeg` emits a real multi-scan SOF2 stream
+  (spectral selection + successive approximation, EOB runs flushed per
+  block so the Annex-K tables suffice) for the progressive decode path.
 
 All heavy math is vectorized: the forward/inverse DCT run as one einsum
 over every 8x8 block at once; only the entropy coding walks bit-by-bit
@@ -261,6 +268,170 @@ def encode_gray_jpeg(img: np.ndarray, quality: int = 90,
     return bytes(out)
 
 
+# ---------------------------------------------- progressive encoder side
+
+_DEFAULT_SCRIPT = [
+    # (Ss, Se, Ah, Al) — libjpeg's standard successive-approximation shape
+    (0, 0, 0, 1),     # DC first, point transform 1
+    (1, 5, 0, 2),     # AC low band first
+    (6, 63, 0, 2),    # AC high band first
+    (1, 63, 2, 1),    # AC refine to Al=1
+    (1, 63, 1, 0),    # AC refine to Al=0
+    (0, 0, 1, 0),     # DC refine
+]
+
+
+def _enc_ac_first(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                  al: int, ac_codes) -> None:
+    """One block of an AC-first scan. EOB runs are flushed per block
+    (EOB0 = symbol 0x00), so the Annex-K tables suffice — EOBn>0 symbols
+    are not in the standard table."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        a = abs(t) >> al
+        if a == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_codes[0xF0]               # ZRL
+            bw.put(code, ln)
+            r -= 16
+        s = a.bit_length()
+        code, ln = ac_codes[(r << 4) | s]
+        bw.put(code, ln)
+        bw.put(a if t >= 0 else (a ^ ((1 << s) - 1)), s)
+        r = 0
+    if r > 0:
+        code, ln = ac_codes[0x00]                   # EOB (run of 1)
+        bw.put(code, ln)
+
+
+def _enc_ac_refine(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                   al: int, ac_codes) -> None:
+    """One block of an AC-refinement scan (jcphuff-style): newly
+    significant coefficients emit (run|1)+sign, history coefficients emit
+    buffered correction bits, trailing state folds into a per-block EOB."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i
+    r = 0
+    pending: list[int] = []
+    for i, a in enumerate(absv):
+        k = ss + i
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            code, ln = ac_codes[0xF0]               # ZRL
+            bw.put(code, ln)
+            r -= 16
+            for b in pending:
+                bw.put(b, 1)
+            pending = []
+        if a > 1:                                   # history: correction bit
+            pending.append(a & 1)
+            continue
+        code, ln = ac_codes[(r << 4) | 1]           # newly significant
+        bw.put(code, ln)
+        bw.put(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in pending:
+            bw.put(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        code, ln = ac_codes[0x00]                   # EOB carries the rest
+        bw.put(code, ln)
+        for b in pending:
+            bw.put(b, 1)
+
+
+def encode_progressive_jpeg(img: np.ndarray, quality: int = 90,
+                            color: bool = False,
+                            script: list[tuple] | None = None) -> bytes:
+    """uint8 HxW -> progressive (SOF2) JFIF bytes, spectral selection +
+    successive approximation per `script` [(Ss, Se, Ah, Al), ...]. With
+    `color`, DC scans interleave three 4:4:4 components and every AC scan
+    is emitted per component (constant-128 chroma → all-zero blocks), so
+    the decoder's skip-non-luma-scan path sees real scans to skip."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    quant = _scaled_quant(quality)
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    hh, ww = padded.shape
+    nby, nbx = hh // 8, ww // 8
+    blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ij,nmjk,lk->nmil", _DCT, blocks, _DCT)
+    q = np.round(coef / quant).astype(np.int32)
+    zz = q.reshape(nby, nbx, 64)[:, :, _ZZ_FLAT].reshape(-1, 64)
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    script = list(_DEFAULT_SCRIPT if script is None else script)
+    ncomp = 3 if color else 1
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(
+        int(quant.reshape(64)[_ZZ_FLAT][i]) for i in range(64)))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0x00])
+    out += _seg(0xC2, bytes(sof))                                   # SOF2
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+
+    zero = np.zeros(64, dtype=np.int32)
+
+    def sos(comp_ids: list[int], ss, se, ah, al) -> bytes:
+        hdr = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, bytes(hdr))
+
+    for ss, se, ah, al in script:
+        bw = _BitWriter()
+        if ss == 0:                                 # DC scan (interleaved)
+            out += sos(list(range(1, ncomp + 1)), ss, se, ah, al)
+            preds = [0] * ncomp
+            for b in range(len(zz)):
+                for c in range(ncomp):
+                    blk = zz[b] if c == 0 else zero
+                    if ah == 0:                     # DC first
+                        v = int(blk[0]) >> al
+                        diff = v - preds[c]
+                        preds[c] = v
+                        s = abs(diff).bit_length()
+                        code, ln = dc_codes[s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(diff if diff >= 0
+                                   else diff + (1 << s) - 1, s)
+                    else:                           # DC refine
+                        bw.put((int(blk[0]) >> al) & 1, 1)
+            bw.pad_align()
+            out += bw.out
+        else:                                       # AC scans: per component
+            for c in range(ncomp):
+                bw = _BitWriter()
+                out += sos([c + 1], ss, se, ah, al)
+                for b in range(len(zz)):
+                    blk = zz[b] if c == 0 else zero
+                    if ah == 0:
+                        _enc_ac_first(bw, blk, ss, se, al, ac_codes)
+                    else:
+                        _enc_ac_refine(bw, blk, ss, se, al, ac_codes)
+                bw.pad_align()
+                out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decoder
 
 class _BitReader:
@@ -305,6 +476,8 @@ def _decode_block(reader: _BitReader, dc_tbl, ac_tbl, pred: int,
                   out: np.ndarray | None) -> int:
     s = _huff(reader, dc_tbl)
     pred += _extend(reader.bits(s), s) if s else 0
+    if abs(pred) > (1 << 24):  # legit DC fits 11 bits; corrupt data only
+        raise ValueError("invalid JPEG: DC out of range")
     if out is not None:
         out[0] = pred
     i = 1
@@ -351,11 +524,130 @@ def _exif_orientation(t: bytes) -> int:
     return 1
 
 
+def _scan_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data (from `start`) at RST markers,
+    dropping stuffed zero bytes. Returns (segments, pos of the terminating
+    0xFF marker or end of data)."""
+    n = len(data)
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = start
+    while p < n:
+        b = data[p]
+        if b == 0xFF and p + 1 < n:
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break                                   # EOI or next marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
+
+
+# ------------------------------------------- progressive scan primitives
+# T.81 §G.1.2 / the jdphuff decoding procedures. State per scan: the DC
+# predictors (DC scans) or the EOB run counter (AC scans); both reset at
+# restart boundaries.
+
+
+def _dc_first(reader, dc_tbl, pred: int, al: int,
+              out: np.ndarray | None) -> int:
+    s = _huff(reader, dc_tbl)
+    pred += _extend(reader.bits(s), s) if s else 0
+    if abs(pred) > (1 << 24):  # legit DC fits 11 bits; corrupt data only
+        raise ValueError("invalid JPEG: DC out of range")
+    if out is not None:
+        out[0] = pred << al
+    return pred
+
+
+def _dc_refine(reader, al: int, out: np.ndarray | None) -> None:
+    bit = reader.bit()
+    if bit and out is not None:
+        out[0] |= 1 << al
+
+
+def _ac_first(reader, ac_tbl, zz: np.ndarray, ss: int, se: int, al: int,
+              eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff(reader, ac_tbl)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("invalid JPEG: AC index overflow")
+            zz[k] = _extend(reader.bits(s), s) << al
+            k += 1
+        elif r == 15:                               # ZRL
+            k += 16
+        else:                                       # EOBn
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            break
+    return eobrun
+
+
+def _ac_refine(reader, ac_tbl, zz: np.ndarray, ss: int, se: int, al: int,
+               eobrun: int) -> int:
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        if reader.bit() and not (zz[k] & p1):
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff(reader, ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s:
+                val = p1 if reader.bit() else m1
+            elif r != 15:                           # EOBn
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            # advance past r zero-HISTORY coefficients, emitting correction
+            # bits for the nonzero-history ones passed over (ZRL: r == 15
+            # consumes 16 zero-history positions, val stays 0)
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_gray_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 HxW grayscale (luma of color input),
-    upright per any APP1 Exif Orientation tag (phone-camera scans arrive
-    rotated-with-tag; the reference inherits the un-rotation from
-    Leptonica's read path, SetImage baseapi.cpp:881)."""
+    """Baseline or progressive JPEG bytes -> uint8 HxW grayscale (luma of
+    color input), upright per any APP1 Exif Orientation tag (phone-camera
+    scans arrive rotated-with-tag; the reference inherits the un-rotation
+    from Leptonica's read path, SetImage baseapi.cpp:881)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("invalid JPEG: missing SOI")
     orientation = 1
@@ -365,8 +657,9 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []   # (id, h, v, tq)
     hsize = wsize = 0
     restart = 0
-    scan: list[tuple[int, int]] = []              # (comp idx, td, ta)
-    ent_start = -1
+    progressive = False
+    # (comps [(ci, td, ta)], ss, se, ah, al, segments)
+    scans: list[tuple[list, int, int, int, int, list[bytes]]] = []
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -400,7 +693,8 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + nv])
                 (huff_ac if tc else huff_dc)[th] = _decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):               # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):         # SOF0/1 baseline, 2 prog
+            progressive = marker == 0xC2
             hsize = int.from_bytes(seg[1:3], "big")
             wsize = int.from_bytes(seg[3:5], "big")
             # memory-cost guard before any allocation, like the reference's
@@ -412,50 +706,35 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
             comps = [(seg[6 + 3 * i], seg[7 + 3 * i] >> 4,
                       seg[7 + 3 * i] & 0x0F, seg[8 + 3 * i])
                      for i in range(nc)]
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2): out of scope — "
-                             "transcode to baseline upstream")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG SOF{marker - 0xC0}: only baseline "
-                             "(SOF0/SOF1) is supported")
+                             "(SOF0/SOF1) and progressive (SOF2) supported")
         elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":  # APP1 Exif
             orientation = _exif_orientation(seg[6:])
         elif marker == 0xDD:                       # DRI
             restart = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:                       # SOS
+            if not comps:
+                raise ValueError("invalid JPEG: SOS before SOF")
             ns = seg[0]
             ids = [c[0] for c in comps]
+            scomps = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan.append((ids.index(cid), tt >> 4, tt & 0x0F))
-            ent_start = pos + 2 + ln
-            break
+                if cid not in ids:
+                    raise ValueError("invalid JPEG: unknown scan component")
+                scomps.append((ids.index(cid), tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            segments, pos = _scan_entropy(data, pos + 2 + ln)
+            scans.append((scomps, ss, se, ahal >> 4, ahal & 0x0F, segments))
+            if len(scans) > 256:
+                raise ValueError("invalid JPEG: too many scans")
+            continue
         pos += 2 + ln
-    if ent_start < 0 or not comps:
+    if not scans or not comps:
         raise ValueError("invalid JPEG: no scan found")
-
-    # split entropy-coded data at RST markers, drop stuffed zero bytes
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = ent_start
-    while p < n:
-        b = data[p]
-        if b == 0xFF and p + 1 < n:
-            nxt = data[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break                                   # EOI or next marker
-        cur.append(b)
-        p += 1
-    segments.append(bytes(cur))
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -464,28 +743,23 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     _, h0, v0, tq0 = comps[0]
     bw0, bh0 = mcux * h0, mcuy * v0
     coef0 = np.zeros((bh0, bw0, 64), dtype=np.int32)
+    # per-component block dims for NON-interleaved scans (T.81 A.2.2:
+    # ceil of the component's sample dims, not padded to MCU multiples)
+    cdims = []
+    for _, ch, cv, _tq in comps:
+        cw = -(-wsize * ch // hmax)
+        chh = -(-hsize * cv // vmax)
+        cdims.append((-(-chh // 8), -(-cw // 8)))
 
-    reader = _BitReader(segments[0])
-    seg_i = 0
-    preds = [0] * len(comps)
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu and mcu % restart == 0:
-                seg_i += 1
-                if seg_i >= len(segments):
-                    raise ValueError("invalid JPEG: missing restart segment")
-                reader = _BitReader(segments[seg_i])
-                preds = [0] * len(comps)
-            for ci, td, ta in scan:
-                _, ch, cv, _tq = comps[ci]
-                for v in range(cv):
-                    for hb in range(ch):
-                        out = (coef0[my * cv + v, mx * ch + hb]
-                               if ci == 0 else None)
-                        preds[ci] = _decode_block(
-                            reader, huff_dc[td], huff_ac[ta], preds[ci], out)
-            mcu += 1
+    for scomps, ss, se, ah, al, segments in scans:
+        if progressive and ss > 0:
+            if len(scomps) != 1:
+                raise ValueError("invalid JPEG: interleaved AC scan")
+            if scomps[0][0] != 0:
+                continue  # non-luma AC scan: entropy data skipped wholesale
+        _decode_scan(scomps, ss, se, ah, al, segments, comps, cdims,
+                     huff_dc, huff_ac, coef0, mcux, mcuy, restart,
+                     progressive)
 
     if tq0 not in quant:
         raise ValueError("invalid JPEG: missing quantization table")
@@ -500,3 +774,68 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     if h0 < hmax or v0 < vmax:
         img = np.repeat(np.repeat(img, vmax // v0, axis=0), hmax // h0, axis=1)
     return apply_exif_orientation(img[:hsize, :wsize], orientation)
+
+
+def _decode_scan(scomps, ss, se, ah, al, segments, comps, cdims,
+                 huff_dc, huff_ac, coef0, mcux, mcuy, restart,
+                 progressive) -> None:
+    """Decode one scan into coef0 (luma coefficients, zigzag order).
+    Handles interleaved (multi-component) and single-component layouts,
+    baseline full-band blocks, and the four progressive modes."""
+    reader = _BitReader(segments[0])
+    seg_i = 0
+    preds = [0] * len(comps)
+    eobrun = 0
+    interleaved = len(scomps) > 1
+
+    def unit_count():
+        if interleaved:
+            return mcux * mcuy
+        bh, bw = cdims[scomps[0][0]]
+        return bh * bw
+
+    total = unit_count()
+    for unit in range(total):
+        if restart and unit and unit % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("invalid JPEG: missing restart segment")
+            reader = _BitReader(segments[seg_i])
+            preds = [0] * len(comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for ci, td, ta in scomps:
+                _, ch, cv, _tq = comps[ci]
+                for v in range(cv):
+                    for hb in range(ch):
+                        out = (coef0[my * cv + v, mx * ch + hb]
+                               if ci == 0 else None)
+                        if not progressive:
+                            preds[ci] = _decode_block(
+                                reader, huff_dc[td], huff_ac[ta],
+                                preds[ci], out)
+                        elif ah == 0:               # DC first (ss == 0)
+                            preds[ci] = _dc_first(reader, huff_dc[td],
+                                                  preds[ci], al, out)
+                        else:                       # DC refine
+                            _dc_refine(reader, al, out)
+        else:
+            ci, td, ta = scomps[0]
+            bh, bw = cdims[ci]
+            by, bx = divmod(unit, bw)
+            out = coef0[by, bx] if ci == 0 else None
+            if not progressive:
+                preds[ci] = _decode_block(reader, huff_dc[td],
+                                          huff_ac[ta], preds[ci], out)
+            elif ss == 0 and ah == 0:
+                preds[ci] = _dc_first(reader, huff_dc[td], preds[ci],
+                                      al, out)
+            elif ss == 0:
+                _dc_refine(reader, al, out)
+            elif ah == 0:                           # AC first — luma only
+                eobrun = _ac_first(reader, huff_ac[ta], out, ss, se,
+                                   al, eobrun)
+            else:                                   # AC refine — luma only
+                eobrun = _ac_refine(reader, huff_ac[ta], out, ss, se,
+                                    al, eobrun)

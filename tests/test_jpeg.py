@@ -70,11 +70,11 @@ def test_codec_dispatch():
     assert len(pages) == 1 and pages[0].shape == (16, 16)
 
 
-def test_progressive_named_error():
+def test_lossless_sof_named_error():
     enc = bytearray(encode_gray_jpeg(_gradient(16, 16), quality=90))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(ValueError, match="progressive"):
+    enc[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+    with pytest.raises(ValueError, match="SOF3"):
         decode_gray_jpeg(bytes(enc))
 
 
@@ -154,3 +154,105 @@ def test_exif_malformed_blob_is_ignored():
     enc[i + 6 : i + 10] = b"XXXX"  # smash the TIFF byte-order header
     plain = decode_gray_jpeg(encode_gray_jpeg(img, quality=95))
     assert np.array_equal(decode_gray_jpeg(bytes(enc)), plain)
+
+
+# ------------------------------------------------------------- progressive
+
+
+def test_progressive_matches_baseline():
+    """Same image, same quality: progressive and baseline streams carry
+    identical quantized coefficients, so the decodes must be bit-equal."""
+    from sparkstract.functions.jpeg import encode_progressive_jpeg
+
+    rng = np.random.default_rng(41)
+    img = (rng.random((75, 93)) * 255).astype(np.uint8)
+    base = decode_gray_jpeg(encode_gray_jpeg(img, quality=85))
+    prog = decode_gray_jpeg(encode_progressive_jpeg(img, quality=85))
+    assert (base == prog).all()
+
+
+def test_progressive_page_like_text():
+    from sparkstract.functions.jpeg import encode_progressive_jpeg
+
+    img = np.full((64, 160), 235, dtype=np.uint8)
+    img[20:28, 16:120] = 15  # a fat dark bar, glyph-ish contrast
+    base = decode_gray_jpeg(encode_gray_jpeg(img, quality=95))
+    prog = decode_gray_jpeg(encode_progressive_jpeg(img, quality=95))
+    assert (base == prog).all()
+
+
+def test_progressive_color_skips_chroma_scans():
+    from sparkstract.functions.jpeg import encode_progressive_jpeg
+
+    rng = np.random.default_rng(42)
+    img = (rng.random((40, 56)) * 255).astype(np.uint8)
+    gray = decode_gray_jpeg(encode_progressive_jpeg(img, quality=90))
+    colr = decode_gray_jpeg(encode_progressive_jpeg(img, quality=90,
+                                                    color=True))
+    assert (gray == colr).all()
+
+
+def test_progressive_spectral_only_script():
+    """Spectral selection without successive approximation (Al=0
+    everywhere) — a common libjpeg -scans shape."""
+    from sparkstract.functions.jpeg import encode_progressive_jpeg
+
+    rng = np.random.default_rng(43)
+    img = (rng.random((33, 41)) * 255).astype(np.uint8)
+    script = [(0, 0, 0, 0), (1, 10, 0, 0), (11, 63, 0, 0)]
+    base = decode_gray_jpeg(encode_gray_jpeg(img, quality=75))
+    prog = decode_gray_jpeg(encode_progressive_jpeg(img, quality=75,
+                                                    script=script))
+    assert (base == prog).all()
+
+
+def test_eobrun_multi_block_decode():
+    """EOBn with n>0 (run spanning blocks) — not emitted by our per-block
+    encoder, so pin the decoder path with a handcrafted table + stream."""
+    from sparkstract.functions.jpeg import (_ac_first, _BitReader,
+                                            _BitWriter, _decode_table)
+
+    # custom AC table: 0x10 (EOB1) -> '0', 0x01 (run0,size1) -> '10'
+    bits = [1, 1] + [0] * 14
+    vals = [0x10, 0x01]
+    tbl = _decode_table(bits, vals)
+    bw = _BitWriter()
+    bw.put(0b10, 2)   # block 0: coefficient at k=1, size 1
+    bw.put(1, 1)      #   extra bit -> +1
+    bw.put(0b0, 1)    # EOB1 symbol
+    bw.put(1, 1)      #   1 extra bit -> eobrun = 2+1-1 ... = (1<<1)-1+1 = 2
+    bw.pad_align()
+    reader = _BitReader(bytes(bw.out))
+    blocks = [np.zeros(64, dtype=np.int32) for _ in range(4)]
+    eobrun = 0
+    eobrun = _ac_first(reader, tbl, blocks[0], 1, 63, 0, eobrun)
+    assert blocks[0][1] == 1 and eobrun == 2
+    eobrun = _ac_first(reader, tbl, blocks[1], 1, 63, 0, eobrun)
+    eobrun = _ac_first(reader, tbl, blocks[2], 1, 63, 0, eobrun)
+    assert eobrun == 0
+    assert not blocks[1].any() and not blocks[2].any()
+
+
+def test_progressive_fuzz_never_hangs():
+    from sparkstract.functions.jpeg import encode_progressive_jpeg
+
+    rng = np.random.default_rng(44)
+    img = (np.outer(np.arange(24), np.arange(24)) % 211).astype(np.uint8)
+    base = bytearray(encode_progressive_jpeg(img, quality=80))
+    for _ in range(800):
+        enc = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            enc[int(rng.integers(0, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            decode_gray_jpeg(bytes(enc))
+        except Exception:
+            pass
+
+
+def test_codec_dispatch_progressive():
+    from sparkstract.functions.codecs import decode_pages
+    from sparkstract.functions.jpeg import encode_progressive_jpeg
+
+    img = np.full((16, 16), 99, dtype=np.uint8)
+    (got,) = decode_pages(encode_progressive_jpeg(img, quality=95))
+    assert got.shape == (16, 16)
