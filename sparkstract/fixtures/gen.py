@@ -67,7 +67,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
     if family in ("tiff_page", "tiff_multipage", "pnm_page", "bmp_page",
                   "jpeg_page", "exif_tiff_page", "exif_jpeg_page",
                   "pdf_page", "pdf_scanned_page", "pdf_two_column_page",
-                  "rgb_png_page", "gif_page", "progressive_jpeg_page"):
+                  "rgb_png_page", "gif_page", "progressive_jpeg_page",
+                  "pdf_modern_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -344,7 +345,7 @@ PAGE_FAMILIES = [
     "greek_page", "music_page", "pnm_page", "bmp_page", "jpeg_page",
     "cyrillic_page", "exif_tiff_page", "exif_jpeg_page", "pdf_page",
     "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
-    "gif_page", "progressive_jpeg_page",
+    "gif_page", "progressive_jpeg_page", "pdf_modern_page",
 ]
 
 
@@ -430,6 +431,20 @@ class _Builder:
             blocks = [TruthBlock("flowing_text", "\n".join(top_lines)),
                       TruthBlock("flowing_image", None),
                       TruthBlock("flowing_text", "\n".join(bot_lines))]
+            img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
+        elif family == "pdf_modern_page":
+            # the 1.5+ file layout every current producer writes: objects
+            # packed in an /ObjStm, cross-reference STREAM with the PNG
+            # up-predictor — same content contract as pdf_page
+            from ..functions.pdf import encode_simple_pdf
+            from .render import TruthBlock
+
+            cap = lambda s: " ".join(w.capitalize() for w in s.split())  # noqa: E731
+            lines = [cap(ln) for ln in _lines(self.rng, 3, 28)]
+            payload = encode_simple_pdf(
+                [[("text", 72, 700 - 16 * i, 12, ln)
+                  for i, ln in enumerate(lines)]], modern=True)
+            blocks = [TruthBlock("flowing_text", "\n".join(lines))]
             img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
         elif family == "pdf_two_column_page":
             # born-digital LAYOUT parse: header spanning two columns whose

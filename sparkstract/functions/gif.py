@@ -203,6 +203,14 @@ def decode_gray_gif(data: bytes) -> list[np.ndarray]:
     """GIF bytes -> list of uint8 HxW grayscale canvases, one per frame
     (palette collapsed to BT.601 luma; partial frames composited onto the
     logical screen; transparency leaves prior canvas pixels)."""
+    try:
+        return _decode_gray_gif(data)
+    except (struct.error, IndexError) as e:
+        # truncated/corrupt bytes surface as the codec-contract ValueError
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _decode_gray_gif(data: bytes) -> list[np.ndarray]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", data, 6)

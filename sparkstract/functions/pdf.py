@@ -11,13 +11,17 @@ parsed here — BT/ET, Tf, Td/Tm, Tj/TJ — so a reference-produced PDF
 round-trips through this parser).
 
 Scope (named errors at the seam for everything else, like codecs.py):
-- classic cross-reference tables incl. /Prev chains and incremental
-  updates; xref STREAMS (PDF 1.5+) raise out-of-scope
-- stream filters: none / FlateDecode (stdlib zlib) / ASCIIHexDecode /
-  ASCII85Decode / RunLengthDecode, chained per ISO 32000 §7.4
+- classic cross-reference tables AND 1.5+ cross-reference STREAMS
+  (/W-field rows, /Index spans), /Prev chains, incremental updates,
+  hybrid /XRefStm files, and object streams (/ObjStm) — the layout every
+  modern producer writes
+- stream filters: none / FlateDecode (stdlib zlib) / LZWDecode (the
+  TIFF-LZW early-change variant) / ASCIIHexDecode / ASCII85Decode /
+  RunLengthDecode, chained per ISO 32000 §7.4, with /DecodeParms PNG
+  (10-15) and TIFF (2) predictors
 - text: BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, ', ", TJ with kerning;
-  fixed-advance (Courier-style, 0.6 em) glyph metrics — per-glyph /Widths
-  arrays are a documented seam, not parsed
+  /FirstChar+/Widths proportional metrics with a fixed-advance
+  (Courier-style, 0.6 em) fallback
 - images: XObject /Image with DCTDecode (functions/jpeg.py) or
   filtered/raw 8-bit /DeviceGray or /DeviceRGB (BT.601 luma collapse),
   placed via the full q/Q + cm CTM
@@ -50,7 +54,8 @@ def _esc(s: str) -> str:
 def encode_simple_pdf(pages: list[list[tuple]],
                       page_size: tuple[int, int] = (612, 792),
                       compress: bool = True,
-                      widths: dict[str, int] | None = None) -> bytes:
+                      widths: dict[str, int] | None = None,
+                      modern: bool = False) -> bytes:
     """Build a minimal single-font PDF. Each page is a list of elements:
 
     - ``("text", x, y_baseline, size, "line of text")`` — PDF coords (y up)
@@ -61,6 +66,10 @@ def encode_simple_pdf(pages: list[list[tuple]],
     `widths` (char → advance in 1/1000 em, default 600) emits a
     proportional font with /FirstChar+/Widths, the metric table the parser
     reads for exact word geometry.
+
+    `modern` writes the 1.5+ file layout every current producer emits:
+    non-stream objects packed into one /ObjStm and a cross-reference
+    STREAM (Flate + PNG up-predictor) instead of a classic table.
 
     Fixture-side only (like encode_gray_tiff): the parser is the product
     surface, the writer exists so tests carry genuine PDF bytes."""
@@ -129,18 +138,73 @@ def encode_simple_pdf(pages: list[list[tuple]],
         f"<< /Type /Pages /Kids [{' '.join(f'{k} 0 R' for k in kids)}] "
         f"/Count {len(kids)} >>".encode())
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0] * (len(objs) + 1)
+    if not modern:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = [0] * (len(objs) + 1)
+        for i, body in enumerate(objs, start=1):
+            offsets[i] = len(out)
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += f"xref\n0 {len(objs) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for i in range(1, len(objs) + 1):
+            out += f"{offsets[i]:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+                f"startxref\n{xref_at}\n%%EOF\n").encode()
+        return bytes(out)
+
+    # ---- modern (1.5+) layout: ObjStm for non-stream objects + xref STREAM
+    out = bytearray(b"%PDF-1.5\n")
+    nobj = len(objs)
+    objstm_num, xref_num = nobj + 1, nobj + 2
+    entries: dict[int, tuple] = {}
+    packed: list[tuple[int, bytes]] = []
     for i, body in enumerate(objs, start=1):
-        offsets[i] = len(out)
-        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        if b"\nstream\n" in body:                   # streams can't live in
+            entries[i] = ("file", len(out))         # an ObjStm (§7.5.7)
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        else:
+            packed.append((i, body))
+    hdr_parts, payload = [], bytearray()
+    for i, body in packed:
+        hdr_parts.append(f"{i} {len(payload)}")
+        payload += body + b"\n"
+    header = (" ".join(hdr_parts) + "\n").encode()
+    stm = zlib.compress(bytes(header + payload))
+    for idx, (i, _) in enumerate(packed):
+        entries[i] = ("objstm", objstm_num, idx)
+    entries[objstm_num] = ("file", len(out))
+    out += (f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+            f"/First {len(header)} /Filter /FlateDecode "
+            f"/Length {len(stm)} >>\nstream\n").encode()
+    out += stm + b"\nendstream\nendobj\n"
     xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for i in range(1, len(objs) + 1):
-        out += f"{offsets[i]:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    size = xref_num + 1
+    rows = [(0, 0, 65535)]                          # free object 0
+    for i in range(1, size):
+        if i == xref_num:
+            rows.append((1, xref_at, 0))
+        elif entries[i][0] == "file":
+            rows.append((1, entries[i][1], 0))
+        else:
+            rows.append((2, entries[i][1], entries[i][2]))
+    raw_rows = b"".join(bytes([t]) + f2.to_bytes(4, "big")
+                        + f3.to_bytes(2, "big") for t, f2, f3 in rows)
+    # PNG Up predictor (12) over the 7-byte rows, like every real producer
+    arr = np.frombuffer(raw_rows, dtype=np.uint8).reshape(size, 7)
+    diff = arr.astype(np.int16)
+    diff[1:] -= arr[:-1]
+    pred = bytearray()
+    for r in range(size):
+        pred.append(2)                              # filter type Up
+        pred += (diff[r] & 0xFF).astype(np.uint8).tobytes()
+    xstm = zlib.compress(bytes(pred))
+    out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /Root 1 0 R "
+            f"/W [1 4 2] /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns 7 >> "
+            f"/Length {len(xstm)} >>\nstream\n").encode()
+    out += xstm + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -334,27 +398,62 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
         raise ValueError("encrypted PDF: out of scope (decrypt upstream)")
 
     cache: dict[int, object] = {}
+    objstm_cache: dict[int, tuple[bytes, dict[int, int], int]] = {}
+    loading: set[int] = set()
+
+    def load_objstm(cnum: int) -> tuple[bytes, dict[int, int], int]:
+        """Decode an object stream (/Type /ObjStm, ISO 32000 §7.5.7):
+        returns (decoded bytes, objnum -> body offset, /First)."""
+        if cnum not in objstm_cache:
+            stm = getobj(cnum)
+            if not (isinstance(stm, tuple) and stm[0] == "stream"):
+                raise ValueError("PDF object stream: not a stream")
+            d = stm[1]
+            body = _apply_filters(d, stm[2], deref)
+            first = deref(d.get("/First", 0))
+            count = deref(d.get("/N", 0))
+            hx = _Lexer(body)
+            offs: dict[int, int] = {}
+            for _ in range(count):
+                onum, ooff = int(hx.token()), int(hx.token())
+                offs[onum] = ooff
+            objstm_cache[cnum] = (body, offs, first)
+        return objstm_cache[cnum]
 
     def getobj(num: int):
-        if num not in cache:
-            if num not in offsets:
-                raise ValueError(f"PDF object {num} missing from xref")
-            lx = _Lexer(data, offsets[num])
-            if not (lx.token().isdigit() and lx.token().isdigit()
-                    and lx.token() == b"obj"):
-                raise ValueError(f"PDF object {num}: bad header")
-            val = lx.value()
-            lx._ws()
-            if data[lx.i:lx.i + 6] == b"stream":
-                lx.i += 6
-                if data[lx.i:lx.i + 2] == b"\r\n":
-                    lx.i += 2
-                elif data[lx.i:lx.i + 1] in (b"\n", b"\r"):
-                    lx.i += 1
-                length = deref(val["/Length"])
-                raw = data[lx.i:lx.i + length]
-                val = ("stream", val, raw)
+        if num in cache:
+            return cache[num]
+        ent = offsets.get(num)
+        if ent is None:
+            raise ValueError(f"PDF object {num} missing from xref")
+        if num in loading:  # an ObjStm whose entry points into itself
+            raise ValueError("cyclic PDF object-stream reference")
+        loading.add(num)
+        try:
+            if ent[0] == "file":
+                lx = _Lexer(data, ent[1])
+                if not (lx.token().isdigit() and lx.token().isdigit()
+                        and lx.token() == b"obj"):
+                    raise ValueError(f"PDF object {num}: bad header")
+                val = lx.value()
+                lx._ws()
+                if data[lx.i:lx.i + 6] == b"stream":
+                    lx.i += 6
+                    if data[lx.i:lx.i + 2] == b"\r\n":
+                        lx.i += 2
+                    elif data[lx.i:lx.i + 1] in (b"\n", b"\r"):
+                        lx.i += 1
+                    length = deref(val["/Length"])
+                    raw = data[lx.i:lx.i + length]
+                    val = ("stream", val, raw)
+            else:                                   # ("objstm", cnum, idx)
+                body, offs, first = load_objstm(ent[1])
+                if num not in offs:
+                    raise ValueError(f"PDF object {num}: not in its ObjStm")
+                val = _Lexer(body, first + offs[num]).value()
             cache[num] = val
+        finally:
+            loading.discard(num)
         return cache[num]
 
     def deref(v):
@@ -385,39 +484,117 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
     return pages
 
 
-def _xref(data: bytes) -> tuple[dict[int, int], dict]:
+def _read_stream_at(data: bytes, off: int) -> tuple[dict, bytes]:
+    """Read an `N G obj << ... >> stream` at a byte offset WITHOUT an xref
+    (bootstrap path for xref streams). Indirect /Length falls back to
+    scanning for endstream."""
+    lx = _Lexer(data, off)
+    if not (lx.token().isdigit() and lx.token().isdigit()
+            and lx.token() == b"obj"):
+        raise ValueError("PDF xref: bad object header")
+    d = lx.value()
+    if not isinstance(d, dict):
+        raise ValueError("PDF xref: stream dict expected")
+    lx._ws()
+    if data[lx.i:lx.i + 6] != b"stream":
+        raise ValueError("PDF xref: stream keyword expected")
+    lx.i += 6
+    if data[lx.i:lx.i + 2] == b"\r\n":
+        lx.i += 2
+    elif data[lx.i:lx.i + 1] in (b"\n", b"\r"):
+        lx.i += 1
+    length = d.get("/Length")
+    if isinstance(length, int):
+        raw = data[lx.i:lx.i + length]
+    else:
+        end = data.find(b"endstream", lx.i)
+        if end < 0:
+            raise ValueError("PDF xref: unterminated stream")
+        raw = data[lx.i:end].rstrip(b"\r\n")
+    return d, raw
+
+
+def _xref_stream_entries(d: dict, raw: bytes, entries: dict) -> None:
+    """Parse a 1.5+ cross-reference stream (ISO 32000 §7.5.8): /W field
+    widths over (type, f2, f3) rows; type 1 = file offset, type 2 =
+    (object stream number, index). First-seen entries win."""
+    ident = lambda v: v  # noqa: E731 — xref dicts hold direct values
+    filters, parms = _filter_list(d, ident)
+    body = _filter_chain(filters, raw, parms, ident)
+    w = d.get("/W")
+    if not isinstance(w, list) or len(w) != 3:
+        raise ValueError("PDF xref stream: bad /W")
+    w1, w2, w3 = (int(x) for x in w)
+    rowlen = w1 + w2 + w3
+    index = d.get("/Index", [0, d.get("/Size", 0)])
+    spans = [(int(index[i]), int(index[i + 1]))
+             for i in range(0, len(index) - 1, 2)]
+    p = 0
+    for start, count in spans:
+        for k in range(count):
+            if p + rowlen > len(body):
+                raise ValueError("PDF xref stream: truncated")
+            t = int.from_bytes(body[p:p + w1], "big") if w1 else 1
+            f2 = int.from_bytes(body[p + w1:p + w1 + w2], "big")
+            f3 = int.from_bytes(body[p + w1 + w2:p + rowlen], "big")
+            p += rowlen
+            num = start + k
+            if num in entries:
+                continue  # incremental updates: the NEWEST wins (first seen)
+            if t == 1:
+                entries[num] = ("file", f2)
+            elif t == 2:
+                entries[num] = ("objstm", f2, f3)
+            # type 0 (free) and unknown types: skip per spec
+
+
+def _xref(data: bytes) -> tuple[dict[int, tuple], dict]:
     at = data.rfind(b"startxref")
     if at < 0:
         raise ValueError("PDF has no startxref")
-    off = int(_Lexer(data, at + 9).token())
-    offsets: dict[int, int] = {}
+    entries: dict[int, tuple] = {}
     trailer: dict | None = None
     seen: set[int] = set()
-    while True:
+    queue = [int(_Lexer(data, at + 9).token())]
+    while queue:
+        off = queue.pop(0)
         if off in seen:
             raise ValueError("cyclic PDF xref chain")
         seen.add(off)
+        if len(seen) > 1024:
+            raise ValueError("oversized PDF xref chain")
         lx = _Lexer(data, off)
-        if lx.token() != b"xref":
-            raise ValueError("PDF xref streams (1.5+): out of scope — "
-                             "classic xref tables only (resave upstream)")
-        while True:
-            tok = lx.token()
-            if tok == b"trailer":
-                break
-            start, count = int(tok), int(lx.token())
-            for k in range(count):
-                o, _gen, kind = lx.token(), lx.token(), lx.token()
-                num = start + k
-                # incremental updates: the NEWEST table wins (first seen)
-                if kind == b"n" and num not in offsets:
-                    offsets[num] = int(o)
-        tr = lx.value()
-        if trailer is None:
-            trailer = tr
-        if "/Prev" not in tr:
-            return offsets, trailer
-        off = tr["/Prev"]
+        if lx.token() == b"xref":                   # classic table
+            while True:
+                tok = lx.token()
+                if tok == b"trailer":
+                    break
+                start, count = int(tok), int(lx.token())
+                for k in range(count):
+                    o, _gen, kind = lx.token(), lx.token(), lx.token()
+                    num = start + k
+                    # incremental updates: the NEWEST table wins (first seen)
+                    if kind == b"n" and num not in entries:
+                        entries[num] = ("file", int(o))
+            tr = lx.value()
+            if trailer is None:
+                trailer = tr
+            # hybrid files: the supplementary xref STREAM of this section
+            # is consulted before any older section (ISO 32000 §7.5.8.4)
+            if "/XRefStm" in tr:
+                queue.append(tr["/XRefStm"])
+            if "/Prev" in tr:
+                queue.append(tr["/Prev"])
+        else:                                       # 1.5+ xref stream
+            d, raw = _read_stream_at(data, off)
+            _xref_stream_entries(d, raw, entries)
+            if trailer is None:
+                trailer = d
+            if "/Prev" in d:
+                queue.append(d["/Prev"])
+    if trailer is None:
+        raise ValueError("PDF has no trailer")
+    return entries, trailer
 
 
 def _ascii_hex_decode(raw: bytes) -> bytes:
@@ -474,49 +651,95 @@ def _rle_decode(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _filter_chain(filters: list, raw: bytes) -> bytes:
-    for f in filters:
-        if f == "/FlateDecode" or f == "/Fl":
+def _apply_predictor(parms: dict, raw: bytes, deref) -> bytes:
+    """/DecodeParms post-pass (ISO 32000 §7.4.4.4): PNG row predictors
+    (10-15, ubiquitous in xref streams) and TIFF horizontal (2)."""
+    pred = deref(parms.get("/Predictor", 1))
+    if pred == 1:
+        return raw
+    colors = deref(parms.get("/Colors", 1))
+    bpc = deref(parms.get("/BitsPerComponent", 8))
+    columns = deref(parms.get("/Columns", 1))
+    if bpc != 8:
+        raise ValueError("PDF predictor: only 8-bit components supported")
+    bpp = max(1, colors)
+    stride = columns * colors
+    if pred >= 10:                 # PNG predictors, filter byte per row
+        from .png import _defilter
+
+        h = len(raw) // (stride + 1)
+        arr = np.frombuffer(raw[:h * (stride + 1)],
+                            dtype=np.uint8).reshape(h, stride + 1)
+        return _defilter(arr, bpp).tobytes()
+    if pred == 2:                  # TIFF horizontal differencing
+        h = len(raw) // stride
+        arr = np.frombuffer(raw[:h * stride], dtype=np.uint8)
+        arr = arr.reshape(h, columns, colors).astype(np.int64)
+        return np.cumsum(arr, axis=1).astype(np.uint8).tobytes()
+    raise ValueError(f"PDF predictor {pred}: out of scope")
+
+
+def _filter_chain(filters: list, raw: bytes, parms: list | None = None,
+                  deref=lambda v: v) -> bytes:
+    parms = parms or [None] * len(filters)
+    for f, pm in zip(filters, parms):
+        if f in ("/FlateDecode", "/Fl"):
             raw = zlib.decompress(raw)
-        elif f == "/ASCIIHexDecode" or f == "/AHx":
+        elif f in ("/LZWDecode", "/LZW"):
+            if pm and deref(pm.get("/EarlyChange", 1)) == 0:
+                raise ValueError("PDF LZW EarlyChange=0: out of scope")
+            from .tiff import _lzw_decode  # same MSB-first early-change LZW
+
+            raw = _lzw_decode(raw)
+        elif f in ("/ASCIIHexDecode", "/AHx"):
             raw = _ascii_hex_decode(raw)
-        elif f == "/ASCII85Decode" or f == "/A85":
+        elif f in ("/ASCII85Decode", "/A85"):
             raw = _ascii85_decode(raw)
-        elif f == "/RunLengthDecode" or f == "/RL":
+        elif f in ("/RunLengthDecode", "/RL"):
             raw = _rle_decode(raw)
         else:
             raise ValueError(
-                f"PDF filter {f}: out of scope (none/Flate/ASCIIHex/"
+                f"PDF filter {f}: out of scope (none/Flate/LZW/ASCIIHex/"
                 "ASCII85/RunLength supported; DCT on images)")
+        if pm:
+            raw = _apply_predictor(pm, raw, deref)
     return raw
 
 
-def _filter_list(d: dict, deref) -> list:
+def _filter_list(d: dict, deref) -> tuple[list, list]:
+    """(filter names, aligned /DecodeParms dicts-or-None) of a stream."""
     filt = deref(d.get("/Filter"))
     out = []
     for f in ([filt] if not isinstance(filt, list) else filt):
         f = deref(f)
         if f is not None:
             out.append(f)
-    return out
+    parms = deref(d.get("/DecodeParms", d.get("/DP")))
+    if not isinstance(parms, list):
+        parms = [parms]
+    parms = [deref(p) or None for p in parms]
+    parms += [None] * (len(out) - len(parms))
+    return out, parms[:len(out)]
 
 
 def _apply_filters(d: dict, raw: bytes, deref) -> bytes:
-    return _filter_chain(_filter_list(d, deref), raw)
+    filters, parms = _filter_list(d, deref)
+    return _filter_chain(filters, raw, parms, deref)
 
 
 def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
     w, h = deref(d["/Width"]), deref(d["/Height"])
-    filters = _filter_list(d, deref)
+    filters, parms = _filter_list(d, deref)
     if filters and filters[-1] in ("/DCTDecode", "/DCT"):
         # transport filters (A85/AHx/RL) may wrap the JPEG bytes
-        return decode_gray_jpeg(_filter_chain(filters[:-1], raw))
+        return decode_gray_jpeg(
+            _filter_chain(filters[:-1], raw, parms[:-1], deref))
     cs = deref(d.get("/ColorSpace", "/DeviceGray"))
     if deref(d.get("/BitsPerComponent", 8)) != 8 \
             or cs not in ("/DeviceGray", "/DeviceRGB"):
         raise ValueError("PDF image: only 8-bit /DeviceGray or /DeviceRGB "
                          "supported (or DCTDecode)")
-    raw = _filter_chain(filters, raw)
+    raw = _filter_chain(filters, raw, parms, deref)
     if cs == "/DeviceRGB":
         from .png import _luma
 

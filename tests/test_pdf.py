@@ -135,12 +135,91 @@ def test_encrypted_named_out_of_scope():
         parse_pdf(patched)
 
 
-def test_xref_stream_named_out_of_scope():
+def test_garbage_at_startxref_raises():
     base = bytearray(encode_simple_pdf([_text_page(["X"])]))
     at = base.find(b"xref\n", base.rfind(b"endobj"))
-    base[at:at + 4] = b"XREF"  # no classic table at the startxref offset
-    with pytest.raises(ValueError, match="out of scope"):
+    base[at:at + 4] = b"XREF"  # neither a classic table nor an xref stream
+    with pytest.raises(ValueError):
         parse_pdf(bytes(base))
+
+
+def test_modern_layout_objstm_and_xref_stream():
+    """1.5+ layout (ObjStm + predictor-12 xref stream) must parse to the
+    same pages as the classic layout of the same document."""
+    arr = (np.outer(np.arange(12), np.arange(18)) % 241).astype(np.uint8)
+    els = [_text_page(["MODERN LAYOUT LINE", "SECOND LINE"])
+           + [("image", arr, 72, 400)]]
+    classic = parse_pdf(encode_simple_pdf(els))
+    modern_pdf = encode_simple_pdf(els, modern=True)
+    assert b"/ObjStm" in modern_pdf and b"/XRef" in modern_pdf
+    assert b"\ntrailer\n" not in modern_pdf
+    modern = parse_pdf(modern_pdf)
+    assert len(modern) == len(classic) == 1
+    for a, b in zip(classic[0].items, modern[0].items):
+        if a[0] == "text":
+            assert a == b
+        else:
+            assert (a[1] == b[1]).all() and a[2:] == b[2:]
+
+
+def test_modern_blocks_match_classic():
+    els = [_text_page(["Alpha Beta Gamma", "Delta Epsilon"])]
+    a = blocks_from_pdf_page(parse_pdf(encode_simple_pdf(els))[0])
+    b = blocks_from_pdf_page(
+        parse_pdf(encode_simple_pdf(els, modern=True))[0])
+    assert [x.text for x in a] == [x.text for x in b]
+    assert a[0].words == b[0].words
+
+
+def test_modern_fuzz_never_hangs():
+    rng = np.random.default_rng(19)
+    base = bytearray(encode_simple_pdf(
+        [_text_page(["FUZZ MODERN TARGET"])], modern=True))
+    for _ in range(1200):
+        enc = bytearray(base)
+        for _ in range(int(rng.integers(1, 10))):
+            enc[int(rng.integers(0, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            for pg in parse_pdf(bytes(enc)):
+                blocks_from_pdf_page(pg)
+        except Exception:
+            pass
+
+
+def test_lzw_filter_and_tiff_predictor():
+    """/LZWDecode (the TIFF early-change variant) + /DecodeParms
+    /Predictor 2 on a content stream."""
+    from sparkstract.functions.tiff import _lzw_encode
+
+    cs = b"BT /F0 12 Tf 72 700 Td (LZW CONTENT) Tj ET"
+    # predictor 2: horizontal differencing over Columns-wide rows
+    cols = len(cs)
+    diff = bytearray(cs)
+    for i in range(len(cs) - 1, 0, -1):
+        diff[i] = (diff[i] - diff[i - 1]) & 0xFF
+    enc = _lzw_encode(bytes(diff))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        (f"<< /Length {len(enc)} /Filter /LZWDecode /DecodeParms "
+         f"<< /Predictor 2 /Columns {cols} >> >>\nstream\n").encode()
+        + enc + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for i in range(1, len(objs) + 1):
+        out += f"{offs[i]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF\n").encode()
+    (page,) = parse_pdf(bytes(out))
+    assert [it[4] for it in page.items if it[0] == "text"] == ["LZW CONTENT"]
 
 
 def test_blocks_grouping_and_words():
