@@ -68,7 +68,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "jpeg_page", "exif_tiff_page", "exif_jpeg_page",
                   "pdf_page", "pdf_scanned_page", "pdf_two_column_page",
                   "rgb_png_page", "gif_page", "progressive_jpeg_page",
-                  "pdf_modern_page"):
+                  "pdf_modern_page", "pdf_cid_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -346,6 +346,7 @@ PAGE_FAMILIES = [
     "cyrillic_page", "exif_tiff_page", "exif_jpeg_page", "pdf_page",
     "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
     "gif_page", "progressive_jpeg_page", "pdf_modern_page",
+    "pdf_cid_page",
 ]
 
 
@@ -444,6 +445,20 @@ class _Builder:
             payload = encode_simple_pdf(
                 [[("text", 72, 700 - 16 * i, 12, ln)
                   for i, ln in enumerate(lines)]], modern=True)
+            blocks = [TruthBlock("flowing_text", "\n".join(lines))]
+            img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
+        elif family == "pdf_cid_page":
+            # composite-font PDF: Type0 Identity-H with /ToUnicode — how
+            # every real-world PDF with an embedded subset font encodes
+            # text; same content contract as pdf_page
+            from ..functions.pdf import encode_simple_pdf
+            from .render import TruthBlock
+
+            cap = lambda s: " ".join(w.capitalize() for w in s.split())  # noqa: E731
+            lines = [cap(ln) for ln in _lines(self.rng, 3, 28)]
+            payload = encode_simple_pdf(
+                [[("text", 72, 700 - 16 * i, 12, ln)
+                  for i, ln in enumerate(lines)]], cid_font=True)
             blocks = [TruthBlock("flowing_text", "\n".join(lines))]
             img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
         elif family == "pdf_two_column_page":

@@ -21,7 +21,10 @@ Scope (named errors at the seam for everything else, like codecs.py):
   (10-15) and TIFF (2) predictors
 - text: BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, ', ", TJ with kerning;
   /FirstChar+/Widths proportional metrics with a fixed-advance
-  (Courier-style, 0.6 em) fallback
+  (Courier-style, 0.6 em) fallback; /Type0 Identity-H composite fonts
+  (2-byte CIDs, descendant /W+/DW widths, /ToUnicode CMap text mapping
+  with bfchar + both bfrange shapes) — the layout every real-world
+  subset-embedded font uses
 - images: XObject /Image with DCTDecode (functions/jpeg.py) or
   filtered/raw 8-bit /DeviceGray or /DeviceRGB (BT.601 luma collapse),
   placed via the full q/Q + cm CTM
@@ -55,7 +58,9 @@ def encode_simple_pdf(pages: list[list[tuple]],
                       page_size: tuple[int, int] = (612, 792),
                       compress: bool = True,
                       widths: dict[str, int] | None = None,
-                      modern: bool = False) -> bytes:
+                      modern: bool = False,
+                      cid_font: bool = False,
+                      cid_widths: dict[str, int] | None = None) -> bytes:
     """Build a minimal single-font PDF. Each page is a list of elements:
 
     - ``("text", x, y_baseline, size, "line of text")`` — PDF coords (y up)
@@ -70,6 +75,11 @@ def encode_simple_pdf(pages: list[list[tuple]],
     `modern` writes the 1.5+ file layout every current producer emits:
     non-stream objects packed into one /ObjStm and a cross-reference
     STREAM (Flate + PNG up-predictor) instead of a classic table.
+
+    `cid_font` emits the composite-font layout of real-world embedded
+    subsets: a /Type0 Identity-H font (cid = codepoint here), text shown
+    as 2-byte hex strings, and a /ToUnicode CMap (an ASCII bfrange plus
+    bfchar entries for any non-ASCII characters used).
 
     Fixture-side only (like encode_gray_tiff): the parser is the product
     surface, the writer exists so tests carry genuine PDF bytes."""
@@ -86,7 +96,33 @@ def encode_simple_pdf(pages: list[list[tuple]],
 
     add(b"<< /Type /Catalog /Pages 2 0 R >>")         # obj 1
     pages_obj = add(b"PLACEHOLDER")                     # obj 2, patched below
-    if widths is None:
+    if cid_font:
+        used = {ch for els in pages for el in els
+                if el[0] == "text" for ch in el[4]}
+        extra = sorted(c for c in used if not (0x20 <= ord(c) <= 0x7E))
+        cmap = bytearray(
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"12 dict begin begincmap\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange <0020> <007e> <0020> endbfrange\n")
+        if extra:
+            ents = "\n".join(
+                f"<{ord(c):04x}> <{c.encode('utf-16-be').hex()}>"
+                for c in extra)
+            cmap += (f"{len(extra)} beginbfchar\n{ents}\n"
+                     "endbfchar\n").encode()
+        cmap += b"endcmap end end\n"
+        tounicode = add_stream("", bytes(cmap))
+        warr = ("" if not cid_widths else " /W [" + " ".join(
+            f"{ord(c)} [{wv}]" for c, wv in sorted(cid_widths.items())) + "]")
+        desc = add((f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fix"
+                    f" /CIDSystemInfo << /Registry (Adobe) /Ordering"
+                    f" (Identity) /Supplement 0 >> /DW 600{warr} >>"
+                    ).encode())
+        font = add(f"<< /Type /Font /Subtype /Type0 /BaseFont /Fix "
+                   f"/Encoding /Identity-H /DescendantFonts [{desc} 0 R] "
+                   f"/ToUnicode {tounicode} 0 R >>".encode())
+    elif widths is None:
         font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
     else:
         wlist = " ".join(str(widths.get(chr(c), 600))
@@ -101,8 +137,10 @@ def encode_simple_pdf(pages: list[list[tuple]],
         for el in elements:
             if el[0] == "text":
                 _, x, y, size, txt = el
+                shown = (f"<{''.join(f'{ord(ch):04x}' for ch in txt)}>"
+                         if cid_font else f"({_esc(txt)})")
                 content.append(
-                    f"BT /F1 {size} Tf {x} {y} Td ({_esc(txt)}) Tj ET")
+                    f"BT /F1 {size} Tf {x} {y} Td {shown} Tj ET")
             elif el[0] in ("image", "jpeg"):
                 arr, x, y = el[1], el[2], el[3]
                 ih, iw = arr.shape
@@ -748,6 +786,78 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
     return np.frombuffer(raw[:w * h], dtype=np.uint8).reshape(h, w)
 
 
+def _cid_widths(warr, deref) -> dict[int, float]:
+    """Descendant-font /W array (ISO 32000 §9.7.4.3) -> cid -> width.
+    Two entry shapes, freely mixed: `c [w1 w2 ...]` and `cFirst cLast w`."""
+    out: dict[int, float] = {}
+    if not isinstance(warr, list):
+        return out
+    i = 0
+    while i + 1 < len(warr):
+        c = int(deref(warr[i]))
+        nxt = deref(warr[i + 1])
+        if isinstance(nxt, list):
+            for j, wv in enumerate(nxt):
+                out[c + j] = float(deref(wv))
+            i += 2
+        else:
+            if i + 2 >= len(warr):
+                break
+            c2 = int(nxt)
+            wv = float(deref(warr[i + 2]))
+            if c2 - c > 65535:
+                raise ValueError("PDF /W range too large")
+            for cid in range(c, c2 + 1):
+                out[cid] = wv
+            i += 3
+    return out
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap -> cid -> text (bfchar + both bfrange shapes).
+    The CMap is PostScript-syntax; only the bf sections carry mappings,
+    so they are scanned directly (ISO 32000 §9.10.3)."""
+    import re
+
+    out: dict[int, str] = {}
+
+    def utf16(hx: bytes) -> str:
+        b = bytes.fromhex(hx.decode("latin-1"))
+        if len(b) % 2:
+            b = b[:-1]
+        return b.decode("utf-16-be", errors="replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            out[int(src, 16)] = utf16(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        for lo, hi, arr in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
+                body, re.S):
+            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+            for k, d in enumerate(dsts):
+                out[int(lo, 16) + k] = utf16(d)
+        # strip array-form entries first: their hex items would otherwise
+        # false-match the three-hex continuous-range pattern
+        body = re.sub(rb"<[0-9A-Fa-f]+>\s*<[0-9A-Fa-f]+>\s*\[.*?\]", b"",
+                      body, flags=re.S)
+        for lo, hi, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                body):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i > 65535:
+                raise ValueError("PDF bfrange too large")
+            base = utf16(dst)
+            if not base:
+                continue
+            head, last = base[:-1], ord(base[-1])
+            for k in range(hi_i - lo_i + 1):
+                out.setdefault(lo_i + k, head + chr(last + k))
+    return out
+
+
 def _read_page(node: dict, box, deref) -> PdfPage:
     x0, y0, x1, y1 = [float(deref(v)) for v in box]
     pw, ph = int(round(x1 - x0)), int(round(y1 - y0))
@@ -765,43 +875,78 @@ def _read_page(node: dict, box, deref) -> PdfPage:
     xobjects = deref(res.get("/XObject", {}))
     fonts = deref(res.get("/Font", {}))
 
-    metric_cache: dict[str, tuple[int, list | None]] = {}
+    metric_cache: dict[str, tuple] = {}
 
-    def font_metrics(name) -> tuple[int, list | None]:
-        """(/FirstChar, /Widths) of a resource font — None widths means
-        the fixed ADVANCE fallback (fonts without a metric table)."""
+    def font_metrics(name) -> tuple:
+        """Resolved font info: ("simple", /FirstChar, /Widths-or-None) for
+        byte-coded fonts (None widths = fixed ADVANCE fallback), or
+        ("type0", /DW, cid->width, cid->unicode) for composite Identity-H
+        fonts (the layout every real-world subset-embedded font uses)."""
         if name not in metric_cache:
             fd = deref(fonts.get(name))
-            first, w = 0, None
-            if isinstance(fd, dict) and "/Widths" in fd:
+            info: tuple = ("simple", 0, None)
+            if isinstance(fd, dict) \
+                    and deref(fd.get("/Subtype")) == "/Type0":
+                desc = deref(fd.get("/DescendantFonts")) or []
+                d0 = deref(desc[0]) if desc else {}
+                if not isinstance(d0, dict):
+                    d0 = {}
+                dw = float(deref(d0.get("/DW", 1000)))
+                wmap = _cid_widths(deref(d0.get("/W")), deref)
+                cmap: dict[int, str] = {}
+                tu = deref(fd.get("/ToUnicode"))
+                if isinstance(tu, tuple) and tu[0] == "stream":
+                    cmap = _parse_tounicode(
+                        _apply_filters(tu[1], tu[2], deref))
+                info = ("type0", dw, wmap, cmap)
+            elif isinstance(fd, dict) and "/Widths" in fd:
                 first = int(deref(fd.get("/FirstChar", 0)))
                 w = [float(deref(v)) for v in deref(fd["/Widths"])]
-            metric_cache[name] = (first, w)
+                info = ("simple", first, w)
+            metric_cache[name] = info
         return metric_cache[name]
 
     ctm_stack: list[tuple] = []
     ctm = _ID
     size, leading = 12.0, 0.0
-    first_char, char_widths = 0, None
+    cur_font: tuple = ("simple", 0, None)
     lx_, ly_ = 0.0, 0.0     # text line origin (text space)
     cx = 0.0                # pen x within the line
     in_text = False
 
     def emit(txt: bytes) -> None:
         nonlocal cx
-        s = txt.decode("latin-1")
         x, y = lx_ + cx, ly_
         tx = x * ctm[0] + y * ctm[2] + ctm[4]
         ty = x * ctm[1] + y * ctm[3] + ctm[5]
         # cumulative per-char advance (user units): exact word geometry
-        # for proportional fonts with a /Widths table, ADVANCE fallback
+        # for proportional fonts with a metric table, ADVANCE fallback
         cum = [0.0]
-        for ch in s:
-            idx = ord(ch) - first_char
-            w = (char_widths[idx] / 1000.0
-                 if char_widths is not None
-                 and 0 <= idx < len(char_widths) else ADVANCE)
-            cum.append(cum[-1] + w * size)
+        if cur_font[0] == "type0":
+            # 2-byte Identity-H CIDs -> unicode via /ToUnicode, widths via
+            # the descendant font's /W (default /DW)
+            _, dw, wmap, cmap = cur_font
+            chars: list[str] = []
+            for i in range(0, len(txt) - len(txt) % 2, 2):
+                cid = (txt[i] << 8) | txt[i + 1]
+                mapped = cmap.get(cid, "�")
+                adv = wmap.get(cid, dw) / 1000.0 * size
+                for j, ch in enumerate(mapped):
+                    chars.append(ch)
+                    # a multi-char target (ligature) carries the whole
+                    # advance on its last unit
+                    cum.append(cum[-1] + (adv if j == len(mapped) - 1
+                                          else 0.0))
+            s = "".join(chars)
+        else:
+            _, first_char, char_widths = cur_font
+            s = txt.decode("latin-1")
+            for ch in s:
+                idx = ord(ch) - first_char
+                w = (char_widths[idx] / 1000.0
+                     if char_widths is not None
+                     and 0 <= idx < len(char_widths) else ADVANCE)
+                cum.append(cum[-1] + w * size)
         page.items.append(("text", tx - x0, ty - y0, size, s, cum))
         cx += cum[-1]
 
@@ -828,7 +973,7 @@ def _read_page(node: dict, box, deref) -> PdfPage:
             in_text = False
         elif op == b"Tf" and len(stack) >= 2:
             size = float(stack[-1])
-            first_char, char_widths = font_metrics(stack[-2])
+            cur_font = font_metrics(stack[-2])
         elif op == b"TL" and stack:
             leading = float(stack[-1])
         elif op in (b"Td", b"TD") and len(stack) >= 2:

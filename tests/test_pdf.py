@@ -471,3 +471,86 @@ def test_rgb_image_xobject_luma():
     assert len(imgs) == 1
     from sparkstract.functions.png import _luma
     assert (imgs[0][1] == _luma(rgb)).all()
+
+
+# --------------------------------------------------------- Type0/CID fonts
+
+
+def test_cid_font_text_and_geometry():
+    """Identity-H Type0 text (2-byte CIDs + ToUnicode bfrange) must decode
+    to the same strings AND word boxes as the simple-font layout (the
+    writer's /DW 600 equals the Courier fallback metric)."""
+    els = [_text_page(["Alpha Beta Gamma", "Delta Epsilon"])]
+    simple = blocks_from_pdf_page(parse_pdf(encode_simple_pdf(els))[0])
+    cid = blocks_from_pdf_page(
+        parse_pdf(encode_simple_pdf(els, cid_font=True))[0])
+    assert [b.text for b in simple] == [b.text for b in cid]
+    assert simple[0].words == cid[0].words
+
+
+def test_cid_font_non_ascii_bfchar():
+    """Non-ASCII characters ride bfchar entries (utf-16-be targets)."""
+    els = [_text_page(["Café — résumé"])]
+    (page,) = parse_pdf(encode_simple_pdf(els, cid_font=True))
+    texts = [it[4] for it in page.items if it[0] == "text"]
+    assert texts == ["Café — résumé"]
+
+
+def test_cid_font_modern_combo():
+    els = [_text_page(["Modern Cid Combo"])]
+    (page,) = parse_pdf(encode_simple_pdf(els, cid_font=True, modern=True))
+    assert [it[4] for it in page.items if it[0] == "text"] \
+        == ["Modern Cid Combo"]
+
+
+def test_cid_widths_parse_both_shapes():
+    from sparkstract.functions.pdf import _cid_widths
+
+    ident = lambda v: v  # noqa: E731
+    w = _cid_widths([65, [500.0, 600.0, 700.0], 100, 102, 250.0], ident)
+    assert w == {65: 500.0, 66: 600.0, 67: 700.0,
+                 100: 250.0, 101: 250.0, 102: 250.0}
+    assert _cid_widths(None, ident) == {}
+
+
+def test_tounicode_range_increment_and_ligature():
+    from sparkstract.functions.pdf import _parse_tounicode
+
+    cm = _parse_tounicode(
+        b"2 beginbfchar <0001> <0066006900660066> <0002> <0041>\n"
+        b"endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"
+        b"<0020> <0021> [<0058> <0059>]\n"
+        b"endbfrange\n")
+    assert cm[1] == "fiff" and cm[2] == "A"
+    assert (cm[0x10], cm[0x11], cm[0x12]) == ("a", "b", "c")
+    assert (cm[0x20], cm[0x21]) == ("X", "Y")
+
+
+def test_cid_w_array_overrides_dw():
+    """A descendant /W table drives per-CID advances (word geometry)."""
+    pdf = encode_simple_pdf([_text_page(["II WW II"])], cid_font=True,
+                            cid_widths={"I": 300, "W": 900})
+    (page,) = parse_pdf(pdf)
+    (b,) = blocks_from_pdf_page(page)
+    assert [t for _, _, _, t, *_ in b.words] == ["II", "WW", "II"]
+    boxes = [(x[4], x[6]) for x in b.words]
+    assert boxes[0] == (72, 79)        # 2 * 0.3 * 12 = 7.2 wide
+    assert boxes[1] == (86, 108)       # starts 72+7.2+7.2, 21.6 wide
+    assert boxes[2] == (115, 122)
+
+
+def test_cid_fuzz_never_hangs():
+    rng = np.random.default_rng(23)
+    base = bytearray(encode_simple_pdf(
+        [_text_page(["CID FUZZ TARGET"])], cid_font=True))
+    for _ in range(1000):
+        enc = bytearray(base)
+        for _ in range(int(rng.integers(1, 10))):
+            enc[int(rng.integers(0, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            for pg in parse_pdf(bytes(enc)):
+                blocks_from_pdf_page(pg)
+        except Exception:
+            pass
