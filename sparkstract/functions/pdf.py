@@ -28,6 +28,8 @@ Scope (named errors at the seam for everything else, like codecs.py):
 - images: XObject /Image with DCTDecode (functions/jpeg.py) or
   filtered/raw 8-bit /DeviceGray or /DeviceRGB (BT.601 luma collapse),
   placed via the full q/Q + cm CTM
+- Form XObjects: nested content streams under /Matrix-composed CTMs with
+  their own resources (page fallback), recursion depth-capped
 - encrypted PDFs (/Encrypt) raise out-of-scope
 
 Coordinates: PDF user space is bottom-up; emitted geometry is top-down
@@ -872,17 +874,13 @@ def _read_page(node: dict, box, deref) -> PdfPage:
         for s in (deref(p) for p in parts) if isinstance(s, tuple))
 
     res = deref(node.get("/Resources", {}))
-    xobjects = deref(res.get("/XObject", {}))
-    fonts = deref(res.get("/Font", {}))
 
-    metric_cache: dict[str, tuple] = {}
-
-    def font_metrics(name) -> tuple:
+    def font_metrics(fonts: dict, cache: dict, name) -> tuple:
         """Resolved font info: ("simple", /FirstChar, /Widths-or-None) for
         byte-coded fonts (None widths = fixed ADVANCE fallback), or
         ("type0", /DW, cid->width, cid->unicode) for composite Identity-H
         fonts (the layout every real-world subset-embedded font uses)."""
-        if name not in metric_cache:
+        if name not in cache:
             fd = deref(fonts.get(name))
             info: tuple = ("simple", 0, None)
             if isinstance(fd, dict) \
@@ -903,128 +901,154 @@ def _read_page(node: dict, box, deref) -> PdfPage:
                 first = int(deref(fd.get("/FirstChar", 0)))
                 w = [float(deref(v)) for v in deref(fd["/Widths"])]
                 info = ("simple", first, w)
-            metric_cache[name] = info
-        return metric_cache[name]
+            cache[name] = info
+        return cache[name]
 
-    ctm_stack: list[tuple] = []
-    ctm = _ID
-    size, leading = 12.0, 0.0
-    cur_font: tuple = ("simple", 0, None)
-    lx_, ly_ = 0.0, 0.0     # text line origin (text space)
-    cx = 0.0                # pen x within the line
-    in_text = False
+    def run(stream: bytes, res: dict, ctm0: tuple, depth: int) -> None:
+        """Execute one content stream (the page's, or a Form XObject's
+        body under its /Matrix-adjusted CTM) appending to page.items."""
+        xobjects = deref(res.get("/XObject", {}))
+        fonts = deref(res.get("/Font", {}))
+        metric_cache: dict[str, tuple] = {}
 
-    def emit(txt: bytes) -> None:
-        nonlocal cx
-        x, y = lx_ + cx, ly_
-        tx = x * ctm[0] + y * ctm[2] + ctm[4]
-        ty = x * ctm[1] + y * ctm[3] + ctm[5]
-        # cumulative per-char advance (user units): exact word geometry
-        # for proportional fonts with a metric table, ADVANCE fallback
-        cum = [0.0]
-        if cur_font[0] == "type0":
-            # 2-byte Identity-H CIDs -> unicode via /ToUnicode, widths via
-            # the descendant font's /W (default /DW)
-            _, dw, wmap, cmap = cur_font
-            chars: list[str] = []
-            for i in range(0, len(txt) - len(txt) % 2, 2):
-                cid = (txt[i] << 8) | txt[i + 1]
-                mapped = cmap.get(cid, "�")
-                adv = wmap.get(cid, dw) / 1000.0 * size
-                for j, ch in enumerate(mapped):
-                    chars.append(ch)
-                    # a multi-char target (ligature) carries the whole
-                    # advance on its last unit
-                    cum.append(cum[-1] + (adv if j == len(mapped) - 1
-                                          else 0.0))
-            s = "".join(chars)
-        else:
-            _, first_char, char_widths = cur_font
-            s = txt.decode("latin-1")
-            for ch in s:
-                idx = ord(ch) - first_char
-                w = (char_widths[idx] / 1000.0
-                     if char_widths is not None
-                     and 0 <= idx < len(char_widths) else ADVANCE)
-                cum.append(cum[-1] + w * size)
-        page.items.append(("text", tx - x0, ty - y0, size, s, cum))
-        cx += cum[-1]
+        ctm_stack: list[tuple] = []
+        ctm = ctm0
+        size, leading = 12.0, 0.0
+        cur_font: tuple = ("simple", 0, None)
+        lx_, ly_ = 0.0, 0.0     # text line origin (text space)
+        cx = 0.0                # pen x within the line
+        in_text = False
 
-    lx = _Lexer(stream)
-    stack: list = []
-    while lx.i < len(stream):
-        lx._ws()
-        if lx.i >= len(stream):
-            break
-        c = stream[lx.i:lx.i + 1]
-        if c in b"(<[/" or c.isdigit() or c in b"+-.":
-            stack.append(lx.value())
-            continue
-        op = lx.token()
-        if not op:
-            # token() stops without advancing on a stray delimiter byte
-            # ()]>{} — corrupt streams would otherwise spin this loop
-            # forever inside an executor task (found by the fuzz test)
-            lx.i += 1
-            continue
-        if op == b"BT":
-            in_text, lx_, ly_, cx = True, 0.0, 0.0, 0.0
-        elif op == b"ET":
-            in_text = False
-        elif op == b"Tf" and len(stack) >= 2:
-            size = float(stack[-1])
-            cur_font = font_metrics(stack[-2])
-        elif op == b"TL" and stack:
-            leading = float(stack[-1])
-        elif op in (b"Td", b"TD") and len(stack) >= 2:
-            lx_, ly_ = lx_ + float(stack[-2]), ly_ + float(stack[-1])
-            cx = 0.0
-            if op == b"TD":
-                leading = -float(stack[-1])
-        elif op == b"Tm" and len(stack) >= 6:
-            a, b_, c_, d_, e, f = (float(v) for v in stack[-6:])
-            lx_, ly_, cx = e, f, 0.0
-            size = size * max(abs(a), abs(d_)) if (a, d_) != (1.0, 1.0) \
-                else size
-        elif op == b"T*":
-            ly_ -= leading
-            cx = 0.0
-        elif op == b"Tj" and stack and in_text:
-            emit(stack[-1])
-        elif op == b"'" and stack and in_text:
-            ly_ -= leading
-            cx = 0.0
-            emit(stack[-1])
-        elif op == b'"' and len(stack) >= 3 and in_text:
-            ly_ -= leading
-            cx = 0.0
-            emit(stack[-1])
-        elif op == b"TJ" and stack and in_text:
-            for piece in stack[-1]:
-                if isinstance(piece, bytes):
-                    emit(piece)
-                else:
-                    cx -= float(piece) / 1000.0 * size
-        elif op == b"q":
-            ctm_stack.append(ctm)
-        elif op == b"Q":
-            ctm = ctm_stack.pop() if ctm_stack else _ID
-        elif op == b"cm" and len(stack) >= 6:
-            ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
-        elif op == b"Do" and stack:
-            xo = deref(xobjects.get(stack[-1]))
-            if isinstance(xo, tuple) and xo[0] == "stream" \
-                    and deref(xo[1].get("/Subtype")) == "/Image":
-                arr = _decode_image(xo[1], xo[2], deref)
-                # unit square through the CTM → page box (axis-aligned)
-                xs = [ctm[4], ctm[0] + ctm[2] + ctm[4]]
-                ys = [ctm[5], ctm[1] + ctm[3] + ctm[5]]
-                left, right = min(xs) - x0, max(xs) - x0
-                bot, top = min(ys) - y0, max(ys) - y0
-                page.items.append(("image", arr,
-                                   int(round(left)), int(round(ph - top)),
-                                   int(round(right)), int(round(ph - bot))))
-        stack.clear()
+        def emit(txt: bytes) -> None:
+            nonlocal cx
+            x, y = lx_ + cx, ly_
+            tx = x * ctm[0] + y * ctm[2] + ctm[4]
+            ty = x * ctm[1] + y * ctm[3] + ctm[5]
+            # cumulative per-char advance (user units): exact word geometry
+            # for proportional fonts with a metric table, ADVANCE fallback
+            cum = [0.0]
+            if cur_font[0] == "type0":
+                # 2-byte Identity-H CIDs -> unicode via /ToUnicode, widths
+                # via the descendant font's /W (default /DW)
+                _, dw, wmap, cmap = cur_font
+                chars: list[str] = []
+                for i in range(0, len(txt) - len(txt) % 2, 2):
+                    cid = (txt[i] << 8) | txt[i + 1]
+                    mapped = cmap.get(cid, "�")
+                    adv = wmap.get(cid, dw) / 1000.0 * size
+                    for j, ch in enumerate(mapped):
+                        chars.append(ch)
+                        # a multi-char target (ligature) carries the whole
+                        # advance on its last unit
+                        cum.append(cum[-1] + (adv if j == len(mapped) - 1
+                                              else 0.0))
+                s = "".join(chars)
+            else:
+                _, first_char, char_widths = cur_font
+                s = txt.decode("latin-1")
+                for ch in s:
+                    idx = ord(ch) - first_char
+                    w = (char_widths[idx] / 1000.0
+                         if char_widths is not None
+                         and 0 <= idx < len(char_widths) else ADVANCE)
+                    cum.append(cum[-1] + w * size)
+            page.items.append(("text", tx - x0, ty - y0, size, s, cum))
+            cx += cum[-1]
+
+        lx = _Lexer(stream)
+        stack: list = []
+        while lx.i < len(stream):
+            lx._ws()
+            if lx.i >= len(stream):
+                break
+            c = stream[lx.i:lx.i + 1]
+            if c in b"(<[/" or c.isdigit() or c in b"+-.":
+                stack.append(lx.value())
+                continue
+            op = lx.token()
+            if not op:
+                # token() stops without advancing on a stray delimiter byte
+                # ()]>{} — corrupt streams would otherwise spin this loop
+                # forever inside an executor task (found by the fuzz test)
+                lx.i += 1
+                continue
+            if op == b"BT":
+                in_text, lx_, ly_, cx = True, 0.0, 0.0, 0.0
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf" and len(stack) >= 2:
+                size = float(stack[-1])
+                cur_font = font_metrics(fonts, metric_cache, stack[-2])
+            elif op == b"TL" and stack:
+                leading = float(stack[-1])
+            elif op in (b"Td", b"TD") and len(stack) >= 2:
+                lx_, ly_ = lx_ + float(stack[-2]), ly_ + float(stack[-1])
+                cx = 0.0
+                if op == b"TD":
+                    leading = -float(stack[-1])
+            elif op == b"Tm" and len(stack) >= 6:
+                a, b_, c_, d_, e, f = (float(v) for v in stack[-6:])
+                lx_, ly_, cx = e, f, 0.0
+                size = size * max(abs(a), abs(d_)) \
+                    if (a, d_) != (1.0, 1.0) else size
+            elif op == b"T*":
+                ly_ -= leading
+                cx = 0.0
+            elif op == b"Tj" and stack and in_text:
+                emit(stack[-1])
+            elif op == b"'" and stack and in_text:
+                ly_ -= leading
+                cx = 0.0
+                emit(stack[-1])
+            elif op == b'"' and len(stack) >= 3 and in_text:
+                ly_ -= leading
+                cx = 0.0
+                emit(stack[-1])
+            elif op == b"TJ" and stack and in_text:
+                for piece in stack[-1]:
+                    if isinstance(piece, bytes):
+                        emit(piece)
+                    else:
+                        cx -= float(piece) / 1000.0 * size
+            elif op == b"q":
+                ctm_stack.append(ctm)
+            elif op == b"Q":
+                ctm = ctm_stack.pop() if ctm_stack else ctm0
+            elif op == b"cm" and len(stack) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == b"Do" and stack:
+                xo = deref(xobjects.get(stack[-1]))
+                if isinstance(xo, tuple) and xo[0] == "stream":
+                    sub = deref(xo[1].get("/Subtype"))
+                    if sub == "/Image":
+                        arr = _decode_image(xo[1], xo[2], deref)
+                        # unit square through the CTM (axis-aligned)
+                        xs = [ctm[4], ctm[0] + ctm[2] + ctm[4]]
+                        ys = [ctm[5], ctm[1] + ctm[3] + ctm[5]]
+                        left, right = min(xs) - x0, max(xs) - x0
+                        bot, top = min(ys) - y0, max(ys) - y0
+                        page.items.append(
+                            ("image", arr,
+                             int(round(left)), int(round(ph - top)),
+                             int(round(right)), int(round(ph - bot))))
+                    elif sub == "/Form":
+                        # nested content stream under /Matrix ∘ current
+                        # CTM, with its own resources (fallback: ours) —
+                        # headers/logos in real PDFs live in forms. Depth
+                        # cap: self-referential forms must not recurse
+                        # unboundedly inside an executor task
+                        if depth >= 8:
+                            raise ValueError("PDF form nesting too deep")
+                        m = deref(xo[1].get("/Matrix", _ID))
+                        fctm = _mat_mul(
+                            tuple(float(deref(v)) for v in m), ctm)
+                        fres = deref(xo[1].get("/Resources", res))
+                        run(_apply_filters(xo[1], xo[2], deref),
+                            fres if isinstance(fres, dict) else res,
+                            fctm, depth + 1)
+            stack.clear()
+
+    run(stream, res, _ID, 0)
     return page
 
 

@@ -554,3 +554,80 @@ def test_cid_fuzz_never_hangs():
                 blocks_from_pdf_page(pg)
         except Exception:
             pass
+
+
+# ----------------------------------------------------------- Form XObjects
+
+
+def _form_pdf(form_body: bytes, matrix: str = "1 0 0 1 0 0",
+              invoke: bytes = b"q 1 0 0 1 100 500 cm /Fm0 Do Q",
+              form_res: bytes = b"/Resources << /Font << /F1 6 0 R >> >>",
+              extra: bytes = b"BT /F1 12 Tf 72 700 Td (PAGE TEXT) Tj ET\n"
+              ) -> bytes:
+    content = extra + invoke
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 6 0 R >> "
+        b"/XObject << /Fm0 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        (f"<< /Type /XObject /Subtype /Form /Matrix [{matrix}] "
+         f"/BBox [0 0 200 100] ").encode() + form_res
+        + b" /Length " + str(len(form_body)).encode() + b" >>\nstream\n"
+        + form_body + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for i in range(1, len(objs) + 1):
+        out += f"{offs[i]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def test_form_xobject_text_placed_through_matrix():
+    """Form text lands at /Matrix ∘ invocation-CTM: origin (100,500) from
+    cm plus (10,20) from the form matrix plus Td (5, 7)."""
+    pdf = _form_pdf(b"BT /F1 10 Tf 5 7 Td (FORM TEXT) Tj ET",
+                    matrix="1 0 0 1 10 20")
+    (page,) = parse_pdf(pdf)
+    texts = [(it[4], round(it[1]), round(it[2])) for it in page.items]
+    assert ("PAGE TEXT", 72, 700) in texts
+    assert ("FORM TEXT", 115, 527) in texts
+
+
+def test_form_inherits_page_resources_when_absent():
+    pdf = _form_pdf(b"BT /F1 9 Tf 0 0 Td (SHARED FONT) Tj ET",
+                    form_res=b"")
+    (page,) = parse_pdf(pdf)
+    assert "SHARED FONT" in [it[4] for it in page.items]
+
+
+def test_self_referential_form_depth_capped():
+    # a form whose body invokes itself: must raise, not recurse forever
+    pdf = _form_pdf(b"/Fm0 Do",
+                    form_res=b"/Resources << /XObject << /Fm0 5 0 R >> >>")
+    with pytest.raises(ValueError, match="nesting too deep"):
+        parse_pdf(pdf)
+
+
+def test_form_fuzz_never_hangs():
+    rng = np.random.default_rng(29)
+    base = bytearray(_form_pdf(b"BT /F1 10 Tf 5 7 Td (FZ) Tj ET"))
+    for _ in range(800):
+        enc = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            enc[int(rng.integers(0, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            for pg in parse_pdf(bytes(enc)):
+                blocks_from_pdf_page(pg)
+        except Exception:
+            pass
