@@ -1475,6 +1475,35 @@ def _script_vote_rtl(blocks: list[Block]) -> bool:
     return _page_script(blocks) == "hebrew"
 
 
+def _script_strays(blocks: list[Block], script: str) -> bool:
+    """Does a page whose vote clearly wins `script` carry a FEW stray
+    glyphs of other scripts? That is the shape of a per-glyph hamming
+    mishap (a warped Latin E on a bowed page matching Greek Ξ), not of a
+    genuinely multilingual page: bidi/mixed pages tally both scripts in
+    comparable numbers and never clear the 8:1 majority."""
+    t = _script_tally(blocks)
+    others = sum(v for k, v in t.items() if k != script)
+    return 0 < others <= 2 and t[script] >= 8 * others
+
+
+def _script_lut(script: str) -> tuple[list[str], np.ndarray]:
+    """Decode LUT restricted to one script's strong glyphs + all shared/
+    neutral characters — the re-decode table of the script-consistency
+    pass (the adaptive second half of the reference's Recognize:
+    osdetect's script result gates which unicharset competes)."""
+    from ..fixtures.font import STRONG_CYRILLIC, STRONG_GREEK
+
+    strong = {"latin": STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC,
+              "greek": STRONG_GREEK, "cyrillic": STRONG_CYRILLIC,
+              "hebrew": STRONG_RTL}
+    drop: set[str] = set()
+    for k, glyphs in strong.items():
+        if k != script:
+            drop |= glyphs
+    idx = [i for i, c in enumerate(DECODE_CHARS) if c not in drop]
+    return [DECODE_CHARS[i] for i in idx], DECODE_BOOL[idx]
+
+
 def analyse_zones(gray: np.ndarray, zones: list[dict], rtl: bool = False,
                   whitelist: str | None = None) -> list[Block]:
     """S10 zone-file SOURCE: segmentation supplied by the caller overrides
@@ -1557,6 +1586,7 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
                 out, quality, best_rot, best_div = cand, q, k, div
             if not _suspect_decode(out, quality):
                 break
+    used_rtl = rtl
     if psm == "auto" and not rtl and _script_vote_rtl(out):
         # script vote fired: re-run the winning orientation/config with RTL
         # ordering (columns right→left, bidi word reorder per line) — one
@@ -1567,5 +1597,24 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
         cand, q = _analyse_ink(np.rot90(ink, best_rot), skew_bin_div=best_div,
                                rtl=True, psm=psm, lut=lut)
         if q <= quality:
-            out = cand
+            out, quality, used_rtl = cand, q, True
+    if psm == "auto" and not whitelist:
+        # script-CONSISTENCY pass: the page voted one script by a clear
+        # majority but one or two glyphs decoded into another (a warped E
+        # hamming-matching Greek Ξ on a bowed page). Re-decode with the
+        # LUT restricted to the winning script + shared characters — the
+        # adaptive second half of the reference's Recognize, where
+        # osdetect's script gates the competing unicharset. The re-decode
+        # differs only at the stray glyphs (same geometry config), so it
+        # pays their small extra hamming by construction; the +1.0 bound
+        # is a sanity guard, not a preference test. One extra kernel pass,
+        # only on the rare stray pages; genuinely multilingual pages never
+        # trip the 8:1 majority test.
+        script = _page_script(out)
+        if _script_strays(out, script):
+            cand, q = _analyse_ink(np.rot90(ink, best_rot),
+                                   skew_bin_div=best_div, rtl=used_rtl,
+                                   psm=psm, lut=_script_lut(script))
+            if q <= quality + 1.0:
+                out = cand
     return out

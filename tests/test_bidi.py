@@ -162,3 +162,22 @@ def test_page_script_mixed_majority():
                     scale=2, width_chars=11)
     img, _ = render_page(spec)
     assert _page_script(analyse_page(img)) == "cyrillic"
+
+
+def test_script_consistency_pass_fixes_stray_glyph():
+    """A bowed page whose warped Latin E hamming-matches Greek Ξ: the
+    page-majority script vote must re-decode the strays with the
+    script-restricted LUT (found by the scaling bench's span-exact-match
+    metric at doc-0000253 of the 500-doc corpus — pin that exact page)."""
+    from sparkstract.fixtures.gen import generate_corpus
+    from sparkstract.functions.codecs import decode_pages
+    from sparkstract.operators.page import analyse_page
+
+    fx = generate_corpus(500, seed=42, heavy_every=100, heavy_pages=32)
+    media = fx.media.set_index("media_ref")
+    img = decode_pages(media.loc["m-bowed_page-000315", "image"])[0]
+    text = "\n".join(b.text for b in analyse_page(img) if b.text)
+    want = [t for t in fx.truth[fx.truth.doc_id == "doc-0000253"]
+            .sort_values("order").text if t]
+    assert text == want[1]
+    assert "Ξ" not in text
