@@ -19,7 +19,8 @@ Scope (named errors at the seam for everything else, like codecs.py):
   TIFF-LZW early-change variant) / ASCIIHexDecode / ASCII85Decode /
   RunLengthDecode, chained per ISO 32000 §7.4, with /DecodeParms PNG
   (10-15) and TIFF (2) predictors
-- text: BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, ', ", TJ with kerning;
+- text: BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, ', ", TJ with kerning,
+  Tc/Tw/Tz/Ts char-, word-spacing, horizontal scale and rise (§9.4.4);
   /FirstChar+/Widths proportional metrics with a fixed-advance
   (Courier-style, 0.6 em) fallback; /Type0 Identity-H composite fonts
   (2-byte CIDs, descendant /W+/DW widths, /ToUnicode CMap text mapping
@@ -30,6 +31,8 @@ Scope (named errors at the seam for everything else, like codecs.py):
   placed via the full q/Q + cm CTM
 - Form XObjects: nested content streams under /Matrix-composed CTMs with
   their own resources (page fallback), recursion depth-capped
+- inline images (BI/ID/EI, §8.9.7): abbreviated keys, filtered or raw
+  data; image masks raise out-of-scope
 - encrypted PDFs (/Encrypt) raise out-of-scope
 
 Coordinates: PDF user space is bottom-up; emitted geometry is top-down
@@ -914,6 +917,7 @@ def _read_page(node: dict, box, deref) -> PdfPage:
         ctm_stack: list[tuple] = []
         ctm = ctm0
         size, leading = 12.0, 0.0
+        tc, tw, th, rise = 0.0, 0.0, 1.0, 0.0   # Tc / Tw / Tz/100 / Ts
         cur_font: tuple = ("simple", 0, None)
         lx_, ly_ = 0.0, 0.0     # text line origin (text space)
         cx = 0.0                # pen x within the line
@@ -921,11 +925,13 @@ def _read_page(node: dict, box, deref) -> PdfPage:
 
         def emit(txt: bytes) -> None:
             nonlocal cx
-            x, y = lx_ + cx, ly_
+            x, y = lx_ + cx, ly_ + rise
             tx = x * ctm[0] + y * ctm[2] + ctm[4]
             ty = x * ctm[1] + y * ctm[3] + ctm[5]
             # cumulative per-char advance (user units): exact word geometry
-            # for proportional fonts with a metric table, ADVANCE fallback
+            # for proportional fonts with a metric table, ADVANCE fallback.
+            # Advance formula (ISO 32000 §9.4.4): (w0*Tfs + Tc + Tw) * Th,
+            # Tw applying to byte-32 spaces of simple fonts only
             cum = [0.0]
             if cur_font[0] == "type0":
                 # 2-byte Identity-H CIDs -> unicode via /ToUnicode, widths
@@ -935,7 +941,7 @@ def _read_page(node: dict, box, deref) -> PdfPage:
                 for i in range(0, len(txt) - len(txt) % 2, 2):
                     cid = (txt[i] << 8) | txt[i + 1]
                     mapped = cmap.get(cid, "�")
-                    adv = wmap.get(cid, dw) / 1000.0 * size
+                    adv = (wmap.get(cid, dw) / 1000.0 * size + tc) * th
                     for j, ch in enumerate(mapped):
                         chars.append(ch)
                         # a multi-char target (ligature) carries the whole
@@ -951,9 +957,78 @@ def _read_page(node: dict, box, deref) -> PdfPage:
                     w = (char_widths[idx] / 1000.0
                          if char_widths is not None
                          and 0 <= idx < len(char_widths) else ADVANCE)
-                    cum.append(cum[-1] + w * size)
+                    adv = w * size + tc + (tw if ch == " " else 0.0)
+                    cum.append(cum[-1] + adv * th)
             page.items.append(("text", tx - x0, ty - y0, size, s, cum))
             cx += cum[-1]
+
+        def place_image(arr: np.ndarray) -> None:
+            # unit square through the CTM (axis-aligned)
+            xs = [ctm[4], ctm[0] + ctm[2] + ctm[4]]
+            ys = [ctm[5], ctm[1] + ctm[3] + ctm[5]]
+            left, right = min(xs) - x0, max(xs) - x0
+            bot, top = min(ys) - y0, max(ys) - y0
+            page.items.append(("image", arr,
+                               int(round(left)), int(round(ph - top)),
+                               int(round(right)), int(round(ph - bot))))
+
+        def inline_image(lx: _Lexer) -> None:
+            """BI ... ID <binary> EI (ISO 32000 §8.9.7): abbreviated keys,
+            binary length computed for unfiltered data, EI-scan for
+            filtered. Placed like an image XObject."""
+            pairs: list = []
+            while True:
+                lx._ws()
+                if lx.i >= len(lx.d):
+                    raise ValueError("PDF inline image: unterminated")
+                c = lx.d[lx.i:lx.i + 1]
+                if c in b"(<[/" or c.isdigit() or c in b"+-.":
+                    pairs.append(lx.value())
+                    continue
+                tok = lx.token()
+                if tok == b"ID":
+                    break
+                if not tok:
+                    lx.i += 1               # stray delimiter: skip
+                    continue
+                pairs.append(tok == b"true")
+            abbrev = {"/W": "/Width", "/H": "/Height",
+                      "/BPC": "/BitsPerComponent", "/CS": "/ColorSpace",
+                      "/F": "/Filter", "/DP": "/DecodeParms",
+                      "/G": "/DeviceGray", "/RGB": "/DeviceRGB",
+                      "/IM": "/ImageMask", "/D": "/Decode"}
+            norm = lambda v: abbrev.get(v, v) if isinstance(v, str) else v  # noqa: E731
+            d = {norm(k): (norm(v) if not isinstance(v, list)
+                           else [norm(x) for x in v])
+                 for k, v in zip(pairs[::2], pairs[1::2])}
+            lx.i += 1                      # single whitespace byte after ID
+            if "/Filter" in d and d["/Filter"] is not None:
+                at = lx.i
+                while True:               # ws + "EI" + (ws | EOF)
+                    at = lx.d.find(b"EI", at)
+                    if at < 0:
+                        raise ValueError("PDF inline image: no EI")
+                    if lx.d[at - 1:at] in _WS and (
+                            at + 2 >= len(lx.d)
+                            or lx.d[at + 2:at + 3] in _WS):
+                        break
+                    at += 2
+                raw = lx.d[lx.i:at - 1]
+                lx.i = at + 2
+            else:
+                w_ = int(deref(d["/Width"]))
+                h_ = int(deref(d["/Height"]))
+                ncomp = 3 if d.get("/ColorSpace") == "/DeviceRGB" else 1
+                bpc = int(deref(d.get("/BitsPerComponent", 8)))
+                nbytes = h_ * ((w_ * ncomp * bpc + 7) // 8)
+                raw = lx.d[lx.i:lx.i + nbytes]
+                lx.i += nbytes
+                lx._ws()
+                if lx.token() != b"EI":
+                    raise ValueError("PDF inline image: EI expected")
+            if d.get("/ImageMask") is True or d.get("/ImageMask") == "true":
+                raise ValueError("PDF inline image masks: out of scope")
+            place_image(_decode_image(d, raw, deref))
 
         lx = _Lexer(stream)
         stack: list = []
@@ -981,6 +1056,16 @@ def _read_page(node: dict, box, deref) -> PdfPage:
                 cur_font = font_metrics(fonts, metric_cache, stack[-2])
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
+            elif op == b"Tc" and stack:
+                tc = float(stack[-1])
+            elif op == b"Tw" and stack:
+                tw = float(stack[-1])
+            elif op == b"Tz" and stack:
+                th = float(stack[-1]) / 100.0
+            elif op == b"Ts" and stack:
+                rise = float(stack[-1])
+            elif op == b"BI":
+                inline_image(lx)
             elif op in (b"Td", b"TD") and len(stack) >= 2:
                 lx_, ly_ = lx_ + float(stack[-2]), ly_ + float(stack[-1])
                 cx = 0.0
@@ -1009,7 +1094,7 @@ def _read_page(node: dict, box, deref) -> PdfPage:
                     if isinstance(piece, bytes):
                         emit(piece)
                     else:
-                        cx -= float(piece) / 1000.0 * size
+                        cx -= float(piece) / 1000.0 * size * th
             elif op == b"q":
                 ctm_stack.append(ctm)
             elif op == b"Q":
@@ -1021,16 +1106,7 @@ def _read_page(node: dict, box, deref) -> PdfPage:
                 if isinstance(xo, tuple) and xo[0] == "stream":
                     sub = deref(xo[1].get("/Subtype"))
                     if sub == "/Image":
-                        arr = _decode_image(xo[1], xo[2], deref)
-                        # unit square through the CTM (axis-aligned)
-                        xs = [ctm[4], ctm[0] + ctm[2] + ctm[4]]
-                        ys = [ctm[5], ctm[1] + ctm[3] + ctm[5]]
-                        left, right = min(xs) - x0, max(xs) - x0
-                        bot, top = min(ys) - y0, max(ys) - y0
-                        page.items.append(
-                            ("image", arr,
-                             int(round(left)), int(round(ph - top)),
-                             int(round(right)), int(round(ph - bot))))
+                        place_image(_decode_image(xo[1], xo[2], deref))
                     elif sub == "/Form":
                         # nested content stream under /Matrix ∘ current
                         # CTM, with its own resources (fallback: ours) —

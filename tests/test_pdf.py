@@ -631,3 +631,70 @@ def test_form_fuzz_never_hangs():
                 blocks_from_pdf_page(pg)
         except Exception:
             pass
+
+
+# ----------------------------------- inline images + text-state operators
+
+
+def test_inline_image_uncompressed_and_filtered():
+    import zlib
+    rng = np.random.default_rng(51)
+    arr = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    raw = arr.tobytes()
+    flate = zlib.compress(raw)
+    cs = (b"q 7 0 0 5 50 600 cm BI /W 7 /H 5 /BPC 8 /CS /G ID "
+          + raw + b" EI Q\n"
+          b"q 7 0 0 5 200 600 cm BI /W 7 /H 5 /BPC 8 /CS /G /F /Fl ID "
+          + flate + b" EI Q")
+    pdf = _raw_pdf(cs)
+    (page,) = parse_pdf(pdf)
+    imgs = [it for it in page.items if it[0] == "image"]
+    assert len(imgs) == 2
+    assert (imgs[0][1] == arr).all() and (imgs[1][1] == arr).all()
+    assert imgs[0][2] == 50 and imgs[1][2] == 200
+
+
+def test_inline_rgb_image_luma():
+    rng = np.random.default_rng(52)
+    rgb = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    cs = (b"q 6 0 0 4 10 100 cm BI /W 6 /H 4 /BPC 8 /CS /RGB ID "
+          + rgb.tobytes() + b" EI Q")
+    (page,) = parse_pdf(_raw_pdf(cs))
+    from sparkstract.functions.png import _luma
+    assert (page.items[0][1] == _luma(rgb)).all()
+
+
+def test_char_and_word_spacing_advances():
+    """Tc adds to every glyph advance, Tw to byte-32 spaces, Tz scales
+    horizontally (ISO 32000 §9.4.4) — word boxes must track all three."""
+    cs = (b"BT /F1 10 Tf 2 Tc 5 Tw 50 500 Td (AB CD) Tj ET")
+    (page,) = parse_pdf(_raw_pdf(cs))
+    (b,) = blocks_from_pdf_page(page)
+    words = {w[3]: (w[4], w[6]) for w in b.words}
+    # glyph advance = 6.0 + Tc 2 = 8; space = 6 + 2 + 5 = 13
+    assert words["AB"] == (50, 66)
+    assert words["CD"] == (50 + 16 + 13, 50 + 16 + 13 + 16)
+    # Tz 50% halves every advance
+    cs = (b"BT /F1 10 Tf 50 Tz 50 500 Td (AB CD) Tj ET")
+    (page,) = parse_pdf(_raw_pdf(cs))
+    (b,) = blocks_from_pdf_page(page)
+    words = {w[3]: (w[4], w[6]) for w in b.words}
+    assert words["AB"] == (50, 56)
+    assert words["CD"] == (59, 65)
+
+
+def test_inline_image_fuzz_never_hangs():
+    rng = np.random.default_rng(53)
+    arr = np.full((5, 7), 80, dtype=np.uint8)
+    base = bytearray(_raw_pdf(
+        b"q 7 0 0 5 50 600 cm BI /W 7 /H 5 /BPC 8 /CS /G ID "
+        + arr.tobytes() + b" EI Q BT /F1 10 Tf (TXT) Tj ET"))
+    for _ in range(800):
+        enc = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            enc[int(rng.integers(0, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            for pg in parse_pdf(bytes(enc)):
+                blocks_from_pdf_page(pg)
+        except Exception:
+            pass
