@@ -31,6 +31,9 @@ Scope (named errors at the seam for everything else, like codecs.py):
   placed via the full q/Q + cm CTM
 - Form XObjects: nested content streams under /Matrix-composed CTMs with
   their own resources (page fallback), recursion depth-capped
+- /Rotate page normalization (inheritable): the display rotation composes
+  into the base CTM, so rotated-Tm text and wrapped scans land upright in
+  the swapped display box (full text-line-matrix placement, §9.4.2)
 - inline images (BI/ID/EI, §8.9.7): abbreviated keys, filtered or raw
   data; image masks raise out-of-scope
 - encrypted PDFs (/Encrypt) raise out-of-scope
@@ -512,18 +515,19 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
     root = deref(trailer["/Root"])
     pages: list[PdfPage] = []
 
-    def walk(node, inherited_box):
+    def walk(node, inherited_box, inherited_rot):
         node = deref(node)
         box = deref(node.get("/MediaBox", inherited_box))
+        rot = deref(node.get("/Rotate", inherited_rot))
         if deref(node.get("/Type")) == "/Pages" or "/Kids" in node:
             for kid in deref(node["/Kids"]):
-                walk(kid, box)
+                walk(kid, box, rot)
             return
-        pages.append(_read_page(node, box, deref))
+        pages.append(_read_page(node, box, deref, int(rot) % 360))
         if len(pages) > 10_000:  # same executor-hang guard as the TIFF chain
             raise ValueError("oversized PDF page tree")
 
-    walk(root["/Pages"], [0, 0, 612, 792])
+    walk(root["/Pages"], [0, 0, 612, 792], 0)
     return pages
 
 
@@ -863,9 +867,27 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
-def _read_page(node: dict, box, deref) -> PdfPage:
+def _read_page(node: dict, box, deref, rotate: int = 0) -> PdfPage:
     x0, y0, x1, y1 = [float(deref(v)) for v in box]
-    pw, ph = int(round(x1 - x0)), int(round(y1 - y0))
+    uw, uh = x1 - x0, y1 - y0                       # user-space box
+    # /Rotate normalization: compose the clockwise display rotation into
+    # the base CTM so all geometry lands in UPRIGHT display space (the
+    # block layer groups lines by y and needs horizontal baselines). The
+    # translate(-x0,-y0) also folds in here, so emitted coordinates are
+    # display-box-relative directly.
+    shift = (1.0, 0.0, 0.0, 1.0, -x0, -y0)
+    if rotate == 90:
+        base = _mat_mul(shift, (0.0, -1.0, 1.0, 0.0, 0.0, uw))
+        pw, ph = int(round(uh)), int(round(uw))
+    elif rotate == 180:
+        base = _mat_mul(shift, (-1.0, 0.0, 0.0, -1.0, uw, uh))
+        pw, ph = int(round(uw)), int(round(uh))
+    elif rotate == 270:
+        base = _mat_mul(shift, (0.0, 1.0, -1.0, 0.0, uh, 0.0))
+        pw, ph = int(round(uh)), int(round(uw))
+    else:
+        base = shift
+        pw, ph = int(round(uw)), int(round(uh))
     page = PdfPage(width=pw, height=ph)
 
     contents = deref(node.get("/Contents"))
@@ -919,20 +941,25 @@ def _read_page(node: dict, box, deref) -> PdfPage:
         size, leading = 12.0, 0.0
         tc, tw, th, rise = 0.0, 0.0, 1.0, 0.0   # Tc / Tw / Tz/100 / Ts
         cur_font: tuple = ("simple", 0, None)
-        lx_, ly_ = 0.0, 0.0     # text line origin (text space)
-        cx = 0.0                # pen x within the line
+        tlm = _ID               # text line matrix (Tm/Td/T*)
+        cx = 0.0                # pen advance along the text-space x axis
         in_text = False
 
         def emit(txt: bytes) -> None:
             nonlocal cx
-            x, y = lx_ + cx, ly_ + rise
-            tx = x * ctm[0] + y * ctm[2] + ctm[4]
-            ty = x * ctm[1] + y * ctm[3] + ctm[5]
-            # cumulative per-char advance (user units): exact word geometry
-            # for proportional fonts with a metric table, ADVANCE fallback.
-            # Advance formula (ISO 32000 §9.4.4): (w0*Tfs + Tc + Tw) * Th,
-            # Tw applying to byte-32 spaces of simple fonts only
+            # full text matrix: glyphs place through Tlm ∘ CTM, so
+            # rotated-Tm text on a /Rotate page composes back to upright
+            m = _mat_mul(tlm, ctm)
+            tx = cx * m[0] + rise * m[2] + m[4]
+            ty = cx * m[1] + rise * m[3] + m[5]
+            ax = float(np.hypot(m[0], m[1]))     # display units per text x
+            disp_size = size * float(np.hypot(m[2], m[3]))
+            # cumulative per-char advance (display units): exact word
+            # geometry for proportional fonts, ADVANCE fallback. Advance
+            # formula (ISO 32000 §9.4.4): (w0*Tfs + Tc + Tw) * Th, Tw
+            # applying to byte-32 spaces of simple fonts only
             cum = [0.0]
+            total = 0.0
             if cur_font[0] == "type0":
                 # 2-byte Identity-H CIDs -> unicode via /ToUnicode, widths
                 # via the descendant font's /W (default /DW)
@@ -942,12 +969,14 @@ def _read_page(node: dict, box, deref) -> PdfPage:
                     cid = (txt[i] << 8) | txt[i + 1]
                     mapped = cmap.get(cid, "�")
                     adv = (wmap.get(cid, dw) / 1000.0 * size + tc) * th
+                    total += adv
                     for j, ch in enumerate(mapped):
                         chars.append(ch)
                         # a multi-char target (ligature) carries the whole
                         # advance on its last unit
-                        cum.append(cum[-1] + (adv if j == len(mapped) - 1
-                                              else 0.0))
+                        cum.append(cum[-1]
+                                   + (adv * ax if j == len(mapped) - 1
+                                      else 0.0))
                 s = "".join(chars)
             else:
                 _, first_char, char_widths = cur_font
@@ -957,17 +986,26 @@ def _read_page(node: dict, box, deref) -> PdfPage:
                     w = (char_widths[idx] / 1000.0
                          if char_widths is not None
                          and 0 <= idx < len(char_widths) else ADVANCE)
-                    adv = w * size + tc + (tw if ch == " " else 0.0)
-                    cum.append(cum[-1] + adv * th)
-            page.items.append(("text", tx - x0, ty - y0, size, s, cum))
-            cx += cum[-1]
+                    adv = (w * size + tc + (tw if ch == " " else 0.0)) * th
+                    total += adv
+                    cum.append(cum[-1] + adv * ax)
+            page.items.append(("text", tx, ty, disp_size, s, cum))
+            cx += total
 
         def place_image(arr: np.ndarray) -> None:
             # unit square through the CTM (axis-aligned)
             xs = [ctm[4], ctm[0] + ctm[2] + ctm[4]]
             ys = [ctm[5], ctm[1] + ctm[3] + ctm[5]]
-            left, right = min(xs) - x0, max(xs) - x0
-            bot, top = min(ys) - y0, max(ys) - y0
+            left, right = min(xs), max(xs)
+            bot, top = min(ys), max(ys)
+            a, b_, c_, d_ = ctm[0], ctm[1], ctm[2], ctm[3]
+            if abs(a) >= abs(b_):
+                if a < 0 and d_ < 0:            # 180° display rotation
+                    arr = np.rot90(arr, 2)
+            elif b_ < 0 and c_ > 0:             # 90° clockwise display
+                arr = np.rot90(arr, -1)
+            elif b_ > 0 and c_ < 0:             # 90° counter-clockwise
+                arr = np.rot90(arr, 1)
             page.items.append(("image", arr,
                                int(round(left)), int(round(ph - top)),
                                int(round(right)), int(round(ph - bot))))
@@ -1048,7 +1086,7 @@ def _read_page(node: dict, box, deref) -> PdfPage:
                 lx.i += 1
                 continue
             if op == b"BT":
-                in_text, lx_, ly_, cx = True, 0.0, 0.0, 0.0
+                in_text, tlm, cx = True, _ID, 0.0
             elif op == b"ET":
                 in_text = False
             elif op == b"Tf" and len(stack) >= 2:
@@ -1067,26 +1105,25 @@ def _read_page(node: dict, box, deref) -> PdfPage:
             elif op == b"BI":
                 inline_image(lx)
             elif op in (b"Td", b"TD") and len(stack) >= 2:
-                lx_, ly_ = lx_ + float(stack[-2]), ly_ + float(stack[-1])
+                tlm = _mat_mul((1.0, 0.0, 0.0, 1.0,
+                                float(stack[-2]), float(stack[-1])), tlm)
                 cx = 0.0
                 if op == b"TD":
                     leading = -float(stack[-1])
             elif op == b"Tm" and len(stack) >= 6:
-                a, b_, c_, d_, e, f = (float(v) for v in stack[-6:])
-                lx_, ly_, cx = e, f, 0.0
-                size = size * max(abs(a), abs(d_)) \
-                    if (a, d_) != (1.0, 1.0) else size
+                tlm = tuple(float(v) for v in stack[-6:])
+                cx = 0.0
             elif op == b"T*":
-                ly_ -= leading
+                tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
                 cx = 0.0
             elif op == b"Tj" and stack and in_text:
                 emit(stack[-1])
             elif op == b"'" and stack and in_text:
-                ly_ -= leading
+                tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
                 cx = 0.0
                 emit(stack[-1])
             elif op == b'"' and len(stack) >= 3 and in_text:
-                ly_ -= leading
+                tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
                 cx = 0.0
                 emit(stack[-1])
             elif op == b"TJ" and stack and in_text:
@@ -1124,7 +1161,7 @@ def _read_page(node: dict, box, deref) -> PdfPage:
                             fctm, depth + 1)
             stack.clear()
 
-    run(stream, res, _ID, 0)
+    run(stream, res, base, 0)
     return page
 
 

@@ -698,3 +698,82 @@ def test_inline_image_fuzz_never_hangs():
                 blocks_from_pdf_page(pg)
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------- /Rotate
+
+
+def _rotated_pdf(content: bytes, rotate: int, box=(612, 792)) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {box[0]} {box[1]}] "
+         f"/Rotate {rotate} "
+         f"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+         ).encode(),
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for i in range(1, len(objs) + 1):
+        out += f"{offs[i]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def test_rotate_90_text_normalizes_upright():
+    """A /Rotate 90 page whose text is written with a rotated Tm (so it
+    displays upright): the parser must land it upright in the swapped
+    display box — same blocks as the equivalent unrotated page."""
+    # unrotated reference: portrait 612x792, two lines at (72, 700)/(72, 684)
+    ref = (b"BT /F1 12 Tf 72 700 Td (ROTATED PAGE LINE) Tj ET\n"
+           b"BT /F1 12 Tf 72 684 Td (SECOND LINE HERE) Tj ET")
+    want = blocks_from_pdf_page(parse_pdf(_rotated_pdf(ref, 0))[0])
+    # /Rotate 90 on a 792x612 user-space page: display box is 612x792.
+    # Display point (x_d, y_d) = (y_u, 792 - x_u) → x_u = 792 - y_d,
+    # y_u = x_d. Tm (0,-1,1,0) maps text x-axis to display +x.
+    # For display (72, 700): user origin = (92, 72); (72, 684): (108, 72).
+    rot = (b"BT /F1 12 Tf 0 -1 1 0 92 72 Tm (ROTATED PAGE LINE) Tj ET\n"
+           b"BT /F1 12 Tf 0 -1 1 0 108 72 Tm (SECOND LINE HERE) Tj ET")
+    (page,) = parse_pdf(_rotated_pdf(rot, 90, box=(792, 612)))
+    assert (page.width, page.height) == (612, 792)
+    got = blocks_from_pdf_page(page)
+    assert [b.text for b in got] == [b.text for b in want]
+    assert got[0].words == want[0].words
+
+
+def test_rotate_180_text():
+    ref = b"BT /F1 12 Tf 72 700 Td (UPSIDE DOWN) Tj ET"
+    want = blocks_from_pdf_page(parse_pdf(_rotated_pdf(ref, 0))[0])
+    rot = (b"BT /F1 12 Tf -1 0 0 -1 540 92 Tm (UPSIDE DOWN) Tj ET")
+    got = blocks_from_pdf_page(parse_pdf(_rotated_pdf(rot, 180))[0])
+    assert [b.text for b in got] == [b.text for b in want]
+    assert got[0].words == want[0].words
+
+
+def test_rotate_90_image_pixels_unrotated():
+    """A full-page scan wrapped in a /Rotate 90 PDF: the emitted array
+    must be the upright pixels (rot90 applied), so the raster-OCR
+    fallthrough sees the page as displayed."""
+    import zlib
+    rng = np.random.default_rng(61)
+    arr = rng.integers(0, 256, (10, 14), dtype=np.uint8)
+    # stored image is the upright page rotated 90° ccw in user space
+    # (the scanner wrote landscape); /Rotate 90 displays it upright
+    stored = np.rot90(arr, 1)
+    comp = zlib.compress(stored.tobytes())
+    content = (b"q 10 0 0 14 0 0 cm BI /W 10 /H 14 /BPC 8 /CS /G /F /Fl ID "
+               + comp + b" EI Q")
+    (page,) = parse_pdf(_rotated_pdf(content, 90, box=(10, 14)))
+    assert (page.width, page.height) == (14, 10)
+    imgs = [it for it in page.items if it[0] == "image"]
+    assert len(imgs) == 1
+    assert (imgs[0][1] == arr).all()
