@@ -425,7 +425,12 @@ def minhash_match(new_docs: DataFrame, corpus: DataFrame,
     matching a degenerate bucket would fan out k-fold) — audit with
     lsh_bucket_stats. Returns (new_id, doc_id, n_bands, n_sig_match)."""
     sig_n = minhash_signatures(new_docs, num_hashes=num_hashes, n=n)
-    sig_c = minhash_signatures(corpus, num_hashes=num_hashes, n=n)
+    # the corpus signature table feeds THREE consumers (band keys, the
+    # count-first bucket filter, the final agreement join); unpersisted,
+    # each re-runs the whole shingle→minhash pipeline. At production scale
+    # this frame IS the precomputed index table — persisting here is the
+    # in-session stand-in for reading it back.
+    sig_c = minhash_signatures(corpus, num_hashes=num_hashes, n=n).persist()
     bn = _band_keys(sig_n, num_hashes, bands).withColumnRenamed(
         "doc_id", "new_id")
     bc = _band_keys(sig_c, num_hashes, bands)
