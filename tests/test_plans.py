@@ -70,3 +70,18 @@ def test_bucketed_pair_joins_never_cartesian(spark):
                minhash_match(_docs(spark), _docs(spark), num_hashes=8)):
         p = _plan(df)
         assert "CartesianProduct" not in p
+
+
+def test_minhash_match_scans_corpus_signatures_once(spark):
+    """The corpus signature table feeds three consumers; the persist must
+    show up as InMemoryTableScan in every branch instead of re-running
+    the shingle→minhash pipeline per consumer."""
+    from sparkstract.operators.dedup import minhash_match
+
+    corpus = _docs(spark, 12)
+    new = _docs(spark, 2).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100))
+    out = minhash_match(new, corpus, num_hashes=4, bands=2)
+    out.collect()  # materialize the persist
+    p = _plan(out)
+    assert p.count("InMemoryTableScan") >= 2
