@@ -31,6 +31,9 @@ Scope (named errors at the seam for everything else, like codecs.py):
   placed via the full q/Q + cm CTM
 - Form XObjects: nested content streams under /Matrix-composed CTMs with
   their own resources (page fallback), recursion depth-capped
+- /CropBox (inheritable, intersected with /MediaBox): geometry is
+  crop-relative and content outside the visible region drops, like a
+  viewer renders it
 - /Rotate page normalization (inheritable): the display rotation composes
   into the base CTM, so rotated-Tm text and wrapped scans land upright in
   the swapped display box (full text-line-matrix placement, §9.4.2)
@@ -515,19 +518,31 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
     root = deref(trailer["/Root"])
     pages: list[PdfPage] = []
 
-    def walk(node, inherited_box, inherited_rot):
+    def walk(node, inherited_box, inherited_crop, inherited_rot):
         node = deref(node)
         box = deref(node.get("/MediaBox", inherited_box))
+        crop = deref(node.get("/CropBox", inherited_crop))
         rot = deref(node.get("/Rotate", inherited_rot))
         if deref(node.get("/Type")) == "/Pages" or "/Kids" in node:
             for kid in deref(node["/Kids"]):
-                walk(kid, box, rot)
+                walk(kid, box, crop, rot)
             return
-        pages.append(_read_page(node, box, deref, int(rot) % 360))
+        eff = box
+        if crop is not None:
+            # the visible region is CropBox ∩ MediaBox (ISO 32000 §14.11.2)
+            m = [float(deref(v)) for v in box]
+            c = [float(deref(v)) for v in crop]
+            eff = [max(min(c[0], c[2]), min(m[0], m[2])),
+                   max(min(c[1], c[3]), min(m[1], m[3])),
+                   min(max(c[0], c[2]), max(m[0], m[2])),
+                   min(max(c[1], c[3]), max(m[1], m[3]))]
+            if eff[2] <= eff[0] or eff[3] <= eff[1]:
+                eff = box
+        pages.append(_read_page(node, eff, deref, int(rot) % 360))
         if len(pages) > 10_000:  # same executor-hang guard as the TIFF chain
             raise ValueError("oversized PDF page tree")
 
-    walk(root["/Pages"], [0, 0, 612, 792], 0)
+    walk(root["/Pages"], [0, 0, 612, 792], None, 0)
     return pages
 
 
@@ -1228,6 +1243,11 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
             continue
         _, x, y, size, txt, cum = it
         if not txt.strip():
+            continue
+        # runs entirely outside the page box are invisible (content beyond
+        # the /CropBox, or placed off-page): drop them like a viewer does
+        if (y + size < 0 or y - size > H
+                or x + cum[-1] < 0 or x > page.width):
             continue
         lines.setdefault(round(y, 1), []).append((x, size, txt, cum))
 

@@ -1,4 +1,4 @@
-"""Minimal pure-Python PNM (P2/P5) and BMP (8-bit) grayscale codecs.
+"""Minimal pure-Python PNM (P1-P6) and BMP (8/24/32-bit) grayscale codecs.
 
 Rounds out the SetImage ingest matrix (the reference reads any
 Leptonica-supported raster — TIFF/PNG/JPEG/BMP/PNM/WEBP, SetImage
@@ -53,26 +53,48 @@ def _pnm_tokens(data: bytes, n: int, pos: int) -> tuple[list[int], int]:
 
 
 def decode_gray_pnm(data: bytes) -> np.ndarray:
-    """P5/P2 PGM bytes -> uint8 HxW array (maxval <= 255)."""
+    """PNM bytes -> uint8 HxW grayscale. All six classic formats:
+    P1/P4 bitmaps (1 = black per the PBM spec -> 0 ink on white 255),
+    P2/P5 graymaps (maxval <= 255), P3/P6 pixmaps (BT.601 luma)."""
     magic = data[:2]
-    if magic not in (b"P5", b"P2"):
-        raise ValueError("not a P2/P5 PGM")
+    if magic in (b"P1", b"P4"):
+        (w, h), pos = _pnm_tokens(data, 2, 2)
+        if magic == b"P4":                 # packed bits, MSB-first per row
+            stride = (w + 7) // 8
+            raw = np.frombuffer(data[pos : pos + h * stride], dtype=np.uint8)
+            if raw.size < h * stride:
+                raise ValueError("truncated PBM raster")
+            bits = np.unpackbits(raw.reshape(h, stride), axis=1)[:, :w]
+        else:                              # ASCII 0/1, whitespace optional
+            digs = [c - 48 for c in data[pos:] if c in (48, 49)]
+            if len(digs) < h * w:
+                raise ValueError("truncated PBM raster")
+            bits = np.array(digs[: h * w], dtype=np.uint8).reshape(h, w)
+        return np.where(bits == 1, 0, 255).astype(np.uint8)
+    if magic not in (b"P5", b"P2", b"P3", b"P6"):
+        raise ValueError("not a PNM (P1-P6)")
     (w, h, maxval), pos = _pnm_tokens(data, 3, 2)
     if maxval > 255:
-        raise ValueError("16-bit PGM not supported")
-    if magic == b"P5":
+        raise ValueError("16-bit PNM not supported")
+    nsamp = 3 if magic in (b"P3", b"P6") else 1
+    if magic in (b"P5", b"P6"):
         # exactly one whitespace byte separates maxval from raster data;
         # _pnm_tokens already consumed it
-        raw = np.frombuffer(data[pos : pos + h * w], dtype=np.uint8)
-        if raw.size < h * w:
-            raise ValueError("truncated PGM raster")
-        img = raw.reshape(h, w).astype(np.float64)
+        raw = np.frombuffer(data[pos : pos + h * w * nsamp], dtype=np.uint8)
+        if raw.size < h * w * nsamp:
+            raise ValueError("truncated PNM raster")
+        img = raw.astype(np.float64)
     else:
-        vals, _ = _pnm_tokens(data, h * w, pos)
-        img = np.array(vals, dtype=np.float64).reshape(h, w)
+        vals, _ = _pnm_tokens(data, h * w * nsamp, pos)
+        img = np.array(vals, dtype=np.float64)
     if maxval != 255:
         img = img * (255.0 / maxval)
-    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    if nsamp == 3:
+        rgb = img.reshape(h, w, 3).astype(np.int32)
+        return ((77 * rgb[:, :, 0] + 150 * rgb[:, :, 1]
+                 + 29 * rgb[:, :, 2] + 128) >> 8).astype(np.uint8)
+    return img.reshape(h, w)
 
 
 # ----------------------------------------------------------------- BMP 8bpp
@@ -96,28 +118,42 @@ def encode_gray_bmp(img: np.ndarray) -> bytes:
 
 
 def decode_gray_bmp(data: bytes) -> np.ndarray:
-    """8-bit palette BMP bytes -> uint8 HxW grayscale (palette luma)."""
+    """BMP bytes -> uint8 HxW grayscale: 8-bit palette (palette luma) or
+    24/32-bit BGR(A) truecolor (BT.601 luma, alpha/padding byte dropped).
+    BI_RGB only; RLE/bitfield compressions raise a named error."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack_from("<I", data, 10)
     hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
-    if bpp != 8 or comp != 0:
-        raise ValueError("only uncompressed 8-bit BMP supported")
-    n_colors = struct.unpack_from("<I", data, 46)[0] or 256
-    pal_off = 14 + hdr_size
-    pal = np.frombuffer(data[pal_off : pal_off + 4 * n_colors],
-                        dtype=np.uint8).reshape(-1, 4)
-    # BGR -> ITU-R 601 luma (a gray palette maps to identity)
-    luma = np.clip(np.rint(0.114 * pal[:, 0] + 0.587 * pal[:, 1]
-                           + 0.299 * pal[:, 2]), 0, 255).astype(np.uint8)
+    if comp != 0 or bpp not in (8, 24, 32):
+        raise ValueError("only uncompressed 8/24/32-bit BMP supported")
     top_down = h < 0
     h = abs(h)
-    stride = (w + 3) & ~3
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(data[pal_off : pal_off + 4 * n_colors],
+                            dtype=np.uint8).reshape(-1, 4)
+        # BGR -> ITU-R 601 luma (a gray palette maps to identity)
+        luma = np.clip(np.rint(0.114 * pal[:, 0] + 0.587 * pal[:, 1]
+                               + 0.299 * pal[:, 2]), 0, 255).astype(np.uint8)
+        stride = (w + 3) & ~3
+        raw = np.frombuffer(data[data_off : data_off + h * stride],
+                            dtype=np.uint8).reshape(h, stride)[:, :w]
+        if not top_down:
+            raw = raw[::-1]
+        return luma[raw].copy()
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
     raw = np.frombuffer(data[data_off : data_off + h * stride],
-                        dtype=np.uint8).reshape(h, stride)[:, :w]
+                        dtype=np.uint8)
+    if raw.size < h * stride:
+        raise ValueError("truncated BMP raster")
+    px = raw.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
     if not top_down:
-        raw = raw[::-1]
-    return luma[raw].copy()
+        px = px[::-1]
+    b, g, r = (px[:, :, i].astype(np.int32) for i in range(3))  # BGR order
+    return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
 
 
 # ------------------------------------------------- EXIF / TIFF orientation

@@ -288,6 +288,8 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         if nsamp not in (1, 3, 4) or tags.get(284, [1])[0] != 1 \
                 or any(b != 8 for b in tags.get(258, [8])):
             raise ValueError("only 8-bit chunky gray/RGB/RGBA TIFF supported")
+        if 322 in tags or 323 in tags:   # TileWidth / TileLength
+            raise ValueError("tiled TIFF: out of scope (strip layout only)")
         comp = tags.get(259, [1])[0]
         if comp not in (1, 5, 32773):
             raise ValueError(f"TIFF compression {comp}: out of scope "

@@ -777,3 +777,48 @@ def test_rotate_90_image_pixels_unrotated():
     imgs = [it for it in page.items if it[0] == "image"]
     assert len(imgs) == 1
     assert (imgs[0][1] == arr).all()
+
+
+def test_cropbox_clips_page():
+    """/CropBox defines the visible region: content outside it drops and
+    geometry is crop-relative (the scanner-margin case)."""
+    base = encode_simple_pdf(
+        [_text_page(["KEEP THIS LINE"]) + _text_page(["CLIP ME"], y0=100)])
+    at = base.find(b"/MediaBox [0 0 612 792]")
+    patched = (base[:at]
+               + b"/MediaBox [0 0 612 792] /CropBox [50 200 612 792]"
+               + base[at + len(b"/MediaBox [0 0 612 792]"):])
+    # classic xref offsets after this object shift — rebuild instead
+    objs_shift = len(b" /CropBox [50 200 612 792]")
+    # simpler: reparse via startxref fixups is fragile; build manually
+    content = b"BT /F1 12 Tf 72 700 Td (KEEP THIS LINE) Tj ET\n" \
+              b"BT /F1 12 Tf 72 100 Td (CLIP ME) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/CropBox [50 200 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for i in range(1, len(objs) + 1):
+        out += f"{offs[i]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF\n").encode()
+    (page,) = parse_pdf(bytes(out))
+    assert (page.width, page.height) == (562, 592)
+    # KEEP at user (72,700) → crop-relative (22, 500); CLIP at y=100 lies
+    # below the crop bottom (y_user 200) and lands off-page
+    texts = {it[4]: (round(it[1]), round(it[2])) for it in page.items}
+    assert texts["KEEP THIS LINE"] == (22, 500)
+    blocks = blocks_from_pdf_page(page)
+    assert [b.text for b in blocks] == ["KEEP THIS LINE"]

@@ -68,3 +68,74 @@ def test_music_staff_mask():
     kinds = [k for k, _ in got]
     assert kinds.count("flowing_image") == 1  # the staff, once
     assert kinds.count("horz_line") == 1      # the lone rule survives
+
+
+def test_pbm_p4_and_p1_bitmaps():
+    from sparkstract.functions.raster import decode_gray_pnm
+
+    # P4: 10x3, packed MSB-first; 1 = black ink
+    import numpy as np
+    rng = np.random.default_rng(71)
+    bits = rng.integers(0, 2, (3, 10), dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)
+    p4 = b"P4\n10 3\n" + packed.tobytes()
+    want = np.where(bits == 1, 0, 255).astype(np.uint8)
+    assert (decode_gray_pnm(p4) == want).all()
+    body = "\n".join(" ".join(str(v) for v in row) for row in bits)
+    p1 = f"P1\n# comment\n10 3\n{body}\n".encode()
+    assert (decode_gray_pnm(p1) == want).all()
+
+
+def test_ppm_p6_and_p3_luma():
+    from sparkstract.functions.raster import decode_gray_pnm
+
+    import numpy as np
+    rng = np.random.default_rng(72)
+    rgb = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    r, g, b = (rgb[..., i].astype(np.int32) for i in range(3))
+    want = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+    p6 = b"P6\n5 4\n255\n" + rgb.tobytes()
+    assert (decode_gray_pnm(p6) == want).all()
+    body = " ".join(str(v) for v in rgb.reshape(-1))
+    p3 = f"P3\n5 4\n255\n{body}\n".encode()
+    assert (decode_gray_pnm(p3) == want).all()
+
+
+def test_bmp_truecolor_24_and_32():
+    import struct
+
+    import numpy as np
+
+    from sparkstract.functions.raster import decode_gray_bmp
+
+    rng = np.random.default_rng(73)
+    rgb = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    r, g, b = (rgb[..., i].astype(np.int32) for i in range(3))
+    want = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+    for nb in (3, 4):
+        stride = (5 * nb + 3) & ~3
+        rows = np.zeros((6, stride), dtype=np.uint8)
+        for y in range(6):
+            for x in range(5):
+                rows[5 - y, x * nb + 0] = rgb[y, x, 2]  # B
+                rows[5 - y, x * nb + 1] = rgb[y, x, 1]  # G
+                rows[5 - y, x * nb + 2] = rgb[y, x, 0]  # R
+        data_off = 14 + 40
+        size = data_off + rows.size
+        hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+        info = struct.pack("<IiiHHIIiiII", 40, 5, 6, 1, nb * 8, 0,
+                           rows.size, 2835, 2835, 0, 0)
+        got = decode_gray_bmp(hdr + info + rows.tobytes())
+        assert (got == want).all(), nb
+
+
+def test_codec_dispatch_new_pnm():
+    import numpy as np
+
+    from sparkstract.functions.codecs import decode_pages
+
+    bits = np.zeros((4, 9), dtype=np.uint8)
+    bits[1, 2] = 1
+    p4 = b"P4\n9 4\n" + np.packbits(bits, axis=1).tobytes()
+    (got,) = decode_pages(p4)
+    assert got[1, 2] == 0 and got[0, 0] == 255
