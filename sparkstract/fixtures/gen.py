@@ -516,13 +516,15 @@ class _Builder:
             # COLOR container: truecolor PNG collapses to BT.601 luma in
             # the decoder (Leptonica pixConvertTo8 on read, SetImage
             # baseapi.cpp:881). The tint r=y+29, g=y, b=y-77 cancels
-            # exactly in the integer luma (77*29 == 29*77), so the decoded
+            # exactly in the integer luma (77*29 == 29*77) for every y in
+            # [77, 226] — the range keeps both channels in uint8 (b would
+            # wrap below 77 and silently brighten ink) — so the decoded
             # gray equals the contrast-compressed rendering and truth is
-            # the plain page's.
+            # the plain page's (exactness pinned by test_fixtures).
             from ..functions.png import encode_rgb
 
             img, blocks = render_page(page_spec("single_column", self.rng))
-            y = 64 + img.astype(np.int32) * 128 // 255
+            y = 77 + img.astype(np.int32) * 149 // 255
             rgb = np.stack([y + 29, y, y - 77], axis=2).astype(np.uint8)
             payload = encode_rgb(rgb)
         elif family == "progressive_jpeg_page":

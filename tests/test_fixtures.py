@@ -55,3 +55,24 @@ def test_truth_order_dense_per_doc():
     fs = build_fixtures(seed=42)
     for doc_id, grp in fs.truth.groupby("doc_id"):
         assert sorted(grp["order"]) == list(range(len(grp))), doc_id
+
+
+def test_rgb_png_family_tint_luma_exact():
+    """The rgb_png_page tint must be EXACT under integer BT.601 luma for
+    every pixel (a sub-range tint that wraps in uint8 brightens ink and
+    only survives by Otsu's mercy — caught in round 3)."""
+    import numpy as np
+
+    from sparkstract.fixtures.gen import _Builder
+    from sparkstract.functions.png import _luma, decode_gray
+
+    b = _Builder(seed=7)
+    ref, _blocks = b.add_page("rgb_png_page")
+    payload = b.media[-1]["image"]
+    gray = decode_gray(payload)
+    # identical tint reconstruction: luma(y+29, y, y-77) == y exactly
+    assert gray.min() >= 77 and gray.max() <= 226
+    from sparkstract.functions.png import encode_rgb  # noqa: F401
+    # decode path == direct luma of the stored RGB (consistency)
+    assert (_luma(np.stack([gray + 29, gray, gray - 77],
+                           axis=2).astype(np.uint8)) == gray).all()
