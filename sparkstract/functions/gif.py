@@ -105,7 +105,8 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return out.bytes()
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    max_out: int | None = None) -> bytes:
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     br = _LsbReader(data)
     out = bytearray()
@@ -142,6 +143,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
                     width += 1
         out += entry
         prev = entry
+        if max_out is not None and len(out) > max_out:
+            # decompression-bomb guard: a crafted stream expands ~4096x
+            raise ValueError("GIF LZW output exceeds frame size")
     return bytes(out)
 
 
@@ -265,8 +269,10 @@ def _decode_gray_gif(data: bytes) -> list[np.ndarray]:
                 break
             enc += data[pos:pos + size]
             pos += size
-        idx = np.frombuffer(_gif_lzw_decode(bytes(enc), min_code)[:fw * fh],
-                            dtype=np.uint8)
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(enc), min_code,
+                            max_out=fw * fh + 4096)[:fw * fh],
+            dtype=np.uint8)
         if len(idx) < fw * fh:
             raise ValueError("truncated GIF frame")
         idx = idx.reshape(fh, fw)

@@ -588,6 +588,10 @@ def _xref_stream_entries(d: dict, raw: bytes, entries: dict) -> None:
         raise ValueError("PDF xref stream: bad /W")
     w1, w2, w3 = (int(x) for x in w)
     rowlen = w1 + w2 + w3
+    if rowlen <= 0 or max(w1, w2, w3) > 8:
+        # a zero row length would spin the entry loop forever inside an
+        # executor task (same guard class as the deref hop cap)
+        raise ValueError("PDF xref stream: bad /W widths")
     index = d.get("/Index", [0, d.get("/Size", 0)])
     spans = [(int(index[i]), int(index[i + 1]))
              for i in range(0, len(index) - 1, 2)]
@@ -741,18 +745,25 @@ def _apply_predictor(parms: dict, raw: bytes, deref) -> bytes:
     raise ValueError(f"PDF predictor {pred}: out of scope")
 
 
+_MAX_STREAM = 1 << 28   # 256 MB inflate cap: decompression-bomb guard
+
+
 def _filter_chain(filters: list, raw: bytes, parms: list | None = None,
                   deref=lambda v: v) -> bytes:
     parms = parms or [None] * len(filters)
     for f, pm in zip(filters, parms):
         if f in ("/FlateDecode", "/Fl"):
-            raw = zlib.decompress(raw)
+            dec = zlib.decompressobj()
+            out = dec.decompress(raw, _MAX_STREAM)
+            if dec.unconsumed_tail:
+                raise ValueError("PDF stream exceeds the inflate cap")
+            raw = out
         elif f in ("/LZWDecode", "/LZW"):
             if pm and deref(pm.get("/EarlyChange", 1)) == 0:
                 raise ValueError("PDF LZW EarlyChange=0: out of scope")
             from .tiff import _lzw_decode  # same MSB-first early-change LZW
 
-            raw = _lzw_decode(raw)
+            raw = _lzw_decode(raw, max_out=_MAX_STREAM)
         elif f in ("/ASCIIHexDecode", "/AHx"):
             raw = _ascii_hex_decode(raw)
         elif f in ("/ASCII85Decode", "/A85"):

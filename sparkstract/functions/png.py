@@ -105,7 +105,14 @@ def decode_gray(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     bpp = _NSAMP[color] * (depth // 8)  # filter distance, bytes per pixel
     stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    expect = h * (stride + 1)
+    if expect > 600_000_000:  # corrupt-header allocation guard
+        raise ValueError("PNG dimensions too large")
+    # bounded inflate: a crafted IDAT expands ~1000x (decompression bomb
+    # inside an executor task) — never inflate past the raster size
+    dec = zlib.decompressobj()
+    body = dec.decompress(bytes(idat), expect)
+    raw = np.frombuffer(body, dtype=np.uint8)
     raw = raw.reshape(h, stride + 1)
     out = _defilter(raw, bpp)
     if depth == 16:

@@ -99,7 +99,10 @@ def _lzw_encode(data: bytes) -> bytes:
     return out.bytes()
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
+    """`max_out` caps the decoded size (callers know the raster size):
+    without it a crafted stream expands ~4096x — a decompression bomb
+    inside an executor task."""
     br = _BitReader(data)
     out = bytearray()
 
@@ -136,6 +139,8 @@ def _lzw_decode(data: bytes) -> bytes:
                 width += 1
         out += entry
         prev = entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("LZW output exceeds expected raster size")
     return bytes(out)
 
 
@@ -294,7 +299,10 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         if comp not in (1, 5, 32773):
             raise ValueError(f"TIFF compression {comp}: out of scope "
                              "(none/LZW/PackBits supported)")
-        undo = {1: lambda b: b, 5: _lzw_decode, 32773: _packbits_decode}[comp]
+        expect = h * w * nsamp
+        undo = {1: lambda b: b,
+                5: lambda b: _lzw_decode(b, max_out=expect),
+                32773: _packbits_decode}[comp]
         offs, cnts = tags[273], tags[279]
         raw = b"".join(undo(data[o : o + c]) for o, c in zip(offs, cnts))
         img = np.frombuffer(raw[: h * w * nsamp], dtype=np.uint8)

@@ -200,3 +200,109 @@ def test_tab_partner_gutters_total_and_sane(seed, n_rows, n_groups):
         assert 0 <= a <= b
         assert any((r["cov_r"] == a - 1).any() for r in rows)
         assert any((np.abs(r["gl"] - (b + 1)) <= 2).any() for r in rows)
+
+
+# ------------------------------------------------- decompression bombs
+
+
+def test_gif_lzw_bomb_capped():
+    """A crafted LZW stream expanding far past the frame size must raise,
+    not allocate gigabytes inside an executor task."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sparkstract.functions.gif import (_gif_lzw_encode, decode_gray_gif,
+                                           encode_gif)
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    gif = bytearray(encode_gif(img))
+    # replace the frame data with a stream that decodes to 1 MB of zeros
+    bomb = _gif_lzw_encode(b"\x00" * (1 << 20), 8)
+    at = gif.index(struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0))
+    out = bytearray(gif[:at])
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0)
+    out.append(8)
+    for k in range(0, len(bomb), 255):
+        chunk = bomb[k:k + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    out.append(0x3B)
+    with pytest.raises(ValueError, match="exceeds frame size"):
+        decode_gray_gif(bytes(out))
+
+
+def test_tiff_lzw_bomb_capped():
+    import pytest
+
+    from sparkstract.functions.tiff import (_lzw_encode, decode_gray_tiff,
+                                            encode_gray_tiff)
+    import numpy as np
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    enc = bytearray(encode_gray_tiff(img, "lzw"))
+    strip = _lzw_encode(img.tobytes())
+    at = enc.index(strip)
+    bomb = _lzw_encode(b"\x00" * (1 << 20))
+    # swap the strip for the bomb and fix StripByteCounts (tag 279)
+    out = enc[:at] + bomb + enc[at + len(strip):]
+    import struct
+    delta = len(bomb) - len(strip)
+    (ifd_off,) = struct.unpack_from("<I", out, 4)
+    ifd_off_fixed = ifd_off + delta
+    struct.pack_into("<I", out, 4, ifd_off_fixed)
+    (n,) = struct.unpack_from("<H", out, ifd_off_fixed)
+    for i in range(n):
+        pos = ifd_off_fixed + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", out, pos)
+        if tag == 279:
+            struct.pack_into("<I", out, pos + 8, len(bomb))
+    with pytest.raises(ValueError, match="exceeds expected raster"):
+        decode_gray_tiff(bytes(out))
+
+
+def test_png_idat_bomb_truncates_not_allocates():
+    """An 8x8 PNG whose IDAT inflates to 10 MB: the bounded inflate stops
+    at the raster size (the image decodes; the bomb tail is ignored)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sparkstract.functions.png import _SIG, _chunk, decode_gray
+
+    img = np.full((8, 8), 9, dtype=np.uint8)
+    raw = bytearray()
+    for y in range(8):
+        raw.append(0)
+        raw += img[y].tobytes()
+    raw += b"\x00" * (10 << 20)            # the bomb tail
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    png = (_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _chunk(b"IEND", b""))
+    assert (decode_gray(png) == img).all()
+
+
+def test_pdf_flate_bomb_capped():
+    import zlib
+
+    import pytest
+
+    from sparkstract.functions.pdf import _filter_chain
+
+    bomb = zlib.compress(b"\x00" * ((1 << 28) + 1024))
+    with pytest.raises(ValueError, match="inflate cap"):
+        _filter_chain(["/FlateDecode"], bomb)
+
+
+def test_pdf_xref_zero_width_rows_raise():
+    import pytest
+
+    from sparkstract.functions.pdf import _xref_stream_entries
+
+    with pytest.raises(ValueError, match="bad /W"):
+        _xref_stream_entries({"/W": [0, 0, 0], "/Size": 10,
+                              "/Index": [0, 1 << 30]}, b"", {})
