@@ -218,6 +218,8 @@ def _decode_gray_gif(data: bytes) -> list[np.ndarray]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", data, 6)
+    if sw * sh > 100_000_000:   # corrupt-header allocation guard
+        raise ValueError("GIF dimensions too large")
     pos = 13
     gpal: np.ndarray | None = None
     if flags & 0x80:

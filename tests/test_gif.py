@@ -115,3 +115,13 @@ def test_fuzz_corrupt_gif_never_hangs():
 def test_rejects_garbage():
     with pytest.raises(ValueError):
         decode_gray_gif(b"not a gif")
+
+
+def test_oversized_header_rejected_before_allocation():
+    import struct
+
+    hdr = bytearray(b"GIF89a")
+    hdr += struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+    hdr += b"\x3b"
+    with pytest.raises(ValueError, match="too large"):
+        decode_gray_gif(bytes(hdr))
