@@ -258,7 +258,8 @@ def _read_values(data: bytes, fmt: str, typ: int, count: int,
 
 def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
     """(multipage) TIFF bytes -> list of uint8 HxW grayscale arrays
-    (RGB/RGBA pages collapse to BT.601 luma, alpha dropped)."""
+    (RGB/RGBA and ColorMap-palette pages collapse to BT.601 luma,
+    alpha dropped)."""
     if data[:4] == b"II*\x00":
         fmt = "<"
     elif data[:4] == b"MM\x00*":
@@ -317,8 +318,19 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
                     + 29 * rgb[:, :, 2] + 128) >> 8).astype(np.uint8)
         else:
             img = img.reshape(h, w)
-        if tags.get(262, [1])[0] == 0:  # WhiteIsZero → invert to BlackIsZero
+        photometric = tags.get(262, [1])[0]
+        if photometric == 0:  # WhiteIsZero → invert to BlackIsZero
             img = (255 - img.astype(np.int64)).astype(np.uint8)
+        elif photometric == 3:  # palette: ColorMap (tag 320) → BT.601 luma
+            if 320 not in tags:
+                raise ValueError("palette TIFF missing ColorMap")
+            cm = np.asarray(tags[320], dtype=np.int64)
+            n = cm.shape[0] // 3  # R then G then B planes, 16-bit values
+            r, g, b = cm[:n] >> 8, cm[n:2 * n] >> 8, cm[2 * n:3 * n] >> 8
+            luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+            if int(img.max(initial=0)) >= n:
+                raise ValueError("palette TIFF index out of range")
+            img = luma[img]
         # Orientation tag 274: un-rotate to upright BEFORE analysis, the
         # way Leptonica's read path does on ingest (SetImage baseapi.cpp:881)
         img = apply_exif_orientation(img, tags.get(274, [1])[0])

@@ -229,3 +229,39 @@ def test_multipage_mixed_gray_and_rgb():
     pages = decode_gray_tiff(encode_gray_tiff([gray, rgb], "lzw"))
     assert (pages[0] == gray).all()
     assert (pages[1] == _luma_ref(rgb)).all()
+
+
+def test_palette_tiff_colormap_luma():
+    """Photometric 3 + ColorMap (tag 320, 16-bit R/G/B planes): indices
+    map through the palette and collapse to BT.601 luma."""
+    import struct
+
+    rng = np.random.default_rng(81)
+    pal8 = rng.integers(0, 256, (16, 3), dtype=np.int64)
+    idx = rng.integers(0, 16, (6, 9), dtype=np.uint8)
+    strip = idx.tobytes()
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    strip_off = len(out)
+    out += strip
+    if len(out) % 2:
+        out += b"\x00"
+    cmap_off = len(out)
+    cm16 = np.concatenate([pal8[:, 0], pal8[:, 1], pal8[:, 2]]) << 8
+    out += cm16.astype("<u2").tobytes()
+    ifd_off = len(out)
+    struct.pack_into("<I", out, 4, ifd_off)
+    entries = [
+        (256, 4, 1, 9), (257, 4, 1, 6), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 3), (273, 4, 1, strip_off), (277, 3, 1, 1),
+        (278, 4, 1, 6), (279, 4, 1, len(strip)), (320, 3, 48, cmap_off),
+    ]
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        out += struct.pack("<I", value) if typ == 4 or count > 2 \
+            else struct.pack("<HH", value, 0)
+    out += struct.pack("<I", 0)
+    (got,) = decode_gray_tiff(bytes(out))
+    r, g, b = (pal8[:, i] for i in range(3))
+    luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+    assert (got == luma[idx]).all()
