@@ -68,7 +68,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "jpeg_page", "exif_tiff_page", "exif_jpeg_page",
                   "pdf_page", "pdf_scanned_page", "pdf_two_column_page",
                   "rgb_png_page", "gif_page", "progressive_jpeg_page",
-                  "pdf_modern_page", "pdf_cid_page"):
+                  "pdf_modern_page", "pdf_cid_page", "pdf_searchable_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -346,7 +346,7 @@ PAGE_FAMILIES = [
     "cyrillic_page", "exif_tiff_page", "exif_jpeg_page", "pdf_page",
     "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
     "gif_page", "progressive_jpeg_page", "pdf_modern_page",
-    "pdf_cid_page",
+    "pdf_cid_page", "pdf_searchable_page",
 ]
 
 
@@ -459,6 +459,23 @@ class _Builder:
             payload = encode_simple_pdf(
                 [[("text", 72, 700 - 16 * i, 12, ln)
                   for i, ln in enumerate(lines)]], cid_font=True)
+            blocks = [TruthBlock("flowing_text", "\n".join(lines))]
+            img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
+        elif family == "pdf_searchable_page":
+            # invisible-text-over-scan: the searchable-PDF shape the
+            # reference's own pdfrenderer.cpp WRITES (text layer over the
+            # page image). The text layer is the content; the near-full-
+            # page backdrop is suppressed, so truth is text-only.
+            from ..functions.pdf import encode_simple_pdf
+            from .render import TruthBlock
+
+            cap = lambda s: " ".join(w.capitalize() for w in s.split())  # noqa: E731
+            lines = [cap(ln) for ln in _lines(self.rng, 3, 28)]
+            scan = np.full((792, 612), 214, dtype=np.uint8)
+            payload = encode_simple_pdf([
+                [("image", scan, 0, 0)]
+                + [("text", 72, 700 - 16 * i, 12, ln)
+                   for i, ln in enumerate(lines)]])
             blocks = [TruthBlock("flowing_text", "\n".join(lines))]
             img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
         elif family == "pdf_two_column_page":

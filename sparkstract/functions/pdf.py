@@ -1332,9 +1332,18 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
             right=int(round(grp["right"])), bottom=int(round(bot_max)),
             words=words))
 
+    has_text = any(b.kind == "flowing_text" for b in blocks)
     for it in page.items:
         if it[0] == "image":
             _, _arr, left, top, right, bottom = it
+            # searchable-PDF backdrop: a near-full-page image UNDER a text
+            # layer is the scan the text was OCRed from (the exact shape
+            # the reference's own pdfrenderer.cpp writes — invisible text
+            # over the page image). The text layer is the content; the
+            # backdrop would only duplicate it as pixels.
+            area = max(0, right - left) * max(0, bottom - top)
+            if has_text and area >= 0.9 * page.width * page.height:
+                continue
             blocks.append(Block(order=0, kind="flowing_image", text=None,
                                 left=left, top=top, right=right,
                                 bottom=bottom))

@@ -822,3 +822,30 @@ def test_cropbox_clips_page():
     assert texts["KEEP THIS LINE"] == (22, 500)
     blocks = blocks_from_pdf_page(page)
     assert [b.text for b in blocks] == ["KEEP THIS LINE"]
+
+
+def test_searchable_pdf_backdrop_suppressed():
+    """Invisible-text-over-scan (the reference's own pdfrenderer output
+    shape): the near-full-page backdrop image drops; the text layer is
+    the content. A SMALL embedded image beside text stays."""
+    scan = np.full((792, 612), 200, dtype=np.uint8)
+    small = np.full((40, 60), 90, dtype=np.uint8)
+    els = [[("image", scan, 0, 0),
+            ("text", 72, 700, 12, "OCR LAYER LINE ONE"),
+            ("text", 72, 684, 12, "OCR LAYER LINE TWO"),
+            ("image", small, 72, 300)]]
+    (page,) = parse_pdf(encode_simple_pdf(els))
+    blocks = blocks_from_pdf_page(page)
+    kinds = [b.kind for b in blocks]
+    assert kinds.count("flowing_image") == 1  # only the small figure
+    assert [b.text for b in blocks if b.kind == "flowing_text"] \
+        == ["OCR LAYER LINE ONE\nOCR LAYER LINE TWO"]
+
+
+def test_image_only_full_page_scan_kept():
+    """No text layer → the full-page scan is NOT a backdrop; it must
+    survive for the raster-OCR fallthrough."""
+    scan = np.full((792, 612), 180, dtype=np.uint8)
+    (page,) = parse_pdf(encode_simple_pdf([[("image", scan, 0, 0)]]))
+    blocks = blocks_from_pdf_page(page)
+    assert [b.kind for b in blocks] == ["flowing_image"]
