@@ -1300,6 +1300,12 @@ _HTML_DOCS: list[tuple[str, str]] = [
     ("h4", "<p>An article body with a citation <a href='/ref'>see the full "
            "reference text</a> inside keeps its line when prose dominates "
            "the anchors overall.</p>"),
+    ("h5", "<html lang=\"en\"><head><title>Fox &amp; Dog <b>Study</b>"
+           "</title><meta name=\"description\" content=\"A quick study "
+           "of foxes and dogs.\"><link rel=\"canonical\" "
+           "href=\"https://example.org/fox\"></head><body><h1>Foxes "
+           "<b>and</b> Dogs</h1><p>Body prose long enough to survive the "
+           "main content filter easily.</p></body></html>"),
 ]
 
 
@@ -1344,6 +1350,20 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", strip_boilerplate(F.col("html")).alias("main_text")
     ).orderBy("doc_id")
+
+
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/DOM metadata extraction (title, meta description, first h1,
+    html lang, canonical URL) — the companion of html_main_content for
+    the north rule's DOM-heuristics operator. Same regexp constants as
+    the DuckDB twin; empty string = absent in both engines."""
+    from sparkstract.functions.html import extract_metadata
+
+    df = spark.createDataFrame(_HTML_DOCS, "doc_id string, html string")
+    cols = extract_metadata(F.col("html"))
+    return df.select("doc_id",
+                     *[c.alias(n) for n, c in cols.items()]
+                     ).orderBy("doc_id")
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2462,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
+        "html_metadata": q_html_metadata,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "text_stats": q_text_stats,
@@ -2606,6 +2627,25 @@ def oracle_sql() -> dict[str, str]:
                      AND v.link <= 0.4 * length(v.txt)),
                      v -> v.txt), chr(10)) AS main_text
             FROM s ORDER BY doc_id
+        """
+
+    def _meta_txt(expr: str) -> str:
+        return _ent(
+            f"trim(regexp_replace(regexp_replace({expr}, "
+            f"{_sql_quote(_html.ANY_TAG_RE)}, ' ', 'g'), '\\s+', ' ', 'g'))")
+
+    html_meta_oracle = f"""
+            SELECT doc_id,
+                   {_meta_txt(f"regexp_extract(html, {_sql_quote(_html.TITLE_RE)}, 1)")} AS title,
+                   {_ent(f"trim(regexp_extract(html, {_sql_quote(_html.META_DESC_RE)}, 1))")} AS meta_description,
+                   {_meta_txt(f"regexp_extract(html, {_sql_quote(_html.H1_RE)}, 1)")} AS h1,
+                   lower(regexp_extract(html,
+                     {_sql_quote(_html.HTML_LANG_RE)}, 1)) AS lang,
+                   regexp_extract(html,
+                     {_sql_quote(_html.CANONICAL_RE)}, 1) AS canonical
+            FROM (VALUES
+            {html_rows}
+            ) AS t(doc_id, html) ORDER BY doc_id
         """
 
     bigram_list = "[" + ", ".join(f"'{b}'" for b in ts.COMMON_BIGRAMS) + "]"
@@ -3704,6 +3744,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 20 ORDER BY rank
         """,
         "html_main_content": html_oracle,
+        "html_metadata": html_meta_oracle,
         "pii_scrub": f"""
             SELECT doc_id, {pii_expr} AS scrubbed
             FROM (VALUES

@@ -83,3 +83,33 @@ def strip_boilerplate(col: Column, min_words: int = 4,
         & (s["link_chars"] <= max_link_density * F.length(s["txt"])),
     )
     return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")
+
+
+# ------------------------------------------------------------- metadata
+# head/DOM metadata extraction (the other half of the north rule's "DOM
+# heuristics"): title, meta description, first h1, html lang, canonical
+# URL. Pure regexp_extract group captures, shared verbatim with the
+# DuckDB twin (RE2-safe: no backreferences, inline (?is) flags only).
+# Attribute-order variants (content= before name=) are heuristically out
+# of scope — both engines see the same misses by construction.
+
+TITLE_RE = "(?is)<title[^>]*>(.*?)</title>"
+META_DESC_RE = ("(?is)<meta[^>]*name=[\"']description[\"'][^>]*"
+                "content=[\"']([^\"']*)[\"']")
+H1_RE = "(?is)<h1[^>]*>(.*?)</h1>"
+HTML_LANG_RE = "(?is)<html[^>]*[ \\t]lang=[\"']([A-Za-z-]+)[\"']"
+CANONICAL_RE = ("(?is)<link[^>]*rel=[\"']canonical[\"'][^>]*"
+                "href=[\"']([^\"']+)[\"']")
+
+
+def extract_metadata(col: Column) -> dict[str, Column]:
+    """Column map of head metadata fields (empty string when absent —
+    regexp_extract's no-match value in both engines)."""
+    return {
+        "title": _line_text(F.regexp_extract(col, TITLE_RE, 1)),
+        "meta_description": _decode_entities(
+            F.trim(F.regexp_extract(col, META_DESC_RE, 1))),
+        "h1": _line_text(F.regexp_extract(col, H1_RE, 1)),
+        "lang": F.lower(F.regexp_extract(col, HTML_LANG_RE, 1)),
+        "canonical": F.regexp_extract(col, CANONICAL_RE, 1),
+    }

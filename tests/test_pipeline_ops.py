@@ -416,3 +416,25 @@ def test_minhash_match_always_finds_exact_copies(spark):
             r = hits[("n-%d" % i, i)]
             # an exact copy ALWAYS matches its source with a full signature
             assert r["n_bands"] == 4 and r["n_sig_match"] == 8
+
+
+def test_html_metadata_fields(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstract.functions.html import extract_metadata
+
+    html = ('<html lang="EN-us"><head><title> A &amp; B <i>site</i> '
+            '</title><meta name="description" content="desc here">'
+            '<link rel="canonical" href="https://x.y/p"></head>'
+            '<body><h1>Head <b>One</b></h1></body></html>')
+    df = spark.createDataFrame([("d", html), ("e", "<p>no head</p>")],
+                               "doc_id string, html string")
+    cols = extract_metadata(F.col("html"))
+    row = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]).collect()}
+    assert row["d"]["title"] == "A & B site"
+    assert row["d"]["meta_description"] == "desc here"
+    assert row["d"]["h1"] == "Head One"
+    assert row["d"]["lang"] == "en-us"
+    assert row["d"]["canonical"] == "https://x.y/p"
+    assert row["e"]["title"] == "" and row["e"]["lang"] == ""
