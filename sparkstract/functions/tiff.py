@@ -288,24 +288,46 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
                                         ifd_off + 2 + 12 * n)
         w, h = tags[256][0], tags[257][0]
         nsamp = tags.get(277, [1])[0]
+        bps = tags.get(258, [8])
+        bilevel = nsamp == 1 and bps == [1]
         # RGB (3) / RGBA (4, alpha dropped) collapse to BT.601 luma the way
         # Leptonica's pixConvertTo8 does before analysis; chunky planar
-        # config only (PlanarConfiguration=2 stores whole planes — rare)
-        if nsamp not in (1, 3, 4) or tags.get(284, [1])[0] != 1 \
-                or any(b != 8 for b in tags.get(258, [8])):
-            raise ValueError("only 8-bit chunky gray/RGB/RGBA TIFF supported")
+        # config only (PlanarConfiguration=2 stores whole planes — rare).
+        # 1-bit bilevel (the scan classic, minus the out-of-scope G4
+        # compression) unpacks MSB-first rows.
+        if tags.get(284, [1])[0] != 1 or nsamp not in (1, 3, 4) \
+                or not (bilevel or all(b == 8 for b in bps)):
+            raise ValueError(
+                "only 1-bit bilevel or 8-bit chunky gray/RGB/RGBA TIFF "
+                "supported")
         if 322 in tags or 323 in tags:   # TileWidth / TileLength
             raise ValueError("tiled TIFF: out of scope (strip layout only)")
         comp = tags.get(259, [1])[0]
         if comp not in (1, 5, 32773):
             raise ValueError(f"TIFF compression {comp}: out of scope "
                              "(none/LZW/PackBits supported)")
-        expect = h * w * nsamp
+        expect = h * ((w + 7) // 8) if bilevel else h * w * nsamp
         undo = {1: lambda b: b,
                 5: lambda b: _lzw_decode(b, max_out=expect),
                 32773: _packbits_decode}[comp]
         offs, cnts = tags[273], tags[279]
         raw = b"".join(undo(data[o : o + c]) for o, c in zip(offs, cnts))
+        if bilevel:
+            stride = (w + 7) // 8
+            packed = np.frombuffer(raw[: h * stride], dtype=np.uint8)
+            if packed.size < h * stride:
+                raise ValueError("truncated bilevel TIFF raster")
+            bits = np.unpackbits(packed.reshape(h, stride), axis=1)[:, :w]
+            # photometric 0 (WhiteIsZero, the bilevel default: 1 = black)
+            # vs 1 (BlackIsZero: 1 = white); the 8-bit invert below must
+            # not run again, so map directly here
+            if tags.get(262, [0])[0] == 0:
+                img = np.where(bits == 1, 0, 255).astype(np.uint8)
+            else:
+                img = np.where(bits == 1, 255, 0).astype(np.uint8)
+            img = apply_exif_orientation(img, tags.get(274, [1])[0])
+            pages.append(img.copy())
+            continue
         img = np.frombuffer(raw[: h * w * nsamp], dtype=np.uint8)
         img = img.reshape(h, w * nsamp)
         if tags.get(317, [1])[0] == 2:  # horizontal-differencing predictor

@@ -265,3 +265,40 @@ def test_palette_tiff_colormap_luma():
     r, g, b = (pal8[:, i] for i in range(3))
     luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
     assert (got == luma[idx]).all()
+
+
+def test_bilevel_1bit_tiff():
+    """1-bit TIFF (WhiteIsZero default and BlackIsZero), MSB-first packed
+    rows with byte-aligned row boundaries."""
+    import struct
+
+    rng = np.random.default_rng(91)
+    bits = rng.integers(0, 2, (5, 11), dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)
+
+    def build(photometric):
+        strip = packed.tobytes()
+        out = bytearray(b"II*\x00\x00\x00\x00\x00")
+        strip_off = len(out)
+        out += strip
+        if len(out) % 2:
+            out += b"\x00"
+        ifd_off = len(out)
+        struct.pack_into("<I", out, 4, ifd_off)
+        entries = [
+            (256, 4, 1, 11), (257, 4, 1, 5), (258, 3, 1, 1), (259, 3, 1, 1),
+            (262, 3, 1, photometric), (273, 4, 1, strip_off), (277, 3, 1, 1),
+            (278, 4, 1, 5), (279, 4, 1, len(strip)),
+        ]
+        out += struct.pack("<H", len(entries))
+        for tag, typ, count, value in entries:
+            out += struct.pack("<HHI", tag, typ, count)
+            out += struct.pack("<I", value) if typ == 4 \
+                else struct.pack("<HH", value, 0)
+        out += struct.pack("<I", 0)
+        return bytes(out)
+
+    (got0,) = decode_gray_tiff(build(0))   # WhiteIsZero: 1 = black
+    assert (got0 == np.where(bits == 1, 0, 255)).all()
+    (got1,) = decode_gray_tiff(build(1))   # BlackIsZero: 1 = white
+    assert (got1 == np.where(bits == 1, 255, 0)).all()
