@@ -1832,6 +1832,43 @@ def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "offset", "block_order", "para_num", "line_num", "word_num")
 
 
+def q_extract_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-level sidecar (the RIL_SYMBOL walk of GetBoxText,
+    baseapi.cpp:2391): one row per decoded character with its decode-cell
+    box, per-char confidence, and the page height the box renderer flips
+    with. Oracle: VALUES from the identical kernel run single-process."""
+    from sparkstract.plans.pipeline import extract_symbols
+
+    docs, media, _ = _fixture_frames(spark)
+    return extract_symbols(spark, docs, media).orderBy(
+        "doc_id", "offset", "block_order", "para_num", "line_num",
+        "word_num", "sym_num")
+
+
+def q_render_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.box training-file renderer (S9, GetBoxText baseapi.cpp:2391 /
+    TessBoxTextRenderer renderer.h:298): one `char l (H-bottom) r (H-top)
+    page` line per symbol, y flipped to bottom-left origin. Oracle: the
+    identical string assembled single-process from the symbols truth."""
+    from sparkstract.plans.pipeline import extract_symbols
+    from sparkstract.sinks import render_box
+
+    docs, media, _ = _fixture_frames(spark)
+    return render_box(extract_symbols(spark, docs, media)).orderBy("doc_id")
+
+
+def q_render_unlv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNLV-format renderer (S9, GetUNLVText baseapi.cpp:2440 /
+    TessUnlvRenderer renderer.h:276): Latin-1 text with the kUniChs fold,
+    '~' rejects for non-Latin-1 decodes and '^' suspect marks on low-
+    confidence characters. Oracle: single-process twin of the fold."""
+    from sparkstract.plans.pipeline import extract_symbols
+    from sparkstract.sinks import render_unlv
+
+    docs, media, _ = _fixture_frames(spark)
+    return render_unlv(extract_symbols(spark, docs, media)).orderBy("doc_id")
+
+
 def q_render_tsv_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-hierarchy TSV (GetTSVText levels 1-5, baseapi.cpp:2205) over the
     fixture corpus — both input views from ONE kernel pass
@@ -1947,25 +1984,25 @@ def _media_truth() -> tuple[list[tuple], list[tuple]]:
     return feats, thumbs
 
 
-def _local_page_blocks(data: bytes) -> list[list]:
+def _local_page_blocks(data: bytes) -> list[tuple[list, int]]:
     """The distributed kernel's per-media page iteration run locally (incl.
     the PDF born-digital rule — text-layer pages parse, image-only pages
-    OCR), one block list per decoded page: the shared base for every
-    single-process truth constant."""
+    OCR), one (block list, page_h) per decoded page: the shared base for
+    every single-process truth constant."""
     from sparkstract.functions.codecs import decode_pages
     from sparkstract.functions.pdf import blocks_from_pdf_page, parse_pdf
     from sparkstract.operators.page import analyse_page
 
     if data[:5] == b"%PDF-":
-        out: list[list] = []
+        out: list[tuple[list, int]] = []
         for pg in parse_pdf(data):
             if pg.has_text:
-                out.append(blocks_from_pdf_page(pg))
+                out.append((blocks_from_pdf_page(pg), int(round(pg.height))))
             else:
-                out.extend(analyse_page(it[1])
+                out.extend((analyse_page(it[1]), it[1].shape[0])
                            for it in pg.items if it[0] == "image")
         return out
-    return [analyse_page(gray) for gray in decode_pages(data)]
+    return [(analyse_page(gray), gray.shape[0]) for gray in decode_pages(data)]
 
 
 @functools.lru_cache(maxsize=1)
@@ -1980,18 +2017,94 @@ def _words_truth() -> list[tuple]:
             if span["kind"] != "media":
                 continue
             base = 0
-            for blocks in _local_page_blocks(
+            for blocks, _page_h in _local_page_blocks(
                     bytes(img_by_ref[span["media_ref"]])):
                 for blk in blocks:
                     if not blk.words:
                         continue
-                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in blk.words:
+                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf,
+                         _syms) in blk.words:
                         rows.append((d.doc_id, span["offset"],
                                      base + blk.order, p, ln,
                                      wn, wtext, span["media_ref"],
                                      wl, wt, wr, wb, conf))
                 base += len(blocks)
     return rows
+
+
+@functools.lru_cache(maxsize=1)
+def _symbols_truth() -> list[tuple]:
+    """Single-process ground truth for extract_symbols (the RIL_SYMBOL walk
+    of GetBoxText, baseapi.cpp:2391): the same page kernel run locally per
+    fixture media span, one row per decoded character."""
+    fs = _fixture_set()
+    img_by_ref = {r.media_ref: r.image for r in fs.media.itertuples()}
+    rows: list[tuple] = []
+    for d in fs.docs.itertuples():
+        for span in d.spans:
+            if span["kind"] != "media":
+                continue
+            base = 0
+            for blocks, page_h in _local_page_blocks(
+                    bytes(img_by_ref[span["media_ref"]])):
+                for blk in blocks:
+                    if not blk.words:
+                        continue
+                    for (p, ln, wn, _wt, _l, _t, _r, _b, _c,
+                         syms) in blk.words:
+                        for si, (ch, sl, st, sr, sb, sc) in enumerate(syms):
+                            rows.append((d.doc_id, span["offset"],
+                                         base + blk.order, p, ln, wn, si,
+                                         ch, span["media_ref"],
+                                         sl, st, sr, sb, sc, page_h))
+                base += len(blocks)
+    return rows
+
+
+@functools.lru_cache(maxsize=1)
+def _box_unlv_truth() -> tuple[list[tuple], list[tuple]]:
+    """Single-process twins of render_box / render_unlv assembled from the
+    symbols truth — pins the distributed folds (and the UNLV fold/reject/
+    suspect character rules) to locally computed constants."""
+    from sparkstract.sinks import (UNLV_LATIN, UNLV_REJECT, UNLV_SUSPECT,
+                                   UNLV_UNI)
+
+    from collections import defaultdict
+
+    by_doc: dict[str, list[tuple]] = defaultdict(list)
+    for row in _symbols_truth():
+        by_doc[row[0]].append(row)
+    fold = dict(zip(UNLV_UNI, UNLV_LATIN))
+    box_out: list[tuple] = []
+    unlv_out: list[tuple] = []
+    for doc in sorted(by_doc):
+        rows = sorted(by_doc[doc], key=lambda r: (r[1], r[2], r[3], r[4],
+                                                  r[5], r[6]))
+        box_lines: list[str] = []
+        pieces: list[str] = []
+        prev = None
+        for (_d, off, bo, p, ln, wn, _si, ch, _ref, sl, st, sr, sb, sc,
+             page_h) in rows:
+            box_lines.append(
+                f"{UNLV_REJECT if ch == ' ' else ch} {sl} "
+                f"{page_h - 1 - sb} {sr} {page_h - 1 - st} {off}")
+            c = fold.get(ch, ch)
+            if c == " " or c > "\u00ff":
+                c = UNLV_REJECT
+            if sc < 80:
+                c = UNLV_SUSPECT + c
+            word_key = (off, bo, p, ln, wn)
+            line_key = (off, bo, p, ln)
+            if prev is None or prev[0] == word_key:
+                pieces.append(c)
+            elif prev[1] == line_key:
+                pieces.append(" " + c)
+            else:
+                pieces.append("\n" + c)
+            prev = (word_key, line_key)
+        box_out.append((doc, "\n".join(box_lines)))
+        unlv_out.append((doc, "".join(pieces)))
+    return box_out, unlv_out
 
 
 @functools.lru_cache(maxsize=1)
@@ -2006,7 +2119,7 @@ def _layout_geometry_truth() -> list[tuple]:
             if span["kind"] != "media":
                 continue
             base = 0
-            for blocks in _local_page_blocks(
+            for blocks, _page_h in _local_page_blocks(
                     bytes(img_by_ref[span["media_ref"]])):
                 for blk in blocks:
                     rows.append((d.doc_id, span["offset"], base + blk.order,
@@ -2503,6 +2616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thumbnails": q_thumbnails,
         "layout_geometry": q_layout_geometry,
         "extract_words": q_extract_words,
+        "extract_symbols": q_extract_symbols,
+        "render_box": q_render_box,
+        "render_unlv": q_render_unlv,
         "render_tsv_levels": q_render_tsv_levels,
         "render_hocr_words": q_render_hocr_words,
         "render_alto_words": q_render_alto_words,
@@ -2687,6 +2803,17 @@ def oracle_sql() -> dict[str, str]:
         f"{_sql_quote(text) if text is not None else 'CAST(NULL AS VARCHAR)'}, "
         f"{_sql_quote(ref)}, {l}, {t}, {r}, {b})"
         for doc, off, bo, kind, text, ref, l, t, r, b in _layout_geometry_truth())
+    symbol_rows = ",\n".join(
+        f"({_sql_quote(doc)}, {off}, {bo}, {p}, {ln}, {wn}, {si}, "
+        f"{_sql_quote(ch)}, {_sql_quote(ref)}, {l}, {t}, {r}, {b}, {conf}, "
+        f"{page_h})"
+        for doc, off, bo, p, ln, wn, si, ch, ref, l, t, r, b, conf, page_h
+        in _symbols_truth())
+    _box_truth, _unlv_truth = _box_unlv_truth()
+    box_rows = ",\n".join(
+        f"({_sql_quote(doc)}, {_sql_quote(s)})" for doc, s in _box_truth)
+    unlv_rows = ",\n".join(
+        f"({_sql_quote(doc)}, {_sql_quote(s)})" for doc, s in _unlv_truth)
     word_rows = ",\n".join(
         f"({_sql_quote(doc)}, {off}, {bo}, {p}, {ln}, {wn}, "
         f"{_sql_quote(wtext)}, {_sql_quote(ref)}, {l}, {t}, {r}, {b}, {conf})"
@@ -3912,6 +4039,25 @@ def oracle_sql() -> dict[str, str]:
                    "bottom", conf)
             ORDER BY doc_id, "offset", block_order, para_num, line_num,
                      word_num
+        """,
+        "extract_symbols": f"""
+            SELECT * FROM (VALUES
+            {symbol_rows}
+            ) AS t(doc_id, "offset", block_order, para_num, line_num,
+                   word_num, sym_num, ch, media_ref, "left", "top",
+                   "right", "bottom", conf, page_h)
+            ORDER BY doc_id, "offset", block_order, para_num, line_num,
+                     word_num, sym_num
+        """,
+        "render_box": f"""
+            SELECT * FROM (VALUES
+            {box_rows}
+            ) AS t(doc_id, box) ORDER BY doc_id
+        """,
+        "render_unlv": f"""
+            SELECT * FROM (VALUES
+            {unlv_rows}
+            ) AS t(doc_id, unlv) ORDER BY doc_id
         """,
         "render_tsv_levels": f"""
             SELECT * FROM (VALUES

@@ -1318,11 +1318,18 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
                     j = i
                     while j < len(txt) and txt[j] != " ":
                         j += 1
+                    # per-symbol boxes from the same cumulative advance
+                    # table (char k spans cum[k]..cum[k+1]) — born-digital
+                    # metrics are exact, so symbol conf is 100 like words
+                    syms = tuple(
+                        (txt[k], int(round(x + cum[k])), int(round(top)),
+                         int(round(x + cum[k + 1])), int(round(bottom)), 100)
+                        for k in range(i, j))
                     words.append((0, lnum, wnum, txt[i:j],
                                   int(round(x + cum[i])),
                                   int(round(top)),
                                   int(round(x + cum[j])),
-                                  int(round(bottom)), 100))
+                                  int(round(bottom)), 100, syms))
                     wnum += 1
                     i = j
             text_lines.append(" ".join(parts))

@@ -101,10 +101,13 @@ class Block:
     bottom: int
     # word-level hierarchy (S5/S7 full renderer depth, GetTSVText levels 3-5
     # baseapi.cpp:2205; hOCR ocr_par/ocr_line/ocrx_word hocrrenderer.cpp:136):
-    # flat (para_num, line_num, word_num, text, l, t, r, b, conf) per word,
-    # para_num from the wired paragraph detector (W6, DetectParagraphs inside
-    # Recognize, baseapi.cpp:1417). None for blocks with no word decode
-    # (images, rules, tables, vertical chains, layout-only runs).
+    # flat (para_num, line_num, word_num, text, l, t, r, b, conf, syms) per
+    # word, para_num from the wired paragraph detector (W6, DetectParagraphs
+    # inside Recognize, baseapi.cpp:1417). `syms` is the word's per-SYMBOL
+    # tuple ((char, l, t, r, b, conf), ...) aligned 1:1 with the word text —
+    # the RIL_SYMBOL depth GetBoxText walks (baseapi.cpp:2391). None for
+    # blocks with no word decode (images, rules, tables, vertical chains,
+    # layout-only runs).
     words: list[tuple] | None = None
 
 
@@ -291,7 +294,13 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     # extent from the groups' own edges when available, else the row band.
     # conf = 100 * (1 - hamming/bits), the template-decode analog of
     # WERD_RES certainty (ratngs.h:270).
+    # Each word also carries its per-SYMBOL records (the RIL_SYMBOL level of
+    # GetBoxText, baseapi.cpp:2391): symbol i is the word text's i-th char,
+    # boxed at its own decode cell — the cell the glyph was matched in
+    # (nominal grid position starts/y0s, width/height one glyph cell), with
+    # its own per-char confidence from the cell's hamming distance.
     recs: list[tuple] = []
+    cell_w, cell_h = GLYPH_W * s, GLYPH_H * s
     for wi in range(ns.shape[0]):
         a, z = int(w_first[wi]), int(w_last[wi])
         wl, wr = int(gl[a]), int(gr[z])
@@ -299,7 +308,12 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         wb_ = int(gb[a : z + 1].max()) if gb is not None else int(row_bottom)
         d_w = int(best_d[cum[wi] : cum[wi + 1]].sum())
         conf = int(round(100.0 * (1.0 - d_w / (GLYPH_H * GLYPH_W * float(ns[wi])))))
-        recs.append((words[wi], wl, wt_, wr, wb_, conf))
+        syms = tuple(
+            (chars[k], int(starts[k]), int(y0s[k]),
+             int(starts[k]) + cell_w - 1, int(y0s[k]) + cell_h - 1,
+             int(round(100.0 * (1.0 - best_d[k] / float(GLYPH_H * GLYPH_W)))))
+            for k in range(int(cum[wi]), int(cum[wi + 1])))
+        recs.append((words[wi], wl, wt_, wr, wb_, conf, syms))
     if rtl and len(words) > 1:
         # W4 bidi textline order (resultiterator.cpp:285
         # CalculateTextlineOrder): the decode above walks glyphs in
@@ -1379,7 +1393,7 @@ def _attach_words(rows_seg: list[dict], lines_txt: list[str],
     the row's left edge vs the block's left margin, rindent vs the block's
     right margin, both divided by the row's own char pitch. detect_paragraphs
     then assigns para ids; output rows are
-    (para_num, line_num, word_num, text, l, t, r, b, conf) with para_num
+    (para_num, line_num, word_num, text, l, t, r, b, conf, syms) with para_num
     densely renumbered per block, line_num within para, word_num within line
     (the GetTSVText numbering contract, baseapi.cpp:2205)."""
     from .paragraphs import RowInfo, detect_paragraphs
@@ -1407,8 +1421,8 @@ def _attach_words(rows_seg: list[dict], lines_txt: list[str],
         p = pid_map.setdefault(ra.para_id, len(pid_map))
         ln = line_in_para.get(p, 0)
         line_in_para[p] = ln + 1
-        for wnum, (wt, l, t, rgt, b, conf) in enumerate(row_words[i]):
-            out.append((p, ln, wnum, wt, l, t, rgt, b, conf))
+        for wnum, (wt, l, t, rgt, b, conf, syms) in enumerate(row_words[i]):
+            out.append((p, ln, wnum, wt, l, t, rgt, b, conf, syms))
     return out
 
 
@@ -1535,9 +1549,11 @@ def analyse_zones(gray: np.ndarray, zones: list[dict], rtl: bool = False,
         for bb in blocks:
             if not bb.words:
                 continue
-            for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in bb.words:
+            for (p, ln, wn, wtext, wl, wt, wr, wb, conf, syms) in bb.words:
                 words.append((para_base + p, ln, wn, wtext,
-                              wl + x0, wt + y0, wr + x0, wb + y0, conf))
+                              wl + x0, wt + y0, wr + x0, wb + y0, conf,
+                              tuple((c, sl + x0, st + y0, sr + x0, sb + y0,
+                                     sc) for c, sl, st, sr, sb, sc in syms)))
             para_base += max(w[0] for w in bb.words) + 1
         out.append(Block(i, kind, text or None, l, t, r, b,
                          words=words or None))

@@ -85,9 +85,11 @@ def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
     pages from ONE media span, ProcessPagesMultipageTiff baseapi.cpp:1657 —
     block order continues across its pages in file order), apply the
     zone-override source or crop + analyse, and yield
-    (doc_id, offset, media_ref, crop_dx, crop_dy, base_order, blocks)
-    per decoded page. The emitting kernels differ only in which Block
-    fields they flatten.
+    (doc_id, offset, media_ref, crop_dx, crop_dy, base_order, blocks, page_h)
+    per decoded page — page_h is the page's pixel height (PDF unit height
+    for born-digital pages), the image_height_ the reference's GetBoxText
+    uses to flip symbol boxes to bottom-left origin (baseapi.cpp:2414).
+    The emitting kernels differ only in which Block fields they flatten.
 
     PDF media takes the born-digital path: a page WITH a text layer parses
     straight from the content stream (functions/pdf.py) and never touches
@@ -117,26 +119,29 @@ def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
                 raise
             yield (doc_id, offset, ref, 0, 0, 0,
                    [Block(0, "decode_error", f"{type(e).__name__}: {e}",
-                          0, 0, 0, 0)])
+                          0, 0, 0, 0)], 0)
             continue
         base = 0
         if is_pdf:
             for pg in pdf_pages:
                 if pg.has_text:
                     blocks = blocks_from_pdf_page(pg, crop=cfg.crop)
-                    yield doc_id, offset, ref, 0, 0, base, blocks
+                    yield (doc_id, offset, ref, 0, 0, base, blocks,
+                           int(round(pg.height)))
                     base += len(blocks)
                     continue
                 for it in pg.items:  # scanned page: OCR the embedded raster
                     if it[0] != "image":
                         continue
                     dx, dy, blocks = _analyse_raster(cfg, it[1], page_zones)
-                    yield doc_id, offset, ref, dx, dy, base, blocks
+                    yield (doc_id, offset, ref, dx, dy, base, blocks,
+                           it[1].shape[0])
                     base += len(blocks)
             continue
         for gray in pages:
             crop_dx, crop_dy, blocks = _analyse_raster(cfg, gray, page_zones)
-            yield doc_id, offset, ref, crop_dx, crop_dy, base, blocks
+            yield (doc_id, offset, ref, crop_dx, crop_dy, base, blocks,
+                   gray.shape[0])
             base += len(blocks)
 
 
@@ -152,7 +157,7 @@ def _page_kernel(cfg: ExtractConfig):
                                     ("doc_id", "offset", "block_order", "kind",
                                      "text", "media_ref",
                                      "left", "top", "right", "bottom")}
-            for doc_id, offset, ref, dx, dy, base, blocks \
+            for doc_id, offset, ref, dx, dy, base, blocks, _page_h \
                     in _iter_page_blocks(cfg, pdf):
                 for blk in blocks:
                     out["doc_id"].append(doc_id)
@@ -277,12 +282,12 @@ def _word_kernel(cfg: ExtractConfig):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
-            for doc_id, offset, ref, dx, dy, base, blocks \
+            for doc_id, offset, ref, dx, dy, base, blocks, _page_h \
                     in _iter_page_blocks(cfg, pdf):
                 for blk in blocks:
                     if not blk.words:
                         continue
-                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in blk.words:
+                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf, _syms) in blk.words:
                         out["doc_id"].append(doc_id)
                         out["offset"].append(offset)
                         out["block_order"].append(base + blk.order)
@@ -316,6 +321,69 @@ def extract_words(spark: SparkSession, docs: DataFrame, media: DataFrame,
     return work.mapInPandas(_word_kernel(cfg), schema=WORDS_SCHEMA)
 
 
+# symbol-level sidecar (the RIL_SYMBOL depth of GetBoxText,
+# baseapi.cpp:2391): one row per decoded CHARACTER with its own cell box
+# and per-char confidence; page_h carries the page pixel height the box
+# renderer needs to flip y to the box-file's bottom-left origin
+SYMBOLS_SCHEMA = (
+    "doc_id string, offset int, block_order int, para_num int, line_num int, "
+    "word_num int, sym_num int, ch string, media_ref string, "
+    "left int, top int, right int, bottom int, conf int, page_h int"
+)
+
+
+def _symbol_kernel(cfg: ExtractConfig):
+    """mapInPandas kernel emitting one row per decoded SYMBOL (character) —
+    the RIL_SYMBOL iteration GetBoxText performs (baseapi.cpp:2391-2422).
+    Symbol boxes come straight from the decode cells the kernel matched
+    (page.py _decode_row), so char i of a word's text is row i's `ch`."""
+    cols = ("doc_id", "offset", "block_order", "para_num", "line_num",
+            "word_num", "sym_num", "ch", "media_ref", "left", "top",
+            "right", "bottom", "conf", "page_h")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, offset, ref, dx, dy, base, blocks, page_h \
+                    in _iter_page_blocks(cfg, pdf):
+                for blk in blocks:
+                    if not blk.words:
+                        continue
+                    for (p, ln, wn, _wtext, _wl, _wt, _wr, _wb, _conf,
+                         syms) in blk.words:
+                        for si, (ch, sl, st, sr, sb, sc) in enumerate(syms):
+                            out["doc_id"].append(doc_id)
+                            out["offset"].append(offset)
+                            out["block_order"].append(base + blk.order)
+                            out["para_num"].append(p)
+                            out["line_num"].append(ln)
+                            out["word_num"].append(wn)
+                            out["sym_num"].append(si)
+                            out["ch"].append(ch)
+                            out["media_ref"].append(ref)
+                            out["left"].append(sl + dx)
+                            out["top"].append(st + dy)
+                            out["right"].append(sr + dx)
+                            out["bottom"].append(sb + dy)
+                            out["conf"].append(sc)
+                            out["page_h"].append(page_h)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def extract_symbols(spark: SparkSession, docs: DataFrame, media: DataFrame,
+                    cfg: ExtractConfig | None = None,
+                    zones: DataFrame | None = None) -> DataFrame:
+    """Symbol-level sidecar of `extract`: one row per decoded character with
+    its decode-cell box — the data GetBoxText (baseapi.cpp:2391) walks to
+    write .box training files. Same plan shape as extract_words: one kernel
+    pass, partition-local until the consumer's own fold."""
+    cfg = cfg or ExtractConfig()
+    work, _ = _work_frame(docs, media, cfg, zones)
+    return work.mapInPandas(_symbol_kernel(cfg), schema=SYMBOLS_SCHEMA)
+
+
 def _hier_kernel(cfg: ExtractConfig):
     """mapInPandas kernel emitting BOTH hierarchy views in one decode pass:
     a level='block' row per layout block and a level='word' row per
@@ -346,7 +414,7 @@ def _hier_kernel(cfg: ExtractConfig):
                 out["word_num"].append(wn)
                 out["conf"].append(conf)
 
-            for doc_id, offset, ref, dx, dy, base, blocks \
+            for doc_id, offset, ref, dx, dy, base, blocks, _page_h \
                     in _iter_page_blocks(cfg, pdf):
                 for blk in blocks:
                     emit(doc_id, offset, ref, "block", base + blk.order,
@@ -355,7 +423,7 @@ def _hier_kernel(cfg: ExtractConfig):
                          blk.right + dx, blk.bottom + dy)
                     if not (blk.words and cfg.recognize):
                         continue
-                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf) in blk.words:
+                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf, _syms) in blk.words:
                         emit(doc_id, offset, ref, "word",
                              base + blk.order, blk.kind, wtext,
                              wl + dx, wt + dy, wr + dx, wb + dy,

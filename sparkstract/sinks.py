@@ -760,3 +760,90 @@ def render_page_xml_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
                                      lambda s: s["h"]), "\n"),
             F.lit("\n</PcGts>")).alias("page_xml"))
     )
+
+
+# GetUNLVText's latin fold table (kUniChs → kLatinChs, baseapi.cpp:2431-2434):
+# €→¢ “→" ”→" ‘→' ’→' •→· —→-
+UNLV_UNI = "€“”‘’•—"
+UNLV_LATIN = "¢\"\"''·-"
+UNLV_REJECT = "~"   # kUNLVReject / kTesseractReject (tessedit.h)
+UNLV_SUSPECT = "^"  # kUNLVSuspect
+
+
+def _sym_order():
+    """The RIL_SYMBOL walk order of the symbol sidecar."""
+    return (F.col("offset"), F.col("block_order"), F.col("para_num"),
+            F.col("line_num"), F.col("word_num"), F.col("sym_num"))
+
+
+def render_box(symbols: DataFrame) -> DataFrame:
+    """(doc_id, box): the reference's .box training-file format — one line
+    per SYMBOL, `char left (H-bottom) right (H-top) page`, y flipped to the
+    box file's bottom-left origin via the page height (GetBoxText,
+    /root/reference/src/api/baseapi.cpp:2391-2422, TessBoxTextRenderer
+    renderer.h:298). A space decode is rewritten to the reject char '~'
+    exactly like GetBoxText's kTesseractReject fix (baseapi.cpp:2407-2411);
+    the page column is the media span's offset (the reference's
+    page_number argument). Coordinates are inclusive on both edges, so the
+    flip is H-1-y. Input: the extract_symbols sidecar. One shuffle (the
+    per-doc fold); the line assembly is all built-in expressions."""
+    ch = F.when(F.col("ch") == " ", UNLV_REJECT).otherwise(F.col("ch"))
+    line = F.concat_ws(
+        " ", ch,
+        F.col("left").cast("string"),
+        (F.col("page_h") - 1 - F.col("bottom")).cast("string"),
+        F.col("right").cast("string"),
+        (F.col("page_h") - 1 - F.col("top")).cast("string"),
+        F.col("offset").cast("string"))
+    rec = F.struct(*_sym_order(), line.alias("line"))
+    return (
+        symbols.groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(rec)),
+                        lambda s: s["line"]), "\n").alias("box"))
+    )
+
+
+def render_unlv(symbols: DataFrame, suspect_conf: int = 80) -> DataFrame:
+    """(doc_id, unlv): UNLV-format Latin-1 text with reject and suspect
+    codes (GetUNLVText, /root/reference/src/api/baseapi.cpp:2440,
+    TessUnlvRenderer renderer.h:276): the kUniChs→kLatinChs fold maps the
+    common non-Latin-1 punctuation into Latin-1 (baseapi.cpp:2428-2434);
+    any character still above U+00FF becomes the reject '~'
+    (baseapi.cpp:2508-2515); a character whose decode confidence is below
+    `suspect_conf` is prefixed with the suspect marker '^' — the per-char
+    reject_map marking of set_unlv_suspects (baseapi.cpp:2500-2503), driven
+    here by the template-decode hamming confidence. Words are joined by a
+    space within a line, lines/blocks by newline (the reference's
+    word->space()/BOL walk).
+
+    One shuffle: the lag window and the per-doc fold share the doc_id hash
+    partitioning. All character work is built-in expressions."""
+    folded = F.translate(F.col("ch"), UNLV_UNI, UNLV_LATIN)
+    ch = (F.when(folded == " ", UNLV_REJECT)
+          .when(folded >= "Ā", UNLV_REJECT)
+          .otherwise(folded))
+    ch = F.when(F.col("conf") < suspect_conf,
+                F.concat(F.lit(UNLV_SUSPECT), ch)).otherwise(ch)
+    w = Window.partitionBy("doc_id").orderBy(*_sym_order())
+    same_word = (
+        (F.lag("offset").over(w) == F.col("offset"))
+        & (F.lag("block_order").over(w) == F.col("block_order"))
+        & (F.lag("para_num").over(w) == F.col("para_num"))
+        & (F.lag("line_num").over(w) == F.col("line_num"))
+        & (F.lag("word_num").over(w) == F.col("word_num")))
+    same_line = (
+        (F.lag("offset").over(w) == F.col("offset"))
+        & (F.lag("block_order").over(w) == F.col("block_order"))
+        & (F.lag("para_num").over(w) == F.col("para_num"))
+        & (F.lag("line_num").over(w) == F.col("line_num")))
+    sep = (F.when(F.lag("ch").over(w).isNull(), "")
+           .when(same_word, "").when(same_line, " ").otherwise("\n"))
+    rec = F.struct(*_sym_order(), F.concat(sep, ch).alias("piece"))
+    return (
+        symbols.select("doc_id", rec.alias("rec"))
+        .groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("rec")),
+                        lambda s: s["piece"]), "").alias("unlv"))
+    )
