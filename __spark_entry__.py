@@ -1920,6 +1920,77 @@ def q_render_page_xml_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_page_xml_words(*hierarchy_views(h)).orderBy("doc_id")
 
 
+def q_render_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Searchable-PDF sink (S8, TessPDFRenderer pdfrenderer.cpp /
+    renderer.h:244): per doc, the backdrop-image + invisible-text-layer PDF
+    assembled from one kernel pass. The output is binary, so the gate
+    compares (sha256, n_bytes, n_pages) against the identical file
+    assembled single-process — byte determinism IS the renderer contract
+    (resumed jobs must re-emit identical files)."""
+    from sparkstract.plans.pipeline import extract_pdf_pages
+    from sparkstract.sinks import render_pdf
+
+    docs, media, _ = _fixture_frames(spark)
+    out = render_pdf(extract_pdf_pages(spark, docs, media))
+    return out.select(
+        "doc_id", F.sha2(F.col("pdf"), 256).alias("sha256"),
+        F.length("pdf").alias("n_bytes"), "n_pages").orderBy("doc_id")
+
+
+@functools.lru_cache(maxsize=1)
+def _pdf_truth() -> list[tuple]:
+    """Single-process twin of q_render_pdf: the same page parts + assembly
+    run locally per fixture doc → (doc_id, sha256, n_bytes, n_pages)."""
+    import hashlib
+
+    from sparkstract.functions.codecs import decode_pages
+    from sparkstract.functions.pdf import blocks_from_pdf_page, parse_pdf
+    from sparkstract.functions.pdfout import (assemble_pdf,
+                                              compress_page_image,
+                                              page_text_ops)
+    from sparkstract.operators.page import analyse_page
+
+    fs = _fixture_set()
+    img_by_ref = {r.media_ref: r.image for r in fs.media.itertuples()}
+    rows: list[tuple] = []
+    for d in fs.docs.itertuples():
+        parts: list[dict] = []
+        for span in d.spans:
+            if span["kind"] != "media":
+                continue
+            data = bytes(img_by_ref[span["media_ref"]])
+            pages: list[tuple] = []  # (blocks, gray|None, w, h)
+            if data[:5] == b"%PDF-":
+                for pg in parse_pdf(data):
+                    if pg.has_text:
+                        pages.append((blocks_from_pdf_page(pg), None,
+                                      int(round(pg.width)),
+                                      int(round(pg.height))))
+                    else:
+                        pages.extend(
+                            (analyse_page(it[1]), it[1],
+                             it[1].shape[1], it[1].shape[0])
+                            for it in pg.items if it[0] == "image")
+            else:
+                pages.extend((analyse_page(g), g, g.shape[1], g.shape[0])
+                             for g in decode_pages(data))
+            for blocks, gray, w, h in pages:
+                words = [(wt, wl, wtop, wr, wb)
+                         for blk in blocks if blk.words
+                         for (_p, _ln, _wn, wt, wl, wtop, wr, wb, _c,
+                              _s) in blk.words]
+                parts.append({
+                    "w": w, "h": h,
+                    "img": (compress_page_image(gray)
+                            if gray is not None else None),
+                    "ops": page_text_ops(words, h)})
+        if parts:
+            pdf = assemble_pdf(parts)
+            rows.append((d.doc_id, hashlib.sha256(pdf).hexdigest(),
+                         len(pdf), len(parts)))
+    return sorted(rows)
+
+
 def q_layout_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block bounding boxes at the reference's TSV/hOCR level of detail.
     Oracle: VALUES literal computed at build time by running the identical
@@ -2623,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_hocr_words": q_render_hocr_words,
         "render_alto_words": q_render_alto_words,
         "render_page_xml_words": q_render_page_xml_words,
+        "render_pdf": q_render_pdf,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "bpe_fertility": q_bpe_fertility,
@@ -2828,6 +2900,10 @@ def oracle_sql() -> dict[str, str]:
         f"CAST([{', '.join(repr(x) for x in p)}] AS DOUBLE[])), 6) >= 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(_planes))
+
+    pdf_rows = ",\n".join(
+        f"({_sql_quote(doc)}, {_sql_quote(sha)}, {nb}, {np_})"
+        for doc, sha, nb, np_ in _pdf_truth())
 
     tsv_truth, hocr_truth, alto_truth, pagexml_truth = _hier_render_truth()
     tsv_level_rows = ",\n".join(
@@ -4078,6 +4154,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
             {pagexml_word_rows}
             ) AS t(doc_id, page_xml) ORDER BY doc_id
+        """,
+        "render_pdf": f"""
+            SELECT * FROM (VALUES
+            {pdf_rows}
+            ) AS t(doc_id, sha256, n_bytes, n_pages) ORDER BY doc_id
         """,
         "cosine_near_dup": """
             -- hot-label cap twin (cosine_near_dup_pairs max_label=4096):

@@ -79,7 +79,8 @@ def _analyse_raster(cfg: ExtractConfig, gray, page_zones):
                                           whitelist=cfg.char_whitelist)
 
 
-def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
+def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame,
+                      with_images: bool = False):
     """Shared kernel skeleton: decode each work row's media bytes (codec
     dispatch, SetImage baseapi.cpp:881; a multipage TIFF yields several
     pages from ONE media span, ProcessPagesMultipageTiff baseapi.cpp:1657 —
@@ -90,6 +91,12 @@ def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
     for born-digital pages), the image_height_ the reference's GetBoxText
     uses to flip symbol boxes to bottom-left origin (baseapi.cpp:2414).
     The emitting kernels differ only in which Block fields they flatten.
+    `with_images=True` appends (gray, page_w) as elements 9-10: the decoded
+    gray page array (None for born-digital PDF text pages and decode
+    errors) and the page's unit width (PDF user-space width for text
+    pages, pixel width otherwise; 0 for decode errors) — only the
+    searchable-PDF renderer kernel asks for them; the other kernels keep
+    the 8-tuple shape and the arrays stay kernel-local either way.
 
     PDF media takes the born-digital path: a page WITH a text layer parses
     straight from the content stream (functions/pdf.py) and never touches
@@ -117,31 +124,37 @@ def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame):
         except Exception as e:  # noqa: BLE001 — corrupt media is data, not a bug
             if cfg.decode_errors == "fail":
                 raise
-            yield (doc_id, offset, ref, 0, 0, 0,
+            err = (doc_id, offset, ref, 0, 0, 0,
                    [Block(0, "decode_error", f"{type(e).__name__}: {e}",
                           0, 0, 0, 0)], 0)
+            yield (err + (None, 0)) if with_images else err
             continue
         base = 0
         if is_pdf:
             for pg in pdf_pages:
                 if pg.has_text:
                     blocks = blocks_from_pdf_page(pg, crop=cfg.crop)
-                    yield (doc_id, offset, ref, 0, 0, base, blocks,
+                    row = (doc_id, offset, ref, 0, 0, base, blocks,
                            int(round(pg.height)))
+                    yield (row + (None, int(round(pg.width)))) \
+                        if with_images else row
                     base += len(blocks)
                     continue
                 for it in pg.items:  # scanned page: OCR the embedded raster
                     if it[0] != "image":
                         continue
                     dx, dy, blocks = _analyse_raster(cfg, it[1], page_zones)
-                    yield (doc_id, offset, ref, dx, dy, base, blocks,
+                    row = (doc_id, offset, ref, dx, dy, base, blocks,
                            it[1].shape[0])
+                    yield (row + (it[1], it[1].shape[1])) \
+                        if with_images else row
                     base += len(blocks)
             continue
         for gray in pages:
             crop_dx, crop_dy, blocks = _analyse_raster(cfg, gray, page_zones)
-            yield (doc_id, offset, ref, crop_dx, crop_dy, base, blocks,
+            row = (doc_id, offset, ref, crop_dx, crop_dy, base, blocks,
                    gray.shape[0])
+            yield (row + (gray, gray.shape[1])) if with_images else row
             base += len(blocks)
 
 
@@ -382,6 +395,70 @@ def extract_symbols(spark: SparkSession, docs: DataFrame, media: DataFrame,
     cfg = cfg or ExtractConfig()
     work, _ = _work_frame(docs, media, cfg, zones)
     return work.mapInPandas(_symbol_kernel(cfg), schema=SYMBOLS_SCHEMA)
+
+
+# per-page searchable-PDF parts (S8 TessPDFRenderer, reference
+# /root/reference/src/api/pdfrenderer.cpp): page dims, the Flate-compressed
+# gray backdrop (NULL for born-digital text pages — nothing to re-raster),
+# and the invisible text layer ops. `img` is compressed MAP-SIDE so the
+# per-doc assembly shuffle moves compressed bytes, never raw pixels.
+PDF_PAGES_SCHEMA = ("doc_id string, offset int, page_seq int, w int, h int, "
+                    "img binary, ops string")
+
+
+def _pdfout_kernel(cfg: ExtractConfig):
+    """mapInPandas kernel emitting one searchable-PDF page part per decoded
+    page: the AddImageHandler unit of the reference's TessPDFRenderer
+    (pdfrenderer.cpp:831) — backdrop image + invisible per-word text layer
+    (3 Tr, pdfrenderer.cpp:375). Decode errors yield no page (there is
+    nothing to re-render); page_seq orders a multipage media span's pages
+    within its (doc_id, offset) work unit."""
+    from ..functions.pdfout import compress_page_image, page_text_ops
+
+    cols = ("doc_id", "offset", "page_seq", "w", "h", "img", "ops")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            last_key, seq = None, 0
+            for doc_id, offset, ref, dx, dy, _base, blocks, page_h, gray, \
+                    page_w in _iter_page_blocks(cfg, pdf, with_images=True):
+                if page_h <= 0 or page_w <= 0:
+                    continue  # decode_error rows carry no renderable page
+                key = (doc_id, offset)
+                seq = seq + 1 if key == last_key else 0
+                last_key = key
+                words: list[tuple] = []
+                for blk in blocks:
+                    if not blk.words:
+                        continue
+                    for (_p, _ln, _wn, wtext, wl, wt, wr, wb, _conf,
+                         _syms) in blk.words:
+                        words.append((wtext, wl + dx, wt + dy,
+                                      wr + dx, wb + dy))
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["page_seq"].append(seq)
+                out["w"].append(page_w)
+                out["h"].append(page_h)
+                out["img"].append(
+                    compress_page_image(gray) if gray is not None else None)
+                out["ops"].append(page_text_ops(words, page_h))
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def extract_pdf_pages(spark: SparkSession, docs: DataFrame, media: DataFrame,
+                      cfg: ExtractConfig | None = None,
+                      zones: DataFrame | None = None) -> DataFrame:
+    """Per-page searchable-PDF parts (PDF_PAGES_SCHEMA) from one kernel
+    pass — same explode/salted-join/partitioning plan as `extract`. Feed to
+    sinks.render_pdf for the per-doc assembly; docs whose media all fail to
+    decode (or that have no media at all) contribute no pages."""
+    cfg = cfg or ExtractConfig()
+    work, _ = _work_frame(docs, media, cfg, zones)
+    return work.mapInPandas(_pdfout_kernel(cfg), schema=PDF_PAGES_SCHEMA)
 
 
 def _hier_kernel(cfg: ExtractConfig):

@@ -847,3 +847,44 @@ def render_unlv(symbols: DataFrame, suspect_conf: int = 80) -> DataFrame:
             F.transform(F.array_sort(F.collect_list("rec")),
                         lambda s: s["piece"]), "").alias("unlv"))
     )
+
+
+PDF_SCHEMA = "doc_id string, pdf binary, n_pages int"
+
+
+def render_pdf(pages: DataFrame) -> DataFrame:
+    """(doc_id, pdf, n_pages): one searchable PDF per document — the S8
+    TessPDFRenderer (/root/reference/src/api/pdfrenderer.cpp, renderer.h:244):
+    per page the gray backdrop image as an XObject and an INVISIBLE text
+    layer (3 Tr) whose Tz-stretched words exactly cover their image boxes,
+    so the file is viewable as the original scan yet selectable/searchable.
+
+    Input: the extract_pdf_pages parts frame (plans.pipeline
+    PDF_PAGES_SCHEMA). Page images arrive ALREADY Flate-compressed from the
+    kernel, so the one shuffle here (the per-doc fold) moves compressed
+    bytes; assembly is string concatenation + xref bookkeeping in an
+    applyInPandas over doc_id groups — per-group memory is one document's
+    compressed pages, the same unit the reference's renderer holds in its
+    object stream. Docs with zero decodable pages emit no file. Output is
+    byte-deterministic: resumed/re-run jobs re-emit identical PDFs, and the
+    oracle pins the distributed assembly to a single-process run."""
+    import pandas as pd
+
+    from .functions.pdfout import assemble_pdf
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["offset", "page_seq"])
+        parts = [
+            {"w": int(w), "h": int(h),
+             "img": bytes(img) if img is not None else None,
+             "ops": ops or ""}
+            for w, h, img, ops in
+            zip(pdf["w"], pdf["h"], pdf["img"], pdf["ops"])
+        ]
+        return pd.DataFrame({
+            "doc_id": [pdf["doc_id"].iloc[0]],
+            "pdf": [assemble_pdf(parts)],
+            "n_pages": [len(parts)],
+        })
+
+    return pages.groupBy("doc_id").applyInPandas(assemble, schema=PDF_SCHEMA)
