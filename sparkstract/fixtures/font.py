@@ -134,14 +134,39 @@ _RAW_CYRILLIC = {
 }
 _RAW.update(_RAW_CYRILLIC)
 
+# Devanagari glyph family (F9, the shiro-rekha splitter's script,
+# /root/reference/src/textord/devanagari_processing.cpp): every glyph's TOP
+# ROW is full ink — the shiro rekha (headline) passes THROUGH each letter,
+# and the fixture renderer extends it across the padding columns between
+# letters of one word, fusing the word into a single connected component
+# exactly like real Devanagari. The splitter (operators/page.py
+# _split_shiro_rekha) must undo that fusion before row/pitch/decode. Bodies
+# hang from the headline (stems/loops below), min hamming 4 vs the whole
+# LUT post-conform (checked at import by the collision assert; the RTL
+# set's own floor is 3).
+_RAW_DEVANAGARI = {
+    "क": ["11111", "00010", "01010", "10110", "01010", "00010", "00011"],
+    "ख": ["11111", "01010", "10101", "10101", "01010", "00010", "00010"],
+    "ग": ["11111", "01001", "00101", "00101", "00101", "00101", "11111"],
+    "घ": ["11111", "10001", "10101", "11101", "00111", "00101", "00101"],
+    "ट": ["11111", "00001", "00001", "01111", "10001", "10001", "01111"],
+    "न": ["11111", "00100", "00100", "11111", "00100", "00100", "00100"],
+    "म": ["11111", "01010", "10101", "01110", "00100", "01010", "10001"],
+    "र": ["11111", "00100", "01000", "11100", "00100", "00101", "00110"],
+    "स": ["11111", "10101", "10101", "01010", "00100", "01010", "10101"],
+    "द": ["11111", "01000", "00100", "01110", "00001", "10001", "11110"],
+}
+_RAW.update(_RAW_DEVANAGARI)
+
 # the strong-direction vocabulary consumed by the kernel's word-direction
-# classifier (page.py _word_direction): RTL = these; LTR = Latin, Greek AND
-# Cyrillic letters (all left-to-right scripts); digits and punctuation are
-# direction-neutral. STRONG_GREEK/STRONG_CYRILLIC feed the per-script OSD
-# vote.
+# classifier (page.py _word_direction): RTL = these; LTR = Latin, Greek,
+# Cyrillic AND Devanagari letters (all left-to-right scripts); digits and
+# punctuation are direction-neutral. STRONG_GREEK/STRONG_CYRILLIC/
+# STRONG_DEVANAGARI feed the per-script OSD vote.
 STRONG_RTL: frozenset[str] = frozenset(_RAW_RTL)
 STRONG_GREEK: frozenset[str] = frozenset(_RAW_GREEK)
 STRONG_CYRILLIC: frozenset[str] = frozenset(_RAW_CYRILLIC)
+STRONG_DEVANAGARI: frozenset[str] = frozenset(_RAW_DEVANAGARI)
 STRONG_LTR: frozenset[str] = frozenset(
     ch for ch in _RAW if ch.isalpha() and ch not in _RAW_RTL)
 
@@ -179,6 +204,14 @@ def _build() -> dict[str, np.ndarray]:
 
 GLYPHS: dict[str, np.ndarray] = _build()
 ALPHABET: str = "".join(sorted(GLYPHS))
+
+# F9 invariants: a Devanagari glyph's top row IS the shiro rekha (full
+# ink, so the fused word's headline passes through it), and its body
+# (rows below) has ink in EVERY column — a zero body column would let the
+# splitter's vertical projection cut inside the glyph.
+for _ch in _RAW_DEVANAGARI:
+    assert GLYPHS[_ch][0, :].all(), _ch
+    assert GLYPHS[_ch][1:, :].any(axis=0).all(), _ch
 
 # Flat decode tables (used by the recognizer for vectorized hamming match)
 _CHARS = sorted(GLYPHS)

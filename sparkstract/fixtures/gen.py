@@ -323,6 +323,15 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         return PageSpec(elements=[Text(
             ["БЖЗ ИЦЧ ШЩЮ", "ЯЗБ ЖИШ ЦЮЧ", "ЗЧЯ БШЖ ЮИЦ"])],
             scale=2, width_chars=13, seed=seed)
+    if family == "devanagari_page":  # F40 — shiro-rekha splitter (F9,
+        # devanagari_processing.cpp:231 SplitWordShiroRekha): the headline
+        # fuses each word into ONE connected component — without the split,
+        # rows see word-blobs, the pitch estimate loses its in-word deltas,
+        # and per-glyph decode/symbol boxes are impossible. The script vote
+        # must also pick 'devanagari' (LTR — no RTL flip).
+        return PageSpec(elements=[Text(
+            ["कखग घटन मरस", "दकन गमट खसर", "नदम टरक सगख"])],
+            scale=2, width_chars=13, seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[
@@ -346,7 +355,7 @@ PAGE_FAMILIES = [
     "cyrillic_page", "exif_tiff_page", "exif_jpeg_page", "pdf_page",
     "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
     "gif_page", "progressive_jpeg_page", "pdf_modern_page",
-    "pdf_cid_page", "pdf_searchable_page",
+    "pdf_cid_page", "pdf_searchable_page", "devanagari_page",
 ]
 
 

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .font import CELL_H, CELL_W, GLYPH_H, GLYPH_W, GLYPHS
+from .font import CELL_H, CELL_W, GLYPH_H, GLYPH_W, GLYPHS, STRONG_DEVANAGARI
 
 WHITE = np.uint8(255)
 INK = np.uint8(0)
@@ -231,11 +231,18 @@ def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int,
     if x + need > canvas.shape[1] or y + GLYPH_H * s > canvas.shape[0]:
         raise ValueError(f"text {text!r} at scale {s} overflows the page/column")
     cx = x
-    for ch in text:
+    for i, ch in enumerate(text):
         if ch != " ":
             bits = GLYPHS[ch]
             tile = np.kron(bits, np.ones((s, s), dtype=bool))
             canvas[y : y + GLYPH_H * s, cx : cx + GLYPH_W * s][tile] = INK
+            # shiro rekha (F9): between two adjacent Devanagari letters the
+            # headline continues across the padding column, fusing the word
+            # into ONE connected component — the property the kernel's
+            # _split_shiro_rekha exists to undo (devanagari_processing.cpp).
+            if (i + 1 < len(text) and ch in STRONG_DEVANAGARI
+                    and text[i + 1] in STRONG_DEVANAGARI):
+                canvas[y : y + s, cx + GLYPH_W * s : cx + adv] = INK
         cx += adv
     return cx - x
 

@@ -723,6 +723,104 @@ def _voting_centroids(blobs: Blobs):
     return cx[small], cy[small], float(np.median(hh[small]))
 
 
+def _split_shiro_rekha(ink: np.ndarray, tl: np.ndarray, tt: np.ndarray,
+                       tr: np.ndarray, tb: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray,
+                                  np.ndarray, np.ndarray]:
+    """F9 Devanagari shiro-rekha splitter (reference
+    /root/reference/src/textord/devanagari_processing.cpp:231
+    SplitWordShiroRekha): a Devanagari word is ONE connected component —
+    the headline (shiro rekha) runs through every letter and the padding
+    between them — so CC boxes arrive word-fused, breaking the per-glyph
+    row/pitch/decode machinery downstream. Per fused candidate:
+
+    * the headline is the global maximum of the horizontal count histogram
+      (GetShiroRekhaYExtents devanagari_processing.cpp:337); descending the
+      peak to half-height gives its stroke extent, and a real headline
+      spans (>=95% of) the full CC width, sits in the TOP half, and is no
+      thicker than height/3 — the reference's own safeguards, which also
+      reject rule lines (stroke == height) and solid shapes;
+    * clearing the headline band (top - stroke/3, thickness 5*stroke/3 —
+      the reference's box_to_clear) and thresholding the remaining vertical
+      projection at stroke/4 (its noise filter) leaves one column-run per
+      letter body; runs separated by gaps >= stroke/2 become separate
+      blobs (we take the MAXIMAL_SPLIT strategy — per-letter boxes — since
+      the template recognizer consumes isolated glyph cells; MINIMAL_SPLIT
+      only nicks the headline for pageseg spacing, which box-based rows
+      don't need).
+
+    Auto-detected rather than config-gated (the reference gates on the
+    loaded language's init_config): the headline signature cannot occur in
+    the other script families, whose inter-glyph padding is blank — a
+    single glyph is never 2x wider than tall, and anything wide AND
+    headline-topped that is not fused text (rules, solid boxes) fails the
+    stroke/position safeguards. Returns the blob arrays with fused words
+    replaced by their per-letter boxes."""
+    w = tr - tl + 1
+    h = tb - tt + 1
+    cand = np.nonzero((w >= 2 * h) & (h >= 4))[0]
+    if cand.shape[0] == 0:
+        return tl, tt, tr, tb
+    keep = np.ones(tl.shape[0], dtype=bool)
+    add: list[tuple[int, int, int, int]] = []
+    for i in cand:
+        wi, hi = int(w[i]), int(h[i])
+        sub = ink[tt[i] : tb[i] + 1, tl[i] : tr[i] + 1]
+        rowc = sub.sum(axis=1)
+        ylevel = int(np.argmax(rowc))
+        peak = int(rowc[ylevel])
+        if peak < int(np.ceil(0.95 * wi)):
+            continue  # headline must span the whole fused word
+        top = ylevel
+        while top > 0 and rowc[top - 1] >= (peak + 1) // 2:
+            top -= 1
+        bot = ylevel
+        while bot < hi - 1 and rowc[bot + 1] >= (peak + 1) // 2:
+            bot += 1
+        stroke = bot - top + 1
+        # safeguards (devanagari_processing.cpp:249-262): headline in the
+        # top half, stroke no thicker than a third of the word height
+        if ylevel > hi // 2 or stroke > hi // 3:
+            continue
+        y0 = max(top - stroke // 3, 0)
+        body = sub.copy()
+        body[y0 : min(y0 + (5 * stroke) // 3, hi), :] = False
+        colc = body.sum(axis=0)
+        on = colc > stroke // 4  # noise-column filter (cpp:292-299)
+        min_run = max(1, stroke // 2)
+        segs: list[list[int]] = []
+        c = 0
+        while c < wi:
+            if on[c]:
+                c2 = c
+                while c2 + 1 < wi and on[c2 + 1]:
+                    c2 += 1
+                # a gap narrower than stroke/2 does not split (cpp:303)
+                if segs and c - segs[-1][1] - 1 < min_run:
+                    segs[-1][1] = c2
+                else:
+                    segs.append([c, c2])
+                c = c2 + 1
+            else:
+                c += 1
+        if len(segs) < 2:
+            continue  # nothing to split (single letter under a long matra)
+        keep[i] = False
+        for c0, c1 in segs:
+            cols = sub[:, c0 : c1 + 1]
+            rows_ink = np.nonzero(cols.any(axis=1))[0]
+            add.append((int(tl[i]) + c0, int(tt[i]) + int(rows_ink[0]),
+                        int(tl[i]) + c1, int(tt[i]) + int(rows_ink[-1])))
+    if not add:
+        return tl, tt, tr, tb
+    al = np.array([a[0] for a in add], dtype=np.int64)
+    at = np.array([a[1] for a in add], dtype=np.int64)
+    ar = np.array([a[2] for a in add], dtype=np.int64)
+    ab = np.array([a[3] for a in add], dtype=np.int64)
+    return (np.concatenate([tl[keep], al]), np.concatenate([tt[keep], at]),
+            np.concatenate([tr[keep], ar]), np.concatenate([tb[keep], ab]))
+
+
 def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                  rtl: bool = False, psm: str = "auto",
                  lut: tuple[list[str], np.ndarray] = (DECODE_CHARS, DECODE_BOOL),
@@ -865,6 +963,12 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
 
     non_text = is_img | is_hline | is_vline
     tl, tt, tr, tb = left[~non_text], top[~non_text], right[~non_text], bottom[~non_text]
+
+    # ---- F9 shiro-rekha split: un-fuse Devanagari word CCs into per-letter
+    # blobs BEFORE any row/pitch/flow pass consumes the boxes (the reference
+    # runs its splitter ahead of pageseg for the same reason,
+    # devanagari_processing.cpp:83 Split) ----
+    tl, tt, tr, tb = _split_shiro_rekha(ink, tl, tt, tr, tb)
 
     # ---- non-text density mask (F7, ccnontextdetect.cpp:88): halftone /
     # textured photo regions are swarms of micro components no glyph grid
@@ -1431,11 +1535,14 @@ OSD_RETRY_DIST = 2.0  # mean bits/char above this → try the other 3 rotations
 
 def _script_tally(blocks: list[Block]) -> dict[str, int]:
     """Per-script strong-glyph counts over the page's decoded text."""
-    from ..fixtures.font import STRONG_CYRILLIC, STRONG_GREEK
+    from ..fixtures.font import (STRONG_CYRILLIC, STRONG_DEVANAGARI,
+                                 STRONG_GREEK)
 
-    scripts = (("latin", STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC),
+    scripts = (("latin", STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC
+                - STRONG_DEVANAGARI),
                ("greek", STRONG_GREEK),
                ("cyrillic", STRONG_CYRILLIC),
+               ("devanagari", STRONG_DEVANAGARI),
                ("hebrew", STRONG_RTL))
     tally = dict.fromkeys((n for n, _ in scripts), 0)
     for b in blocks:
@@ -1456,7 +1563,7 @@ def _page_script(blocks: list[Block]) -> str:
     likewise a max over per-script scores)."""
     tally = _script_tally(blocks)
     best, best_n = "latin", tally["latin"]
-    for name in ("greek", "cyrillic", "hebrew"):
+    for name in ("greek", "cyrillic", "devanagari", "hebrew"):
         if tally[name] > best_n:
             best, best_n = name, tally[name]
     return best
@@ -1479,7 +1586,8 @@ def _suspect_decode(blocks: list[Block], quality: float) -> bool:
     if quality <= 0:
         return False
     t = _script_tally(blocks)
-    return sum(1 for k in ("greek", "cyrillic", "hebrew") if t[k] > 0) >= 2
+    return sum(1 for k in ("greek", "cyrillic", "devanagari", "hebrew")
+               if t[k] > 0) >= 2
 
 
 def _script_vote_rtl(blocks: list[Block]) -> bool:
@@ -1505,11 +1613,13 @@ def _script_lut(script: str) -> tuple[list[str], np.ndarray]:
     neutral characters — the re-decode table of the script-consistency
     pass (the adaptive second half of the reference's Recognize:
     osdetect's script result gates which unicharset competes)."""
-    from ..fixtures.font import STRONG_CYRILLIC, STRONG_GREEK
+    from ..fixtures.font import (STRONG_CYRILLIC, STRONG_DEVANAGARI,
+                                 STRONG_GREEK)
 
-    strong = {"latin": STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC,
+    strong = {"latin": STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC
+              - STRONG_DEVANAGARI,
               "greek": STRONG_GREEK, "cyrillic": STRONG_CYRILLIC,
-              "hebrew": STRONG_RTL}
+              "devanagari": STRONG_DEVANAGARI, "hebrew": STRONG_RTL}
     drop: set[str] = set()
     for k, glyphs in strong.items():
         if k != script:
