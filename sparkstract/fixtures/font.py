@@ -220,6 +220,23 @@ DECODE_MATRIX: np.ndarray = np.stack([GLYPHS[c].ravel() for c in _CHARS]).astype
 _EXACT: dict[bytes, str] = {GLYPHS[c].tobytes(): c for c in _CHARS}
 
 
+def smudge_glyph(c: str, toward: str) -> np.ndarray:
+    """Deterministically corrupt glyph `c` just PAST the midpoint toward
+    glyph `toward`: of the d differing pixels (raster order), the first
+    d//2+1 take `toward`'s value — so greedy nearest-hamming decode picks
+    the WRONG character (dist d - d//2 - 1) while the true character stays
+    two pixels behind (dist d//2 + 1). This is the ambiguity the K4 beam +
+    dictionary re-decode exists to resolve (the smudged_page fixture's
+    analog of the low-certainty timesteps RecodeBeamSearch's dict-gated
+    beam recovers, /root/reference/src/lstm/recodebeam.cpp:87)."""
+    a, b = GLYPHS[c], GLYPHS[toward]
+    diff = np.nonzero((a ^ b).ravel())[0]
+    out = a.ravel().copy()
+    k = diff.shape[0] // 2 + 1
+    out[diff[:k]] = b.ravel()[diff[:k]]
+    return out.reshape(a.shape)
+
+
 def decode_glyph(bits: np.ndarray) -> str:
     """Decode one 7x5 boolean bitmap to its character.
 

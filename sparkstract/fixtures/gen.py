@@ -32,11 +32,10 @@ from .render import (
     render_page,
 )
 
-_VOCAB = (
-    "THE QUICK BROWN FOX JUMPS OVER LAZY DOG SPARK QUERY SCAN JOIN SORT "
-    "MERGE BATCH GRID PAGE LINE WORD BLOCK TEXT IMAGE ORDER COLUMN ROW "
-    "TABLE INDEX CACHE SHARD TOKEN GLYPH PIXEL RASTER VECTOR STREAM"
-).split()
+# the generator's vocabulary IS the kernel's dictionary (the Dawg seam,
+# K4 — see fixtures/lexicon.py): real Tesseract likewise recognizes with
+# the wordlist its language pack shipped
+from .lexicon import WORDS as _VOCAB  # noqa: E402
 
 DOCS_SCHEMA = (
     "doc_id string, spans array<struct<kind:string,text:string,"
@@ -323,6 +322,16 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         return PageSpec(elements=[Text(
             ["БЖЗ ИЦЧ ШЩЮ", "ЯЗБ ЖИШ ЦЮЧ", "ЗЧЯ БШЖ ЮИЦ"])],
             scale=2, width_chars=13, seed=seed)
+    if family == "smudged_page":  # F41 — K4 beam top-k + dictionary:
+        # three glyphs rendered corrupted past the hamming midpoint toward
+        # a different letter (O→Q, C→G, N→M), so greedy per-cell argmin
+        # reads FQX/QUIGK/TOKEM; only the beam over per-cell top-k
+        # candidates with the dictionary gate recovers the truth text
+        # (RecodeBeamSearch + Dawg, recodebeam.cpp:87 / dict/dawg.h).
+        return PageSpec(elements=[Text(
+            ["FOX JUMPS OVER", "THE QUICK BROWN", "CACHE MERGE TOKEN"],
+            smudges={(0, 1): "Q", (1, 7): "G", (2, 16): "M"})],
+            scale=2, width_chars=17, seed=seed)
     if family == "devanagari_page":  # F40 — shiro-rekha splitter (F9,
         # devanagari_processing.cpp:231 SplitWordShiroRekha): the headline
         # fuses each word into ONE connected component — without the split,
@@ -356,6 +365,7 @@ PAGE_FAMILIES = [
     "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
     "gif_page", "progressive_jpeg_page", "pdf_modern_page",
     "pdf_cid_page", "pdf_searchable_page", "devanagari_page",
+    "smudged_page",
 ]
 
 

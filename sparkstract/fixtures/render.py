@@ -23,7 +23,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .font import CELL_H, CELL_W, GLYPH_H, GLYPH_W, GLYPHS, STRONG_DEVANAGARI
+from .font import (CELL_H, CELL_W, GLYPH_H, GLYPH_W, GLYPHS,
+                   STRONG_DEVANAGARI, smudge_glyph)
 
 WHITE = np.uint8(255)
 INK = np.uint8(0)
@@ -70,6 +71,11 @@ class Text:
                           # rendering order — the bidi fixtures (W4,
                           # resultiterator_test.cc:480-539) draw words
                           # left-to-right but read them in bidi order
+    smudges: dict | None = None  # {(line_idx, char_idx): toward_char}:
+                          # render that glyph corrupted past the hamming
+                          # midpoint toward another glyph (font.smudge_glyph)
+                          # so greedy decode misreads it — only the K4 beam +
+                          # dictionary re-decode recovers the truth text
 
 
 @dataclass
@@ -223,9 +229,11 @@ class TruthBlock:
 
 
 def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int,
-                 advance: int | None = None) -> int:
+                 advance: int | None = None,
+                 smudge: dict[int, str] | None = None) -> int:
     """Draw one line of text at (x, y) top-left with scale s. Returns ink width.
-    `advance` is the char pitch in px (default the nominal CELL_W*s grid)."""
+    `advance` is the char pitch in px (default the nominal CELL_W*s grid);
+    `smudge` maps char index → toward-char for corrupted rendering (K4)."""
     adv = CELL_W * s if advance is None else advance
     need = (len(text) - 1) * adv + GLYPH_W * s
     if x + need > canvas.shape[1] or y + GLYPH_H * s > canvas.shape[0]:
@@ -233,7 +241,8 @@ def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int,
     cx = x
     for i, ch in enumerate(text):
         if ch != " ":
-            bits = GLYPHS[ch]
+            bits = (smudge_glyph(ch, smudge[i]) if smudge and i in smudge
+                    else GLYPHS[ch])
             tile = np.kron(bits, np.ones((s, s), dtype=bool))
             canvas[y : y + GLYPH_H * s, cx : cx + GLYPH_W * s][tile] = INK
             # shiro rekha (F9): between two adjacent Devanagari letters the
@@ -448,12 +457,15 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             for li, ln in enumerate(e.lines):
                 tr = (e.track_lines or {}).get(li, e.track_units)
                 adv = (CELL_W + tr) * es
+                sm = ({ci: c2 for (li2, ci), c2 in e.smudges.items()
+                       if li2 == li} if e.smudges else None)
                 if e.role == "equation":
                     need = (len(ln) - 1) * adv + GLYPH_W * es
                     _render_line(canvas, x0 + (avail_w - need) // 2, yy, ln, es,
-                                 advance=adv)
+                                 advance=adv, smudge=sm)
                 else:
-                    _render_line(canvas, x0, yy, ln, es, advance=adv)
+                    _render_line(canvas, x0, yy, ln, es, advance=adv,
+                                 smudge=sm)
                 yy += 12 * es
             kind = {"body": FLOWING_TEXT, "heading": HEADING_TEXT,
                     "caption": CAPTION_TEXT, "equation": EQUATION,

@@ -40,6 +40,7 @@ from ..fixtures.font import (
     STRONG_LTR,
     STRONG_RTL,
 )
+from ..fixtures.lexicon import LEXICON
 from .bidi import DIR_LTR, DIR_MIX, DIR_NEUTRAL, DIR_RTL, textline_order
 
 DECODE_BOOL = DECODE_MATRIX.astype(bool)
@@ -287,6 +288,54 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
             k = int(bad[t])
             chars[k] = lut_chars[int(newg[t])]
             best_d[k] = newd[t]
+    # ---- K4 beam top-k + dictionary re-decode (RecodeBeamSearch,
+    # /root/reference/src/lstm/recodebeam.cpp:87 Decode keeps kBeamWidths
+    # top states per timestep and scores dictionary continuations through
+    # the word Dawgs, dict/dawg.h): greedy argmin stands unless a word
+    # decoded IMPERFECTLY and is not a dictionary word — then a width-8
+    # beam over each cell's top-k candidates (those within BEAM_CELL_MARGIN
+    # of the cell's best) searches for the cheapest dictionary word, which
+    # is accepted only within DICT_MARGIN of the greedy cost. That margin
+    # is the analog of the reference's dict_ratio/cert_offset gate: a
+    # dictionary word must be nearly as good as the free path, never a
+    # forced fit — so garbage stays garbage and non-lexicon scripts/numbers
+    # are untouched. The lexicon itself is the Dawg seam
+    # (fixtures/lexicon.py): the wordlist ships with the "language pack"
+    # exactly like the glyph LUT ships with the model (C11). ----
+    if best_d.any():
+        for wi in range(ns.shape[0]):
+            a, z = int(cum[wi]), int(cum[wi + 1])
+            if z - a < 2 or z - a > 12:
+                continue
+            greedy_cost = int(best_d[a:z].sum())
+            if greedy_cost == 0 or "".join(chars[a:z]) in LEXICON:
+                continue
+            cand: list[list[tuple[int, str]]] = []
+            for k in range(a, z):
+                dv = dists[k]
+                base = min(int(dv.min()), int(best_d[k]))
+                opts = {chars[k]: int(best_d[k])}
+                for j in np.nonzero(dv <= base + BEAM_CELL_MARGIN)[0]:
+                    ch, dj = lut_chars[int(j)], int(dv[j])
+                    if dj < opts.get(ch, 1 << 30):
+                        opts[ch] = dj
+                cand.append(sorted(
+                    (d_, ch) for ch, d_ in opts.items())[:BEAM_TOPK])
+            beam: list[tuple[int, str]] = [(0, "")]
+            for opts in cand:
+                beam = [(sc + d_, p + ch) for sc, p in beam
+                        for d_, ch in opts]
+                beam.sort()
+                del beam[BEAM_WIDTH:]
+            hit = min(((sc, p) for sc, p in beam if p in LEXICON),
+                      default=None)
+            if hit is not None and hit[0] <= greedy_cost + DICT_MARGIN:
+                for off, ch in enumerate(hit[1]):
+                    k = a + off
+                    if chars[k] != ch:
+                        best_d[k] = next(d_ for d_, c2 in cand[off]
+                                         if c2 == ch)
+                        chars[k] = ch
     words = ["".join(chars[cum[w] : cum[w + 1]]) for w in range(ns.shape[0])]
     # per-word geometry + confidence (the WERD-level output the reference's
     # TSV/hOCR renderers consume, GetTSVText baseapi.cpp:2205): word bbox
@@ -338,6 +387,15 @@ VERT_FLOW_MAX = 50000   # core-blob count above which good-neighbour flow is
 
 STROKE_SOLID_FRAC = 0.4  # median ink run >= this frac of min side → solid (C1)
 STROKE_MIN_FILL = 0.4    # don't bother below this bbox fill
+
+# K4 beam + dictionary re-decode (recodebeam.cpp:33 kBeamWidths is likewise
+# a small fixed ladder). CELL_MARGIN bounds which per-cell alternatives may
+# enter the beam; DICT_MARGIN bounds how much worse a dictionary word may
+# score and still win (the dict_ratio/cert_offset analog).
+BEAM_CELL_MARGIN = 3
+BEAM_TOPK = 4
+BEAM_WIDTH = 8
+DICT_MARGIN = 4
 
 
 def _flow_vertical_chains(tl: np.ndarray, tt: np.ndarray, tr: np.ndarray,
