@@ -1339,6 +1339,17 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, n=2).orderBy("doc_id")
 
 
+def q_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MassiveText repetition rule set (Rae et al. 2021 table A1 —
+    all twelve thresholds): dup line/paragraph fractions + their char
+    fractions, top-{2,3,4}-gram char share, and interval-union char coverage
+    of duplicated {5..10}-grams, plus the combined gopher_pass verdict."""
+    from sparkstract.operators.repetition import gopher_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_stats(docs).orderBy("doc_id")
+
+
 def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate strip + line-density main-content extraction (the
     north rule's 'HTML boilerplate strip, DOM heuristics' operator) over a
@@ -2668,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": q_html_main_content,
         "html_metadata": q_html_metadata,
         "repetition_stats": q_repetition_stats,
+        "gopher_stats": q_gopher_stats,
         "pii_scrub": q_pii_scrub,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
@@ -3995,6 +4007,151 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN line_stats ls ON ls.doc_id = ch.doc_id
             LEFT JOIN top t ON t.doc_id = ch.doc_id
             ORDER BY ch.doc_id
+        """,
+        # full MassiveText rule set — same conventions as the Spark op:
+        # duplicate occurrences = repeats beyond the first; n-gram stats
+        # share the total-token-chars denominator; dup-n-gram coverage is
+        # an interval union (a token counted once however many dup grams
+        # cover it); verdict compares the ROUNDED stats.
+        "gopher_stats": f"""
+            WITH base AS (SELECT doc_id, text FROM documents),
+            toks AS ({_DD_TOKENS}),
+            tch AS (SELECT doc_id,
+                      coalesce(list_sum(list_transform(tl,
+                        t -> length(t))), 0) AS tot FROM toks),
+            lu AS (SELECT doc_id, trim(u) AS u
+                   FROM base, unnest(string_split(text, chr(10))) AS t(u)
+                   WHERE trim(u) <> ''),
+            lc AS (SELECT doc_id, u, count(*) AS c FROM lu GROUP BY 1, 2),
+            ls AS (SELECT doc_id,
+                     round(sum(c - 1) * 1.0 / sum(c), 6) AS dup_line_frac,
+                     CASE WHEN sum(c * length(u)) > 0
+                          THEN round(sum((c - 1) * length(u)) * 1.0
+                                     / sum(c * length(u)), 6)
+                          ELSE 0.0 END AS dup_line_char_frac
+                   FROM lc GROUP BY 1),
+            pu AS (SELECT doc_id, trim(u) AS u
+                   FROM base,
+                        unnest(regexp_split_to_array(text, '\\n\\s*\\n'))
+                          AS t(u)
+                   WHERE trim(u) <> ''),
+            pc AS (SELECT doc_id, u, count(*) AS c FROM pu GROUP BY 1, 2),
+            ps AS (SELECT doc_id,
+                     round(sum(c - 1) * 1.0 / sum(c), 6) AS dup_para_frac,
+                     CASE WHEN sum(c * length(u)) > 0
+                          THEN round(sum((c - 1) * length(u)) * 1.0
+                                     / sum(c * length(u)), 6)
+                          ELSE 0.0 END AS dup_para_char_frac
+                   FROM pc GROUP BY 1),
+            tg AS (SELECT doc_id, n,
+                     unnest(list_transform(
+                       range(0, greatest(len(tl) - n + 1, 0)),
+                       i -> array_to_string(
+                         tl[CAST(i + 1 AS BIGINT):CAST(i + n AS BIGINT)],
+                         ' '))) AS gram
+                   FROM toks, (VALUES (2), (3), (4)) AS ns(n)),
+            tgc AS (SELECT doc_id, n, gram, count(*) AS c
+                    FROM tg GROUP BY 1, 2, 3),
+            tgt AS (SELECT doc_id, n,
+                      c * length(replace(gram, ' ', '')) AS chars
+                    FROM (SELECT doc_id, n, gram, c,
+                            row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY c DESC, gram DESC) AS rn
+                          FROM tgc) WHERE rn = 1),
+            tgp AS (SELECT doc_id,
+                      max(CASE WHEN n = 2 THEN chars END) AS c2,
+                      max(CASE WHEN n = 3 THEN chars END) AS c3,
+                      max(CASE WHEN n = 4 THEN chars END) AS c4
+                    FROM tgt GROUP BY 1),
+            dg AS (SELECT doc_id, n, CAST(i AS BIGINT) AS pos,
+                     array_to_string(
+                       tl[CAST(i + 1 AS BIGINT):CAST(i + n AS BIGINT)],
+                       ' ') AS gram
+                   FROM toks,
+                        (VALUES (5), (6), (7), (8), (9), (10)) AS ns(n),
+                        unnest(range(0, greatest(len(tl) - n + 1, 0)))
+                          AS r(i)),
+            dup AS (SELECT doc_id, n, gram FROM dg
+                    GROUP BY 1, 2, 3 HAVING count(*) > 1),
+            hit AS (SELECT dg.doc_id, dg.n, dg.pos
+                    FROM dg JOIN dup USING (doc_id, n, gram)),
+            tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                      length(tl[CAST(i + 1 AS BIGINT)]) AS L
+                    FROM toks, unnest(range(0, len(tl))) AS r(i)),
+            cov AS (SELECT t.doc_id, ns.n, t.pos, any_value(t.L) AS L,
+                      max(CASE WHEN h.pos IS NOT NULL THEN 1 ELSE 0 END)
+                        AS covered
+                    FROM tok t
+                    CROSS JOIN (VALUES (5), (6), (7), (8), (9), (10))
+                      AS ns(n)
+                    LEFT JOIN hit h ON h.doc_id = t.doc_id
+                      AND h.n = ns.n
+                      AND h.pos BETWEEN t.pos - ns.n + 1 AND t.pos
+                    GROUP BY 1, 2, 3),
+            covagg AS (SELECT doc_id, n, sum(L * covered) AS dc
+                       FROM cov GROUP BY 1, 2),
+            covp AS (SELECT doc_id,
+                       max(CASE WHEN n = 5 THEN dc END) AS d5,
+                       max(CASE WHEN n = 6 THEN dc END) AS d6,
+                       max(CASE WHEN n = 7 THEN dc END) AS d7,
+                       max(CASE WHEN n = 8 THEN dc END) AS d8,
+                       max(CASE WHEN n = 9 THEN dc END) AS d9,
+                       max(CASE WHEN n = 10 THEN dc END) AS d10
+                     FROM covagg GROUP BY 1),
+            s AS (SELECT b.doc_id,
+                    coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+                    coalesce(ls.dup_line_char_frac, 0.0)
+                      AS dup_line_char_frac,
+                    coalesce(ps.dup_para_frac, 0.0) AS dup_para_frac,
+                    coalesce(ps.dup_para_char_frac, 0.0)
+                      AS dup_para_char_frac,
+                    CASE WHEN tch.tot > 0 THEN round(
+                      coalesce(tgp.c2, 0) * 1.0 / tch.tot, 6)
+                      ELSE 0.0 END AS top_2gram_char_frac,
+                    CASE WHEN tch.tot > 0 THEN round(
+                      coalesce(tgp.c3, 0) * 1.0 / tch.tot, 6)
+                      ELSE 0.0 END AS top_3gram_char_frac,
+                    CASE WHEN tch.tot > 0 THEN round(
+                      coalesce(tgp.c4, 0) * 1.0 / tch.tot, 6)
+                      ELSE 0.0 END AS top_4gram_char_frac,
+                    CASE WHEN tch.tot > 0 THEN round(
+                      coalesce(covp.d5, 0) * 1.0 / tch.tot, 6)
+                      ELSE 0.0 END AS dup_5gram_char_frac,
+                    CASE WHEN tch.tot > 0 THEN round(
+                      coalesce(covp.d6, 0) * 1.0 / tch.tot, 6)
+                      ELSE 0.0 END AS dup_6gram_char_frac,
+                    CASE WHEN tch.tot > 0 THEN round(
+                      coalesce(covp.d7, 0) * 1.0 / tch.tot, 6)
+                      ELSE 0.0 END AS dup_7gram_char_frac,
+                    CASE WHEN tch.tot > 0 THEN round(
+                      coalesce(covp.d8, 0) * 1.0 / tch.tot, 6)
+                      ELSE 0.0 END AS dup_8gram_char_frac,
+                    CASE WHEN tch.tot > 0 THEN round(
+                      coalesce(covp.d9, 0) * 1.0 / tch.tot, 6)
+                      ELSE 0.0 END AS dup_9gram_char_frac,
+                    CASE WHEN tch.tot > 0 THEN round(
+                      coalesce(covp.d10, 0) * 1.0 / tch.tot, 6)
+                      ELSE 0.0 END AS dup_10gram_char_frac
+                  FROM base b
+                  LEFT JOIN tch ON tch.doc_id = b.doc_id
+                  LEFT JOIN ls ON ls.doc_id = b.doc_id
+                  LEFT JOIN ps ON ps.doc_id = b.doc_id
+                  LEFT JOIN tgp ON tgp.doc_id = b.doc_id
+                  LEFT JOIN covp ON covp.doc_id = b.doc_id)
+            SELECT s.*,
+                   (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                    AND dup_para_frac <= 0.30
+                    AND dup_para_char_frac <= 0.20
+                    AND top_2gram_char_frac <= 0.20
+                    AND top_3gram_char_frac <= 0.18
+                    AND top_4gram_char_frac <= 0.16
+                    AND dup_5gram_char_frac <= 0.15
+                    AND dup_6gram_char_frac <= 0.14
+                    AND dup_7gram_char_frac <= 0.13
+                    AND dup_8gram_char_frac <= 0.12
+                    AND dup_9gram_char_frac <= 0.11
+                    AND dup_10gram_char_frac <= 0.10) AS gopher_pass
+            FROM s ORDER BY doc_id
         """,
         "text_stats": f"""
             WITH t AS (

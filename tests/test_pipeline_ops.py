@@ -257,6 +257,48 @@ def test_repetition_stats_gopher_rules(spark):
     assert rows["empty"]["top_ngram_char_frac"] == 0.0
 
 
+def test_gopher_stats_full_rule_set(spark):
+    """All twelve MassiveText table-A1 stats on hand-computed documents:
+    the 3x-repeated 5-token line, a unique-word doc, and an empty doc."""
+    from sparkstract.operators.repetition import gopher_stats
+
+    docs = [
+        # three identical lines (two as one paragraph, one alone): every
+        # token sits under a duplicated 5..10-gram -> coverage 1.0; top
+        # 2-gram is "d e" (3 occurrences x 2 chars over 15 token chars)
+        ("rep", "a b c d e\na b c d e\n\na b c d e"),
+        # 10 distinct words: no dup anything, but the top n-gram stats are
+        # >0 by definition (most frequent n-gram has count 1)
+        ("uniq", "the quick brown fox jumps over a lazy dog tonight"),
+        ("empty", "   "),
+    ]
+    rows = {r["doc_id"]: r for r in gopher_stats(
+        spark.createDataFrame(docs, "doc_id string, text string")).collect()}
+
+    rep = rows["rep"]
+    assert rep["dup_line_frac"] == 0.666667      # 2 repeats of 3 lines
+    assert rep["dup_line_char_frac"] == 0.666667
+    assert rep["dup_para_frac"] == 0.0           # the two paragraphs differ
+    assert rep["top_2gram_char_frac"] == 0.4     # 3 x "d e" = 6 / 15 chars
+    for n in range(5, 11):                       # interval union = all 15
+        assert rep[f"dup_{n}gram_char_frac"] == 1.0
+    assert rep["gopher_pass"] is False
+
+    uniq = rows["uniq"]
+    assert uniq["dup_line_frac"] == 0.0
+    assert uniq["dup_para_frac"] == 0.0
+    assert uniq["top_2gram_char_frac"] == 0.2    # "the quick" = 8 / 40
+    for n in range(5, 11):
+        assert uniq[f"dup_{n}gram_char_frac"] == 0.0
+    # short unique docs still trip the top-n-gram thresholds by definition
+    # (the paper pairs these rules with a min-length gate)
+    assert uniq["gopher_pass"] is False
+
+    emp = rows["empty"]
+    assert all(emp[c] == 0.0 for c in emp.asDict() if c.endswith("frac"))
+    assert emp["gopher_pass"] is True
+
+
 def test_scrub_pii_masks_each_family(spark):
     from pyspark.sql import functions as F
 
