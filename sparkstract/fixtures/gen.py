@@ -332,6 +332,21 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             ["FOX JUMPS OVER", "THE QUICK BROWN", "CACHE MERGE TOKEN"],
             smudges={(0, 1): "Q", (1, 7): "G", (2, 16): "M"})],
             scale=2, width_chars=17, seed=seed)
+    if family == "fuzzy_space_page":  # F42 — C15 post-recognition fuzzy-
+        # space fix (fix_fuzzy_spaces, fixspace.cpp:79). Line 0 renders
+        # VECTOR with the advance after 'C' widened to 9s: the 4s in-word
+        # ink gap exceeds the 3s word break, segmentation reads "VEC TOR",
+        # and only the dictionary merge rejoins it. Line 1 renders FOX DOG
+        # with the space collapsed to a 3s ink gap (advance 8s after 'X',
+        # no space char): the break is missed, the fused pseudo-word puts
+        # DOG 2s off the 6s pitch grid so its cells decode dirty, and only
+        # the fuzzy-gap re-decode-split recovers both words. Line 2 is a
+        # clean control line.
+        return PageSpec(elements=[Text(
+            ["VECTOR", "FOXDOG", "CACHE BATCH"],
+            adv_tweaks={(0, 2): 9, (1, 2): 8},
+            truth_lines=["VECTOR", "FOX DOG", "CACHE BATCH"])],
+            scale=2, width_chars=13, seed=seed)
     if family == "devanagari_page":  # F40 — shiro-rekha splitter (F9,
         # devanagari_processing.cpp:231 SplitWordShiroRekha): the headline
         # fuses each word into ONE connected component — without the split,
@@ -365,7 +380,7 @@ PAGE_FAMILIES = [
     "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
     "gif_page", "progressive_jpeg_page", "pdf_modern_page",
     "pdf_cid_page", "pdf_searchable_page", "devanagari_page",
-    "smudged_page",
+    "smudged_page", "fuzzy_space_page",
 ]
 
 

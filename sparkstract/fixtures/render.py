@@ -76,6 +76,12 @@ class Text:
                           # midpoint toward another glyph (font.smudge_glyph)
                           # so greedy decode misreads it — only the K4 beam +
                           # dictionary re-decode recovers the truth text
+    adv_tweaks: dict | None = None  # {(line_idx, char_idx): advance_units}:
+                          # the advance AFTER that char becomes units*es px —
+                          # a sub-word-gap kerning error creating the FUZZY
+                          # space C15's fix_fuzzy_spaces must resolve (a
+                          # too-wide in-word gap splits a word, a too-narrow
+                          # inter-word gap fuses two; fixspace.cpp:79)
 
 
 @dataclass
@@ -230,12 +236,15 @@ class TruthBlock:
 
 def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int,
                  advance: int | None = None,
-                 smudge: dict[int, str] | None = None) -> int:
+                 smudge: dict[int, str] | None = None,
+                 tweaks: dict[int, int] | None = None) -> int:
     """Draw one line of text at (x, y) top-left with scale s. Returns ink width.
     `advance` is the char pitch in px (default the nominal CELL_W*s grid);
-    `smudge` maps char index → toward-char for corrupted rendering (K4)."""
+    `smudge` maps char index → toward-char for corrupted rendering (K4);
+    `tweaks` maps char index → advance px used AFTER that char (C15)."""
     adv = CELL_W * s if advance is None else advance
-    need = (len(text) - 1) * adv + GLYPH_W * s
+    advs = [(tweaks or {}).get(i, adv) for i in range(len(text))]
+    need = sum(advs[:-1]) + GLYPH_W * s if text else 0
     if x + need > canvas.shape[1] or y + GLYPH_H * s > canvas.shape[0]:
         raise ValueError(f"text {text!r} at scale {s} overflows the page/column")
     cx = x
@@ -251,8 +260,8 @@ def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int,
             # _split_shiro_rekha exists to undo (devanagari_processing.cpp).
             if (i + 1 < len(text) and ch in STRONG_DEVANAGARI
                     and text[i + 1] in STRONG_DEVANAGARI):
-                canvas[y : y + s, cx + GLYPH_W * s : cx + adv] = INK
-        cx += adv
+                canvas[y : y + s, cx + GLYPH_W * s : cx + advs[i]] = INK
+        cx += advs[i]
     return cx - x
 
 
@@ -459,13 +468,15 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
                 adv = (CELL_W + tr) * es
                 sm = ({ci: c2 for (li2, ci), c2 in e.smudges.items()
                        if li2 == li} if e.smudges else None)
+                tw = ({ci: u * es for (li2, ci), u in e.adv_tweaks.items()
+                       if li2 == li} if e.adv_tweaks else None)
                 if e.role == "equation":
                     need = (len(ln) - 1) * adv + GLYPH_W * es
                     _render_line(canvas, x0 + (avail_w - need) // 2, yy, ln, es,
-                                 advance=adv, smudge=sm)
+                                 advance=adv, smudge=sm, tweaks=tw)
                 else:
                     _render_line(canvas, x0, yy, ln, es, advance=adv,
-                                 smudge=sm)
+                                 smudge=sm, tweaks=tw)
                 yy += 12 * es
             kind = {"body": FLOWING_TEXT, "heading": HEADING_TEXT,
                     "caption": CAPTION_TEXT, "equation": EQUATION,

@@ -363,15 +363,88 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
              int(round(100.0 * (1.0 - best_d[k] / float(GLYPH_H * GLYPH_W)))))
             for k in range(int(cum[wi]), int(cum[wi + 1])))
         recs.append((words[wi], wl, wt_, wr, wb_, conf, syms))
-    if rtl and len(words) > 1:
+    # ---- C15 fuzzy-space fix (fix_fuzzy_spaces,
+    # /root/reference/src/ccmain/fixspace.cpp:79 evaluates both the
+    # space and no-space interpretation of a FUZZY gap and keeps the one
+    # the dictionary rates better). Two directions:
+    #   merge — adjacent words separated by a gap barely ABOVE the word
+    #     break (in (WORD_GAP, FUZZY_MERGE]*s — a real space is ~7s) whose
+    #     concatenation is a dictionary word while the parts are not both
+    #     words themselves: join the records (no re-decode needed — each
+    #     part decoded on its own grid).
+    #   split — a non-dictionary word that decoded IMPERFECTLY and holds an
+    #     in-word gap barely BELOW the break ([FUZZY_SPLIT_MIN,
+    #     WORD_GAP]*s — nominal intra-letter gap is ~1s): a missed space
+    #     leaves the second half off the pitch grid, so both halves are
+    #     RE-DECODED on their own grids and accepted only if each comes
+    #     back a clean dictionary word at lower total cost.
+    # Both gates need the lexicon to agree, so garbage, numbers, and
+    # non-Latin scripts pass through untouched (their decode is perfect or
+    # their text can't hit the lexicon).
+    total_d, total_n = int(best_d.sum()), n
+    ranges = [(int(w_first[wi]), int(w_last[wi])) for wi in range(ns.shape[0])]
+    d_words = [int(best_d[cum[wi]: cum[wi + 1]].sum())
+               for wi in range(ns.shape[0])]
+    n_words = [int(ns[wi]) for wi in range(ns.shape[0])]
+    i = 0
+    while i + 1 < len(recs):
+        gap = int(gl[ranges[i + 1][0]] - gr[ranges[i][1]] - 1)
+        w1, w2 = recs[i][0], recs[i + 1][0]
+        if (WORD_GAP_UNITS * s < gap <= FUZZY_MERGE_UNITS * s
+                and (w1 + w2) in LEXICON
+                and not (w1 in LEXICON and w2 in LEXICON)):
+            r1, r2 = recs[i], recs[i + 1]
+            d_m = d_words[i] + d_words[i + 1]
+            n_m = n_words[i] + n_words[i + 1]
+            conf = int(round(100.0 * (
+                1.0 - d_m / (GLYPH_H * GLYPH_W * float(n_m)))))
+            recs[i] = (w1 + w2, r1[1], min(r1[2], r2[2]), r2[3],
+                       max(r1[4], r2[4]), conf, r1[6] + r2[6])
+            ranges[i] = (ranges[i][0], ranges[i + 1][1])
+            d_words[i], n_words[i] = d_m, n_m
+            del recs[i + 1], ranges[i + 1], d_words[i + 1], n_words[i + 1]
+            continue  # a 3-way fuzzy chain merges pairwise
+        i += 1
+    fixed: list[tuple] = []
+    for wi, rec in enumerate(recs):
+        a_g, z_g = ranges[wi]
+        if z_g > a_g and d_words[wi] > 0 and rec[0] not in LEXICON:
+            in_gaps = gl[a_g + 1: z_g + 1] - gr[a_g: z_g] - 1
+            cand = [(int(g_), k) for k, g_ in enumerate(in_gaps)
+                    if FUZZY_SPLIT_MIN_UNITS * s <= int(g_)
+                    <= WORD_GAP_UNITS * s]
+            if cand:
+                _, k = max(cand)  # widest fuzzy gap hosts the lost space
+                m = a_g + k
+                halves, d_new, n_new = [], 0, 0
+                for lo, hi in ((a_g, m), (m + 1, z_g)):
+                    _t, d_, n_, r_ = _decode_row(
+                        ink, row_top, row_bottom,
+                        gl[lo: hi + 1], gr[lo: hi + 1], s, lut, False,
+                        gt[lo: hi + 1] if gt is not None else None,
+                        gb[lo: hi + 1] if gb is not None else None)
+                    if len(r_) != 1 or r_[0][0] not in LEXICON:
+                        halves = []
+                        break
+                    halves.append(r_[0])
+                    d_new += d_
+                    n_new += n_
+                if halves and d_new < d_words[wi]:
+                    total_d += d_new - d_words[wi]
+                    total_n += n_new - n_words[wi]
+                    fixed.extend(halves)
+                    continue
+        fixed.append(rec)
+    recs = fixed
+    if rtl and len(recs) > 1:
         # W4 bidi textline order (resultiterator.cpp:285
         # CalculateTextlineOrder): the decode above walks glyphs in
         # POSITIONAL (left-to-right) order; an RTL paragraph reads its words
         # from the right, with embedded LTR minor runs kept left-to-right.
         # Word records follow the same logical permutation.
-        dirs = [_word_direction(w) for w in words]
+        dirs = [_word_direction(r[0]) for r in recs]
         recs = [recs[i] for i in textline_order(False, dirs) if i >= 0]
-    return " ".join(r[0] for r in recs), int(best_d.sum()), n, recs
+    return " ".join(r[0] for r in recs), total_d, total_n, recs
 
 
 VERT_MIN_CHARS = 3      # stacked single glyphs to call vertical text (C1/W)
@@ -396,6 +469,14 @@ BEAM_CELL_MARGIN = 3
 BEAM_TOPK = 4
 BEAM_WIDTH = 8
 DICT_MARGIN = 4
+
+# C15 fuzzy-space fix (fixspace.cpp:79 fix_fuzzy_spaces). A nominal word
+# space is ~7s of ink gap and a nominal intra-letter gap ~1s; gaps between
+# those bands are "fuzzy" — the segmentation threshold (WORD_GAP_UNITS=3)
+# may have called them wrong, and the dictionary arbitrates.
+FUZZY_MERGE_UNITS = 5      # word gap in (WORD_GAP, 5]*s: candidates to join
+FUZZY_SPLIT_MIN_UNITS = 2  # in-word gap in [2, WORD_GAP]*s: candidates to
+                           # split (below 2s is normal letter spacing)
 
 
 def _flow_vertical_chains(tl: np.ndarray, tt: np.ndarray, tr: np.ndarray,
