@@ -1489,11 +1489,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ts.quality_score(F.col("text")).alias("quality"))
     med = s.agg(F.round(F.percentile("quality", F.lit(0.5)), 6)
                 .alias("med"))
+    # labels and features are each read twice (4 GD rounds inside
+    # logreg_fit, then the final scored join) — persist both so training
+    # materializes them once and scoring reuses the cache instead of
+    # re-running the quality/percentile and explode/hash subtrees
+    # (logreg_fit detects the pre-persisted labels and leaves ownership
+    # here). Both frames are per-doc-bounded: (doc_id, y) and the hashed
+    # B-bucket counts.
     labels = (s.crossJoin(F.broadcast(med))
               .select("doc_id",
                       F.when(F.col("quality") >= F.col("med"), 1.0)
-                       .otherwise(0.0).alias("y")))
-    feats = hashed_features(docs, buckets=64)
+                       .otherwise(0.0).alias("y"))).persist()
+    feats = hashed_features(docs, buckets=64).persist()
     w_u, b_u = logreg_fit(feats, labels, buckets=64, lr=0.05, iters=4)
     return (labels.join(logreg_score(feats, w_u, b_u), "doc_id")
             .select("doc_id", "y", "score")

@@ -53,8 +53,14 @@ def logreg_fit(feats: DataFrame, labels: DataFrame, buckets: int = 64,
     spark = feats.sparkSession
     # labels are read every round (residuals) and may carry their own
     # subplan (e.g. a percentile label gate) — persist once, it's one
-    # (doc_id, y) row per doc
-    labels = labels.persist()
+    # (doc_id, y) row per doc; a caller that persisted it already (to reuse
+    # the frame after training, e.g. for the final scored join) keeps
+    # ownership — we must not unpersist a cache we did not create
+    from pyspark import StorageLevel
+
+    owns_labels = labels.storageLevel == StorageLevel.NONE
+    if owns_labels:
+        labels = labels.persist()
     n = labels.count()
     assert n > 0 and iters >= 0
     # the bias rides as synthetic bucket -1 (x=1 for every labeled doc):
@@ -104,7 +110,8 @@ def logreg_fit(feats: DataFrame, labels: DataFrame, buckets: int = 64,
                 w_u[r["bucket"]] -= r["d_u"]
     finally:
         all_feats.unpersist()
-        labels.unpersist()
+        if owns_labels:
+            labels.unpersist()
     bias_u = w_u.pop(-1)
     return w_u, bias_u
 
