@@ -80,10 +80,10 @@ def label_blobs(ink: np.ndarray) -> Blobs:
             np.minimum.at(m, j_rep, labels[i_rep])
             while True:
                 mm = m[m]
-                if np.array_equal(mm, m):
+                if (mm == m).all():
                     break
                 m = mm
-            if np.array_equal(m, labels):
+            if (m == labels).all():
                 break
             labels = m
         roots = labels

@@ -50,20 +50,21 @@ def normalize_background(gray: np.ndarray, cell: int = 24,
     padded = np.full((ncy * cell, ncx * cell), 0, dtype=np.uint8)
     padded[:h, :w] = gray
     bg = padded.reshape(ncy, cell, ncx, cell).max(axis=(1, 3)).astype(np.float64)
-    dil = bg.copy()
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            shifted = np.roll(np.roll(bg, dy, 0), dx, 1)
-            if dy == -1:
-                shifted[-1, :] = 0
-            if dy == 1:
-                shifted[0, :] = 0
-            if dx == -1:
-                shifted[:, -1] = 0
-            if dx == 1:
-                shifted[:, 0] = 0
-            dil = np.maximum(dil, shifted)
+    # separable 3x3 max (vertical then horizontal) over a zero-padded
+    # frame — identical to the 8-neighbour dilation with zeroed
+    # out-of-edge cells, without nine roll copies
+    p = np.zeros((ncy + 2, ncx), dtype=np.float64)
+    p[1:-1] = bg
+    v = np.maximum(np.maximum(p[:-2], p[1:-1]), p[2:])
+    q = np.zeros((ncy, ncx + 2), dtype=np.float64)
+    q[:, 1:-1] = v
+    dil = np.maximum(np.maximum(q[:, :-2], q[:, 1:-1]), q[:, 2:])
     dil = np.where(dil < floor, 255.0, dil)
+    if np.all(dil == 255.0):
+        # evenly lit page: g / 255 * 255 is the exact identity for every
+        # uint8 value (verified over all 256), so skip the full-page
+        # float pass entirely
+        return gray
     bg_full = np.repeat(np.repeat(dil, cell, axis=0), cell, axis=1)[:h, :w]
     out = np.clip(gray.astype(np.float64) / bg_full * 255.0, 0, 255)
     return out.astype(np.uint8)

@@ -208,7 +208,17 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     # pitch histogram over adjacent in-word group starts (A7)
     deltas = (gl[1:] - gl[:-1])[~word_break]
     deltas = deltas[(deltas >= 5 * s) & (deltas <= 10 * s)]
-    pitch = int(np.median(deltas)) if deltas.shape[0] >= 2 else 6 * s
+    if deltas.shape[0] >= 2:
+        # inline median of a tiny sorted array: np.median's _ureduce
+        # dispatch costs more than the sort at this size (hot path —
+        # once per decoded row). Same value: mean of the two middle
+        # elements when even, the middle element when odd, then int().
+        sd = np.sort(deltas)
+        m = sd.shape[0] >> 1
+        pitch = int(sd[m]) if sd.shape[0] & 1 else \
+            int((float(sd[m - 1]) + float(sd[m])) / 2.0)
+    else:
+        pitch = 6 * s
     # word extents: groups are x-sorted and non-overlapping, so each word's
     # x0 is its first group's left and x1 its last group's right
     w_first = np.nonzero(np.concatenate([[True], word_break]))[0]
@@ -350,19 +360,33 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     # its own per-char confidence from the cell's hamming distance.
     recs: list[tuple] = []
     cell_w, cell_h = GLYPH_W * s, GLYPH_H * s
+    # one reduceat per word-level stat instead of a tiny-slice reduction
+    # per word, and plain-python lists for the per-symbol loop — numpy
+    # scalar indexing + int() per symbol was the kernel's hottest path
+    # (identical arithmetic: reduceat segments are [w_first[i], w_first[i+1])
+    # = groups a..z, and [cum[i], cum[i+1]) = the word's cells)
+    wl_l = gl[w_first].tolist()
+    wr_l = gr[w_last].tolist()
+    wt_l = (np.minimum.reduceat(gt, w_first).tolist() if gt is not None
+            else [int(max(row_top, 0))] * ns.shape[0])
+    wb_l = (np.maximum.reduceat(gb, w_first).tolist() if gb is not None
+            else [int(row_bottom)] * ns.shape[0])
+    dw_l = np.add.reduceat(best_d, cum[:-1]).tolist()
+    cum_l = cum.tolist()
+    ns_l = ns.tolist()
+    starts_l = starts.tolist()
+    y0s_l = y0s.tolist()
+    bd_l = best_d.tolist()
+    cell_bits = float(GLYPH_H * GLYPH_W)
     for wi in range(ns.shape[0]):
-        a, z = int(w_first[wi]), int(w_last[wi])
-        wl, wr = int(gl[a]), int(gr[z])
-        wt_ = int(gt[a : z + 1].min()) if gt is not None else int(max(row_top, 0))
-        wb_ = int(gb[a : z + 1].max()) if gb is not None else int(row_bottom)
-        d_w = int(best_d[cum[wi] : cum[wi + 1]].sum())
-        conf = int(round(100.0 * (1.0 - d_w / (GLYPH_H * GLYPH_W * float(ns[wi])))))
+        conf = int(round(100.0 * (1.0 - dw_l[wi] / (cell_bits * ns_l[wi]))))
         syms = tuple(
-            (chars[k], int(starts[k]), int(y0s[k]),
-             int(starts[k]) + cell_w - 1, int(y0s[k]) + cell_h - 1,
-             int(round(100.0 * (1.0 - best_d[k] / float(GLYPH_H * GLYPH_W)))))
-            for k in range(int(cum[wi]), int(cum[wi + 1])))
-        recs.append((words[wi], wl, wt_, wr, wb_, conf, syms))
+            (chars[k], starts_l[k], y0s_l[k],
+             starts_l[k] + cell_w - 1, y0s_l[k] + cell_h - 1,
+             int(round(100.0 * (1.0 - bd_l[k] / cell_bits))))
+            for k in range(cum_l[wi], cum_l[wi + 1]))
+        recs.append((words[wi], wl_l[wi], wt_l[wi], wr_l[wi], wb_l[wi],
+                     conf, syms))
     # ---- C15 fuzzy-space fix (fix_fuzzy_spaces,
     # /root/reference/src/ccmain/fixspace.cpp:79 evaluates both the
     # space and no-space interpretation of a FUZZY gap and keeps the one
