@@ -62,6 +62,7 @@ from ..functions.cclabel import Blobs, label_blobs
 from ..functions.geometry import (
     estimate_skew_bow,
     estimate_warp,
+    fast_median,
     profile_sharpness,
     shear_y,
     shift_columns,
@@ -249,8 +250,11 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         y0 = int(y0s[0])
         cols = (starts[:, None] + cell_px[None, :]).ravel()
         band = ink[y0 : y0 + GLYPH_H * s, cols]
+        # integer block sums instead of float means: sum/(s*s) > 0.5
+        # iff 2*sum > s*s exactly (both sides small ints)
         bits = (
-            band.reshape(GLYPH_H, s, n, GLYPH_W, s).mean(axis=(1, 4)) > 0.5
+            band.reshape(GLYPH_H, s, n, GLYPH_W, s)
+                .sum(axis=(1, 4), dtype=np.int64) * 2 > s * s
         ).transpose(1, 0, 2).reshape(n, GLYPH_H * GLYPH_W)
     else:
         # drifted rows (residual warp): full per-cell gather at each cell's
@@ -259,7 +263,8 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         Xc = starts[:, None] + cell_px[None, :]
         band = ink[Yc[:, :, None], Xc[:, None, :]]      # (n, gh, gw)
         bits = (
-            band.reshape(n, GLYPH_H, s, GLYPH_W, s).mean(axis=(2, 4)) > 0.5
+            band.reshape(n, GLYPH_H, s, GLYPH_W, s)
+                .sum(axis=(2, 4), dtype=np.int64) * 2 > s * s
         ).reshape(n, GLYPH_H * GLYPH_W)
     dists = (bits[:, None, :] ^ lut_bits[None, :, :]).sum(axis=2)
     best = np.argmin(dists, axis=1)
@@ -285,7 +290,8 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
         X = ox[:, :, None] + np.arange(gw)[None, None, :]          # (m,15,gw)
         cells = ink[Y[:, :, :, None], X[:, :, None, :]]            # (m,15,gh,gw)
         cb = (cells.reshape(bad.shape[0], offs.shape[0],
-                            GLYPH_H, s, GLYPH_W, s).mean(axis=(3, 5)) > 0.5)
+                            GLYPH_H, s, GLYPH_W, s)
+                   .sum(axis=(3, 5), dtype=np.int64) * 2 > s * s)
         bits2 = cb.reshape(bad.shape[0], offs.shape[0], GLYPH_H * GLYPH_W)
         d2 = (bits2[:, :, None, :] ^ lut_bits[None, None, :, :]).sum(axis=3)
         per_off_min = d2.min(axis=2)
@@ -534,7 +540,7 @@ def _flow_vertical_chains(tl: np.ndarray, tt: np.ndarray, tr: np.ndarray,
     # be nearer). >95% of a text page's glyphs are anchored this way; the
     # expensive pairwise pass then runs kept x n — with EXACT distances for
     # the survivors — instead of n x n.
-    med_h = max(1.0, float(np.median(h)))
+    med_h = max(1.0, float(fast_median(h)))
     band = (tt / med_h).astype(np.int64)
     order = np.lexsort((tl, band))
     ob, otl, otr = band[order], tl[order], tr[order]
@@ -600,7 +606,7 @@ def _flow_vertical_chains(tl: np.ndarray, tt: np.ndarray, tr: np.ndarray,
             continue
         members = ids[np.array(comp)]
         # a genuine vertical chain is one glyph wide
-        if (tr[members].max() - tl[members].min() + 1) > 1.5 * float(np.median(w[members])):
+        if (tr[members].max() - tl[members].min() + 1) > 1.5 * float(fast_median(w[members])):
             continue
         chains.append(members[np.argsort(tt[members], kind="stable")])
     return chains
@@ -619,7 +625,7 @@ def _median_run(sub: np.ndarray) -> float:
     if starts.shape[0] == 0:
         return 0.0
     # row-major order aligns each start with its end (runs never cross rows)
-    return float(np.median(ends - starts))
+    return float(fast_median(ends - starts))
 
 MATH_CHARS = set("=+-0123456789")
 EQ_MATH_RATIO = 0.4     # math-symbol density for an equation block (C9)
@@ -666,7 +672,7 @@ def _drop_leader_dots(member_ids: list[int], tl, tt, tr, tb) -> list[int]:
             run = mids[run_start : k + 1]
             if run.shape[0] >= LEADER_MIN_DOTS:
                 pitch = np.diff(tl[run])
-                if np.abs(pitch - np.median(pitch)).max() <= LEADER_PITCH_TOL:
+                if np.abs(pitch - fast_median(pitch)).max() <= LEADER_PITCH_TOL:
                     drop.update(int(i) for i in run)
             run_start = k + 1
     if not drop:
@@ -771,7 +777,7 @@ def _tab_partner_gutters(rows: list[dict], body_s: int) -> list[tuple[int, int]]
             # letter gap and defeat the word-space-vs-gutter test
             if WORD_GAP_UNITS * r["s"] < g < GUTTER_UNITS * body_s:
                 gap_samples.append(g)
-    med_gap = float(np.median(gap_samples)) if gap_samples else 0.0
+    med_gap = float(fast_median(gap_samples)) if gap_samples else 0.0
     clear = max(TAB_CLEAR_UNITS * body_s, int(np.ceil(1.4 * med_gap)))
     cands: list[tuple[int, int]] = []  # (x, row_index)
     for ri, r in enumerate(rows):
@@ -799,7 +805,7 @@ def _tab_partner_gutters(rows: list[dict], body_s: int) -> list[tuple[int, int]]
         i = j
         if len(rids) < TAB_MIN_ROWS:
             continue
-        xt = int(np.median(xs))
+        xt = int(fast_median(xs))
         y0 = min(rows[ri]["top"] for ri in rids)
         y1 = max(rows[ri]["bottom"] for ri in rids)
         span = [r for r in rows if r["bottom"] >= y0 and r["top"] <= y1]
@@ -879,11 +885,11 @@ def _voting_centroids(blobs: Blobs):
     hh = blobs.bottom[solid] - blobs.top[solid] + 1
     ww = blobs.right[solid] - blobs.left[solid] + 1
     glyphish = hh > MICRO_MAX_SIDE
-    med = np.median(hh[glyphish]) if glyphish.any() else np.median(hh)
+    med = fast_median(hh[glyphish]) if glyphish.any() else fast_median(hh)
     small = (hh <= 4 * med) & glyphish & (ww <= 8 * med)
     if small.sum() < 3:
-        small = hh <= 4 * np.median(hh)
-    return cx[small], cy[small], float(np.median(hh[small]))
+        small = hh <= 4 * fast_median(hh)
+    return cx[small], cy[small], float(fast_median(hh[small]))
 
 
 def _split_shiro_rekha(ink: np.ndarray, tl: np.ndarray, tt: np.ndarray,
@@ -1257,7 +1263,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         # repair/attachment passes instead
         hh0 = tb - tt + 1
         gsz = hh0 > MICRO_MAX_SIDE
-        med0 = float(np.median(hh0[gsz])) if gsz.any() else float(np.median(hh0))
+        med0 = float(fast_median(hh0[gsz])) if gsz.any() else float(fast_median(hh0))
         core0 = np.nonzero(hh0 >= 0.75 * med0)[0]
         chains = [core0[ch] for ch in _flow_vertical_chains(
             tl[core0], tt[core0], tr[core0], tb[core0])]
@@ -1282,7 +1288,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         r_top, r_bot = int(tt.min()), int(tb.max())
         hh_sl = tb - tt + 1
         big = hh_sl > MICRO_MAX_SIDE
-        est_h = float(np.median(hh_sl[big])) if big.any() \
+        est_h = float(fast_median(hh_sl[big])) if big.any() \
             else float(r_bot - r_top + 1)
         s = max(1, int(round(est_h / GLYPH_H)))
         gl, gt, gr, gb = _merge_x_overlaps(tl, tt, tr, tb, max(0, s - 1))
@@ -1295,8 +1301,8 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         # leader dots outnumber glyphs would otherwise flip the median to
         # dot height and promote every dot to a row-forming core blob
         glyph_sized = hh_all > MICRO_MAX_SIDE
-        med_h = float(np.median(hh_all[glyph_sized])) if glyph_sized.any() \
-            else float(np.median(hh_all))
+        med_h = float(fast_median(hh_all[glyph_sized])) if glyph_sized.any() \
+            else float(fast_median(hh_all))
         core = hh_all >= 0.75 * med_h
         if not core.any():
             core = np.ones(tl.shape[0], dtype=bool)
@@ -1336,7 +1342,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             mh = tb[mi] - tt[mi] + 1
             mh = mh[mh >= 0.75 * med_h]
             if mh.shape[0]:
-                s = max(1, int(round(float(np.median(mh)) / GLYPH_H)))
+                s = max(1, int(round(float(fast_median(mh)) / GLYPH_H)))
             else:
                 s = max(1, int(round((r_bot - r_top + 1) / GLYPH_H)))
             # fragments closer than one scale unit rejoin (C3 repair); the
@@ -1357,7 +1363,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                              right=int(gr.max()), s=s, gl=gl, gr=gr, gt=gt,
                              gb=gb, cov_l=cov_l, cov_r=cov_r))
 
-    body_s = int(np.median([r["s"] for r in rows])) if rows else 1
+    body_s = int(fast_median([r["s"] for r in rows])) if rows else 1
     structured = psm in ("auto", "single_column")  # PSM_SINGLE_COLUMN keeps
     # block/heading structure, drops column segmentation (publictypes.h:175)
     for r in rows:
