@@ -97,10 +97,16 @@ def _span_match_rate(fs) -> float:
 
 
 # Measured hardware ceiling of this 32-core VM across the 8→32 range:
-# multiprocessing.Pool over the raw page-analysis kernel (no Spark) reaches
-# 0.75, a pure-CPU integer loop 0.82 (controls table below). Used only to
-# CONTEXTUALIZE the companion 8→32 Spark number, never to pass the gate.
-KERNEL_CEIL_8_32 = 0.75
+# multiprocessing.Pool over the raw page-analysis kernel (no Spark), re-run
+# after the round-3 kernel optimization pass (same corpus, back-to-back
+# A/B): the optimized kernel is faster at EVERY proc count (310/1090/2486
+# p/s at 2/8/32 vs 265/905/2336 pre-optimization) but, with less compute
+# per byte, saturates the VM's memory bandwidth sooner — its own 8→32
+# efficiency ceiling fell from ~0.65 to ~0.57 on this box. A pure-CPU
+# integer loop still reaches 0.82 over the same range. Used only to
+# CONTEXTUALIZE the companion 8→32 Spark number, never to pass the gate
+# (the gate range is 2→8, where the kernel control measures ~0.86-0.88).
+KERNEL_CEIL_8_32 = 0.57
 
 
 def scaling_main() -> None:
@@ -182,14 +188,22 @@ working set, no Spark, no memory traffic):
 | control | 2 procs | 8 procs | 32 procs | eff 2→8 | eff 8→32 |
 |---|---|---|---|---|---|
 | pure-CPU loop | — | 28.9 it/s | 94.4 it/s | — | 0.82 |
-| raw page kernel | 333 p/s | 1223-1390 p/s | 4157 p/s | 0.92 | 0.75 |
+| raw page kernel (pre-opt) | 265 p/s | 905 p/s | 2336 p/s | 0.855 | 0.645 |
+| raw page kernel (optimized, current) | 310 p/s | 1090 p/s | 2486 p/s | 0.879 | 0.57 |
 
-Over 8→32 even the no-Spark page kernel caps at 0.75 and a pure-CPU loop at
-0.82, so that range mostly measures the VM's core-scaling limit (a
-memory-bandwidth-light workload CAN still clear 0.8 there — the pure-CPU
-control does — but the page kernel, whose scaling is what the job inherits,
-cannot). 2→8 leaves headroom (kernel 0.92), so N=2 is where a Spark-level
-scaling defect would actually be visible instead of drowned by hardware.
+(Back-to-back A/B on the scaling corpus itself — 244 mixed pages incl. the
+32-page heavy docs. The round-3 optimized kernel is faster at EVERY proc
+count; with less compute per byte it saturates the VM's memory bandwidth
+sooner, so its own 8→32 ceiling is LOWER even though absolute throughput
+is higher everywhere.)
+
+Over 8→32 even the no-Spark page kernel caps at ~0.57 and a pure-CPU loop
+at 0.82, so that range mostly measures the VM's bandwidth/core-scaling
+limit (a memory-bandwidth-light workload CAN still clear 0.8 there — the
+pure-CPU control does — but the page kernel, whose scaling is what the job
+inherits, cannot). 2→8 leaves headroom (kernel ~0.88), so N=2 is where a
+Spark-level scaling defect would actually be visible instead of drowned by
+hardware.
 The companion 8→32 Spark measurement above keeps the top of the range
 honest: the job is judged against the kernel's own ceiling there, not
 against an unreachable 1.0.
