@@ -67,7 +67,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "jpeg_page", "exif_tiff_page", "exif_jpeg_page",
                   "pdf_page", "pdf_scanned_page", "pdf_two_column_page",
                   "rgb_png_page", "gif_page", "progressive_jpeg_page",
-                  "pdf_modern_page", "pdf_cid_page", "pdf_searchable_page"):
+                  "pdf_modern_page", "pdf_cid_page", "pdf_searchable_page",
+                  "g4_tiff_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -380,7 +381,7 @@ PAGE_FAMILIES = [
     "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
     "gif_page", "progressive_jpeg_page", "pdf_modern_page",
     "pdf_cid_page", "pdf_searchable_page", "devanagari_page",
-    "smudged_page", "fuzzy_space_page",
+    "smudged_page", "fuzzy_space_page", "g4_tiff_page",
 ]
 
 
@@ -553,6 +554,17 @@ class _Builder:
             ], page_size=(612, 792))
             blocks = ([TruthBlock("flowing_text", "\n".join(digital))]
                       + scanned)
+        elif family == "g4_tiff_page":
+            # CCITT Group 4 container — the archival-scan compression
+            # (Leptonica reads G4 natively through the same pixReadMem
+            # sniff, SetImage baseapi.cpp:881). Encoding thresholds to
+            # bilevel (fax files ARE bilevel); the fixture page is pure
+            # two-level ink, so the decoded raster binarizes to the same
+            # blobs and truth is the plain page's.
+            from ..functions.tiff import encode_gray_tiff
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_tiff(img, "g4")
         elif family == "pnm_page":
             from ..functions.raster import encode_gray_pnm
 

@@ -1,0 +1,293 @@
+"""CCITT Group 4 (ITU-T T.6, "MMR") codec for bilevel TIFF strips.
+
+Group 4 is THE compression of archival document scans — Leptonica reads it
+natively so the reference ingests G4 TIFFs through the same SetImage seam
+as everything else (/root/reference/src/api/baseapi.cpp:881,906; multipage
+fax files via ProcessPagesMultipageTiff baseapi.cpp:1657). Without it, a
+user pointing the pipeline at a real scan archive fails on document one.
+Like the sibling codecs (png.py, jpeg.py, gif.py) this is a from-scratch
+pure-python implementation — the container has no image libraries, and the
+point is that the media column carries genuine G4-encoded bytes through the
+Arrow/mapInPandas plumbing.
+
+T.6 codes each row against the row above as a sequence of pass / vertical /
+horizontal modes over "changing elements" (positions where the pixel color
+flips); horizontal mode falls back to the T.4 modified-Huffman run-length
+alphabet (separate white/black code tables, makeup + terminating codes).
+There are no per-row EOL codes in G4; an optional EOFB ends the strip.
+Each TIFF strip is an independent T.6 block (the reference line resets to
+all-white), so RowsPerStrip-sized units decode in parallel.
+
+Bomb/hang guards: decode output is exactly h rows of w pixels (the caller
+knows both from the IFD), every mode must advance the coding position, and
+run/mode codes are length-capped — malformed input raises instead of
+looping or allocating.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+
+import numpy as np
+
+from .tiff import _BitReader, _BitWriter
+
+# ITU-T T.4 §2.2.2.1 white run-length codes (terminating 0-63).
+_WHITE_TERM = [
+    "00110101", "000111", "0111", "1000", "1011", "1100", "1110", "1111",
+    "10011", "10100", "00111", "01000", "001000", "000011", "110100",
+    "110101", "101010", "101011", "0100111", "0001100", "0001000",
+    "0010111", "0000011", "0000100", "0101000", "0101011", "0010011",
+    "0100100", "0011000", "00000010", "00000011", "00011010", "00011011",
+    "00010010", "00010011", "00010100", "00010101", "00010110", "00010111",
+    "00101000", "00101001", "00101010", "00101011", "00101100", "00101101",
+    "00000100", "00000101", "00001010", "00001011", "01010010", "01010011",
+    "01010100", "01010101", "00100100", "00100101", "01011000", "01011001",
+    "01011010", "01011011", "01001010", "01001011", "00110010", "00110011",
+    "00110100",
+]
+
+# T.4 white makeup codes (64-1728, step 64).
+_WHITE_MAKEUP = {
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100", 768: "011001101",
+    832: "011010010", 896: "011010011", 960: "011010100", 1024: "011010101",
+    1088: "011010110", 1152: "011010111", 1216: "011011000",
+    1280: "011011001", 1344: "011011010", 1408: "011011011",
+    1472: "010011000", 1536: "010011001", 1600: "010011010",
+    1664: "011000", 1728: "010011011",
+}
+
+# T.4 §2.2.2.2 black run-length codes (terminating 0-63).
+_BLACK_TERM = [
+    "0000110111", "010", "11", "10", "011", "0011", "0010", "00011",
+    "000101", "000100", "0000100", "0000101", "0000111", "00000100",
+    "00000111", "000011000", "0000010111", "0000011000", "0000001000",
+    "00001100111", "00001101000", "00001101100", "00000110111",
+    "00000101000", "00000010111", "00000011000", "000011001010",
+    "000011001011", "000011001100", "000011001101", "000001101000",
+    "000001101001", "000001101010", "000001101011", "000011010010",
+    "000011010011", "000011010100", "000011010101", "000011010110",
+    "000011010111", "000001101100", "000001101101", "000011011010",
+    "000011011011", "000001010100", "000001010101", "000001010110",
+    "000001010111", "000001100100", "000001100101", "000001010010",
+    "000001010011", "000000100100", "000000110111", "000000111000",
+    "000000100111", "000000101000", "000001011000", "000001011001",
+    "000000101011", "000000101100", "000001011010", "000001100110",
+    "000001100111",
+]
+
+# T.4 black makeup codes (64-1728).
+_BLACK_MAKEUP = {
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+
+# T.4 §2.2.2.3 extended makeup codes (shared by both colors, 1792-2560).
+_EXT_MAKEUP = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+# T.6 §4.2.1 two-dimensional mode codes. Vertical offsets keyed by a1-b1.
+_V_CODES = {0: "1", 1: "011", -1: "010", 2: "000011", -2: "000010",
+            3: "0000011", -3: "0000010"}
+_H_CODE = "001"
+_P_CODE = "0001"
+_EOL = "000000000001"
+
+_MAKEUP = (
+    {**_WHITE_MAKEUP, **_EXT_MAKEUP},   # color 0 = white
+    {**_BLACK_MAKEUP, **_EXT_MAKEUP},   # color 1 = black
+)
+_TERM = (_WHITE_TERM, _BLACK_TERM)
+
+# decode tables: (bit-length, code-value) -> run length, per color
+_RUN_DEC: tuple[dict, dict] = ({}, {})
+for _color in (0, 1):
+    for _run, _code in enumerate(_TERM[_color]):
+        _RUN_DEC[_color][(len(_code), int(_code, 2))] = _run
+    for _run, _code in _MAKEUP[_color].items():
+        _RUN_DEC[_color][(len(_code), int(_code, 2))] = _run
+_MAX_RUN_CODE_BITS = 13
+
+
+def _emit(bw: _BitWriter, code: str) -> None:
+    bw.write(int(code, 2), len(code))
+
+
+def _emit_run(bw: _BitWriter, run: int, color: int) -> None:
+    """One run as (0+ makeup codes) + exactly one terminating code. Runs
+    past 2560 repeat the largest extended makeup (T.4 §2.2.2.3 note)."""
+    while run >= 64:
+        m = min((run // 64) * 64, 2560)
+        _emit(bw, _MAKEUP[color][m])
+        run -= m
+    _emit(bw, _TERM[color][run])
+
+
+def _changes(row: np.ndarray) -> list[int]:
+    """Changing elements: positions whose color differs from the pixel to
+    their left (row starts with an imaginary white pixel), T.6 §4.2.1.1."""
+    d = np.flatnonzero(np.diff(np.concatenate(
+        (np.zeros(1, dtype=np.int8), row.astype(np.int8)))))
+    return d.tolist()
+
+
+def _b1_b2(ref: list[int], a0: int, color: int, w: int) -> tuple[int, int]:
+    """b1 = first reference-line change right of a0 whose transition is to
+    the opposite of the current color (even index = white->black), b2 = the
+    change after it; w when exhausted."""
+    i = bisect_right(ref, a0)
+    if (i & 1) != color:
+        i += 1
+    b1 = ref[i] if i < len(ref) else w
+    b2 = ref[i + 1] if i + 1 < len(ref) else w
+    return b1, b2
+
+
+def g4_encode(bits: np.ndarray) -> bytes:
+    """HxW 0/1 array (1 = black) -> one T.6-coded block, EOFB-terminated."""
+    if bits.ndim != 2:
+        raise ValueError("g4_encode expects an HxW bilevel array")
+    h, w = bits.shape
+    bw = _BitWriter()
+    ref: list[int] = []      # imaginary all-white reference line above row 0
+    for y in range(h):
+        cur = _changes(bits[y])
+        a0, color, k = -1, 0, 0
+        while a0 < w:
+            while k < len(cur) and cur[k] <= a0:
+                k += 1
+            a1 = cur[k] if k < len(cur) else w
+            b1, b2 = _b1_b2(ref, a0, color, w)
+            if b2 < a1:
+                _emit(bw, _P_CODE)
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                _emit(bw, _V_CODES[a1 - b1])
+                a0 = a1
+                color ^= 1
+            else:
+                j = k
+                while j < len(cur) and cur[j] <= a1:
+                    j += 1
+                a2 = cur[j] if j < len(cur) else w
+                base = a0 if a0 > 0 else 0
+                _emit(bw, _H_CODE)
+                _emit_run(bw, a1 - base, color)
+                _emit_run(bw, a2 - a1, color ^ 1)
+                a0 = a2
+        ref = cur
+    _emit(bw, _EOL + _EOL)   # EOFB
+    return bw.bytes()
+
+
+def _read_mode(br: _BitReader):
+    """One T.6 mode code: ('V', d) | 'H' | 'P' | 'EOL' (EOFB / end)."""
+    b = br.read(1)
+    if b is None:
+        return "EOL"
+    if b:
+        return ("V", 0)
+    if br.read(1):                       # 01x
+        return ("V", 1) if br.read(1) else ("V", -1)
+    if br.read(1):                       # 001
+        return "H"
+    if br.read(1):                       # 0001
+        return "P"
+    if br.read(1):                       # 00001x
+        return ("V", 2) if br.read(1) else ("V", -2)
+    if br.read(1):                       # 000001x
+        return ("V", 3) if br.read(1) else ("V", -3)
+    if br.read(1):                       # 0000001: T.6 extensions
+        raise ValueError("T.6 extension modes unsupported")
+    return "EOL"                         # 0000000... = EOL/EOFB region
+
+
+def _read_run(br: _BitReader, color: int) -> int:
+    """One full run length: 0+ makeup codes then a terminating code."""
+    total = 0
+    while True:
+        acc = n = 0
+        while True:
+            b = br.read(1)
+            if b is None:
+                raise ValueError("truncated G4 run code")
+            acc = (acc << 1) | b
+            n += 1
+            run = _RUN_DEC[color].get((n, acc))
+            if run is not None:
+                break
+            if n >= _MAX_RUN_CODE_BITS:
+                raise ValueError("invalid G4 run code")
+        total += run
+        if run < 64:
+            return total
+
+
+def g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """One T.6-coded block -> HxW uint8 array (1 = black).
+
+    The caller supplies w and h from the TIFF IFD, so output size is fixed
+    up front — a crafted stream cannot expand past the declared raster."""
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive G4 dimensions")
+    br = _BitReader(data)
+    out = np.zeros((h, w), dtype=np.uint8)
+    ref: list[int] = []
+    done = False
+    for y in range(h):
+        cur: list[int] = []
+        a0, color = -1, 0
+        while a0 < w:
+            b1, b2 = _b1_b2(ref, a0, color, w)
+            mode = _read_mode(br)
+            if mode == "EOL":            # EOFB or data exhausted
+                done = True
+                break
+            if mode == "P":
+                if b2 <= a0:
+                    raise ValueError("G4 pass mode does not advance")
+                a0 = b2
+            elif mode == "H":
+                base = a0 if a0 > 0 else 0
+                a1 = base + _read_run(br, color)
+                a2 = a1 + _read_run(br, color ^ 1)
+                # a0 = -1 only at line start, where any a1 >= 0 advances
+                if a1 <= a0 or a2 < a1 or a2 > w:
+                    raise ValueError("G4 horizontal runs out of range")
+                if a2 > a1:              # zero-length 2nd run: no net change
+                    cur.append(a1)
+                    cur.append(a2)
+                a0 = a2
+            else:                        # vertical
+                a1 = b1 + mode[1]
+                if a1 < 0 or a1 > w or a1 <= a0:
+                    raise ValueError("G4 vertical mode out of range")
+                cur.append(a1)
+                a0 = a1
+                color ^= 1
+        if done:
+            # EOFB (or end of data) before the declared height: the stream
+            # coded fewer rows than the IFD claims — corrupt, not padding
+            raise ValueError(
+                f"G4 stream ended at row {y} of declared {h}")
+        row = out[y]
+        for i in range(0, len(cur), 2):
+            start = cur[i]
+            end = cur[i + 1] if i + 1 < len(cur) else w
+            row[start:end] = 1
+        ref = cur
+    return out

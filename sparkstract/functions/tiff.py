@@ -1,5 +1,6 @@
-"""Minimal pure-Python TIFF codec: 8-bit grayscale, none/LZW compression,
-multipage (IFD chain).
+"""Minimal pure-Python TIFF codec: 8-bit grayscale, none/LZW/PackBits and
+CCITT G4 bilevel (via functions/ccitt.py) compression, multipage (IFD
+chain).
 
 The reference ingests any Leptonica-readable raster and TIFF is the OCR
 lingua franca (SetImage /root/reference/src/api/baseapi.cpp:881,906;
@@ -197,7 +198,7 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
     if isinstance(pages, np.ndarray):
         pages = [pages]
     assert pages, "at least one page"
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_id = {"none": 1, "g4": 4, "lzw": 5, "packbits": 32773}[compression]
     out = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD0 offset patched below
     ifd_ptr_pos = 4
     for img in pages:
@@ -206,9 +207,18 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
             raise ValueError("encode_gray_tiff expects HxW or HxWx3 uint8")
         h, w = img.shape[:2]
         nsamp = 1 if img.ndim == 2 else 3
-        raw = img.tobytes()
-        strip = {1: lambda b: b, 5: _lzw_encode,
-                 32773: _packbits_encode}[comp_id](raw)
+        if comp_id == 4:
+            # G4 is bilevel-only: threshold gray at 128 (ink -> black),
+            # photometric 0 (WhiteIsZero, the fax default: bit 1 = black)
+            if img.ndim != 2:
+                raise ValueError("G4 TIFF is bilevel: HxW gray input only")
+            from .ccitt import g4_encode
+
+            strip = g4_encode((img < 128).astype(np.uint8))
+        else:
+            raw = img.tobytes()
+            strip = {1: lambda b: b, 5: _lzw_encode,
+                     32773: _packbits_encode}[comp_id](raw)
         strip_off = len(out)
         out += strip
         if len(out) % 2:
@@ -221,12 +231,14 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
         ifd_off = len(out)
         # patch the previous chain pointer to this IFD
         struct.pack_into("<I", out, ifd_ptr_pos, ifd_off)
+        bits_val = 1 if comp_id == 4 else (8 if nsamp == 1 else bits_off)
+        photometric = 0 if comp_id == 4 else (1 if nsamp == 1 else 2)
         entries = [  # ascending tag order (required by the spec)
             (256, 4, 1, w),            # ImageWidth
             (257, 4, 1, h),            # ImageLength
-            (258, 3, nsamp, 8 if nsamp == 1 else bits_off),  # BitsPerSample
+            (258, 3, nsamp, bits_val),  # BitsPerSample
             (259, 3, 1, comp_id),      # Compression
-            (262, 3, 1, 1 if nsamp == 1 else 2),  # BlackIsZero / RGB
+            (262, 3, 1, photometric),  # WhiteIsZero / BlackIsZero / RGB
             (273, 4, 1, strip_off),    # StripOffsets
             *([(274, 3, 1, orientation)] if orientation else []),
             (277, 3, 1, nsamp),        # SamplesPerPixel
@@ -293,8 +305,8 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         # RGB (3) / RGBA (4, alpha dropped) collapse to BT.601 luma the way
         # Leptonica's pixConvertTo8 does before analysis; chunky planar
         # config only (PlanarConfiguration=2 stores whole planes — rare).
-        # 1-bit bilevel (the scan classic, minus the out-of-scope G4
-        # compression) unpacks MSB-first rows.
+        # 1-bit bilevel (the scan classic) unpacks MSB-first rows;
+        # CCITT G4 bilevel decodes via functions/ccitt.py below.
         if tags.get(284, [1])[0] != 1 or nsamp not in (1, 3, 4) \
                 or not (bilevel or all(b == 8 for b in bps)):
             raise ValueError(
@@ -303,21 +315,39 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         if 322 in tags or 323 in tags:   # TileWidth / TileLength
             raise ValueError("tiled TIFF: out of scope (strip layout only)")
         comp = tags.get(259, [1])[0]
-        if comp not in (1, 5, 32773):
+        if comp not in (1, 4, 5, 32773):
             raise ValueError(f"TIFF compression {comp}: out of scope "
-                             "(none/LZW/PackBits supported)")
-        expect = h * ((w + 7) // 8) if bilevel else h * w * nsamp
-        undo = {1: lambda b: b,
-                5: lambda b: _lzw_decode(b, max_out=expect),
-                32773: _packbits_decode}[comp]
+                             "(none/G4/LZW/PackBits supported)")
         offs, cnts = tags[273], tags[279]
-        raw = b"".join(undo(data[o : o + c]) for o, c in zip(offs, cnts))
+        if comp == 4:
+            # CCITT Group 4 (T.6): bilevel only; each strip is an
+            # independent MMR block (reference line resets), so strips
+            # decode against their own declared row count
+            if not bilevel:
+                raise ValueError("G4 TIFF must be 1-bit bilevel")
+            from .ccitt import g4_decode
+
+            rps = tags.get(278, [h])[0]
+            parts = [g4_decode(data[o : o + c], w, min(rps, h - i * rps))
+                     for i, (o, c) in enumerate(zip(offs, cnts))]
+            bits = np.vstack(parts) if len(parts) > 1 else parts[0]
+            if bits.shape[0] != h:
+                raise ValueError("G4 TIFF strip rows do not cover height")
+            raw = b""
+        else:
+            expect = h * ((w + 7) // 8) if bilevel else h * w * nsamp
+            undo = {1: lambda b: b,
+                    5: lambda b: _lzw_decode(b, max_out=expect),
+                    32773: _packbits_decode}[comp]
+            raw = b"".join(undo(data[o : o + c]) for o, c in zip(offs, cnts))
         if bilevel:
-            stride = (w + 7) // 8
-            packed = np.frombuffer(raw[: h * stride], dtype=np.uint8)
-            if packed.size < h * stride:
-                raise ValueError("truncated bilevel TIFF raster")
-            bits = np.unpackbits(packed.reshape(h, stride), axis=1)[:, :w]
+            if comp != 4:
+                stride = (w + 7) // 8
+                packed = np.frombuffer(raw[: h * stride], dtype=np.uint8)
+                if packed.size < h * stride:
+                    raise ValueError("truncated bilevel TIFF raster")
+                bits = np.unpackbits(packed.reshape(h, stride),
+                                     axis=1)[:, :w]
             # photometric 0 (WhiteIsZero, the bilevel default: 1 = black)
             # vs 1 (BlackIsZero: 1 = white); the 8-bit invert below must
             # not run again, so map directly here

@@ -159,8 +159,25 @@ def test_unknown_compression_named_out_of_scope():
         pos = ifd_off + 2 + 12 * i
         (tag,) = struct.unpack_from("<H", data, pos)
         if tag == 259:
-            struct.pack_into("<H", data, pos + 8, 4)  # CCITT G4
+            struct.pack_into("<H", data, pos + 8, 7)  # TIFF-JPEG
     with pytest.raises(ValueError, match="out of scope"):
+        decode_gray_tiff(bytes(data))
+
+
+def test_g4_on_8bit_page_named_error():
+    """Compression 4 on a non-bilevel page is malformed — named error,
+    not a silent misdecode."""
+    import struct
+
+    data = bytearray(encode_gray_tiff(np.zeros((4, 4), dtype=np.uint8)))
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        pos = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", data, pos)
+        if tag == 259:
+            struct.pack_into("<H", data, pos + 8, 4)  # CCITT G4
+    with pytest.raises(ValueError, match="bilevel"):
         decode_gray_tiff(bytes(data))
 
 
