@@ -1,4 +1,6 @@
-"""CCITT Group 4 (ITU-T T.6, "MMR") codec for bilevel TIFF strips.
+"""CCITT fax codecs for bilevel TIFF strips: Group 4 (ITU-T T.6, "MMR",
+compression 4), Group 3 (T.4, compression 3, 1D and 2D rows), and modified
+Huffman (compression 2).
 
 Group 4 is THE compression of archival document scans — Leptonica reads it
 natively so the reference ingests G4 TIFFs through the same SetImage seam
@@ -237,6 +239,78 @@ def _read_run(br: _BitReader, color: int) -> int:
             return total
 
 
+def _decode_row_2d(br: _BitReader, ref: list[int],
+                   w: int) -> list[int] | None:
+    """One 2D-coded row (shared by T.6 and T.4-2D): changing elements of
+    the new row, or None when an EOL/EOFB (or end of data) is hit before
+    the row starts advancing."""
+    cur: list[int] = []
+    a0, color = -1, 0
+    while a0 < w:
+        b1, b2 = _b1_b2(ref, a0, color, w)
+        mode = _read_mode(br)
+        if mode == "EOL":
+            return None
+        if mode == "P":
+            if b2 <= a0:
+                raise ValueError("G4 pass mode does not advance")
+            a0 = b2
+        elif mode == "H":
+            base = a0 if a0 > 0 else 0
+            a1 = base + _read_run(br, color)
+            a2 = a1 + _read_run(br, color ^ 1)
+            # a0 = -1 only at line start, where any a1 >= 0 advances
+            if a1 <= a0 or a2 < a1 or a2 > w:
+                raise ValueError("G4 horizontal runs out of range")
+            if a2 > a1:                  # zero-length 2nd run: no net change
+                cur.append(a1)
+                cur.append(a2)
+            a0 = a2
+        else:                            # vertical
+            a1 = b1 + mode[1]
+            if a1 < 0 or a1 > w or a1 <= a0:
+                raise ValueError("G4 vertical mode out of range")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    return cur
+
+
+def _decode_row_1d(br: _BitReader, w: int) -> list[int]:
+    """One T.4 modified-Huffman row: alternating white/black runs from an
+    all-white start until the row is exactly full. Every run contributes
+    one boundary, so even indices are black starts — the same changing-
+    element shape the 2D coder uses."""
+    cur: list[int] = []
+    pos, color = 0, 0
+    while pos < w:
+        pos += _read_run(br, color)
+        if pos > w:
+            raise ValueError("MH row overruns width")
+        cur.append(pos)
+        color ^= 1
+    return cur
+
+
+def _canonical(cur: list[int]) -> list[int]:
+    """Drop cancelling duplicate boundary pairs (zero-length runs) so the
+    list is strictly increasing — required of a 2D reference line."""
+    out: list[int] = []
+    for p in cur:
+        if out and out[-1] == p:
+            out.pop()
+        else:
+            out.append(p)
+    return out
+
+
+def _fill_row(row: np.ndarray, cur: list[int], w: int) -> None:
+    for i in range(0, len(cur), 2):
+        start = cur[i]
+        end = cur[i + 1] if i + 1 < len(cur) else w
+        row[start:end] = 1
+
+
 def g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
     """One T.6-coded block -> HxW uint8 array (1 = black).
 
@@ -247,47 +321,120 @@ def g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
     br = _BitReader(data)
     out = np.zeros((h, w), dtype=np.uint8)
     ref: list[int] = []
-    done = False
     for y in range(h):
-        cur: list[int] = []
-        a0, color = -1, 0
-        while a0 < w:
-            b1, b2 = _b1_b2(ref, a0, color, w)
-            mode = _read_mode(br)
-            if mode == "EOL":            # EOFB or data exhausted
-                done = True
-                break
-            if mode == "P":
-                if b2 <= a0:
-                    raise ValueError("G4 pass mode does not advance")
-                a0 = b2
-            elif mode == "H":
-                base = a0 if a0 > 0 else 0
-                a1 = base + _read_run(br, color)
-                a2 = a1 + _read_run(br, color ^ 1)
-                # a0 = -1 only at line start, where any a1 >= 0 advances
-                if a1 <= a0 or a2 < a1 or a2 > w:
-                    raise ValueError("G4 horizontal runs out of range")
-                if a2 > a1:              # zero-length 2nd run: no net change
-                    cur.append(a1)
-                    cur.append(a2)
-                a0 = a2
-            else:                        # vertical
-                a1 = b1 + mode[1]
-                if a1 < 0 or a1 > w or a1 <= a0:
-                    raise ValueError("G4 vertical mode out of range")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-        if done:
+        cur = _decode_row_2d(br, ref, w)
+        if cur is None:
             # EOFB (or end of data) before the declared height: the stream
             # coded fewer rows than the IFD claims — corrupt, not padding
-            raise ValueError(
-                f"G4 stream ended at row {y} of declared {h}")
-        row = out[y]
-        for i in range(0, len(cur), 2):
-            start = cur[i]
-            end = cur[i + 1] if i + 1 < len(cur) else w
-            row[start:end] = 1
+            raise ValueError(f"G4 stream ended at row {y} of declared {h}")
+        _fill_row(out[y], cur, w)
         ref = cur
+    return out
+
+
+# --------------------------------------------------------------- Group 3
+# TIFF compression 2 = T.4 modified Huffman, no EOLs, every row starts on
+# a byte boundary. Compression 3 = classic G3: an EOL before every row,
+# optionally with fill bits; T4Options bit 0 adds 2D rows (each EOL is
+# followed by a 1-bit tag: 1 = the next row is 1D, 0 = 2D against the
+# previous row).
+
+
+def _align_byte(br: _BitReader) -> None:
+    """Discard bits up to the next byte boundary of the input stream."""
+    br._nbits -= br._nbits % 8
+
+
+def mh_encode(bits: np.ndarray) -> bytes:
+    """HxW 0/1 array -> TIFF compression-2 bytes (MH rows, byte-aligned)."""
+    if bits.ndim != 2:
+        raise ValueError("mh_encode expects an HxW bilevel array")
+    h, w = bits.shape
+    out = bytearray()
+    for y in range(h):
+        bw = _BitWriter()
+        pos, color = 0, 0
+        changes = _changes(bits[y])
+        for nxt in changes + [w]:
+            _emit_run(bw, nxt - pos, color)
+            pos, color = nxt, color ^ 1
+            if pos >= w:
+                break
+        out += bw.bytes()                # bytes() pads to the boundary
+    return bytes(out)
+
+
+def mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """TIFF compression-2 bytes -> HxW uint8 (1 = black)."""
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive MH dimensions")
+    br = _BitReader(data)
+    out = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        _fill_row(out[y], _decode_row_1d(br, w), w)
+        _align_byte(br)                  # each row starts on a byte boundary
+    return out
+
+
+def _sync_eol(br: _BitReader) -> bool:
+    """Consume (fill bits +) one EOL: >=11 zeros then a 1. False at end of
+    data; raises if a 1 arrives too early (not at an EOL) or the zero fill
+    never terminates (hang guard)."""
+    zeros = 0
+    while True:
+        b = br.read(1)
+        if b is None:
+            return False
+        if b:
+            if zeros < 11:
+                raise ValueError("G3 expected EOL")
+            return True
+        zeros += 1
+        if zeros > 64 * 8:
+            raise ValueError("G3 fill run never terminates")
+
+
+def g3_encode(bits: np.ndarray) -> bytes:
+    """HxW 0/1 array -> TIFF compression-3 bytes (1D rows, an EOL before
+    every row, no fill, no RTC — T4Options = 0)."""
+    if bits.ndim != 2:
+        raise ValueError("g3_encode expects an HxW bilevel array")
+    h, w = bits.shape
+    bw = _BitWriter()
+    for y in range(h):
+        _emit(bw, _EOL)
+        pos, color = 0, 0
+        for nxt in _changes(bits[y]) + [w]:
+            _emit_run(bw, nxt - pos, color)
+            pos, color = nxt, color ^ 1
+            if pos >= w:
+                break
+    return bw.bytes()
+
+
+def g3_decode(data: bytes, w: int, h: int, two_d: bool = False) -> np.ndarray:
+    """TIFF compression-3 bytes -> HxW uint8 (1 = black). `two_d` mirrors
+    T4Options bit 0 (each EOL carries a 1D/2D tag bit)."""
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive G3 dimensions")
+    br = _BitReader(data)
+    out = np.zeros((h, w), dtype=np.uint8)
+    ref: list[int] = []
+    for y in range(h):
+        if not _sync_eol(br):
+            raise ValueError(f"G3 stream ended at row {y} of declared {h}")
+        one_d = True
+        if two_d:
+            tag = br.read(1)
+            if tag is None:
+                raise ValueError("G3 stream ended at a 1D/2D tag bit")
+            one_d = bool(tag)
+        if one_d:
+            cur = _decode_row_1d(br, w)
+        else:
+            cur = _decode_row_2d(br, ref, w)
+            if cur is None:
+                raise ValueError("unexpected EOL inside a G3 2D row")
+        _fill_row(out[y], cur, w)
+        ref = _canonical(cur)
     return out

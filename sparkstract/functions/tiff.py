@@ -1,6 +1,6 @@
 """Minimal pure-Python TIFF codec: 8-bit grayscale, none/LZW/PackBits and
-CCITT G4 bilevel (via functions/ccitt.py) compression, multipage (IFD
-chain).
+the CCITT fax family — MH (compression 2), G3 (3, 1D and 2D rows), G4 (4)
+bilevel via functions/ccitt.py — multipage (IFD chain).
 
 The reference ingests any Leptonica-readable raster and TIFF is the OCR
 lingua franca (SetImage /root/reference/src/api/baseapi.cpp:881,906;
@@ -198,7 +198,8 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
     if isinstance(pages, np.ndarray):
         pages = [pages]
     assert pages, "at least one page"
-    comp_id = {"none": 1, "g4": 4, "lzw": 5, "packbits": 32773}[compression]
+    comp_id = {"none": 1, "mh": 2, "g3": 3, "g4": 4, "lzw": 5,
+               "packbits": 32773}[compression]
     out = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD0 offset patched below
     ifd_ptr_pos = 4
     for img in pages:
@@ -207,14 +208,16 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
             raise ValueError("encode_gray_tiff expects HxW or HxWx3 uint8")
         h, w = img.shape[:2]
         nsamp = 1 if img.ndim == 2 else 3
-        if comp_id == 4:
-            # G4 is bilevel-only: threshold gray at 128 (ink -> black),
-            # photometric 0 (WhiteIsZero, the fax default: bit 1 = black)
+        if comp_id in (2, 3, 4):
+            # the fax family is bilevel-only: threshold gray at 128 (ink ->
+            # black), photometric 0 (WhiteIsZero, the fax default: 1=black)
             if img.ndim != 2:
-                raise ValueError("G4 TIFF is bilevel: HxW gray input only")
-            from .ccitt import g4_encode
+                raise ValueError(
+                    "CCITT TIFF is bilevel: HxW gray input only")
+            from .ccitt import g3_encode, g4_encode, mh_encode
 
-            strip = g4_encode((img < 128).astype(np.uint8))
+            enc = {2: mh_encode, 3: g3_encode, 4: g4_encode}[comp_id]
+            strip = enc((img < 128).astype(np.uint8))
         else:
             raw = img.tobytes()
             strip = {1: lambda b: b, 5: _lzw_encode,
@@ -231,8 +234,9 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
         ifd_off = len(out)
         # patch the previous chain pointer to this IFD
         struct.pack_into("<I", out, ifd_ptr_pos, ifd_off)
-        bits_val = 1 if comp_id == 4 else (8 if nsamp == 1 else bits_off)
-        photometric = 0 if comp_id == 4 else (1 if nsamp == 1 else 2)
+        fax = comp_id in (2, 3, 4)
+        bits_val = 1 if fax else (8 if nsamp == 1 else bits_off)
+        photometric = 0 if fax else (1 if nsamp == 1 else 2)
         entries = [  # ascending tag order (required by the spec)
             (256, 4, 1, w),            # ImageWidth
             (257, 4, 1, h),            # ImageLength
@@ -315,24 +319,34 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         if 322 in tags or 323 in tags:   # TileWidth / TileLength
             raise ValueError("tiled TIFF: out of scope (strip layout only)")
         comp = tags.get(259, [1])[0]
-        if comp not in (1, 4, 5, 32773):
+        if comp not in (1, 2, 3, 4, 5, 32773):
             raise ValueError(f"TIFF compression {comp}: out of scope "
-                             "(none/G4/LZW/PackBits supported)")
+                             "(none/MH/G3/G4/LZW/PackBits supported)")
         offs, cnts = tags[273], tags[279]
-        if comp == 4:
-            # CCITT Group 4 (T.6): bilevel only; each strip is an
-            # independent MMR block (reference line resets), so strips
-            # decode against their own declared row count
+        if comp in (2, 3, 4):
+            # CCITT fax family (functions/ccitt.py): bilevel only; each
+            # strip is an independent coding block, so strips decode
+            # against their own declared row count
             if not bilevel:
-                raise ValueError("G4 TIFF must be 1-bit bilevel")
-            from .ccitt import g4_decode
+                raise ValueError(
+                    "CCITT-compressed TIFF must be 1-bit bilevel")
+            from .ccitt import g3_decode, g4_decode, mh_decode
 
+            if comp == 2:          # T.4 MH rows, byte-aligned, no EOLs
+                dec = mh_decode
+            elif comp == 3:        # classic G3; T4Options bit 0 = 2D rows
+                two_d = bool(tags.get(292, [0])[0] & 1)
+
+                def dec(d, ww, hh, _t=two_d):
+                    return g3_decode(d, ww, hh, two_d=_t)
+            else:                  # T.6 (G4)
+                dec = g4_decode
             rps = tags.get(278, [h])[0]
-            parts = [g4_decode(data[o : o + c], w, min(rps, h - i * rps))
+            parts = [dec(data[o : o + c], w, min(rps, h - i * rps))
                      for i, (o, c) in enumerate(zip(offs, cnts))]
             bits = np.vstack(parts) if len(parts) > 1 else parts[0]
             if bits.shape[0] != h:
-                raise ValueError("G4 TIFF strip rows do not cover height")
+                raise ValueError("CCITT TIFF strip rows do not cover height")
             raw = b""
         else:
             expect = h * ((w + 7) // 8) if bilevel else h * w * nsamp
@@ -341,7 +355,7 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
                     32773: _packbits_decode}[comp]
             raw = b"".join(undo(data[o : o + c]) for o, c in zip(offs, cnts))
         if bilevel:
-            if comp != 4:
+            if comp not in (2, 3, 4):
                 stride = (w + 7) // 8
                 packed = np.frombuffer(raw[: h * stride], dtype=np.uint8)
                 if packed.size < h * stride:

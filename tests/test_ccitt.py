@@ -202,3 +202,125 @@ def test_codec_dispatch_g4():
     img[8:16, 4:30] = 0
     (got,) = decode_pages(encode_gray_tiff(img, "g4"))
     assert (got == img).all()
+
+
+# ------------------------------------------------------- Group 3 family
+
+
+def test_mh_roundtrip_fuzz():
+    from sparkstract.functions.ccitt import mh_decode, mh_encode
+
+    rng = np.random.default_rng(21)
+    for trial in range(80):
+        h = int(rng.integers(1, 16))
+        w = int(rng.integers(1, 150))
+        dens = [0.5, 0.05, 0.95, 0.0][trial % 4]
+        bits = (rng.random((h, w)) < dens).astype(np.uint8)
+        assert (mh_decode(mh_encode(bits), w, h) == bits).all(), trial
+
+
+def test_mh_rows_are_byte_aligned():
+    """TIFF compression 2 requires every row to start on a byte boundary;
+    a single-pixel row still occupies whole bytes."""
+    from sparkstract.functions.ccitt import mh_encode
+
+    bits = np.ones((5, 1), np.uint8)
+    enc = mh_encode(bits)
+    one_row = mh_encode(bits[:1])
+    assert len(enc) == 5 * len(one_row)
+
+
+def test_g3_roundtrip_and_eol_sync():
+    from sparkstract.functions.ccitt import g3_decode, g3_encode
+
+    rng = np.random.default_rng(23)
+    bits = (rng.random((12, 90)) < 0.2).astype(np.uint8)
+    enc = g3_encode(bits)
+    assert (g3_decode(enc, 90, 12) == bits).all()
+    # leading fill bits before the first EOL must be skipped
+    assert (g3_decode(b"\x00" + enc, 90, 12) == bits).all()
+    with pytest.raises(ValueError):
+        g3_decode(enc, 90, 13)          # more rows declared than coded
+
+
+def test_g3_two_d_rows_decode_against_previous():
+    """Hand-built T.4-2D stream: EOL+tag1 1D row, then EOL+tag0 2D row
+    coded as two V(+1) modes and a terminating V0."""
+    from sparkstract.functions.ccitt import (
+        _EOL, _BitWriter, _changes, _emit, _emit_run, g3_decode)
+
+    bits = np.zeros((2, 40), np.uint8)
+    bits[0, 10:20] = 1
+    bits[1, 11:21] = 1
+    bw = _BitWriter()
+    _emit(bw, _EOL)
+    _emit(bw, "1")
+    pos, color = 0, 0
+    for nxt in _changes(bits[0]) + [40]:
+        _emit_run(bw, nxt - pos, color)
+        pos, color = nxt, color ^ 1
+        if pos >= 40:
+            break
+    _emit(bw, _EOL)
+    _emit(bw, "0")
+    _emit(bw, "011")                    # V(+1): change at 11 vs b1=10
+    _emit(bw, "011")                    # V(+1): change at 21 vs b1=20
+    _emit(bw, "1")                      # V0 at w terminates the row
+    assert (g3_decode(bw.bytes(), 40, 2, two_d=True) == bits).all()
+
+
+def test_mh_g3_tiff_roundtrip():
+    img = np.full((50, 80), 255, np.uint8)
+    img[10:18, 5:60] = 0
+    img[30, ::3] = 0
+    exp = np.where(img < 128, 0, 255)
+    for comp in ("mh", "g3"):
+        (got,) = decode_gray_tiff(encode_gray_tiff(img, comp))
+        assert (got == exp).all(), comp
+
+
+def test_g3_2d_tiff_with_t4options():
+    """A compression-3 file carrying T4Options bit 0 (2D) decodes the
+    tagged rows against the previous row."""
+    import struct
+
+    from sparkstract.functions.ccitt import (
+        _EOL, _BitWriter, _changes, _emit, _emit_run)
+
+    bits = np.zeros((2, 24), np.uint8)
+    bits[0, 4:9] = 1
+    bits[1, 5:10] = 1
+    bw = _BitWriter()
+    _emit(bw, _EOL)
+    _emit(bw, "1")
+    pos, color = 0, 0
+    for nxt in _changes(bits[0]) + [24]:
+        _emit_run(bw, nxt - pos, color)
+        pos, color = nxt, color ^ 1
+        if pos >= 24:
+            break
+    _emit(bw, _EOL)
+    _emit(bw, "0")
+    _emit(bw, "011")
+    _emit(bw, "011")
+    _emit(bw, "1")
+    strip = bw.bytes()
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    strip_off = len(out)
+    out += strip
+    if len(out) % 2:
+        out += b"\x00"
+    ifd = len(out)
+    struct.pack_into("<I", out, 4, ifd)
+    entries = [
+        (256, 4, 1, 24), (257, 4, 1, 2), (258, 3, 1, 1), (259, 3, 1, 3),
+        (262, 3, 1, 0), (273, 4, 1, strip_off), (277, 3, 1, 1),
+        (278, 4, 1, 2), (279, 4, 1, len(strip)), (292, 4, 1, 1),
+    ]
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        out += struct.pack("<I", value)
+    out += struct.pack("<I", 0)
+    (got,) = decode_gray_tiff(bytes(out))
+    assert (got == np.where(bits == 1, 0, 255)).all()
