@@ -32,7 +32,7 @@ from bisect import bisect_right
 
 import numpy as np
 
-from .tiff import _BitReader, _BitWriter
+from .tiff import _BitWriter
 
 # ITU-T T.4 §2.2.2.1 white run-length codes (terminating 0-63).
 _WHITE_TERM = [
@@ -196,50 +196,100 @@ def g4_encode(bits: np.ndarray) -> bytes:
     return bw.bytes()
 
 
-def _read_mode(br: _BitReader):
+class _FaxBits:
+    """Bit-position reader with zero-padded lookahead — the decode side
+    runs on table lookups over `peek`, not per-bit reads, because a 100 TB
+    scan corpus pays this loop on every page."""
+
+    __slots__ = ("_data", "_nbits", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._nbits = len(data) * 8
+        self.bit = 0
+
+    def peek(self, width: int) -> int:
+        """Next `width` bits without consuming, zero-padded past the end
+        (padding zeros read as the EOL region, which every caller treats
+        as end-of-stream — matching the old exhaustion behavior)."""
+        b = self.bit
+        chunk = self._data[b >> 3 : (b + width + 7) >> 3]
+        have = (len(chunk) << 3) - (b & 7)
+        v = int.from_bytes(chunk, "big") & ((1 << have) - 1) if chunk else 0
+        if have >= width:
+            return v >> (have - width)
+        return v << (width - have)
+
+    def skip(self, n: int) -> None:
+        self.bit += n
+
+    def read1(self) -> int | None:
+        if self.bit >= self._nbits:
+            return None
+        byte = self._data[self.bit >> 3]
+        v = (byte >> (7 - (self.bit & 7))) & 1
+        self.bit += 1
+        return v
+
+    def align_byte(self) -> None:
+        self.bit = (self.bit + 7) & ~7
+
+
+# 7-bit peek -> (mode, nbits); "EOL" for the 0000000 region (incl. data
+# exhaustion under zero padding), "EXT" for the T.6 extension prefix
+_MODE_LUT: list = [None] * 128
+for _code, _res in [("1", ("V0", 0)), ("011", ("V", 1)), ("010", ("V", -1)),
+                    ("001", ("H", 0)), ("0001", ("P", 0)),
+                    ("000011", ("V", 2)), ("000010", ("V", -2)),
+                    ("0000011", ("V", 3)), ("0000010", ("V", -3))]:
+    _base = int(_code, 2) << (7 - len(_code))
+    for _suf in range(1 << (7 - len(_code))):
+        _MODE_LUT[_base | _suf] = (_res[0], _res[1], len(_code))
+_MODE_LUT[0] = ("EOL", 0, 0)
+_MODE_LUT[1] = ("EXT", 0, 0)
+
+# 13-bit peek -> (run, nbits) per color; None = invalid prefix
+_RUN_LUT: tuple[list, list] = ([None] * 8192, [None] * 8192)
+for _color in (0, 1):
+    _pairs = list(enumerate(_TERM[_color])) + list(
+        (r, c) for r, c in _MAKEUP[_color].items())
+    for _run, _code in _pairs:
+        _base = int(_code, 2) << (13 - len(_code))
+        for _suf in range(1 << (13 - len(_code))):
+            _RUN_LUT[_color][_base | _suf] = (_run, len(_code))
+
+
+def _read_mode(fb: _FaxBits):
     """One T.6 mode code: ('V', d) | 'H' | 'P' | 'EOL' (EOFB / end)."""
-    b = br.read(1)
-    if b is None:
+    kind, arg, nbits = _MODE_LUT[fb.peek(7)]
+    if kind == "EOL":
         return "EOL"
-    if b:
-        return ("V", 0)
-    if br.read(1):                       # 01x
-        return ("V", 1) if br.read(1) else ("V", -1)
-    if br.read(1):                       # 001
-        return "H"
-    if br.read(1):                       # 0001
-        return "P"
-    if br.read(1):                       # 00001x
-        return ("V", 2) if br.read(1) else ("V", -2)
-    if br.read(1):                       # 000001x
-        return ("V", 3) if br.read(1) else ("V", -3)
-    if br.read(1):                       # 0000001: T.6 extensions
+    if kind == "EXT":
         raise ValueError("T.6 extension modes unsupported")
-    return "EOL"                         # 0000000... = EOL/EOFB region
+    fb.skip(nbits)
+    if kind == "H":
+        return "H"
+    if kind == "P":
+        return "P"
+    return ("V", arg if kind == "V" else 0)
 
 
-def _read_run(br: _BitReader, color: int) -> int:
+def _read_run(fb: _FaxBits, color: int) -> int:
     """One full run length: 0+ makeup codes then a terminating code."""
+    lut = _RUN_LUT[color]
     total = 0
     while True:
-        acc = n = 0
-        while True:
-            b = br.read(1)
-            if b is None:
-                raise ValueError("truncated G4 run code")
-            acc = (acc << 1) | b
-            n += 1
-            run = _RUN_DEC[color].get((n, acc))
-            if run is not None:
-                break
-            if n >= _MAX_RUN_CODE_BITS:
-                raise ValueError("invalid G4 run code")
+        hit = lut[fb.peek(13)]
+        if hit is None:
+            raise ValueError("invalid or truncated G4 run code")
+        run, nbits = hit
+        fb.skip(nbits)
         total += run
         if run < 64:
             return total
 
 
-def _decode_row_2d(br: _BitReader, ref: list[int],
+def _decode_row_2d(fb: _FaxBits, ref: list[int],
                    w: int) -> list[int] | None:
     """One 2D-coded row (shared by T.6 and T.4-2D): changing elements of
     the new row, or None when an EOL/EOFB (or end of data) is hit before
@@ -248,7 +298,7 @@ def _decode_row_2d(br: _BitReader, ref: list[int],
     a0, color = -1, 0
     while a0 < w:
         b1, b2 = _b1_b2(ref, a0, color, w)
-        mode = _read_mode(br)
+        mode = _read_mode(fb)
         if mode == "EOL":
             return None
         if mode == "P":
@@ -257,8 +307,8 @@ def _decode_row_2d(br: _BitReader, ref: list[int],
             a0 = b2
         elif mode == "H":
             base = a0 if a0 > 0 else 0
-            a1 = base + _read_run(br, color)
-            a2 = a1 + _read_run(br, color ^ 1)
+            a1 = base + _read_run(fb, color)
+            a2 = a1 + _read_run(fb, color ^ 1)
             # a0 = -1 only at line start, where any a1 >= 0 advances
             if a1 <= a0 or a2 < a1 or a2 > w:
                 raise ValueError("G4 horizontal runs out of range")
@@ -276,7 +326,7 @@ def _decode_row_2d(br: _BitReader, ref: list[int],
     return cur
 
 
-def _decode_row_1d(br: _BitReader, w: int) -> list[int]:
+def _decode_row_1d(fb: _FaxBits, w: int) -> list[int]:
     """One T.4 modified-Huffman row: alternating white/black runs from an
     all-white start until the row is exactly full. Every run contributes
     one boundary, so even indices are black starts — the same changing-
@@ -284,7 +334,7 @@ def _decode_row_1d(br: _BitReader, w: int) -> list[int]:
     cur: list[int] = []
     pos, color = 0, 0
     while pos < w:
-        pos += _read_run(br, color)
+        pos += _read_run(fb, color)
         if pos > w:
             raise ValueError("MH row overruns width")
         cur.append(pos)
@@ -315,20 +365,105 @@ def g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
     """One T.6-coded block -> HxW uint8 array (1 = black).
 
     The caller supplies w and h from the TIFF IFD, so output size is fixed
-    up front — a crafted stream cannot expand past the declared raster."""
+    up front — a crafted stream cannot expand past the declared raster.
+
+    This is the hot decode path for scan corpora (G4 is what archives
+    store), so the row loop is fully inlined: a rolling top-aligned bit
+    window instead of reader-object calls, LUT mode/run decode, and a
+    monotone pointer walk over the reference line instead of per-mode
+    bisects. tests/test_ccitt.py pins it equal to the modular T.4-2D row
+    decoder that mh/g3 still use (`_decode_row_2d`)."""
     if w <= 0 or h <= 0:
         raise ValueError("non-positive G4 dimensions")
-    br = _BitReader(data)
     out = np.zeros((h, w), dtype=np.uint8)
+    mode_lut = _MODE_LUT
+    run_luts = _RUN_LUT
+    ld = len(data)
+    acc = nbits = pos = 0
     ref: list[int] = []
+    nref = 0
     for y in range(h):
-        cur = _decode_row_2d(br, ref, w)
-        if cur is None:
-            # EOFB (or end of data) before the declared height: the stream
-            # coded fewer rows than the IFD claims — corrupt, not padding
-            raise ValueError(f"G4 stream ended at row {y} of declared {h}")
+        cur: list[int] = []
+        append = cur.append
+        a0, color, i = -1, 0, 0      # i: walks to first ref change > a0
+        while a0 < w:
+            while nbits < 13:        # one refill serves mode AND run peeks
+                if pos < ld:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                    nbits += 8
+                else:                # zero padding reads as the EOL region
+                    acc <<= 13 - nbits
+                    nbits = 13
+            kind, arg, nb = mode_lut[acc >> (nbits - 7)]
+            if kind == "V" or kind == "V0":
+                nbits -= nb
+                acc &= (1 << nbits) - 1
+                while i < nref and ref[i] <= a0:
+                    i += 1
+                j = i + 1 if (i & 1) != color else i
+                a1 = (ref[j] if j < nref else w) + arg
+                if a1 < 0 or a1 > w or a1 <= a0:
+                    raise ValueError("G4 vertical mode out of range")
+                append(a1)
+                a0 = a1
+                color ^= 1
+            elif kind == "H":
+                nbits -= 3
+                acc &= (1 << nbits) - 1
+                base = a0 if a0 > 0 else 0
+                runs = [0, 0]
+                for half in (0, 1):
+                    lut = run_luts[color ^ half]
+                    total = 0
+                    while True:
+                        while nbits < 13:
+                            if pos < ld:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                                nbits += 8
+                            else:
+                                acc <<= 13 - nbits
+                                nbits = 13
+                        hit = lut[acc >> (nbits - 13)]
+                        if hit is None:
+                            raise ValueError(
+                                "invalid or truncated G4 run code")
+                        r, rb = hit
+                        nbits -= rb
+                        acc &= (1 << nbits) - 1
+                        total += r
+                        if r < 64:
+                            break
+                    runs[half] = total
+                a1 = base + runs[0]
+                a2 = a1 + runs[1]
+                if a1 <= a0 or a2 < a1 or a2 > w:
+                    raise ValueError("G4 horizontal runs out of range")
+                if a2 > a1:              # zero 2nd run: no net change
+                    append(a1)
+                    append(a2)
+                a0 = a2
+            elif kind == "P":
+                nbits -= 4
+                acc &= (1 << nbits) - 1
+                while i < nref and ref[i] <= a0:
+                    i += 1
+                j = i + 1 if (i & 1) != color else i
+                b2 = ref[j + 1] if j + 1 < nref else w
+                if b2 <= a0:
+                    raise ValueError("G4 pass mode does not advance")
+                a0 = b2
+            elif kind == "EOL":
+                # EOFB (or end of data) before the declared height: the
+                # stream coded fewer rows than the IFD claims — corrupt
+                raise ValueError(
+                    f"G4 stream ended at row {y} of declared {h}")
+            else:
+                raise ValueError("T.6 extension modes unsupported")
         _fill_row(out[y], cur, w)
         ref = cur
+        nref = len(cur)
     return out
 
 
@@ -338,11 +473,6 @@ def g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
 # optionally with fill bits; T4Options bit 0 adds 2D rows (each EOL is
 # followed by a 1-bit tag: 1 = the next row is 1D, 0 = 2D against the
 # previous row).
-
-
-def _align_byte(br: _BitReader) -> None:
-    """Discard bits up to the next byte boundary of the input stream."""
-    br._nbits -= br._nbits % 8
 
 
 def mh_encode(bits: np.ndarray) -> bytes:
@@ -368,21 +498,21 @@ def mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
     """TIFF compression-2 bytes -> HxW uint8 (1 = black)."""
     if w <= 0 or h <= 0:
         raise ValueError("non-positive MH dimensions")
-    br = _BitReader(data)
+    fb = _FaxBits(data)
     out = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
-        _fill_row(out[y], _decode_row_1d(br, w), w)
-        _align_byte(br)                  # each row starts on a byte boundary
+        _fill_row(out[y], _decode_row_1d(fb, w), w)
+        fb.align_byte()                  # each row starts on a byte boundary
     return out
 
 
-def _sync_eol(br: _BitReader) -> bool:
+def _sync_eol(fb: _FaxBits) -> bool:
     """Consume (fill bits +) one EOL: >=11 zeros then a 1. False at end of
     data; raises if a 1 arrives too early (not at an EOL) or the zero fill
     never terminates (hang guard)."""
     zeros = 0
     while True:
-        b = br.read(1)
+        b = fb.read1()
         if b is None:
             return False
         if b:
@@ -417,22 +547,22 @@ def g3_decode(data: bytes, w: int, h: int, two_d: bool = False) -> np.ndarray:
     T4Options bit 0 (each EOL carries a 1D/2D tag bit)."""
     if w <= 0 or h <= 0:
         raise ValueError("non-positive G3 dimensions")
-    br = _BitReader(data)
+    fb = _FaxBits(data)
     out = np.zeros((h, w), dtype=np.uint8)
     ref: list[int] = []
     for y in range(h):
-        if not _sync_eol(br):
+        if not _sync_eol(fb):
             raise ValueError(f"G3 stream ended at row {y} of declared {h}")
         one_d = True
         if two_d:
-            tag = br.read(1)
+            tag = fb.read1()
             if tag is None:
                 raise ValueError("G3 stream ended at a 1D/2D tag bit")
             one_d = bool(tag)
         if one_d:
-            cur = _decode_row_1d(br, w)
+            cur = _decode_row_1d(fb, w)
         else:
-            cur = _decode_row_2d(br, ref, w)
+            cur = _decode_row_2d(fb, ref, w)
             if cur is None:
                 raise ValueError("unexpected EOL inside a G3 2D row")
         _fill_row(out[y], cur, w)

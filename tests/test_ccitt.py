@@ -324,3 +324,27 @@ def test_g3_2d_tiff_with_t4options():
     out += struct.pack("<I", 0)
     (got,) = decode_gray_tiff(bytes(out))
     assert (got == np.where(bits == 1, 0, 255)).all()
+
+
+def test_inlined_g4_decode_equals_modular_row_decoder():
+    """g4_decode is a fully inlined hot path; pin it bit-equal to the
+    modular T.4-2D row decoder (_decode_row_2d) that mh/g3 use, across
+    random densities and shapes."""
+    from sparkstract.functions.ccitt import _decode_row_2d, _FaxBits, _fill_row
+
+    rng = np.random.default_rng(31)
+    for trial in range(60):
+        h = int(rng.integers(1, 20))
+        w = int(rng.integers(1, 160))
+        dens = [0.4, 0.05, 0.9][trial % 3]
+        bits = (rng.random((h, w)) < dens).astype(np.uint8)
+        enc = g4_encode(bits)
+        fast = g4_decode(enc, w, h)
+        fb = _FaxBits(enc)
+        ref: list = []
+        slow = np.zeros((h, w), np.uint8)
+        for y in range(h):
+            cur = _decode_row_2d(fb, ref, w)
+            _fill_row(slow[y], cur, w)
+            ref = cur
+        assert (fast == slow).all() and (fast == bits).all(), trial
