@@ -115,16 +115,6 @@ _MAKEUP = (
 )
 _TERM = (_WHITE_TERM, _BLACK_TERM)
 
-# decode tables: (bit-length, code-value) -> run length, per color
-_RUN_DEC: tuple[dict, dict] = ({}, {})
-for _color in (0, 1):
-    for _run, _code in enumerate(_TERM[_color]):
-        _RUN_DEC[_color][(len(_code), int(_code, 2))] = _run
-    for _run, _code in _MAKEUP[_color].items():
-        _RUN_DEC[_color][(len(_code), int(_code, 2))] = _run
-_MAX_RUN_CODE_BITS = 13
-
-
 def _emit(bw: _BitWriter, code: str) -> None:
     bw.write(int(code, 2), len(code))
 
@@ -550,7 +540,19 @@ def g3_decode(data: bytes, w: int, h: int, two_d: bool = False) -> np.ndarray:
     fb = _FaxBits(data)
     out = np.zeros((h, w), dtype=np.uint8)
     ref: list[int] = []
+    # libtiff leniency (ADVICE r3): real-world compression-3 strips may omit
+    # the leading EOL before row 0 (T.4 requires it, libtiff tolerates the
+    # omission). If the stream does not open with an EOL — first 11 bits are
+    # not all zero fill — decode row 0 directly as a 1D row, then resume the
+    # EOL-synced loop. 2D files always need the tag bit, so the leniency is
+    # 1D-only, exactly the shape libtiff accepts.
+    skip_first_eol = not two_d and len(data) >= 1 and fb.peek(11) != 0
     for y in range(h):
+        if y == 0 and skip_first_eol:
+            cur = _decode_row_1d(fb, w)
+            _fill_row(out[0], cur, w)
+            ref = _canonical(cur)
+            continue
         if not _sync_eol(fb):
             raise ValueError(f"G3 stream ended at row {y} of declared {h}")
         one_d = True

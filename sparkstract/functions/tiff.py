@@ -323,6 +323,20 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
             raise ValueError(f"TIFF compression {comp}: out of scope "
                              "(none/MH/G3/G4/LZW/PackBits supported)")
         offs, cnts = tags[273], tags[279]
+        # strip-layout sanity up front (ADVICE r3): a multi-strip file
+        # missing RowsPerStrip defaults rps=h, which would hand strip i>0 a
+        # non-positive row count and surface as a misleading codec error;
+        # zip() would likewise silently truncate when StripOffsets and
+        # StripByteCounts disagree. Both are container defects — name them.
+        rps = tags.get(278, [h])[0]
+        if len(offs) != len(cnts):
+            raise ValueError(
+                f"TIFF strip layout: {len(offs)} StripOffsets vs "
+                f"{len(cnts)} StripByteCounts")
+        if rps <= 0 or len(offs) * rps < h:
+            raise ValueError(
+                f"TIFF strip layout: {len(offs)} strips x RowsPerStrip "
+                f"{rps} do not cover height {h}")
         if comp in (2, 3, 4):
             # CCITT fax family (functions/ccitt.py): bilevel only; each
             # strip is an independent coding block, so strips decode
@@ -341,7 +355,6 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
                     return g3_decode(d, ww, hh, two_d=_t)
             else:                  # T.6 (G4)
                 dec = g4_decode
-            rps = tags.get(278, [h])[0]
             parts = [dec(data[o : o + c], w, min(rps, h - i * rps))
                      for i, (o, c) in enumerate(zip(offs, cnts))]
             bits = np.vstack(parts) if len(parts) > 1 else parts[0]

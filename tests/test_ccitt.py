@@ -9,9 +9,19 @@ import numpy as np
 import pytest
 
 from sparkstract.functions.ccitt import (
-    _BLACK_TERM, _EXT_MAKEUP, _MAKEUP, _RUN_DEC, _TERM, _WHITE_TERM,
+    _BLACK_TERM, _EXT_MAKEUP, _MAKEUP, _TERM, _WHITE_TERM,
     g4_decode, g4_encode,
 )
+
+# (bit-length, code-value) -> run inversion, built HERE from the encode
+# tables: production decoding uses the prebuilt _RUN_LUT fast path, so the
+# inversion check is a test-side construction, not a library table.
+_RUN_DEC: tuple[dict, dict] = ({}, {})
+for _color in (0, 1):
+    for _run, _code in enumerate(_TERM[_color]):
+        _RUN_DEC[_color][(len(_code), int(_code, 2))] = _run
+    for _run, _code in _MAKEUP[_color].items():
+        _RUN_DEC[_color][(len(_code), int(_code, 2))] = _run
 from sparkstract.functions.tiff import decode_gray_tiff, encode_gray_tiff
 
 
@@ -348,3 +358,27 @@ def test_inlined_g4_decode_equals_modular_row_decoder():
             _fill_row(slow[y], cur, w)
             ref = cur
         assert (fast == slow).all() and (fast == bits).all(), trial
+
+
+def test_g3_missing_leading_eol_leniency():
+    """libtiff tolerates compression-3 strips that omit the EOL before row
+    0 (ADVICE r3): a 1D stream whose first row starts immediately must
+    decode, with EOL syncing resuming from row 1."""
+    from sparkstract.functions.ccitt import _EOL, _TERM, g3_decode
+    from sparkstract.functions.tiff import _BitWriter
+
+    w = 8
+    bw = _BitWriter()
+    # row 0 WITHOUT the leading EOL: all-white (white run 8)
+    bw.write(int(_TERM[0][8], 2), len(_TERM[0][8]))
+    # row 1 with its EOL: 4 white, 4 black ink
+    bw.write(int(_EOL, 2), len(_EOL))
+    bw.write(int(_TERM[0][4], 2), len(_TERM[0][4]))
+    bw.write(int(_TERM[1][4], 2), len(_TERM[1][4]))
+    got = g3_decode(bw.bytes(), w, 2)
+    assert (got == np.array([[0] * 8, [0, 0, 0, 0, 1, 1, 1, 1]])).all()
+    # a spec-conforming stream (leading EOL) still decodes identically
+    from sparkstract.functions.ccitt import g3_encode
+
+    bits = (np.arange(24).reshape(3, 8) % 3 == 0).astype(np.uint8)
+    assert (g3_decode(g3_encode(bits), 8, 3) == bits).all()

@@ -319,3 +319,41 @@ def test_bilevel_1bit_tiff():
     assert (got0 == np.where(bits == 1, 0, 255)).all()
     (got1,) = decode_gray_tiff(build(1))   # BlackIsZero: 1 = white
     assert (got1 == np.where(bits == 1, 255, 0)).all()
+
+
+def test_strip_layout_validated_up_front():
+    """ADVICE r3: a strip layout that cannot cover the page height must
+    raise a named 'strip layout' error before any codec runs — not surface
+    as a misleading G4-dimensions failure."""
+    import struct
+
+    img = (np.arange(64).reshape(8, 8) % 2 * 255).astype(np.uint8)
+    data = bytearray(encode_gray_tiff(img, "g4"))
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        pos = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", data, pos)
+        if tag == 278:  # RowsPerStrip: claim 2 rows from the single strip
+            struct.pack_into("<I", data, pos + 8, 2)
+    with pytest.raises(ValueError, match="strip layout"):
+        decode_gray_tiff(bytes(data))
+
+
+def test_strip_offsets_counts_mismatch_named():
+    """StripOffsets/StripByteCounts disagreeing in count is a container
+    defect — named, never a silent zip() truncation."""
+    import struct
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(encode_gray_tiff(img))
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        pos = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", data, pos)
+        if tag == 279:  # claim TWO byte counts against one offset
+            struct.pack_into("<I", data, pos + 4, 2)
+            struct.pack_into("<I", data, pos + 8, 8)  # out-of-line offset
+    with pytest.raises(ValueError, match="StripOffsets"):
+        decode_gray_tiff(bytes(data))
