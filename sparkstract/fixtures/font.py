@@ -158,15 +158,40 @@ _RAW_DEVANAGARI = {
 }
 _RAW.update(_RAW_DEVANAGARI)
 
+# CJK glyph family (han shapes): the script the reference dedicates a whole
+# pitch engine to (src/textord/cjkpitch.cpp — fixed-pitch text with NO word
+# spaces, where one character may be SEVERAL disconnected components).
+# 川 (three separate vertical strokes) and 三 (three separate horizontal
+# bars) are deliberately multi-blob: at nominal tracking the intra-character
+# stroke gap EQUALS the inter-character padding gap (both 1s), so gap-based
+# grouping cannot tell a stroke boundary from a character boundary — only
+# the body-size-bounded fragment merge (FPRow::MergeFragments,
+# cjkpitch.cpp:862) reassembles them. The rest are solid (single-CC) han
+# shapes, pairwise distinct from the whole LUT.
+_RAW_CJK = {
+    "山": ["00100", "00100", "10101", "10101", "10101", "10101", "11111"],
+    "川": ["10101", "10101", "10101", "10101", "10101", "10101", "10101"],
+    "口": ["11111", "10001", "10001", "10001", "10001", "10001", "11111"],
+    "田": ["11111", "10101", "10101", "11111", "10101", "10101", "11111"],
+    "日": ["11111", "10001", "10001", "11111", "10001", "10001", "11111"],
+    "月": ["11111", "10001", "11111", "10001", "11111", "10001", "10011"],
+    "中": ["00100", "00100", "11111", "10101", "11111", "00100", "00100"],
+    "王": ["11111", "00100", "00100", "11111", "00100", "00100", "11111"],
+    "木": ["00100", "00100", "11111", "01110", "10101", "10101", "00100"],
+    "三": ["11111", "00000", "00000", "11111", "00000", "00000", "11111"],
+}
+_RAW.update(_RAW_CJK)
+
 # the strong-direction vocabulary consumed by the kernel's word-direction
 # classifier (page.py _word_direction): RTL = these; LTR = Latin, Greek,
-# Cyrillic AND Devanagari letters (all left-to-right scripts); digits and
-# punctuation are direction-neutral. STRONG_GREEK/STRONG_CYRILLIC/
-# STRONG_DEVANAGARI feed the per-script OSD vote.
+# Cyrillic, Devanagari AND CJK letters (all left-to-right scripts); digits
+# and punctuation are direction-neutral. STRONG_GREEK/STRONG_CYRILLIC/
+# STRONG_DEVANAGARI/STRONG_CJK feed the per-script OSD vote.
 STRONG_RTL: frozenset[str] = frozenset(_RAW_RTL)
 STRONG_GREEK: frozenset[str] = frozenset(_RAW_GREEK)
 STRONG_CYRILLIC: frozenset[str] = frozenset(_RAW_CYRILLIC)
 STRONG_DEVANAGARI: frozenset[str] = frozenset(_RAW_DEVANAGARI)
+STRONG_CJK: frozenset[str] = frozenset(_RAW_CJK)
 STRONG_LTR: frozenset[str] = frozenset(
     ch for ch in _RAW if ch.isalpha() and ch not in _RAW_RTL)
 

@@ -357,6 +357,34 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         return PageSpec(elements=[Text(
             ["कखग घटन मरस", "दकन गमट खसर", "नदम टरक सगख"])],
             scale=2, width_chars=13, seed=seed)
+    if family == "cjk_page":  # F43 — CJK fixed pitch (src/textord/
+        # cjkpitch.cpp): no word spaces (each line decodes as ONE word),
+        # and the multi-blob characters 川/三 make the intra-character
+        # stroke gap equal the inter-character gap — only the body-bounded
+        # fragment merge (_merge_pitch_cells, FPRow::MergeFragments
+        # cjkpitch.cpp:862) can reassemble them. track_units=1 (pitch 7s)
+        # makes the merge LOAD-BEARING for the decode itself: the all-川
+        # line has no two adjacent solid characters, so every raw
+        # group-start delta is an intra-character stroke step (2s/3s) and
+        # the pitch estimate would fall back to the wrong nominal 6s grid;
+        # only merged characters expose the true 7s pitch samples
+        # (EstimatePitch pass1, cjkpitch.cpp:623). The 6-way script vote
+        # must pick 'cjk' (LTR — no RTL flip).
+        return PageSpec(elements=[Text(
+            ["川川川川川", "山口田川中", "三日月木王"], track_units=1)],
+            scale=2, width_chars=13, seed=seed)
+    if family == "cjk_vertical_page":  # F44 — vertical CJK line: the
+        # dominant set direction for traditional CJK (the reference's
+        # vertical-text path, strokewidth.cpp:211 + cjkpitch's vertical
+        # rows). The stack includes 川 (three strokes), so the block-shape
+        # vertical rule sees one row of THREE groups until the pitch-cell
+        # merge fuses them — gap-based grouping alone would misread the
+        # stack as a 3-column texture.
+        return PageSpec(elements=[
+            Text(["山口田中日", "王月木山口"], col=0),
+            VerticalText("川山田", col=0),
+            Text(["田中王月日"], col=0),
+        ], scale=2, seed=seed)
     if family == "vertical_page":  # F19 — vertical text, strokewidth.cpp:211
         word = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
         return PageSpec(elements=[
@@ -382,6 +410,7 @@ PAGE_FAMILIES = [
     "gif_page", "progressive_jpeg_page", "pdf_modern_page",
     "pdf_cid_page", "pdf_searchable_page", "devanagari_page",
     "smudged_page", "fuzzy_space_page", "g4_tiff_page",
+    "cjk_page", "cjk_vertical_page",
 ]
 
 

@@ -143,6 +143,57 @@ def _merge_x_overlaps(left: np.ndarray, top: np.ndarray, right: np.ndarray,
     return gl, gt, gr, gb
 
 
+def _merge_pitch_cells(gl: np.ndarray, gt: np.ndarray, gr: np.ndarray,
+                       gb: np.ndarray, s: int
+                       ) -> tuple[np.ndarray, ...]:
+    """CJK fragment merge — the cjkpitch decision applied at the group
+    level (FPRow::MergeFragments, /root/reference/src/textord/
+    cjkpitch.cpp:862: fragments are merged into the character the pitch
+    grid expects, bounded by the estimated character BODY size, never by
+    gap alone). A CJK character may be several disconnected components
+    (川 = three strokes, 三 = three bars) whose intra-character gaps EQUAL
+    the inter-character padding gap, so gap-based grouping cannot separate
+    stroke boundaries from character boundaries.
+
+    The discriminator is the body bound: adjacent groups merge only while
+    the merged span still fits one glyph cell (GLYPH_W*s, +2 px jitter
+    slack) and the gap is at most one scale unit. Every full glyph spans
+    exactly GLYPH_W units (the font's edge-contact invariant), so two real
+    characters can never merge (their span would be >= 11 units) — Latin,
+    tracked, and fuzzy-gap rows pass through untouched."""
+    n = gl.shape[0]
+    if n < 2:
+        return gl, gt, gr, gb
+    max_span = GLYPH_W * s + 2
+    gaps = gl[1:] - gr[:-1] - 1
+    if not (gaps <= s).any():
+        return gl, gt, gr, gb
+    gid = np.empty(n, dtype=np.int64)
+    gid[0] = 0
+    cur_left = int(gl[0])
+    k = 0
+    for i in range(1, n):
+        if (int(gaps[i - 1]) <= s
+                and int(gr[i]) - cur_left + 1 <= max_span):
+            gid[i] = k
+        else:
+            k += 1
+            gid[i] = k
+            cur_left = int(gl[i])
+    if k == n - 1:
+        return gl, gt, gr, gb
+    m = k + 1
+    ml = np.full(m, np.iinfo(np.int64).max)
+    mr = np.zeros(m, dtype=np.int64)
+    mt = np.full(m, np.iinfo(np.int64).max)
+    mb = np.zeros(m, dtype=np.int64)
+    np.minimum.at(ml, gid, gl)
+    np.maximum.at(mr, gid, gr)
+    np.minimum.at(mt, gid, gt)
+    np.maximum.at(mb, gid, gb)
+    return ml, mt, mr, mb
+
+
 def decode_tables(whitelist: str | None) -> tuple[list[str], np.ndarray]:
     """(chars, bool glyph matrix) restricted to a character whitelist
     (SetBlackAndWhitelist, baseapi.cpp:1338) — decode picks the nearest
@@ -1292,6 +1343,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             else float(r_bot - r_top + 1)
         s = max(1, int(round(est_h / GLYPH_H)))
         gl, gt, gr, gb = _merge_x_overlaps(tl, tt, tr, tb, max(0, s - 1))
+        gl, gt, gr, gb = _merge_pitch_cells(gl, gt, gr, gb, s)
         rows.append(dict(top=r_top, bottom=r_bot, left=int(gl.min()),
                          right=int(gr.max()), s=s, gl=gl, gr=gr, gt=gt, gb=gb,
                          cov_l=gl, cov_r=gr))
@@ -1350,6 +1402,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             repair = max(0, s - 1)
             gl, gt, gr, gb = _merge_x_overlaps(tl[mi], tt[mi], tr[mi], tb[mi],
                                                repair)
+            gl, gt, gr, gb = _merge_pitch_cells(gl, gt, gr, gb, s)
             if len(txt_ids) != len(all_ids):
                 # leader dots stay in the COVERAGE geometry (they bridge the
                 # big gap, so it never reads as a column gutter) but are
@@ -1704,14 +1757,15 @@ OSD_RETRY_DIST = 2.0  # mean bits/char above this → try the other 3 rotations
 
 def _script_tally(blocks: list[Block]) -> dict[str, int]:
     """Per-script strong-glyph counts over the page's decoded text."""
-    from ..fixtures.font import (STRONG_CYRILLIC, STRONG_DEVANAGARI,
-                                 STRONG_GREEK)
+    from ..fixtures.font import (STRONG_CJK, STRONG_CYRILLIC,
+                                 STRONG_DEVANAGARI, STRONG_GREEK)
 
     scripts = (("latin", STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC
-                - STRONG_DEVANAGARI),
+                - STRONG_DEVANAGARI - STRONG_CJK),
                ("greek", STRONG_GREEK),
                ("cyrillic", STRONG_CYRILLIC),
                ("devanagari", STRONG_DEVANAGARI),
+               ("cjk", STRONG_CJK),
                ("hebrew", STRONG_RTL))
     tally = dict.fromkeys((n for n, _ in scripts), 0)
     for b in blocks:
@@ -1732,7 +1786,7 @@ def _page_script(blocks: list[Block]) -> str:
     likewise a max over per-script scores)."""
     tally = _script_tally(blocks)
     best, best_n = "latin", tally["latin"]
-    for name in ("greek", "cyrillic", "devanagari", "hebrew"):
+    for name in ("greek", "cyrillic", "devanagari", "cjk", "hebrew"):
         if tally[name] > best_n:
             best, best_n = name, tally[name]
     return best
@@ -1755,7 +1809,7 @@ def _suspect_decode(blocks: list[Block], quality: float) -> bool:
     if quality <= 0:
         return False
     t = _script_tally(blocks)
-    return sum(1 for k in ("greek", "cyrillic", "devanagari", "hebrew")
+    return sum(1 for k in ("greek", "cyrillic", "devanagari", "cjk", "hebrew")
                if t[k] > 0) >= 2
 
 
@@ -1782,13 +1836,14 @@ def _script_lut(script: str) -> tuple[list[str], np.ndarray]:
     neutral characters — the re-decode table of the script-consistency
     pass (the adaptive second half of the reference's Recognize:
     osdetect's script result gates which unicharset competes)."""
-    from ..fixtures.font import (STRONG_CYRILLIC, STRONG_DEVANAGARI,
-                                 STRONG_GREEK)
+    from ..fixtures.font import (STRONG_CJK, STRONG_CYRILLIC,
+                                 STRONG_DEVANAGARI, STRONG_GREEK)
 
     strong = {"latin": STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC
-              - STRONG_DEVANAGARI,
+              - STRONG_DEVANAGARI - STRONG_CJK,
               "greek": STRONG_GREEK, "cyrillic": STRONG_CYRILLIC,
-              "devanagari": STRONG_DEVANAGARI, "hebrew": STRONG_RTL}
+              "devanagari": STRONG_DEVANAGARI, "cjk": STRONG_CJK,
+              "hebrew": STRONG_RTL}
     drop: set[str] = set()
     for k, glyphs in strong.items():
         if k != script:
