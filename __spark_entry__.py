@@ -521,6 +521,21 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract(spark, docs, media)
 
 
+def q_extract_spans_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C11 recognizer seam, proven: the SAME fixture corpus decoded by
+    the trained MLP pack (ExtractConfig(recognizer='model'),
+    operators/recognizer.py ModelRecognizer) must reproduce the truth spans
+    byte-for-byte — the oracle is extract_spans' own truth table, so a
+    green row certifies the template and model strategies are
+    interchangeable behind the seam (the reference's analog: the same page
+    recognized by whichever .traineddata pack is loaded, LSTMRecognizeWord
+    src/ccmain/linerec.cpp:237)."""
+    from sparkstract.config import ExtractConfig
+
+    docs, media, _ = _fixture_frames(spark)
+    return extract(spark, docs, media, ExtractConfig(recognizer="model"))
+
+
 @functools.lru_cache(maxsize=1)
 def _rtl_fixture():
     """Deterministic RTL two-column page + truth (Hebrew layout_test case,
@@ -583,22 +598,29 @@ def q_extract_bidi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract(spark, docs, media, ExtractConfig(rtl=True))
 
 
-_TABLE_CELLS = [["PART", "GRID FOX", "X1"],
+# row 0 is a MERGED-cell header: TOTAL spans body columns 0-1 (C8 v3,
+# StructuredTable tablerecog.cpp:62) — it has only one aligned gap, so
+# only the spanned-row absorption keeps it inside the table
+_TABLE_CELLS = [["TOTAL", "W8"],
+                ["PART", "GRID FOX", "X1"],
                 ["SCAN", "ROW", "Y2"],
                 ["JOIN", "THE DOG", "Z3"]]
+_TABLE_LAYOUT = [[(0, 2), (2, 1)]] + [[(0, 1), (1, 1), (2, 1)]] * 3
 
 
 @functools.lru_cache(maxsize=1)
 def _table_fixture():
-    """Deterministic table page with a multi-word middle column: cell
-    structure (C8 v2, reference src/textord/tablerecog.cpp) requires the
-    decode to split at the aligned table gaps but NOT at intra-cell word
-    spaces."""
+    """Deterministic table page with a multi-word middle column AND a
+    spanning header: cell structure (C8 v2/v3, reference
+    src/textord/tablerecog.cpp) requires the decode to split at the
+    aligned table gaps but NOT at intra-cell word spaces, and to keep the
+    merged header cell as ONE cell spanning two grid columns."""
     from sparkstract.fixtures.render import PageSpec, TableGrid, render_page
     from sparkstract.functions.png import encode_gray
 
     spec = PageSpec(elements=[TableGrid(cells=_TABLE_CELLS,
-                                        col_chars=[6, 9, 4], col=0)],
+                                        col_chars=[6, 9, 4],
+                                        layout=_TABLE_LAYOUT, col=0)],
                     scale=2, width_chars=27)
     img, _truth = render_page(spec)
     return encode_gray(img), img.shape
@@ -625,6 +647,28 @@ def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.posexplode(F.split("line", "\t"))
                        .alias("cell_idx", "cell"))
         .orderBy("doc_id", "order", "row_idx", "cell_idx")
+    )
+
+
+def q_table_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED table view (C8 v3): grid column + span per visible cell
+    through the extract_tables sidecar kernel — the merged header cell
+    must come out once with col_span 2 (StructuredTable,
+    tablerecog.cpp:62)."""
+    from sparkstract.fixtures.gen import DOCS_SCHEMA, MEDIA_SCHEMA
+    from sparkstract.plans.pipeline import extract_tables
+
+    png, shape = _table_fixture()
+    docs = spark.createDataFrame(
+        [("d-table", [dict(kind="media", text=None, media_ref="m-table",
+                           offset=0)])], DOCS_SCHEMA)
+    media = spark.createDataFrame(
+        [("m-table", shape[1], shape[0], png)], MEDIA_SCHEMA)
+    return (
+        extract_tables(spark, docs, media)
+        .select("doc_id", "row_idx", "cell_idx", "col_start", "col_span",
+                "cell")
+        .orderBy("doc_id", "row_idx", "cell_idx")
     )
 
 
@@ -2629,9 +2673,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": q_extract_spans,
+        "extract_spans_model": q_extract_spans_model,
         "extract_rtl": q_extract_rtl,
         "extract_bidi": q_extract_bidi,
         "table_cells": q_table_cells,
+        "table_structure": q_table_structure,
         "zone_override": q_zone_override,
         "layout_blocks": q_layout_blocks,
         "event_sessions": q_event_sessions,
@@ -2946,6 +2992,11 @@ def oracle_sql() -> dict[str, str]:
         for ri, row in enumerate(_TABLE_CELLS)
         for ci, cell in enumerate(row))
 
+    table_structure_rows = ",\n".join(
+        f"('d-table', {ri}, {ci}, {cs}, {span}, {_sql_quote(cell)})"
+        for ri, (row, lay) in enumerate(zip(_TABLE_CELLS, _TABLE_LAYOUT))
+        for ci, (cell, (cs, span)) in enumerate(zip(row, lay)))
+
     _bpng, _bshape, bidi_truth = _bidi_fixture()
     bidi_span_rows = ",\n".join(
         f"('d-bidi', {i}, {_sql_quote(b.kind)}, "
@@ -2955,6 +3006,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_spans": _truth_values_sql(),
+        # the model-recognizer rerun is pinned against the SAME truth: a
+        # green row means the swapped C11 strategy reproduced every span
+        "extract_spans_model": _truth_values_sql(),
         "extract_rtl": f"""
             SELECT * FROM (VALUES
             {rtl_rows}
@@ -2970,6 +3024,12 @@ def oracle_sql() -> dict[str, str]:
             {table_cell_rows}
             ) AS t(doc_id, "order", row_idx, cell_idx, cell)
             ORDER BY doc_id, "order", row_idx, cell_idx
+        """,
+        "table_structure": f"""
+            SELECT * FROM (VALUES
+            {table_structure_rows}
+            ) AS t(doc_id, row_idx, cell_idx, col_start, col_span, cell)
+            ORDER BY doc_id, row_idx, cell_idx
         """,
         "zone_override": f"""
             SELECT * FROM (VALUES

@@ -49,6 +49,13 @@ class ExtractConfig:
     # /root/reference/src/api/baseapi.cpp:1338): decode picks the nearest
     # whitelisted glyph. None → full glyph set.
     char_whitelist: str | None = None
+    # C11 recognizer strategy (operators/recognizer.py): 'template' = the
+    # shared-LUT hamming matcher; 'model' = the trained MLP pack loaded
+    # from fixtures/recognizer_weights.npz — the analog of choosing which
+    # .traineddata model the reference loads (TessdataManager,
+    # src/ccmain/tessedit.cpp). Both emit the same cost currency, so every
+    # downstream stage (beam, dict, OSD retries) is strategy-independent.
+    recognizer: str = "template"
     # undecodable media policy. 'span' (default): emit ONE auditable
     # kind='decode_error' block carrying the exception text and keep going —
     # the reference's page driver likewise skips a failed page and continues

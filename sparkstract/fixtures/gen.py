@@ -153,6 +153,24 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             Text(_lines(rng, 1, 24), col=0),
             TableGrid(cells=cells, col_chars=[6, 13, 6], col=0),
         ], scale=2, width_chars=34, seed=seed)
+    if family == "spanned_table_page":  # F45 — merged-cell table structure
+        # (C8 v3, src/textord/tablerecog.cpp:62 StructuredTable): a 2-cell
+        # header whose first cell SPANS body columns 0-1 sits at normal
+        # line pitch over a 3-column body. The header has only ONE aligned
+        # gap (< TABLE_MIN_GAPS), so run formation alone would exile it to
+        # flowing text — only the spanned-row absorption (gaps ⊂ grid,
+        # x-contained, block-pitch-adjacent) pulls it into the table.
+        short = [w for w in _VOCAB if len(w) <= 5]
+        pick = lambda: short[int(rng.integers(0, len(short)))]  # noqa: E731
+        cells = [["REPORT", "X9"]] + [[pick(), pick(), pick()]
+                                      for _ in range(3)]
+        layout = [[(0, 2), (2, 1)]] + [[(0, 1), (1, 1), (2, 1)]] * 3
+        return PageSpec(elements=[
+            Text(_lines(rng, 1, 24), col=0),
+            TableGrid(cells=cells, col_chars=[6, 6, 6], layout=layout,
+                      col=0),
+            Text(_lines(rng, 1, 24), col=0),
+        ], scale=2, width_chars=27, seed=seed)
     if family == "equation_page":  # F18 — equation detection, equationdetect.cpp:132
         eqs = ["X = Y + 2", "E = M C 2", "A + B = C - 1", "2 + 2 = 4",
                "X 2 = A 2 + B 2"]
@@ -410,7 +428,7 @@ PAGE_FAMILIES = [
     "gif_page", "progressive_jpeg_page", "pdf_modern_page",
     "pdf_cid_page", "pdf_searchable_page", "devanagari_page",
     "smudged_page", "fuzzy_space_page", "g4_tiff_page",
-    "cjk_page", "cjk_vertical_page",
+    "cjk_page", "cjk_vertical_page", "spanned_table_page",
 ]
 
 

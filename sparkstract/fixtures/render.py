@@ -173,12 +173,19 @@ class StaffLines:
 class TableGrid:
     """A monospace table: rows of left-aligned cells at fixed column starts,
     separated by sep_chars blank cells — the aligned-whitespace structure
-    the reference's table finder keys on (tablefind.cpp:200)."""
+    the reference's table finder keys on (tablefind.cpp:200).
+
+    `layout` (optional, parallel to `cells`) gives each row's visible cells
+    as (col_start, col_span) grid positions — a spanning cell covers
+    several grid columns and suppresses the aligned gap the grid expects
+    there (StructuredTable merged-cell semantics, reference
+    src/textord/tablerecog.cpp:62). Default: one cell per grid column."""
 
     cells: list[list[str]]
     col_chars: list[int]
     sep_chars: int = 4
     col: int | None = 0
+    layout: list[list[tuple[int, int]]] | None = None
 
 
 @dataclass
@@ -450,14 +457,22 @@ def render_page(spec: PageSpec) -> tuple[np.ndarray, list[TruthBlock]]:
             for wch in e.col_chars[:-1]:
                 starts.append(starts[-1] + wch + e.sep_chars)
             yy = y0
-            for row in e.cells:
-                for j, cell in enumerate(row):
-                    assert len(cell) <= e.col_chars[j], (cell, e.col_chars[j])
-                    _render_line(canvas, x0 + starts[j] * cw, yy, cell, s)
+            for ri, row in enumerate(e.cells):
+                lay = (e.layout[ri] if e.layout is not None
+                       else [(j, 1) for j in range(len(row))])
+                assert len(lay) == len(row), (ri, lay, row)
+                for (cstart, cspan), cell in zip(lay, row):
+                    # a spanning cell may use the whole width of the grid
+                    # columns it covers (incl. the separators it bridges)
+                    avail = (sum(e.col_chars[cstart : cstart + cspan])
+                             + (cspan - 1) * e.sep_chars)
+                    assert len(cell) <= avail, (cell, avail)
+                    _render_line(canvas, x0 + starts[cstart] * cw, yy,
+                                 cell, s)
                 yy += 12 * s
             # cell-structured truth (C8 v2, tablerecog.cpp): TAB between
-            # cells, newline between rows — matches decode_table's split at
-            # the aligned gaps
+            # VISIBLE cells, newline between rows — matches decode_table's
+            # split at the aligned gaps (a spanning cell appears once)
             truth.append(TruthBlock(TABLE, "\n".join("\t".join(r) for r in e.cells)))
             return
         if isinstance(e, Text):

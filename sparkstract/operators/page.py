@@ -42,6 +42,7 @@ from ..fixtures.font import (
 )
 from ..fixtures.lexicon import LEXICON
 from .bidi import DIR_LTR, DIR_MIX, DIR_NEUTRAL, DIR_RTL, textline_order
+from .recognizer import template_recognizer
 
 DECODE_BOOL = DECODE_MATRIX.astype(bool)
 from ..fixtures.render import (
@@ -111,6 +112,13 @@ class Block:
     # blocks with no word decode (images, rules, tables, vertical chains,
     # layout-only runs).
     words: list[tuple] | None = None
+    # table cell structure (C8 v3, StructuredTable semantics — reference
+    # src/textord/tablerecog.cpp:62 recognizes column segments and merged
+    # cells after tablefind detection): one (row_idx, cell_idx, col_start,
+    # col_span, text) per VISIBLE cell — a spanning cell (a header over
+    # several body columns) appears once with col_span > 1. None for
+    # non-table blocks.
+    cells: list[tuple] | None = None
 
 
 def _merge_x_overlaps(left: np.ndarray, top: np.ndarray, right: np.ndarray,
@@ -194,17 +202,16 @@ def _merge_pitch_cells(gl: np.ndarray, gt: np.ndarray, gr: np.ndarray,
     return ml, mt, mr, mb
 
 
-def decode_tables(whitelist: str | None) -> tuple[list[str], np.ndarray]:
-    """(chars, bool glyph matrix) restricted to a character whitelist
-    (SetBlackAndWhitelist, baseapi.cpp:1338) — decode picks the nearest
-    glyph among these only. None/empty → the full shared LUT."""
-    if not whitelist:
-        return DECODE_CHARS, DECODE_BOOL
-    allow = set(whitelist)
-    idx = [i for i, c in enumerate(DECODE_CHARS) if c in allow]
-    if not idx:
-        return DECODE_CHARS, DECODE_BOOL
-    return [DECODE_CHARS[i] for i in idx], DECODE_BOOL[idx]
+def decode_tables(whitelist: str | None, recognizer: str = "template"):
+    """Recognizer restricted to a character whitelist (SetBlackAndWhitelist,
+    baseapi.cpp:1338) — decode picks the lowest-cost character among these
+    only. None/empty → the full character set. `recognizer` selects the
+    C11 strategy behind the seam (operators/recognizer.py): 'template'
+    hamming LUT or the trained 'model' pack."""
+    from .recognizer import get_recognizer
+
+    base = get_recognizer(recognizer)
+    return base.restrict(set(whitelist)) if whitelist else base
 
 
 def _word_direction(word: str) -> int:
@@ -225,15 +232,18 @@ def _word_direction(word: str) -> int:
 
 def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                 gl: np.ndarray, gr: np.ndarray, s: int,
-                lut: tuple[list[str], np.ndarray] = (DECODE_CHARS, DECODE_BOOL),
+                rec=None,
                 rtl: bool = False,
                 gt: np.ndarray | None = None,
                 gb: np.ndarray | None = None
                 ) -> tuple[str, int, int, list[tuple]]:
-    """Template-decode one text row: split char-groups into words by gap, map
-    each word onto its char-cell grid, downsample cells to 5x7, LUT match.
-    Each cell is sampled at ±1px offsets and the best-scoring match wins, so
-    the 1px jitter a deskewed page carries doesn't corrupt the decode.
+    """Decode one text row through the C11 recognizer seam: split
+    char-groups into words by gap, map each word onto its char-cell grid,
+    downsample cells to 5x7, score every cell against the character set via
+    `rec.cost` (operators/recognizer.py — template hamming or the trained
+    model; default template). Each cell is sampled at ±1px offsets and the
+    best-scoring match wins, so the 1px jitter a deskewed page carries
+    doesn't corrupt the decode.
 
     `gt` (per-group top edges, aligned with gl) anchors each cell's sample
     band at ITS OWN glyph top instead of the row top: the font invariant
@@ -248,7 +258,9 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
     start distance of adjacent in-word char groups, falling back to the
     nominal 6s grid on rows with no adjacent pairs (wide tracking renders
     every glyph separate, so starts ARE the pitch samples)."""
-    lut_chars, lut_bits = lut
+    if rec is None:
+        rec = template_recognizer()
+    lut_chars = rec.chars
     page_h, page_w = ink.shape
     # a glyph cell at scale s must fit on the page (noise "rows" on garbage
     # input can imply scales larger than the bitmap)
@@ -317,7 +329,7 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
             band.reshape(n, GLYPH_H, s, GLYPH_W, s)
                 .sum(axis=(2, 4), dtype=np.int64) * 2 > s * s
         ).reshape(n, GLYPH_H * GLYPH_W)
-    dists = (bits[:, None, :] ^ lut_bits[None, :, :]).sum(axis=2)
+    dists = rec.cost(bits)
     best = np.argmin(dists, axis=1)
     best_d = dists[np.arange(n), best]
     chars = [lut_chars[int(b)] for b in best]
@@ -344,7 +356,8 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                             GLYPH_H, s, GLYPH_W, s)
                    .sum(axis=(3, 5), dtype=np.int64) * 2 > s * s)
         bits2 = cb.reshape(bad.shape[0], offs.shape[0], GLYPH_H * GLYPH_W)
-        d2 = (bits2[:, :, None, :] ^ lut_bits[None, None, :, :]).sum(axis=3)
+        d2 = rec.cost(bits2.reshape(-1, GLYPH_H * GLYPH_W)).reshape(
+            bad.shape[0], offs.shape[0], len(lut_chars))
         per_off_min = d2.min(axis=2)
         per_off_arg = d2.argmin(axis=2)
         best_off = per_off_min.argmin(axis=1)
@@ -487,9 +500,9 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
             continue  # a 3-way fuzzy chain merges pairwise
         i += 1
     fixed: list[tuple] = []
-    for wi, rec in enumerate(recs):
+    for wi, wrec in enumerate(recs):
         a_g, z_g = ranges[wi]
-        if z_g > a_g and d_words[wi] > 0 and rec[0] not in LEXICON:
+        if z_g > a_g and d_words[wi] > 0 and wrec[0] not in LEXICON:
             in_gaps = gl[a_g + 1: z_g + 1] - gr[a_g: z_g] - 1
             cand = [(int(g_), k) for k, g_ in enumerate(in_gaps)
                     if FUZZY_SPLIT_MIN_UNITS * s <= int(g_)
@@ -501,7 +514,7 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                 for lo, hi in ((a_g, m), (m + 1, z_g)):
                     _t, d_, n_, r_ = _decode_row(
                         ink, row_top, row_bottom,
-                        gl[lo: hi + 1], gr[lo: hi + 1], s, lut, False,
+                        gl[lo: hi + 1], gr[lo: hi + 1], s, rec, False,
                         gt[lo: hi + 1] if gt is not None else None,
                         gb[lo: hi + 1] if gb is not None else None)
                     if len(r_) != 1 or r_[0][0] not in LEXICON:
@@ -515,7 +528,7 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                     total_n += n_new - n_words[wi]
                     fixed.extend(halves)
                     continue
-        fixed.append(rec)
+        fixed.append(wrec)
     recs = fixed
     if rtl and len(recs) > 1:
         # W4 bidi textline order (resultiterator.cpp:285
@@ -1043,7 +1056,7 @@ def _split_shiro_rekha(ink: np.ndarray, tl: np.ndarray, tt: np.ndarray,
 
 def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                  rtl: bool = False, psm: str = "auto",
-                 lut: tuple[list[str], np.ndarray] = (DECODE_CHARS, DECODE_BOOL),
+                 rec=None,
                  ) -> tuple[list[Block], float]:
     """Analyse one binarized page; returns (blocks in reading order,
     mean per-char decode distance — the page's recognition quality).
@@ -1459,6 +1472,41 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
             _flush_run()
             rest.append(r)
     _flush_run()
+    # ---- spanned header/footer rows (C8 v3, tablerecog.cpp:62
+    # StructuredTable merged cells): a row adjacent to a table at normal
+    # block pitch, x-contained in the table, whose wide gaps all align
+    # with the table's column gaps but number FEWER (at least one expected
+    # gap is suppressed — a cell spanning several columns) is a table row
+    # with merged cells, not flowing text. The body-row grid stays the
+    # authority; the absorbed row's own gaps define its visible cells.
+    if table_blocks:
+        absorbed: set[int] = set()
+        for tb in table_blocks:
+            trows = tb["rows"]
+            grid = max((rr["tgaps"] for rr in trows), key=len)
+            t_l = min(rr["left"] for rr in trows)
+            t_r = max(rr["right"] for rr in trows)
+            t_top = min(rr["top"] for rr in trows)
+            t_bot = max(rr["bottom"] for rr in trows)
+            for idx, r in enumerate(rest):
+                if idx in absorbed or r["heading"] or not r["tgaps"] \
+                        or len(r["tgaps"]) >= len(grid):
+                    continue
+                s_ = r["s"]
+                above = 0 <= t_top - r["bottom"] - 1 <= BLOCK_GAP_UNITS * s_
+                below = 0 <= r["top"] - t_bot - 1 <= BLOCK_GAP_UNITS * s_
+                if not (above or below):
+                    continue
+                if r["left"] < t_l - 2 * s_ or r["right"] > t_r + 2 * s_:
+                    continue
+                if all(any(min(g[1], gg[1]) >= max(g[0], gg[0])
+                           for gg in grid) for g in r["tgaps"]):
+                    absorbed.add(idx)
+                    trows.append(r)
+        if absorbed:
+            rest = [r for i, r in enumerate(rest) if i not in absorbed]
+            for tb in table_blocks:
+                tb["rows"].sort(key=lambda rr: rr["top"])
     rows = rest
 
     # ---- columns from body-row blob x-projection (C5/W1) ----
@@ -1564,7 +1612,7 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
         rws: list[list[tuple]] = []
         for rr in b["rows"]:
             text, d, n, recs = _decode_row(ink, rr["top"], rr["bottom"],
-                                           rr["gl"], rr["gr"], rr["s"], lut,
+                                           rr["gl"], rr["gr"], rr["s"], rec,
                                            rtl=rtl, gt=rr.get("gt"),
                                            gb=rr.get("gb"))
             lines.append(text)
@@ -1576,34 +1624,55 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
     def decode_block(b, sep: str = "\n") -> str:
         return sep.join(decode_rows(b)[0])
 
-    def decode_table(b) -> str:
-        """C8 v2 cell structure (the reference recognizes table structure in
-        tablerecog.cpp after detection in tablefind.cpp:268): each table
+    def decode_table(b) -> tuple[str, list[tuple]]:
+        """C8 v2/v3 cell structure (the reference recognizes table structure
+        in tablerecog.cpp after detection in tablefind.cpp:268): each table
         row's decode is split at its aligned whitespace gaps (`tgaps`, the
         same gaps that detected the table) into per-cell text — cells
-        TAB-separated within a row, rows newline-separated."""
+        TAB-separated within a row, rows newline-separated.
+
+        Returns (text, cells) where cells carries the STRUCTURED view
+        (StructuredTable, tablerecog.cpp:62): the table's column grid is
+        the most-gapped row's gap set; each visible cell is assigned the
+        grid column containing its ink start (cells are left-aligned into
+        their column segments) and SPANS up to the next visible cell's
+        column — so a merged header cell over two body columns comes out
+        once with col_span 2."""
         nonlocal q_dist, q_chars
+        grid = max((rr.get("tgaps") or [] for rr in b["rows"]), key=len)
+        grid_ends = [g[1] for g in grid]
+        n_cols = len(grid) + 1
         lines = []
-        for rr in b["rows"]:
+        cells_out: list[tuple] = []
+        for ri, rr in enumerate(b["rows"]):
             gaps = rr.get("tgaps") or []
             gap_rights = np.array([g[1] for g in gaps], dtype=np.int64)
             cid = np.searchsorted(gap_rights, rr["gl"])
             cells = []
+            start_cols: list[int | None] = []
             for c in range(len(gaps) + 1):
                 sel = cid == c
                 if not sel.any():
                     cells.append("")
+                    start_cols.append(None)
                     continue
                 gt_r = rr.get("gt")
                 text, d, n, _recs = _decode_row(
                     ink, rr["top"], rr["bottom"],
-                    rr["gl"][sel], rr["gr"][sel], rr["s"], lut, rtl=rtl,
+                    rr["gl"][sel], rr["gr"][sel], rr["s"], rec, rtl=rtl,
                     gt=None if gt_r is None else gt_r[sel])
                 cells.append(text)
+                cl = int(rr["gl"][sel].min())
+                start_cols.append(sum(1 for e in grid_ends if e < cl))
                 q_dist += d
                 q_chars += n
+            for k, ctext in enumerate(cells):
+                a = start_cols[k] if start_cols[k] is not None else k
+                nxt = next((sc for sc in start_cols[k + 1:]
+                            if sc is not None), n_cols)
+                cells_out.append((ri, k, a, max(1, nxt - a), ctext))
             lines.append("\t".join(cells))
-        return "\n".join(lines)
+        return "\n".join(lines), cells_out
 
     for rank, i in enumerate(order):
         b = blocks[i]
@@ -1625,14 +1694,16 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                 txt, d, nch, _recs = _decode_row(ink, gt_, gb_,
                                                  np.array([gl_]),
                                                  np.array([gr_]),
-                                                 vs, lut, rtl=rtl)
+                                                 vs, rec, rtl=rtl)
                 parts.append(txt)
                 q_dist += d
                 q_chars += nch
             out.append(Block(rank, VERTICAL_TEXT, "".join(parts), l, t, r_, bo))
             continue
         if b.get("kind") == TABLE:
-            out.append(Block(rank, TABLE, decode_table(b), l, t, r_, bo))
+            t_text, t_cells = decode_table(b)
+            out.append(Block(rank, TABLE, t_text, l, t, r_, bo,
+                             cells=t_cells))
             continue
         # vertical text (strokewidth.cpp:211 IsVerticallyAlignedText →
         # PT_VERTICAL_TEXT): a stack of single glyphs one char-cell wide,
@@ -1831,11 +1902,12 @@ def _script_strays(blocks: list[Block], script: str) -> bool:
     return 0 < others <= 2 and t[script] >= 8 * others
 
 
-def _script_lut(script: str) -> tuple[list[str], np.ndarray]:
-    """Decode LUT restricted to one script's strong glyphs + all shared/
+def _script_restrict(rec, script: str):
+    """Recognizer restricted to one script's strong glyphs + all shared/
     neutral characters — the re-decode table of the script-consistency
     pass (the adaptive second half of the reference's Recognize:
-    osdetect's script result gates which unicharset competes)."""
+    osdetect's script result gates which unicharset competes). Works on
+    either recognizer strategy: restriction is part of the seam contract."""
     from ..fixtures.font import (STRONG_CJK, STRONG_CYRILLIC,
                                  STRONG_DEVANAGARI, STRONG_GREEK)
 
@@ -1848,12 +1920,12 @@ def _script_lut(script: str) -> tuple[list[str], np.ndarray]:
     for k, glyphs in strong.items():
         if k != script:
             drop |= glyphs
-    idx = [i for i, c in enumerate(DECODE_CHARS) if c not in drop]
-    return [DECODE_CHARS[i] for i in idx], DECODE_BOOL[idx]
+    return rec.restrict([c for c in rec.chars if c not in drop])
 
 
 def analyse_zones(gray: np.ndarray, zones: list[dict], rtl: bool = False,
-                  whitelist: str | None = None) -> list[Block]:
+                  whitelist: str | None = None,
+                  recognizer: str = "template") -> list[Block]:
     """S10 zone-file SOURCE: segmentation supplied by the caller overrides
     page analysis entirely — the reference reads UNLV .uzn zone files
     (src/ccstruct/blread.cpp read_unlv_file) and a non-empty block list
@@ -1861,7 +1933,7 @@ def analyse_zones(gray: np.ndarray, zones: list[dict], rtl: bool = False,
     One Block per zone, in the given order, with the given kind; text zones
     are recognized as one uniform block (PSM_SINGLE_BLOCK semantics) inside
     their rectangle, image/line zones pass through untyped."""
-    lut = decode_tables(whitelist)
+    rec = decode_tables(whitelist, recognizer)
     ink = binarize(gray)
     out: list[Block] = []
     for i, z in enumerate(zones):
@@ -1873,7 +1945,7 @@ def analyse_zones(gray: np.ndarray, zones: list[dict], rtl: bool = False,
             continue
         x0, y0 = max(l, 0), max(t, 0)
         sub = ink[y0 : b + 1, x0 : r + 1]
-        blocks, _q = _analyse_ink(sub, rtl=rtl, psm="single_block", lut=lut)
+        blocks, _q = _analyse_ink(sub, rtl=rtl, psm="single_block", rec=rec)
         text = "\n".join(bb.text for bb in blocks if bb.text)
         # word hierarchy carries through the zone: inner sub-blocks become
         # consecutive paragraphs, boxes restored to page coordinates (the
@@ -1895,7 +1967,8 @@ def analyse_zones(gray: np.ndarray, zones: list[dict], rtl: bool = False,
 
 
 def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
-                 whitelist: str | None = None) -> list[Block]:
+                 whitelist: str | None = None,
+                 recognizer: str = "template") -> list[Block]:
     """Full page analysis + recognition: binarize, analyse; if recognition
     quality is poor, retry at 90/180/270 degrees and keep the best — the
     orientation-detection pass (C10, osdetect.cpp:239) fused with the
@@ -1905,12 +1978,14 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
     script half of OSD, gated to psm='auto' like the reference's
     PSM_OSD_ENABLED inequality (publictypes.h:192).
 
-    rtl/psm/whitelist are the SetVariable-style knobs (ExtractConfig):
-    column direction, PageSegMode stage gating, SetBlackAndWhitelist."""
-    lut = decode_tables(whitelist)
+    rtl/psm/whitelist/recognizer are the SetVariable-style knobs
+    (ExtractConfig): column direction, PageSegMode stage gating,
+    SetBlackAndWhitelist, and the C11 recognizer strategy (the analog of
+    loading a different .traineddata model pack)."""
+    rec = decode_tables(whitelist, recognizer)
     ink = binarize(gray)
     best_rot, best_div = 0, 4.0
-    out, quality = _analyse_ink(ink, rtl=rtl, psm=psm, lut=lut)
+    out, quality = _analyse_ink(ink, rtl=rtl, psm=psm, rec=rec)
     if quality > 0:
         # any imperfect decode → cheap alternate-config retries first:
         # finer skew-profile bins (sparse pages can alias at the default
@@ -1919,7 +1994,7 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
         # ProcessPages retry_config, baseapi.h:732.
         for div in (8.0, 2.0):
             cand, q = _analyse_ink(ink, skew_bin_div=div, rtl=rtl, psm=psm,
-                                   lut=lut)
+                                   rec=rec)
             if q < quality:
                 out, quality, best_div = cand, q, div
             if quality <= 0:
@@ -1931,7 +2006,7 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
         # reference's PSM_OSD gate (publictypes.h:192 PSM_OSD_ENABLED).
         for k, div in [(1, 4.0), (2, 4.0), (3, 4.0), (1, 8.0), (2, 8.0), (3, 8.0)]:
             cand, q = _analyse_ink(np.rot90(ink, k), skew_bin_div=div,
-                                   rtl=rtl, lut=lut)
+                                   rtl=rtl, rec=rec)
             if q < quality:
                 out, quality, best_rot, best_div = cand, q, k, div
             if not _suspect_decode(out, quality):
@@ -1945,7 +2020,7 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
         # vote on a near-letterless page must not replace a good LTR result
         # (osdetect keeps the best-scoring hypothesis, not the last one).
         cand, q = _analyse_ink(np.rot90(ink, best_rot), skew_bin_div=best_div,
-                               rtl=True, psm=psm, lut=lut)
+                               rtl=True, psm=psm, rec=rec)
         if q <= quality:
             out, quality, used_rtl = cand, q, True
     if psm == "auto" and not whitelist:
@@ -1964,7 +2039,7 @@ def analyse_page(gray: np.ndarray, rtl: bool = False, psm: str = "auto",
         if _script_strays(out, script):
             cand, q = _analyse_ink(np.rot90(ink, best_rot),
                                    skew_bin_div=best_div, rtl=used_rtl,
-                                   psm=psm, lut=_script_lut(script))
+                                   psm=psm, rec=_script_restrict(rec, script))
             if q <= quality + 1.0:
                 out = cand
     return out

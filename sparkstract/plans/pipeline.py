@@ -65,7 +65,8 @@ def _analyse_raster(cfg: ExtractConfig, gray, page_zones):
         # S10 zone-override source: supplied segmentation wins
         # (read_unlv_file, pagesegmain.cpp:114-127)
         return 0, 0, analyse_zones(gray, list(page_zones), rtl=cfg.rtl,
-                                   whitelist=cfg.char_whitelist)
+                                   whitelist=cfg.char_whitelist,
+                                   recognizer=cfg.recognizer)
     # crop (SetRectangle, baseapi.cpp:949) restricts ANALYSIS,
     # but emitted geometry stays in original-image coordinates —
     # the reference adds rect_left_/rect_top_ back on every
@@ -76,7 +77,8 @@ def _analyse_raster(cfg: ExtractConfig, gray, page_zones):
         gray = gray[ct:cb, cl:cr]
         crop_dx, crop_dy = cl, ct
     return crop_dx, crop_dy, analyse_page(gray, rtl=cfg.rtl, psm=cfg.psm,
-                                          whitelist=cfg.char_whitelist)
+                                          whitelist=cfg.char_whitelist,
+                                          recognizer=cfg.recognizer)
 
 
 def _iter_page_blocks(cfg: ExtractConfig, pdf: pd.DataFrame,
@@ -459,6 +461,58 @@ def extract_pdf_pages(spark: SparkSession, docs: DataFrame, media: DataFrame,
     cfg = cfg or ExtractConfig()
     work, _ = _work_frame(docs, media, cfg, zones)
     return work.mapInPandas(_pdfout_kernel(cfg), schema=PDF_PAGES_SCHEMA)
+
+
+# structured table cells (C8 v3, StructuredTable semantics — reference
+# src/textord/tablerecog.cpp:62): one row per VISIBLE table cell with its
+# grid position; a merged cell (header spanning several body columns)
+# appears once with col_span > 1
+TABLES_SCHEMA = (
+    "doc_id string, offset int, block_order int, row_idx int, "
+    "cell_idx int, col_start int, col_span int, cell string"
+)
+
+
+def _table_kernel(cfg: ExtractConfig):
+    """mapInPandas kernel emitting one row per structured table cell: the
+    cell/column-segment view tablerecog.cpp recognizes after tablefind
+    detection — including merged cells, which the flat TAB-joined block
+    text cannot express."""
+    cols = ("doc_id", "offset", "block_order", "row_idx", "cell_idx",
+            "col_start", "col_span", "cell")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, offset, ref, _dx, _dy, base, blocks, _page_h \
+                    in _iter_page_blocks(cfg, pdf):
+                for blk in blocks:
+                    if not blk.cells:
+                        continue
+                    for (ri, ci, cs, span, text) in blk.cells:
+                        out["doc_id"].append(doc_id)
+                        out["offset"].append(offset)
+                        out["block_order"].append(base + blk.order)
+                        out["row_idx"].append(ri)
+                        out["cell_idx"].append(ci)
+                        out["col_start"].append(cs)
+                        out["col_span"].append(span)
+                        out["cell"].append(text)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def extract_tables(spark: SparkSession, docs: DataFrame, media: DataFrame,
+                   cfg: ExtractConfig | None = None,
+                   zones: DataFrame | None = None) -> DataFrame:
+    """Structured-table sidecar of `extract`: one row per visible table
+    cell with grid column + span (TABLES_SCHEMA). Same plan shape as the
+    other sidecars: one kernel pass, partition-local until the consumer's
+    own fold."""
+    cfg = cfg or ExtractConfig()
+    work, _ = _work_frame(docs, media, cfg, zones)
+    return work.mapInPandas(_table_kernel(cfg), schema=TABLES_SCHEMA)
 
 
 def _hier_kernel(cfg: ExtractConfig):

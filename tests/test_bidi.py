@@ -194,9 +194,11 @@ def test_script_consistency_pass_fixes_stray_glyphs():
 def test_script_strays_and_lut_semantics():
     """_script_strays: a couple of foreign glyphs on an 8:1-majority page
     trip the pass; a genuinely mixed (bidi-like) page never does.
-    _script_lut drops other scripts' strong glyphs, keeps shared ones."""
-    from sparkstract.operators.page import (Block, _script_lut,
+    _script_restrict drops other scripts' strong glyphs, keeps shared
+    ones."""
+    from sparkstract.operators.page import (Block, _script_restrict,
                                             _script_strays)
+    from sparkstract.operators.recognizer import template_recognizer
 
     def blk(text):
         return [Block(0, "flowing_text", text, 0, 0, 1, 1)]
@@ -205,7 +207,8 @@ def test_script_strays_and_lut_semantics():
                           "latin")
     assert not _script_strays(blk("FOX DOG אב גד הו זח"), "latin")
     assert not _script_strays(blk("CLEAN LATIN ONLY PAGE"), "latin")
-    chars, bits = _script_lut("latin")
+    rec = _script_restrict(template_recognizer(), "latin")
+    chars = rec.chars
     assert "Ξ" not in chars and "א" not in chars
     assert "E" in chars and "0" in chars
-    assert len(chars) == bits.shape[0]
+    assert len(chars) == rec.bits.shape[0]

@@ -1,0 +1,118 @@
+"""C11 recognizer seam: the trained model pack is interchangeable with the
+template matcher behind one cost interface.
+
+Reference contract: recognition is pluggable DATA in the reference — the
+same page flows through whichever model .traineddata loads
+(LSTMRecognizeWord /root/reference/src/ccmain/linerec.cpp:237 →
+lstmrecognizer.cpp:263), and everything downstream consumes only
+ratings/certainties. These tests pin that our seam has the same property:
+swap the strategy, get the same spans.
+"""
+
+import numpy as np
+import pytest
+
+from sparkstract.fixtures.font import DECODE_CHARS, DECODE_MATRIX
+from sparkstract.fixtures.gen import PAGE_FAMILIES, page_spec
+from sparkstract.fixtures.render import render_page
+from sparkstract.operators.page import _script_restrict, analyse_page
+from sparkstract.operators.recognizer import (
+    CELL_BITS,
+    get_recognizer,
+    model_recognizer,
+    template_recognizer,
+)
+
+
+def test_pack_loads_and_matches_charset():
+    rec = model_recognizer()
+    assert rec.chars == DECODE_CHARS
+    assert get_recognizer("model") is rec
+    assert get_recognizer("template") is template_recognizer()
+    with pytest.raises(ValueError, match="unknown recognizer"):
+        get_recognizer("lstm")
+
+
+def test_clean_glyphs_cost_zero_under_both_strategies():
+    cells = DECODE_MATRIX.astype(bool)
+    for rec in (template_recognizer(), model_recognizer()):
+        c = rec.cost(cells)
+        n = len(DECODE_CHARS)
+        assert c.shape == (n, n)
+        assert (c[np.arange(n), np.arange(n)] == 0).all()
+        assert (c.argmin(axis=1) == np.arange(n)).all()
+
+
+def test_model_costs_track_template_costs_under_corruption():
+    """The cost currency is shared: on k-bit corruptions the model's
+    integer costs agree with the template's hamming distances almost
+    everywhere, so every downstream margin (beam, dict, OSD retry) reads
+    the same landscape from either strategy."""
+    rng = np.random.default_rng(99)
+    clean = DECODE_MATRIX.astype(np.uint8)
+    xs = []
+    for k in (1, 2, 3, 4):
+        for _ in range(40):
+            x = clean.copy()
+            cols = rng.integers(0, CELL_BITS, size=(clean.shape[0], k))
+            for j in range(k):
+                x[np.arange(clean.shape[0]), cols[:, j]] ^= 1
+            xs.append(x)
+    X = np.concatenate(xs).astype(bool)
+    ct = template_recognizer().cost(X)
+    cm = model_recognizer().cost(X)
+    agree = (ct == cm).mean()
+    assert agree > 0.995, agree
+    assert (ct.argmin(axis=1) == cm.argmin(axis=1)).mean() > 0.999
+
+
+def test_restriction_is_part_of_the_seam():
+    """Whitelist and script restriction work identically on both
+    strategies (SetBlackAndWhitelist / per-script unicharset gating)."""
+    probe = DECODE_MATRIX[DECODE_CHARS.index("O")].astype(bool)[None, :]
+    for base in (template_recognizer(), model_recognizer()):
+        r = base.restrict(set("01"))
+        assert r.chars == ["0", "1"]
+        # the nearest whitelisted glyph wins even though O itself is out
+        assert r.chars[int(r.cost(probe).argmin())] == "0"
+        # empty/unknown restriction falls back to the full set
+        assert base.restrict(set()) is base
+        assert base.restrict({"☃"}) is base
+        sr = _script_restrict(base, "greek")
+        assert "Γ" in sr.chars and "א" not in sr.chars and "E" not in sr.chars
+        assert "0" in sr.chars  # digits are shared/neutral
+
+
+@pytest.mark.parametrize("family", [
+    "single_column", "two_column", "smudged_page", "fuzzy_space_page",
+    "rotated_page", "devanagari_page", "cjk_page", "bidi_page",
+    "wavy_page", "table_page",
+])
+def test_strategies_interchangeable_on_hard_families(family):
+    """The seam claim, end to end: the hardest raster families (beam+dict
+    recovery, fuzzy-space, OSD rotation, shiro-rekha, CJK merge, bidi,
+    warp) decode to the SAME truth under both strategies."""
+    rng = np.random.default_rng(7)
+    for _ in range(2):
+        spec = page_spec(family, rng)
+        img, truth = render_page(spec)
+        want = [(t.kind, t.text) for t in truth]
+        for strat in ("template", "model"):
+            got = [(b.kind, b.text)
+                   for b in analyse_page(img, recognizer=strat)]
+            assert got == want, (family, strat)
+
+
+def test_full_corpus_parity_all_raster_families():
+    """Every raster family once: model == template == truth."""
+    rng = np.random.default_rng(42)
+    for fam in PAGE_FAMILIES:
+        if fam.startswith("pdf_"):
+            continue  # born-digital text never touches the recognizer
+        spec = page_spec(fam, rng)
+        img, truth = render_page(spec)
+        want = [(t.kind, t.text) for t in truth]
+        for strat in ("template", "model"):
+            got = [(b.kind, b.text)
+                   for b in analyse_page(img, recognizer=strat)]
+            assert got == want, (fam, strat)
