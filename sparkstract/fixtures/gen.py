@@ -68,7 +68,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_page", "pdf_scanned_page", "pdf_two_column_page",
                   "rgb_png_page", "gif_page", "progressive_jpeg_page",
                   "pdf_modern_page", "pdf_cid_page", "pdf_searchable_page",
-                  "g4_tiff_page"):
+                  "g4_tiff_page", "pdf_rotated_page",
+                  "pdf_inline_image_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -429,6 +430,7 @@ PAGE_FAMILIES = [
     "pdf_cid_page", "pdf_searchable_page", "devanagari_page",
     "smudged_page", "fuzzy_space_page", "g4_tiff_page",
     "cjk_page", "cjk_vertical_page", "spanned_table_page",
+    "pdf_rotated_page", "pdf_inline_image_page",
 ]
 
 
@@ -601,6 +603,43 @@ class _Builder:
             ], page_size=(612, 792))
             blocks = ([TruthBlock("flowing_text", "\n".join(digital))]
                       + scanned)
+        elif family == "pdf_rotated_page":
+            # the scanner-app shape (same contract as the EXIF tag-274
+            # families): the page image is STORED rotated 90° ccw in user
+            # space and the page carries /Rotate 90 — pixels untouched,
+            # the READER must normalize before analysis (walk/_read_page
+            # compose the display rotation; ISO 32000 §14.11.2 table 378).
+            # Truth is the upright page's blocks.
+            from ..functions.pdf import encode_simple_pdf
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            stored = np.ascontiguousarray(np.rot90(img, 1))
+            payload = encode_simple_pdf(
+                [[("image", stored, 0, 0)]],
+                page_size=(stored.shape[1], stored.shape[0]), rotate=90)
+        elif family == "pdf_inline_image_page":
+            # inline images (BI/ID/EI, §8.9.7 abbreviated keys + /Fl):
+            # the small-decoration shape real documents carry inside the
+            # content stream itself, not as an XObject — same interleave
+            # contract as pdf_page
+            from ..functions.pdf import encode_simple_pdf
+            from .render import TruthBlock
+
+            cap = lambda s: " ".join(w.capitalize() for w in s.split())  # noqa: E731
+            top_lines = [cap(ln) for ln in _lines(self.rng, 3, 28)]
+            bot_lines = [cap(ln) for ln in _lines(self.rng, 2, 28)]
+            pic = (np.outer(np.arange(50), np.arange(70)) % 249
+                   ).astype(np.uint8)
+            els = [("text", 72, 700 - 16 * i, 12, ln)
+                   for i, ln in enumerate(top_lines)]
+            els.append(("inline_image", pic, 72, 480))
+            els += [("text", 72, 300 - 16 * i, 12, ln)
+                    for i, ln in enumerate(bot_lines)]
+            payload = encode_simple_pdf([els])
+            blocks = [TruthBlock("flowing_text", "\n".join(top_lines)),
+                      TruthBlock("flowing_image", None),
+                      TruthBlock("flowing_text", "\n".join(bot_lines))]
+            img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
         elif family == "g4_tiff_page":
             # CCITT Group 4 container — the archival-scan compression
             # (Leptonica reads G4 natively through the same pixReadMem

@@ -71,13 +71,21 @@ def encode_simple_pdf(pages: list[list[tuple]],
                       widths: dict[str, int] | None = None,
                       modern: bool = False,
                       cid_font: bool = False,
-                      cid_widths: dict[str, int] | None = None) -> bytes:
+                      cid_widths: dict[str, int] | None = None,
+                      rotate: int = 0) -> bytes:
     """Build a minimal single-font PDF. Each page is a list of elements:
 
     - ``("text", x, y_baseline, size, "line of text")`` — PDF coords (y up)
     - ``("image", arr, x, y)`` — uint8 HxW grayscale placed at natural size
       (FlateDecode /DeviceGray)
     - ``("jpeg", arr, x, y, quality)`` — same, embedded as DCTDecode
+    - ``("inline_image", arr, x, y)`` — same pixels written INLINE in the
+      content stream (BI/ID/EI, §8.9.7 abbreviated keys + /Fl), the way
+      small decorations/logos ship in real documents
+
+    `rotate` writes the page /Rotate attribute (scanner apps set it
+    instead of rotating pixels — content is stored in unrotated user
+    space and the READER must normalize, functions/pdf.py walk/_read_page)
 
     `widths` (char → advance in 1/1000 em, default 600) emits a
     proportional font with /FirstChar+/Widths, the metric table the parser
@@ -152,6 +160,14 @@ def encode_simple_pdf(pages: list[list[tuple]],
                          if cid_font else f"({_esc(txt)})")
                 content.append(
                     f"BT /F1 {size} Tf {x} {y} Td {shown} Tj ET")
+            elif el[0] == "inline_image":
+                arr, x, y = el[1], el[2], el[3]
+                ih, iw = arr.shape
+                comp = zlib.compress(arr.tobytes())
+                content.append(
+                    f"q {iw} 0 0 {ih} {x} {y} cm "
+                    f"BI /W {iw} /H {ih} /BPC 8 /CS /G /F /Fl ID "
+                    + comp.decode("latin-1") + " EI Q")
             elif el[0] in ("image", "jpeg"):
                 arr, x, y = el[1], el[2], el[3]
                 ih, iw = arr.shape
@@ -172,7 +188,8 @@ def encode_simple_pdf(pages: list[list[tuple]],
                 content.append(f"q {iw} 0 0 {ih} {x} {y} cm /{name} Do Q")
             else:
                 raise ValueError(f"unknown element {el[0]!r}")
-        cs = "\n".join(content).encode()
+        # latin-1: inline-image blobs put raw bytes in the content stream
+        cs = "\n".join(content).encode("latin-1")
         filt = ""
         if compress:
             cs, filt = zlib.compress(cs), "/Filter /FlateDecode"
@@ -180,8 +197,9 @@ def encode_simple_pdf(pages: list[list[tuple]],
         xo = "".join(f"/{n} {num} 0 R " for n, num in xobjects.items())
         res = (f"<< /Font << /F1 {font} 0 R >>"
                + (f" /XObject << {xo}>>" if xo else "") + " >>")
+        rot = f" /Rotate {rotate}" if rotate else ""
         kids.append(add(
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}]{rot} "
             f"/Resources {res} /Contents {cnum} 0 R >>".encode()))
     objs[pages_obj - 1] = (
         f"<< /Type /Pages /Kids [{' '.join(f'{k} 0 R' for k in kids)}] "
