@@ -69,7 +69,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "rgb_png_page", "gif_page", "progressive_jpeg_page",
                   "pdf_modern_page", "pdf_cid_page", "pdf_searchable_page",
                   "g4_tiff_page", "pdf_rotated_page",
-                  "pdf_inline_image_page"):
+                  "pdf_inline_image_page", "webp_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -430,7 +430,7 @@ PAGE_FAMILIES = [
     "pdf_cid_page", "pdf_searchable_page", "devanagari_page",
     "smudged_page", "fuzzy_space_page", "g4_tiff_page",
     "cjk_page", "cjk_vertical_page", "spanned_table_page",
-    "pdf_rotated_page", "pdf_inline_image_page",
+    "pdf_rotated_page", "pdf_inline_image_page", "webp_page",
 ]
 
 
@@ -703,6 +703,15 @@ class _Builder:
 
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_gray_jpeg(img, quality=95)
+        elif family == "webp_page":
+            # lossless WEBP (VP8L) container — the web-crawl media shape
+            # (Leptonica sniffs WEBP through the same pixReadMem dispatch,
+            # SetImage baseapi.cpp:881). Lossless roundtrip, so truth is
+            # the plain page's.
+            from ..functions.webp import encode_gray_webp
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_webp(img)
         else:
             img, blocks = render_page(page_spec(family, self.rng))
             payload = encode_gray(img)

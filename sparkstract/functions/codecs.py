@@ -10,8 +10,9 @@ media ref — the ProcessPagesMultipageTiff contract (baseapi.cpp:1657):
 downstream block order runs page 1's blocks, then page 2's, in file order.
 Baseline AND progressive JPEG (incl. color: luma-only reconstruction,
 non-luma progressive scans skipped wholesale) are decoded by
-functions/jpeg.py; WEBP raises a NAMED out-of-scope error so a user hits
-a clear seam, not a silent drop.
+functions/jpeg.py; lossless WEBP (VP8L, RFC 9649) by functions/webp.py —
+lossy VP8 / extended VP8X raise a NAMED out-of-scope error inside that
+module so a user hits a clear seam, not a silent drop.
 """
 
 from __future__ import annotations
@@ -43,13 +44,15 @@ def decode_pages(data: bytes) -> list[np.ndarray]:
 
         return decode_gray_gif(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
-        raise ValueError("WEBP input: out of scope (no codec libs and a "
-                         "VP8 decoder is not in scope; transcode upstream)")
+        from .webp import decode_webp
+
+        return [decode_webp(data)]
     if data[:5] == b"%PDF-":
         raise ValueError("PDF is not a raster: parsed at the pipeline seam "
                          "(functions/pdf.py born-digital path)")
     raise ValueError(
-        "unsupported image format (PNG, TIFF, PNM, BMP, JPEG, GIF supported)")
+        "unsupported image format "
+        "(PNG, TIFF, PNM, BMP, JPEG, GIF, WEBP-lossless supported)")
 
 
 def decode_gray_any(data: bytes) -> np.ndarray:

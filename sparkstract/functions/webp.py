@@ -1,0 +1,721 @@
+"""WebP lossless (VP8L) codec, from scratch against RFC 9649.
+
+Reference contract: the reference ingests WEBP through Leptonica's
+byte-stream sniff like every other raster (SetImage,
+/root/reference/src/api/baseapi.cpp:881) — web-crawl media tables carry
+WEBP at double-digit percentages, so the codec-dispatch seam
+(functions/codecs.py) must read it. VP8L is a self-contained bitstream
+(LSB-first bit packing, DEFLATE-style canonical prefix codes, LZ77 with a
+2D distance map, four invertible transforms) — no DCT, so a from-scratch
+implementation at the ccitt.py quality bar is feasible. Lossy VP8 and
+extended VP8X stay named out-of-scope errors at the dispatch seam.
+
+Decode support (RFC 9649 §3-§5):
+  * all four transforms: predictor (14 modes, per-block sub-image), color
+    (green_to_red/green_to_blue/red_to_blue 3.5-fixed deltas),
+    subtract-green, color-indexing (delta-coded palette incl. pixel
+    bundling for <=16 entries)
+  * color cache (0x1e35a7bd multiplicative hash), meta prefix images,
+    simple (1-2 symbol) and code-length-coded prefix codes with 16/17/18
+    repeats and the optional max_symbol field
+  * LZ77 backward references: length/distance prefix mapping, the 120-code
+    2D neighborhood map + linear distances past it
+
+The 2D distance map is GENERATED from its ordering rule (squared euclidean
+distance ascending, ties broken by larger dy then positive dx — verified
+to reproduce the spec's published table prefix) rather than transcribed,
+the same guard philosophy as the T.4 tables' structural tests.
+
+Encoder (fixture-side only, like encode_gray_tiff): gray pages as
+subtract-green + literal greens under a canonical prefix code, 0-bit
+simple codes for the constant red/blue/alpha/distance alphabets. The
+encoder exists so tests and fixtures carry genuine VP8L bytes; the parser
+is the product surface.
+
+In-sandbox caveat (stated honestly): no independent WEBP implementation
+exists in this container, so cross-implementation parity is pinned by
+hand-assembled bit-level vectors derived from the spec text (see
+tests/test_webp.py) plus self-roundtrip fuzz — the same level of evidence
+the CCITT family ships with.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+# ---------------------------------------------------------------- bit I/O
+
+
+class _LsbReader:
+    """LSB-first bit reader (RFC 9649 §2: values are packed little-endian,
+    the first bit read is the least-significant of a fixed-width field;
+    prefix-code bits are read most-significant-first like DEFLATE)."""
+
+    __slots__ = ("_data", "_nbits", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._nbits = len(data) * 8
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        b = self.bit
+        if b + n > self._nbits:
+            raise ValueError("VP8L stream truncated")
+        self.bit = b + n
+        lo = b >> 3
+        hi = (b + n + 7) >> 3
+        chunk = int.from_bytes(self._data[lo:hi], "little")
+        return (chunk >> (b & 7)) & ((1 << n) - 1)
+
+    def peek15(self) -> int:
+        b = self.bit
+        lo = b >> 3
+        chunk = int.from_bytes(self._data[lo : lo + 4], "little")
+        return (chunk >> (b & 7)) & 0x7FFF
+
+
+class _LsbWriter:
+    __slots__ = ("_acc", "_n", "_out")
+
+    def __init__(self) -> None:
+        self._acc = 0
+        self._n = 0
+        self._out = bytearray()
+
+    def write(self, value: int, n: int) -> None:
+        self._acc |= (value & ((1 << n) - 1)) << self._n
+        self._n += n
+        while self._n >= 8:
+            self._out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix-code bits go to the stream MSB-first (DEFLATE rule)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytes(self._out)
+        if self._n:
+            out += bytes([self._acc & 0xFF])
+        return out
+
+
+# ------------------------------------------------------------ prefix codes
+
+# §5.2.2: order in which code-length-code lengths are stored
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+              15)
+_MAX_CODE_LEN = 15
+
+
+def _rev(code: int, n: int) -> int:
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (code & 1)
+        code >>= 1
+    return r
+
+
+class _Prefix:
+    """Decoded prefix code: LUT on the next 15 stream bits -> (symbol,
+    length), plus the 0-bit single-symbol degenerate form."""
+
+    __slots__ = ("single", "table", "max_len")
+
+    def __init__(self, lengths: list[int]) -> None:
+        live = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
+        if not live:
+            raise ValueError("VP8L prefix code with no symbols")
+        if len(live) == 1:
+            self.single = live[0][0]
+            self.table = None
+            self.max_len = 0
+            return
+        self.single = None
+        # canonical assignment (DEFLATE): sort by (length, symbol)
+        if max(ln for _, ln in live) > _MAX_CODE_LEN:
+            raise ValueError("VP8L code length exceeds 15")
+        bl_count = [0] * (_MAX_CODE_LEN + 1)
+        for _, ln in live:
+            bl_count[ln] += 1
+        code = 0
+        next_code = [0] * (_MAX_CODE_LEN + 2)
+        for ln in range(1, _MAX_CODE_LEN + 1):
+            code = (code + bl_count[ln - 1]) << 1
+            next_code[ln] = code
+        self.max_len = max(ln for _, ln in live)
+        # Kraft check — an over-subscribed code is a corrupt stream
+        kraft = sum(1 << (self.max_len - ln) for _, ln in live)
+        if kraft > (1 << self.max_len):
+            raise ValueError("VP8L over-subscribed prefix code")
+        table = [None] * (1 << 15)
+        for sym, ln in sorted(live, key=lambda t: (t[1], t[0])):
+            c = next_code[ln]
+            next_code[ln] += 1
+            r = _rev(c, ln)
+            step = 1 << ln
+            for f in range(r, 1 << 15, step):
+                table[f] = (sym, ln)
+        self.table = table
+
+    def read(self, br: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        ent = self.table[br.peek15()]
+        if ent is None:
+            raise ValueError("VP8L invalid prefix code word")
+        sym, ln = ent
+        if br.bit + ln > br._nbits:
+            raise ValueError("VP8L stream truncated in prefix code")
+        br.bit += ln
+        return sym
+
+
+def _read_prefix_code(br: _LsbReader, alphabet: int) -> _Prefix:
+    """§5.2.1/§5.2.2: simple (1-2 symbols) or code-length-coded."""
+    if br.read(1):  # simple
+        num = br.read(1) + 1
+        if br.read(1):  # first symbol is 8 bits
+            s0 = br.read(8)
+        else:
+            s0 = br.read(1)
+        lengths = [0] * alphabet
+        if num == 1:
+            if s0 >= alphabet:
+                raise ValueError("VP8L simple code symbol out of range")
+            lengths[s0] = 1
+            return _Prefix(lengths)
+        s1 = br.read(8)
+        if s0 >= alphabet or s1 >= alphabet or s0 == s1:
+            raise ValueError("VP8L simple code symbols invalid")
+        lengths[s0] = lengths[s1] = 1
+        return _Prefix(lengths)
+    # code-length-coded
+    n_clc = 4 + br.read(4)
+    clc_lengths = [0] * 19
+    for i in range(n_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _Prefix(clc_lengths)
+    if br.read(1):  # optional symbol-count limit
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev_len = 8
+    i = 0
+    while i < alphabet:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        sym = clc.read(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev_len = sym
+        elif sym == 16:
+            for _ in range(3 + br.read(2)):
+                if i < alphabet:
+                    lengths[i] = prev_len
+                    i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+    return _Prefix(lengths)
+
+
+# --------------------------------------------------------- distance map
+
+def _build_dist_map() -> list[tuple[int, int]]:
+    """§4.2.2: the 120 closest (dx, dy) neighbors, ordered by squared
+    euclidean distance, ties by larger dy then positive-dx-first —
+    generated from the rule (reproduces the published table prefix)."""
+    cand = [(dx, dy) for dy in range(0, 9) for dx in range(-8, 9)
+            if dy > 0 or dx > 0]
+    cand.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1],
+                             0 if p[0] > 0 else 1, abs(p[0])))
+    return cand[:120]
+
+
+_DIST_MAP = _build_dist_map()
+
+
+def _lz77_value(code: int, br: _LsbReader) -> int:
+    """§4.2.1 prefix-coded LZ77 lengths/distances."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# ------------------------------------------------------------ image decode
+
+
+def _decode_entropy_image(br: _LsbReader, w: int, h: int,
+                          is_main: bool) -> np.ndarray:
+    """One spatially-coded ARGB image (§5.2.3) as an (h, w, 4) uint8 array
+    in [a, r, g, b] channel order. Sub-resolution images (transform data,
+    palettes, meta images) never carry meta prefix codes."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("VP8L color-cache bits out of range")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_main and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(br, mw, mh, False)
+        meta = (meta_img[:, :, 1].astype(np.int64) << 8) \
+            | meta_img[:, :, 2].astype(np.int64)
+        n_groups = int(meta.max()) + 1
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _read_prefix_code(br, green_alpha),
+            _read_prefix_code(br, 256),      # red
+            _read_prefix_code(br, 256),      # blue
+            _read_prefix_code(br, 256),      # alpha
+            _read_prefix_code(br, 40),       # distance
+        ))
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    n = w * h
+    out = np.zeros(n, dtype=np.uint32)
+    pos = 0
+    if n > (1 << 26):
+        raise ValueError("VP8L image too large")  # decompression-bomb guard
+    while pos < n:
+        if meta is not None:
+            y, x = divmod(pos, w)
+            g_code, r_code, b_code, a_code, d_code = \
+                groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        else:
+            g_code, r_code, b_code, a_code, d_code = groups[0]
+        s = g_code.read(br)
+        if s < 256:
+            r = r_code.read(br)
+            b = b_code.read(br)
+            a = a_code.read(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            pos += 1
+            if cache is not None:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift] = px
+        elif s < 280:
+            length = _lz77_value(s - 256, br)
+            dcode = _lz77_value(d_code.read(br), br)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                pos += 1
+                if cache is not None:
+                    cache[(0x1E35A7BD * px & 0xFFFFFFFF)
+                          >> cache_shift] = px
+        else:
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a color cache")
+            out[pos] = cache[s - 280]
+            pos += 1
+    img = out.reshape(h, w)
+    return np.stack([(img >> 24) & 0xFF, (img >> 16) & 0xFF,
+                     (img >> 8) & 0xFF, img & 0xFF],
+                    axis=2).astype(np.uint8)
+
+
+# ------------------------------------------------------- inverse transforms
+
+
+def _avg2(a, b):
+    return (a.astype(np.int64) + b.astype(np.int64)) // 2
+
+
+def _inv_predictor(argb: np.ndarray, modes: np.ndarray,
+                   size_bits: int) -> np.ndarray:
+    """§4.1.1 predictor transform inverse: the prediction (from already
+    reconstructed neighbors) is ADDED mod 256. Row 0 uses L, column 0 uses
+    T, pixel (0,0) uses opaque black; top-right at the last column clamps
+    to T."""
+    h, w, _ = argb.shape
+    out = argb.astype(np.int64)
+
+    def px(y, x):
+        return out[y, x]
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0])
+            elif y == 0:
+                pred = px(0, x - 1)
+            elif x == 0:
+                pred = px(y - 1, 0)
+            else:
+                mode = int(modes[y >> size_bits, x >> size_bits])
+                lf = px(y, x - 1)
+                tp = px(y - 1, x)
+                tl = px(y - 1, x - 1)
+                tr = px(y - 1, x + 1) if x + 1 < w else tp
+                if mode == 0:
+                    pred = np.array([255, 0, 0, 0])
+                elif mode == 1:
+                    pred = lf
+                elif mode == 2:
+                    pred = tp
+                elif mode == 3:
+                    pred = tr
+                elif mode == 4:
+                    pred = tl
+                elif mode == 5:
+                    pred = _avg2(_avg2(lf, tr), tp)
+                elif mode == 6:
+                    pred = _avg2(lf, tl)
+                elif mode == 7:
+                    pred = _avg2(lf, tp)
+                elif mode == 8:
+                    pred = _avg2(tl, tp)
+                elif mode == 9:
+                    pred = _avg2(tp, tr)
+                elif mode == 10:
+                    pred = _avg2(_avg2(lf, tl), _avg2(tp, tr))
+                elif mode == 11:
+                    p = lf + tp - tl
+                    if np.abs(p - lf).sum() <= np.abs(p - tp).sum():
+                        pred = lf
+                    else:
+                        pred = tp
+                elif mode == 12:
+                    pred = np.clip(lf + tp - tl, 0, 255)
+                else:  # 13 ClampAddSubtractHalf
+                    avg = _avg2(lf, tp)
+                    pred = np.clip(avg + (avg - tl) // 2, 0, 255)
+            out[y, x] = (out[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _inv_color_transform(argb: np.ndarray, data: np.ndarray,
+                         size_bits: int) -> np.ndarray:
+    """§4.1.2 color transform inverse: per-block signed 3.5-fixed cross
+    deltas ADDED back (green_to_red in red channel, green_to_blue and
+    red_to_blue in blue)."""
+    h, w, _ = argb.shape
+    ys = np.arange(h) >> size_bits
+    xs = np.arange(w) >> size_bits
+    blk = data[ys][:, xs]            # (h, w, 4) transform element per px
+    g2r = blk[:, :, 2].astype(np.int8).astype(np.int64)   # green channel
+    g2b = blk[:, :, 1].astype(np.int8).astype(np.int64)   # red channel
+    r2b = blk[:, :, 0].astype(np.int8).astype(np.int64)   # alpha channel
+    def s8(v):  # reinterpret the low byte as signed 8-bit (§4.1.2)
+        return ((v & 0xFF) ^ 0x80) - 0x80
+
+    out = argb.astype(np.int64)
+    gs = s8(out[:, :, 2])
+    out[:, :, 1] = (out[:, :, 1] + ((g2r * gs) >> 5)) & 0xFF
+    r = s8(out[:, :, 1])
+    out[:, :, 3] = (out[:, :, 3] + ((g2b * gs) >> 5)
+                    + ((r2b * r) >> 5)) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _inv_subtract_green(argb: np.ndarray) -> np.ndarray:
+    out = argb.astype(np.int64)
+    out[:, :, 1] = (out[:, :, 1] + out[:, :, 2]) & 0xFF  # r += g
+    out[:, :, 3] = (out[:, :, 3] + out[:, :, 2]) & 0xFF  # b += g
+    return out.astype(np.uint8)
+
+
+def _inv_color_index(argb: np.ndarray, palette: np.ndarray,
+                     width: int) -> np.ndarray:
+    """§4.1.3 color indexing inverse incl. pixel bundling."""
+    n_colors = palette.shape[0]
+    if n_colors <= 2:
+        wbits = 3
+    elif n_colors <= 4:
+        wbits = 2
+    elif n_colors <= 16:
+        wbits = 1
+    else:
+        wbits = 0
+    idx = argb[:, :, 2].astype(np.int64)  # indices ride the green channel
+    if wbits:
+        per = 1 << wbits
+        bits = 8 >> wbits
+        parts = [(idx >> (i * bits)) & ((1 << bits) - 1)
+                 for i in range(per)]
+        idx = np.stack(parts, axis=2).reshape(idx.shape[0], -1)[:, :width]
+    if int(idx.max(initial=0)) >= n_colors:
+        raise ValueError("VP8L palette index out of range")
+    return palette[idx]
+
+
+# ---------------------------------------------------------------- decode
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """VP8L chunk payload -> (h, w, 4) uint8 ARGB (channel order
+    [a, r, g, b])."""
+    br = _LsbReader(payload)
+    if br.read(8) != 0x2F:
+        raise ValueError("VP8L bad signature")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L unsupported version")
+    transforms: list[tuple] = []
+    seen: set[int] = set()
+    xsize = w  # color-indexing bundling shrinks the coded width
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("VP8L duplicate transform")
+        seen.add(ttype)
+        if ttype == 0:        # predictor
+            size_bits = br.read(3) + 2
+            bw = (xsize + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(br, bw, bh, False)
+            transforms.append(("predictor", sub[:, :, 2], size_bits))
+        elif ttype == 1:      # color transform
+            size_bits = br.read(3) + 2
+            bw = (xsize + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(br, bw, bh, False)
+            transforms.append(("color", sub, size_bits))
+        elif ttype == 2:      # subtract green
+            transforms.append(("subtract_green",))
+        else:                 # color indexing
+            n_colors = br.read(8) + 1
+            pal_img = _decode_entropy_image(br, n_colors, 1, False)
+            # palette entries are delta-coded component-wise (§4.1.3)
+            pal = np.cumsum(pal_img[0].astype(np.int64), axis=0) & 0xFF
+            transforms.append(("palette", pal.astype(np.uint8), xsize))
+            if n_colors <= 2:
+                xsize = (xsize + 7) >> 3
+            elif n_colors <= 4:
+                xsize = (xsize + 3) >> 2
+            elif n_colors <= 16:
+                xsize = (xsize + 1) >> 1
+    argb = _decode_entropy_image(br, xsize, h, True)
+    for t in reversed(transforms):
+        if t[0] == "predictor":
+            argb = _inv_predictor(argb, t[1], t[2])
+        elif t[0] == "color":
+            argb = _inv_color_transform(argb, t[1], t[2])
+        elif t[0] == "subtract_green":
+            argb = _inv_subtract_green(argb)
+        else:
+            argb = _inv_color_index(argb, t[1], t[2])
+    if argb.shape[:2] != (h, w):
+        raise ValueError("VP8L decoded size mismatch")
+    return argb
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WEBP container bytes -> HxW uint8 gray (BT.601 luma collapse for
+    color, like every other decoder in the family)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP file")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            argb = decode_vp8l(body)
+            a, r, g, b = (argb[:, :, i].astype(np.int32) for i in range(4))
+            if ((r == g) & (g == b)).all():
+                return g.astype(np.uint8)
+            return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+        if tag == b"VP8 ":
+            raise ValueError("lossy WEBP (VP8): out of scope "
+                             "(lossless VP8L supported)")
+        if tag == b"VP8X":
+            raise ValueError("extended WEBP (VP8X): out of scope "
+                             "(plain lossless VP8L supported)")
+        pos += 8 + size + (size & 1)
+    raise ValueError("WEBP container has no image chunk")
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _huffman_lengths(freq: dict[int, int], max_len: int) -> dict[int, int]:
+    """Code lengths from frequencies, depth-limited by iterative overflow
+    push-down (the DEFLATE bit-length adjustment)."""
+    if len(freq) == 1:
+        return {next(iter(freq)): 1}
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freq.items()))]
+    heapq.heapify(heap)
+    depth = dict.fromkeys(freq, 0)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, i2, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, i2, s1 + s2))
+    # limit depth: move overflowing leaves up, paying by pushing a
+    # shallower leaf down (keeps Kraft equality)
+    while max(depth.values()) > max_len:
+        over = next(s for s, d in depth.items() if d > max_len)
+        depth[over] = max_len
+        # restore Kraft: find a leaf above the limit-1 to push down
+        kraft = sum(2.0 ** -d for d in depth.values())
+        while kraft > 1.0:
+            cand = min((s for s, d in depth.items() if d < max_len),
+                       key=lambda s: depth[s])
+            kraft -= 2.0 ** -depth[cand]
+            depth[cand] += 1
+            kraft += 2.0 ** -depth[cand]
+    return depth
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    last_len = 0
+    for sym, ln in sorted(lengths.items(), key=lambda t: (t[1], t[0])):
+        code <<= ln - last_len
+        out[sym] = (code, ln)
+        code += 1
+        last_len = ln
+    return out
+
+
+def _write_simple_code(bw: _LsbWriter, symbol: int) -> None:
+    bw.write(1, 1)          # simple
+    bw.write(0, 1)          # one symbol
+    if symbol < 2:
+        bw.write(0, 1)      # 1-bit symbol
+        bw.write(symbol, 1)
+    else:
+        bw.write(1, 1)      # 8-bit symbol
+        bw.write(symbol, 8)
+
+
+def _write_full_code(bw: _LsbWriter, lengths: dict[int, int],
+                     alphabet: int) -> None:
+    """Code-length-coded prefix code (§5.2.2), 0-runs via 17/18."""
+    seq: list[int] = []
+    arr = [lengths.get(i, 0) for i in range(alphabet)]
+    # without the optional max_symbol field the reader consumes length
+    # entries for the WHOLE alphabet, so trailing zeros are spelled out as
+    # 17/18 runs to the end
+    i = 0
+    while i < alphabet:
+        if arr[i] == 0:
+            run = 1
+            while i + run < alphabet and arr[i + run] == 0:
+                run += 1
+            while run >= 3:
+                take = min(run, 138)
+                if take < 11:
+                    seq.append((17, take - 3, 3))
+                else:
+                    seq.append((18, take - 11, 7))
+                run -= take
+                i += take
+            for _ in range(run):
+                seq.append((0, 0, 0))
+                i += 1
+        else:
+            seq.append((arr[i], 0, 0))
+            i += 1
+    clc_freq: dict[int, int] = {}
+    for sym, _, _ in seq:
+        clc_freq[sym] = clc_freq.get(sym, 0) + 1
+    clc_len = _huffman_lengths(clc_freq, 7)
+    if len(clc_freq) == 1:
+        # a 1-entry code-length code still needs a second symbol so the
+        # canonical code is well-formed at length 1
+        only = next(iter(clc_freq))
+        clc_len = {only: 1, (only + 1) % 19: 1}
+    clc_codes = _canonical_codes(clc_len)
+    bw.write(0, 1)   # not simple
+    n_clc = max(i for i, sym in enumerate(_CLC_ORDER)
+                if clc_len.get(sym, 0)) + 1
+    n_clc = max(n_clc, 4)
+    bw.write(n_clc - 4, 4)
+    for i in range(n_clc):
+        bw.write(clc_len.get(_CLC_ORDER[i], 0), 3)
+    bw.write(0, 1)   # no max_symbol field
+    for sym, extra, ebits in seq:
+        c, ln = clc_codes[sym]
+        bw.write_code(c, ln)
+        if ebits:
+            bw.write(extra, ebits)
+
+
+def encode_gray_webp(img: np.ndarray) -> bytes:
+    """uint8 HxW gray -> lossless WEBP bytes: subtract-green + literal
+    greens under one canonical prefix code; red/blue/alpha/distance ride
+    0-bit single-symbol codes (after subtract-green, r' = b' = 0
+    everywhere). Fixture-side writer, like encode_gray_tiff."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("encode_gray_webp expects HxW uint8")
+    h, w = img.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("encode_gray_webp dimensions out of range")
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)   # no alpha
+    bw.write(0, 3)   # version
+    bw.write(1, 1)   # a transform follows
+    bw.write(2, 2)   # subtract green
+    bw.write(0, 1)   # no more transforms
+    bw.write(0, 1)   # no color cache
+    bw.write(0, 1)   # no meta prefix image
+    vals, counts = np.unique(img, return_counts=True)
+    green_alpha = 256 + 24
+    glen = _huffman_lengths(
+        {int(v): int(c) for v, c in zip(vals, counts)}, _MAX_CODE_LEN)
+    if len(glen) == 1:
+        only = next(iter(glen))
+        glen = {only: 1, (only + 1) % 256: 1}
+    _write_full_code(bw, glen, green_alpha)
+    gcodes = _canonical_codes(glen)
+    _write_simple_code(bw, 0)     # red
+    _write_simple_code(bw, 0)     # blue
+    _write_simple_code(bw, 255)   # alpha
+    _write_simple_code(bw, 0)     # distance
+    flat = img.ravel()
+    # chunked emission: look up (code, len) per pixel via vectorized
+    # tables, then pack — the python loop is per-RUN of equal bit counts
+    code_tab = np.zeros(256, dtype=np.int64)
+    len_tab = np.zeros(256, dtype=np.int64)
+    for sym, (c, ln) in gcodes.items():
+        code_tab[sym] = c
+        len_tab[sym] = ln
+    for v in flat.tolist():
+        bw.write_code(int(code_tab[v]), int(len_tab[v]))
+    payload = bw.bytes()
+    riff_size = 4 + 8 + len(payload) + (len(payload) & 1)
+    out = bytearray()
+    out += b"RIFF" + riff_size.to_bytes(4, "little") + b"WEBP"
+    out += b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return bytes(out)
