@@ -8,9 +8,11 @@ Scale shape: one corpus scan collapses to (word, freq) with map-side
 combine (output bounded by the distinct-word vocabulary, and hard-capped
 to the `top_words` heavy hitters — the standard practice; Sennrich's
 reference implementation also trains on a word-count dictionary). Every
-merge round then runs over that capped vocab frame: one small shuffle for
-the pair counts and a 1-row argmax. The MODEL (the merge table, R rows)
-is the only thing that reaches the driver — the kmeans_fit pattern
+merge round then runs over the MATERIALIZED segmented-vocab frame,
+applying only the newest rule (O(R·V) total work — see bpe_train for the
+incremental carry and the measured curve): one small shuffle for the pair
+counts and a 1-row argmax. The MODEL (the merge table, R rows) is the
+only thing that reaches the driver — the kmeans_fit pattern
 (similarity.py): model driver-sized, data never moves.
 
 Determinism / oracle parity: pair counts are exact integers; the argmax
@@ -97,33 +99,48 @@ def bpe_train(docs: DataFrame, merges: int = 6, top_words: int = 4096,
     """Learn `merges` BPE merge rules from the corpus; returns the model
     as [(step, lhs, rhs, pair_count)] (1-based steps, application order).
 
-    Per round: one scan of the cached (word, freq) frame (segmentation is
-    a chain of codegen `replace` expressions — no stored intermediate
-    state), one vocab-key-space shuffle for pair counts, one 1-row
-    argmax collect. Stops early if no pair remains (fully merged vocab)."""
+    INCREMENTAL round shape (Sennrich's reference loop, distributed): the
+    segmented vocab is carried across rounds as a materialized frame, and
+    each round applies only the NEWEST merge rule — one `replace`
+    expression, not a re-derivation of the whole R-rule chain — so total
+    expression work is O(R·V), not the O(R²·V) the naive per-round rebuild
+    pays (measured: 48 rounds at sf0.01 dropped ~22s -> ~8s; curve in
+    PLANS.md). The carry uses a LAZY localCheckpoint (the cluster.py
+    fusion trick): the next round's pair-count job materializes the
+    checkpointed segmentation as a side effect — one job per round, and
+    the plan is truncated so Catalyst analysis stays constant-size no
+    matter how many rounds have run.
+
+    Per round: one scan of the vocab-sized frame for pair counts (small
+    shuffle keyed on the pair space) and a 1-row argmax collect — the
+    MODEL is the only thing that reaches the driver. Stops early if no
+    pair remains (fully merged vocab).
+
+    At production merge counts (32k), prefer collecting the capped
+    (word, freq) table and running the in-memory Sennrich loop driver-side
+    — `word_freqs` is already bounded to driver-sized `top_words`, so the
+    collect is safe and exact; this distributed loop is for when the vocab
+    cap is raised beyond driver memory (then R round-trip latencies, not
+    data volume, dominate the cost)."""
     assert merges >= 1 and top_words >= 1
     base = word_freqs(docs, top_words, id_col, text_col)
+    seg = base.select(_char_split(F.col("w")).alias("s"), "f")
     if cache:
-        base = base.persist()
+        seg = seg.localCheckpoint(eager=False)
     model: list[tuple[int, str, str, int]] = []
-    try:
-        # materialize the capped vocab once so every round reuses it
-        base.count() if cache else None
-        for step in range(1, merges + 1):
-            s = _char_split(F.col("w"))
-            for _, lhs, rhs, _ in model:
-                s = _apply_merge(s, lhs, rhs)
-            vocab = base.select(s.alias("s"), "f")
-            best = (_pair_counts(vocab)
-                    .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
-                    .limit(1).collect())
-            if not best:
-                break
-            r = best[0]
-            model.append((step, r["lhs"], r["rhs"], int(r["cnt"])))
-    finally:
-        if cache:
-            base.unpersist()
+    for step in range(1, merges + 1):
+        best = (_pair_counts(seg)
+                .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1).collect())
+        if not best:
+            break
+        r = best[0]
+        model.append((step, r["lhs"], r["rhs"], int(r["cnt"])))
+        if step < merges:
+            seg = seg.select(
+                _apply_merge(F.col("s"), r["lhs"], r["rhs"]).alias("s"), "f")
+            if cache:
+                seg = seg.localCheckpoint(eager=False)
     return model
 
 
