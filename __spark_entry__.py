@@ -2040,7 +2040,7 @@ def _pdf_truth() -> list[tuple]:
                 words = [(wt, wl, wtop, wr, wb)
                          for blk in blocks if blk.words
                          for (_p, _ln, _wn, wt, wl, wtop, wr, wb, _c,
-                              _s) in blk.words]
+                              _s, _lm) in blk.words]
                 parts.append({
                     "w": w, "h": h,
                     "img": (compress_page_image(gray)
@@ -2156,11 +2156,11 @@ def _words_truth() -> list[tuple]:
                     if not blk.words:
                         continue
                     for (p, ln, wn, wtext, wl, wt, wr, wb, conf,
-                         _syms) in blk.words:
+                         _syms, (xs, bsl, boff)) in blk.words:
                         rows.append((d.doc_id, span["offset"],
                                      base + blk.order, p, ln,
                                      wn, wtext, span["media_ref"],
-                                     wl, wt, wr, wb, conf))
+                                     wl, wt, wr, wb, conf, xs, bsl, boff))
                 base += len(blocks)
     return rows
 
@@ -2184,7 +2184,7 @@ def _symbols_truth() -> list[tuple]:
                     if not blk.words:
                         continue
                     for (p, ln, wn, _wt, _l, _t, _r, _b, _c,
-                         syms) in blk.words:
+                         syms, _lm) in blk.words:
                         for si, (ch, sl, st, sr, sb, sc) in enumerate(syms):
                             rows.append((d.doc_id, span["offset"],
                                          base + blk.order, p, ln, wn, si,
@@ -2359,7 +2359,7 @@ def _hier_render_truth() -> tuple[
                             pg_wtexts: list[str] = []
                             for w in lws:
                                 (_d2, _o2, _b2, _p2, _l2, wn, wtext, _ref,
-                                 wl, wt, wr, wb, conf) = w
+                                 wl, wt, wr, wb, conf, _xs, _bsl, _boff) = w
                                 tsv_rows.append("\t".join(
                                     ["5", str(pnum), str(bo + 1), str(p + 1),
                                      str(ln + 1), str(wn + 1), str(wl),
@@ -2384,13 +2384,18 @@ def _hier_render_truth() -> tuple[
                                     f"{_esc_xml(wtext)}</Unicode>"
                                     f"</TextEquiv>\n    </Word>")
                                 pg_wtexts.append(_esc_xml(wtext))
+                            xs, bsl, boff = lws[0][13], lws[0][14], \
+                                lws[0][15]
                             line_htmls.append(
                                 f"<span class='ocr_line' id='line_{off}_{bo}"
                                 f"_{p}_{ln}' title='bbox {ll} {lt} {lr} "
-                                f"{lb}'>" + " ".join(wfrags) + "</span>")
+                                f"{lb}; baseline {bsl:.3f} {boff}; "
+                                f"x_size {xs}'>" + " ".join(wfrags)
+                                + "</span>")
                             alto_lines.append(
                                 f"     <TextLine ID='line_{off}_{bo}_{p}"
-                                f"_{ln}'{_alto_pos(ll, lt, lr, lb)}>\n"
+                                f"_{ln}'{_alto_pos(ll, lt, lr, lb)}"
+                                f" BASELINE='{lb + boff}'>\n"
                                 + "\n".join(alto_wfrags)
                                 + "\n     </TextLine>")
                             pg_lines.append(
@@ -2953,9 +2958,10 @@ def oracle_sql() -> dict[str, str]:
         f"({_sql_quote(doc)}, {_sql_quote(s)})" for doc, s in _unlv_truth)
     word_rows = ",\n".join(
         f"({_sql_quote(doc)}, {off}, {bo}, {p}, {ln}, {wn}, "
-        f"{_sql_quote(wtext)}, {_sql_quote(ref)}, {l}, {t}, {r}, {b}, {conf})"
-        for doc, off, bo, p, ln, wn, wtext, ref, l, t, r, b, conf
-        in _words_truth())
+        f"{_sql_quote(wtext)}, {_sql_quote(ref)}, {l}, {t}, {r}, {b}, {conf}, "
+        f"{xs}, CAST({bsl!r} AS DOUBLE), {boff})"
+        for doc, off, bo, p, ln, wn, wtext, ref, l, t, r, b, conf,
+        xs, bsl, boff in _words_truth())
     # sign-LSH twin: same 6-dp hyperplane literals, same band/cap shape
     from sparkstract.operators.similarity import random_hyperplanes
 
@@ -4336,7 +4342,7 @@ def oracle_sql() -> dict[str, str]:
             {word_rows}
             ) AS t(doc_id, "offset", block_order, para_num, line_num,
                    word_num, word, media_ref, "left", "top", "right",
-                   "bottom", conf)
+                   "bottom", conf, x_size, base_slope, base_off)
             ORDER BY doc_id, "offset", block_order, para_num, line_num,
                      word_num
         """,

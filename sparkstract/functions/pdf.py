@@ -1324,6 +1324,12 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
             top = H - f["y"] - 0.75 * f["size"]
             bottom = H - f["y"] + 0.25 * f["size"]
             top_min, bot_max = min(top_min, top), max(bot_max, bottom)
+            # per-line typography (lmeta, _attach_words contract): the PDF
+            # baseline is EXACT — the Td/Tm y in image coords — and the
+            # box reserves 0.25em of descender space below it; x_size is
+            # the font size, slope 0 on unrotated text
+            lmeta = (int(round(f["size"])), 0.0,
+                     int(round(H - f["y"])) - int(round(bottom)))
             parts = []
             wnum = 0
             for x, _rsize, txt, cum in f["runs"]:
@@ -1347,7 +1353,7 @@ def blocks_from_pdf_page(page: PdfPage, crop=None) -> list:
                                   int(round(x + cum[i])),
                                   int(round(top)),
                                   int(round(x + cum[j])),
-                                  int(round(bottom)), 100, syms))
+                                  int(round(bottom)), 100, syms, lmeta))
                     wnum += 1
                     i = j
             text_lines.append(" ".join(parts))

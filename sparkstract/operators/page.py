@@ -104,9 +104,11 @@ class Block:
     bottom: int
     # word-level hierarchy (S5/S7 full renderer depth, GetTSVText levels 3-5
     # baseapi.cpp:2205; hOCR ocr_par/ocr_line/ocrx_word hocrrenderer.cpp:136):
-    # flat (para_num, line_num, word_num, text, l, t, r, b, conf, syms) per
-    # word, para_num from the wired paragraph detector (W6, DetectParagraphs
-    # inside Recognize, baseapi.cpp:1417). `syms` is the word's per-SYMBOL
+    # flat (para_num, line_num, word_num, text, l, t, r, b, conf, syms,
+    # lmeta) per word, para_num from the wired paragraph detector (W6,
+    # DetectParagraphs inside Recognize, baseapi.cpp:1417); lmeta is the
+    # per-line (x_size, base_slope, base_off) typography (_line_metrics).
+    # `syms` is the word's per-SYMBOL
     # tuple ((char, l, t, r, b, conf), ...) aligned 1:1 with the word text —
     # the RIL_SYMBOL depth GetBoxText walks (baseapi.cpp:2391). None for
     # blocks with no word decode (images, rules, tables, vertical chains,
@@ -1054,6 +1056,14 @@ def _split_shiro_rekha(ink: np.ndarray, tl: np.ndarray, tt: np.ndarray,
             np.concatenate([tr[keep], ar]), np.concatenate([tb[keep], ab]))
 
 
+# diagnostic counter: total _analyse_ink invocations in this process.
+# The OSD/retry ladder in analyse_page is quality-gated and constant-
+# bounded (≤ ~10 passes on a hostile page), but its AVERAGE multiplier on
+# a real corpus is a cost knob — scripts/bench_retry_multiplier.py reads
+# this to record passes/page per fixture family in BENCH/BASELINE.md.
+INK_PASSES = 0
+
+
 def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
                  rtl: bool = False, psm: str = "auto",
                  rec=None,
@@ -1069,6 +1079,8 @@ def _analyse_ink(ink: np.ndarray, skew_bin_div: float = 4.0,
     column/table finding but keeps block/heading structure; 'single_block'
     also skips block splitting (one uniform text block); 'single_line'
     additionally skips row clustering (all glyphs one row)."""
+    global INK_PASSES
+    INK_PASSES += 1
     blobs: Blobs = label_blobs(ink)
     if len(blobs) == 0:
         return [], 0.0
@@ -1790,9 +1802,21 @@ def _attach_words(rows_seg: list[dict], lines_txt: list[str],
     the row's left edge vs the block's left margin, rindent vs the block's
     right margin, both divided by the row's own char pitch. detect_paragraphs
     then assigns para ids; output rows are
-    (para_num, line_num, word_num, text, l, t, r, b, conf, syms) with para_num
-    densely renumbered per block, line_num within para, word_num within line
-    (the GetTSVText numbering contract, baseapi.cpp:2205)."""
+    (para_num, line_num, word_num, text, l, t, r, b, conf, syms, lmeta) with
+    para_num densely renumbered per block, line_num within para, word_num
+    within line (the GetTSVText numbering contract, baseapi.cpp:2205).
+
+    lmeta = (x_size, base_slope, base_off) is the per-LINE typography the
+    hOCR/ALTO renderers emit on ocr_line/TextLine (hocrrenderer.cpp:163
+    writes `baseline p1 p0; x_size s` from the row's fitted baseline):
+    x_size = median glyph-cell height in the row (A5's row size stat);
+    base_slope = least-squares slope of glyph bottoms vs glyph centers
+    (3dp, the reference's own rounding — ~0 on deskewed rows, nonzero
+    residual on bowed/wavy rows); base_off = the fitted baseline y at the
+    line's LEFT edge minus the line bbox BOTTOM (the hOCR convention:
+    constant term relative to the bottom-left corner, ≤ 0 when nothing in
+    the row descends below the fitted baseline). Identical for every word
+    of a line, so the renderers aggregate with first()."""
     from .paragraphs import RowInfo, detect_paragraphs
 
     if not rows_seg or not any(row_words):
@@ -1818,9 +1842,34 @@ def _attach_words(rows_seg: list[dict], lines_txt: list[str],
         p = pid_map.setdefault(ra.para_id, len(pid_map))
         ln = line_in_para.get(p, 0)
         line_in_para[p] = ln + 1
+        lmeta = _line_metrics(rows_seg[i], row_words[i])
         for wnum, (wt, l, t, rgt, b, conf, syms) in enumerate(row_words[i]):
-            out.append((p, ln, wnum, wt, l, t, rgt, b, conf, syms))
+            out.append((p, ln, wnum, wt, l, t, rgt, b, conf, syms, lmeta))
     return out
+
+
+def _line_metrics(row: dict, words: list[tuple]) -> tuple[int, float, int]:
+    """(x_size, base_slope, base_off) for one recognized row — see
+    _attach_words. The fit runs over the row's merged glyph cells (the
+    same boxes the decode grid used); degenerate rows (one cell, zero x
+    spread) fall back to slope 0 with the median bottom as baseline."""
+    if not words:
+        return (0, 0.0, 0)
+    gl, gr = row["gl"], row["gr"]
+    gt, gb = row["gt"], row["gb"]
+    x_size = int(fast_median((gb - gt + 1).astype(np.float64)))
+    line_left = min(w[1] for w in words)
+    line_bottom = max(w[4] for w in words)
+    cx = (gl + gr) / 2.0
+    if cx.shape[0] >= 2 and float(cx.max() - cx.min()) > 0:
+        mx, my = float(cx.mean()), float(gb.mean())
+        dx = cx - mx
+        slope = float((dx * (gb - my)).sum() / (dx * dx).sum())
+        base_y = my + slope * (line_left - mx)
+    else:
+        slope = 0.0
+        base_y = float(fast_median(gb.astype(np.float64)))
+    return (x_size, round(slope, 3), int(round(base_y)) - line_bottom)
 
 
 OSD_RETRY_DIST = 2.0  # mean bits/char above this → try the other 3 rotations
@@ -1955,11 +2004,15 @@ def analyse_zones(gray: np.ndarray, zones: list[dict], rtl: bool = False,
         for bb in blocks:
             if not bb.words:
                 continue
-            for (p, ln, wn, wtext, wl, wt, wr, wb, conf, syms) in bb.words:
+            for (p, ln, wn, wtext, wl, wt, wr, wb, conf, syms,
+                 lmeta) in bb.words:
+                # lmeta is translation-invariant (slope and bottom-relative
+                # offset), so the page-coordinate restoration leaves it alone
                 words.append((para_base + p, ln, wn, wtext,
                               wl + x0, wt + y0, wr + x0, wb + y0, conf,
                               tuple((c, sl + x0, st + y0, sr + x0, sb + y0,
-                                     sc) for c, sl, st, sr, sb, sc in syms)))
+                                     sc) for c, sl, st, sr, sb, sc in syms),
+                              lmeta))
             para_base += max(w[0] for w in bb.words) + 1
         out.append(Block(i, kind, text or None, l, t, r, b,
                          words=words or None))

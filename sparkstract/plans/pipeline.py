@@ -45,7 +45,11 @@ SPANS_SCHEMA = "doc_id string, order int, kind string, text string, media_ref st
 WORDS_SCHEMA = (
     "doc_id string, offset int, block_order int, para_num int, line_num int, "
     "word_num int, word string, media_ref string, "
-    "left int, top int, right int, bottom int, conf int"
+    "left int, top int, right int, bottom int, conf int, "
+    # per-LINE typography (identical on every word of a line): x_size =
+    # row glyph height, baseline slope + offset vs the line bbox's
+    # bottom-left corner (hocrrenderer.cpp:163 contract; _line_metrics)
+    "x_size int, base_slope double, base_off int"
 )
 
 # combined view: block rows AND word rows from ONE kernel pass (level =
@@ -54,7 +58,8 @@ WORDS_SCHEMA = (
 HIERARCHY_SCHEMA = (
     "doc_id string, offset int, block_order int, level string, kind string, "
     "text string, media_ref string, left int, top int, right int, "
-    "bottom int, para_num int, line_num int, word_num int, conf int"
+    "bottom int, para_num int, line_num int, word_num int, conf int, "
+    "x_size int, base_slope double, base_off int"
 )
 
 
@@ -292,7 +297,7 @@ def _word_kernel(cfg: ExtractConfig):
     DetectParagraphs-in-Recognize, baseapi.cpp:1417)."""
     cols = ("doc_id", "offset", "block_order", "para_num", "line_num",
             "word_num", "word", "media_ref", "left", "top", "right",
-            "bottom", "conf")
+            "bottom", "conf", "x_size", "base_slope", "base_off")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -302,7 +307,8 @@ def _word_kernel(cfg: ExtractConfig):
                 for blk in blocks:
                     if not blk.words:
                         continue
-                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf, _syms) in blk.words:
+                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf, _syms,
+                         (xs, bsl, boff)) in blk.words:
                         out["doc_id"].append(doc_id)
                         out["offset"].append(offset)
                         out["block_order"].append(base + blk.order)
@@ -316,6 +322,9 @@ def _word_kernel(cfg: ExtractConfig):
                         out["right"].append(wr + dx)
                         out["bottom"].append(wb + dy)
                         out["conf"].append(conf)
+                        out["x_size"].append(xs)
+                        out["base_slope"].append(bsl)
+                        out["base_off"].append(boff)
             yield pd.DataFrame(out)
 
     return kernel
@@ -365,7 +374,7 @@ def _symbol_kernel(cfg: ExtractConfig):
                     if not blk.words:
                         continue
                     for (p, ln, wn, _wtext, _wl, _wt, _wr, _wb, _conf,
-                         syms) in blk.words:
+                         syms, _lmeta) in blk.words:
                         for si, (ch, sl, st, sr, sb, sc) in enumerate(syms):
                             out["doc_id"].append(doc_id)
                             out["offset"].append(offset)
@@ -435,7 +444,7 @@ def _pdfout_kernel(cfg: ExtractConfig):
                     if not blk.words:
                         continue
                     for (_p, _ln, _wn, wtext, wl, wt, wr, wb, _conf,
-                         _syms) in blk.words:
+                         _syms, _lmeta) in blk.words:
                         words.append((wtext, wl + dx, wt + dy,
                                       wr + dx, wb + dy))
                 out["doc_id"].append(doc_id)
@@ -521,14 +530,16 @@ def _hier_kernel(cfg: ExtractConfig):
     recognized word (see HIERARCHY_SCHEMA)."""
     cols = ("doc_id", "offset", "block_order", "level", "kind", "text",
             "media_ref", "left", "top", "right", "bottom",
-            "para_num", "line_num", "word_num", "conf")
+            "para_num", "line_num", "word_num", "conf",
+            "x_size", "base_slope", "base_off")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
 
             def emit(doc_id, offset, ref, level, order, kind, text,
-                     l, t, r, b, p=None, ln=None, wn=None, conf=None):
+                     l, t, r, b, p=None, ln=None, wn=None, conf=None,
+                     xs=None, bsl=None, boff=None):
                 out["doc_id"].append(doc_id)
                 out["offset"].append(offset)
                 out["block_order"].append(order)
@@ -544,6 +555,9 @@ def _hier_kernel(cfg: ExtractConfig):
                 out["line_num"].append(ln)
                 out["word_num"].append(wn)
                 out["conf"].append(conf)
+                out["x_size"].append(xs)
+                out["base_slope"].append(bsl)
+                out["base_off"].append(boff)
 
             for doc_id, offset, ref, dx, dy, base, blocks, _page_h \
                     in _iter_page_blocks(cfg, pdf):
@@ -554,11 +568,12 @@ def _hier_kernel(cfg: ExtractConfig):
                          blk.right + dx, blk.bottom + dy)
                     if not (blk.words and cfg.recognize):
                         continue
-                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf, _syms) in blk.words:
+                    for (p, ln, wn, wtext, wl, wt, wr, wb, conf, _syms,
+                         (xs, bsl, boff)) in blk.words:
                         emit(doc_id, offset, ref, "word",
                              base + blk.order, blk.kind, wtext,
                              wl + dx, wt + dy, wr + dx, wb + dy,
-                             p, ln, wn, conf)
+                             p, ln, wn, conf, xs, bsl, boff)
             yield pd.DataFrame(out)
 
     return kernel
@@ -586,7 +601,8 @@ def hierarchy_views(h: DataFrame) -> tuple[DataFrame, DataFrame]:
     words = h.filter(F.col("level") == "word").select(
         "doc_id", "offset", "block_order", "para_num", "line_num",
         "word_num", F.col("text").alias("word"), "media_ref",
-        "left", "top", "right", "bottom", "conf")
+        "left", "top", "right", "bottom", "conf",
+        "x_size", "base_slope", "base_off")
     return blocks, words
 
 

@@ -433,10 +433,16 @@ def render_hocr_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
     lines = (
         words.select("doc_id", "offset", "block_order", "para_num",
                      "line_num", "left", "top", "right", "bottom",
+                     "x_size", "base_slope", "base_off",
                      F.struct(F.col("word_num").alias("w"),
                               frag.alias("f")).alias("wf"))
         .groupBy("doc_id", "offset", "block_order", "para_num", "line_num")
         .agg(*_bbox_agg(),
+             # per-line typography is identical on every word of the line
+             # (the _attach_words contract), so first() is deterministic
+             F.first("x_size").alias("x_size"),
+             F.first("base_slope").alias("base_slope"),
+             F.first("base_off").alias("base_off"),
              F.array_join(F.transform(F.array_sort(F.collect_list("wf")),
                                       lambda s: s["f"]), " ").alias("body"))
     )
@@ -444,8 +450,15 @@ def render_hocr_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
                       F.col("block_order").cast("string"),
                       F.col("para_num").cast("string"),
                       F.col("line_num").cast("string"))
+    # the reference's line title (hocrrenderer.cpp:163): baseline slope +
+    # constant (relative to the line box's bottom-left corner) and x_size
     line_html = F.concat(F.lit("<span class='ocr_line' id='line_"), lid,
-                         F.lit("' title='bbox "), bbox(), F.lit("'>"),
+                         F.lit("' title='bbox "), bbox(),
+                         F.lit("; baseline "),
+                         F.format_string("%.3f", F.col("base_slope")),
+                         F.lit(" "), F.col("base_off").cast("string"),
+                         F.lit("; x_size "),
+                         F.col("x_size").cast("string"), F.lit("'>"),
                          F.col("body"), F.lit("</span>"))
     paras = (
         lines.select("doc_id", "offset", "block_order", "para_num",
@@ -545,10 +558,12 @@ def render_alto_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
     lines = (
         words.select("doc_id", "offset", "block_order", "para_num",
                      "line_num", "left", "top", "right", "bottom",
+                     "base_off",
                      F.struct(F.col("word_num").alias("w"),
                               frag.alias("f")).alias("wf"))
         .groupBy("doc_id", "offset", "block_order", "para_num", "line_num")
         .agg(*_bbox_agg(),
+             F.first("base_off").alias("base_off"),
              F.array_join(F.transform(F.array_sort(F.collect_list("wf")),
                                       lambda s: s["f"]), "\n").alias("body"))
     )
@@ -556,8 +571,12 @@ def render_alto_words(blocks: DataFrame, words: DataFrame) -> DataFrame:
                       F.col("block_order").cast("string"),
                       F.col("para_num").cast("string"),
                       F.col("line_num").cast("string"))
+    # ALTO TextLine BASELINE (altorenderer.cpp writes the absolute y of the
+    # fitted baseline): line bbox bottom + the bottom-relative offset
     line_xml = F.concat(F.lit("     <TextLine ID='line_"), lid, F.lit("'"),
-                        pos(), F.lit(">\n"), F.col("body"),
+                        pos(), F.lit(" BASELINE='"),
+                        (F.col("bottom") + F.col("base_off")).cast("string"),
+                        F.lit("'>\n"), F.col("body"),
                         F.lit("\n     </TextLine>"))
     block_bodies = (
         lines.select("doc_id", "offset", "block_order",

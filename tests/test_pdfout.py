@@ -28,7 +28,8 @@ def _words_of(blocks):
     out = []
     for blk in blocks:
         if blk.words:
-            for (_p, _ln, _wn, wt, wl, wtop, wr, wb, _c, _s) in blk.words:
+            for (_p, _ln, _wn, wt, wl, wtop, wr, wb, _c, _s,
+                 _lm) in blk.words:
                 out.append((wt, wl, wtop, wr, wb))
     return out
 

@@ -25,7 +25,8 @@ def test_symbol_boxes_on_grid():
     s = 2
     img, _ = render_page(PageSpec(elements=[Text(["FOX DOG"])], scale=s))
     (blk,) = _flowing(analyse_page(img))
-    for (_p, _ln, _wn, wtext, wl, wt, _wr, _wb, _conf, syms) in blk.words:
+    for (_p, _ln, _wn, wtext, wl, wt, _wr, _wb, _conf, syms,
+         _lm) in blk.words:
         # 1:1 with the word text, in text order
         assert "".join(c for c, *_ in syms) == wtext
         for i, (_c, sl, st, sr, sb, sconf) in enumerate(syms):
@@ -44,7 +45,7 @@ def test_symbol_confidence_tracks_damage():
     img2 = img.copy()
     img2[16 + 2 * s : 16 + 4 * s, 16 + 6 * s : 16 + 9 * s] = 255
     (blk,) = _flowing(analyse_page(img2))
-    (_p, _ln, _wn, wtext, *_rest, syms) = blk.words[0]
+    (_p, _ln, _wn, wtext, *_rest, syms, _lm) = blk.words[0]
     if wtext == "FOX":  # decode survived the damage
         confs = [c for *_x, c in syms]
         assert confs[1] <= confs[0] and confs[1] <= confs[2]
