@@ -69,7 +69,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "rgb_png_page", "gif_page", "progressive_jpeg_page",
                   "pdf_modern_page", "pdf_cid_page", "pdf_searchable_page",
                   "g4_tiff_page", "pdf_rotated_page",
-                  "pdf_inline_image_page", "webp_page"):
+                  "pdf_inline_image_page", "webp_page",
+                  "pdf_encrypted_page", "cmyk_jpeg_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -431,6 +432,7 @@ PAGE_FAMILIES = [
     "smudged_page", "fuzzy_space_page", "g4_tiff_page",
     "cjk_page", "cjk_vertical_page", "spanned_table_page",
     "pdf_rotated_page", "pdf_inline_image_page", "webp_page",
+    "pdf_encrypted_page", "cmyk_jpeg_page",
 ]
 
 
@@ -617,6 +619,22 @@ class _Builder:
             payload = encode_simple_pdf(
                 [[("image", stored, 0, 0)]],
                 page_size=(stored.shape[1], stored.shape[0]), rotate=90)
+        elif family == "pdf_encrypted_page":
+            # RC4 standard-security-handler PDF (R3 128-bit, EMPTY user
+            # password — the restrict-permissions shape most generators
+            # emit): same content contract as pdf_page, but every stream
+            # is encrypted with its per-object key and the reader must
+            # derive + authenticate the file key (functions/pdfcrypt.py)
+            from ..functions.pdf import encode_simple_pdf
+            from .render import TruthBlock
+
+            cap = lambda s: " ".join(w.capitalize() for w in s.split())  # noqa: E731
+            lines = [cap(ln) for ln in _lines(self.rng, 3, 28)]
+            payload = encode_simple_pdf(
+                [[("text", 72, 700 - 16 * i, 12, ln)
+                  for i, ln in enumerate(lines)]], encrypt=True)
+            blocks = [TruthBlock("flowing_text", "\n".join(lines))]
+            img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
         elif family == "pdf_inline_image_page":
             # inline images (BI/ID/EI, §8.9.7 abbreviated keys + /Fl):
             # the small-decoration shape real documents carry inside the
@@ -703,6 +721,18 @@ class _Builder:
 
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_gray_jpeg(img, quality=95)
+        elif family == "cmyk_jpeg_page":
+            # Adobe 4-component YCCK JPEG (APP14 transform 2) — the
+            # print-workflow container. Page ink rides the K channel
+            # (c=m=y=0), values stored inverted per the Adobe convention;
+            # q=95 keeps glyphs Otsu-separable like jpeg_page, so truth is
+            # the plain page's.
+            from ..functions.jpeg import encode_cmyk_jpeg
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            cmyk = np.zeros(img.shape + (4,), dtype=np.uint8)
+            cmyk[:, :, 3] = 255 - img
+            payload = encode_cmyk_jpeg(cmyk, quality=95, transform=2)
         elif family == "webp_page":
             # lossless WEBP (VP8L) container — the web-crawl media shape
             # (Leptonica sniffs WEBP through the same pixReadMem dispatch,

@@ -6,11 +6,14 @@ from-scratch equivalent for the one mainstream format the container has no
 library for. Scope:
 
 - decode: baseline (SOF0/SOF1) AND progressive (SOF2) DCT, 8-bit,
-  grayscale OR interleaved color (any sampling factors); color
+  grayscale OR interleaved color (any sampling factors); 3-component color
   reconstructs the LUMA component only — the pipeline is grayscale, so
   chroma data is consumed (baseline) or its AC scans skipped outright
   (progressive scans are per-component, so a non-luma scan's entropy data
-  can be jumped without decoding). Progressive scans implement the full
+  can be jumped without decoding). 4-component Adobe CMYK/YCCK (APP14
+  transform 0/2, inverted storage — the print-workflow shape) decodes ALL
+  components and collapses through RGB to BT.601 luma; progressive CMYK
+  raises a named out-of-scope error. Progressive scans implement the full
   T.81 §G.1.2 semantics: DC first/refine (point transform), AC first with
   EOB runs, AC refinement with correction bits. Restart markers (DRI/
   RSTn) and stuffed bytes handled in both modes. Other SOFn (lossless,
@@ -262,6 +265,75 @@ def encode_gray_jpeg(img: np.ndarray, quality: int = 90,
                 preds[c] = _encode_block(bw, zero_zz, preds[c],
                                          dc_codes, ac_codes)
             mcu += 1
+    bw.pad_align()
+    out += bw.out
+    out += b"\xff\xd9"                                              # EOI
+    return bytes(out)
+
+
+def encode_cmyk_jpeg(cmyk: np.ndarray, quality: int = 90,
+                     transform: int = 0) -> bytes:
+    """uint8 HxWx4 TRUE ink coverage (C, M, Y, K) -> baseline Adobe
+    4-component JPEG, 4:4:4. `transform` 0 stores inverted CMYK directly;
+    2 stores YCCK (the forward YCbCr transform over the inverted CMY,
+    inverted K passthrough) — the two shapes print-workflow JPEGs carry.
+    Values are stored INVERTED (255 - ink) per the Adobe convention; the
+    APP14 segment declares the transform. Fixture-side only: the decoder's
+    4-component path is the product surface."""
+    if cmyk.dtype != np.uint8 or cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise ValueError("encode_cmyk_jpeg expects HxWx4 uint8")
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    h, w = cmyk.shape[:2]
+    stored = 255.0 - cmyk.astype(np.float64)           # Adobe inversion
+    if transform == 2:
+        r, g, b = stored[:, :, 0], stored[:, :, 1], stored[:, :, 2]
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [yy, cb, cr, stored[:, :, 3]]
+    else:
+        planes = [stored[:, :, i] for i in range(4)]
+    quant = _scaled_quant(quality)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    ph, pw = -h % 8, -w % 8
+    zzs = []
+    for plane in planes:
+        padded = np.pad(np.clip(plane, 0.0, 255.0), ((0, ph), (0, pw)),
+                        mode="edge")
+        hh, ww = padded.shape
+        nby, nbx = hh // 8, ww // 8
+        blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ij,nmjk,lk->nmil", _DCT, blocks, _DCT)
+        q = np.round(coef / quant).astype(np.int32)
+        zzs.append(q.reshape(nby, nbx, 64)[:, :, _ZZ_FLAT])
+    out = bytearray(b"\xff\xd8")                                    # SOI
+    # APP14 Adobe: version 100, zero flags, transform id (byte 11)
+    out += _seg(0xEE, b"Adobe" + (100).to_bytes(2, "big")
+                + bytes(4) + bytes([transform]))
+    out += _seg(0xDB, bytes([0x00]) + bytes(
+        int(quant.reshape(64)[_ZZ_FLAT][i]) for i in range(64)))    # DQT
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(4)
+    for cid in range(1, 5):
+        sof += bytes([cid, 0x11, 0x00])
+    out += _seg(0xC0, bytes(sof))                                   # SOF0
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = bytearray([4])
+    for cid in range(1, 5):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, bytes(sos))                                   # SOS
+    bw = _BitWriter()
+    preds = [0, 0, 0, 0]
+    nby, nbx = zzs[0].shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(4):
+                preds[c] = _encode_block(bw, zzs[c][by, bx], preds[c],
+                                         dc_codes, ac_codes)
     bw.pad_align()
     out += bw.out
     out += b"\xff\xd9"                                              # EOI
@@ -651,6 +723,7 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("invalid JPEG: missing SOI")
     orientation = 1
+    adobe_transform = None
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
@@ -712,6 +785,10 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
                              "(SOF0/SOF1) and progressive (SOF2) supported")
         elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":  # APP1 Exif
             orientation = _exif_orientation(seg[6:])
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14: transform id
+            # byte 11 = color transform: 0 = none (CMYK/RGB), 1 = YCbCr,
+            # 2 = YCCK. Adobe 4-component data is stored INVERTED.
+            adobe_transform = seg[11] if len(seg) > 11 else 0
         elif marker == 0xDD:                       # DRI
             restart = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:                       # SOS
@@ -740,9 +817,16 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     mcux = -(-wsize // (8 * hmax))
     mcuy = -(-hsize // (8 * vmax))
-    _, h0, v0, tq0 = comps[0]
-    bw0, bh0 = mcux * h0, mcuy * v0
-    coef0 = np.zeros((bh0, bw0, 64), dtype=np.int32)
+    # 1/3-component streams reconstruct LUMA ONLY (comp 0); 4-component
+    # Adobe CMYK/YCCK has no standalone luma plane — gray needs all four,
+    # so every component's coefficients are kept (§Adobe APP14; values
+    # stored inverted per Adobe convention)
+    keep = range(len(comps)) if len(comps) == 4 else (0,)
+    if len(comps) == 4 and progressive:
+        raise ValueError("progressive 4-component (CMYK) JPEG: out of "
+                         "scope (baseline CMYK/YCCK supported)")
+    coefs = {ci: np.zeros((mcuy * comps[ci][2], mcux * comps[ci][1], 64),
+                          dtype=np.int32) for ci in keep}
     # per-component block dims for NON-interleaved scans (T.81 A.2.2:
     # ceil of the component's sample dims, not padded to MCU multiples)
     cdims = []
@@ -758,30 +842,57 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
             if scomps[0][0] != 0:
                 continue  # non-luma AC scan: entropy data skipped wholesale
         _decode_scan(scomps, ss, se, ah, al, segments, comps, cdims,
-                     huff_dc, huff_ac, coef0, mcux, mcuy, restart,
+                     huff_dc, huff_ac, coefs, mcux, mcuy, restart,
                      progressive)
 
-    if tq0 not in quant:
-        raise ValueError("invalid JPEG: missing quantization table")
-    # coef0 is in zigzag order; de-zigzag to natural, then dequantize with
-    # the natural-order table and IDCT every block in one einsum
-    coef_nat = coef0[:, :, _UNZZ].astype(np.float64)
-    deq = coef_nat * quant[tq0][np.newaxis, np.newaxis, :]
-    blocks = deq.reshape(bh0, bw0, 8, 8)
-    pix = np.einsum("ji,nmjk,kl->nmil", _DCT, blocks, _DCT)
-    img = pix.transpose(0, 2, 1, 3).reshape(bh0 * 8, bw0 * 8) + 128.0
-    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
-    if h0 < hmax or v0 < vmax:
-        img = np.repeat(np.repeat(img, vmax // v0, axis=0), hmax // h0, axis=1)
-    return apply_exif_orientation(img[:hsize, :wsize], orientation)
+    def recon(ci: int) -> np.ndarray:
+        """One component's coefficients -> full-size float plane: dezigzag,
+        dequantize, IDCT (single einsum), upsample, crop."""
+        _, ch, cv, tq = comps[ci]
+        if tq not in quant:
+            raise ValueError("invalid JPEG: missing quantization table")
+        bh, bw = mcuy * cv, mcux * ch
+        coef_nat = coefs[ci][:, :, _UNZZ].astype(np.float64)
+        deq = coef_nat * quant[tq][np.newaxis, np.newaxis, :]
+        blocks = deq.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ji,nmjk,kl->nmil", _DCT, blocks, _DCT)
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        if ch < hmax or cv < vmax:
+            plane = np.repeat(np.repeat(plane, vmax // cv, axis=0),
+                              hmax // ch, axis=1)
+        return plane[:hsize, :wsize]
+
+    if len(comps) == 4:
+        a, b, c, d = (recon(ci) for ci in range(4))
+        if adobe_transform == 2:
+            # YCCK: (Y, Cb, Cr) carry the INVERTED CMY through the
+            # standard YCbCr transform; invert it back to (255-C, ...)
+            yy, cb, cr = a, b, c
+            a = yy + 1.402 * (cr - 128.0)
+            b = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            c = yy + 1.772 * (cb - 128.0)
+        # Adobe stores ink coverage inverted: a = 255-C ... d = 255-K.
+        # RGB = (255-C)(255-K)/255 channel-wise, then BT.601 luma.
+        k = np.clip(d, 0.0, 255.0)
+        r = np.clip(a, 0.0, 255.0) * k / 255.0
+        g = np.clip(b, 0.0, 255.0) * k / 255.0
+        bch = np.clip(c, 0.0, 255.0) * k / 255.0
+        img = np.clip(np.round((77 * r + 150 * g + 29 * bch + 128) / 256),
+                      0, 255).astype(np.uint8)
+        return apply_exif_orientation(img, orientation)
+
+    img = np.clip(np.round(recon(0)), 0, 255).astype(np.uint8)
+    return apply_exif_orientation(img, orientation)
 
 
 def _decode_scan(scomps, ss, se, ah, al, segments, comps, cdims,
-                 huff_dc, huff_ac, coef0, mcux, mcuy, restart,
+                 huff_dc, huff_ac, coefs, mcux, mcuy, restart,
                  progressive) -> None:
-    """Decode one scan into coef0 (luma coefficients, zigzag order).
-    Handles interleaved (multi-component) and single-component layouts,
-    baseline full-band blocks, and the four progressive modes."""
+    """Decode one scan into the kept components' coefficient buffers
+    (`coefs`: ci -> (bh, bw, 64) zigzag-order array — luma only for 1/3
+    component streams, all four for Adobe CMYK). Handles interleaved
+    (multi-component) and single-component layouts, baseline full-band
+    blocks, and the four progressive modes."""
     reader = _BitReader(segments[0])
     seg_i = 0
     preds = [0] * len(comps)
@@ -809,8 +920,9 @@ def _decode_scan(scomps, ss, se, ah, al, segments, comps, cdims,
                 _, ch, cv, _tq = comps[ci]
                 for v in range(cv):
                     for hb in range(ch):
-                        out = (coef0[my * cv + v, mx * ch + hb]
-                               if ci == 0 else None)
+                        buf = coefs.get(ci)
+                        out = (buf[my * cv + v, mx * ch + hb]
+                               if buf is not None else None)
                         if not progressive:
                             preds[ci] = _decode_block(
                                 reader, huff_dc[td], huff_ac[ta],
@@ -824,7 +936,8 @@ def _decode_scan(scomps, ss, se, ah, al, segments, comps, cdims,
             ci, td, ta = scomps[0]
             bh, bw = cdims[ci]
             by, bx = divmod(unit, bw)
-            out = coef0[by, bx] if ci == 0 else None
+            buf = coefs.get(ci)
+            out = buf[by, bx] if buf is not None else None
             if not progressive:
                 preds[ci] = _decode_block(reader, huff_dc[td],
                                           huff_ac[ta], preds[ci], out)

@@ -39,7 +39,10 @@ Scope (named errors at the seam for everything else, like codecs.py):
   the swapped display box (full text-line-matrix placement, §9.4.2)
 - inline images (BI/ID/EI, §8.9.7): abbreviated keys, filtered or raw
   data; image masks raise out-of-scope
-- encrypted PDFs (/Encrypt) raise out-of-scope
+- RC4-encrypted PDFs (standard security handler V1/V2 R2/R3 with an
+  EMPTY user password — the restrict-permissions shape) decrypt
+  transparently (functions/pdfcrypt.py); a real user password or AES
+  raises a named error
 
 Coordinates: PDF user space is bottom-up; emitted geometry is top-down
 pixel space (1 unit = 1 px), matching the raster kernel's convention.
@@ -72,7 +75,8 @@ def encode_simple_pdf(pages: list[list[tuple]],
                       modern: bool = False,
                       cid_font: bool = False,
                       cid_widths: dict[str, int] | None = None,
-                      rotate: int = 0) -> bytes:
+                      rotate: int = 0,
+                      encrypt: bool = False) -> bytes:
     """Build a minimal single-font PDF. Each page is a list of elements:
 
     - ``("text", x, y_baseline, size, "line of text")`` — PDF coords (y up)
@@ -100,8 +104,25 @@ def encode_simple_pdf(pages: list[list[tuple]],
     as 2-byte hex strings, and a /ToUnicode CMap (an ASCII bfrange plus
     bfchar entries for any non-ASCII characters used).
 
+    `encrypt` writes an RC4-encrypted document (standard security handler
+    R3, 128-bit, EMPTY user password — the restrict-permissions shape, see
+    functions/pdfcrypt.py): every stream body is encrypted with its
+    per-object key and the trailer carries /Encrypt + /ID. Classic layout
+    only (no strings appear outside streams there, so stream encryption
+    covers everything the spec requires).
+
     Fixture-side only (like encode_gray_tiff): the parser is the product
     surface, the writer exists so tests carry genuine PDF bytes."""
+    if encrypt and (modern or cid_font):
+        raise ValueError("encrypt supports the classic non-CID layout")
+    enc_key = enc_vals = enc_id0 = None
+    if encrypt:
+        import hashlib
+
+        from .pdfcrypt import make_encryption, object_key, rc4
+
+        enc_id0 = hashlib.md5(b"sparkstract-encrypted-fixture").digest()
+        enc_vals, enc_key = make_encryption(enc_id0)
     w, h = page_size
     objs: list[bytes] = []  # body of object i+1
 
@@ -110,6 +131,8 @@ def encode_simple_pdf(pages: list[list[tuple]],
         return len(objs)
 
     def add_stream(d: str, raw: bytes) -> int:
+        if enc_key is not None:
+            raw = rc4(object_key(enc_key, len(objs) + 1, 0), raw)
         return add(f"<< {d} /Length {len(raw)} >>\nstream\n".encode()
                    + raw + b"\nendstream")
 
@@ -206,6 +229,15 @@ def encode_simple_pdf(pages: list[list[tuple]],
         f"/Count {len(kids)} >>".encode())
 
     if not modern:
+        extra_trailer = ""
+        if enc_key is not None:
+            encnum = add(
+                f"<< /Filter /Standard /V {enc_vals['V']} /R {enc_vals['R']}"
+                f" /Length {enc_vals['Length']} /P {enc_vals['P']}"
+                f" /O <{enc_vals['O'].hex()}> /U <{enc_vals['U'].hex()}>"
+                f" >>".encode())
+            extra_trailer = (f" /Encrypt {encnum} 0 R"
+                             f" /ID [<{enc_id0.hex()}> <{enc_id0.hex()}>]")
         out = bytearray(b"%PDF-1.4\n")
         offsets = [0] * (len(objs) + 1)
         for i, body in enumerate(objs, start=1):
@@ -216,7 +248,8 @@ def encode_simple_pdf(pages: list[list[tuple]],
         out += b"0000000000 65535 f \n"
         for i in range(1, len(objs) + 1):
             out += f"{offsets[i]:010d} 00000 n \n".encode()
-        out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R"
+                f"{extra_trailer} >>\n"
                 f"startxref\n{xref_at}\n%%EOF\n").encode()
         return bytes(out)
 
@@ -456,13 +489,31 @@ _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 ADVANCE = 0.6  # Courier-style fixed advance, fraction of font size
 
 
+def _decrypt_val(v, rc4, key):
+    """Recursively RC4-decrypt every string leaf of a parsed PDF value
+    (§7.6.2: strings and streams are encrypted; names/numbers are not)."""
+    if isinstance(v, bytes):
+        return rc4(key, v)
+    if isinstance(v, list):
+        return [_decrypt_val(x, rc4, key) for x in v]
+    if isinstance(v, dict):
+        return {k: _decrypt_val(x, rc4, key) for k, x in v.items()}
+    return v
+
+
 def parse_pdf(data: bytes) -> list[PdfPage]:
     """PDF bytes -> list of PdfPage (the whole-document read path)."""
     if data[:5] != b"%PDF-":
         raise ValueError("not a PDF")
     offsets, trailer = _xref(data)
-    if "/Encrypt" in trailer:
-        raise ValueError("encrypted PDF: out of scope (decrypt upstream)")
+    # RC4 standard-security-handler decryption (§7.6.3): the key derives
+    # from the EMPTY user password — the restrict-permissions shape real
+    # generators emit — authenticated against /U before anything decrypts;
+    # a real user password / AES raises a named error (pdfcrypt.reader_key).
+    # crypt["key"] stays None until the /Encrypt dict itself has been
+    # fetched, so that dict and the trailer's /ID are read plaintext (both
+    # exempt per §7.6.2); xref streams decode in _xref, also exempt.
+    crypt: dict = {"key": None}
 
     cache: dict[int, object] = {}
     objstm_cache: dict[int, tuple[bytes, dict[int, int], int]] = {}
@@ -499,9 +550,11 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
         try:
             if ent[0] == "file":
                 lx = _Lexer(data, ent[1])
-                if not (lx.token().isdigit() and lx.token().isdigit()
+                t1, t2 = lx.token(), lx.token()
+                if not (t1.isdigit() and t2.isdigit()
                         and lx.token() == b"obj"):
                     raise ValueError(f"PDF object {num}: bad header")
+                gen = int(t2)
                 val = lx.value()
                 lx._ws()
                 if data[lx.i:lx.i + 6] == b"stream":
@@ -513,6 +566,15 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
                     length = deref(val["/Length"])
                     raw = data[lx.i:lx.i + length]
                     val = ("stream", val, raw)
+                if crypt["key"] is not None:
+                    from .pdfcrypt import object_key, rc4
+
+                    ok = object_key(crypt["key"], num, gen)
+                    if isinstance(val, tuple) and val[0] == "stream":
+                        val = ("stream", _decrypt_val(val[1], rc4, ok),
+                               rc4(ok, val[2]))
+                    else:
+                        val = _decrypt_val(val, rc4, ok)
             else:                                   # ("objstm", cnum, idx)
                 body, offs, first = load_objstm(ent[1])
                 if num not in offs:
@@ -532,6 +594,14 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
                 return v
             v = getobj(v.num)
         raise ValueError("PDF reference chain too deep or cyclic")
+
+    if "/Encrypt" in trailer:
+        from .pdfcrypt import reader_key
+
+        ids = trailer.get("/ID")
+        id0 = (ids[0] if isinstance(ids, list) and ids
+               and isinstance(ids[0], bytes) else b"")
+        crypt["key"] = reader_key(deref(trailer["/Encrypt"]), id0, deref)
 
     root = deref(trailer["/Root"])
     pages: list[PdfPage] = []

@@ -256,3 +256,76 @@ def test_codec_dispatch_progressive():
     img = np.full((16, 16), 99, dtype=np.uint8)
     (got,) = decode_pages(encode_progressive_jpeg(img, quality=95))
     assert got.shape == (16, 16)
+
+
+# ------------------------------------------------ Adobe CMYK/YCCK (APP14)
+
+
+def _cmyk_from_rgb(rgb):
+    k = 255.0 - rgb.max(axis=2)
+    denom = np.maximum(255.0 - k, 1e-9)
+    chans = [(255.0 - rgb[:, :, i] - k) / denom * 255.0 for i in range(3)]
+    return np.clip(np.stack(chans + [k], axis=2), 0, 255).astype(np.uint8)
+
+
+def _luma(rgb):
+    return (77 * rgb[:, :, 0] + 150 * rgb[:, :, 1]
+            + 29 * rgb[:, :, 2] + 128) / 256.0
+
+
+def test_cmyk_and_ycck_decode_to_luma():
+    from sparkstract.functions.jpeg import encode_cmyk_jpeg
+
+    rgb = np.zeros((40, 56, 3))
+    rgb[:, :, 0] = np.linspace(20, 220, 56)[None, :]
+    rgb[:, :, 1] = np.linspace(40, 220, 40)[:, None]
+    rgb[:, :, 2] = 120.0
+    cmyk = _cmyk_from_rgb(rgb)
+    for tr in (0, 2):
+        got = decode_gray_jpeg(
+            encode_cmyk_jpeg(cmyk, quality=95, transform=tr))
+        assert got.shape == (40, 56)
+        err = np.abs(got.astype(np.float64) - _luma(rgb))
+        assert err.max() <= 4.0, (tr, err.max())
+
+
+def test_cmyk_pure_black_channel():
+    # page-ink shape: c = m = y = 0, K carries the image — gray must be
+    # ~255 - K (through the RGB collapse all three channels equal 255-K)
+    from sparkstract.functions.jpeg import encode_cmyk_jpeg
+
+    rng = np.random.default_rng(17)
+    img = (rng.random((32, 48)) < 0.12).astype(np.uint8) * 255
+    img = 255 - img  # mostly white, some black ink
+    cmyk = np.zeros(img.shape + (4,), dtype=np.uint8)
+    cmyk[:, :, 3] = 255 - img
+    for tr in (0, 2):
+        got = decode_gray_jpeg(encode_cmyk_jpeg(cmyk, quality=95,
+                                                transform=tr))
+        # q=95 keeps bilevel ink Otsu-separable: thresholded equality
+        assert ((got > 127) == (img > 127)).mean() > 0.99, tr
+
+
+def test_progressive_cmyk_named_out_of_scope():
+    from sparkstract.functions.jpeg import encode_cmyk_jpeg
+
+    data = bytearray(encode_cmyk_jpeg(
+        np.zeros((8, 8, 4), dtype=np.uint8), transform=0))
+    at = data.find(b"\xff\xc0")
+    data[at + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(ValueError, match="progressive 4-component"):
+        decode_gray_jpeg(bytes(data))
+
+
+def test_app14_transform_byte_parsed():
+    # transform 0 vs 2 on the same CMYK input must both reconstruct the
+    # same gray (the byte changes interpretation, not content)
+    from sparkstract.functions.jpeg import encode_cmyk_jpeg
+
+    rng = np.random.default_rng(9)
+    cmyk = rng.integers(0, 256, (24, 24, 4), dtype=np.uint8)
+    # smooth it so quantization noise stays small
+    cmyk = (cmyk // 4 * 4).astype(np.uint8)
+    g0 = decode_gray_jpeg(encode_cmyk_jpeg(cmyk, quality=98, transform=0))
+    g2 = decode_gray_jpeg(encode_cmyk_jpeg(cmyk, quality=98, transform=2))
+    assert np.abs(g0.astype(int) - g2.astype(int)).max() <= 6

@@ -125,13 +125,16 @@ def test_incremental_update_newest_object_wins():
     assert [it[4] for it in page.items] == ["UPDATED"]
 
 
-def test_encrypted_named_out_of_scope():
+def test_broken_encrypt_dict_raises_named():
+    # RC4 empty-user-password files now DECRYPT (tests/test_pdfcrypt.py);
+    # an /Encrypt pointing at a missing object must still fail loudly,
+    # never fall through to parsing ciphertext as plaintext
     base = encode_simple_pdf([_text_page(["X"])])
     at = base.rfind(b"/Root")
     patched = base[:at] + b"/Encrypt 9 0 R /Root" + base[at + 5:]
     # trailer byte offsets unchanged past the trailer dict? they are —
     # startxref points BEFORE the trailer; only the trailer text grew
-    with pytest.raises(ValueError, match="encrypted"):
+    with pytest.raises(ValueError, match="missing from xref"):
         parse_pdf(patched)
 
 
