@@ -70,7 +70,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_modern_page", "pdf_cid_page", "pdf_searchable_page",
                   "g4_tiff_page", "pdf_rotated_page",
                   "pdf_inline_image_page", "webp_page",
-                  "pdf_encrypted_page", "cmyk_jpeg_page"):
+                  "pdf_encrypted_page", "cmyk_jpeg_page",
+                  "pdf_ccitt_page", "tiled_tiff_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -432,7 +433,8 @@ PAGE_FAMILIES = [
     "smudged_page", "fuzzy_space_page", "g4_tiff_page",
     "cjk_page", "cjk_vertical_page", "spanned_table_page",
     "pdf_rotated_page", "pdf_inline_image_page", "webp_page",
-    "pdf_encrypted_page", "cmyk_jpeg_page",
+    "pdf_encrypted_page", "cmyk_jpeg_page", "pdf_ccitt_page",
+    "tiled_tiff_page",
 ]
 
 
@@ -721,6 +723,27 @@ class _Builder:
 
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_gray_jpeg(img, quality=95)
+        elif family == "tiled_tiff_page":
+            # TILED container layout (TIFF6 §15, tags 322-325) — how
+            # archival systems store large scans. G4-compressed 64x64
+            # tiles, each an independent coding block; truth is the plain
+            # page's (bit-exact on two-level ink).
+            from ..functions.tiff import encode_gray_tiff
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_tiff(img, "g4", tile=(64, 64))
+        elif family == "pdf_ccitt_page":
+            # THE archival scanned-PDF shape: a bilevel page wrapped as a
+            # CCITT G4 (/CCITTFaxDecode, /K -1) image XObject. Image-only,
+            # so it falls through to the raster OCR kernel; the G4
+            # roundtrip is bit-exact on two-level ink, truth is the plain
+            # page's.
+            from ..functions.pdf import encode_simple_pdf
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_simple_pdf(
+                [[("g4_image", img, 0, 0)]],
+                page_size=(img.shape[1], img.shape[0]))
         elif family == "cmyk_jpeg_page":
             # Adobe 4-component YCCK JPEG (APP14 transform 2) — the
             # print-workflow container. Page ink rides the K channel

@@ -484,15 +484,19 @@ def mh_encode(bits: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
-    """TIFF compression-2 bytes -> HxW uint8 (1 = black)."""
+def mh_decode(data: bytes, w: int, h: int, align: bool = True) -> np.ndarray:
+    """Modified-Huffman 1D rows -> HxW uint8 (1 = black). `align=True` is
+    TIFF compression-2 (each row starts on a byte boundary); align=False
+    is the PDF CCITTFaxDecode /K 0 default (rows packed back-to-back with
+    neither EOLs nor alignment, §7.4.6 EncodedByteAlign false)."""
     if w <= 0 or h <= 0:
         raise ValueError("non-positive MH dimensions")
     fb = _FaxBits(data)
     out = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
         _fill_row(out[y], _decode_row_1d(fb, w), w)
-        fb.align_byte()                  # each row starts on a byte boundary
+        if align:
+            fb.align_byte()              # each row starts on a byte boundary
     return out
 
 

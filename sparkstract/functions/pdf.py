@@ -191,21 +191,31 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     f"q {iw} 0 0 {ih} {x} {y} cm "
                     f"BI /W {iw} /H {ih} /BPC 8 /CS /G /F /Fl ID "
                     + comp.decode("latin-1") + " EI Q")
-            elif el[0] in ("image", "jpeg"):
+            elif el[0] in ("image", "jpeg", "g4_image"):
                 arr, x, y = el[1], el[2], el[3]
                 ih, iw = arr.shape
+                extra = ""
                 if el[0] == "jpeg":
                     from .jpeg import encode_gray_jpeg
 
                     raw = encode_gray_jpeg(arr, quality=el[4])
-                    filt = "/DCTDecode"
+                    filt, bpc = "/DCTDecode", 8
+                elif el[0] == "g4_image":
+                    # bilevel scan wrapped as CCITT G4 (the archival shape):
+                    # input is 8-bit gray, thresholded to ink at 128
+                    from .ccitt import g4_encode
+
+                    raw = g4_encode((arr < 128).astype(np.uint8))
+                    filt, bpc = "/CCITTFaxDecode", 1
+                    extra = (f" /DecodeParms << /K -1 /Columns {iw} "
+                             f"/Rows {ih} >>")
                 else:
                     raw = zlib.compress(arr.tobytes())
-                    filt = "/FlateDecode"
+                    filt, bpc = "/FlateDecode", 8
                 num = add_stream(
                     f"/Type /XObject /Subtype /Image /Width {iw} "
                     f"/Height {ih} /ColorSpace /DeviceGray "
-                    f"/BitsPerComponent 8 /Filter {filt}", raw)
+                    f"/BitsPerComponent {bpc} /Filter {filt}{extra}", raw)
                 name = f"Im{len(xobjects)}"
                 xobjects[name] = num
                 content.append(f"q {iw} 0 0 {ih} {x} {y} cm /{name} Do Q")
@@ -895,6 +905,41 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
         # transport filters (A85/AHx/RL) may wrap the JPEG bytes
         return decode_gray_jpeg(
             _filter_chain(filters[:-1], raw, parms[:-1], deref))
+    if filters and filters[-1] in ("/CCITTFaxDecode", "/CCF"):
+        # the dominant scanned-PDF image shape — reuse the from-scratch
+        # fax family (functions/ccitt.py). /K selects the coding (§7.4.6):
+        # <0 pure G4 (T.6), 0 one-dimensional (MH without EOLs, or T.4 1D
+        # when /EndOfLine), >0 mixed T.4 2D. /BlackIs1 only flips the
+        # FILTER's packed-byte convention; the run semantics are always
+        # white-first, and this path goes straight to gray, so ink
+        # polarity is fixed by the codec itself.
+        from .ccitt import g3_decode, g4_decode, mh_decode
+
+        pm = deref(parms[-1]) if parms and parms[-1] else {}
+        pm = pm if isinstance(pm, dict) else {}
+        if deref(pm.get("/EncodedByteAlign", False)):
+            raise ValueError("PDF CCITTFaxDecode /EncodedByteAlign: "
+                             "out of scope")
+        k = int(deref(pm.get("/K", 0)))
+        cols = int(deref(pm.get("/Columns", 1728)))
+        rows = int(deref(pm.get("/Rows", h)))
+        body = _filter_chain(filters[:-1], raw, parms[:-1], deref)
+        if k < 0:
+            bits = g4_decode(body, cols, rows)
+        elif k == 0:
+            # /EndOfLine selects EOL-separated T.4 1D; the default packs
+            # 1D rows back-to-back with no EOL and NO byte alignment
+            bits = (g3_decode(body, cols, rows, two_d=False)
+                    if deref(pm.get("/EndOfLine", False))
+                    else mh_decode(body, cols, rows, align=False))
+        else:
+            bits = g3_decode(body, cols, rows, two_d=True)
+        gray = ((1 - bits[:h, :w]) * 255).astype(np.uint8)
+        dec = deref(d.get("/Decode"))
+        if isinstance(dec, list) and len(dec) == 2 \
+                and float(deref(dec[0])) == 1.0:
+            gray = 255 - gray          # /Decode [1 0] inverts
+        return gray
     cs = deref(d.get("/ColorSpace", "/DeviceGray"))
     if deref(d.get("/BitsPerComponent", 8)) != 8 \
             or cs not in ("/DeviceGray", "/DeviceRGB"):

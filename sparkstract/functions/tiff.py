@@ -9,10 +9,13 @@ has no PIL/leptonica, so — like functions/png.py — the codec is from-scratch
 and the point is that the media column carries genuine encoded TIFF bytes
 through the same Arrow/mapInPandas plumbing.
 
-Writer: little-endian ("II"), one strip per page, compression 1 (none) or
-5 (TIFF-LZW, MSB-first bit packing, early code-width change). Reader:
-either byte order, multi-strip, predictor 2 (horizontal differencing)
-supported for robustness against externally produced files.
+Writer: little-endian ("II"), one strip per page (or the tiled layout
+via `tile=`), compression 1 (none) or 5 (TIFF-LZW, MSB-first bit packing,
+early code-width change). Reader: either byte order, multi-strip AND
+tiled (TIFF6 §15, tags 322-325 — the archival-scan layout; per-tile
+predictor/fax reset, edge-tile crop), predictor 2 (horizontal
+differencing) supported for robustness against externally produced
+files.
 """
 
 from __future__ import annotations
@@ -188,13 +191,17 @@ def _packbits_decode(data: bytes) -> bytes:
 
 def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
                      compression: str = "none",
-                     orientation: int | None = None) -> bytes:
+                     orientation: int | None = None,
+                     tile: tuple[int, int] | None = None) -> bytes:
     """uint8 HxW (gray) or HxWx3 (RGB) array(s) -> (multipage) TIFF bytes.
 
     One IFD per page chained via the next-IFD pointer — the structure
     ProcessPagesMultipageTiff walks (baseapi.cpp:1657). `orientation`
     writes tag 274 (pixels are stored AS GIVEN; the tag tells readers how
-    to display them — the fixture side of the EXIF-rotation ingest path)."""
+    to display them — the fixture side of the EXIF-rotation ingest path).
+    `tile=(tw, tl)` writes the TILED layout (TIFF6 §15, tags 322-325;
+    every tile a full padded block, each an independent compression unit)
+    instead of the single strip — gray pages, none/lzw/packbits/g4."""
     if isinstance(pages, np.ndarray):
         pages = [pages]
     assert pages, "at least one page"
@@ -208,7 +215,32 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
             raise ValueError("encode_gray_tiff expects HxW or HxWx3 uint8")
         h, w = img.shape[:2]
         nsamp = 1 if img.ndim == 2 else 3
-        if comp_id in (2, 3, 4):
+        tile_offs: list[int] = []
+        tile_cnts: list[int] = []
+        if tile is not None:
+            if img.ndim != 2 or comp_id in (2, 3):
+                raise ValueError("tiled writer: gray pages, "
+                                 "none/lzw/packbits/g4 only")
+            tw, tl = tile
+            across, down = -(-w // tw), -(-h // tl)
+            pad = np.zeros((down * tl, across * tw), dtype=np.uint8)
+            pad[:h, :w] = img
+            if comp_id == 4:
+                from .ccitt import g4_encode
+            for ty in range(down):
+                for tx in range(across):
+                    t = pad[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw]
+                    if comp_id == 4:
+                        blob = g4_encode((t < 128).astype(np.uint8))
+                    else:
+                        blob = {1: lambda b: b, 5: _lzw_encode,
+                                32773: _packbits_encode}[comp_id](
+                                    t.tobytes())
+                    tile_offs.append(len(out))
+                    tile_cnts.append(len(blob))
+                    out += blob
+            strip = b""
+        elif comp_id in (2, 3, 4):
             # the fax family is bilevel-only: threshold gray at 128 (ink ->
             # black), photometric 0 (WhiteIsZero, the fax default: 1=black)
             if img.ndim != 2:
@@ -226,6 +258,13 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
         out += strip
         if len(out) % 2:
             out += b"\x00"  # IFDs must be word-aligned
+        if tile is not None and len(tile_offs) > 1:
+            toffs_at = len(out)
+            for v in tile_offs:
+                out += struct.pack("<I", v)
+            tcnts_at = len(out)
+            for v in tile_cnts:
+                out += struct.pack("<I", v)
         if nsamp == 3:  # BitsPerSample count 3 > 4 bytes → stored out-of-line
             bits_off = len(out)
             out += struct.pack("<HHH", 8, 8, 8)
@@ -237,18 +276,31 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
         fax = comp_id in (2, 3, 4)
         bits_val = 1 if fax else (8 if nsamp == 1 else bits_off)
         photometric = 0 if fax else (1 if nsamp == 1 else 2)
-        entries = [  # ascending tag order (required by the spec)
-            (256, 4, 1, w),            # ImageWidth
-            (257, 4, 1, h),            # ImageLength
-            (258, 3, nsamp, bits_val),  # BitsPerSample
-            (259, 3, 1, comp_id),      # Compression
-            (262, 3, 1, photometric),  # WhiteIsZero / BlackIsZero / RGB
-            (273, 4, 1, strip_off),    # StripOffsets
-            *([(274, 3, 1, orientation)] if orientation else []),
-            (277, 3, 1, nsamp),        # SamplesPerPixel
-            (278, 4, 1, h),            # RowsPerStrip (one strip)
-            (279, 4, 1, len(strip)),   # StripByteCounts
-        ]
+        if tile is not None:
+            nt = len(tile_offs)
+            entries = [  # ascending tag order (required by the spec)
+                (256, 4, 1, w), (257, 4, 1, h),
+                (258, 3, 1, bits_val), (259, 3, 1, comp_id),
+                (262, 3, 1, photometric),
+                *([(274, 3, 1, orientation)] if orientation else []),
+                (277, 3, 1, 1),
+                (322, 4, 1, tile[0]), (323, 4, 1, tile[1]),
+                (324, 4, nt, toffs_at if nt > 1 else tile_offs[0]),
+                (325, 4, nt, tcnts_at if nt > 1 else tile_cnts[0]),
+            ]
+        else:
+            entries = [  # ascending tag order (required by the spec)
+                (256, 4, 1, w),            # ImageWidth
+                (257, 4, 1, h),            # ImageLength
+                (258, 3, nsamp, bits_val),  # BitsPerSample
+                (259, 3, 1, comp_id),      # Compression
+                (262, 3, 1, photometric),  # WhiteIsZero / BlackIsZero / RGB
+                (273, 4, 1, strip_off),    # StripOffsets
+                *([(274, 3, 1, orientation)] if orientation else []),
+                (277, 3, 1, nsamp),        # SamplesPerPixel
+                (278, 4, 1, h),            # RowsPerStrip (one strip)
+                (279, 4, 1, len(strip)),   # StripByteCounts
+            ]
         out += struct.pack("<H", len(entries))
         for tag, typ, count, value in entries:
             out += struct.pack("<HHI", tag, typ, count)
@@ -270,6 +322,101 @@ def _read_values(data: bytes, fmt: str, typ: int, count: int,
         raw = raw[:size]
     ch = {1: "B", 3: "H", 4: "I"}[typ]
     return list(struct.unpack(f"{fmt}{count}{ch}", raw))
+
+
+def _strip_layout(tags: dict, h: int) -> tuple[list, list, int]:
+    """Validated (StripOffsets, StripByteCounts, RowsPerStrip) — strip-
+    layout sanity up front (ADVICE r3): a multi-strip file missing
+    RowsPerStrip defaults rps=h, which would hand strip i>0 a non-positive
+    row count and surface as a misleading codec error; zip() would
+    likewise silently truncate when the two arrays disagree. Both are
+    container defects — name them."""
+    offs, cnts = tags[273], tags[279]
+    rps = tags.get(278, [h])[0]
+    if len(offs) != len(cnts):
+        raise ValueError(
+            f"TIFF strip layout: {len(offs)} StripOffsets vs "
+            f"{len(cnts)} StripByteCounts")
+    if rps <= 0 or len(offs) * rps < h:
+        raise ValueError(
+            f"TIFF strip layout: {len(offs)} strips x RowsPerStrip "
+            f"{rps} do not cover height {h}")
+    return offs, cnts, rps
+
+
+def _fax_decoder(comp: int, tags: dict):
+    """CCITT block decoder for compression 2/3/4 honoring T4Options."""
+    from .ccitt import g3_decode, g4_decode, mh_decode
+
+    if comp == 2:              # T.4 MH rows, byte-aligned, no EOLs
+        return mh_decode
+    if comp == 3:              # classic G3; T4Options bit 0 = 2D rows
+        two_d = bool(tags.get(292, [0])[0] & 1)
+
+        def dec(d, ww, hh, _t=two_d):
+            return g3_decode(d, ww, hh, two_d=_t)
+
+        return dec
+    return g4_decode           # T.6 (G4)
+
+
+def _assemble_tiles(data: bytes, tags: dict, w: int, h: int, nsamp: int,
+                    bilevel: bool, comp: int) -> np.ndarray:
+    """Tiled layout (TIFF6 §15, tags 322-325): every tile is a FULL
+    TileWidth x TileLength block (edge tiles padded), each an independent
+    compression unit — so the horizontal-differencing predictor and the
+    fax codecs both reset per tile. Returns the cropped page raster:
+    bilevel -> HxW 0/1 bits, else HxW*nsamp uint8 (predictor undone)."""
+    if 322 not in tags or 323 not in tags \
+            or 324 not in tags or 325 not in tags:
+        raise ValueError("tiled TIFF missing TileWidth/Length/Offsets/"
+                         "ByteCounts")
+    tw, tl = tags[322][0], tags[323][0]
+    offs, cnts = tags[324], tags[325]
+    if tw <= 0 or tl <= 0:
+        raise ValueError("tiled TIFF: non-positive tile dimensions")
+    across, down = -(-w // tw), -(-h // tl)
+    if len(offs) != len(cnts) or len(offs) != across * down:
+        raise ValueError(
+            f"TIFF tile layout: {across}x{down} grid needs "
+            f"{across * down} tiles, file declares "
+            f"{len(offs)}/{len(cnts)}")
+    if bilevel:
+        canvas = np.zeros((down * tl, across * tw), dtype=np.uint8)
+    else:
+        canvas = np.zeros((down * tl, across * tw, nsamp), dtype=np.uint8)
+    if comp in (2, 3, 4):
+        if not bilevel:
+            raise ValueError("CCITT-compressed TIFF must be 1-bit bilevel")
+        dec = _fax_decoder(comp, tags)
+    predictor = tags.get(317, [1])[0] == 2
+    stride = (tw + 7) // 8
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        ty, tx = divmod(i, across)
+        body = data[o:o + c]
+        if comp in (2, 3, 4):
+            tile = dec(body, tw, tl)
+        else:
+            expect = tl * stride if bilevel else tl * tw * nsamp
+            undo = {1: lambda b: b,
+                    5: lambda b, _e=expect: _lzw_decode(b, max_out=_e),
+                    32773: _packbits_decode}[comp]
+            body = undo(body)
+            if len(body) < expect:
+                raise ValueError("truncated TIFF tile")
+            if bilevel:
+                tile = np.unpackbits(
+                    np.frombuffer(body[:expect], dtype=np.uint8)
+                    .reshape(tl, stride), axis=1)[:, :tw]
+            else:
+                tile = np.frombuffer(body[:expect], dtype=np.uint8) \
+                    .reshape(tl, tw, nsamp)
+                if predictor:
+                    tile = np.cumsum(tile.astype(np.int64), axis=1) \
+                        .astype(np.uint8)
+        canvas[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = tile
+    canvas = canvas[:h, :w]
+    return canvas if bilevel else canvas.reshape(h, w * nsamp)
 
 
 def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
@@ -316,45 +463,29 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
             raise ValueError(
                 "only 1-bit bilevel or 8-bit chunky gray/RGB/RGBA TIFF "
                 "supported")
-        if 322 in tags or 323 in tags:   # TileWidth / TileLength
-            raise ValueError("tiled TIFF: out of scope (strip layout only)")
         comp = tags.get(259, [1])[0]
         if comp not in (1, 2, 3, 4, 5, 32773):
             raise ValueError(f"TIFF compression {comp}: out of scope "
                              "(none/MH/G3/G4/LZW/PackBits supported)")
-        offs, cnts = tags[273], tags[279]
-        # strip-layout sanity up front (ADVICE r3): a multi-strip file
-        # missing RowsPerStrip defaults rps=h, which would hand strip i>0 a
-        # non-positive row count and surface as a misleading codec error;
-        # zip() would likewise silently truncate when StripOffsets and
-        # StripByteCounts disagree. Both are container defects — name them.
-        rps = tags.get(278, [h])[0]
-        if len(offs) != len(cnts):
-            raise ValueError(
-                f"TIFF strip layout: {len(offs)} StripOffsets vs "
-                f"{len(cnts)} StripByteCounts")
-        if rps <= 0 or len(offs) * rps < h:
-            raise ValueError(
-                f"TIFF strip layout: {len(offs)} strips x RowsPerStrip "
-                f"{rps} do not cover height {h}")
-        if comp in (2, 3, 4):
+        bits = None       # bilevel raster, set by the CCITT and tile paths
+        if 322 in tags or 323 in tags:   # tiled layout (TIFF6 §15)
+            out_arr = _assemble_tiles(data, tags, w, h, nsamp, bilevel,
+                                      comp)
+            if bilevel:
+                bits, raw = out_arr, b""
+            else:
+                raw = out_arr.tobytes()
+                tags = dict(tags)
+                tags[317] = [1]   # predictor already undone per tile
+        elif comp in (2, 3, 4):
             # CCITT fax family (functions/ccitt.py): bilevel only; each
             # strip is an independent coding block, so strips decode
             # against their own declared row count
+            offs, cnts, rps = _strip_layout(tags, h)
             if not bilevel:
                 raise ValueError(
                     "CCITT-compressed TIFF must be 1-bit bilevel")
-            from .ccitt import g3_decode, g4_decode, mh_decode
-
-            if comp == 2:          # T.4 MH rows, byte-aligned, no EOLs
-                dec = mh_decode
-            elif comp == 3:        # classic G3; T4Options bit 0 = 2D rows
-                two_d = bool(tags.get(292, [0])[0] & 1)
-
-                def dec(d, ww, hh, _t=two_d):
-                    return g3_decode(d, ww, hh, two_d=_t)
-            else:                  # T.6 (G4)
-                dec = g4_decode
+            dec = _fax_decoder(comp, tags)
             parts = [dec(data[o : o + c], w, min(rps, h - i * rps))
                      for i, (o, c) in enumerate(zip(offs, cnts))]
             bits = np.vstack(parts) if len(parts) > 1 else parts[0]
@@ -362,13 +493,14 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
                 raise ValueError("CCITT TIFF strip rows do not cover height")
             raw = b""
         else:
+            offs, cnts, _rps = _strip_layout(tags, h)
             expect = h * ((w + 7) // 8) if bilevel else h * w * nsamp
             undo = {1: lambda b: b,
                     5: lambda b: _lzw_decode(b, max_out=expect),
                     32773: _packbits_decode}[comp]
             raw = b"".join(undo(data[o : o + c]) for o, c in zip(offs, cnts))
         if bilevel:
-            if comp not in (2, 3, 4):
+            if bits is None:
                 stride = (w + 7) // 8
                 packed = np.frombuffer(raw[: h * stride], dtype=np.uint8)
                 if packed.size < h * stride:

@@ -852,3 +852,103 @@ def test_image_only_full_page_scan_kept():
     (page,) = parse_pdf(encode_simple_pdf([[("image", scan, 0, 0)]]))
     blocks = blocks_from_pdf_page(page)
     assert [b.kind for b in blocks] == ["flowing_image"]
+
+
+# ------------------------------------------- /CCITTFaxDecode image path
+
+
+def _ccitt_img():
+    rng = np.random.default_rng(21)
+    ink = rng.random((40, 64)) < 0.2
+    return np.where(ink, 0, 255).astype(np.uint8)
+
+
+def test_pdf_g4_image_roundtrip_exact():
+    img = _ccitt_img()
+    data = encode_simple_pdf([[("g4_image", img, 0, 0)]],
+                             page_size=(64, 40))
+    (page,) = parse_pdf(data)
+    got = next(it for it in page.items if it[0] == "image")[1]
+    assert (got == img).all()
+
+
+def test_pdf_g4_image_inside_encrypted_wrap():
+    img = _ccitt_img()
+    data = encode_simple_pdf([[("g4_image", img, 0, 0)]],
+                             page_size=(64, 40), encrypt=True)
+    (page,) = parse_pdf(data)
+    got = next(it for it in page.items if it[0] == "image")[1]
+    assert (got == img).all()
+
+
+def _decode_image_direct(parms: dict, raw: bytes, w=64, h=40, decode=None):
+    from sparkstract.functions.pdf import _decode_image
+
+    d = {"/Width": w, "/Height": h, "/BitsPerComponent": 1,
+         "/Filter": "/CCITTFaxDecode", "/DecodeParms": parms}
+    if decode is not None:
+        d["/Decode"] = decode
+    return _decode_image(d, raw, lambda v: v)
+
+
+def test_pdf_ccitt_k0_unaligned_rows():
+    # /K 0 default: 1D rows packed back-to-back, NO EOLs, NO byte
+    # alignment (§7.4.6 — EncodedByteAlign false)
+    from sparkstract.functions.ccitt import _BitWriter, _changes, _emit_run
+
+    img = _ccitt_img()
+    bits = (img < 128).astype(np.uint8)
+    bw = _BitWriter()
+    for y in range(40):
+        pos, color = 0, 0
+        for nxt in _changes(bits[y]) + [64]:
+            _emit_run(bw, nxt - pos, color)
+            pos, color = nxt, color ^ 1
+            if pos >= 64:
+                break
+    got = _decode_image_direct({"/K": 0, "/Columns": 64, "/Rows": 40},
+                               bw.bytes())
+    assert (got == img).all()
+
+
+def test_pdf_ccitt_k0_with_eol_and_k_positive():
+    from sparkstract.functions.ccitt import (
+        _EOL, _BitWriter, _changes, _emit, _emit_run, g3_encode)
+
+    img = _ccitt_img()
+    bits = (img < 128).astype(np.uint8)
+    # /K 0 + /EndOfLine: EOL-separated T.4 1D (== TIFF compression 3)
+    got = _decode_image_direct(
+        {"/K": 0, "/Columns": 64, "/Rows": 40, "/EndOfLine": True},
+        g3_encode(bits))
+    assert (got == img).all()
+    # /K > 0: mixed T.4 2D — every row EOL + tag bit (all tagged 1D here)
+    bw = _BitWriter()
+    for y in range(40):
+        _emit(bw, _EOL)
+        _emit(bw, "1")
+        pos, color = 0, 0
+        for nxt in _changes(bits[y]) + [64]:
+            _emit_run(bw, nxt - pos, color)
+            pos, color = nxt, color ^ 1
+            if pos >= 64:
+                break
+    got = _decode_image_direct({"/K": 4, "/Columns": 64, "/Rows": 40},
+                               bw.bytes())
+    assert (got == img).all()
+
+
+def test_pdf_ccitt_decode_array_inverts():
+    from sparkstract.functions.ccitt import g4_encode
+
+    img = _ccitt_img()
+    raw = g4_encode((img < 128).astype(np.uint8))
+    got = _decode_image_direct({"/K": -1, "/Columns": 64, "/Rows": 40},
+                               raw, decode=[1, 0])
+    assert (got == 255 - img).all()
+
+
+def test_pdf_ccitt_byte_align_named_error():
+    with pytest.raises(ValueError, match="EncodedByteAlign"):
+        _decode_image_direct({"/K": -1, "/Columns": 64,
+                              "/EncodedByteAlign": True}, b"\x00")

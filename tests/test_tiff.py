@@ -357,3 +357,105 @@ def test_strip_offsets_counts_mismatch_named():
             struct.pack_into("<I", data, pos + 8, 8)  # out-of-line offset
     with pytest.raises(ValueError, match="StripOffsets"):
         decode_gray_tiff(bytes(data))
+
+
+# ------------------------------------------------------ tiled layout (§15)
+
+
+def _tiled_tiff(tile_blobs, w, h, tw, tl, comp=1, extra=()):
+    """Little-endian tiled TIFF: header, tile blobs, LONG arrays for tags
+    324/325, then the IFD."""
+    import struct
+
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    offs = []
+    for blob in tile_blobs:
+        offs.append(len(out))
+        out += blob
+    n = len(tile_blobs)
+
+    def put_longs(vals):
+        at = len(out)
+        for v in vals:
+            out.extend(struct.pack("<I", v))
+        return at
+
+    off_at = put_longs(offs)
+    cnt_at = put_longs([len(b) for b in tile_blobs])
+    entries = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+               (259, 3, 1, comp), (262, 3, 1, 1), (277, 3, 1, 1),
+               (322, 4, 1, tw), (323, 4, 1, tl),
+               (324, 4, n, off_at if n > 1 else offs[0]),
+               (325, 4, n, cnt_at if n > 1 else len(tile_blobs[0]))]
+    entries += list(extra)
+    entries.sort()
+    ifd_at = len(out)
+    struct.pack_into("<I", out, 4, ifd_at)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        out += (struct.pack("<I", value) if typ == 4
+                else struct.pack("<HH", value, 0))
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+def _tiles_of(img, tw, tl):
+    h, w = img.shape[:2]
+    down, across = -(-h // tl), -(-w // tw)
+    pad = np.zeros((down * tl, across * tw) + img.shape[2:], img.dtype)
+    pad[:h, :w] = img
+    return [pad[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw]
+            for ty in range(down) for tx in range(across)]
+
+
+def test_tiled_gray_uncompressed_with_edge_crop():
+    img = (np.arange(37 * 53, dtype=np.int64) % 251).astype(
+        np.uint8).reshape(37, 53)
+    blobs = [t.tobytes() for t in _tiles_of(img, 16, 16)]
+    (got,) = decode_gray_tiff(_tiled_tiff(blobs, 53, 37, 16, 16))
+    assert (got == img).all()
+
+
+def test_tiled_lzw_with_predictor_per_tile():
+    from sparkstract.functions.tiff import _lzw_encode
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (40, 48), dtype=np.uint8)
+    blobs = []
+    for t in _tiles_of(img, 16, 16):
+        diff = np.diff(t.astype(np.int64), axis=1, prepend=0).astype(
+            np.uint8)  # forward horizontal differencing, per tile row
+        blobs.append(_lzw_encode(diff.tobytes()))
+    data = _tiled_tiff(blobs, 48, 40, 16, 16, comp=5,
+                       extra=[(317, 3, 1, 2)])
+    (got,) = decode_gray_tiff(data)
+    # photometric 1 here (BlackIsZero): no inversion
+    assert (got == img).all()
+
+
+def test_tiled_g4_bilevel():
+    from sparkstract.functions.ccitt import g4_encode
+
+    rng = np.random.default_rng(24)
+    bits = (rng.random((40, 60)) < 0.25).astype(np.uint8)
+    blobs = [g4_encode(t) for t in _tiles_of(bits, 32, 16)]
+    data = _tiled_tiff(blobs, 60, 40, 32, 16, comp=4,
+                       extra=[(258, 3, 1, 1)])
+    # rebuild with bps=1: the helper writes 258=8; patch entries instead
+    import struct
+
+    at = data.find(struct.pack("<HHI", 258, 3, 1) + struct.pack("<HH", 8, 0))
+    data = (data[:at] + struct.pack("<HHI", 258, 3, 1)
+            + struct.pack("<HH", 1, 0) + data[at + 12:])
+    (got,) = decode_gray_tiff(data)
+    # photometric 1 with bilevel: 1 = white per BlackIsZero
+    assert ((got == 255) == (bits == 1)).all()
+
+
+def test_tiled_layout_mismatch_named_error():
+    img = np.zeros((32, 32), dtype=np.uint8)
+    blobs = [t.tobytes() for t in _tiles_of(img, 16, 16)]
+    data = _tiled_tiff(blobs[:3], 32, 32, 16, 16)  # 4 needed, 3 given
+    with pytest.raises(ValueError, match="tile layout"):
+        decode_gray_tiff(data)
