@@ -1421,6 +1421,94 @@ def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ).orderBy("doc_id")
 
 
+# Deterministic WARC fixture (sources/warc.py): payload literals shared
+# by the Spark query AND the oracle, so the expected rows derive from the
+# construction inputs, never from running the parser on itself.
+_WARC_RECS = [
+    dict(warc_type="warcinfo", payload=b"software: sparkstract\r\n"),
+    dict(warc_type="response", target_uri="http://example.com/a",
+         http_status=200, content_type="text/html",
+         payload=b"<html><body><p>Alpha page body</p></body></html>"),
+    dict(warc_type="request", target_uri="http://example.com/a",
+         payload=b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n"),
+    dict(warc_type="response", target_uri="http://example.com/b",
+         http_status=404, content_type="text/html",
+         payload=b"<html>missing</html>"),
+    dict(warc_type="response", target_uri="http://example.com/big",
+         http_status=200, content_type="application/octet-stream",
+         payload=b"x" * 5000),
+]
+_WARC_CAP = 1000
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive source (ISO 28500, sources/warc.py): gzip-member
+    records parsed map-only through the binaryFile/mapInPandas plumbing —
+    the stage-zero input of a web-scale training pipeline. The fixture
+    archive is built from literal payloads; the oracle's expected rows are
+    hand-derived from those SAME literals (type/uri/status/size/sha), so a
+    green row pins the parser against the spec'd construction, not against
+    itself."""
+    import pandas as pd
+
+    from sparkstract.sources.warc import WARC_SCHEMA, encode_warc, parse_warc
+
+    data = encode_warc(_WARC_RECS, gzip_members=True)
+    frame = spark.createDataFrame(
+        pd.DataFrame([("fixture.warc.gz", data)],
+                     columns=["path", "content"]),
+        "path string, content binary")
+
+    def kernel(batches):
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                for i, rec in enumerate(
+                        parse_warc(bytes(content), _WARC_CAP)):
+                    rows.append(dict(source_file=path, record_seq=i, **rec))
+            yield pd.DataFrame(
+                rows, columns=[c.split()[0] for c in
+                               WARC_SCHEMA.split(", ")])
+
+    recs = frame.mapInPandas(kernel, schema=WARC_SCHEMA)
+    return recs.select(
+        "record_seq",
+        F.col("warc_type").alias("record_type"),
+        F.coalesce("target_uri", F.lit("")).alias("target_uri"),
+        F.coalesce("http_status", F.lit(-1)).alias("http_status"),
+        "content_type",
+        "n_bytes", "truncated",
+        F.sha2("payload", 256).alias("payload_sha"),
+    ).orderBy("record_seq")
+
+
+# mojibake fixture: ONE clean literal; its damaged forms derive from the
+# same sloppy-cp1252 model the repair table derives from
+_MOJI_CLEAN = "café naïve — “quoted” … €5 ±3° żółć"
+
+
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (functions/encoding.py — the fix-encoding pass of a
+    crawl pipeline): every document gets the damaged form of a known
+    literal appended, the generated replace chain repairs it in the same
+    scan, and the output reports whether the repaired tail equals the
+    clean literal plus the tail itself. The DuckDB twin runs the SAME
+    chain (mojibake_sql) over the same column, so a green row pins the
+    chain's byte-for-byte semantics across engines; `repaired` pinning
+    `true` on every row is the functional claim."""
+    from sparkstract.functions.encoding import _sloppy_cp1252, fix_mojibake
+
+    damaged = _sloppy_cp1252(_MOJI_CLEAN.encode("utf-8"))
+    docs = _t(spark, sf_dir, "documents")
+    fixed = fix_mojibake(F.concat(F.col("text"), F.lit(" " + damaged)))
+    tail = F.substring(fixed, -len(_MOJI_CLEAN), len(_MOJI_CLEAN))
+    return docs.select(
+        "doc_id",
+        tail.alias("fixed_tail"),
+        (tail == F.lit(_MOJI_CLEAN)).alias("repaired"),
+    ).orderBy("doc_id")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2735,6 +2823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
+        "warc_ingest": q_warc_ingest,
+        "fix_mojibake": q_fix_mojibake,
         "html_metadata": q_html_metadata,
         "repetition_stats": q_repetition_stats,
         "gopher_stats": q_gopher_stats,
@@ -2772,6 +2862,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "snapshot_diff": q_snapshot_diff,
     }
+
+
+def _mojibake_oracle_sql() -> str:
+    """DuckDB twin of q_fix_mojibake: the SAME generated replace chain
+    (encoding.mojibake_sql) over the same damaged-literal append."""
+    from sparkstract.functions.encoding import (_sloppy_cp1252,
+                                                 mojibake_sql_chunks)
+
+    damaged = _sloppy_cp1252(_MOJI_CLEAN.encode("utf-8"))
+    ctes = [f"m0 AS (SELECT doc_id, text || {_sql_quote(' ' + damaged)} "
+            f"AS t FROM documents)"]
+    for i, expr in enumerate(mojibake_sql_chunks("t"), start=1):
+        ctes.append(f"m{i} AS (SELECT doc_id, {expr} AS t FROM m{i - 1})")
+    n = len(_MOJI_CLEAN)
+    tail = f"substring(t, length(t) - {n - 1}, {n})"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT doc_id, {tail} AS fixed_tail, "
+        f"{tail} = {_sql_quote(_MOJI_CLEAN)} AS repaired "
+        f"FROM m{len(ctes) - 1} ORDER BY doc_id")
+
+
+def _warc_oracle_sql() -> str:
+    """Expected warc_ingest rows derived from the _WARC_RECS literals and
+    the parse contract alone (never from running the parser): seq/type/
+    uri/status in construction order, content_type from the HTTP head for
+    http responses else the record default, size/truncation/sha from the
+    payload literal and the cap."""
+    import hashlib
+
+    rows = []
+    for i, r in enumerate(_WARC_RECS):
+        payload = r["payload"]
+        if r.get("http_status") is not None:
+            ctype = r.get("content_type", "text/html")
+        else:
+            ctype = r.get("content_type", "application/octet-stream")
+        sha = hashlib.sha256(payload[:_WARC_CAP]).hexdigest()
+        rows.append(
+            f"({i}, {_sql_quote(r['warc_type'])}, "
+            f"{_sql_quote(r.get('target_uri') or '')}, "
+            f"{r.get('http_status', -1) if r.get('http_status') is not None else -1}, "
+            f"{_sql_quote(ctype)}, {len(payload)}, "
+            f"{'true' if len(payload) > _WARC_CAP else 'false'}, "
+            f"{_sql_quote(sha)})")
+    return (
+        "SELECT * FROM (VALUES\n" + ",\n".join(rows)
+        + "\n) AS t(record_seq, record_type, target_uri, http_status, "
+          "content_type, n_bytes, truncated, payload_sha) "
+          "ORDER BY record_seq")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4365,6 +4505,8 @@ def oracle_sql() -> dict[str, str]:
             {unlv_rows}
             ) AS t(doc_id, unlv) ORDER BY doc_id
         """,
+        "warc_ingest": _warc_oracle_sql(),
+        "fix_mojibake": _mojibake_oracle_sql(),
         "render_tsv_levels": f"""
             SELECT * FROM (VALUES
             {tsv_level_rows}

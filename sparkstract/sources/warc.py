@@ -1,0 +1,217 @@
+"""WARC source — the native web-crawl archive format (ISO 28500).
+
+A training-data engine's raw input is crawl archives: WARC files of
+concatenated records, each usually its own gzip member (the Common Crawl
+convention, which makes records independently seekable). The reference
+engine never reads crawls (it is handed page images), but the pipeline
+this repo serves starts one stage earlier, so the source tier carries a
+from-scratch WARC reader at the same quality bar as the image codecs.
+
+Format (ISO 28500 §4): a record is a version line (``WARC/1.0`` or 1.1),
+``Name: value`` header lines, CRLF CRLF, then exactly
+``Content-Length`` bytes of block, then CRLF CRLF. For ``response``
+records whose Content-Type is ``application/http``, the block is an HTTP
+message: status line + headers, CRLF CRLF, payload.
+
+Scale shape: `read_warc` loads files through Spark's binaryFile source
+(one task per file — crawls ship ~1 GiB segments, so a 100 TB crawl is
+~100k well-sized tasks) and parses each inside `mapInPandas`; payloads
+are capped at `max_payload` with an explicit truncated flag, so a single
+pathological record cannot blow an executor. No shuffle: parsing is
+map-only, and downstream filters/projections push into the scan.
+
+Writer (`encode_warc`) is fixture-side, like encode_gray_tiff: tests and
+the oracle carry genuine WARC bytes, gzip-member or plain.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "source_file string, record_seq int, record_id string, "
+    "warc_type string, target_uri string, warc_date string, "
+    "content_type string, http_status int, payload binary, "
+    "n_bytes long, truncated boolean"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a stream of concatenated gzip members one member at a
+    time (the per-record-gzip WARC convention)."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError("WARC gzip member truncated")
+        yield out
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("WARC gzip stream does not advance")
+        pos += consumed
+
+
+def parse_warc(data: bytes, max_payload: int = 1 << 20) -> list[dict]:
+    """WARC bytes (plain or gzip-membered) -> list of record dicts with
+    the WARC_SCHEMA fields (minus source_file/record_seq, the reader's).
+
+    Defensive the way the image codecs are: header section capped, a
+    missing/absurd Content-Length is a named error, payloads truncate at
+    `max_payload` with the flag set — a crafted record cannot expand past
+    its declared length or buffer unboundedly in an executor."""
+    if data[:2] == b"\x1f\x8b":
+        chunks = _gzip_members(data)
+    else:
+        chunks = iter([data])
+    out: list[dict] = []
+    for chunk in chunks:
+        pos = 0
+        n = len(chunk)
+        while pos < n:
+            # tolerate inter-record CRLFs
+            while pos < n and chunk[pos:pos + 2] == b"\r\n":
+                pos += 2
+            if pos >= n:
+                break
+            head_end = chunk.find(_CRLF2, pos)
+            if head_end < 0 or head_end - pos > 65536:
+                raise ValueError("WARC record header missing or oversized")
+            head = chunk[pos:head_end].decode("latin-1")
+            lines = head.split("\r\n")
+            if not lines[0].startswith("WARC/"):
+                raise ValueError(
+                    f"WARC version line expected, got {lines[0][:20]!r}")
+            hdrs = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(":")
+                hdrs[k.strip().lower()] = v.strip()
+            try:
+                clen = int(hdrs["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError("WARC record missing Content-Length") \
+                    from None
+            if clen < 0 or head_end + 4 + clen > n:
+                raise ValueError("WARC Content-Length overruns the file")
+            block = chunk[head_end + 4:head_end + 4 + clen]
+            pos = head_end + 4 + clen
+            wtype = hdrs.get("warc-type", "")
+            ctype = hdrs.get("content-type", "")
+            status = None
+            payload = block
+            if ctype.startswith("application/http"):
+                split = block.find(_CRLF2)
+                if split >= 0:
+                    http_head = block[:split].decode("latin-1",
+                                                     errors="replace")
+                    payload = block[split + 4:]
+                    hl = http_head.split("\r\n")
+                    parts = hl[0].split()
+                    if len(parts) >= 2 and parts[0].startswith("HTTP/"):
+                        try:
+                            status = int(parts[1])
+                        except ValueError:
+                            status = None
+                    for ln in hl[1:]:
+                        k, _, v = ln.partition(":")
+                        if k.strip().lower() == "content-type":
+                            ctype = v.strip()
+            n_bytes = len(payload)
+            truncated = n_bytes > max_payload
+            out.append(dict(
+                record_id=hdrs.get("warc-record-id", ""),
+                warc_type=wtype,
+                target_uri=hdrs.get("warc-target-uri"),
+                warc_date=hdrs.get("warc-date"),
+                content_type=ctype,
+                http_status=status,
+                payload=payload[:max_payload],
+                n_bytes=n_bytes,
+                truncated=truncated,
+            ))
+    return out
+
+
+def read_warc(spark: SparkSession, path: str,
+              max_payload: int = 1 << 20) -> DataFrame:
+    """WARC file(s) -> one row per record (WARC_SCHEMA). binaryFile gives
+    one task per archive file; parsing is map-only inside mapInPandas."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for i, rec in enumerate(parse_warc(bytes(content),
+                                                   max_payload)):
+                    rows.append(dict(source_file=fpath, record_seq=i,
+                                     **rec))
+            yield pd.DataFrame(
+                rows, columns=[c.split()[0] for c in
+                               WARC_SCHEMA.split(", ")])
+
+    return files.mapInPandas(kernel, schema=WARC_SCHEMA)
+
+
+def warc_responses(records: DataFrame) -> DataFrame:
+    """The rows a text pipeline feeds on: HTTP 200 response records.
+    Plain filters — they push into the binaryFile scan's projection."""
+    from pyspark.sql import functions as F
+
+    return records.filter((F.col("warc_type") == "response")
+                          & (F.col("http_status") == 200))
+
+
+# ------------------------------------------------------------ fixture side
+
+
+def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Fixture writer: records = dicts with warc_type, target_uri (opt),
+    payload (bytes), http_status (opt; wraps the payload in an HTTP
+    response message), content_type (opt). Deterministic record ids from
+    the payload hash."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        payload = r["payload"]
+        if r.get("http_status") is not None:
+            http = (f"HTTP/1.1 {r['http_status']} OK\r\n"
+                    f"Content-Type: {r.get('content_type', 'text/html')}\r\n"
+                    f"Content-Length: {len(payload)}\r\n\r\n"
+                    ).encode("latin-1") + payload
+            block = http
+            ctype = "application/http; msgtype=response"
+        else:
+            block = payload
+            ctype = r.get("content_type", "application/octet-stream")
+        rid = ("<urn:sha1:"
+               + hashlib.sha1(payload + str(i).encode()).hexdigest()
+               + ">")
+        head = [f"WARC/1.0",
+                f"WARC-Type: {r['warc_type']}",
+                f"WARC-Record-ID: {rid}",
+                f"WARC-Date: 2026-01-01T00:00:00Z",
+                f"Content-Type: {ctype}",
+                f"Content-Length: {len(block)}"]
+        if r.get("target_uri"):
+            head.insert(2, f"WARC-Target-URI: {r['target_uri']}")
+        rec = ("\r\n".join(head) + "\r\n\r\n").encode("latin-1") \
+            + block + b"\r\n\r\n"
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+            out += buf.getvalue()
+        else:
+            out += rec
+    return bytes(out)

@@ -1,0 +1,143 @@
+"""sources/warc.py — WARC record parsing (ISO 28500), the Spark read path,
+and the never-hangs guarantees."""
+
+import gzip
+import io
+
+import numpy as np
+import pytest
+
+from sparkstract.sources.warc import (
+    encode_warc,
+    parse_warc,
+    read_warc,
+    warc_responses,
+)
+
+
+def _recs():
+    return [
+        dict(warc_type="warcinfo", payload=b"software: sparkstract\r\n"),
+        dict(warc_type="response", target_uri="http://example.com/a",
+             http_status=200, content_type="text/html",
+             payload=b"<html><body><p>Alpha page body</p></body></html>"),
+        dict(warc_type="request", target_uri="http://example.com/a",
+             payload=b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n"),
+        dict(warc_type="response", target_uri="http://example.com/b",
+             http_status=404, content_type="text/html",
+             payload=b"<html>missing</html>"),
+        dict(warc_type="response", target_uri="http://example.com/big",
+             http_status=200, content_type="application/octet-stream",
+             payload=b"x" * 5000),
+    ]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip_plain_and_gzip_members(gz):
+    got = parse_warc(encode_warc(_recs(), gzip_members=gz),
+                     max_payload=1000)
+    assert [g["warc_type"] for g in got] == [
+        "warcinfo", "response", "request", "response", "response"]
+    assert got[1]["http_status"] == 200
+    assert got[1]["content_type"] == "text/html"  # from the HTTP head
+    assert got[1]["payload"] == _recs()[1]["payload"]
+    assert got[1]["target_uri"] == "http://example.com/a"
+    assert got[0]["target_uri"] is None
+    assert got[3]["http_status"] == 404
+    # payload cap: flagged, true size reported, bytes truncated
+    assert got[4]["truncated"] and got[4]["n_bytes"] == 5000
+    assert len(got[4]["payload"]) == 1000
+
+
+def test_gzip_member_boundaries_are_records():
+    data = encode_warc(_recs(), gzip_members=True)
+    # each record its own member: 5 gzip magics
+    assert data.count(b"\x1f\x8b\x08") >= 5
+    # a whole-file single-member gzip (non-convention, still legal)
+    blob = encode_warc(_recs(), gzip_members=False)
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as z:
+        z.write(blob)
+    got = parse_warc(buf.getvalue())
+    assert len(got) == 5
+
+
+def test_malformed_inputs_raise_named_never_hang():
+    with pytest.raises(ValueError, match="version line"):
+        parse_warc(b"NOPE/1.0\r\n\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody")
+    ok = encode_warc(_recs()[:2], gzip_members=False)
+    with pytest.raises(ValueError, match="overruns"):
+        parse_warc(ok[:len(ok) - 30])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(encode_warc(_recs()[:1])[:10])
+
+
+def test_fuzz_never_hangs():
+    rng = np.random.default_rng(31)
+    base = bytearray(encode_warc(_recs(), gzip_members=False))
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            parse_warc(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_spark_read_path(tmp_path, spark):
+    p = tmp_path / "crawl-00000.warc.gz"
+    p.write_bytes(encode_warc(_recs(), gzip_members=True))
+    df = read_warc(spark, str(p), max_payload=1000)
+    rows = df.orderBy("record_seq").collect()
+    assert len(rows) == 5
+    assert rows[1].warc_type == "response"
+    assert rows[1].target_uri == "http://example.com/a"
+    assert bytes(rows[1].payload) == _recs()[1]["payload"]
+    assert rows[4].truncated and rows[4].n_bytes == 5000
+    ok = warc_responses(df).collect()
+    assert {r.target_uri for r in ok} == {"http://example.com/a",
+                                          "http://example.com/big"}
+
+
+def test_warc_to_html_pipeline(spark):
+    """Composition: crawl records -> 200-responses -> main-content strip
+    (the first two stages of a real training-data pipeline)."""
+    from pyspark.sql import functions as F
+
+    from sparkstract.functions.html import strip_boilerplate
+
+    html = (b"<html><head><title>T</title></head><body>"
+            b"<p>Alpha beta gamma delta epsilon zeta main body text"
+            b" here continuing with more words</p>"
+            b"<a href='/x'>nav</a></body></html>")
+    recs = [dict(warc_type="response", target_uri="http://e.com/p",
+                 http_status=200, content_type="text/html", payload=html)]
+    import pandas as pd
+
+    pdf = pd.DataFrame([("f", encode_warc(recs))],
+                       columns=["path", "content"])
+    frame = spark.createDataFrame(pdf, "path string, content binary")
+    # reuse the parse kernel shape directly over an in-memory frame
+    from sparkstract.sources.warc import WARC_SCHEMA, parse_warc as pw
+
+    def kernel(batches):
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                for i, rec in enumerate(pw(bytes(content))):
+                    rows.append(dict(source_file=path, record_seq=i, **rec))
+            yield pd.DataFrame(
+                rows, columns=[c.split()[0] for c in
+                               WARC_SCHEMA.split(", ")])
+
+    records = frame.mapInPandas(kernel, schema=WARC_SCHEMA)
+    text = warc_responses(records).select(
+        "target_uri",
+        strip_boilerplate(
+            F.decode(F.col("payload"), "utf-8")).alias("main_text"))
+    (row,) = text.collect()
+    assert "main body text" in row.main_text
+    assert "nav" not in row.main_text
