@@ -71,7 +71,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "g4_tiff_page", "pdf_rotated_page",
                   "pdf_inline_image_page", "webp_page",
                   "pdf_encrypted_page", "cmyk_jpeg_page",
-                  "pdf_ccitt_page", "tiled_tiff_page"):
+                  "pdf_ccitt_page", "tiled_tiff_page",
+                  "interlaced_png_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -434,7 +435,7 @@ PAGE_FAMILIES = [
     "cjk_page", "cjk_vertical_page", "spanned_table_page",
     "pdf_rotated_page", "pdf_inline_image_page", "webp_page",
     "pdf_encrypted_page", "cmyk_jpeg_page", "pdf_ccitt_page",
-    "tiled_tiff_page",
+    "tiled_tiff_page", "interlaced_png_page",
 ]
 
 
@@ -756,6 +757,12 @@ class _Builder:
             cmyk = np.zeros(img.shape + (4,), dtype=np.uint8)
             cmyk[:, :, 3] = 255 - img
             payload = encode_cmyk_jpeg(cmyk, quality=95, transform=2)
+        elif family == "interlaced_png_page":
+            # Adam7-interlaced PNG (spec §8.2) — the progressive-render
+            # layout a slice of web PNGs still carries. Lossless, so truth
+            # is the plain page's.
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray(img, interlace=True)
         elif family == "webp_page":
             # lossless WEBP (VP8L) container — the web-crawl media shape
             # (Leptonica sniffs WEBP through the same pixReadMem dispatch,

@@ -15,7 +15,8 @@ palette, gray+alpha, RGBA) at bit depth 8, plus 16-bit gray/RGB/RGBA (high
 byte taken — the pipeline is 8-bit grayscale). Color collapses to BT.601
 luma ((77R + 150G + 29B + 128) >> 8); alpha is dropped, matching
 Leptonica's pixConvertRGBToGray which ignores the alpha sample. Interlaced
-(Adam7) PNGs raise a NAMED out-of-scope error.
+(Adam7) PNGs de-interlace per spec §8.2 — seven reduced images, each
+defiltered against its own previous row, scattered onto the full grid.
 """
 
 from __future__ import annotations
@@ -36,16 +37,30 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
 
 
-def encode_gray(img: np.ndarray) -> bytes:
-    """uint8 HxW array -> grayscale-8 PNG bytes."""
+def encode_gray(img: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 HxW array -> grayscale-8 PNG bytes. `interlace` writes the
+    Adam7 layout (seven reduced images, filter-None scanlines) so the
+    decoder's de-interlace path is testable with genuine bytes."""
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_gray expects a 2-D uint8 array")
     h, w = img.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bitdepth 8, gray
-    raw = np.empty((h, w + 1), dtype=np.uint8)
-    raw[:, 0] = 0  # filter type None per scanline
-    raw[:, 1:] = img
-    idat = zlib.compress(raw.tobytes(), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(w, h)):
+            if pw == 0 or ph == 0:
+                continue
+            sub = img[y0::dy, x0::dx]
+            raw = np.empty((ph, pw + 1), dtype=np.uint8)
+            raw[:, 0] = 0
+            raw[:, 1:] = sub
+            parts.append(raw.tobytes())
+        idat = zlib.compress(b"".join(parts), 6)
+    else:
+        raw = np.empty((h, w + 1), dtype=np.uint8)
+        raw[:, 0] = 0  # filter type None per scanline
+        raw[:, 1:] = img
+        idat = zlib.compress(raw.tobytes(), 6)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -87,8 +102,8 @@ def decode_gray(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", payload)
-            if interlace != 0:
-                raise ValueError("interlaced (Adam7) PNG: out of scope")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
             if color not in _NSAMP:
                 raise ValueError(f"bad PNG color type {color}")
             if depth != 8 and not (depth == 16 and color in (0, 2, 6)):
@@ -105,16 +120,23 @@ def decode_gray(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     bpp = _NSAMP[color] * (depth // 8)  # filter distance, bytes per pixel
     stride = w * bpp
-    expect = h * (stride + 1)
+    if interlace:
+        expect = sum(ph * (pw * bpp + 1)
+                     for pw, ph in _adam7_dims(w, h))
+    else:
+        expect = h * (stride + 1)
     if expect > 600_000_000:  # corrupt-header allocation guard
         raise ValueError("PNG dimensions too large")
     # bounded inflate: a crafted IDAT expands ~1000x (decompression bomb
     # inside an executor task) — never inflate past the raster size
     dec = zlib.decompressobj()
     body = dec.decompress(bytes(idat), expect)
-    raw = np.frombuffer(body, dtype=np.uint8)
-    raw = raw.reshape(h, stride + 1)
-    out = _defilter(raw, bpp)
+    if interlace:
+        out = _deinterlace_adam7(body, w, h, bpp)
+    else:
+        raw = np.frombuffer(body, dtype=np.uint8)
+        raw = raw.reshape(h, stride + 1)
+        out = _defilter(raw, bpp)
     if depth == 16:
         out = out.reshape(h, w, _NSAMP[color], 2)[:, :, :, 0]  # high byte
     else:
@@ -131,6 +153,41 @@ def decode_gray(data: bytes) -> np.ndarray:
     if color == 4:
         return out[:, :, 0].copy()  # gray, alpha dropped
     return _luma(out[:, :, :3])  # 2 / 6: RGB(A)
+
+
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass — passes 4
+# and 6 start at ROW 0 (the 8x8 stencil's first row reads 1 6 4 6 2 6 4 6)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_dims(w: int, h: int) -> list[tuple[int, int]]:
+    """(pass width, pass height) per Adam7 pass; empty passes are (0, x)
+    or (x, 0) and carry no scanlines at all (spec §8.2)."""
+    return [(-(-(w - x0) // dx) if w > x0 else 0,
+             -(-(h - y0) // dy) if h > y0 else 0)
+            for x0, y0, dx, dy in _ADAM7]
+
+
+def _deinterlace_adam7(body: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Adam7 (§8.2): seven consecutively-stored reduced images, each with
+    its own filtered scanlines (filters reference the PASS's previous row,
+    not the full image's), scattered onto the full grid."""
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    dims = _adam7_dims(w, h)
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+        if pw == 0 or ph == 0:
+            continue
+        take = ph * (pw * bpp + 1)
+        chunk = body[pos:pos + take]
+        if len(chunk) < take:
+            raise ValueError("truncated interlaced PNG raster")
+        pos += take
+        raw = np.frombuffer(chunk, dtype=np.uint8).reshape(ph, pw * bpp + 1)
+        sub = _defilter(raw, bpp).reshape(ph, pw, bpp)
+        out[y0::dy, x0::dx, :] = sub
+    return out.reshape(h, w * bpp)
 
 
 def _defilter(raw: np.ndarray, bpp: int) -> np.ndarray:

@@ -154,15 +154,94 @@ def test_16bit_gray_high_byte():
     assert (decode_gray(png) == (img16 >> 8).astype(np.uint8)).all()
 
 
-def test_interlaced_named_out_of_scope():
+def test_bad_interlace_method_rejected():
+    # Adam7 now DECODES (tests below); only unknown methods are errors
     import struct
     import zlib
 
     from sparkstract.functions.png import _SIG, _chunk
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)  # method 2: bogus
     png = (_SIG + _chunk(b"IHDR", ihdr)
            + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
            + _chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="out of scope"):
+    with pytest.raises(ValueError, match="interlace method"):
         decode_gray(png)
+
+
+# ------------------------------------------------------- Adam7 interlace
+
+
+def test_adam7_stencil_matches_spec_figure():
+    from sparkstract.functions.png import _ADAM7
+
+    grid = np.zeros((8, 8), int)
+    for i, (x0, y0, dx, dy) in enumerate(_ADAM7, 1):
+        sub = grid[y0::dy, x0::dx]
+        sub[sub == 0] = i
+    spec = np.array([
+        [1, 6, 4, 6, 2, 6, 4, 6], [7] * 8,
+        [5, 6, 5, 6, 5, 6, 5, 6], [7] * 8,
+        [3, 6, 4, 6, 3, 6, 4, 6], [7] * 8,
+        [5, 6, 5, 6, 5, 6, 5, 6], [7] * 8])
+    assert (grid == spec).all()
+
+
+def test_adam7_roundtrip_many_sizes():
+    rng = np.random.default_rng(13)
+    for h, w in [(1, 1), (1, 9), (9, 1), (7, 7), (8, 8), (37, 53),
+                 (3, 2), (2, 3), (16, 5), (5, 16)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        got = decode_gray(encode_gray(img, interlace=True))
+        assert (got == img).all(), (h, w)
+
+
+def test_adam7_filters_reference_pass_rows():
+    """Hand-built interlaced PNG whose pass scanlines use Up/Sub filters:
+    the defilter must reference the PASS's previous row, never the full
+    image's — a decoder that deinterlaces before defiltering gets this
+    wrong."""
+    import struct
+    import zlib
+
+    from sparkstract.functions.png import _ADAM7, _SIG, _adam7_dims, _chunk
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+    parts = []
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(10, 10)):
+        if pw == 0 or ph == 0:
+            continue
+        sub = img[y0::dy, x0::dx].astype(np.int64)
+        for y in range(ph):
+            if y == 0:
+                # Sub filter on the pass's first row
+                row = sub[0].copy()
+                row[1:] = (row[1:] - row[:-1]) % 256
+                parts.append(b"\x01" + bytes(row.astype(np.uint8)))
+            else:
+                # Up filter against the pass's previous row
+                row = (sub[y] - sub[y - 1]) % 256
+                parts.append(b"\x02" + bytes(row.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", 10, 10, 8, 0, 0, 0, 1)
+    data = (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + _chunk(b"IEND", b""))
+    assert (decode_gray(data) == img).all()
+
+
+def test_adam7_truncated_raster_raises():
+    img = np.zeros((16, 16), dtype=np.uint8)
+    data = bytearray(encode_gray(img, interlace=True))
+    # shrink the IDAT payload: re-deflate fewer bytes
+    import struct
+    import zlib
+
+    from sparkstract.functions.png import _SIG, _chunk
+
+    ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 1)
+    short = zlib.compress(b"\x00" * 40)   # far fewer than the passes need
+    bad = (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", short)
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated interlaced"):
+        decode_gray(bad)
