@@ -209,8 +209,15 @@ honest: the job is judged against the kernel's own ceiling there, not
 against an unreachable 1.0.
 {top_section}"""
     os.makedirs("BENCH", exist_ok=True)
+    # measured sections that don't change with the scaling run (retry
+    # multiplier, sf1 curves) live in BASELINE_EXTRA.md and are carried
+    # through every rewrite
+    extra = ""
+    if os.path.exists("BENCH/BASELINE_EXTRA.md"):
+        with open("BENCH/BASELINE_EXTRA.md") as f:
+            extra = "\n" + f.read()
     with open("BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+        f.write(md + extra)
 
 
 def main() -> None:
