@@ -297,6 +297,20 @@ def _decode_entropy_image(br: _LsbReader, w: int, h: int,
     pos = 0
     if n > (1 << 26):
         raise ValueError("VP8L image too large")  # decompression-bomb guard
+    if meta is None and cache is None:
+        g_code, r_code, b_code, a_code, d_code = groups[0]
+        if (r_code.single is not None and b_code.single is not None
+                and a_code.single is not None):
+            # the dominant shape (and the whole gray-page fixture family):
+            # one code group, no cache, constant aux channels — decode in
+            # the bit-buffer fast loop (~6x the generic per-pixel path)
+            _decode_fast(br, g_code, d_code, out, n, w,
+                         (a_code.single << 24) | (r_code.single << 16)
+                         | b_code.single)
+            img = out.reshape(h, w)
+            return np.stack([(img >> 24) & 0xFF, (img >> 16) & 0xFF,
+                             (img >> 8) & 0xFF, img & 0xFF],
+                            axis=2).astype(np.uint8)
     while pos < n:
         if meta is not None:
             y, x = divmod(pos, w)
@@ -342,6 +356,79 @@ def _decode_entropy_image(br: _LsbReader, w: int, h: int,
     return np.stack([(img >> 24) & 0xFF, (img >> 16) & 0xFF,
                      (img >> 8) & 0xFF, img & 0xFF],
                     axis=2).astype(np.uint8)
+
+
+def _decode_fast(br: _LsbReader, g_code: _Prefix, d_code: _Prefix,
+                 out: np.ndarray, n: int, w: int, base: int) -> None:
+    """Hot literal/backref loop for the single-group, no-cache, constant-
+    aux-channel stream shape: a rolling 64-bit window replaces the reader's
+    per-call slicing, the green table is a local, and the pixel word is
+    `base | green << 8`. Bit-exact with the generic loop (same tables,
+    same LZ77 semantics) — pinned by the roundtrip + hand-vector tests."""
+    data = br._data
+    ld = len(data)
+    b = br.bit
+    idx = b >> 3
+    acc = (data[idx] >> (b & 7)) if idx < ld else 0
+    nbits = 8 - (b & 7)
+    idx += 1
+    table = g_code.table
+    g_single = g_code.single
+    buf = out  # numpy uint32 vector; scalar stores are cheap
+    pos = 0
+    if g_single is not None and g_single < 256:
+        buf[:n] = base | (g_single << 8)
+        # no bits consumed (0-bit code); reader position unchanged
+        return
+    while pos < n:
+        while nbits < 15 and idx < ld:
+            acc |= data[idx] << nbits
+            idx += 1
+            nbits += 8
+        if g_single is not None:
+            s = g_single
+        else:
+            ent = table[acc & 0x7FFF]
+            if ent is None:
+                raise ValueError("VP8L invalid prefix code word")
+            s, ln = ent
+            if ln > nbits:
+                raise ValueError("VP8L stream truncated in prefix code")
+            acc >>= ln
+            nbits -= ln
+        if s < 256:
+            buf[pos] = base | (s << 8)
+            pos += 1
+            continue
+        if s >= 280:
+            raise ValueError("VP8L cache symbol without a color cache")
+        # LZ77 backref: sync the reader, reuse the shared value/dist
+        # helpers, then resume the window
+        br.bit = idx * 8 - nbits
+        length = _lz77_value(s - 256, br)
+        dcode = _lz77_value(d_code.read(br), br)
+        if dcode > 120:
+            dist = dcode - 120
+        else:
+            dx, dy = _DIST_MAP[dcode - 1]
+            dist = dy * w + dx
+            if dist < 1:
+                dist = 1
+        if dist > pos or pos + length > n:
+            raise ValueError("VP8L backward reference out of range")
+        if dist >= length:   # non-overlapping: one vector copy
+            buf[pos:pos + length] = buf[pos - dist:pos - dist + length]
+            pos += length
+        else:                # overlapping run (repeats) copies pixel-wise
+            for _ in range(length):
+                buf[pos] = buf[pos - dist]
+                pos += 1
+        b = br.bit
+        idx = b >> 3
+        acc = (data[idx] >> (b & 7)) if idx < ld else 0
+        nbits = 8 - (b & 7)
+        idx += 1
+    br.bit = idx * 8 - nbits
 
 
 # ------------------------------------------------------- inverse transforms
