@@ -141,3 +141,26 @@ def test_warc_to_html_pipeline(spark):
     (row,) = text.collect()
     assert "main body text" in row.main_text
     assert "nav" not in row.main_text
+
+
+def test_stream_warc_ingest_two_arrivals(spark, tmp_path):
+    """Streaming crawl ingest: segments arriving across two drains are
+    each processed exactly once (checkpointed file source)."""
+    from sparkstract.streaming.stream import stream_warc_ingest
+
+    warc_dir = tmp_path / "in"
+    warc_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (warc_dir / "seg-0.warc.gz").write_bytes(
+        encode_warc(_recs(), gzip_members=True))
+    stream_warc_ingest(spark, str(warc_dir), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 5
+    # second segment arrives; re-drain processes ONLY the new file
+    (warc_dir / "seg-1.warc.gz").write_bytes(
+        encode_warc(_recs()[:2], gzip_members=True))
+    stream_warc_ingest(spark, str(warc_dir), out, ckpt)
+    df = spark.read.parquet(out)
+    assert df.count() == 7
+    assert df.filter("warc_type = 'response'").count() == 4
