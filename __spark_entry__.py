@@ -1451,26 +1451,15 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself."""
     import pandas as pd
 
-    from sparkstract.sources.warc import WARC_SCHEMA, encode_warc, parse_warc
+    from sparkstract.sources.warc import (WARC_SCHEMA, encode_warc,
+                                          warc_kernel)
 
     data = encode_warc(_WARC_RECS, gzip_members=True)
     frame = spark.createDataFrame(
         pd.DataFrame([("fixture.warc.gz", data)],
                      columns=["path", "content"]),
         "path string, content binary")
-
-    def kernel(batches):
-        for b in batches:
-            rows = []
-            for path, content in zip(b["path"], b["content"]):
-                for i, rec in enumerate(
-                        parse_warc(bytes(content), _WARC_CAP)):
-                    rows.append(dict(source_file=path, record_seq=i, **rec))
-            yield pd.DataFrame(
-                rows, columns=[c.split()[0] for c in
-                               WARC_SCHEMA.split(", ")])
-
-    recs = frame.mapInPandas(kernel, schema=WARC_SCHEMA)
+    recs = frame.mapInPandas(warc_kernel(_WARC_CAP), schema=WARC_SCHEMA)
     return recs.select(
         "record_seq",
         F.col("warc_type").alias("record_type"),

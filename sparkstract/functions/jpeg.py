@@ -873,12 +873,16 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
             c = yy + 1.772 * (cb - 128.0)
         # Adobe stores ink coverage inverted: a = 255-C ... d = 255-K.
         # RGB = (255-C)(255-K)/255 channel-wise, then BT.601 luma.
-        k = np.clip(d, 0.0, 255.0)
-        r = np.clip(a, 0.0, 255.0) * k / 255.0
-        g = np.clip(b, 0.0, 255.0) * k / 255.0
-        bch = np.clip(c, 0.0, 255.0) * k / 255.0
-        img = np.clip(np.round((77 * r + 150 * g + 29 * bch + 128) / 256),
-                      0, 255).astype(np.uint8)
+        k = np.clip(np.round(d), 0.0, 255.0)
+        ri = np.clip(np.round(np.clip(a, 0, 255) * k / 255.0),
+                     0, 255).astype(np.int32)
+        gi = np.clip(np.round(np.clip(b, 0, 255) * k / 255.0),
+                     0, 255).astype(np.int32)
+        bi = np.clip(np.round(np.clip(c, 0, 255) * k / 255.0),
+                     0, 255).astype(np.int32)
+        # the family's integer luma idiom ((...+128)>>8, like png/webp) —
+        # identical gray for identical RGB across every codec
+        img = ((77 * ri + 150 * gi + 29 * bi + 128) >> 8).astype(np.uint8)
         return apply_exif_orientation(img, orientation)
 
     img = np.clip(np.round(recon(0)), 0, 255).astype(np.uint8)

@@ -293,10 +293,10 @@ def _decode_entropy_image(br: _LsbReader, w: int, h: int,
     cache = [0] * (1 << cache_bits) if cache_bits else None
     cache_shift = 32 - cache_bits if cache_bits else 0
     n = w * h
+    if n > (1 << 26):
+        raise ValueError("VP8L image too large")  # guard BEFORE allocating
     out = np.zeros(n, dtype=np.uint32)
     pos = 0
-    if n > (1 << 26):
-        raise ValueError("VP8L image too large")  # decompression-bomb guard
     if meta is None and cache is None:
         g_code, r_code, b_code, a_code, d_code = groups[0]
         if (r_code.single is not None and b_code.single is not None
@@ -367,11 +367,13 @@ def _decode_fast(br: _LsbReader, g_code: _Prefix, d_code: _Prefix,
     same LZ77 semantics) — pinned by the roundtrip + hand-vector tests."""
     data = br._data
     ld = len(data)
-    b = br.bit
-    idx = b >> 3
-    acc = (data[idx] >> (b & 7)) if idx < ld else 0
-    nbits = 8 - (b & 7)
-    idx += 1
+    def seed(bitpos):
+        i = bitpos >> 3
+        if i < ld:
+            return i + 1, data[i] >> (bitpos & 7), 8 - (bitpos & 7)
+        return i, 0, 0      # at end-of-data: NO phantom zero bits
+
+    idx, acc, nbits = seed(br.bit)
     table = g_code.table
     g_single = g_code.single
     buf = out  # numpy uint32 vector; scalar stores are cheap
@@ -423,11 +425,7 @@ def _decode_fast(br: _LsbReader, g_code: _Prefix, d_code: _Prefix,
             for _ in range(length):
                 buf[pos] = buf[pos - dist]
                 pos += 1
-        b = br.bit
-        idx = b >> 3
-        acc = (data[idx] >> (b & 7)) if idx < ld else 0
-        nbits = 8 - (b & 7)
-        idx += 1
+        idx, acc, nbits = seed(br.bit)
     br.bit = idx * 8 - nbits
 
 
@@ -463,7 +461,10 @@ def _inv_predictor(argb: np.ndarray, modes: np.ndarray,
                 lf = px(y, x - 1)
                 tp = px(y - 1, x)
                 tl = px(y - 1, x - 1)
-                tr = px(y - 1, x + 1) if x + 1 < w else tp
+                # linear addressing (libwebp: TR = data[i - width + 1]):
+                # at the last column TR wraps to the CURRENT row's first,
+                # already-reconstructed pixel
+                tr = px(y - 1, x + 1) if x + 1 < w else px(y, 0)
                 if mode == 0:
                     pred = np.array([255, 0, 0, 0])
                 elif mode == 1:
@@ -488,7 +489,8 @@ def _inv_predictor(argb: np.ndarray, modes: np.ndarray,
                     pred = _avg2(_avg2(lf, tl), _avg2(tp, tr))
                 elif mode == 11:
                     p = lf + tp - tl
-                    if np.abs(p - lf).sum() <= np.abs(p - tp).sum():
+                    # strict <: on a tie libwebp's Select returns TOP
+                    if np.abs(p - lf).sum() < np.abs(p - tp).sum():
                         pred = lf
                     else:
                         pred = tp
@@ -496,7 +498,11 @@ def _inv_predictor(argb: np.ndarray, modes: np.ndarray,
                     pred = np.clip(lf + tp - tl, 0, 255)
                 else:  # 13 ClampAddSubtractHalf
                     avg = _avg2(lf, tp)
-                    pred = np.clip(avg + (avg - tl) // 2, 0, 255)
+                    diff = avg - tl
+                    # C-style (a - b) / 2: truncation toward zero, so a
+                    # negative odd diff halves to the SMALLER magnitude
+                    half = np.sign(diff) * (np.abs(diff) // 2)
+                    pred = np.clip(avg + half, 0, 255)
             out[y, x] = (out[y, x] + pred) & 0xFF
     return out.astype(np.uint8)
 
@@ -510,9 +516,12 @@ def _inv_color_transform(argb: np.ndarray, data: np.ndarray,
     ys = np.arange(h) >> size_bits
     xs = np.arange(w) >> size_bits
     blk = data[ys][:, xs]            # (h, w, 4) transform element per px
-    g2r = blk[:, :, 2].astype(np.int8).astype(np.int64)   # green channel
-    g2b = blk[:, :, 1].astype(np.int8).astype(np.int64)   # red channel
-    r2b = blk[:, :, 0].astype(np.int8).astype(np.int64)   # alpha channel
+    # §4.1.2 / libwebp ColorTransformDelta: the element pixel stores
+    # green_to_red in its BLUE byte (bits 0-7), green_to_blue in GREEN
+    # (8-15), red_to_blue in RED (16-23); channel order here is [a,r,g,b]
+    g2r = blk[:, :, 3].astype(np.int8).astype(np.int64)   # blue channel
+    g2b = blk[:, :, 2].astype(np.int8).astype(np.int64)   # green channel
+    r2b = blk[:, :, 1].astype(np.int8).astype(np.int64)   # red channel
     def s8(v):  # reinterpret the low byte as signed 8-bit (§4.1.2)
         return ((v & 0xFF) ^ 0x80) - 0x80
 
@@ -551,9 +560,15 @@ def _inv_color_index(argb: np.ndarray, palette: np.ndarray,
         parts = [(idx >> (i * bits)) & ((1 << bits) - 1)
                  for i in range(per)]
         idx = np.stack(parts, axis=2).reshape(idx.shape[0], -1)[:, :width]
-    if int(idx.max(initial=0)) >= n_colors:
-        raise ValueError("VP8L palette index out of range")
-    return palette[idx]
+    # §4.1.3: an index >= color_table_size decodes as 0x00000000
+    # (transparent black), not an error
+    oob = idx >= n_colors
+    safe = np.where(oob, 0, idx)
+    out = palette[safe]
+    if oob.any():
+        out = out.copy()
+        out[oob] = 0
+    return out
 
 
 # ---------------------------------------------------------------- decode

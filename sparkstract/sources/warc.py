@@ -44,13 +44,19 @@ WARC_SCHEMA = (
 _CRLF2 = b"\r\n\r\n"
 
 
-def _gzip_members(data: bytes) -> Iterator[bytes]:
+def _gzip_members(data: bytes,
+                  max_member: int = 1 << 28) -> Iterator[bytes]:
     """Decompress a stream of concatenated gzip members one member at a
-    time (the per-record-gzip WARC convention)."""
+    time (the per-record-gzip WARC convention). Each member's inflated
+    size is BOUNDED (`max_member`, default 256 MiB): a crafted member
+    expanding ~1000x must raise, not OOM the executor — the same
+    decompression-bomb guard png.py applies to IDAT."""
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(data[pos:])
+        out = d.decompress(data[pos:], max_member + 1)
+        if len(out) > max_member:
+            raise ValueError("WARC gzip member exceeds the inflate bound")
         if not d.eof:
             raise ValueError("WARC gzip member truncated")
         yield out
@@ -140,14 +146,13 @@ def parse_warc(data: bytes, max_payload: int = 1 << 20) -> list[dict]:
     return out
 
 
-def read_warc(spark: SparkSession, path: str,
-              max_payload: int = 1 << 20) -> DataFrame:
-    """WARC file(s) -> one row per record (WARC_SCHEMA). binaryFile gives
-    one task per archive file; parsing is map-only inside mapInPandas."""
+def warc_kernel(max_payload: int = 1 << 20):
+    """mapInPandas kernel over a (path, content) frame -> WARC_SCHEMA
+    rows — the ONE parse kernel shared by the batch reader, the streaming
+    ingest, and the oracle query (so they cannot silently diverge)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
+    cols = [c.split()[0] for c in WARC_SCHEMA.split(", ")]
 
     def kernel(batches):
         for pdf in batches:
@@ -157,11 +162,18 @@ def read_warc(spark: SparkSession, path: str,
                                                    max_payload)):
                     rows.append(dict(source_file=fpath, record_seq=i,
                                      **rec))
-            yield pd.DataFrame(
-                rows, columns=[c.split()[0] for c in
-                               WARC_SCHEMA.split(", ")])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(kernel, schema=WARC_SCHEMA)
+    return kernel
+
+
+def read_warc(spark: SparkSession, path: str,
+              max_payload: int = 1 << 20) -> DataFrame:
+    """WARC file(s) -> one row per record (WARC_SCHEMA). binaryFile gives
+    one task per archive file; parsing is map-only inside mapInPandas."""
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    return files.mapInPandas(warc_kernel(max_payload), schema=WARC_SCHEMA)
 
 
 def warc_responses(records: DataFrame) -> DataFrame:

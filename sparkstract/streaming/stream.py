@@ -336,9 +336,7 @@ def stream_warc_ingest(
 
     Returns the StreamingQuery; available_now=True drains the backlog and
     blocks (the deterministic mode used in tests)."""
-    import pandas as pd
-
-    from ..sources.warc import WARC_SCHEMA, parse_warc
+    from ..sources.warc import WARC_SCHEMA, warc_kernel
 
     stream = (
         spark.readStream.format("binaryFile")
@@ -350,19 +348,8 @@ def stream_warc_ingest(
         .select("path", "content")
     )
 
-    def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                for i, rec in enumerate(parse_warc(bytes(content),
-                                                   max_payload)):
-                    rows.append(dict(source_file=fpath, record_seq=i,
-                                     **rec))
-            yield pd.DataFrame(
-                rows, columns=[c.split()[0] for c in
-                               WARC_SCHEMA.split(", ")])
-
-    records = stream.mapInPandas(kernel, schema=WARC_SCHEMA)
+    records = stream.mapInPandas(warc_kernel(max_payload),
+                                 schema=WARC_SCHEMA)
     writer = (
         records.writeStream.format("parquet")
         .option("path", out_dir)

@@ -74,6 +74,23 @@ def test_malformed_inputs_raise_named_never_hang():
         parse_warc(encode_warc(_recs()[:1])[:10])
 
 
+def test_gzip_bomb_bounded():
+    """A member inflating past the bound raises instead of materializing:
+    the decompression-bomb guard (same class as png.py's IDAT cap)."""
+    import zlib
+
+    blob = b"WARC/1.0\r\n" + b"x" * 200   # content irrelevant
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as z:
+        z.write(b"\x00" * 3000)
+    with pytest.raises(ValueError, match="inflate bound"):
+        from sparkstract.sources.warc import _gzip_members
+
+        list(_gzip_members(buf.getvalue(), max_member=1000))
+    assert zlib  # silence unused-import linters
+    assert blob
+
+
 def test_fuzz_never_hangs():
     rng = np.random.default_rng(31)
     base = bytearray(encode_warc(_recs(), gzip_members=False))
@@ -120,20 +137,10 @@ def test_warc_to_html_pipeline(spark):
     pdf = pd.DataFrame([("f", encode_warc(recs))],
                        columns=["path", "content"])
     frame = spark.createDataFrame(pdf, "path string, content binary")
-    # reuse the parse kernel shape directly over an in-memory frame
-    from sparkstract.sources.warc import WARC_SCHEMA, parse_warc as pw
+    # the ONE shared parse kernel, over an in-memory frame
+    from sparkstract.sources.warc import WARC_SCHEMA, warc_kernel
 
-    def kernel(batches):
-        for b in batches:
-            rows = []
-            for path, content in zip(b["path"], b["content"]):
-                for i, rec in enumerate(pw(bytes(content))):
-                    rows.append(dict(source_file=path, record_seq=i, **rec))
-            yield pd.DataFrame(
-                rows, columns=[c.split()[0] for c in
-                               WARC_SCHEMA.split(", ")])
-
-    records = frame.mapInPandas(kernel, schema=WARC_SCHEMA)
+    records = frame.mapInPandas(warc_kernel(), schema=WARC_SCHEMA)
     text = warc_responses(records).select(
         "target_uri",
         strip_boilerplate(

@@ -343,16 +343,79 @@ def test_inv_predictor_modes_hand_math():
     assert out[1, 1].tolist() == [0, 13, 23, 33]
 
 
+def test_inv_predictor_spec_corners():
+    from sparkstract.functions.webp import _inv_predictor
+
+    # mode 3 (TR) at the LAST column wraps to the current row's first
+    # pixel (libwebp linear addressing: TR = data[i - width + 1])
+    res = np.zeros((2, 2, 4), dtype=np.uint8)
+    res[0, 0] = [0, 1, 2, 3]     # + black seed -> (255,1,2,3)
+    res[0, 1] = [5, 5, 5, 5]     # row 0, L fallback -> (4,6,7,8)... via L
+    res[1, 0] = [1, 1, 1, 1]     # col 0, T fallback
+    res[1, 1] = [0, 0, 0, 0]     # mode 3: TR of last col = out[1, 0]
+    out = _inv_predictor(res, np.array([[3]]), 4)
+    assert out[1, 1].tolist() == out[1, 0].tolist()
+
+    # mode 13: C division truncates toward zero (avg=10, TL=13 -> 9 not 8)
+    res = np.zeros((2, 2, 4), dtype=np.uint8)
+    res[0, 0] = [0, 0, 0, 13]    # TL becomes (255,0,0,13)
+    res[0, 1] = [0, 0, 0, 10]    # T  = (255,0,0,10) via L-fallback? no:
+    # row 0 uses L: out[0,1] = out[0,0] + res -> b: 13+10=23. Rebuild:
+    res = np.zeros((2, 2, 4), dtype=np.uint8)
+    res[0, 0] = [0, 0, 0, 13]    # (255,0,0,13) = TL
+    res[0, 1] = [0, 0, 0, 253]   # +L -> b = (13+253)&255 = 10 = T
+    res[1, 0] = [0, 0, 0, 253]   # +T(col0 rule: out[0,0]) -> b = 10 = L
+    res[1, 1] = [0, 0, 0, 0]
+    out = _inv_predictor(res, np.array([[13]]), 4)
+    # avg(L,T) b=10, TL b=13, diff=-3 -> trunc(-3/2) = -1 -> pred b = 9
+    assert out[1, 1, 3] == 9
+
+    # mode 11 Select: exact tie predicts TOP (strict < toward L)
+    res = np.zeros((2, 2, 4), dtype=np.uint8)
+    res[0, 0] = [0, 0, 0, 0]     # TL = (255,0,0,0)
+    res[0, 1] = [0, 0, 2, 0]     # T  = (255,0,2,0)
+    res[1, 0] = [0, 2, 0, 0]     # L  = (255,2,0,0) (col-0 adds T=TL)
+    res[1, 1] = [0, 0, 0, 0]
+    out = _inv_predictor(res, np.array([[11]]), 4)
+    # p = L+T-TL = (255,2,2,0); |p-L| = 2, |p-T| = 2 -> tie -> T
+    assert out[1, 1].tolist() == out[0, 1].tolist()
+
+
+def test_palette_index_out_of_range_is_transparent_black():
+    from sparkstract.functions.webp import _inv_color_index
+
+    # >16 colors -> no pixel bundling, indices are plain green bytes
+    pal = np.zeros((20, 4), dtype=np.uint8)
+    pal[0] = [255, 1, 2, 3]
+    pal[1] = [255, 4, 5, 6]
+    argb = np.zeros((1, 3, 4), dtype=np.uint8)
+    argb[0, :, 2] = [0, 1, 25]   # index 25 >= 20 -> 0x00000000 per §4.1.3
+    out = _inv_color_index(argb, pal, 3)
+    assert out[0, 0].tolist() == [255, 1, 2, 3]
+    assert out[0, 1].tolist() == [255, 4, 5, 6]
+    assert out[0, 2].tolist() == [0, 0, 0, 0]
+
+
 def test_inv_color_transform_hand_math():
-    # one block, g2r=16 (0.5 in 3.5 fixed): r += (16 * g) >> 5
+    # §4.1.2 / libwebp ColorCodeToMultipliers: the transform element packs
+    # green_to_red in its BLUE byte (bits 0-7), green_to_blue in GREEN,
+    # red_to_blue in RED. One block: g2r=16 (0.5 fixed) -> r += (16*g)>>5
     data = np.zeros((1, 1, 4), dtype=np.uint8)
-    data[0, 0, 2] = 16    # green_to_red rides the green channel
+    data[0, 0, 3] = 16    # green_to_red rides the BLUE channel
     argb = np.zeros((1, 2, 4), dtype=np.uint8)
     argb[0, 0] = [255, 10, 64, 0]
     argb[0, 1] = [255, 0, 200, 0]   # g=200 is signed -56 in the transform
     out = _inv_color_transform(argb, data, 4)
     assert out[0, 0, 1] == (10 + ((16 * 64) >> 5)) & 0xFF
     assert out[0, 1, 1] == (0 + ((16 * -56) >> 5)) & 0xFF
+    # green_to_blue (GREEN byte) and red_to_blue (RED byte) both feed blue
+    data2 = np.zeros((1, 1, 4), dtype=np.uint8)
+    data2[0, 0, 2] = 8    # green_to_blue
+    data2[0, 0, 1] = 4    # red_to_blue
+    argb2 = np.zeros((1, 1, 4), dtype=np.uint8)
+    argb2[0, 0] = [255, 32, 64, 5]
+    out2 = _inv_color_transform(argb2, data2, 4)
+    assert out2[0, 0, 3] == (5 + ((8 * 64) >> 5) + ((4 * 32) >> 5)) & 0xFF
 
 
 # -------------------------------------------------------------- container
