@@ -246,6 +246,10 @@ def _build_dist_map() -> list[tuple[int, int]]:
 
 _DIST_MAP = _build_dist_map()
 
+# test hook: tests/test_webp.py flips this off to pin the fast loop
+# bit-exact against the generic per-pixel path on identical streams
+_FAST = True
+
 
 def _lz77_value(code: int, br: _LsbReader) -> int:
     """§4.2.1 prefix-coded LZ77 lengths/distances."""
@@ -297,7 +301,7 @@ def _decode_entropy_image(br: _LsbReader, w: int, h: int,
         raise ValueError("VP8L image too large")  # guard BEFORE allocating
     out = np.zeros(n, dtype=np.uint32)
     pos = 0
-    if meta is None and cache is None:
+    if _FAST and meta is None and cache is None:
         g_code, r_code, b_code, a_code, d_code = groups[0]
         if (r_code.single is not None and b_code.single is not None
                 and a_code.single is not None):

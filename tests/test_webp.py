@@ -502,3 +502,27 @@ def test_fixture_page_roundtrip():
     rng = np.random.default_rng(5)
     img, _ = render_page(page_spec("single_column", rng))
     assert (decode_webp(encode_gray_webp(img)) == img).all()
+
+
+def test_fast_loop_bit_exact_with_generic(monkeypatch):
+    """The _decode_fast window loop must produce byte-identical output to
+    the generic per-pixel path on the same streams (incl. backrefs)."""
+    import sparkstract.functions.webp as webp_mod
+
+    rng = np.random.default_rng(77)
+    streams = []
+    for trial in range(12):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        if trial % 3 == 0:   # long runs -> encoder emits repetitive greens
+            img = np.full((h, w), int(rng.integers(0, 256)), dtype=np.uint8)
+        elif trial % 3 == 1:
+            img = (rng.integers(0, 2, (h, w)) * 255).astype(np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        streams.append(encode_gray_webp(img))
+    # add the hand-built LZ77 stream (test above) shape: repetition pages
+    fast = [decode_webp(d) for d in streams]
+    monkeypatch.setattr(webp_mod, "_FAST", False)
+    slow = [decode_webp(d) for d in streams]
+    for f, sl in zip(fast, slow):
+        assert (f == sl).all()
