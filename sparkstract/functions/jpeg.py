@@ -282,10 +282,15 @@ def encode_cmyk_jpeg(cmyk: np.ndarray, quality: int = 90,
     4-component path is the product surface."""
     if cmyk.dtype != np.uint8 or cmyk.ndim != 3 or cmyk.shape[2] != 4:
         raise ValueError("encode_cmyk_jpeg expects HxWx4 uint8")
-    if transform not in (0, 2):
-        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    if transform not in (0, 2, None):
+        raise ValueError("transform must be 0 (CMYK), 2 (YCCK), or None "
+                         "(no APP14: non-Adobe direct-ink CMYK)")
     h, w = cmyk.shape[:2]
-    stored = 255.0 - cmyk.astype(np.float64)           # Adobe inversion
+    if transform is None:
+        # non-Adobe convention: ink coverage stored DIRECT, no APP14
+        stored = cmyk.astype(np.float64)
+    else:
+        stored = 255.0 - cmyk.astype(np.float64)       # Adobe inversion
     if transform == 2:
         r, g, b = stored[:, :, 0], stored[:, :, 1], stored[:, :, 2]
         yy = 0.299 * r + 0.587 * g + 0.114 * b
@@ -309,9 +314,10 @@ def encode_cmyk_jpeg(cmyk: np.ndarray, quality: int = 90,
         q = np.round(coef / quant).astype(np.int32)
         zzs.append(q.reshape(nby, nbx, 64)[:, :, _ZZ_FLAT])
     out = bytearray(b"\xff\xd8")                                    # SOI
-    # APP14 Adobe: version 100, zero flags, transform id (byte 11)
-    out += _seg(0xEE, b"Adobe" + (100).to_bytes(2, "big")
-                + bytes(4) + bytes([transform]))
+    if transform is not None:
+        # APP14 Adobe: version 100, zero flags, transform id (byte 11)
+        out += _seg(0xEE, b"Adobe" + (100).to_bytes(2, "big")
+                    + bytes(4) + bytes([transform]))
     out += _seg(0xDB, bytes([0x00]) + bytes(
         int(quant.reshape(64)[_ZZ_FLAT][i]) for i in range(64)))    # DQT
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
@@ -871,6 +877,11 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
             a = yy + 1.402 * (cr - 128.0)
             b = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
             c = yy + 1.772 * (cb - 128.0)
+        elif adobe_transform is None:
+            # No APP14 at all: non-Adobe 4-component JPEGs conventionally
+            # store DIRECT ink coverage (C..K, 0 = no ink) — assuming the
+            # Adobe inversion here would flip the luma of every such file
+            a, b, c, d = 255.0 - a, 255.0 - b, 255.0 - c, 255.0 - d
         # Adobe stores ink coverage inverted: a = 255-C ... d = 255-K.
         # RGB = (255-C)(255-K)/255 channel-wise, then BT.601 luma.
         k = np.clip(np.round(d), 0.0, 255.0)

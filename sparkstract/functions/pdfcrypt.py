@@ -101,8 +101,11 @@ def owner_entry(owner_pw: bytes, user_pw: bytes, r: int,
     """Algorithm 3: the /O value (owner password defaults to user's)."""
     key = hashlib.md5(_pad_password(owner_pw or user_pw)).digest()
     if r >= 3:
+        # Algorithm 3 step (c) feeds only the first key_len bytes of each
+        # digest back in (mirrors file_key) — hashing the full 16 bytes
+        # would produce a wrong /O whenever key_len < 16
         for _ in range(50):
-            key = hashlib.md5(key).digest()
+            key = hashlib.md5(key[:key_len]).digest()
     key = key[:key_len]
     enc = rc4(key, _pad_password(user_pw))
     if r >= 3:

@@ -111,6 +111,10 @@ class _LsbWriter:
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14,
               15)
 _MAX_CODE_LEN = 15
+# hard cap on meta-prefix code groups (each group = 5 prefix tables);
+# libwebp's encoder clusters histograms to a few hundred groups, so 2048
+# rejects only crafted streams — see the guard in _decode_entropy_image
+_MAX_PREFIX_GROUPS = 2048
 
 
 def _rev(code: int, n: int) -> int:
@@ -125,7 +129,7 @@ class _Prefix:
     """Decoded prefix code: LUT on the next 15 stream bits -> (symbol,
     length), plus the 0-bit single-symbol degenerate form."""
 
-    __slots__ = ("single", "table", "max_len")
+    __slots__ = ("single", "table", "max_len", "mask")
 
     def __init__(self, lengths: list[int]) -> None:
         live = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
@@ -135,6 +139,7 @@ class _Prefix:
             self.single = live[0][0]
             self.table = None
             self.max_len = 0
+            self.mask = 0
             return
         self.single = None
         # canonical assignment (DEFLATE): sort by (length, symbol)
@@ -153,20 +158,26 @@ class _Prefix:
         kraft = sum(1 << (self.max_len - ln) for _, ln in live)
         if kraft > (1 << self.max_len):
             raise ValueError("VP8L over-subscribed prefix code")
-        table = [None] * (1 << 15)
+        # LUT sized to this code's max_len (not a fixed 1 << 15): a
+        # hostile stream declaring thousands of code groups can no longer
+        # force a 32768-entry fill per code — cost is 2^max_len, which the
+        # Kraft check above already bounds to the code's true footprint.
+        size = 1 << self.max_len
+        self.mask = size - 1
+        table = [None] * size
         for sym, ln in sorted(live, key=lambda t: (t[1], t[0])):
             c = next_code[ln]
             next_code[ln] += 1
             r = _rev(c, ln)
             step = 1 << ln
-            for f in range(r, 1 << 15, step):
+            for f in range(r, size, step):
                 table[f] = (sym, ln)
         self.table = table
 
     def read(self, br: _LsbReader) -> int:
         if self.single is not None:
             return self.single
-        ent = self.table[br.peek15()]
+        ent = self.table[br.peek15() & self.mask]
         if ent is None:
             raise ValueError("VP8L invalid prefix code word")
         sym, ln = ent
@@ -236,8 +247,12 @@ def _read_prefix_code(br: _LsbReader, alphabet: int) -> _Prefix:
 def _build_dist_map() -> list[tuple[int, int]]:
     """§4.2.2: the 120 closest (dx, dy) neighbors, ordered by squared
     euclidean distance, ties by larger dy then positive-dx-first —
-    generated from the rule (reproduces the published table prefix)."""
-    cand = [(dx, dy) for dy in range(0, 9) for dx in range(-8, 9)
+    generated from the rule.  The plane-code encoding (dy = code >> 4
+    with dy < 8, dx = 8 - (code & 0xF)) bounds the neighborhood to
+    dy 0..7, dx -7..8 — exactly 120 candidates, so the generated list
+    reproduces libwebp's kCodeToPlaneCodes in full (pinned entry-by-
+    entry in tests/test_webp.py against the published table)."""
+    cand = [(dx, dy) for dy in range(0, 8) for dx in range(-7, 9)
             if dy > 0 or dx > 0]
     cand.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1],
                              0 if p[0] > 0 else 1, abs(p[0])))
@@ -284,6 +299,16 @@ def _decode_entropy_image(br: _LsbReader, w: int, h: int,
         meta = (meta_img[:, :, 1].astype(np.int64) << 8) \
             | meta_img[:, :, 2].astype(np.int64)
         n_groups = int(meta.max()) + 1
+        # guard BEFORE allocating (same discipline as the pixel-count
+        # gate below): a crafted meta image can demand up to 65536 code
+        # groups (5 prefix tables each) from a ~100 KB file — an
+        # executor-hanging DoS on the untrusted crawl-media path.  The
+        # group id space can't meaningfully exceed the meta pixel count,
+        # and real encoders cluster histograms to a few hundred groups.
+        if n_groups > min(mw * mh, _MAX_PREFIX_GROUPS):
+            raise ValueError(
+                f"VP8L prefix-group count {n_groups} exceeds guard "
+                f"(meta {mw}x{mh}, cap {_MAX_PREFIX_GROUPS})")
     green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
     groups = []
     for _ in range(n_groups):
@@ -379,6 +404,7 @@ def _decode_fast(br: _LsbReader, g_code: _Prefix, d_code: _Prefix,
 
     idx, acc, nbits = seed(br.bit)
     table = g_code.table
+    g_mask = g_code.mask
     g_single = g_code.single
     buf = out  # numpy uint32 vector; scalar stores are cheap
     pos = 0
@@ -394,7 +420,7 @@ def _decode_fast(br: _LsbReader, g_code: _Prefix, d_code: _Prefix,
         if g_single is not None:
             s = g_single
         else:
-            ent = table[acc & 0x7FFF]
+            ent = table[acc & g_mask]
             if ent is None:
                 raise ValueError("VP8L invalid prefix code word")
             s, ln = ent

@@ -38,48 +38,147 @@ WARC_SCHEMA = (
     "source_file string, record_seq int, record_id string, "
     "warc_type string, target_uri string, warc_date string, "
     "content_type string, http_status int, payload binary, "
-    "n_bytes long, truncated boolean"
+    "n_bytes long, truncated boolean, error string"
 )
 
 _CRLF2 = b"\r\n\r\n"
+_GZ_MAGIC = b"\x1f\x8b\x08"
 
 
-def _gzip_members(data: bytes,
-                  max_member: int = 1 << 28) -> Iterator[bytes]:
+def _gzip_members(data: bytes, max_member: int = 1 << 28,
+                  strict: bool = True) -> Iterator[tuple]:
     """Decompress a stream of concatenated gzip members one member at a
-    time (the per-record-gzip WARC convention). Each member's inflated
-    size is BOUNDED (`max_member`, default 256 MiB): a crafted member
-    expanding ~1000x must raise, not OOM the executor — the same
-    decompression-bomb guard png.py applies to IDAT."""
+    time (the per-record-gzip WARC convention), yielding
+    ``(member_bytes, None)`` per member. Each member's inflated size is
+    BOUNDED (`max_member`, default 256 MiB): a crafted member expanding
+    ~1000x must raise, not OOM the executor — the same
+    decompression-bomb guard png.py applies to IDAT.
+
+    Non-strict mode (the Spark kernel's): a corrupt member yields
+    ``(None, error_message)`` and the scan resyncs at the next gzip
+    magic, so one bad record in a ~1 GiB crawl segment costs one flagged
+    row, not the segment."""
     pos = 0
     while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
-        out = d.decompress(data[pos:], max_member + 1)
-        if len(out) > max_member:
-            raise ValueError("WARC gzip member exceeds the inflate bound")
-        if not d.eof:
-            raise ValueError("WARC gzip member truncated")
-        yield out
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
-            raise ValueError("WARC gzip stream does not advance")
+        try:
+            d = zlib.decompressobj(wbits=31)
+            out = d.decompress(data[pos:], max_member + 1)
+            if len(out) > max_member:
+                raise ValueError(
+                    "WARC gzip member exceeds the inflate bound")
+            if not d.eof:
+                raise ValueError("WARC gzip member truncated")
+            consumed = len(data) - pos - len(d.unused_data)
+            if consumed <= 0:
+                raise ValueError("WARC gzip stream does not advance")
+        except (zlib.error, ValueError) as e:
+            if strict:
+                raise
+            yield None, f"gzip member at byte {pos}: {e}"
+            nxt = data.find(_GZ_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        yield out, None
         pos += consumed
 
 
-def parse_warc(data: bytes, max_payload: int = 1 << 20) -> list[dict]:
+def _parse_record(chunk: bytes, pos: int,
+                  max_payload: int) -> tuple[dict, int]:
+    """One WARC record at `chunk[pos:]` -> (record dict, next pos).
+    Raises ValueError on any malformation; the caller decides whether
+    that aborts the file (strict) or becomes a flagged row (tolerant)."""
+    n = len(chunk)
+    head_end = chunk.find(_CRLF2, pos)
+    if head_end < 0 or head_end - pos > 65536:
+        raise ValueError("WARC record header missing or oversized")
+    head = chunk[pos:head_end].decode("latin-1")
+    lines = head.split("\r\n")
+    if not lines[0].startswith("WARC/"):
+        raise ValueError(
+            f"WARC version line expected, got {lines[0][:20]!r}")
+    hdrs = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        hdrs[k.strip().lower()] = v.strip()
+    try:
+        clen = int(hdrs["content-length"])
+    except (KeyError, ValueError):
+        raise ValueError("WARC record missing Content-Length") from None
+    if clen < 0 or head_end + 4 + clen > n:
+        raise ValueError("WARC Content-Length overruns the file")
+    block = chunk[head_end + 4:head_end + 4 + clen]
+    pos = head_end + 4 + clen
+    wtype = hdrs.get("warc-type", "")
+    ctype = hdrs.get("content-type", "")
+    status = None
+    payload = block
+    if ctype.startswith("application/http"):
+        split = block.find(_CRLF2)
+        if split >= 0:
+            http_head = block[:split].decode("latin-1", errors="replace")
+            payload = block[split + 4:]
+            hl = http_head.split("\r\n")
+            parts = hl[0].split()
+            if len(parts) >= 2 and parts[0].startswith("HTTP/"):
+                try:
+                    status = int(parts[1])
+                except ValueError:
+                    status = None
+            for ln in hl[1:]:
+                k, _, v = ln.partition(":")
+                if k.strip().lower() == "content-type":
+                    ctype = v.strip()
+    n_bytes = len(payload)
+    truncated = n_bytes > max_payload
+    return dict(
+        record_id=hdrs.get("warc-record-id", ""),
+        warc_type=wtype,
+        target_uri=hdrs.get("warc-target-uri"),
+        warc_date=hdrs.get("warc-date"),
+        content_type=ctype,
+        http_status=status,
+        payload=payload[:max_payload],
+        n_bytes=n_bytes,
+        truncated=truncated,
+        error=None,
+    ), pos
+
+
+def _error_rec(msg: str) -> dict:
+    return dict(record_id="", warc_type="parse-error", target_uri=None,
+                warc_date=None, content_type="", http_status=None,
+                payload=b"", n_bytes=0, truncated=False, error=msg)
+
+
+def parse_warc(data: bytes, max_payload: int = 1 << 20,
+               strict: bool = True) -> list[dict]:
     """WARC bytes (plain or gzip-membered) -> list of record dicts with
     the WARC_SCHEMA fields (minus source_file/record_seq, the reader's).
 
     Defensive the way the image codecs are: header section capped, a
     missing/absurd Content-Length is a named error, payloads truncate at
     `max_payload` with the flag set — a crafted record cannot expand past
-    its declared length or buffer unboundedly in an executor."""
+    its declared length or buffer unboundedly in an executor.
+
+    `strict=False` (how the Spark kernel runs it): real crawl segments
+    routinely contain a few corrupt records, and all-or-nothing parsing
+    would discard a ~1 GiB segment — or, in the checkpointed streaming
+    ingest, poison the query since the failing file is retried every
+    restart. Tolerant mode emits ONE flagged row per failure
+    (warc_type='parse-error', error=<reason>) and resyncs at the next
+    ``\\r\\nWARC/`` marker (plain files) or gzip magic (membered files);
+    only a file with nothing parseable yields only error rows."""
     if data[:2] == b"\x1f\x8b":
-        chunks = _gzip_members(data)
+        chunks = _gzip_members(data, strict=strict)
     else:
-        chunks = iter([data])
+        chunks = iter([(data, None)])
     out: list[dict] = []
-    for chunk in chunks:
+    for chunk, cerr in chunks:
+        if cerr is not None:
+            out.append(_error_rec(cerr))
+            continue
         pos = 0
         n = len(chunk)
         while pos < n:
@@ -88,61 +187,18 @@ def parse_warc(data: bytes, max_payload: int = 1 << 20) -> list[dict]:
                 pos += 2
             if pos >= n:
                 break
-            head_end = chunk.find(_CRLF2, pos)
-            if head_end < 0 or head_end - pos > 65536:
-                raise ValueError("WARC record header missing or oversized")
-            head = chunk[pos:head_end].decode("latin-1")
-            lines = head.split("\r\n")
-            if not lines[0].startswith("WARC/"):
-                raise ValueError(
-                    f"WARC version line expected, got {lines[0][:20]!r}")
-            hdrs = {}
-            for ln in lines[1:]:
-                k, _, v = ln.partition(":")
-                hdrs[k.strip().lower()] = v.strip()
             try:
-                clen = int(hdrs["content-length"])
-            except (KeyError, ValueError):
-                raise ValueError("WARC record missing Content-Length") \
-                    from None
-            if clen < 0 or head_end + 4 + clen > n:
-                raise ValueError("WARC Content-Length overruns the file")
-            block = chunk[head_end + 4:head_end + 4 + clen]
-            pos = head_end + 4 + clen
-            wtype = hdrs.get("warc-type", "")
-            ctype = hdrs.get("content-type", "")
-            status = None
-            payload = block
-            if ctype.startswith("application/http"):
-                split = block.find(_CRLF2)
-                if split >= 0:
-                    http_head = block[:split].decode("latin-1",
-                                                     errors="replace")
-                    payload = block[split + 4:]
-                    hl = http_head.split("\r\n")
-                    parts = hl[0].split()
-                    if len(parts) >= 2 and parts[0].startswith("HTTP/"):
-                        try:
-                            status = int(parts[1])
-                        except ValueError:
-                            status = None
-                    for ln in hl[1:]:
-                        k, _, v = ln.partition(":")
-                        if k.strip().lower() == "content-type":
-                            ctype = v.strip()
-            n_bytes = len(payload)
-            truncated = n_bytes > max_payload
-            out.append(dict(
-                record_id=hdrs.get("warc-record-id", ""),
-                warc_type=wtype,
-                target_uri=hdrs.get("warc-target-uri"),
-                warc_date=hdrs.get("warc-date"),
-                content_type=ctype,
-                http_status=status,
-                payload=payload[:max_payload],
-                n_bytes=n_bytes,
-                truncated=truncated,
-            ))
+                rec, pos = _parse_record(chunk, pos, max_payload)
+            except ValueError as e:
+                if strict:
+                    raise
+                out.append(_error_rec(f"record at byte {pos}: {e}"))
+                nxt = chunk.find(b"\r\nWARC/", pos + 1)
+                if nxt < 0:
+                    break
+                pos = nxt + 2
+                continue
+            out.append(rec)
     return out
 
 
@@ -159,7 +215,8 @@ def warc_kernel(max_payload: int = 1 << 20):
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 for i, rec in enumerate(parse_warc(bytes(content),
-                                                   max_payload)):
+                                                   max_payload,
+                                                   strict=False)):
                     rows.append(dict(source_file=fpath, record_seq=i,
                                      **rec))
             yield pd.DataFrame(rows, columns=cols)

@@ -329,3 +329,21 @@ def test_app14_transform_byte_parsed():
     g0 = decode_gray_jpeg(encode_cmyk_jpeg(cmyk, quality=98, transform=0))
     g2 = decode_gray_jpeg(encode_cmyk_jpeg(cmyk, quality=98, transform=2))
     assert np.abs(g0.astype(int) - g2.astype(int)).max() <= 6
+
+
+def test_cmyk_no_app14_is_direct_ink():
+    """4-component JPEG WITHOUT an APP14 marker: non-Adobe convention
+    stores ink DIRECT (not inverted) — the decoder must not apply the
+    Adobe inversion, or every such file comes out luma-flipped."""
+    from sparkstract.functions.jpeg import encode_cmyk_jpeg
+
+    rgb = np.zeros((40, 56, 3))
+    rgb[:, :, 0] = np.linspace(20, 220, 56)[None, :]
+    rgb[:, :, 1] = np.linspace(40, 220, 40)[:, None]
+    rgb[:, :, 2] = 120.0
+    cmyk = _cmyk_from_rgb(rgb)
+    data = encode_cmyk_jpeg(cmyk, quality=95, transform=None)
+    assert b"Adobe" not in data
+    got = decode_gray_jpeg(data)
+    err = np.abs(got.astype(np.float64) - _luma(rgb))
+    assert err.max() <= 4.0, err.max()

@@ -171,3 +171,51 @@ def test_stream_warc_ingest_two_arrivals(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 7
     assert df.filter("warc_type = 'response'").count() == 4
+
+
+# ------------------------------------------------- per-record fault tolerance
+
+
+def test_tolerant_mode_recovers_after_bad_record_plain():
+    """One malformed record mid-file costs one flagged row, not the
+    segment: records after the resync point still come out intact."""
+    good = encode_warc(_recs(), gzip_members=False)
+    bad = b"WARC/1.0\r\nWARC-Type: junk\r\n\r\n"  # no Content-Length
+    # splice the bad record between record 0 and the rest
+    first_end = good.find(b"\r\n\r\nWARC/") + 4
+    data = good[:first_end] + bad + good[first_end:]
+    with pytest.raises(ValueError):
+        parse_warc(data)  # strict default unchanged
+    got = parse_warc(data, strict=False)
+    types = [g["warc_type"] for g in got]
+    assert types == ["warcinfo", "parse-error", "response", "request",
+                     "response", "response"]
+    assert "Content-Length" in got[1]["error"]
+    assert all(g["error"] is None for g in got if g["warc_type"]
+               != "parse-error")
+
+
+def test_tolerant_mode_recovers_after_bad_gzip_member():
+    """A corrupt gzip member yields one error row and the scan resyncs at
+    the next member's magic."""
+    members = [encode_warc([r], gzip_members=True) for r in _recs()]
+    corrupt = bytearray(members[1])
+    corrupt[12] ^= 0xFF  # damage the deflate stream
+    data = members[0] + bytes(corrupt) + members[2]
+    got = parse_warc(data, strict=False)
+    types = [g["warc_type"] for g in got]
+    assert types[0] == "warcinfo"
+    assert "parse-error" in types
+    assert types[-1] == "request"
+    err = next(g for g in got if g["warc_type"] == "parse-error")
+    assert "gzip member" in err["error"]
+
+
+def test_tolerant_mode_truncated_tail():
+    """A truncated final record is flagged; earlier records survive."""
+    good = encode_warc(_recs()[:2], gzip_members=False)
+    data = good[:-30]
+    got = parse_warc(data, strict=False)
+    assert got[0]["warc_type"] == "warcinfo"
+    assert got[-1]["warc_type"] == "parse-error"
+    assert "overruns" in got[-1]["error"]

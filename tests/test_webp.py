@@ -57,6 +57,25 @@ _SPEC_DIST_PREFIX = [
     (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
 ]
 
+# Full 120-entry published plane-code table (libwebp kCodeToPlaneCodes /
+# RFC 9649 §4.2.2) — each code packs dy = code >> 4, dx = 8 - (code & 0xF).
+# Pinned in FULL so a generation-rule drift anywhere in the table (not
+# just the prefix) fails loudly.
+_SPEC_PLANE_CODES = [
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+    0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+    0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+    0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+    0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+    0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+    0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
+    0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+    0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+    0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+    0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+    0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
+]
+
 
 def test_distance_map_matches_spec_prefix():
     assert _DIST_MAP[:24] == _SPEC_DIST_PREFIX
@@ -64,6 +83,11 @@ def test_distance_map_matches_spec_prefix():
     assert len(set(_DIST_MAP)) == 120
     # every entry is a causal neighbor (above, or left on the same row)
     assert all(dy > 0 or dx > 0 for dx, dy in _DIST_MAP)
+
+
+def test_distance_map_matches_published_table_in_full():
+    want = [(8 - (c & 0xF), c >> 4) for c in _SPEC_PLANE_CODES]
+    assert _DIST_MAP == want
 
 
 def test_lz77_value_mapping():
@@ -544,3 +568,25 @@ def test_inv_predictor_fast_equals_reference():
         a = _inv_predictor(res.copy(), modes, sb)
         b = _inv_predictor_ref(res.copy(), modes, sb)
         assert (a == b).all(), (trial, h, w, sb)
+
+
+def test_meta_prefix_group_count_guard():
+    """A crafted meta image claiming 65536 code groups (group id 0xFFFF
+    from a 1x1 meta image) must raise BEFORE building 5 prefix tables per
+    group — the executor-hanging-DoS guard on the crawl-media path."""
+    bw = _LsbWriter()
+    _header(bw, 4, 4)
+    bw.write(0, 1)               # no transforms
+    bw.write(0, 1)               # no color cache
+    bw.write(1, 1)               # meta prefix image PRESENT
+    bw.write(0, 3)               # meta_bits = 2 -> 1x1 meta image
+    # the 1x1 meta image itself (is_main=False): no cache, 5 simple codes;
+    # its pixel decodes to r=255, g=255 -> group id (r<<8)|g = 0xFFFF
+    bw.write(0, 1)               # meta image: no color cache
+    _write_simple_code(bw, 255)  # green (group id low byte)
+    _write_simple_code(bw, 255)  # red (group id high byte)
+    _write_simple_code(bw, 0)    # blue
+    _write_simple_code(bw, 255)  # alpha
+    _write_simple_code(bw, 0)    # distance
+    with pytest.raises(ValueError, match="prefix-group count"):
+        decode_vp8l(bw.bytes())
