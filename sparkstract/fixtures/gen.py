@@ -72,7 +72,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_inline_image_page", "webp_page",
                   "pdf_encrypted_page", "cmyk_jpeg_page",
                   "pdf_ccitt_page", "tiled_tiff_page",
-                  "interlaced_png_page"):
+                  "interlaced_png_page", "pdf_aes_page",
+                  "pdf_aes256_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -435,7 +436,8 @@ PAGE_FAMILIES = [
     "cjk_page", "cjk_vertical_page", "spanned_table_page",
     "pdf_rotated_page", "pdf_inline_image_page", "webp_page",
     "pdf_encrypted_page", "cmyk_jpeg_page", "pdf_ccitt_page",
-    "tiled_tiff_page", "interlaced_png_page",
+    "tiled_tiff_page", "interlaced_png_page", "pdf_aes_page",
+    "pdf_aes256_page",
 ]
 
 
@@ -636,6 +638,24 @@ class _Builder:
             payload = encode_simple_pdf(
                 [[("text", 72, 700 - 16 * i, 12, ln)
                   for i, ln in enumerate(lines)]], encrypt=True)
+            blocks = [TruthBlock("flowing_text", "\n".join(lines))]
+            img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
+        elif family in ("pdf_aes_page", "pdf_aes256_page"):
+            # AES standard-security-handler PDFs — the post-2008 encrypted
+            # shape (RC4 was deprecated in ISO 32000): AESV2 (/V 4 R4,
+            # 128-bit CBC) and AESV3 (/V 5 R6, 256-bit with the
+            # algorithm-2.B KDF), both with the EMPTY user password; the
+            # reader must authenticate /U, unwrap the file key, and CBC-
+            # decrypt every IV-prefixed stream (functions/pdfcrypt.py)
+            from ..functions.pdf import encode_simple_pdf
+            from .render import TruthBlock
+
+            cap = lambda s: " ".join(w.capitalize() for w in s.split())  # noqa: E731
+            lines = [cap(ln) for ln in _lines(self.rng, 3, 28)]
+            mode = "aes128" if family == "pdf_aes_page" else "aes256"
+            payload = encode_simple_pdf(
+                [[("text", 72, 700 - 16 * i, 12, ln)
+                  for i, ln in enumerate(lines)]], encrypt=mode)
             blocks = [TruthBlock("flowing_text", "\n".join(lines))]
             img = np.empty((792, 612), dtype=np.uint8)  # media w/h metadata
         elif family == "pdf_inline_image_page":

@@ -104,10 +104,12 @@ def encode_simple_pdf(pages: list[list[tuple]],
     as 2-byte hex strings, and a /ToUnicode CMap (an ASCII bfrange plus
     bfchar entries for any non-ASCII characters used).
 
-    `encrypt` writes an RC4-encrypted document (standard security handler
-    R3, 128-bit, EMPTY user password — the restrict-permissions shape, see
-    functions/pdfcrypt.py): every stream body is encrypted with its
-    per-object key and the trailer carries /Encrypt + /ID. Classic layout
+    `encrypt` writes an encrypted document (standard security handler,
+    EMPTY user password — the restrict-permissions shape, see
+    functions/pdfcrypt.py): True or "rc4" -> R3 RC4 128-bit;
+    "aes128" -> V4/R4 AESV2; "aes256" -> V5/R6 AESV3. Every stream body
+    is encrypted with its per-object key (AES: deterministic IV prefix +
+    CBC + PKCS#7) and the trailer carries /Encrypt + /ID. Classic layout
     only (no strings appear outside streams there, so stream encryption
     covers everything the spec requires).
 
@@ -119,10 +121,16 @@ def encode_simple_pdf(pages: list[list[tuple]],
     if encrypt:
         import hashlib
 
-        from .pdfcrypt import make_encryption, object_key, rc4
+        from .pdfcrypt import (aes_encrypt_data, make_encryption,
+                               make_encryption_aes128,
+                               make_encryption_aes256, object_key, rc4)
 
-        enc_id0 = hashlib.md5(b"sparkstract-encrypted-fixture").digest()
-        enc_vals, enc_key = make_encryption(enc_id0)
+        mode = "rc4" if encrypt is True else encrypt
+        enc_id0 = hashlib.md5(
+            f"sparkstract-encrypted-fixture-{mode}".encode()).digest()
+        maker = {"rc4": make_encryption, "aes128": make_encryption_aes128,
+                 "aes256": make_encryption_aes256}[mode]
+        enc_vals, enc_key = maker(enc_id0)
     w, h = page_size
     objs: list[bytes] = []  # body of object i+1
 
@@ -132,7 +140,16 @@ def encode_simple_pdf(pages: list[list[tuple]],
 
     def add_stream(d: str, raw: bytes) -> int:
         if enc_key is not None:
-            raw = rc4(object_key(enc_key, len(objs) + 1, 0), raw)
+            num = len(objs) + 1
+            method = enc_vals["method"]
+            if method == "rc4":
+                raw = rc4(object_key(enc_key, num, 0), raw)
+            else:
+                import hashlib as _h
+                ok = (enc_key if method == "aesv3"
+                      else object_key(enc_key, num, 0, aes=True))
+                iv = _h.md5(b"sparkstract-iv" + bytes([num])).digest()
+                raw = aes_encrypt_data(ok, iv, raw)
         return add(f"<< {d} /Length {len(raw)} >>\nstream\n".encode()
                    + raw + b"\nendstream")
 
@@ -245,7 +262,7 @@ def encode_simple_pdf(pages: list[list[tuple]],
                 f"<< /Filter /Standard /V {enc_vals['V']} /R {enc_vals['R']}"
                 f" /Length {enc_vals['Length']} /P {enc_vals['P']}"
                 f" /O <{enc_vals['O'].hex()}> /U <{enc_vals['U'].hex()}>"
-                f" >>".encode())
+                f"{enc_vals['extra']} >>".encode())
             extra_trailer = (f" /Encrypt {encnum} 0 R"
                              f" /ID [<{enc_id0.hex()}> <{enc_id0.hex()}>]")
         out = bytearray(b"%PDF-1.4\n")
@@ -499,15 +516,16 @@ _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 ADVANCE = 0.6  # Courier-style fixed advance, fraction of font size
 
 
-def _decrypt_val(v, rc4, key):
-    """Recursively RC4-decrypt every string leaf of a parsed PDF value
+def _decrypt_val(v, fn, key):
+    """Recursively decrypt every string leaf of a parsed PDF value with
+    fn(key, bytes) — RC4 or IV-prefixed AES-CBC per the handler's method
     (§7.6.2: strings and streams are encrypted; names/numbers are not)."""
     if isinstance(v, bytes):
-        return rc4(key, v)
+        return fn(key, v)
     if isinstance(v, list):
-        return [_decrypt_val(x, rc4, key) for x in v]
+        return [_decrypt_val(x, fn, key) for x in v]
     if isinstance(v, dict):
-        return {k: _decrypt_val(x, rc4, key) for k, x in v.items()}
+        return {k: _decrypt_val(x, fn, key) for k, x in v.items()}
     return v
 
 
@@ -516,14 +534,15 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
     if data[:5] != b"%PDF-":
         raise ValueError("not a PDF")
     offsets, trailer = _xref(data)
-    # RC4 standard-security-handler decryption (§7.6.3): the key derives
+    # Standard-security-handler decryption (§7.6.3): the key derives
     # from the EMPTY user password — the restrict-permissions shape real
     # generators emit — authenticated against /U before anything decrypts;
-    # a real user password / AES raises a named error (pdfcrypt.reader_key).
+    # RC4 (V1/V2), AESV2 (V4) and AESV3 (V5 R5/R6) are all handled
+    # (pdfcrypt.reader_key); a real user password raises a named error.
     # crypt["key"] stays None until the /Encrypt dict itself has been
     # fetched, so that dict and the trailer's /ID are read plaintext (both
     # exempt per §7.6.2); xref streams decode in _xref, also exempt.
-    crypt: dict = {"key": None}
+    crypt: dict = {"key": None, "method": None}
 
     cache: dict[int, object] = {}
     objstm_cache: dict[int, tuple[bytes, dict[int, int], int]] = {}
@@ -577,14 +596,15 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
                     raw = data[lx.i:lx.i + length]
                     val = ("stream", val, raw)
                 if crypt["key"] is not None:
-                    from .pdfcrypt import object_key, rc4
+                    from .pdfcrypt import decryptor
 
-                    ok = object_key(crypt["key"], num, gen)
+                    fn, ok = decryptor(crypt["key"], crypt["method"],
+                                       num, gen)
                     if isinstance(val, tuple) and val[0] == "stream":
-                        val = ("stream", _decrypt_val(val[1], rc4, ok),
-                               rc4(ok, val[2]))
+                        val = ("stream", _decrypt_val(val[1], fn, ok),
+                               fn(ok, val[2]))
                     else:
-                        val = _decrypt_val(val, rc4, ok)
+                        val = _decrypt_val(val, fn, ok)
             else:                                   # ("objstm", cnum, idx)
                 body, offs, first = load_objstm(ent[1])
                 if num not in offs:
@@ -611,7 +631,8 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
         ids = trailer.get("/ID")
         id0 = (ids[0] if isinstance(ids, list) and ids
                and isinstance(ids[0], bytes) else b"")
-        crypt["key"] = reader_key(deref(trailer["/Encrypt"]), id0, deref)
+        crypt["key"], crypt["method"] = reader_key(
+            deref(trailer["/Encrypt"]), id0, deref)
 
     root = deref(trailer["/Root"])
     pages: list[PdfPage] = []
