@@ -889,10 +889,19 @@ def _filter_chain(filters: list, raw: bytes, parms: list | None = None,
             raw = _ascii85_decode(raw)
         elif f in ("/RunLengthDecode", "/RL"):
             raw = _rle_decode(raw)
+        elif f == "/JPXDecode":
+            # JPEG 2000 (ISO 15444): wavelet + EBCOT arithmetic coding — a
+            # full second codec family, named out of scope like lossy VP8
+            raise ValueError("PDF filter /JPXDecode (JPEG 2000): "
+                             "out of scope")
+        elif f == "/JBIG2Decode":
+            # image-only filter; decoded at the image seam (_decode_image)
+            raise ValueError("PDF filter /JBIG2Decode outside an image "
+                             "XObject: not valid")
         else:
             raise ValueError(
                 f"PDF filter {f}: out of scope (none/Flate/LZW/ASCIIHex/"
-                "ASCII85/RunLength supported; DCT on images)")
+                "ASCII85/RunLength supported; DCT/CCITTFax/JBIG2 on images)")
         if pm:
             raw = _apply_predictor(pm, raw, deref)
     return raw
@@ -961,6 +970,9 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
                 and float(deref(dec[0])) == 1.0:
             gray = 255 - gray          # /Decode [1 0] inverts
         return gray
+    if filters and filters[-1] == "/JBIG2Decode":
+        # placeholder until the JBIG2 decoder lands (this round)
+        raise ValueError("PDF image /JBIG2Decode: out of scope")
     cs = deref(d.get("/ColorSpace", "/DeviceGray"))
     if deref(d.get("/BitsPerComponent", 8)) != 8 \
             or cs not in ("/DeviceGray", "/DeviceRGB"):

@@ -42,8 +42,18 @@ the CCITT family ships with.
 from __future__ import annotations
 
 import heapq
+from collections import Counter
 
 import numpy as np
+
+# Per-worker decode-shape telemetry: which entropy-image path each main
+# image took. "fast" is the bit-buffer loop; everything else falls back to
+# the per-pixel generic loop, whose cost is ~6x — a hostile crawl segment
+# full of meta-prefix/cache-heavy streams shows up HERE as a number instead
+# of as an unexplained slowdown. Counters are per Python worker process;
+# operators/multimodal.media_decode_report() aggregates them Spark-side.
+SHAPE_COUNTS: Counter = Counter()
+_LAST_SHAPE: list[str] = ["generic"]
 
 # ---------------------------------------------------------------- bit I/O
 
@@ -324,6 +334,10 @@ def _decode_entropy_image(br: _LsbReader, w: int, h: int,
     n = w * h
     if n > (1 << 26):
         raise ValueError("VP8L image too large")  # guard BEFORE allocating
+    if is_main:  # decode-shape telemetry (see SHAPE_COUNTS)
+        parts = (["meta"] if meta is not None else []) \
+            + (["cache"] if cache is not None else [])
+        _LAST_SHAPE[0] = "+".join(parts) if parts else "generic"
     out = np.zeros(n, dtype=np.uint32)
     pos = 0
     if _FAST and meta is None and cache is None:
@@ -333,6 +347,8 @@ def _decode_entropy_image(br: _LsbReader, w: int, h: int,
             # the dominant shape (and the whole gray-page fixture family):
             # one code group, no cache, constant aux channels — decode in
             # the bit-buffer fast loop (~6x the generic per-pixel path)
+            if is_main:
+                _LAST_SHAPE[0] = "fast"
             _decode_fast(br, g_code, d_code, out, n, w,
                          (a_code.single << 24) | (r_code.single << 16)
                          | b_code.single)
@@ -763,6 +779,7 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
             elif n_colors <= 16:
                 xsize = (xsize + 1) >> 1
     argb = _decode_entropy_image(br, xsize, h, True)
+    SHAPE_COUNTS[_LAST_SHAPE[0]] += 1
     for t in reversed(transforms):
         if t[0] == "predictor":
             argb = _inv_predictor(argb, t[1], t[2])

@@ -86,6 +86,68 @@ def thumbnails(media: DataFrame, max_side: int = 64) -> DataFrame:
         kernel, schema=THUMBNAIL_SCHEMA)
 
 
+DECODE_REPORT_SCHEMA = "format string, shape string, n long"
+
+
+def media_decode_report(media: DataFrame) -> DataFrame:
+    """Decode-path telemetry over a media column: one row per (container
+    format, decode shape) with counts. For VP8L the shape is which entropy-
+    decode path ran ("fast" bit-buffer loop vs the ~6x-slower per-pixel
+    "generic"/"meta"/"cache" fallbacks) — a hostile crawl segment whose
+    streams all dodge the fast loop shows up here as a number, not as an
+    unexplained slowdown. Decode errors are counted, never raised (this is
+    the diagnostics lane over untrusted bytes). Map-side per-partition
+    counts, one tiny groupBy — scales like any counting aggregate."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import webp
+        from ..functions.codecs import decode_gray_any
+
+        for pdf in batches:
+            counts: dict[tuple[str, str], int] = {}
+            for blob in pdf["image"]:
+                data = bytes(blob)
+                fmt = _sniff(data)
+                webp.SHAPE_COUNTS.clear()
+                try:
+                    decode_gray_any(data)
+                    shape = next(iter(webp.SHAPE_COUNTS), "") \
+                        if fmt == "webp" else ""
+                except (ValueError, NotImplementedError) as e:
+                    shape = f"error: {str(e)[:60]}"
+                key = (fmt, shape)
+                counts[key] = counts.get(key, 0) + 1
+            yield pd.DataFrame(
+                [(f, s, n) for (f, s), n in counts.items()],
+                columns=["format", "shape", "n"])
+
+    import pyspark.sql.functions as F
+
+    return (media.select("image").mapInPandas(kernel,
+                                              schema=DECODE_REPORT_SCHEMA)
+            .groupBy("format", "shape").agg(F.sum("n").alias("n")))
+
+
+def _sniff(data: bytes) -> str:
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:1] == b"P" and data[1:2] in b"123456":
+        return "pnm"
+    if data[:5] == b"%PDF-":
+        return "pdf"
+    return "unknown"
+
+
 def decode_audio(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
     """STUB: audio decode (no codec libs in this container). The production
     shape: mapInPandas over (media_ref, bytes) → (media_ref, sample_rate,

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -480,3 +482,23 @@ def test_html_metadata_fields(spark):
     assert row["d"]["lang"] == "en-us"
     assert row["d"]["canonical"] == "https://x.y/p"
     assert row["e"]["title"] == "" and row["e"]["lang"] == ""
+
+
+def test_media_decode_report(spark, fixture_set):
+    from sparkstract.functions.webp import encode_gray_webp
+
+    _, media, _ = fixture_set.to_spark(spark)
+    media = media.limit(4)
+    # add one webp (fast-shape) and one undecodable blob
+    img = np.tile(np.arange(64, dtype=np.uint8), (16, 1))
+    extra = spark.createDataFrame(
+        [("m_webp", bytearray(encode_gray_webp(img))),
+         ("m_bad", bytearray(b"\x00garbage-bytes"))],
+        "media_ref string, image binary")
+    rep = {(r["format"], r["shape"]): r["n"]
+           for r in multimodal.media_decode_report(
+               media.select("media_ref", "image").union(extra)).collect()}
+    assert rep[("webp", "fast")] == 1
+    assert any(f == "unknown" and s.startswith("error:")
+               for (f, s) in rep)
+    assert sum(rep.values()) == 6

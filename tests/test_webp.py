@@ -590,3 +590,23 @@ def test_meta_prefix_group_count_guard():
     _write_simple_code(bw, 0)    # distance
     with pytest.raises(ValueError, match="prefix-group count"):
         decode_vp8l(bw.bytes())
+
+
+def test_shape_counter_tracks_decode_path():
+    from sparkstract.functions import webp as W
+
+    img = np.tile(np.arange(64, dtype=np.uint8), (16, 1))
+    data = encode_gray_webp(img)
+    W.SHAPE_COUNTS.clear()
+    decode_webp(data)
+    # fixture encoder emits the single-group/no-cache/constant-aux shape
+    assert W.SHAPE_COUNTS == {"fast": 1}
+    # force the generic per-pixel fallback: same stream, fast loop off
+    W.SHAPE_COUNTS.clear()
+    orig = W._FAST
+    try:
+        W._FAST = False
+        decode_webp(data)
+    finally:
+        W._FAST = orig
+    assert W.SHAPE_COUNTS == {"generic": 1}
