@@ -73,7 +73,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_encrypted_page", "cmyk_jpeg_page",
                   "pdf_ccitt_page", "tiled_tiff_page",
                   "interlaced_png_page", "pdf_aes_page",
-                  "pdf_aes256_page"):
+                  "pdf_aes256_page", "webp_lossy_page",
+                  "webp_vp8x_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -437,7 +438,7 @@ PAGE_FAMILIES = [
     "pdf_rotated_page", "pdf_inline_image_page", "webp_page",
     "pdf_encrypted_page", "cmyk_jpeg_page", "pdf_ccitt_page",
     "tiled_tiff_page", "interlaced_png_page", "pdf_aes_page",
-    "pdf_aes256_page",
+    "pdf_aes256_page", "webp_lossy_page", "webp_vp8x_page",
 ]
 
 
@@ -792,6 +793,28 @@ class _Builder:
 
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_gray_webp(img)
+        elif family == "webp_lossy_page":
+            # lossy VP8 key-frame WEBP — the MAJORITY crawl-media shape
+            # (baseapi.cpp:881 ingests it via Leptonica's sniff). qi=8
+            # keeps glyphs Otsu-separable like jpeg_page's q=95, so truth
+            # is the plain page's; B_PRED/skip/loop-filter paths are all
+            # exercised at these settings.
+            from ..functions.vp8 import encode_webp_vp8
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_webp_vp8(img, qi=8, filter_level=8)
+        elif family == "webp_vp8x_page":
+            # extended (VP8X) WEBP: lossy VP8 frame + raw ALPH alpha that
+            # blanks a border strip (composited onto white) + a skipped
+            # EXIF chunk — the feature-flag container layout.
+            from ..functions.vp8 import encode_webp_vp8x
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            alpha = np.full(img.shape, 255, np.uint8)
+            alpha[:4, :] = 0    # margin strip, no glyphs there
+            payload = encode_webp_vp8x(img, alpha=alpha, qi=8,
+                                       filter_level=8,
+                                       exif=b"Exif\x00\x00II*\x00")
         else:
             img, blocks = render_page(page_spec(family, self.rng))
             payload = encode_gray(img)

@@ -10,9 +10,10 @@ media ref — the ProcessPagesMultipageTiff contract (baseapi.cpp:1657):
 downstream block order runs page 1's blocks, then page 2's, in file order.
 Baseline AND progressive JPEG (incl. color: luma-only reconstruction,
 non-luma progressive scans skipped wholesale) are decoded by
-functions/jpeg.py; lossless WEBP (VP8L, RFC 9649) by functions/webp.py —
-lossy VP8 / extended VP8X raise a NAMED out-of-scope error inside that
-module so a user hits a clear seam, not a silent drop.
+functions/jpeg.py; WEBP by functions/webp.py — lossless VP8L (RFC 9649),
+lossy VP8 key frames (RFC 6386, functions/vp8.py — see its table-pack
+provenance note), and the extended VP8X container (raw alpha composited,
+EXIF/XMP/ICCP skipped, animation a NAMED out-of-scope error).
 """
 
 from __future__ import annotations
@@ -52,7 +53,7 @@ def decode_pages(data: bytes) -> list[np.ndarray]:
                          "(functions/pdf.py born-digital path)")
     raise ValueError(
         "unsupported image format "
-        "(PNG, TIFF, PNM, BMP, JPEG, GIF, WEBP-lossless supported)")
+        "(PNG, TIFF, PNM, BMP, JPEG, GIF, WEBP supported)")
 
 
 def decode_gray_any(data: bytes) -> np.ndarray:

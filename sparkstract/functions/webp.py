@@ -7,8 +7,10 @@ WEBP at double-digit percentages, so the codec-dispatch seam
 (functions/codecs.py) must read it. VP8L is a self-contained bitstream
 (LSB-first bit packing, DEFLATE-style canonical prefix codes, LZ77 with a
 2D distance map, four invertible transforms) — no DCT, so a from-scratch
-implementation at the ccitt.py quality bar is feasible. Lossy VP8 and
-extended VP8X stay named out-of-scope errors at the dispatch seam.
+implementation at the ccitt.py quality bar is feasible. Lossy VP8 decodes
+through functions/vp8.py (RFC 6386 key frames); the extended VP8X
+container is walked here (_decode_vp8x: raw ALPH composite, EXIF/XMP/ICCP
+skipped, ANIM a named error).
 
 Decode support (RFC 9649 §3-§5):
   * all four transforms: predictor (14 modes, per-block sub-image), color
@@ -811,13 +813,72 @@ def decode_webp(data: bytes) -> np.ndarray:
                 return g.astype(np.uint8)
             return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
         if tag == b"VP8 ":
-            raise ValueError("lossy WEBP (VP8): out of scope "
-                             "(lossless VP8L supported)")
+            from .vp8 import decode_vp8
+
+            SHAPE_COUNTS["vp8-lossy"] += 1
+            return decode_vp8(body)
         if tag == b"VP8X":
-            raise ValueError("extended WEBP (VP8X): out of scope "
-                             "(plain lossless VP8L supported)")
+            return _decode_vp8x(data[pos + 8 + size + (size & 1):], body)
         pos += 8 + size + (size & 1)
     raise ValueError("WEBP container has no image chunk")
+
+
+def _decode_vp8x(rest: bytes, header: bytes) -> np.ndarray:
+    """Extended (VP8X) container: canvas header, then feature chunks.
+    ICCP/EXIF/XMP are skipped; ANIM/ANMF raise a named out-of-scope
+    error; a raw (uncompressed) ALPH chunk composites onto white; a
+    compressed ALPH raises a named error."""
+    if len(header) < 10:
+        raise ValueError("VP8X header truncated")
+    w = int.from_bytes(header[4:7], "little") + 1
+    h = int.from_bytes(header[7:10], "little") + 1
+    alpha: np.ndarray | None = None
+    gray: np.ndarray | None = None
+    pos = 0
+    while pos + 8 <= len(rest):
+        tag = rest[pos:pos + 4]
+        size = int.from_bytes(rest[pos + 4:pos + 8], "little")
+        body = rest[pos + 8:pos + 8 + size]
+        if tag in (b"ANIM", b"ANMF"):
+            raise ValueError("animated WEBP (ANIM): out of scope "
+                             "(still VP8/VP8L frames supported)")
+        if tag == b"ALPH":
+            if not body:
+                raise ValueError("ALPH chunk empty")
+            if body[0] & 0x03:
+                raise ValueError("compressed WEBP alpha: out of scope "
+                                 "(raw ALPH supported)")
+            if (body[0] >> 2) & 0x03:
+                raise ValueError("filtered WEBP alpha: out of scope")
+            px = np.frombuffer(body[1:], np.uint8)
+            if px.size < w * h:
+                raise ValueError("ALPH chunk short")
+            alpha = px[:w * h].reshape(h, w)
+        elif tag == b"VP8 ":
+            from .vp8 import decode_vp8
+
+            SHAPE_COUNTS["vp8-lossy"] += 1
+            gray = decode_vp8(body)
+        elif tag == b"VP8L":
+            argb = decode_vp8l(body)
+            a, r, g, b = (argb[:, :, i].astype(np.int32) for i in range(4))
+            if ((r == g) & (g == b)).all():
+                gray = g.astype(np.uint8)
+            else:
+                gray = ((77 * r + 150 * g + 29 * b + 128) >> 8
+                        ).astype(np.uint8)
+        # ICCP / EXIF / XMP / unknown chunks: skipped
+        pos += 8 + size + (size & 1)
+    if gray is None:
+        raise ValueError("VP8X container has no image chunk")
+    if gray.shape != (h, w):
+        raise ValueError("VP8X canvas/frame size mismatch")
+    if alpha is not None:  # composite onto white, the page background
+        g32 = gray.astype(np.int64)
+        a32 = alpha.astype(np.int64)
+        gray = ((g32 * a32 + 255 * (255 - a32) + 127) // 255
+                ).astype(np.uint8)
+    return gray
 
 
 # ---------------------------------------------------------------- encode

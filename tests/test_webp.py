@@ -446,9 +446,11 @@ def test_inv_color_transform_hand_math():
 
 
 def test_container_named_errors():
-    with pytest.raises(ValueError, match="lossy WEBP"):
+    # lossy VP8 / extended VP8X are now real decode paths (functions/
+    # vp8.py); empty chunks fail with their own named truncation errors
+    with pytest.raises(ValueError, match="VP8 payload truncated"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
-    with pytest.raises(ValueError, match="extended WEBP"):
+    with pytest.raises(ValueError, match="VP8X header truncated"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8X\x00\x00\x00\x00")
     with pytest.raises(ValueError, match="not a WEBP"):
         decode_webp(b"RIFX\x10\x00\x00\x00WEBP")
