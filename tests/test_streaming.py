@@ -218,3 +218,45 @@ def test_stream_near_dedup_rejects_cross_batch_near_copy(spark, tmp_path):
     # the index holds band keys only for admitted docs
     idx_rows = spark.read.parquet(str(idx)).count()
     assert idx_rows == 3 * 4  # 3 admitted docs x 4 bands
+
+
+def test_stream_warc_ingest_matches_batch_reader(spark, tmp_path):
+    """Streaming-vs-batch parity oracle (VERDICT r4 #8): the checkpointed
+    streaming WARC ingest over fixture segments must produce EXACTLY the
+    batch reader's frame — same kernel, so any divergence would be in the
+    streaming plumbing (file listing, trigger batching, parquet append).
+    Includes a corrupt member so the tolerant path is part of parity."""
+    from tests.test_warc import _recs
+    from sparkstract.sources.warc import encode_warc, read_warc
+    from sparkstract.streaming.stream import stream_warc_ingest
+
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    (warc_dir / "seg-0.warc.gz").write_bytes(
+        encode_warc(_recs(), gzip_members=True))
+    (warc_dir / "seg-1.warc.gz").write_bytes(
+        encode_warc(_recs()[:2], gzip_members=True))
+    corrupt = bytearray(encode_warc(_recs()[2:], gzip_members=True))
+    corrupt[12] ^= 0xFF  # one damaged member -> one flagged error row
+    (warc_dir / "seg-2.warc.gz").write_bytes(bytes(corrupt))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # maxFilesPerTrigger=1 forces three micro-batches - real arrival shape
+    stream_warc_ingest(spark, str(warc_dir), out, ckpt,
+                       max_files_per_trigger=1)
+
+    def norm(df):
+        pdf = df.toPandas()
+        pdf["payload"] = pdf["payload"].map(
+            lambda b: None if b is None else bytes(b))
+        pdf["source_file"] = pdf["source_file"].str.replace(
+            r".*/", "", regex=True)
+        return (pdf.sort_values(["source_file", "record_seq"])
+                .reset_index(drop=True))
+
+    got = norm(spark.read.parquet(out))
+    want = norm(read_warc(spark, str(warc_dir)))
+    pd.testing.assert_frame_equal(got, want)
+    assert (want["warc_type"] == "parse-error").sum() == 1
+    assert len(want) > 7
