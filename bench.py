@@ -306,8 +306,27 @@ def main() -> None:
     spark.stop()
 
 
+def frozen_main() -> None:
+    """Fixed-corpus A/B lane: the extraction job over the FROZEN round-3
+    family mix (gen.R3_FROZEN_FAMILIES), so docs/s is comparable across
+    rounds while PAGE_FAMILIES grows. Run every round; record the row in
+    BENCH/BASELINE_EXTRA.md §frozen-corpus."""
+    from sparkstract.fixtures.gen import R3_FROZEN_FAMILIES, generate_corpus
+
+    replicate = int(os.environ.get("SPARKSTRACT_SCALE_REPS", "96"))
+    fs = generate_corpus(500, seed=42, heavy_every=100, heavy_pages=32,
+                         families=R3_FROZEN_FAMILIES)
+    lo = _run_extract("local[2]", fs, replicate, shuffle_parts=64)
+    top = _run_extract("local[32]", fs, replicate, shuffle_parts=64)
+    print(json.dumps(dict(bench="frozen_corpus",
+                          families=len(R3_FROZEN_FAMILIES),
+                          n=lo, top=top)))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling_main()
+    elif "--frozen" in sys.argv:
+        frozen_main()
     else:
         main()

@@ -869,12 +869,39 @@ def build_fixtures(seed: int = 42) -> FixtureSet:
     return b.build()
 
 
+# The round-3 family list, FROZEN verbatim (git b1d7915) — the fixed-
+# corpus A/B lane (`python bench.py --frozen`) measures docs/s over
+# exactly these families every round, so per-doc extraction cost is
+# comparable round-over-round even as PAGE_FAMILIES keeps growing
+# (VERDICT r4 "What's wrong" #2: corpus hardening must not silently read
+# as a throughput regression).
+R3_FROZEN_FAMILIES = (
+    "single_column", "two_column", "interleaved_order", "image_only",
+    "grid_2x2", "paragraphs", "noise_page", "empty_page",
+    "ruled_page", "table_page", "skewed_page", "rotated_page",
+    "textured_photo", "gradient_page", "contents_page", "equation_page",
+    "vertical_page", "disc_page", "tracked_page", "bowed_page",
+    "broken_page", "margin_note", "bidi_page", "rotated_rtl",
+    "inline_equation_page", "wavy_page", "ragged_page", "embedded_vertical",
+    "sparse_texture", "para_page", "tiff_page", "tiff_multipage",
+    "greek_page", "music_page", "pnm_page", "bmp_page", "jpeg_page",
+    "cyrillic_page", "exif_tiff_page", "exif_jpeg_page", "pdf_page",
+    "pdf_scanned_page", "pdf_two_column_page", "rgb_png_page",
+    "gif_page", "progressive_jpeg_page", "pdf_modern_page",
+    "pdf_cid_page", "pdf_searchable_page", "devanagari_page",
+    "smudged_page", "fuzzy_space_page", "g4_tiff_page",
+)
+
+
 def generate_corpus(n_docs: int, seed: int = 42, heavy_every: int = 200,
-                    heavy_pages: int = 32) -> FixtureSet:
+                    heavy_pages: int = 32,
+                    families: tuple[str, ...] | None = None) -> FixtureSet:
     """Bench corpus: mixed families, one media-heavy doc per `heavy_every`
-    docs (the axis-B skew that salted repartitioning must absorb)."""
+    docs (the axis-B skew that salted repartitioning must absorb).
+    `families` restricts the mix (e.g. R3_FROZEN_FAMILIES for the
+    cross-round comparable lane); default = all current families."""
     b = _Builder(seed)
-    fams = [f for f in PAGE_FAMILIES if f != "empty_page"]
+    fams = [f for f in (families or PAGE_FAMILIES) if f != "empty_page"]
     for i in range(n_docs):
         if heavy_every and i % heavy_every == heavy_every - 1:
             parts = [("media", "single_column") for _ in range(heavy_pages)]
