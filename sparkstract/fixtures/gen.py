@@ -74,7 +74,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_ccitt_page", "tiled_tiff_page",
                   "interlaced_png_page", "pdf_aes_page",
                   "pdf_aes256_page", "webp_lossy_page",
-                  "webp_vp8x_page"):
+                  "webp_vp8x_page", "pdf_jbig2_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -439,6 +439,7 @@ PAGE_FAMILIES = [
     "pdf_encrypted_page", "cmyk_jpeg_page", "pdf_ccitt_page",
     "tiled_tiff_page", "interlaced_png_page", "pdf_aes_page",
     "pdf_aes256_page", "webp_lossy_page", "webp_vp8x_page",
+    "pdf_jbig2_page",
 ]
 
 
@@ -793,6 +794,18 @@ class _Builder:
 
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_gray_webp(img)
+        elif family == "pdf_jbig2_page":
+            # /JBIG2Decode image XObject (ISO 32000 §7.4.7) — the OTHER
+            # archival scanned-PDF shape beside CCITT: striped MMR generic
+            # regions with the page-info segment in a /JBIG2Globals
+            # stream. Bit-exact on two-level ink, truth is the plain
+            # page's.
+            from ..functions.pdf import encode_simple_pdf
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_simple_pdf(
+                [[("jbig2_image", img, 0, 0)]],
+                page_size=(img.shape[1], img.shape[0]))
         elif family == "webp_lossy_page":
             # lossy VP8 key-frame WEBP — the MAJORITY crawl-media shape
             # (baseapi.cpp:881 ingests it via Leptonica's sniff). qi=8

@@ -26,9 +26,12 @@ Scope (named errors at the seam for everything else, like codecs.py):
   (2-byte CIDs, descendant /W+/DW widths, /ToUnicode CMap text mapping
   with bfchar + both bfrange shapes) — the layout every real-world
   subset-embedded font uses
-- images: XObject /Image with DCTDecode (functions/jpeg.py) or
-  filtered/raw 8-bit /DeviceGray or /DeviceRGB (BT.601 luma collapse),
-  placed via the full q/Q + cm CTM
+- images: XObject /Image with DCTDecode (functions/jpeg.py), CCITTFax
+  (functions/ccitt.py, all /K shapes), JBIG2Decode (functions/jbig2.py —
+  embedded segment stream, MMR generic regions, /JBIG2Globals honored;
+  arithmetic/symbol codings raise named errors) or filtered/raw 8-bit
+  /DeviceGray or /DeviceRGB (BT.601 luma collapse), placed via the full
+  q/Q + cm CTM; JPXDecode stays a named out-of-scope error
 - Form XObjects: nested content streams under /Matrix-composed CTMs with
   their own resources (page fallback), recursion depth-capped
 - /CropBox (inheritable, intersected with /MediaBox): geometry is
@@ -208,7 +211,7 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     f"q {iw} 0 0 {ih} {x} {y} cm "
                     f"BI /W {iw} /H {ih} /BPC 8 /CS /G /F /Fl ID "
                     + comp.decode("latin-1") + " EI Q")
-            elif el[0] in ("image", "jpeg", "g4_image"):
+            elif el[0] in ("image", "jpeg", "g4_image", "jbig2_image"):
                 arr, x, y = el[1], el[2], el[3]
                 ih, iw = arr.shape
                 extra = ""
@@ -226,6 +229,20 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     filt, bpc = "/CCITTFaxDecode", 1
                     extra = (f" /DecodeParms << /K -1 /Columns {iw} "
                              f"/Rows {ih} >>")
+                elif el[0] == "jbig2_image":
+                    # the other archival shape (§7.4.7): striped MMR
+                    # generic regions; the page-info segment rides a real
+                    # /JBIG2Globals stream so readers must honor it
+                    from .jbig2 import encode_jbig2
+
+                    full = encode_jbig2((arr < 128).astype(np.uint8),
+                                        stripes=2)
+                    split = 11 + 19          # page-info header + body
+                    gnum = add_stream("", full[:split])
+                    raw = full[split:]
+                    filt, bpc = "/JBIG2Decode", 1
+                    extra = (" /DecodeParms "
+                             f"<< /JBIG2Globals {gnum} 0 R >>")
                 else:
                     raw = zlib.compress(arr.tobytes())
                     filt, bpc = "/FlateDecode", 8
@@ -971,8 +988,27 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
             gray = 255 - gray          # /Decode [1 0] inverts
         return gray
     if filters and filters[-1] == "/JBIG2Decode":
-        # placeholder until the JBIG2 decoder lands (this round)
-        raise ValueError("PDF image /JBIG2Decode: out of scope")
+        # the other archival scanned-PDF shape (ISO 32000 §7.4.7): the
+        # embedded segment stream, MMR generic regions via the shared fax
+        # machinery (functions/jbig2.py); /JBIG2Globals carries shared
+        # segments. Arithmetic/symbol codings raise named errors inside.
+        from .jbig2 import decode_jbig2
+
+        pm = deref(parms[-1]) if parms and parms[-1] else {}
+        pm = pm if isinstance(pm, dict) else {}
+        gobj = deref(pm.get("/JBIG2Globals"))
+        gbytes = b""
+        if isinstance(gobj, tuple) and gobj and gobj[0] == "stream":
+            gfilters, gparms = _filter_list(deref(gobj[1]), deref)
+            gbytes = _filter_chain(gfilters, gobj[2], gparms, deref)
+        body = _filter_chain(filters[:-1], raw, parms[:-1], deref)
+        bits = decode_jbig2(body, gbytes)
+        gray = ((1 - bits[:h, :w]) * 255).astype(np.uint8)
+        dec = deref(d.get("/Decode"))
+        if isinstance(dec, list) and len(dec) == 2 \
+                and float(deref(dec[0])) == 1.0:
+            gray = 255 - gray          # /Decode [1 0] inverts
+        return gray
     cs = deref(d.get("/ColorSpace", "/DeviceGray"))
     if deref(d.get("/BitsPerComponent", 8)) != 8 \
             or cs not in ("/DeviceGray", "/DeviceRGB"):
