@@ -536,6 +536,21 @@ def q_extract_spans_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract(spark, docs, media, ExtractConfig(recognizer="model"))
 
 
+def q_extract_spans_model_degraded(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The second model pack — retrained with cells HARVESTED from the
+    degraded fixture families (scripts/train_recognizer_degraded.py, the
+    fast-vs-best .traineddata analog, apiexample_test.cc:89-99) — decodes
+    the same corpus to the same truth, proving the pack-retrain loop
+    end-to-end: harvest -> train -> gate -> ship -> swap via
+    ExtractConfig(recognizer='model-degraded')."""
+    from sparkstract.config import ExtractConfig
+
+    docs, media, _ = _fixture_frames(spark)
+    return extract(spark, docs, media,
+                   ExtractConfig(recognizer="model-degraded"))
+
+
 @functools.lru_cache(maxsize=1)
 def _rtl_fixture():
     """Deterministic RTL two-column page + truth (Hebrew layout_test case,
@@ -2756,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": q_extract_spans,
         "extract_spans_model": q_extract_spans_model,
+        "extract_spans_model_degraded": q_extract_spans_model_degraded,
         "extract_rtl": q_extract_rtl,
         "extract_bidi": q_extract_bidi,
         "table_cells": q_table_cells,
@@ -3144,6 +3160,7 @@ def oracle_sql() -> dict[str, str]:
         # the model-recognizer rerun is pinned against the SAME truth: a
         # green row means the swapped C11 strategy reproduced every span
         "extract_spans_model": _truth_values_sql(),
+        "extract_spans_model_degraded": _truth_values_sql(),
         "extract_rtl": f"""
             SELECT * FROM (VALUES
             {rtl_rows}

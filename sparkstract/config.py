@@ -51,10 +51,12 @@ class ExtractConfig:
     char_whitelist: str | None = None
     # C11 recognizer strategy (operators/recognizer.py): 'template' = the
     # shared-LUT hamming matcher; 'model' = the trained MLP pack loaded
-    # from fixtures/recognizer_weights.npz — the analog of choosing which
-    # .traineddata model the reference loads (TessdataManager,
-    # src/ccmain/tessedit.cpp). Both emit the same cost currency, so every
-    # downstream stage (beam, dict, OSD retries) is strategy-independent.
+    # from fixtures/recognizer_weights.npz; 'model-degraded' = the second
+    # pack retrained with degradation-harvested cells (the fast-vs-best
+    # .traineddata analog) — choosing which model the reference loads
+    # (TessdataManager, src/ccmain/tessedit.cpp). All emit the same cost
+    # currency, so every downstream stage (beam, dict, OSD retries) is
+    # strategy-independent.
     recognizer: str = "template"
     # undecodable media policy. 'span' (default): emit ONE auditable
     # kind='decode_error' block carrying the exception text and keep going —

@@ -118,7 +118,16 @@ class ModelRecognizer:
 
 
 _TEMPLATE: TemplateRecognizer | None = None
-_MODEL: ModelRecognizer | None = None
+_MODELS: dict[str, ModelRecognizer] = {}
+
+# second pack: same architecture retrained with degradation-harvested
+# cells in the training set (scripts/train_recognizer_degraded.py) — the
+# analog of the reference's fast-vs-best .traineddata choice
+# (unittest/apiexample_test.cc:89-99): one seam, interchangeable packs.
+PACK_PATHS = {
+    "clean": WEIGHTS_PATH,
+    "degraded": WEIGHTS_PATH.replace(".npz", "_degraded.npz"),
+}
 
 
 def template_recognizer() -> TemplateRecognizer:
@@ -129,27 +138,33 @@ def template_recognizer() -> TemplateRecognizer:
     return _TEMPLATE
 
 
-def model_recognizer() -> ModelRecognizer:
-    """Load the shipped model pack (lazy, cached per process — each Spark
+def model_recognizer(pack: str = "clean") -> ModelRecognizer:
+    """Load a shipped model pack (lazy, cached per process — each Spark
     python worker pays the ~10 kB read once, like the reference's cached
-    TessdataManager load)."""
-    global _MODEL
-    if _MODEL is None:
-        with np.load(WEIGHTS_PATH, allow_pickle=False) as z:
+    TessdataManager load). `pack`: 'clean' (distilled on clean glyphs +
+    synthetic bit noise) or 'degraded' (adds cells harvested from the
+    degraded fixture families)."""
+    if pack not in PACK_PATHS:
+        raise ValueError(f"unknown recognizer pack {pack!r}")
+    if pack not in _MODELS:
+        with np.load(PACK_PATHS[pack], allow_pickle=False) as z:
             chars = [str(c) for c in z["chars"]]
             if chars != DECODE_CHARS:
                 raise ValueError(
-                    "recognizer_weights.npz charset does not match the "
-                    "font; re-run scripts/train_recognizer.py")
-            _MODEL = ModelRecognizer(chars, z["w1"], z["b1"], z["w2"],
-                                     z["b2"])
-    return _MODEL
+                    f"{os.path.basename(PACK_PATHS[pack])} charset does "
+                    "not match the font; re-run the trainer script")
+            _MODELS[pack] = ModelRecognizer(chars, z["w1"], z["b1"],
+                                            z["w2"], z["b2"])
+    return _MODELS[pack]
 
 
 def get_recognizer(name: str):
-    """The ExtractConfig.recognizer strategy: 'template' | 'model'."""
+    """The ExtractConfig.recognizer strategy: 'template' | 'model' |
+    'model-degraded'."""
     if name == "template":
         return template_recognizer()
     if name == "model":
-        return model_recognizer()
+        return model_recognizer("clean")
+    if name == "model-degraded":
+        return model_recognizer("degraded")
     raise ValueError(f"unknown recognizer strategy {name!r}")

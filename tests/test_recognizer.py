@@ -116,3 +116,60 @@ def test_full_corpus_parity_all_raster_families():
             got = [(b.kind, b.text)
                    for b in analyse_page(img, recognizer=strat)]
             assert got == want, (fam, strat)
+
+
+# --------------------------------------------------- the degraded pack
+
+
+def test_degraded_pack_loads_and_is_distinct():
+    rec = model_recognizer("degraded")
+    assert rec.chars == DECODE_CHARS
+    assert get_recognizer("model-degraded") is rec
+    clean = model_recognizer("clean")
+    assert rec is not clean
+    # genuinely different weights (retrained, wider hidden layer)
+    assert rec._w1.shape != clean._w1.shape or \
+        not np.array_equal(rec._w1, clean._w1)
+    with pytest.raises(ValueError, match="unknown recognizer pack"):
+        model_recognizer("best")
+
+
+def test_degraded_pack_exact_on_clean_glyphs():
+    rec = model_recognizer("degraded")
+    c = rec.cost(DECODE_MATRIX.astype(bool))
+    n = len(DECODE_CHARS)
+    assert (c[np.arange(n), np.arange(n)] == 0).all()
+    assert (c.argmin(axis=1) == np.arange(n)).all()
+
+
+@pytest.mark.parametrize("family", [
+    "smudged_page", "noise_page", "skewed_page", "fuzzy_space_page",
+    "rotated_page", "bowed_page",
+])
+def test_degraded_pack_interchangeable_on_degraded_families(family):
+    """The pack-swap claim on the families the pack was retrained FOR:
+    same truth under template, clean pack, and degraded pack."""
+    rng = np.random.default_rng(11)
+    spec = page_spec(family, rng)
+    img, truth = render_page(spec)
+    want = [(t.kind, t.text) for t in truth]
+    for strat in ("template", "model", "model-degraded"):
+        got = [(b.kind, b.text)
+               for b in analyse_page(img, recognizer=strat)]
+        assert got == want, (family, strat)
+
+
+def test_degraded_pack_loader_guards():
+    """Margin-recovery itself is a distribution-level property measured
+    by scripts/recognizer_margins.py and recorded in COVERAGE.md (clean
+    pack 0.9827 vs degraded 0.9954 argmin agreement on the 1,098-cell
+    harvest); small unit-test harvests cannot discriminate the packs
+    (both decode held-out pages identically), so the unit level pins the
+    loader contracts instead."""
+    import sparkstract.operators.recognizer as rec_mod
+
+    # cached per process, one instance per pack
+    assert model_recognizer("degraded") is model_recognizer("degraded")
+    assert set(rec_mod.PACK_PATHS) == {"clean", "degraded"}
+    for p in rec_mod.PACK_PATHS.values():
+        assert p.endswith(".npz")
