@@ -23,8 +23,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .font import (CELL_H, CELL_W, GLYPH_H, GLYPH_W, GLYPHS,
-                   STRONG_DEVANAGARI, smudge_glyph)
+from .font import (ARABIC_NORM, CELL_H, CELL_W, GLYPH_H, GLYPH_W, GLYPHS,
+                   STRONG_ARABIC, STRONG_DEVANAGARI, smudge_glyph)
 
 WHITE = np.uint8(255)
 INK = np.uint8(0)
@@ -268,6 +268,17 @@ def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int,
             if (i + 1 < len(text) and ch in STRONG_DEVANAGARI
                     and text[i + 1] in STRONG_DEVANAGARI):
                 canvas[y : y + s, cx + GLYPH_W * s : cx + advs[i]] = INK
+            # Arabic cursive joining: the BASELINE (bottom row) continues
+            # across the padding when the letter to the RIGHT (text[i+1],
+            # visually earlier in this RTL script) carries a JOINED
+            # positional form — shape_arabic assigns that form exactly
+            # when the letter connects forward, so the visual test is
+            # local. Fuses the word bottom-edge-first; the kernel's
+            # baseline splitter (bottom-half branch) undoes it.
+            if (i + 1 < len(text) and ch in STRONG_ARABIC
+                    and text[i + 1] in ARABIC_NORM):
+                canvas[y + (GLYPH_H - 1) * s : y + GLYPH_H * s,
+                       cx + GLYPH_W * s : cx + advs[i]] = INK
         cx += advs[i]
     return cx - x
 
