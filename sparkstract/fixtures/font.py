@@ -206,20 +206,16 @@ _RAW.update(_RAW_CJK)
 #     applies the joining rules; ARABIC_NORM maps presentation forms back
 #     to base letters (the kernel normalizes right after cell decode,
 #     like the reference's unichar normalization).
-_ARABIC_BODY = {         # rows 0-3 of the isolated form, one per letter
-    "ا": ["00100", "00100", "00100", "00100"],
-    "ب": ["10001", "00000", "00000", "00100"],
-    "ت": ["01010", "00000", "00000", "00100"],
-    "ن": ["00100", "00000", "00000", "01110"],
-    "س": ["10101", "10101", "00000", "00000"],
-    "م": ["01100", "01100", "01100", "00000"],
-    "ل": ["00010", "00010", "00010", "00010"],
-    "ع": ["01110", "01000", "01110", "00000"],
-    "ف": ["00100", "01110", "00000", "00100"],
-    "د": ["00010", "00100", "01000", "00000"],
-    "ر": ["00001", "00001", "00010", "00100"],
-    "و": ["01100", "01100", "00010", "00000"],
+# per-letter stem pattern: rows 0-3 repeat it (connected verticals down
+# to the full row-4 body shelf), so every glyph is ONE connected
+# component and every body column carries ink — the two properties the
+# baseline splitter's projection needs
+_ARABIC_STEMS = {
+    "ا": "00100", "ب": "10000", "ت": "00001", "ن": "01000",
+    "س": "10101", "م": "11000", "ل": "00010", "ع": "01010",
+    "ف": "00110", "د": "10001", "ر": "01100", "و": "00011",
 }
+_ARABIC_BODY = {ch: [stem] * 4 for ch, stem in _ARABIC_STEMS.items()}
 ARABIC_DUAL = frozenset("بتنسملعف")      # join both sides
 ARABIC_RIGHT_JOIN = frozenset("ادرو")     # join to the previous letter only
 # initial/medial presentation forms (Unicode Arabic Presentation Forms-B)
@@ -229,12 +225,16 @@ ARABIC_JOINED_FORM = {
 }
 ARABIC_NORM = {v: k for k, v in ARABIC_JOINED_FORM.items()}
 
+# row 5 keeps the body connected DOWN to the baseline (letters sit on
+# it) and distinguishes the positional forms: the isolated/final form
+# carries its tail ("01010"), the joined form only the connector
+# ("00100") — 3 bits apart, comfortably above the LUT's hamming floor.
 _RAW_ARABIC: dict[str, list[str]] = {}
 for _ch, _body in _ARABIC_BODY.items():
     _RAW_ARABIC[_ch] = _body + ["11111", "01010", "11111"]
-    if _ch in ARABIC_DUAL:   # joined form: same body, tail row empty
+    if _ch in ARABIC_DUAL:
         _RAW_ARABIC[ARABIC_JOINED_FORM[_ch]] = \
-            _body + ["11111", "00000", "11111"]
+            _body + ["11111", "00100", "11111"]
 _RAW.update(_RAW_ARABIC)
 
 # the strong-direction vocabulary consumed by the kernel's word-direction
@@ -255,18 +255,21 @@ STRONG_LTR: frozenset[str] = frozenset(
 
 
 def shape_arabic(word: str) -> str:
-    """Logical Arabic word -> VISUAL presentation string (right-to-left
-    render order): a letter takes its joined (initial/medial) form iff it
-    connects FORWARD — it is dual-joining and a joinable letter follows —
-    then the whole word is reversed into visual order. The inverse
-    (normalize + logical reorder) is what the kernel reconstructs."""
+    """Logical Arabic word -> its rendered presentation string: a letter
+    takes its joined (initial/medial) form iff it connects FORWARD — it
+    is dual-joining and a joinable letter follows. Char order stays
+    LOGICAL: the fixture convention (same as the Hebrew families) is
+    that the kernel's bidi tier reorders WORDS, not intra-word chars, so
+    rendered char order equals decoded char order and joining runs in
+    the logical direction. The kernel's inverse is ARABIC_NORM applied
+    at the decode chokepoint."""
     joinable = ARABIC_DUAL | ARABIC_RIGHT_JOIN
     out = []
     for i, ch in enumerate(word):
         fwd = (ch in ARABIC_DUAL and i + 1 < len(word)
                and word[i + 1] in joinable)
         out.append(ARABIC_JOINED_FORM[ch] if fwd else ch)
-    return "".join(reversed(out))
+    return "".join(out)
 
 
 def _conform(bits: np.ndarray) -> np.ndarray:

@@ -248,6 +248,44 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             ["אב גד FOX DOG הו", "זח טי"],
             truth_lines=["הו FOX DOG גד אב", "טי זח"], col=0)],
             scale=2, width_chars=17, rtl=True, seed=seed)
+    if family in ("arabic_page", "arabic_bidi_page"):
+        # F69/F70 — Arabic cursive script (VERDICT r4 item 3): positional
+        # glyph forms (isolated/final vs joined initial/medial, real
+        # Unicode Presentation Forms-B codepoints), words fused along a
+        # connected BASELINE the kernel's bottom-half splitter must undo
+        # (the C13 word-segmentation stress), 7-way script vote -> RTL
+        # word order, presentation->base normalization at decode. The
+        # reference reads Arabic through the same unicharset/bidi
+        # machinery as Hebrew (resultiterator.cpp:285); truth lines are
+        # LOGICAL text, page stores the shaped positional form.
+        from .font import shape_arabic
+
+        letters = "ابتنسملعفدرو"
+
+        def _aword() -> str:
+            n = int(rng.integers(2, 5))
+            return "".join(letters[int(rng.integers(0, len(letters)))]
+                           for _ in range(n))
+
+        if family == "arabic_page":
+            lines_w = [[_aword() for _ in range(3)],
+                       [_aword() for _ in range(2)]]
+            pos = [" ".join(shape_arabic(w) for w in reversed(ws))
+                   for ws in lines_w]
+            tru = [" ".join(ws) for ws in lines_w]
+            return PageSpec(elements=[Text(pos, truth_lines=tru, col=0)],
+                            scale=2, width_chars=18, rtl=True, seed=seed)
+        # bidi: positional [A1 A2 FOX 12 DOG A3] reads A3 first, keeps
+        # the LTR minor run (digits are neutral, absorbed into it)
+        # positional, then A2, A1 — same derivation the Hebrew bidi_page
+        # pins (resultiterator_test.cc:480-539 permutation rules)
+        a1, a2, a3 = _aword(), _aword(), _aword()
+        pos_line = (f"{shape_arabic(a1)} {shape_arabic(a2)} "
+                    f"FOX 12 DOG {shape_arabic(a3)}")
+        want = f"{a3} FOX 12 DOG {a2} {a1}"
+        return PageSpec(elements=[Text([pos_line], truth_lines=[want],
+                                       col=0)],
+                        scale=2, width_chars=26, rtl=True, seed=seed)
     if family == "rotated_rtl":  # F26 — script-vote OSD on a rotated page:
         # orientation retry (C10) must find upright AND the script vote must
         # then flip word order to RTL (osdetect.cpp:239 + :286)
@@ -439,7 +477,7 @@ PAGE_FAMILIES = [
     "pdf_encrypted_page", "cmyk_jpeg_page", "pdf_ccitt_page",
     "tiled_tiff_page", "interlaced_png_page", "pdf_aes_page",
     "pdf_aes256_page", "webp_lossy_page", "webp_vp8x_page",
-    "pdf_jbig2_page",
+    "pdf_jbig2_page", "arabic_page", "arabic_bidi_page",
 ]
 
 

@@ -269,14 +269,14 @@ def _render_line(canvas: np.ndarray, x: int, y: int, text: str, s: int,
                     and text[i + 1] in STRONG_DEVANAGARI):
                 canvas[y : y + s, cx + GLYPH_W * s : cx + advs[i]] = INK
             # Arabic cursive joining: the BASELINE (bottom row) continues
-            # across the padding when the letter to the RIGHT (text[i+1],
-            # visually earlier in this RTL script) carries a JOINED
-            # positional form — shape_arabic assigns that form exactly
-            # when the letter connects forward, so the visual test is
-            # local. Fuses the word bottom-edge-first; the kernel's
-            # baseline splitter (bottom-half branch) undoes it.
-            if (i + 1 < len(text) and ch in STRONG_ARABIC
-                    and text[i + 1] in ARABIC_NORM):
+            # across the padding exactly when the current letter carries
+            # a JOINED positional form — shape_arabic assigns that form
+            # iff the letter connects forward to its (logical) neighbor,
+            # so the test is local. Fuses the word along its bottom edge;
+            # the kernel's baseline splitter (the bottom-half branch of
+            # _split_shiro_rekha) undoes it before pitch/decode.
+            if (i + 1 < len(text) and ch in ARABIC_NORM
+                    and text[i + 1] in STRONG_ARABIC):
                 canvas[y + (GLYPH_H - 1) * s : y + GLYPH_H * s,
                        cx + GLYPH_W * s : cx + advs[i]] = INK
         cx += advs[i]

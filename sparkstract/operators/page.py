@@ -33,6 +33,7 @@ import numpy as np
 
 from ..fixtures.font import (
     CELL_W,
+    ARABIC_NORM,
     DECODE_CHARS,
     DECODE_MATRIX,
     GLYPH_H,
@@ -418,6 +419,13 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                         best_d[k] = next(d_ for d_, c2 in cand[off]
                                          if c2 == ch)
                         chars[k] = ch
+    # Arabic positional-form normalization: the LUT decodes the joined
+    # (initial/medial) presentation form a shaped word was RENDERED with;
+    # text output carries the base letter — the same unichar
+    # normalization the reference applies before anything downstream
+    # consumes the string. One chokepoint: every later stage (word
+    # direction, bidi reorder, script vote, renderers) sees base letters.
+    chars = [ARABIC_NORM.get(c, c) for c in chars]
     words = ["".join(chars[cum[w] : cum[w + 1]]) for w in range(ns.shape[0])]
     # per-word geometry + confidence (the WERD-level output the reference's
     # TSV/hOCR renderers consume, GetTSVText baseapi.cpp:2205): word bbox
@@ -1013,9 +1021,18 @@ def _split_shiro_rekha(ink: np.ndarray, tl: np.ndarray, tt: np.ndarray,
         while bot < hi - 1 and rowc[bot + 1] >= (peak + 1) // 2:
             bot += 1
         stroke = bot - top + 1
-        # safeguards (devanagari_processing.cpp:249-262): headline in the
-        # top half, stroke no thicker than a third of the word height
-        if ylevel > hi // 2 or stroke > hi // 3:
+        # safeguards (devanagari_processing.cpp:249-262): stroke no
+        # thicker than a third of the word height, and positioned like a
+        # real connector — either in the TOP half (Devanagari shiro
+        # rekha) or flush with the BOTTOM edge (the Arabic cursive
+        # baseline: joined letters write ON a connected bottom stroke,
+        # the same word-fusion mechanism mirrored vertically; the
+        # reference routes Arabic through its own unicharset machinery,
+        # resultiterator.cpp:285, but the un-fuse-before-pitch problem is
+        # identical). A mid-height stroke is neither and stays rejected.
+        is_headline = ylevel <= hi // 2
+        is_baseline = bot == hi - 1
+        if (not is_headline and not is_baseline) or stroke > hi // 3:
             continue
         y0 = max(top - stroke // 3, 0)
         body = sub.copy()
@@ -1877,8 +1894,9 @@ OSD_RETRY_DIST = 2.0  # mean bits/char above this → try the other 3 rotations
 
 def _script_tally(blocks: list[Block]) -> dict[str, int]:
     """Per-script strong-glyph counts over the page's decoded text."""
-    from ..fixtures.font import (STRONG_CJK, STRONG_CYRILLIC,
-                                 STRONG_DEVANAGARI, STRONG_GREEK)
+    from ..fixtures.font import (STRONG_ARABIC, STRONG_CJK,
+                                 STRONG_CYRILLIC, STRONG_DEVANAGARI,
+                                 STRONG_GREEK)
 
     scripts = (("latin", STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC
                 - STRONG_DEVANAGARI - STRONG_CJK),
@@ -1886,7 +1904,8 @@ def _script_tally(blocks: list[Block]) -> dict[str, int]:
                ("cyrillic", STRONG_CYRILLIC),
                ("devanagari", STRONG_DEVANAGARI),
                ("cjk", STRONG_CJK),
-               ("hebrew", STRONG_RTL))
+               ("arabic", STRONG_ARABIC),
+               ("hebrew", STRONG_RTL - STRONG_ARABIC))
     tally = dict.fromkeys((n for n, _ in scripts), 0)
     for b in blocks:
         if b.text:
@@ -1906,7 +1925,8 @@ def _page_script(blocks: list[Block]) -> str:
     likewise a max over per-script scores)."""
     tally = _script_tally(blocks)
     best, best_n = "latin", tally["latin"]
-    for name in ("greek", "cyrillic", "devanagari", "cjk", "hebrew"):
+    for name in ("greek", "cyrillic", "devanagari", "cjk", "arabic",
+                 "hebrew"):
         if tally[name] > best_n:
             best, best_n = name, tally[name]
     return best
@@ -1929,15 +1949,17 @@ def _suspect_decode(blocks: list[Block], quality: float) -> bool:
     if quality <= 0:
         return False
     t = _script_tally(blocks)
-    return sum(1 for k in ("greek", "cyrillic", "devanagari", "cjk", "hebrew")
+    return sum(1 for k in ("greek", "cyrillic", "devanagari", "cjk",
+                           "arabic", "hebrew")
                if t[k] > 0) >= 2
 
 
 def _script_vote_rtl(blocks: list[Block]) -> bool:
-    """RTL consequence of the script vote: only an RTL-script win flips the
-    page's reading order (Greek/Latin are both LTR — the vote identifies
-    them but changes nothing downstream)."""
-    return _page_script(blocks) == "hebrew"
+    """RTL consequence of the script vote: only an RTL-script win
+    (Hebrew or Arabic) flips the page's reading order (Greek/Latin are
+    both LTR — the vote identifies them but changes nothing
+    downstream)."""
+    return _page_script(blocks) in ("hebrew", "arabic")
 
 
 def _script_strays(blocks: list[Block], script: str) -> bool:
@@ -1957,14 +1979,16 @@ def _script_restrict(rec, script: str):
     pass (the adaptive second half of the reference's Recognize:
     osdetect's script result gates which unicharset competes). Works on
     either recognizer strategy: restriction is part of the seam contract."""
-    from ..fixtures.font import (STRONG_CJK, STRONG_CYRILLIC,
-                                 STRONG_DEVANAGARI, STRONG_GREEK)
+    from ..fixtures.font import (STRONG_ARABIC, STRONG_CJK,
+                                 STRONG_CYRILLIC, STRONG_DEVANAGARI,
+                                 STRONG_GREEK)
 
     strong = {"latin": STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC
               - STRONG_DEVANAGARI - STRONG_CJK,
               "greek": STRONG_GREEK, "cyrillic": STRONG_CYRILLIC,
               "devanagari": STRONG_DEVANAGARI, "cjk": STRONG_CJK,
-              "hebrew": STRONG_RTL}
+              "arabic": STRONG_ARABIC,
+              "hebrew": STRONG_RTL - STRONG_ARABIC}
     drop: set[str] = set()
     for k, glyphs in strong.items():
         if k != script:
