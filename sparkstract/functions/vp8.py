@@ -603,12 +603,18 @@ def _filter_edge(plane, y0, x0, n, horiz, edge_lim, interior, hev_t,
     px = [_edge_px(plane, y0, x0, n, horiz, o) for o in range(-4, 4)]
     p3, p2, p1, p0, q0, q1, q2, q3 = px
     mask = (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2) <= edge_lim
+    # identity early-out: lanes with p0==q0 and p1==q1 produce w == 0 in
+    # every branch (4-tap, 6-tap, simple), so nothing changes — on text
+    # pages most edges run through blank regions and skip here
+    mask &= (p0 != q0) | (p1 != q1)
+    if not mask.any():
+        return
     if not simple:
         for a, b in ((p3, p2), (p2, p1), (p1, p0), (q3, q2), (q2, q1),
                      (q1, q0)):
             mask &= np.abs(a - b) <= interior
-    if not mask.any():
-        return
+        if not mask.any():
+            return
     if simple:
         a = _s(_s(p1 - q1) + 3 * (q0 - p0))
         f1 = _s(a + 4) >> 3
