@@ -74,7 +74,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_ccitt_page", "tiled_tiff_page",
                   "interlaced_png_page", "pdf_aes_page",
                   "pdf_aes256_page", "webp_lossy_page",
-                  "webp_vp8x_page", "pdf_jbig2_page"):
+                  "webp_vp8x_page", "pdf_jbig2_page",
+                  "pdf_jpx_page", "jp2_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -478,6 +479,7 @@ PAGE_FAMILIES = [
     "tiled_tiff_page", "interlaced_png_page", "pdf_aes_page",
     "pdf_aes256_page", "webp_lossy_page", "webp_vp8x_page",
     "pdf_jbig2_page", "arabic_page", "arabic_bidi_page",
+    "pdf_jpx_page", "jp2_page",
 ]
 
 
@@ -844,6 +846,25 @@ class _Builder:
             payload = encode_simple_pdf(
                 [[("jbig2_image", img, 0, 0)]],
                 page_size=(img.shape[1], img.shape[0]))
+        elif family == "pdf_jpx_page":
+            # /JPXDecode image XObject (ISO 32000 §7.4.9) — the post-2001
+            # archival/born-digital shape: a JPEG 2000 JP2 container with
+            # the reversible 5/3 path. Lossless, so truth is the plain
+            # page's (functions/jp2.py decodes it from scratch).
+            from ..functions.pdf import encode_simple_pdf
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_simple_pdf(
+                [[("jpx_image", img, 0, 0)]],
+                page_size=(img.shape[1], img.shape[0]))
+        elif family == "jp2_page":
+            # standalone .jp2 raster — Leptonica ingests it through the
+            # same pixReadMem sniff when built with OpenJPEG
+            # (SetImage baseapi.cpp:881). Lossless 5/3 roundtrip.
+            from ..functions.jp2 import encode_jp2
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_jp2(img, levels=3, reversible=True)
         elif family == "webp_lossy_page":
             # lossy VP8 key-frame WEBP — the MAJORITY crawl-media shape
             # (baseapi.cpp:881 ingests it via Leptonica's sniff). qi=8

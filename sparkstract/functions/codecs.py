@@ -26,6 +26,7 @@ from .raster import decode_gray_bmp, decode_gray_pnm
 from .tiff import decode_gray_tiff
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 
 
 def decode_pages(data: bytes) -> list[np.ndarray]:
@@ -48,12 +49,17 @@ def decode_pages(data: bytes) -> list[np.ndarray]:
         from .webp import decode_webp
 
         return [decode_webp(data)]
+    if data[:12] == _JP2_SIG or data[:4] == b"\xff\x4f\xff\x51":
+        # JPEG 2000: JP2 box container or raw codestream (SOC+SIZ)
+        from .jp2 import decode_jp2
+
+        return [decode_jp2(data)]
     if data[:5] == b"%PDF-":
         raise ValueError("PDF is not a raster: parsed at the pipeline seam "
                          "(functions/pdf.py born-digital path)")
     raise ValueError(
         "unsupported image format "
-        "(PNG, TIFF, PNM, BMP, JPEG, GIF, WEBP supported)")
+        "(PNG, TIFF, PNM, BMP, JPEG, GIF, WEBP, JP2 supported)")
 
 
 def decode_gray_any(data: bytes) -> np.ndarray:

@@ -29,9 +29,10 @@ Scope (named errors at the seam for everything else, like codecs.py):
 - images: XObject /Image with DCTDecode (functions/jpeg.py), CCITTFax
   (functions/ccitt.py, all /K shapes), JBIG2Decode (functions/jbig2.py —
   embedded segment stream, MMR generic regions, /JBIG2Globals honored;
-  arithmetic/symbol codings raise named errors) or filtered/raw 8-bit
-  /DeviceGray or /DeviceRGB (BT.601 luma collapse), placed via the full
-  q/Q + cm CTM; JPXDecode stays a named out-of-scope error
+  arithmetic/symbol codings raise named errors), JPXDecode (functions/
+  jp2.py — full Part-1 JPEG 2000: MQ + EBCOT Tier-1, 5/3 + 9/7 DWT,
+  JP2 container or raw codestream) or filtered/raw 8-bit /DeviceGray or
+  /DeviceRGB (BT.601 luma collapse), placed via the full q/Q + cm CTM
 - Form XObjects: nested content streams under /Matrix-composed CTMs with
   their own resources (page fallback), recursion depth-capped
 - /CropBox (inheritable, intersected with /MediaBox): geometry is
@@ -211,7 +212,8 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     f"q {iw} 0 0 {ih} {x} {y} cm "
                     f"BI /W {iw} /H {ih} /BPC 8 /CS /G /F /Fl ID "
                     + comp.decode("latin-1") + " EI Q")
-            elif el[0] in ("image", "jpeg", "g4_image", "jbig2_image"):
+            elif el[0] in ("image", "jpeg", "g4_image", "jbig2_image",
+                           "jpx_image"):
                 arr, x, y = el[1], el[2], el[3]
                 ih, iw = arr.shape
                 extra = ""
@@ -243,6 +245,13 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     filt, bpc = "/JBIG2Decode", 1
                     extra = (" /DecodeParms "
                              f"<< /JBIG2Globals {gnum} 0 R >>")
+                elif el[0] == "jpx_image":
+                    # JPEG 2000 (§7.4.9): lossless 5/3 reversible path in
+                    # a JP2 box container — the payload self-describes
+                    from .jp2 import encode_jp2
+
+                    raw = encode_jp2(arr, levels=3, reversible=True)
+                    filt, bpc = "/JPXDecode", 8
                 else:
                     raw = zlib.compress(arr.tobytes())
                     filt, bpc = "/FlateDecode", 8
@@ -907,10 +916,9 @@ def _filter_chain(filters: list, raw: bytes, parms: list | None = None,
         elif f in ("/RunLengthDecode", "/RL"):
             raw = _rle_decode(raw)
         elif f == "/JPXDecode":
-            # JPEG 2000 (ISO 15444): wavelet + EBCOT arithmetic coding — a
-            # full second codec family, named out of scope like lossy VP8
-            raise ValueError("PDF filter /JPXDecode (JPEG 2000): "
-                             "out of scope")
+            # image-only filter; decoded at the image seam (_decode_image)
+            raise ValueError("PDF filter /JPXDecode outside an image "
+                             "XObject: not valid")
         elif f == "/JBIG2Decode":
             # image-only filter; decoded at the image seam (_decode_image)
             raise ValueError("PDF filter /JBIG2Decode outside an image "
@@ -952,6 +960,15 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
         # transport filters (A85/AHx/RL) may wrap the JPEG bytes
         return decode_gray_jpeg(
             _filter_chain(filters[:-1], raw, parms[:-1], deref))
+    if filters and filters[-1] == "/JPXDecode":
+        # JPEG 2000 (ISO 32000 §7.4.9): the payload is a self-describing
+        # JP2 container or raw codestream — /Width//Height//ColorSpace on
+        # the dict are advisory. Decoded by the from-scratch Part-1
+        # implementation (functions/jp2.py: MQ + EBCOT + 5/3 / 9/7 DWT).
+        from .jp2 import decode_jp2
+
+        return decode_jp2(
+            _filter_chain(filters[:-1], raw, parms[:-1], deref))[:h, :w]
     if filters and filters[-1] in ("/CCITTFaxDecode", "/CCF"):
         # the dominant scanned-PDF image shape — reuse the from-scratch
         # fax family (functions/ccitt.py). /K selects the coding (§7.4.6):
