@@ -75,7 +75,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "interlaced_png_page", "pdf_aes_page",
                   "pdf_aes256_page", "webp_lossy_page",
                   "webp_vp8x_page", "pdf_jbig2_page",
-                  "pdf_jpx_page", "jp2_page"):
+                  "pdf_jpx_page", "jp2_page", "jpeg_tiff_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -479,7 +479,7 @@ PAGE_FAMILIES = [
     "tiled_tiff_page", "interlaced_png_page", "pdf_aes_page",
     "pdf_aes256_page", "webp_lossy_page", "webp_vp8x_page",
     "pdf_jbig2_page", "arabic_page", "arabic_bidi_page",
-    "pdf_jpx_page", "jp2_page",
+    "pdf_jpx_page", "jp2_page", "jpeg_tiff_page",
 ]
 
 
@@ -846,6 +846,18 @@ class _Builder:
             payload = encode_simple_pdf(
                 [[("jbig2_image", img, 0, 0)]],
                 page_size=(img.shape[1], img.shape[0]))
+        elif family == "jpeg_tiff_page":
+            # new-style JPEG-in-TIFF (TIFF Technical Note 2) — the scanner
+            # archival shape libtiff writes by default: abbreviated JPEG
+            # strips sharing one tag-347 JPEGTables stream. q=95 keeps
+            # glyphs Otsu-separable (same tolerance class as jpeg_page),
+            # so truth is the plain page's.
+            from ..functions.tiff import encode_gray_tiff
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_tiff(
+                img, compression="jpeg", jpeg_tables=True,
+                strip_rows=max(16, img.shape[0] // 3))
         elif family == "pdf_jpx_page":
             # /JPXDecode image XObject (ISO 32000 §7.4.9) — the post-2001
             # archival/born-digital shape: a JPEG 2000 JP2 container with

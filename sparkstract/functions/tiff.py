@@ -1,5 +1,7 @@
 """Minimal pure-Python TIFF codec: 8-bit grayscale, none/LZW/PackBits and
-the CCITT fax family — MH (compression 2), G3 (3, 1D and 2D rows), G4 (4)
+the CCITT fax family — MH (compression 2), G3 (3, 1D and 2D rows), G4 (4),
+new-style JPEG strips (7, TTN2: per-strip JPEG via functions/jpeg.py with
+shared tag-347 JPEGTables merged in; old-style 6 a named error)
 bilevel via functions/ccitt.py — multipage (IFD chain).
 
 The reference ingests any Leptonica-readable raster and TIFF is the OCR
@@ -27,7 +29,7 @@ import numpy as np
 from .raster import apply_exif_orientation
 
 _CLEAR, _EOI = 256, 257
-_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE, SHORT, LONG, UNDEFINED
 
 
 class _BitWriter:
@@ -192,7 +194,9 @@ def _packbits_decode(data: bytes) -> bytes:
 def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
                      compression: str = "none",
                      orientation: int | None = None,
-                     tile: tuple[int, int] | None = None) -> bytes:
+                     tile: tuple[int, int] | None = None,
+                     jpeg_tables: bool = False,
+                     strip_rows: int | None = None) -> bytes:
     """uint8 HxW (gray) or HxWx3 (RGB) array(s) -> (multipage) TIFF bytes.
 
     One IFD per page chained via the next-IFD pointer — the structure
@@ -206,7 +210,7 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
         pages = [pages]
     assert pages, "at least one page"
     comp_id = {"none": 1, "mh": 2, "g3": 3, "g4": 4, "lzw": 5,
-               "packbits": 32773}[compression]
+               "jpeg": 7, "packbits": 32773}[compression]
     out = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD0 offset patched below
     ifd_ptr_pos = 4
     for img in pages:
@@ -250,12 +254,58 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
 
             enc = {2: mh_encode, 3: g3_encode, 4: g4_encode}[comp_id]
             strip = enc((img < 128).astype(np.uint8))
+        elif comp_id == 7:
+            # new-style JPEG-in-TIFF (TTN2): strips are independent JPEG
+            # streams; jpeg_tables=True moves the DQT/DHT segments into a
+            # shared tag-347 tables-only stream and leaves abbreviated
+            # strips (the layout libtiff writes by default)
+            if img.ndim != 2:
+                raise ValueError("JPEG TIFF writer: gray pages only")
+            from .jpeg import encode_gray_jpeg
+
+            rps = strip_rows or h
+            jstrips = [encode_gray_jpeg(img[y0:y0 + rps], quality=95)
+                       for y0 in range(0, h, rps)]
+            tables = b""
+            if jpeg_tables:
+                tables_segs = bytearray()
+                stripped = []
+                for js in jstrips:
+                    body = bytearray(js[:2])   # keep SOI
+                    pos = 2
+                    while pos + 4 <= len(js):
+                        marker, ln = js[pos:pos + 2], int.from_bytes(
+                            js[pos + 2:pos + 4], "big")
+                        seg = js[pos:pos + 2 + ln]
+                        if marker in (b"\xff\xdb", b"\xff\xc4"):
+                            if not stripped:   # tables identical per strip
+                                tables_segs += seg
+                        else:
+                            body += seg
+                        pos += 2 + ln
+                        if marker == b"\xff\xda":
+                            body += js[pos:]   # entropy data to EOI
+                            break
+                    stripped.append(bytes(body))
+                jstrips = stripped
+                tables = b"\xff\xd8" + bytes(tables_segs) + b"\xff\xd9"
+            strip = b""
         else:
             raw = img.tobytes()
             strip = {1: lambda b: b, 5: _lzw_encode,
                      32773: _packbits_encode}[comp_id](raw)
-        strip_off = len(out)
-        out += strip
+        if comp_id == 7:
+            jstrip_offs, jstrip_cnts = [], []
+            for js in jstrips:
+                jstrip_offs.append(len(out))
+                jstrip_cnts.append(len(js))
+                out += js
+            strip_off = jstrip_offs[0]
+            tables_off = len(out)
+            out += tables
+        else:
+            strip_off = len(out)
+            out += strip
         if len(out) % 2:
             out += b"\x00"  # IFDs must be word-aligned
         if tile is not None and len(tile_offs) > 1:
@@ -264,6 +314,13 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
                 out += struct.pack("<I", v)
             tcnts_at = len(out)
             for v in tile_cnts:
+                out += struct.pack("<I", v)
+        if comp_id == 7 and len(jstrips) > 1:
+            joffs_at = len(out)
+            for v in jstrip_offs:
+                out += struct.pack("<I", v)
+            jcnts_at = len(out)
+            for v in jstrip_cnts:
                 out += struct.pack("<I", v)
         if nsamp == 3:  # BitsPerSample count 3 > 4 bytes → stored out-of-line
             bits_off = len(out)
@@ -287,6 +344,19 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
                 (322, 4, 1, tile[0]), (323, 4, 1, tile[1]),
                 (324, 4, nt, toffs_at if nt > 1 else tile_offs[0]),
                 (325, 4, nt, tcnts_at if nt > 1 else tile_cnts[0]),
+            ]
+        elif comp_id == 7:
+            ns = len(jstrips)
+            entries = [  # ascending tag order (required by the spec)
+                (256, 4, 1, w), (257, 4, 1, h),
+                (258, 3, 1, 8), (259, 3, 1, 7),
+                (262, 3, 1, 1),
+                (273, 4, ns, joffs_at if ns > 1 else strip_off),
+                *([(274, 3, 1, orientation)] if orientation else []),
+                (277, 3, 1, 1),
+                (278, 4, 1, strip_rows or h),
+                (279, 4, ns, jcnts_at if ns > 1 else jstrip_cnts[0]),
+                *([(347, 7, len(tables), tables_off)] if tables else []),
             ]
         else:
             entries = [  # ascending tag order (required by the spec)
@@ -320,7 +390,7 @@ def _read_values(data: bytes, fmt: str, typ: int, count: int,
         raw = data[off : off + size]
     else:
         raw = raw[:size]
-    ch = {1: "B", 3: "H", 4: "I"}[typ]
+    ch = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
     return list(struct.unpack(f"{fmt}{count}{ch}", raw))
 
 
@@ -385,6 +455,9 @@ def _assemble_tiles(data: bytes, tags: dict, w: int, h: int, nsamp: int,
         canvas = np.zeros((down * tl, across * tw), dtype=np.uint8)
     else:
         canvas = np.zeros((down * tl, across * tw, nsamp), dtype=np.uint8)
+    if comp == 7:
+        raise ValueError("tiled JPEG-in-TIFF: out of scope "
+                         "(strip layout only)")
     if comp in (2, 3, 4):
         if not bilevel:
             raise ValueError("CCITT-compressed TIFF must be 1-bit bilevel")
@@ -464,9 +537,12 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
                 "only 1-bit bilevel or 8-bit chunky gray/RGB/RGBA TIFF "
                 "supported")
         comp = tags.get(259, [1])[0]
-        if comp not in (1, 2, 3, 4, 5, 32773):
+        if comp == 6:
+            raise ValueError("TIFF compression 6 (old-style JPEG, "
+                             "deprecated by TTN2): out of scope")
+        if comp not in (1, 2, 3, 4, 5, 7, 32773):
             raise ValueError(f"TIFF compression {comp}: out of scope "
-                             "(none/MH/G3/G4/LZW/PackBits supported)")
+                             "(none/MH/G3/G4/LZW/JPEG/PackBits supported)")
         bits = None       # bilevel raster, set by the CCITT and tile paths
         if 322 in tags or 323 in tags:   # tiled layout (TIFF6 §15)
             out_arr = _assemble_tiles(data, tags, w, h, nsamp, bilevel,
@@ -477,6 +553,39 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
                 raw = out_arr.tobytes()
                 tags = dict(tags)
                 tags[317] = [1]   # predictor already undone per tile
+        elif comp == 7:
+            # new-style JPEG-in-TIFF (TIFF Technical Note 2): every strip
+            # is an independent JPEG stream decoded by functions/jpeg.py;
+            # tag 347 (JPEGTables) holds a tables-only abbreviated stream
+            # whose DQT/DHT are shared by all strips — merge = tables
+            # minus EOI, strip minus SOI (TTN2 "abbreviated format")
+            if bilevel:
+                raise ValueError("JPEG-compressed TIFF must be 8-bit")
+            from .jpeg import decode_gray_jpeg as _djpeg
+
+            offs, cnts, rps = _strip_layout(tags, h)
+            tbl = bytes(tags[347]) if 347 in tags else b""
+            if tbl and (tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9"):
+                raise ValueError("TIFF JPEGTables is not a valid "
+                                 "tables-only JPEG stream")
+            parts = []
+            for o, c in zip(offs, cnts):
+                strip = data[o:o + c]
+                if strip[:2] != b"\xff\xd8":
+                    raise ValueError("TIFF JPEG strip missing SOI")
+                if tbl:
+                    strip = tbl[:-2] + strip[2:]
+                parts.append(_djpeg(strip))
+            img = np.vstack(parts) if len(parts) > 1 else parts[0]
+            if img.shape[0] < h or img.shape[1] < w:
+                raise ValueError("TIFF JPEG strips do not cover the page")
+            img = img[:h, :w]
+            # photometric 6 (YCbCr) and 1 (gray) are already luma; 0 inverts
+            if tags.get(262, [1])[0] == 0:
+                img = (255 - img.astype(np.int64)).astype(np.uint8)
+            img = apply_exif_orientation(img, tags.get(274, [1])[0])
+            pages.append(img.copy())
+            continue
         elif comp in (2, 3, 4):
             # CCITT fax family (functions/ccitt.py): bilevel only; each
             # strip is an independent coding block, so strips decode

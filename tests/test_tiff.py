@@ -159,7 +159,7 @@ def test_unknown_compression_named_out_of_scope():
         pos = ifd_off + 2 + 12 * i
         (tag,) = struct.unpack_from("<H", data, pos)
         if tag == 259:
-            struct.pack_into("<H", data, pos + 8, 7)  # TIFF-JPEG
+            struct.pack_into("<H", data, pos + 8, 8)  # Adobe Deflate
     with pytest.raises(ValueError, match="out of scope"):
         decode_gray_tiff(bytes(data))
 
@@ -459,3 +459,101 @@ def test_tiled_layout_mismatch_named_error():
     data = _tiled_tiff(blobs[:3], 32, 32, 16, 16)  # 4 needed, 3 given
     with pytest.raises(ValueError, match="tile layout"):
         decode_gray_tiff(data)
+
+
+# ---------------------------------------------------------------------------
+# New-style JPEG-in-TIFF (compression 7, TIFF Technical Note 2)
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def _jpeg_tiff_img(seed=3, shape=(90, 120)):
+    rng = np.random.RandomState(seed)
+    img = np.full(shape, 255, int)
+    img[(rng.rand(*shape) < 0.15)] = 25
+    img[40:44, :] = 0
+    return img.astype(np.uint8)
+
+
+def test_jpeg_tiff_single_strip_roundtrip():
+    img = _jpeg_tiff_img()
+    (out,) = decode_gray_tiff(encode_gray_tiff(img, compression="jpeg"))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12  # q=95
+
+
+def test_jpeg_tiff_multi_strip_roundtrip():
+    img = _jpeg_tiff_img()
+    data = encode_gray_tiff(img, compression="jpeg", strip_rows=40)
+    (out,) = decode_gray_tiff(data)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_jpeg_tiff_shared_jpegtables():
+    """TTN2 abbreviated format: DQT/DHT live once in tag 347 and each
+    strip is a tables-less JPEG; the merge must reproduce the image and
+    actually save bytes vs repeating tables per strip."""
+    img = _jpeg_tiff_img()
+    with_tbl = encode_gray_tiff(img, compression="jpeg",
+                                jpeg_tables=True, strip_rows=32)
+    without = encode_gray_tiff(img, compression="jpeg", strip_rows=32)
+    assert len(with_tbl) < len(without)
+    (a,) = decode_gray_tiff(with_tbl)
+    (b,) = decode_gray_tiff(without)
+    assert np.array_equal(a, b)  # same per-strip JPEG payloads either way
+
+
+def test_jpeg_tiff_multipage():
+    img = _jpeg_tiff_img()
+    pages = decode_gray_tiff(
+        encode_gray_tiff([img, img[::-1].copy()], compression="jpeg"))
+    assert len(pages) == 2
+    assert np.abs(pages[1].astype(int) - img[::-1].astype(int)).max() <= 12
+
+
+def test_jpeg_tiff_orientation_tag():
+    img = _jpeg_tiff_img(shape=(40, 60))
+    data = encode_gray_tiff(img, compression="jpeg", orientation=6)
+    (out,) = decode_gray_tiff(data)
+    assert out.shape == (60, 40)  # tag 274 un-rotation applied after decode
+
+
+def test_old_style_jpeg_tiff_named_error():
+    img = _jpeg_tiff_img(shape=(24, 32))
+    data = bytearray(encode_gray_tiff(img, compression="jpeg"))
+    i = data.index(struct.pack("<HH", 259, 3))  # Compression tag
+    struct.pack_into("<H", data, i + 8, 6)      # old-style JPEG
+    with pytest.raises(ValueError, match="old-style JPEG"):
+        decode_gray_tiff(bytes(data))
+
+
+def test_jpeg_tiff_bad_tables_stream():
+    img = _jpeg_tiff_img(shape=(24, 32))
+    data = bytearray(encode_gray_tiff(img, compression="jpeg",
+                                      jpeg_tables=True))
+    i = data.index(b"\xff\xd8\xff\xdb")  # the tables-only stream's SOI
+    data[i] = 0x00
+    with pytest.raises(ValueError, match="JPEGTables"):
+        decode_gray_tiff(bytes(data))
+
+
+def test_jpeg_tiff_strip_missing_soi():
+    img = _jpeg_tiff_img(shape=(24, 32))
+    data = bytearray(encode_gray_tiff(img, compression="jpeg"))
+    i = data.index(b"\xff\xd8\xff")  # first strip SOI
+    data[i + 1] = 0x00
+    with pytest.raises(ValueError, match="SOI"):
+        decode_gray_tiff(bytes(data))
+
+
+def test_jpeg_tiff_fixture_family():
+    from sparkstract.fixtures import gen
+
+    assert "jpeg_tiff_page" in gen.PAGE_FAMILIES
+    b = gen._Builder(5)
+    b.add_page("jpeg_tiff_page")
+    data = bytes(b.media[-1]["image"])
+    assert data[:4] == b"II*\x00"
+    # the family writes the TTN2 abbreviated layout: tag 347 present
+    assert struct.pack("<HH", 347, 7) in data
