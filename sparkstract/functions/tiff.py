@@ -1,7 +1,8 @@
 """Minimal pure-Python TIFF codec: 8-bit grayscale, none/LZW/PackBits and
 the CCITT fax family — MH (compression 2), G3 (3, 1D and 2D rows), G4 (4),
 new-style JPEG strips (7, TTN2: per-strip JPEG via functions/jpeg.py with
-shared tag-347 JPEGTables merged in; old-style 6 a named error)
+shared tag-347 JPEGTables merged in; old-style 6 a named error), Deflate
+(8, + the legacy 32946 alias; bomb-capped at the raster size)
 bilevel via functions/ccitt.py — multipage (IFD chain).
 
 The reference ingests any Leptonica-readable raster and TIFF is the OCR
@@ -150,6 +151,19 @@ def _lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
     return bytes(out)
 
 
+def _inflate(data: bytes, expect: int) -> bytes:
+    """Deflate strip/tile (TIFF compression 8, Adobe; 32946 legacy alias):
+    zlib-wrapped, capped at the declared raster size — the same
+    decompression-bomb guard as _lzw_decode."""
+    import zlib
+
+    dec = zlib.decompressobj()
+    out = dec.decompress(data, expect)
+    if dec.unconsumed_tail:
+        raise ValueError("Deflate TIFF strip exceeds expected raster size")
+    return out
+
+
 def _packbits_encode(data: bytes) -> bytes:
     """Apple PackBits (TIFF6 §9, compression 32773): runs of >=3 equal
     bytes become (257-n, byte); literals batch up to 128."""
@@ -210,7 +224,7 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
         pages = [pages]
     assert pages, "at least one page"
     comp_id = {"none": 1, "mh": 2, "g3": 3, "g4": 4, "lzw": 5,
-               "jpeg": 7, "packbits": 32773}[compression]
+               "jpeg": 7, "deflate": 8, "packbits": 32773}[compression]
     out = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD0 offset patched below
     ifd_ptr_pos = 4
     for img in pages:
@@ -237,7 +251,10 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
                     if comp_id == 4:
                         blob = g4_encode((t < 128).astype(np.uint8))
                     else:
+                        import zlib as _z
+
                         blob = {1: lambda b: b, 5: _lzw_encode,
+                                8: _z.compress,
                                 32773: _packbits_encode}[comp_id](
                                     t.tobytes())
                     tile_offs.append(len(out))
@@ -291,8 +308,11 @@ def encode_gray_tiff(pages: list[np.ndarray] | np.ndarray,
                 tables = b"\xff\xd8" + bytes(tables_segs) + b"\xff\xd9"
             strip = b""
         else:
+            import zlib as _z
+
             raw = img.tobytes()
             strip = {1: lambda b: b, 5: _lzw_encode,
+                     8: _z.compress,
                      32773: _packbits_encode}[comp_id](raw)
         if comp_id == 7:
             jstrip_offs, jstrip_cnts = [], []
@@ -473,6 +493,7 @@ def _assemble_tiles(data: bytes, tags: dict, w: int, h: int, nsamp: int,
             expect = tl * stride if bilevel else tl * tw * nsamp
             undo = {1: lambda b: b,
                     5: lambda b, _e=expect: _lzw_decode(b, max_out=_e),
+                    8: lambda b, _e=expect: _inflate(b, _e),
                     32773: _packbits_decode}[comp]
             body = undo(body)
             if len(body) < expect:
@@ -540,9 +561,12 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         if comp == 6:
             raise ValueError("TIFF compression 6 (old-style JPEG, "
                              "deprecated by TTN2): out of scope")
-        if comp not in (1, 2, 3, 4, 5, 7, 32773):
+        if comp == 32946:
+            comp = 8        # old Deflate code (libtiff pre-registration)
+        if comp not in (1, 2, 3, 4, 5, 7, 8, 32773):
             raise ValueError(f"TIFF compression {comp}: out of scope "
-                             "(none/MH/G3/G4/LZW/JPEG/PackBits supported)")
+                             "(none/MH/G3/G4/LZW/JPEG/Deflate/PackBits "
+                             "supported)")
         bits = None       # bilevel raster, set by the CCITT and tile paths
         if 322 in tags or 323 in tags:   # tiled layout (TIFF6 §15)
             out_arr = _assemble_tiles(data, tags, w, h, nsamp, bilevel,
@@ -606,6 +630,7 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
             expect = h * ((w + 7) // 8) if bilevel else h * w * nsamp
             undo = {1: lambda b: b,
                     5: lambda b: _lzw_decode(b, max_out=expect),
+                    8: lambda b: _inflate(b, expect),
                     32773: _packbits_decode}[comp]
             raw = b"".join(undo(data[o : o + c]) for o, c in zip(offs, cnts))
         if bilevel:

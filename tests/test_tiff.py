@@ -159,7 +159,7 @@ def test_unknown_compression_named_out_of_scope():
         pos = ifd_off + 2 + 12 * i
         (tag,) = struct.unpack_from("<H", data, pos)
         if tag == 259:
-            struct.pack_into("<H", data, pos + 8, 8)  # Adobe Deflate
+            struct.pack_into("<H", data, pos + 8, 9)  # T.82 JBIG-in-TIFF
     with pytest.raises(ValueError, match="out of scope"):
         decode_gray_tiff(bytes(data))
 
@@ -557,3 +557,50 @@ def test_jpeg_tiff_fixture_family():
     assert data[:4] == b"II*\x00"
     # the family writes the TTN2 abbreviated layout: tag 347 present
     assert struct.pack("<HH", 347, 7) in data
+
+
+# ------------------------------------------------------- Deflate (comp 8)
+
+
+def test_deflate_tiff_roundtrip_strip_and_tile():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 60), dtype=np.uint8)
+    for kw in (dict(compression="deflate"),
+               dict(compression="deflate", tile=(32, 16))):
+        (out,) = decode_gray_tiff(encode_gray_tiff(img, **kw))
+        assert np.array_equal(out, img), kw
+
+
+def test_deflate_tiff_legacy_32946_alias():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    data = bytearray(encode_gray_tiff(img, "deflate"))
+    (ifd,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd)
+    for i in range(n):
+        pos = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", data, pos)[0] == 259:
+            struct.pack_into("<H", data, pos + 8, 32946)
+    (out,) = decode_gray_tiff(bytes(data))
+    assert np.array_equal(out, img)
+
+
+def test_deflate_tiff_bomb_guard():
+    import zlib
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    data = bytearray(encode_gray_tiff(img, "deflate"))
+    # replace the strip with a stream inflating far past the raster size
+    bomb = zlib.compress(b"\x00" * 100_000)
+    (ifd,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd)
+    for i in range(n):
+        pos = ifd + 2 + 12 * i
+        tag = struct.unpack_from("<H", data, pos)[0]
+        if tag == 273:
+            struct.pack_into("<I", data, pos + 8, len(data))
+        if tag == 279:
+            struct.pack_into("<I", data, pos + 8, len(bomb))
+    with pytest.raises(ValueError, match="exceeds expected raster"):
+        decode_gray_tiff(bytes(data) + bomb)
