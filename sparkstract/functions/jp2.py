@@ -1564,10 +1564,12 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
                prog: int = 0, sop: bool = False, eph: bool = False,
                segsym: bool = False, tile: tuple | None = None,
                guard: int = 2, mct: bool | None = None,
-               termall: bool = False) -> bytes:
+               termall: bool = False, layers: int = 1) -> bytes:
     """Encode a (H,W) or (H,W,3) uint8 array as a raw JPEG 2000
     codestream.  reversible=True -> 5/3 lossless; False -> 9/7 with a
-    uniform step of `qstep` per subband."""
+    uniform step of `qstep` per subband.  layers > 1 distributes each
+    block's coding passes across quality layers (B.8), one packet per
+    (layer, resolution, component)."""
     if img.ndim == 2:
         comps = [img]
     else:
@@ -1586,7 +1588,7 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
     for _ in range(ncomp):
         siz += bytes([depth - 1, 1, 1])
     out += _marker(_SIZ, siz)
-    cod = bytes([scod, prog]) + struct.pack(">H", 1) + bytes([
+    cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes([
         1 if mct else 0, levels, xcb - 2, ycb - 2, cbstyle,
         1 if reversible else 0])
     out += _marker(_COD, cod)
@@ -1610,7 +1612,7 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
     out += _marker(_QCD, qcd)
     out += _marker(_COM, b"\x00\x01sparkstract jp2 fixture encoder")
     cp = _CodingParams(
-        dict(prog=prog, layers=1, mct=1 if mct else 0, levels=levels,
+        dict(prog=prog, layers=layers, mct=1 if mct else 0, levels=levels,
              xcb=xcb, ycb=ycb, cbstyle=cbstyle,
              transform=1 if reversible else 0, sop=sop, eph=eph),
         _parse_qcd(qcd))
@@ -1661,11 +1663,32 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
                             bt, mb, segsym=segsym, termall=termall)
                         rec = band.blocks[by * band.nbx + bx]
                         rec[2], rec[3] = zp, npasses
-                        rec[4] = data if termall else [data]
+                        # per-layer chunks: passes split evenly (early
+                        # layers take the ceil), bytes split at pass
+                        # boundaries (termall) or proportionally
+                        split = [npasses // layers
+                                 + (1 if k < npasses % layers else 0)
+                                 for k in range(layers)]
+                        chunks = []
+                        if termall:
+                            pos = 0
+                            for np_k in split:
+                                chunks.append((np_k, data[pos:pos + np_k]))
+                                pos += np_k
+                        else:
+                            cum = 0
+                            pos = 0
+                            for np_k in split:
+                                cum += np_k
+                                end = (round(len(data) * cum / npasses)
+                                       if npasses else 0)
+                                chunks.append((np_k, [data[pos:end]]))
+                                pos = end
+                        rec[4] = chunks
                 band.incl.set_values(
-                    [[0 if band.blocks[by * band.nbx + bx][3] else 1
+                    [[0 if band.blocks[by * band.nbx + bx][3] else layers
                       for bx in range(band.nbx)] for by in range(band.nby)]
-                    or [[1]])
+                    or [[layers]])
                 band.zb.set_values(
                     [[band.blocks[by * band.nbx + bx][2]
                       for bx in range(band.nbx)] for by in range(band.nby)]
@@ -1685,53 +1708,60 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
 
 def _encode_packet(bands: list, layer: int, cp: "_CodingParams") -> bytes:
     wr = _HdrWriter()
-    any_block = any(b.nbx * b.nby and any(blk[3] for blk in b.blocks)
-                    for b in bands)
     bodies = bytearray()
-    if not any_block:
-        wr.bit(0)
+    entries = []
+    for band in bands:
+        for by in range(band.nby):
+            for bx in range(band.nbx):
+                rec = band.blocks[by * band.nbx + bx]
+                x0, y0, x1, y1 = band.block_rect(bx, by)
+                if x1 <= x0 or y1 <= y0:
+                    continue
+                np_k, segs = rec[4][layer] if rec[3] else (0, [])
+                entries.append((band, bx, by, rec, np_k, segs))
+    if not any(e[4] for e in entries):
+        wr.bit(0)                      # zero-length packet (B.10.3)
     else:
         wr.bit(1)
-        for band in bands:
-            for by in range(band.nby):
-                for bx in range(band.nbx):
-                    rec = band.blocks[by * band.nbx + bx]
-                    x0, y0, x1, y1 = band.block_rect(bx, by)
-                    if x1 <= x0 or y1 <= y0:
-                        continue
-                    band.incl.encode(wr, bx, by, layer + 1)
-                    if not rec[3]:
-                        continue
-                    t = 1
-                    while True:
-                        band.zb.encode(wr, bx, by, t)
-                        leaf = band.zb._path(bx, by)[-1]
-                        if band.zb.known[leaf] and band.zb.value[leaf] < t:
-                            break
-                        t += 1
-                    _npasses_encode(wr, rec[3])
-                    if cp.cbstyle & 0x04:
-                        # TERMALL: one length per pass, Lblock bits each
-                        need = max(max(1, len(sg).bit_length())
-                                   for sg in rec[4])
-                        while rec[1] < need:
-                            wr.bit(1)
-                            rec[1] += 1
-                        wr.bit(0)
-                        for sg in rec[4]:
-                            wr.bits(len(sg), rec[1])
-                            bodies += sg
-                    else:
-                        data = rec[4][0]
-                        width = rec[1] + int(rec[3]).bit_length() - 1
-                        need = max(1, len(data).bit_length())
-                        while width < need:
-                            wr.bit(1)
-                            rec[1] += 1
-                            width += 1
-                        wr.bit(0)
-                        wr.bits(len(data), width)
-                        bodies += data
+        for band, bx, by, rec, np_k, segs in entries:
+            if not rec[0]:
+                band.incl.encode(wr, bx, by, layer + 1)
+                if not np_k:
+                    continue           # stays unincluded this layer
+                rec[0] = True
+                t = 1
+                while True:            # zero bit-planes at first inclusion
+                    band.zb.encode(wr, bx, by, t)
+                    leaf = band.zb._path(bx, by)[-1]
+                    if band.zb.known[leaf] and band.zb.value[leaf] < t:
+                        break
+                    t += 1
+            else:
+                wr.bit(1 if np_k else 0)
+                if not np_k:
+                    continue
+            _npasses_encode(wr, np_k)
+            if cp.cbstyle & 0x04:
+                # TERMALL: one length per pass, Lblock bits each
+                need = max(max(1, len(sg).bit_length()) for sg in segs)
+                while rec[1] < need:
+                    wr.bit(1)
+                    rec[1] += 1
+                wr.bit(0)
+                for sg in segs:
+                    wr.bits(len(sg), rec[1])
+                    bodies += sg
+            else:
+                data = segs[0]
+                width = rec[1] + int(np_k).bit_length() - 1
+                need = max(1, len(data).bit_length())
+                while width < need:
+                    wr.bit(1)
+                    rec[1] += 1
+                    width += 1
+                wr.bit(0)
+                wr.bits(len(data), width)
+                bodies += data
     hdr = wr.flush()
     pkt = bytearray()
     if cp.sop:
@@ -1775,12 +1805,6 @@ def decode_jp2(data: bytes) -> np.ndarray:
     else:
         raise ValueError("not a JPEG 2000 stream (no JP2 signature or SOC)")
     comps = decode_j2k_components(cs)
-    eight = []
-    for c in comps[:3]:
-        mx = float(c.max()) if c.size else 0.0
-        # components were clipped to their signalled depth range; rescale
-        # by depth, not by content
-        eight.append(c)
     if len(comps) >= 3:
         y = (0.299 * comps[0] + 0.587 * comps[1] + 0.114 * comps[2])
     else:

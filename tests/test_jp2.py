@@ -515,3 +515,41 @@ def test_fixture_families_registered():
     ref, blocks = b.add_page("pdf_jpx_page")
     assert b.media[-1]["image"][:5] == b"%PDF-"
     assert b"/JPXDecode" in bytes(b.media[-1]["image"])
+
+
+# ---------------------------------------------------------------------------
+# Quality layers (B.8): passes distributed across layers, one packet per
+# (layer, res, comp); later-layer packets use the bit-inclusion path and
+# per-layer pass counts/lengths.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("layers,prog", [(2, 0), (3, 1), (5, 0)])
+def test_multi_layer_lossless(layers, prog):
+    img = _page_img(shape=(50, 60))
+    cs = encode_j2k(img, levels=2, layers=layers, prog=prog)
+    assert np.array_equal(decode_jp2(cs), img)
+
+
+def test_multi_layer_with_termall_and_segsym():
+    img = _page_img(shape=(40, 50))
+    cs = encode_j2k(img, levels=2, layers=3, termall=True, segsym=True)
+    assert np.array_equal(decode_jp2(cs), img)
+
+
+def test_multi_layer_lossy_and_rgb():
+    img = _page_img(shape=(40, 50))
+    cs = encode_j2k(img, levels=2, layers=4, reversible=False, qstep=0.4)
+    assert np.abs(decode_jp2(cs).astype(int) - img.astype(int)).max() <= 3
+    rgb = np.stack([img, 255 - img, np.roll(img, 7, 1)], axis=2)
+    cs = encode_j2k(rgb, levels=2, layers=2)
+    ref = np.clip(np.rint(0.299 * rgb[:, :, 0].astype(float)
+                          + 0.587 * rgb[:, :, 1]
+                          + 0.114 * rgb[:, :, 2]), 0, 255).astype(np.uint8)
+    assert np.array_equal(decode_jp2(cs), ref)
+
+
+def test_layer_count_signalled_in_cod():
+    img = _page_img(shape=(30, 30))
+    cs = encode_j2k(img, levels=1, layers=7)
+    i = cs.index(b"\xff\x52")
+    assert struct.unpack(">H", cs[i + 6:i + 8])[0] == 7
