@@ -1347,6 +1347,11 @@ def decode_j2k_components(data: bytes) -> list:
             raise ValueError("JPEG2000: expected SOT or EOC in tile stream")
         _lsot, isot, psot, _tpsot, _tnsot = struct.unpack(
             ">HHIBB", data[pos + 2:pos + 12])
+        if psot and psot < 14:
+            # Psot counts from the SOT marker itself; anything under the
+            # SOT+SOD minimum would walk the tile-part loop backwards —
+            # an infinite loop inside an executor task, worse than a crash
+            raise ValueError("JPEG2000: tile-part length too small")
         end = pos + psot if psot else len(data) - 2
         q = pos + 12
         # tile-part header until SOD

@@ -32,7 +32,8 @@ Scope (named errors at the seam for everything else, like codecs.py):
   arithmetic/symbol codings raise named errors), JPXDecode (functions/
   jp2.py — full Part-1 JPEG 2000: MQ + EBCOT Tier-1, 5/3 + 9/7 DWT,
   JP2 container or raw codestream) or filtered/raw 8-bit /DeviceGray or
-  /DeviceRGB (BT.601 luma collapse), placed via the full q/Q + cm CTM
+  /DeviceRGB (BT.601 luma collapse) incl. /Indexed palettes (1/2/4/8-bit
+  indexes, string or stream lookup), placed via the full q/Q + cm CTM
 - Form XObjects: nested content streams under /Matrix-composed CTMs with
   their own resources (page fallback), recursion depth-capped
 - /CropBox (inheritable, intersected with /MediaBox): geometry is
@@ -1027,10 +1028,53 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
             gray = 255 - gray          # /Decode [1 0] inverts
         return gray
     cs = deref(d.get("/ColorSpace", "/DeviceGray"))
-    if deref(d.get("/BitsPerComponent", 8)) != 8 \
-            or cs not in ("/DeviceGray", "/DeviceRGB"):
+    bpc = deref(d.get("/BitsPerComponent", 8))
+    if isinstance(cs, list) and cs and deref(cs[0]) == "/Indexed":
+        # /Indexed palette (ISO 32000 §8.6.6.3): [/Indexed base hival
+        # lookup], sample = palette index at 1/2/4/8 bits, rows padded to
+        # byte boundaries — the born-digital logo/diagram shape
+        if len(cs) != 4:
+            raise ValueError("PDF /Indexed color space: malformed array")
+        base, hival = deref(cs[1]), int(deref(cs[2]))
+        lookup = deref(cs[3])
+        if isinstance(lookup, tuple) and lookup and lookup[0] == "stream":
+            lf, lp = _filter_list(deref(lookup[1]), deref)
+            pal = _filter_chain(lf, lookup[2], lp, deref)
+        elif isinstance(lookup, (bytes, str)):
+            pal = lookup.encode("latin-1") if isinstance(lookup, str) \
+                else lookup
+        else:
+            raise ValueError("PDF /Indexed lookup: unsupported shape")
+        ncomp = {"/DeviceRGB": 3, "/DeviceGray": 1}.get(base)
+        if ncomp is None:
+            raise ValueError(f"PDF /Indexed base {base}: out of scope")
+        if bpc not in (1, 2, 4, 8):
+            raise ValueError("PDF /Indexed: illegal BitsPerComponent")
+        raw = _filter_chain(filters, raw, parms, deref)
+        stride = (w * bpc + 7) // 8
+        rows = np.frombuffer(raw[:h * stride], dtype=np.uint8)
+        if rows.size < h * stride:
+            raise ValueError("truncated PDF /Indexed raster")
+        rows = rows.reshape(h, stride)
+        if bpc == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            idx = np.zeros((h, w), np.uint8)
+            for b in range(bpc):   # MSB-first packing within each byte
+                idx = (idx << 1) | bits[:, b::bpc][:, :w]
+        idx = np.minimum(idx, hival)
+        table = np.frombuffer(pal[:(hival + 1) * ncomp], dtype=np.uint8)
+        if table.size < (hival + 1) * ncomp:
+            raise ValueError("PDF /Indexed lookup shorter than hival+1")
+        if ncomp == 1:
+            return table[idx]
+        from .png import _luma
+
+        return _luma(table.reshape(-1, 3)[idx])
+    if bpc != 8 or cs not in ("/DeviceGray", "/DeviceRGB"):
         raise ValueError("PDF image: only 8-bit /DeviceGray or /DeviceRGB "
-                         "supported (or DCTDecode)")
+                         "(or /Indexed, or DCTDecode) supported")
     raw = _filter_chain(filters, raw, parms, deref)
     if cs == "/DeviceRGB":
         from .png import _luma

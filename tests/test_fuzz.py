@@ -306,3 +306,67 @@ def test_pdf_xref_zero_width_rows_raise():
     with pytest.raises(ValueError, match="bad /W"):
         _xref_stream_entries({"/W": [0, 0, 0], "/Size": 10,
                               "/Index": [0, 1 << 30]}, b"", {})
+
+
+import struct
+
+import pytest
+
+
+def test_jp2_corruption_is_total():
+    """JPEG 2000 decode over byte-corrupted streams must terminate with
+    a decoded page or a ValueError — never hang or blow memory (the
+    untrusted-crawl contract every codec in functions/ carries)."""
+    import numpy as np
+
+    from sparkstract.functions.jp2 import decode_jp2, encode_j2k
+
+    img = (np.arange(400, dtype=np.uint8).reshape(20, 20) * 3) % 256
+    base = bytearray(encode_j2k(img.astype(np.uint8), levels=1))
+    rng = np.random.default_rng(17)
+    for _ in range(250):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        try:
+            out = decode_jp2(bytes(data))
+            # dimensions come from the (possibly corrupted) SIZ — the
+            # invariant is the decode-bomb cap, not the exact shape
+            assert out.size <= 64_000_000
+        except (ValueError, struct.error, IndexError, KeyError):
+            pass  # rejected — fine; the invariant is termination
+
+
+def test_jp2_tile_part_length_underflow_rejected():
+    """A crafted Psot below the SOT+SOD minimum would walk the tile-part
+    loop backwards forever."""
+    import numpy as np
+
+    from sparkstract.functions.jp2 import decode_jp2, encode_j2k
+
+    cs = bytearray(encode_j2k(np.zeros((8, 8), np.uint8), levels=0))
+    i = cs.index(b"\xff\x90")         # SOT
+    struct.pack_into(">I", cs, i + 6, 4)  # Psot = 4 (< minimum 14)
+    with pytest.raises(ValueError, match="tile-part length"):
+        decode_jp2(bytes(cs))
+
+
+def test_jpeg_tiff_corruption_is_total():
+    import numpy as np
+
+    from sparkstract.functions.tiff import decode_gray_tiff, encode_gray_tiff
+
+    img = (np.arange(600, dtype=np.uint8).reshape(20, 30) * 5) % 256
+    base = bytearray(encode_gray_tiff(img.astype(np.uint8),
+                                      compression="jpeg",
+                                      jpeg_tables=True, strip_rows=8))
+    rng = np.random.default_rng(23)
+    for _ in range(150):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        try:
+            pages = decode_gray_tiff(bytes(data))
+            assert all(p.size <= 1 << 24 for p in pages)
+        except (ValueError, struct.error, IndexError, KeyError):
+            pass

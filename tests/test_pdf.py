@@ -952,3 +952,68 @@ def test_pdf_ccitt_byte_align_named_error():
     with pytest.raises(ValueError, match="EncodedByteAlign"):
         _decode_image_direct({"/K": -1, "/Columns": 64,
                               "/EncodedByteAlign": True}, b"\x00")
+
+
+# ------------------------------------------------- /Indexed palette images
+
+
+def _indexed_decode(w, h, bpc, base, hival, lookup, raw):
+    from sparkstract.functions.pdf import _decode_image
+
+    d = {"/Width": w, "/Height": h, "/BitsPerComponent": bpc,
+         "/ColorSpace": ["/Indexed", base, hival, lookup]}
+    return _decode_image(d, raw, lambda v: v)
+
+
+def test_indexed_8bit_rgb_palette():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    out = _indexed_decode(2, 2, 8, "/DeviceRGB", 3, pal, idx.tobytes())
+    from sparkstract.functions.png import _luma
+
+    exp = _luma(np.frombuffer(pal, np.uint8).reshape(4, 3)[idx])
+    assert np.array_equal(out, exp)
+
+
+def test_indexed_gray_base_and_stream_lookup():
+    import zlib
+
+    pal = bytes([0, 128, 255])
+    stream = ("stream", {"/Filter": "/FlateDecode"}, zlib.compress(pal))
+    idx = np.array([[2, 1, 0]], np.uint8)
+    out = _indexed_decode(3, 1, 8, "/DeviceGray", 2, stream, idx.tobytes())
+    assert out.tolist() == [[255, 128, 0]]
+
+
+def test_indexed_subbyte_packing():
+    # 4-bit: two samples per byte, MSB first; rows byte-padded
+    pal = bytes(range(16))  # gray palette 0..15
+    raw = bytes([0x12, 0x30])  # samples 1,2,3 in a 3-wide row
+    out = _indexed_decode(3, 1, 4, "/DeviceGray", 15, pal, raw)
+    assert out.tolist() == [[1, 2, 3]]
+    # 1-bit: 8 samples per byte
+    pal = bytes([0, 255])
+    raw = bytes([0b10110000])
+    out = _indexed_decode(4, 1, 1, "/DeviceGray", 1, pal, raw)
+    assert out.tolist() == [[255, 0, 255, 255]]
+    # 2-bit
+    pal = bytes([0, 85, 170, 255])
+    raw = bytes([0b00011011])
+    out = _indexed_decode(4, 1, 2, "/DeviceGray", 3, pal, raw)
+    assert out.tolist() == [[0, 85, 170, 255]]
+
+
+def test_indexed_index_clamped_to_hival():
+    # §8.6.6.3: out-of-range indexes clamp, not crash
+    pal = bytes([10, 20])
+    out = _indexed_decode(1, 1, 8, "/DeviceGray", 1, pal, bytes([200]))
+    assert out.tolist() == [[20]]
+
+
+def test_indexed_named_errors():
+    with pytest.raises(ValueError, match="out of scope"):
+        _indexed_decode(1, 1, 8, "/DeviceCMYK", 1, b"\x00\x00", b"\x00")
+    with pytest.raises(ValueError, match="shorter than hival"):
+        _indexed_decode(1, 1, 8, "/DeviceGray", 3, b"\x00\x01", b"\x00")
+    with pytest.raises(ValueError, match="BitsPerComponent"):
+        _indexed_decode(1, 1, 3, "/DeviceGray", 1, b"\x00\x01", b"\x00")
