@@ -11,8 +11,10 @@ thing; only the codec is minimal.
 
 Encoder: filter 0 (None) rows, one zlib stream; grayscale-8 or RGB-8.
 Decoder: all five standard PNG filters, color types 0/2/3/4/6 (gray, RGB,
-palette, gray+alpha, RGBA) at bit depth 8, plus 16-bit gray/RGB/RGBA (high
-byte taken — the pipeline is 8-bit grayscale). Color collapses to BT.601
+palette, gray+alpha, RGBA) at bit depth 8, 16-bit gray/RGB/RGBA (high
+byte taken — the pipeline is 8-bit grayscale), and sub-byte 1/2/4-bit
+gray/palette (MSB-first bit packing, byte-padded rows, §13.12 sample
+scaling — the bilevel-scan and small-logo shapes). Color collapses to BT.601
 luma ((77R + 150G + 29B + 128) >> 8); alpha is dropped, matching
 Leptonica's pixConvertRGBToGray which ignores the alpha sample. Interlaced
 (Adam7) PNGs de-interlace per spec §8.2 — seven reduced images, each
@@ -106,10 +108,11 @@ def decode_gray(data: bytes) -> np.ndarray:
                 raise ValueError(f"bad PNG interlace method {interlace}")
             if color not in _NSAMP:
                 raise ValueError(f"bad PNG color type {color}")
-            if depth != 8 and not (depth == 16 and color in (0, 2, 6)):
+            if depth != 8 and not (depth == 16 and color in (0, 2, 6)) \
+                    and not (depth in (1, 2, 4) and color in (0, 3)):
                 raise ValueError(
-                    f"PNG bit depth {depth}/color {color}: only 8-bit, "
-                    "and 16-bit gray/RGB/RGBA, supported")
+                    f"PNG bit depth {depth}/color {color}: 8-bit, 16-bit "
+                    "gray/RGB/RGBA, and 1/2/4-bit gray/palette supported")
         elif tag == b"PLTE":
             plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -118,19 +121,50 @@ def decode_gray(data: bytes) -> np.ndarray:
             break
     if w < 0:
         raise ValueError("missing IHDR")
-    bpp = _NSAMP[color] * (depth // 8)  # filter distance, bytes per pixel
-    stride = w * bpp
-    if interlace:
-        expect = sum(ph * (pw * bpp + 1)
-                     for pw, ph in _adam7_dims(w, h))
+    if depth < 8:
+        # sub-byte samples (spec §7.2): the filter distance is one BYTE,
+        # scanlines are bit-packed MSB-first and byte-padded per row
+        bpp = 1
+        stride = (w * depth + 7) // 8
+        if interlace:
+            expect = sum(ph * ((pw * depth + 7) // 8 + 1)
+                         for pw, ph in _adam7_dims(w, h))
+        else:
+            expect = h * (stride + 1)
     else:
-        expect = h * (stride + 1)
+        bpp = _NSAMP[color] * (depth // 8)  # filter distance, bytes/pixel
+        stride = w * bpp
+        if interlace:
+            expect = sum(ph * (pw * bpp + 1)
+                         for pw, ph in _adam7_dims(w, h))
+        else:
+            expect = h * (stride + 1)
     if expect > 600_000_000:  # corrupt-header allocation guard
         raise ValueError("PNG dimensions too large")
     # bounded inflate: a crafted IDAT expands ~1000x (decompression bomb
     # inside an executor task) — never inflate past the raster size
     dec = zlib.decompressobj()
     body = dec.decompress(bytes(idat), expect)
+    if depth < 8:
+        if interlace:
+            raise ValueError("sub-byte interlaced PNG: out of scope")
+        raw = np.frombuffer(body[:h * (stride + 1)], dtype=np.uint8)
+        if raw.size < h * (stride + 1):
+            raise ValueError("truncated PNG raster")
+        rows = _defilter(raw.reshape(h, stride + 1), 1).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)
+        samples = np.zeros((h, w), np.uint8)
+        for b in range(depth):   # MSB-first within each byte
+            samples = (samples << 1) | bits[:, b::depth][:, :w]
+        if color == 0:
+            # scale to full 8-bit range (§13.12 sample depth scaling)
+            return (samples.astype(np.uint16)
+                    * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        if int(samples.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return _luma(plte[samples])
     if interlace:
         out = _deinterlace_adam7(body, w, h, bpp)
     else:

@@ -141,6 +141,9 @@ def _sniff(data: bytes) -> str:
         return "webp"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  " \
+            or data[:4] == b"\xff\x4f\xff\x51":
+        return "jp2"
     if data[:1] == b"P" and data[1:2] in b"123456":
         return "pnm"
     if data[:5] == b"%PDF-":

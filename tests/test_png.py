@@ -245,3 +245,80 @@ def test_adam7_truncated_raster_raises():
            + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="truncated interlaced"):
         decode_gray(bad)
+
+
+# --------------------------------------------------- sub-byte bit depths
+
+
+def _chunk(tag, body):
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def _make_png(w, h, depth, color, rows, plte=None):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in rows)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_png_1bit_gray():
+    # 10 samples across 2 bytes, MSB-first, row byte-padded (spec §7.2)
+    png = _make_png(10, 2, 1, 0, [bytes([0b10101010, 0b10000000])] * 2)
+    out = decode_gray(png)
+    assert out.shape == (2, 10)
+    assert out[0].tolist() == [255, 0] * 5
+
+
+def test_png_2bit_and_4bit_gray_scaling():
+    # §13.12: samples scale to full range by 255/(2^d - 1)
+    png = _make_png(4, 1, 2, 0, [bytes([0b00011011])])
+    assert decode_gray(png)[0].tolist() == [0, 85, 170, 255]
+    png = _make_png(2, 1, 4, 0, [bytes([0x0F])])
+    assert decode_gray(png)[0].tolist() == [0, 255]
+
+
+def test_png_4bit_palette():
+    plte = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    png = _make_png(3, 1, 4, 3, [bytes([0x01, 0x20])], plte)
+    from sparkstract.functions.png import _luma
+
+    out = decode_gray(png)
+    idx = np.array([[0, 1, 2]])
+    exp = _luma(np.frombuffer(plte, np.uint8).reshape(4, 3)[idx])
+    assert np.array_equal(out, exp)
+
+
+def test_png_subbyte_filtered_rows():
+    # filter type 2 (Up) on bit-packed rows: filtering is byte-wise
+    import struct
+    import zlib
+
+    w, h = 8, 3
+    rows = [bytes([0b11001100]), bytes([0b10101010]), bytes([0b11110000])]
+    raw = b"\x00" + rows[0]
+    raw += b"\x02" + bytes([rows[1][0] ^ 0 | ((rows[1][0] - rows[0][0]) & 0xFF)])
+    raw = b"\x00" + rows[0] + b"\x02" + bytes([(rows[1][0] - rows[0][0]) & 0xFF]) \
+        + b"\x02" + bytes([(rows[2][0] - rows[1][0]) & 0xFF])
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    out = decode_gray(png)
+    exp = np.unpackbits(np.frombuffer(b"".join(rows), np.uint8)
+                        .reshape(3, 1), axis=1) * 255
+    assert np.array_equal(out, exp)
+
+
+def test_png_subbyte_palette_index_out_of_range():
+    plte = bytes([0, 0, 0, 255, 255, 255])  # 2 entries
+    png = _make_png(2, 1, 4, 3, [bytes([0x05])], plte)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_gray(png)
