@@ -25,7 +25,8 @@ Scope (named errors at the seam for everything else, like codecs.py):
   (Courier-style, 0.6 em) fallback; /Type0 Identity-H composite fonts
   (2-byte CIDs, descendant /W+/DW widths, /ToUnicode CMap text mapping
   with bfchar + both bfrange shapes) — the layout every real-world
-  subset-embedded font uses
+  subset-embedded font uses; simple-font /Encoding with /WinAnsiEncoding
+  and /Differences glyph-name remapping (AGL subset + uniXXXX names)
 - images: XObject /Image with DCTDecode (functions/jpeg.py), CCITTFax
   (functions/ccitt.py, all /K shapes), JBIG2Decode (functions/jbig2.py —
   embedded segment stream, MMR generic regions, /JBIG2Globals honored;
@@ -1084,6 +1085,88 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
     return np.frombuffer(raw[:w * h], dtype=np.uint8).reshape(h, w)
 
 
+# Simple-font /Encoding (ISO 32000 §9.6.6): byte code -> unicode.
+# Base encodings differ from latin-1 only in 0x80-0x9F (WinAnsi) — the
+# curly-quote/dash range every Word-exported PDF uses.
+_WINANSI_HIGH = {
+    0x80: "\u20ac", 0x82: "\u201a", 0x83: "\u0192", 0x84: "\u201e",
+    0x85: "\u2026", 0x86: "\u2020", 0x87: "\u2021", 0x88: "\u02c6",
+    0x89: "\u2030", 0x8a: "\u0160", 0x8b: "\u2039", 0x8c: "\u0152",
+    0x8e: "\u017d", 0x91: "\u2018", 0x92: "\u2019", 0x93: "\u201c",
+    0x94: "\u201d", 0x95: "\u2022", 0x96: "\u2013", 0x97: "\u2014",
+    0x98: "\u02dc", 0x99: "\u2122", 0x9a: "\u0161", 0x9b: "\u203a",
+    0x9c: "\u0153", 0x9e: "\u017e", 0x9f: "\u0178",
+}
+
+# Adobe Glyph List subset: the names /Differences arrays actually use for
+# ASCII text plus the uniXXXX escape hatch (parsed in _glyph_to_unicode)
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "\u2018",
+    "quoteright": "\u2019", "quotedblleft": "\u201c",
+    "quotedblright": "\u201d", "endash": "\u2013", "emdash": "\u2014",
+    "bullet": "\u2022", "ellipsis": "\u2026", "fi": "\ufb01",
+    "fl": "\ufb02", "adieresis": "\u00e4", "odieresis": "\u00f6",
+    "udieresis": "\u00fc", "Adieresis": "\u00c4", "Odieresis": "\u00d6",
+    "Udieresis": "\u00dc", "germandbls": "\u00df", "eacute": "\u00e9",
+    "egrave": "\u00e8", "agrave": "\u00e0", "ccedilla": "\u00e7",
+    "ntilde": "\u00f1", "degree": "\u00b0", "euro": "\u20ac",
+}
+for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _GLYPH_NAMES[_c] = _c
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """AGL glyph name -> text ("" when unknown — skipped, not guessed)."""
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return ""
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    return ""
+
+
+def _simple_encoding(enc, deref) -> dict | None:
+    """/Encoding entry of a simple font -> {byte: unicode} overrides, or
+    None for plain latin-1 (StandardEncoding approximation)."""
+    emap: dict[int, str] = {}
+    base = enc if isinstance(enc, str) else None
+    diffs = None
+    if isinstance(enc, dict):
+        base = deref(enc.get("/BaseEncoding"))
+        diffs = deref(enc.get("/Differences"))
+    if base == "/WinAnsiEncoding":
+        emap.update(_WINANSI_HIGH)
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            item = deref(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, str) and item.startswith("/"):
+                u = _glyph_to_unicode(item[1:])
+                if u:
+                    emap[code] = u
+                code += 1
+    return emap or None
+
+
 def _cid_widths(warr, deref) -> dict[int, float]:
     """Descendant-font /W array (ISO 32000 §9.7.4.3) -> cid -> width.
     Two entry shapes, freely mixed: `c [w1 w2 ...]` and `cFirst cLast w`."""
@@ -1196,7 +1279,7 @@ def _read_page(node: dict, box, deref, rotate: int = 0) -> PdfPage:
         fonts (the layout every real-world subset-embedded font uses)."""
         if name not in cache:
             fd = deref(fonts.get(name))
-            info: tuple = ("simple", 0, None)
+            info: tuple = ("simple", 0, None, None)
             if isinstance(fd, dict) \
                     and deref(fd.get("/Subtype")) == "/Type0":
                 desc = deref(fd.get("/DescendantFonts")) or []
@@ -1214,7 +1297,11 @@ def _read_page(node: dict, box, deref, rotate: int = 0) -> PdfPage:
             elif isinstance(fd, dict) and "/Widths" in fd:
                 first = int(deref(fd.get("/FirstChar", 0)))
                 w = [float(deref(v)) for v in deref(fd["/Widths"])]
-                info = ("simple", first, w)
+                emap = _simple_encoding(deref(fd.get("/Encoding")), deref)
+                info = ("simple", first, w, emap)
+            elif isinstance(fd, dict):
+                emap = _simple_encoding(deref(fd.get("/Encoding")), deref)
+                info = ("simple", 0, None, emap)
             cache[name] = info
         return cache[name]
 
@@ -1229,7 +1316,7 @@ def _read_page(node: dict, box, deref, rotate: int = 0) -> PdfPage:
         ctm = ctm0
         size, leading = 12.0, 0.0
         tc, tw, th, rise = 0.0, 0.0, 1.0, 0.0   # Tc / Tw / Tz/100 / Ts
-        cur_font: tuple = ("simple", 0, None)
+        cur_font: tuple = ("simple", 0, None, None)
         tlm = _ID               # text line matrix (Tm/Td/T*)
         cx = 0.0                # pen advance along the text-space x axis
         in_text = False
@@ -1268,10 +1355,14 @@ def _read_page(node: dict, box, deref, rotate: int = 0) -> PdfPage:
                                       else 0.0))
                 s = "".join(chars)
             else:
-                _, first_char, char_widths = cur_font
+                _, first_char, char_widths, emap = cur_font
                 s = txt.decode("latin-1")
-                for ch in s:
-                    idx = ord(ch) - first_char
+                if emap:
+                    # /Differences + WinAnsi overrides map byte codes to
+                    # text; widths stay indexed by the BYTE code
+                    s = "".join(emap.get(b, chr(b)) for b in txt)
+                for code, ch in zip(txt, s):
+                    idx = code - first_char
                     w = (char_widths[idx] / 1000.0
                          if char_widths is not None
                          and 0 <= idx < len(char_widths) else ADVANCE)

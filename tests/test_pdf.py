@@ -1017,3 +1017,79 @@ def test_indexed_named_errors():
         _indexed_decode(1, 1, 8, "/DeviceGray", 3, b"\x00\x01", b"\x00")
     with pytest.raises(ValueError, match="BitsPerComponent"):
         _indexed_decode(1, 1, 3, "/DeviceGray", 1, b"\x00\x01", b"\x00")
+
+
+# -------------------------------------- simple-font /Encoding (§9.6.6)
+
+
+def _handcraft_pdf(font_extra: bytes, text_hex: str) -> bytes:
+    objs = []
+
+    def add(b):
+        objs.append(b)
+        return len(objs)
+
+    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+               b"/FirstChar 32 /Widths ["
+               + b" ".join(b"500" for _ in range(224)) + b"] "
+               + font_extra + b" >>")
+    content = f"BT /F1 12 Tf 50 700 Td <{text_hex}> Tj ET".encode()
+    cs = add(b"<< /Length " + str(len(content)).encode()
+             + b" >>\nstream\n" + content + b"\nendstream")
+    page = add(f"<< /Type /Page /Parent 4 0 R /Contents {cs} 0 R "
+               f"/MediaBox [0 0 612 792] /Resources << /Font "
+               f"<< /F1 {font} 0 R >> >> >>".encode())
+    pages = add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>".encode())
+    cat = add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs):
+        offs.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for o in offs:
+        out += f"{o:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root {cat} 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF".encode())
+    return bytes(out)
+
+
+def _first_text(pdf_bytes: bytes) -> str:
+    (page,) = parse_pdf(pdf_bytes)
+    return next(it for it in page.items if it[0] == "text")[4]
+
+
+def test_simple_font_differences_encoding():
+    # /Differences remaps byte 0x41 -> /eacute, 0x42 -> /uni0168; 0x43
+    # stays at its base-encoding meaning
+    pdf = _handcraft_pdf(
+        b"/Encoding << /Differences [65 /eacute /uni0168] >>", "414243")
+    assert _first_text(pdf) == "éŨC"
+
+
+def test_simple_font_winansi_curly_quotes():
+    # WinAnsi differs from latin-1 exactly in 0x80-0x9F — the curly-quote
+    # range every word-processor PDF uses
+    pdf = _handcraft_pdf(b"/Encoding /WinAnsiEncoding", "93419444")
+    assert _first_text(pdf) == "“A”D"
+
+
+def test_simple_font_differences_on_winansi_base():
+    pdf = _handcraft_pdf(
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [65 /germandbls] >>", "934193")
+    assert _first_text(pdf) == "“ß“"
+
+
+def test_simple_font_unknown_glyph_name_keeps_base():
+    # an unknown name contributes no override; the byte keeps its base
+    # meaning rather than turning into a guess
+    pdf = _handcraft_pdf(
+        b"/Encoding << /Differences [65 /notarealglyphname] >>", "4142")
+    assert _first_text(pdf) == "AB"
+
+
+def test_simple_font_no_encoding_unchanged():
+    pdf = _handcraft_pdf(b"", "48454c4c4f")
+    assert _first_text(pdf) == "HELLO"
