@@ -4,7 +4,7 @@ The reference accepts any Leptonica-readable raster and sniffs the format
 from the byte stream (SetImage /root/reference/src/api/baseapi.cpp:881,906;
 pixReadMem does the magic-number dispatch). Here: PNG incl. RGB/RGBA/
 palette/16-bit/sub-byte-1-2-4-bit collapsed to BT.601 luma (functions/png.py),
-TIFF incl. multipage + LZW + PackBits + CCITT G4 bilevel (functions/tiff.py, functions/ccitt.py), PNM P1-P6 and 8/24/32-bit BMP
+TIFF incl. multipage + LZW + PackBits + CCITT G4 bilevel (functions/tiff.py, functions/ccitt.py), PNM P1-P6 and 1/4/8/24/32-bit + RLE8 BMP
 (functions/raster.py). A multipage container yields several pages from ONE
 media ref — the ProcessPagesMultipageTiff contract (baseapi.cpp:1657):
 downstream block order runs page 1's blocks, then page 2's, in file order.

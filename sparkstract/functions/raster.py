@@ -117,31 +117,98 @@ def encode_gray_bmp(img: np.ndarray) -> bytes:
     return header + info + palette + rows.tobytes()
 
 
+def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 (Windows BMP spec): (count, value) runs; escapes 0=end of
+    line, 1=end of bitmap, 2=delta (dx, dy), >=3 absolute literal run
+    padded to a word boundary.  Rows come bottom-up like BI_RGB."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:
+            run = min(cnt, w - x)
+            if y < h:
+                out[y, x:x + run] = val
+            x += cnt
+        elif val == 0:        # end of line
+            x, y = 0, y + 1
+        elif val == 1:        # end of bitmap
+            break
+        elif val == 2:        # delta
+            if pos + 1 >= n:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:                 # absolute literal run
+            if pos + val > n:
+                raise ValueError("truncated BMP RLE literal")
+            run = min(val, max(0, w - x))
+            if y < h:
+                out[y, x:x + run] = np.frombuffer(
+                    data[pos:pos + run], np.uint8)
+            x += val
+            pos += val + (val & 1)   # word-aligned
+        if y > h:
+            raise ValueError("BMP RLE overruns the declared height")
+    return out[::-1]
+
+
 def decode_gray_bmp(data: bytes) -> np.ndarray:
-    """BMP bytes -> uint8 HxW grayscale: 8-bit palette (palette luma) or
-    24/32-bit BGR(A) truecolor (BT.601 luma, alpha/padding byte dropped).
-    BI_RGB only; RLE/bitfield compressions raise a named error."""
+    """BMP bytes -> uint8 HxW grayscale: 1/4/8-bit palette (palette luma,
+    MSB-first packing for sub-byte) or 24/32-bit BGR(A) truecolor (BT.601
+    luma, alpha/padding byte dropped); BI_RGB plus BI_RLE8. RLE4 and
+    bitfield compressions raise named errors."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack_from("<I", data, 10)
     hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
-    if comp != 0 or bpp not in (8, 24, 32):
-        raise ValueError("only uncompressed 8/24/32-bit BMP supported")
+    if comp == 2:
+        raise ValueError("BMP BI_RLE4 compression: out of scope")
+    if comp == 3:
+        raise ValueError("BMP bitfield compression: out of scope")
+    if comp not in (0, 1) or bpp not in (1, 4, 8, 24, 32)             or (comp == 1 and bpp != 8):
+        raise ValueError("only BI_RGB 1/4/8/24/32-bit or BI_RLE8 8-bit "
+                         "BMP supported")
     top_down = h < 0
     h = abs(h)
-    if bpp == 8:
-        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("BMP dimensions invalid or too large")
+    if bpp <= 8:
+        n_colors = struct.unpack_from("<I", data, 46)[0] or (1 << bpp)
         pal_off = 14 + hdr_size
         pal = np.frombuffer(data[pal_off : pal_off + 4 * n_colors],
                             dtype=np.uint8).reshape(-1, 4)
         # BGR -> ITU-R 601 luma (a gray palette maps to identity)
         luma = np.clip(np.rint(0.114 * pal[:, 0] + 0.587 * pal[:, 1]
                                + 0.299 * pal[:, 2]), 0, 255).astype(np.uint8)
-        stride = (w + 3) & ~3
-        raw = np.frombuffer(data[data_off : data_off + h * stride],
-                            dtype=np.uint8).reshape(h, stride)[:, :w]
-        if not top_down:
-            raw = raw[::-1]
+        if comp == 1:
+            raw = _bmp_rle8(data[data_off:], w, h)
+            if top_down:
+                raw = raw[::-1]
+        elif bpp == 8:
+            stride = (w + 3) & ~3
+            raw = np.frombuffer(data[data_off : data_off + h * stride],
+                                dtype=np.uint8).reshape(h, stride)[:, :w]
+            if not top_down:
+                raw = raw[::-1]
+        else:
+            # 1/4-bit: MSB-first packed samples, rows padded to 4 bytes
+            stride = ((w * bpp + 7) // 8 + 3) & ~3
+            rows = np.frombuffer(data[data_off : data_off + h * stride],
+                                 dtype=np.uint8)
+            if rows.size < h * stride:
+                raise ValueError("truncated BMP raster")
+            bits = np.unpackbits(rows.reshape(h, stride), axis=1)
+            raw = np.zeros((h, w), np.uint8)
+            for b in range(bpp):
+                raw = (raw << 1) | bits[:, b::bpp][:, :w]
+            if not top_down:
+                raw = raw[::-1]
+        if int(raw.max(initial=0)) >= len(luma):
+            raise ValueError("BMP palette index out of range")
         return luma[raw].copy()
     nb = bpp // 8
     stride = (w * nb + 3) & ~3

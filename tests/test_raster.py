@@ -139,3 +139,56 @@ def test_codec_dispatch_new_pnm():
     p4 = b"P4\n9 4\n" + np.packbits(bits, axis=1).tobytes()
     (got,) = decode_pages(p4)
     assert got[1, 2] == 0 and got[0, 0] == 255
+
+
+# ------------------------------------ BMP: RLE8 + sub-byte palette depths
+
+
+def _mkbmp(w, h, bpp, comp, pal, body):
+    import struct
+
+    pal_b = b"".join(bytes([c, c, c, 0]) for c in pal)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                       len(body), 2835, 2835, len(pal), 0)
+    off = 14 + 40 + len(pal_b)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return hdr + info + pal_b + body
+
+
+def test_bmp_rle8_runs_eol_eob():
+    # bottom row: 4x index2; EOL; top row: 2x index1 + 2x index3; EOB
+    body = bytes([4, 2, 0, 0, 2, 1, 2, 3, 0, 1])
+    img = decode_gray_bmp(_mkbmp(4, 2, 8, 1, [0, 100, 200, 255], body))
+    assert img.tolist() == [[100, 100, 255, 255], [200, 200, 200, 200]]
+
+
+def test_bmp_rle8_absolute_and_delta():
+    # literal run of 3 (word-padded), delta (1,1), then a run
+    body = bytes([0, 3, 1, 2, 3, 0,   # absolute [1,2,3] + pad
+                  0, 2, 1, 1,         # delta dx=1 dy=1
+                  2, 1,               # run 2x index1
+                  0, 1])              # end of bitmap
+    img = decode_gray_bmp(_mkbmp(6, 2, 8, 1, [0, 60, 120, 180], body))
+    assert img[1].tolist() == [60, 120, 180, 0, 0, 0]      # bottom row
+    assert img[0].tolist() == [0, 0, 0, 0, 60, 60]          # after delta
+
+
+def test_bmp_4bit_and_1bit_uncompressed():
+    row = bytes([0x12, 0x30]) + b"\x00\x00"
+    img = decode_gray_bmp(_mkbmp(3, 1, 4, 0, [0, 80, 160, 240]
+                                 + [0] * 12, row))
+    assert img.tolist() == [[80, 160, 240]]
+    row = bytes([0b10100000]) + b"\x00\x00\x00"
+    img = decode_gray_bmp(_mkbmp(4, 1, 1, 0, [0, 255], row))
+    assert img.tolist() == [[255, 0, 255, 0]]
+
+
+def test_bmp_rle4_named_error():
+    with pytest.raises(ValueError, match="RLE4"):
+        decode_gray_bmp(_mkbmp(4, 1, 4, 2, [0, 255], b"\x00\x01"))
+
+
+def test_bmp_palette_index_out_of_range():
+    body = bytes([1, 9, 0, 1])  # index 9 with a 2-entry palette
+    with pytest.raises(ValueError, match="palette index"):
+        decode_gray_bmp(_mkbmp(1, 1, 8, 1, [0, 255], body))
