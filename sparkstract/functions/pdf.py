@@ -34,7 +34,8 @@ Scope (named errors at the seam for everything else, like codecs.py):
   jp2.py — full Part-1 JPEG 2000: MQ + EBCOT Tier-1, 5/3 + 9/7 DWT,
   JP2 container or raw codestream) or filtered/raw 8-bit /DeviceGray or
   /DeviceRGB (BT.601 luma collapse) incl. /Indexed palettes (1/2/4/8-bit
-  indexes, string or stream lookup), placed via the full q/Q + cm CTM
+  indexes, string or stream lookup), /ICCBased-by-/N, /CalRGB//CalGray
+  aliases and raw /DeviceCMYK, placed via the full q/Q + cm CTM
 - Form XObjects: nested content streams under /Matrix-composed CTMs with
   their own resources (page fallback), recursion depth-capped
 - /CropBox (inheritable, intersected with /MediaBox): geometry is
@@ -1073,10 +1074,33 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
         from .png import _luma
 
         return _luma(table.reshape(-1, 3)[idx])
-    if bpc != 8 or cs not in ("/DeviceGray", "/DeviceRGB"):
-        raise ValueError("PDF image: only 8-bit /DeviceGray or /DeviceRGB "
-                         "(or /Indexed, or DCTDecode) supported")
+    if isinstance(cs, list) and cs and deref(cs[0]) == "/ICCBased":
+        # §8.6.5.5: the ICC profile itself is irrelevant for luma — the
+        # component count (/N on the profile stream) picks the device
+        # space, which is what every real-world viewer falls back to
+        prof = deref(cs[1]) if len(cs) > 1 else None
+        ncomp = 3
+        if isinstance(prof, tuple) and prof and prof[0] == "stream":
+            ncomp = int(deref(deref(prof[1]).get("/N", 3)))
+        cs = {1: "/DeviceGray", 3: "/DeviceRGB",
+              4: "/DeviceCMYK"}.get(ncomp)
+        if cs is None:
+            raise ValueError("PDF /ICCBased image: unsupported /N")
+    elif isinstance(cs, list) and cs and deref(cs[0]) in ("/CalRGB",
+                                                          "/CalGray"):
+        cs = "/DeviceRGB" if deref(cs[0]) == "/CalRGB" else "/DeviceGray"
+    if bpc != 8 or cs not in ("/DeviceGray", "/DeviceRGB", "/DeviceCMYK"):
+        raise ValueError("PDF image: only 8-bit /DeviceGray, /DeviceRGB "
+                         "or /DeviceCMYK (direct, /ICCBased, /CalRGB, "
+                         "/CalGray, /Indexed, or DCTDecode) supported")
     raw = _filter_chain(filters, raw, parms, deref)
+    if cs == "/DeviceCMYK":
+        # non-inverted ink (the PDF convention, unlike Adobe JPEG APP14):
+        # gray = (255 - K) scaled by (255 - gray-component ink)
+        px = np.frombuffer(raw[:w * h * 4], dtype=np.uint8)             .reshape(h, w, 4).astype(np.int32)
+        c, m, y_, k = px[:, :, 0], px[:, :, 1], px[:, :, 2], px[:, :, 3]
+        gray_ink = (77 * c + 150 * m + 29 * y_ + 128) >> 8
+        return (((255 - gray_ink) * (255 - k)) // 255).astype(np.uint8)
     if cs == "/DeviceRGB":
         from .png import _luma
 

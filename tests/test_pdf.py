@@ -1093,3 +1093,41 @@ def test_simple_font_unknown_glyph_name_keeps_base():
 def test_simple_font_no_encoding_unchanged():
     pdf = _handcraft_pdf(b"", "48454c4c4f")
     assert _first_text(pdf) == "HELLO"
+
+
+# ----------------------------------- image color spaces beyond Device*
+
+
+def _cs_decode(cs, raw, w=2, h=1):
+    from sparkstract.functions.pdf import _decode_image
+
+    d = {"/Width": w, "/Height": h, "/BitsPerComponent": 8,
+         "/ColorSpace": cs}
+    return _decode_image(d, raw, lambda v: v)
+
+
+def test_iccbased_resolves_by_component_count():
+    gray_prof = ("stream", {"/N": 1}, b"")
+    out = _cs_decode(["/ICCBased", gray_prof], bytes([7, 200]))
+    assert out.tolist() == [[7, 200]]
+    rgb_prof = ("stream", {"/N": 3}, b"")
+    out = _cs_decode(["/ICCBased", rgb_prof],
+                     bytes([255, 0, 0, 0, 255, 0]))
+    from sparkstract.functions.png import _luma
+
+    exp = _luma(np.array([[[255, 0, 0], [0, 255, 0]]], np.uint8))
+    assert np.array_equal(out, exp)
+
+
+def test_calgray_calrgb_alias_device_spaces():
+    out = _cs_decode(["/CalGray", {}], bytes([3, 9]))
+    assert out.tolist() == [[3, 9]]
+    out = _cs_decode(["/CalRGB", {}], bytes([10, 10, 10, 20, 20, 20]))
+    assert out.tolist() == [[10, 20]]
+
+
+def test_devicecmyk_image_luma():
+    # pure K=255 -> black; zero ink -> white
+    raw = bytes([0, 0, 0, 255, 0, 0, 0, 0])
+    out = _cs_decode("/DeviceCMYK", raw)
+    assert out.tolist() == [[0, 255]]
