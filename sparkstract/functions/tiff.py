@@ -547,16 +547,17 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
         nsamp = tags.get(277, [1])[0]
         bps = tags.get(258, [8])
         bilevel = nsamp == 1 and bps == [1]
+        deep = nsamp == 1 and bps == [16]   # 16-bit gray: high byte taken
         # RGB (3) / RGBA (4, alpha dropped) collapse to BT.601 luma the way
         # Leptonica's pixConvertTo8 does before analysis; chunky planar
         # config only (PlanarConfiguration=2 stores whole planes — rare).
         # 1-bit bilevel (the scan classic) unpacks MSB-first rows;
         # CCITT G4 bilevel decodes via functions/ccitt.py below.
         if tags.get(284, [1])[0] != 1 or nsamp not in (1, 3, 4) \
-                or not (bilevel or all(b == 8 for b in bps)):
+                or not (bilevel or deep or all(b == 8 for b in bps)):
             raise ValueError(
-                "only 1-bit bilevel or 8-bit chunky gray/RGB/RGBA TIFF "
-                "supported")
+                "only 1-bit bilevel, 8-bit chunky gray/RGB/RGBA, or "
+                "16-bit gray TIFF supported")
         comp = tags.get(259, [1])[0]
         if comp == 6:
             raise ValueError("TIFF compression 6 (old-style JPEG, "
@@ -627,12 +628,20 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
             raw = b""
         else:
             offs, cnts, _rps = _strip_layout(tags, h)
-            expect = h * ((w + 7) // 8) if bilevel else h * w * nsamp
+            expect = (h * ((w + 7) // 8) if bilevel
+                      else h * w * nsamp * (2 if deep else 1))
             undo = {1: lambda b: b,
                     5: lambda b: _lzw_decode(b, max_out=expect),
                     8: lambda b: _inflate(b, expect),
                     32773: _packbits_decode}[comp]
             raw = b"".join(undo(data[o : o + c]) for o, c in zip(offs, cnts))
+            if deep:
+                # collapse to the high byte honoring the byte order
+                u16 = np.frombuffer(raw[: h * w * 2],
+                                    dtype=np.dtype(fmt + "u2"))
+                if u16.size < h * w:
+                    raise ValueError("truncated 16-bit TIFF raster")
+                raw = (u16 >> 8).astype(np.uint8).tobytes()
         if bilevel:
             if bits is None:
                 stride = (w + 7) // 8

@@ -604,3 +604,41 @@ def test_deflate_tiff_bomb_guard():
             struct.pack_into("<I", data, pos + 8, len(bomb))
     with pytest.raises(ValueError, match="exceeds expected raster"):
         decode_gray_tiff(bytes(data) + bomb)
+
+
+# ----------------------------------------------------- 16-bit gray pages
+
+
+def _mk16(img16, fmt="<"):
+    h, w = img16.shape
+    strip = img16.astype(np.dtype(fmt + "u2")).tobytes()
+    magic = b"II*\x00" if fmt == "<" else b"MM\x00*"
+    out = bytearray(magic + struct.pack(fmt + "I", 8 + len(strip)))
+    out += strip
+    entries = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 16),
+               (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, 8),
+               (277, 3, 1, 1), (278, 4, 1, h), (279, 4, 1, len(strip))]
+    out += struct.pack(fmt + "H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack(fmt + "HHI", tag, typ, count)
+        out += (struct.pack(fmt + "I", value) if typ == 4
+                else struct.pack(fmt + "HH", value, 0))
+    out += struct.pack(fmt + "I", 0)
+    return bytes(out)
+
+
+def test_16bit_gray_tiff_high_byte_both_orders():
+    img16 = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 5000)
+    for fmt in ("<", ">"):
+        (got,) = decode_gray_tiff(_mk16(img16, fmt))
+        assert np.array_equal(got, (img16 >> 8).astype(np.uint8)), fmt
+
+
+def test_16bit_truncated_raster_raises():
+    img16 = np.zeros((4, 4), np.uint16)
+    data = bytearray(_mk16(img16))
+    # shrink the declared strip to half
+    i = data.index(struct.pack("<HH", 279, 4))
+    struct.pack_into("<I", data, i + 8, 10)
+    with pytest.raises(ValueError, match="truncated 16-bit"):
+        decode_gray_tiff(bytes(data))
