@@ -2183,6 +2183,18 @@ def q_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbnails(media).select("media_ref", "thumb_w", "thumb_h").orderBy("media_ref")
 
 
+def q_media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-path telemetry over the fixture media column: one row per
+    (container format, decode shape) with counts — the VP8L fast-vs-generic
+    shape counters and per-format error rows that make a hostile crawl
+    segment a NUMBER instead of an unexplained slowdown. Oracle: VALUES
+    literal from the identical sniff+decode loop run single-process."""
+    from sparkstract.operators.multimodal import media_decode_report
+
+    _docs, media, _ = _fixture_frames(spark)
+    return media_decode_report(media).orderBy("format", "shape")
+
+
 @functools.lru_cache(maxsize=1)
 def _media_truth() -> tuple[list[tuple], list[tuple]]:
     """Single-process ground truth for the media-table queries (the fixture
@@ -2207,6 +2219,29 @@ def _media_truth() -> tuple[list[tuple], list[tuple]]:
         f = max(1, int(np.ceil(max(gray.shape) / 64)))
         thumbs.append((r.media_ref, gray.shape[1] // f, gray.shape[0] // f))
     return feats, thumbs
+
+
+@functools.lru_cache(maxsize=1)
+def _decode_report_truth() -> list[tuple]:
+    """Single-process ground truth for media_decode_report: the same
+    sniff + decode + shape-counter loop the distributed kernel runs
+    (operators/multimodal.py), over the deterministic fixture media."""
+    from sparkstract.functions import webp
+    from sparkstract.functions.codecs import decode_gray_any
+    from sparkstract.operators.multimodal import _sniff
+
+    counts: dict[tuple[str, str], int] = {}
+    for r in _fixture_set().media.itertuples():
+        data = bytes(r.image)
+        fmt = _sniff(data)
+        webp.SHAPE_COUNTS.clear()
+        try:
+            decode_gray_any(data)
+            shape = next(iter(webp.SHAPE_COUNTS), "") if fmt == "webp" else ""
+        except (ValueError, NotImplementedError) as e:
+            shape = f"error: {str(e)[:60]}"
+        counts[(fmt, shape)] = counts.get((fmt, shape), 0) + 1
+    return sorted((f, sh, n) for (f, sh), n in counts.items())
 
 
 def _local_page_blocks(data: bytes) -> list[tuple[list, int]]:
@@ -2849,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraphs": q_paragraphs,
         "bidi_order": q_bidi_order,
         "image_features": q_image_features,
+        "media_decode_report": q_media_decode_report,
         "thumbnails": q_thumbnails,
         "layout_geometry": q_layout_geometry,
         "extract_words": q_extract_words,
@@ -3080,6 +3116,9 @@ def oracle_sql() -> dict[str, str]:
         f"({_sql_quote(d)}, {_sql_quote(t)})" for d, t in _NORM_VARIANTS)
 
     feats, thumbs = _media_truth()
+    report_rows = ",\n".join(
+        f"({_sql_quote(f)}, {_sql_quote(sh)}, {n})"
+        for f, sh, n in _decode_report_truth())
     feat_rows = ",\n".join(
         f"('{ref}', {w}, {h}, {ink}, {thr}, {nc})"
         for ref, w, h, ink, thr, nc in feats)
@@ -4475,6 +4514,12 @@ def oracle_sql() -> dict[str, str]:
             {thumb_rows}
             ) AS t(media_ref, thumb_w, thumb_h)
             ORDER BY media_ref
+        """,
+        "media_decode_report": f"""
+            SELECT format, shape, CAST(n AS BIGINT) AS n FROM (VALUES
+            {report_rows}
+            ) AS t(format, shape, n)
+            ORDER BY format, shape
         """,
         "layout_geometry": f"""
             SELECT * FROM (VALUES

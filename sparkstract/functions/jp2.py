@@ -79,6 +79,8 @@ _SWITCH = (
 class MQDecoder:
     """Annex C.3 decoder over one terminated segment of bytes."""
 
+    __slots__ = ("data", "bp", "c", "ct", "a")
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.bp = 0
@@ -154,6 +156,8 @@ class MQDecoder:
 
 class MQEncoder:
     """Annex C.2 encoder producing one terminated segment."""
+
+    __slots__ = ("a", "c", "ct", "b", "out")
 
     def __init__(self) -> None:
         self.a = 0x8000
@@ -259,6 +263,8 @@ def new_contexts(n: int = 19) -> list:
 # ---------------------------------------------------------------------------
 
 class _HdrReader:
+    __slots__ = ("d", "pos", "buf", "n", "prev_ff")
+
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.d = data
         self.pos = pos
@@ -305,6 +311,8 @@ class _HdrReader:
 
 
 class _HdrWriter:
+    __slots__ = ("out", "buf", "n", "prev_ff")
+
     def __init__(self) -> None:
         self.out = bytearray()
         self.buf = 0
