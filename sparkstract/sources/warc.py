@@ -11,7 +11,11 @@ Format (ISO 28500 §4): a record is a version line (``WARC/1.0`` or 1.1),
 ``Name: value`` header lines, CRLF CRLF, then exactly
 ``Content-Length`` bytes of block, then CRLF CRLF. For ``response``
 records whose Content-Type is ``application/http``, the block is an HTTP
-message: status line + headers, CRLF CRLF, payload.
+message: status line + headers, CRLF CRLF, payload.  Raw captures keep
+the WIRE form, so payload extraction also undoes Transfer-Encoding:
+chunked (RFC 9112 §7.1) and Content-Encoding gzip/x-gzip/deflate (both
+zlib-wrapped and raw), each behind the same inflate bound as the gzip
+members; unknown codings (br, zstd) stay as captured.
 
 Scale shape: `read_warc` loads files through Spark's binaryFile source
 (one task per file — crawls ship ~1 GiB segments, so a 100 TB crawl is
@@ -84,6 +88,54 @@ def _gzip_members(data: bytes, max_member: int = 1 << 28,
         pos += consumed
 
 
+def _dechunk(body: bytes, bound: int = 1 << 28) -> bytes:
+    """HTTP/1.1 chunked transfer coding (RFC 9112 §7.1): hex size line,
+    CRLF, data, CRLF, until a zero-size chunk.  Raw captures store the
+    wire form, so de-chunking is part of payload extraction.  Bounded —
+    a crafted body cannot out-allocate its container."""
+    out = bytearray()
+    pos, n = 0, len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0 or eol - pos > 16:
+            raise ValueError("HTTP chunked body: size line missing")
+        tok = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(tok, 16)
+        except ValueError:
+            raise ValueError("HTTP chunked body: malformed size") from None
+        pos = eol + 2
+        if size == 0:
+            break
+        if pos + size > n:
+            raise ValueError("HTTP chunked body truncated")
+        out += body[pos:pos + size]
+        if len(out) > bound:
+            raise ValueError("HTTP chunked body exceeds the inflate bound")
+        pos += size + 2          # chunk data's trailing CRLF
+    return bytes(out)
+
+
+def _decode_content(payload: bytes, cenc: str,
+                    bound: int = 1 << 28) -> bytes:
+    """Content-Encoding gzip/x-gzip/deflate -> identity, capped at
+    `bound` (the same decompression-bomb guard as the gzip members)."""
+    import zlib
+
+    if cenc in ("gzip", "x-gzip"):
+        dec = zlib.decompressobj(31)
+    elif cenc == "deflate":
+        # zlib-wrapped per RFC, raw-deflate in the wild: sniff the header
+        raw = not (payload[:1] and (payload[0] & 0x0F) == 8)
+        dec = zlib.decompressobj(-15 if raw else 15)
+    else:
+        return payload           # identity / unknown: leave as captured
+    out = dec.decompress(payload, bound)
+    if dec.unconsumed_tail:
+        raise ValueError("HTTP payload exceeds the inflate bound")
+    return out
+
+
 def _parse_record(chunk: bytes, pos: int,
                   max_payload: int) -> tuple[dict, int]:
     """One WARC record at `chunk[pos:]` -> (record dict, next pos).
@@ -126,10 +178,23 @@ def _parse_record(chunk: bytes, pos: int,
                     status = int(parts[1])
                 except ValueError:
                     status = None
+            tenc = cenc = ""
             for ln in hl[1:]:
                 k, _, v = ln.partition(":")
-                if k.strip().lower() == "content-type":
+                kl = k.strip().lower()
+                if kl == "content-type":
                     ctype = v.strip()
+                elif kl == "transfer-encoding":
+                    tenc = v.strip().lower()
+                elif kl == "content-encoding":
+                    cenc = v.strip().lower()
+            # raw captures keep the wire form: de-chunk, then de-compress
+            # (RFC 9110 §6.4 layering); failures raise and become flagged
+            # rows under the tolerant parse like any other malformation
+            if "chunked" in tenc:
+                payload = _dechunk(payload)
+            if cenc:
+                payload = _decode_content(payload, cenc)
     n_bytes = len(payload)
     truncated = n_bytes > max_payload
     return dict(

@@ -219,3 +219,92 @@ def test_tolerant_mode_truncated_tail():
     assert got[0]["warc_type"] == "warcinfo"
     assert got[-1]["warc_type"] == "parse-error"
     assert "overruns" in got[-1]["error"]
+
+
+# ------------------------- HTTP transfer/content codings (RFC 9110/9112)
+
+
+def _http_rec(block):
+    hdr = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Record-ID: <urn:x:1>\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n")
+    return hdr + block + b"\r\n\r\n"
+
+
+def _chunked(body, sizes):
+    out, pos = b"", 0
+    for sz in sizes:
+        c = body[pos:pos + sz]
+        out += f"{len(c):x}".encode() + b"\r\n" + c + b"\r\n"
+        pos += sz
+    return out + b"0\r\n\r\n"
+
+
+def test_warc_chunked_transfer_decoding():
+    body = b"hello chunked world" * 3
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+            + _chunked(body, [10, 15, 100]))
+    (rec,) = parse_warc(_http_rec(http))
+    assert rec["payload"] == body
+    assert rec["http_status"] == 200
+
+
+def test_warc_gzip_content_encoding():
+    import gzip as G
+
+    page = b"<html>compressed page</html>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Content-Type: text/html\r\n\r\n" + G.compress(page))
+    (rec,) = parse_warc(_http_rec(http))
+    assert rec["payload"] == page
+
+
+def test_warc_deflate_both_wrappings():
+    import zlib
+
+    page = b"deflated body bytes"
+    for blob in (zlib.compress(page),
+                 zlib.compressobj(wbits=-15).compress(page)
+                 + zlib.compressobj(wbits=-15).flush()):
+        pass
+    co = zlib.compressobj(wbits=-15)
+    raw = co.compress(page) + co.flush()
+    for blob in (zlib.compress(page), raw):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+                + blob)
+        (rec,) = parse_warc(_http_rec(http))
+        assert rec["payload"] == page
+
+
+def test_warc_chunked_then_gzip_layering():
+    import gzip as G
+
+    gz = G.compress(b"layered")
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + _chunked(gz, [len(gz)]))
+    (rec,) = parse_warc(_http_rec(http))
+    assert rec["payload"] == b"layered"
+
+
+def test_warc_malformed_chunk_flagged_not_fatal():
+    http = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nxx"
+    (rec,) = parse_warc(_http_rec(http), strict=False)
+    assert rec["warc_type"] == "parse-error"
+    assert "chunked" in rec["error"]
+
+
+def test_warc_chunked_bomb_bounded():
+    # a chunk claiming more data than the record carries must raise,
+    # and the cumulative bound caps expansion
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"ffffff\r\nshort")
+    (rec,) = parse_warc(_http_rec(http), strict=False)
+    assert rec["warc_type"] == "parse-error"
+
+
+def test_warc_unknown_content_encoding_left_as_captured():
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nBRBYTES")
+    (rec,) = parse_warc(_http_rec(http))
+    assert rec["payload"] == b"BRBYTES"  # brotli: no codec — keep raw
