@@ -553,3 +553,60 @@ def test_layer_count_signalled_in_cod():
     cs = encode_j2k(img, levels=1, layers=7)
     i = cs.index(b"\xff\x52")
     assert struct.unpack(">H", cs[i + 6:i + 8])[0] == 7
+
+
+# ---------------------------------------------------------------------------
+# COC / QCC per-component overrides and multi-tile-part streams: decoder
+# paths real files use that the fixture encoder never emits — exercised
+# by byte surgery on encoder output.
+# ---------------------------------------------------------------------------
+
+def test_coc_override_restores_coding_params():
+    img = _page_img(shape=(40, 50))
+    cs = bytearray(encode_j2k(img, levels=2, xcb=6, ycb=6))
+    i = cs.index(b"\xff\x52")
+    cs[i + 10] = 2  # corrupt COD xcb-2: claim 16-wide blocks (wrong)
+    # without an override the packets no longer parse to the image
+    try:
+        wrong = decode_jp2(bytes(cs))
+        assert not np.array_equal(wrong, img)
+    except (ValueError, IndexError):
+        pass
+    # COC for component 0 restoring the real SPcod wins over COD (A.6.2)
+    qcd_at = bytes(cs).index(b"\xff\x5c")
+    coc = struct.pack(">HHBB", 0xFF53, 9, 0, 0) + bytes([2, 4, 4, 0, 1])
+    fixed = bytes(cs[:qcd_at]) + coc + bytes(cs[qcd_at:])
+    assert np.array_equal(decode_jp2(fixed), img)
+
+
+def test_qcc_override_restores_quant_params():
+    img = _page_img(shape=(40, 50))
+    cs = bytearray(encode_j2k(img, levels=1, xcb=6, ycb=6))
+    i = cs.index(b"\xff\x5c")
+    (ln,) = struct.unpack(">H", cs[i + 2:i + 4])
+    qcd_body = bytes(cs[i + 4:i + 2 + ln])
+    cs[i + 5] = (cs[i + 5] & 0x07) | (1 << 3)  # wreck band-0 exponent
+    try:
+        wrong = decode_jp2(bytes(cs))
+        assert not np.array_equal(wrong, img)
+    except (ValueError, IndexError):
+        pass
+    sot = bytes(cs).index(b"\xff\x90")
+    qcc = struct.pack(">HHB", 0xFF5D, 3 + len(qcd_body), 0) + qcd_body
+    fixed = bytes(cs[:sot]) + qcc + bytes(cs[sot:])
+    assert np.array_equal(decode_jp2(fixed), img)
+
+
+def test_multiple_tile_parts_concatenate():
+    img = _page_img(shape=(40, 50))
+    cs = encode_j2k(img, levels=2)
+    i = cs.index(b"\xff\x90")
+    (psot,) = struct.unpack(">I", cs[i + 6:i + 10])
+    body = cs[i + 14:i + psot]       # after SOT(12) + SOD(2)
+    assert cs[i + psot:i + psot + 2] == b"\xff\xd9"
+    k = len(body) // 2
+    part = lambda seg, tp: (struct.pack(">HHHIBB", 0xFF90, 10, 0,
+                                        12 + 2 + len(seg), tp, 2)
+                            + b"\xff\x93" + seg)
+    rebuilt = cs[:i] + part(body[:k], 0) + part(body[k:], 1) + b"\xff\xd9"
+    assert np.array_equal(decode_jp2(rebuilt), img)
