@@ -74,7 +74,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_ccitt_page", "tiled_tiff_page",
                   "interlaced_png_page", "pdf_aes_page",
                   "pdf_aes256_page", "webp_lossy_page",
-                  "webp_vp8x_page", "pdf_jbig2_page",
+                  "webp_vp8x_page", "webp_anim_page", "pdf_jbig2_page",
+                  "pdf_jbig2_arith_page", "pdf_jbig2_text_page",
                   "pdf_jpx_page", "jp2_page", "jpeg_tiff_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
@@ -480,6 +481,7 @@ PAGE_FAMILIES = [
     "pdf_aes256_page", "webp_lossy_page", "webp_vp8x_page",
     "pdf_jbig2_page", "arabic_page", "arabic_bidi_page",
     "pdf_jpx_page", "jp2_page", "jpeg_tiff_page",
+    "pdf_jbig2_arith_page", "pdf_jbig2_text_page", "webp_anim_page",
 ]
 
 
@@ -846,6 +848,28 @@ class _Builder:
             payload = encode_simple_pdf(
                 [[("jbig2_image", img, 0, 0)]],
                 page_size=(img.shape[1], img.shape[0]))
+        elif family == "pdf_jbig2_arith_page":
+            # /JBIG2Decode with MQ-coded generic regions + TPGDON — the
+            # coding family real scanner stacks default to over MMR.
+            # Bit-exact on two-level ink, truth is the plain page's.
+            from ..functions.pdf import encode_simple_pdf
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_simple_pdf(
+                [[("jbig2_arith_image", img, 0, 0)]],
+                page_size=(img.shape[1], img.shape[0]))
+        elif family == "pdf_jbig2_text_page":
+            # /JBIG2Decode symbol-dictionary + text-region organization
+            # (T.88 §6.4/§6.5) — the DOMINANT real-world scanned-PDF
+            # shape: deduplicated glyph symbols placed by instance. The
+            # dictionary rides /JBIG2Globals. Bit-exact, truth is the
+            # plain page's.
+            from ..functions.pdf import encode_simple_pdf
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_simple_pdf(
+                [[("jbig2_text_image", img, 0, 0)]],
+                page_size=(img.shape[1], img.shape[0]))
         elif family == "jpeg_tiff_page":
             # new-style JPEG-in-TIFF (TIFF Technical Note 2) — the scanner
             # archival shape libtiff writes by default: abbreviated JPEG
@@ -899,6 +923,18 @@ class _Builder:
             payload = encode_webp_vp8x(img, alpha=alpha, qi=8,
                                        filter_level=8,
                                        exif=b"Exif\x00\x00II*\x00")
+        elif family == "webp_anim_page":
+            # animated (ANIM/ANMF) WEBP — a double-digit slice of crawl
+            # media. Frame 1 carries the page (the still the decoder
+            # extracts, like Leptonica's frame-1 read); frame 2 is a
+            # decoy block that must NOT leak into the page.
+            from ..functions.vp8 import encode_webp_anim
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            decoy = np.zeros((16, 16), np.uint8)
+            payload = encode_webp_anim([img, decoy],
+                                       offsets=[(0, 0), (0, 0)],
+                                       qi=8, filter_level=8)
         else:
             img, blocks = render_page(page_spec(family, self.rng))
             payload = encode_gray(img)

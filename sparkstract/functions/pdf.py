@@ -216,6 +216,7 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     f"BI /W {iw} /H {ih} /BPC 8 /CS /G /F /Fl ID "
                     + comp.decode("latin-1") + " EI Q")
             elif el[0] in ("image", "jpeg", "g4_image", "jbig2_image",
+                           "jbig2_arith_image", "jbig2_text_image",
                            "jpx_image"):
                 arr, x, y = el[1], el[2], el[3]
                 ih, iw = arr.shape
@@ -245,6 +246,33 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     split = 11 + 19          # page-info header + body
                     gnum = add_stream("", full[:split])
                     raw = full[split:]
+                    filt, bpc = "/JBIG2Decode", 1
+                    extra = (" /DecodeParms "
+                             f"<< /JBIG2Globals {gnum} 0 R >>")
+                elif el[0] == "jbig2_arith_image":
+                    # arithmetic (MQ) generic regions with TPGDON — the
+                    # coder real scanner stacks default to (T.88 §6.2.5.7)
+                    from .jbig2 import encode_jbig2
+
+                    full = encode_jbig2((arr < 128).astype(np.uint8),
+                                        stripes=2, coder="arith",
+                                        tpgdon=True)
+                    split = 11 + 19
+                    gnum = add_stream("", full[:split])
+                    raw = full[split:]
+                    filt, bpc = "/JBIG2Decode", 1
+                    extra = (" /DecodeParms "
+                             f"<< /JBIG2Globals {gnum} 0 R >>")
+                elif el[0] == "jbig2_text_image":
+                    # the DOMINANT real-world scanned organization: the
+                    # page's glyphs deduplicated into an arithmetic symbol
+                    # dictionary (shared via /JBIG2Globals, like Acrobat)
+                    # placed by an immediate text region (T.88 §6.4/§6.5)
+                    from .jbig2 import encode_jbig2_text
+
+                    raw, glob = encode_jbig2_text(
+                        (arr < 128).astype(np.uint8))
+                    gnum = add_stream("", glob)
                     filt, bpc = "/JBIG2Decode", 1
                     extra = (" /DecodeParms "
                              f"<< /JBIG2Globals {gnum} 0 R >>")

@@ -156,22 +156,78 @@ def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
     return out[::-1]
 
 
+def _bmp_rle4(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE4: like RLE8 but runs alternate the value byte's two nibbles
+    and absolute literal runs pack two pixels per byte (word-aligned)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:
+            if y < h:
+                run = min(cnt, max(0, w - x))
+                pair = np.array([val >> 4, val & 0x0F], np.uint8)
+                out[y, x:x + run] = np.tile(pair, (cnt + 1) // 2)[:run]
+            x += cnt
+        elif val == 0:        # end of line
+            x, y = 0, y + 1
+        elif val == 1:        # end of bitmap
+            break
+        elif val == 2:        # delta
+            if pos + 1 >= n:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:                 # absolute literal run of `val` pixels
+            nbytes = (val + 1) // 2
+            if pos + nbytes > n:
+                raise ValueError("truncated BMP RLE literal")
+            lit = np.frombuffer(data[pos:pos + nbytes], np.uint8)
+            nibbles = np.empty(nbytes * 2, np.uint8)
+            nibbles[0::2] = lit >> 4
+            nibbles[1::2] = lit & 0x0F
+            if y < h:
+                run = min(val, max(0, w - x))
+                out[y, x:x + run] = nibbles[:run]
+            x += val
+            pos += nbytes + (nbytes & 1)     # word-aligned
+        if y > h:
+            raise ValueError("BMP RLE overruns the declared height")
+    return out[::-1]
+
+
+def _mask_channel(px: np.ndarray, mask: int) -> np.ndarray:
+    """Extract a BI_BITFIELDS channel and scale it to 8 bits."""
+    if mask == 0:
+        return np.zeros(px.shape, np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    v = (px >> shift) & ((1 << width) - 1)
+    if width >= 8:
+        return (v >> (width - 8)).astype(np.uint8)
+    # replicate high bits into the low end (the standard 5/6-bit expand)
+    v = v.astype(np.uint32) << (8 - width)
+    return (v | (v >> width)).astype(np.uint8)
+
+
 def decode_gray_bmp(data: bytes) -> np.ndarray:
     """BMP bytes -> uint8 HxW grayscale: 1/4/8-bit palette (palette luma,
-    MSB-first packing for sub-byte) or 24/32-bit BGR(A) truecolor (BT.601
-    luma, alpha/padding byte dropped); BI_RGB plus BI_RLE8. RLE4 and
-    bitfield compressions raise named errors."""
+    MSB-first packing for sub-byte), 24/32-bit BGR(A) truecolor (BT.601
+    luma, alpha/padding byte dropped), BI_RLE8 + BI_RLE4 runs, and
+    BI_BITFIELDS 16/32-bit with arbitrary contiguous channel masks (incl.
+    the 565/555 shapes; 16-bit BI_RGB defaults to 555 per the spec)."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack_from("<I", data, 10)
     hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
-    if comp == 2:
-        raise ValueError("BMP BI_RLE4 compression: out of scope")
-    if comp == 3:
-        raise ValueError("BMP bitfield compression: out of scope")
-    if comp not in (0, 1) or bpp not in (1, 4, 8, 24, 32)             or (comp == 1 and bpp != 8):
-        raise ValueError("only BI_RGB 1/4/8/24/32-bit or BI_RLE8 8-bit "
-                         "BMP supported")
+    if comp not in (0, 1, 2, 3) or bpp not in (1, 4, 8, 16, 24, 32) \
+            or (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4) \
+            or (comp == 3 and bpp not in (16, 32)):
+        raise ValueError("only BI_RGB 1/4/8/16/24/32-bit, BI_RLE8/RLE4 "
+                         "or BI_BITFIELDS 16/32-bit BMP supported")
     top_down = h < 0
     h = abs(h)
     if w <= 0 or h <= 0 or w * h > 64_000_000:
@@ -186,6 +242,10 @@ def decode_gray_bmp(data: bytes) -> np.ndarray:
                                + 0.299 * pal[:, 2]), 0, 255).astype(np.uint8)
         if comp == 1:
             raw = _bmp_rle8(data[data_off:], w, h)
+            if top_down:
+                raw = raw[::-1]
+        elif comp == 2:
+            raw = _bmp_rle4(data[data_off:], w, h)
             if top_down:
                 raw = raw[::-1]
         elif bpp == 8:
@@ -216,6 +276,26 @@ def decode_gray_bmp(data: bytes) -> np.ndarray:
                         dtype=np.uint8)
     if raw.size < h * stride:
         raise ValueError("truncated BMP raster")
+    if comp == 3 or bpp == 16:
+        if comp == 3:
+            # masks sit right after BITMAPINFOHEADER / at the same fixed
+            # offset inside the V4/V5 headers (bV4RedMask = header + 40)
+            if len(data) < 66:
+                raise ValueError("truncated BMP bitfield masks")
+            rm, gm, bm = struct.unpack_from("<III", data, 54)
+            if rm & gm or gm & bm or rm & bm:
+                raise ValueError("BMP bitfield masks overlap")
+        else:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F          # 16-bit default 555
+        dt = np.uint16 if bpp == 16 else np.uint32
+        px = raw.reshape(h, stride)[:, : w * nb].copy().view(dt) \
+            .reshape(h, w).astype(np.uint32)
+        if not top_down:
+            px = px[::-1]
+        r = _mask_channel(px, rm).astype(np.int32)
+        g = _mask_channel(px, gm).astype(np.int32)
+        b = _mask_channel(px, bm).astype(np.int32)
+        return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
     px = raw.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
     if not top_down:
         px = px[::-1]

@@ -1220,3 +1220,45 @@ def encode_webp_vp8x(img: np.ndarray, alpha: np.ndarray | None = None,
             body = body + b"\x00"
         out += tag + len(body).to_bytes(4, "little") + body
     return b"RIFF" + (4 + len(out)).to_bytes(4, "little") + b"WEBP" + out
+
+
+def encode_webp_anim(frames: list, offsets: list | None = None,
+                     canvas: tuple | None = None,
+                     bg: tuple = (255, 255, 255, 255),
+                     alpha: np.ndarray | None = None, **kw) -> bytes:
+    """Animated (VP8X+ANIM) WEBP: each uint8 HxW frame becomes an ANMF
+    chunk holding a lossy VP8 key frame; the FIRST frame (optionally with
+    a raw ALPH plane) is the still the decoder extracts. `offsets` are
+    even (x, y) canvas placements; `bg` is the ANIM background BGRA."""
+    offsets = offsets or [(0, 0)] * len(frames)
+    cw = canvas[0] if canvas else max(
+        x + f.shape[1] for f, (x, y) in zip(frames, offsets))
+    ch = canvas[1] if canvas else max(
+        y + f.shape[0] for f, (x, y) in zip(frames, offsets))
+    out = b"VP8X" + (10).to_bytes(4, "little")
+    out += bytes([0x02 | (0x10 if alpha is not None else 0), 0, 0, 0])
+    out += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    anim = bytes(bg) + (0).to_bytes(2, "little")       # BGRA + loop count
+    out += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for i, (f, (x, y)) in enumerate(zip(frames, offsets)):
+        fh, fw = f.shape
+        sub = b""
+        if i == 0 and alpha is not None:
+            body = b"\x00" + alpha.astype(np.uint8).tobytes()
+            sub += (b"ALPH" + len(body).to_bytes(4, "little") + body
+                    + (b"\x00" if len(body) & 1 else b""))
+        payload = encode_gray_vp8(f, **kw)
+        if len(payload) & 1:
+            payload += b"\x00"
+        sub += b"VP8 " + len(payload).to_bytes(4, "little") + payload
+        anmf = ((x // 2).to_bytes(3, "little")
+                + (y // 2).to_bytes(3, "little")
+                + (fw - 1).to_bytes(3, "little")
+                + (fh - 1).to_bytes(3, "little")
+                + (100).to_bytes(3, "little")          # duration ms
+                + bytes([0])                           # blend/dispose
+                + sub)
+        if len(anmf) & 1:
+            anmf += b"\x00"
+        out += b"ANMF" + len(anmf).to_bytes(4, "little") + anmf
+    return b"RIFF" + (4 + len(out)).to_bytes(4, "little") + b"WEBP" + out

@@ -10,7 +10,7 @@ WEBP at double-digit percentages, so the codec-dispatch seam
 implementation at the ccitt.py quality bar is feasible. Lossy VP8 decodes
 through functions/vp8.py (RFC 6386 key frames); the extended VP8X
 container is walked here (_decode_vp8x: raw ALPH composite, EXIF/XMP/ICCP
-skipped, ANIM a named error).
+skipped, animations decode as their FIRST frame on the background canvas).
 
 Decode support (RFC 9649 §3-§5):
   * all four transforms: predictor (14 modes, per-block sub-image), color
@@ -823,15 +823,10 @@ def decode_webp(data: bytes) -> np.ndarray:
     raise ValueError("WEBP container has no image chunk")
 
 
-def _decode_vp8x(rest: bytes, header: bytes) -> np.ndarray:
-    """Extended (VP8X) container: canvas header, then feature chunks.
-    ICCP/EXIF/XMP are skipped; ANIM/ANMF raise a named out-of-scope
-    error; a raw (uncompressed) ALPH chunk composites onto white; a
-    compressed ALPH raises a named error."""
-    if len(header) < 10:
-        raise ValueError("VP8X header truncated")
-    w = int.from_bytes(header[4:7], "little") + 1
-    h = int.from_bytes(header[7:10], "little") + 1
+def _frame_from_chunks(rest: bytes, w: int, h: int
+                       ) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Walk ALPH/VP8 /VP8L chunks of one frame -> (gray, alpha); other
+    chunk tags are skipped. `w`/`h` bound the ALPH plane."""
     alpha: np.ndarray | None = None
     gray: np.ndarray | None = None
     pos = 0
@@ -839,9 +834,6 @@ def _decode_vp8x(rest: bytes, header: bytes) -> np.ndarray:
         tag = rest[pos:pos + 4]
         size = int.from_bytes(rest[pos + 4:pos + 8], "little")
         body = rest[pos + 8:pos + 8 + size]
-        if tag in (b"ANIM", b"ANMF"):
-            raise ValueError("animated WEBP (ANIM): out of scope "
-                             "(still VP8/VP8L frames supported)")
         if tag == b"ALPH":
             if not body:
                 raise ValueError("ALPH chunk empty")
@@ -869,6 +861,63 @@ def _decode_vp8x(rest: bytes, header: bytes) -> np.ndarray:
                         ).astype(np.uint8)
         # ICCP / EXIF / XMP / unknown chunks: skipped
         pos += 8 + size + (size & 1)
+    return gray, alpha
+
+
+def _decode_vp8x(rest: bytes, header: bytes) -> np.ndarray:
+    """Extended (VP8X) container: canvas header, then feature chunks.
+    ICCP/EXIF/XMP are skipped; a raw (uncompressed) ALPH chunk composites
+    onto white; a compressed ALPH raises a named error. Animations (ANIM/
+    ANMF) decode as their FIRST frame composited at its offset on the
+    background-color canvas — the page-analysis still, matching how the
+    reference's single-page SetImage treats an animated input (Leptonica
+    reads frame 1); later frames are skipped, not errors."""
+    if len(header) < 10:
+        raise ValueError("VP8X header truncated")
+    w = int.from_bytes(header[4:7], "little") + 1
+    h = int.from_bytes(header[7:10], "little") + 1
+    anim_bg = 255                     # composited page background
+    frame = None                      # (gray, alpha, fx, fy)
+    pos = 0
+    while pos + 8 <= len(rest):
+        tag = rest[pos:pos + 4]
+        size = int.from_bytes(rest[pos + 4:pos + 8], "little")
+        body = rest[pos + 8:pos + 8 + size]
+        if tag == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("ANIM chunk truncated")
+            bb, gg, rr, aa = body[0], body[1], body[2], body[3]  # BGRA
+            luma = (77 * rr + 150 * gg + 29 * bb + 128) >> 8
+            anim_bg = (luma * aa + 255 * (255 - aa) + 127) // 255
+        elif tag == b"ANMF":
+            if frame is None:         # first frame = the still
+                if len(body) < 16:
+                    raise ValueError("ANMF chunk truncated")
+                fx = int.from_bytes(body[0:3], "little") * 2
+                fy = int.from_bytes(body[3:6], "little") * 2
+                fw = int.from_bytes(body[6:9], "little") + 1
+                fh = int.from_bytes(body[9:12], "little") + 1
+                g, a = _frame_from_chunks(body[16:], fw, fh)
+                if g is None:
+                    raise ValueError("ANMF frame has no image chunk")
+                if g.shape != (fh, fw):
+                    raise ValueError("ANMF frame size mismatch")
+                if fx + fw > w or fy + fh > h:
+                    raise ValueError("ANMF frame outside canvas")
+                frame = (g, a, fx, fy)
+            # later frames skipped: first-frame still semantics
+        pos += 8 + size + (size & 1)
+    if frame is not None:
+        g, a, fx, fy = frame
+        canvas = np.full((h, w), anim_bg, np.uint8)
+        if a is not None:
+            g32 = g.astype(np.int64)
+            a32 = a.astype(np.int64)
+            g = ((g32 * a32 + int(anim_bg) * (255 - a32) + 127) // 255
+                 ).astype(np.uint8)
+        canvas[fy:fy + g.shape[0], fx:fx + g.shape[1]] = g
+        return canvas
+    gray, alpha = _frame_from_chunks(rest, w, h)
     if gray is None:
         raise ValueError("VP8X container has no image chunk")
     if gray.shape != (h, w):

@@ -370,3 +370,30 @@ def test_jpeg_tiff_corruption_is_total():
             assert all(p.size <= 1 << 24 for p in pages)
         except (ValueError, struct.error, IndexError, KeyError):
             pass
+
+
+def test_jbig2_arith_corruption_is_total():
+    """MQ-coded generic-region and symbol/text JBIG2 decode over
+    byte-corrupted streams must terminate with a page or a ValueError —
+    never hang or out-allocate (the untrusted-crawl codec contract)."""
+    import numpy as np
+
+    from sparkstract.functions.jbig2 import (decode_jbig2, encode_jbig2,
+                                             encode_jbig2_text)
+
+    rng = np.random.default_rng(23)
+    ink = (rng.random((30, 44)) < 0.25).astype(np.uint8)
+    gen = bytearray(encode_jbig2(ink, coder="arith", tpgdon=True))
+    stream, glob = encode_jbig2_text(ink)
+    txt = bytearray(glob + stream)
+    for base in (gen, txt):
+        for _ in range(200):
+            data = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                data[int(rng.integers(0, len(data)))] = int(
+                    rng.integers(0, 256))
+            try:
+                out = decode_jbig2(bytes(data))
+                assert out.size <= 64_000_000
+            except ValueError:
+                pass  # rejected — fine; the invariant is termination

@@ -82,12 +82,6 @@ def _tamper_generic_flags(data: bytes, new_flags: int) -> bytes:
     return data[:i] + bytes([new_flags]) + data[i + 1:]
 
 
-def test_arithmetic_region_named_error():
-    data = _tamper_generic_flags(encode_jbig2(_bits()), 0x00)
-    with pytest.raises(ValueError, match="MQ coder"):
-        decode_jbig2(data)
-
-
 def test_tpgdon_with_mmr_rejected():
     data = _tamper_generic_flags(encode_jbig2(_bits()), 0x09)
     with pytest.raises(ValueError, match="TPGDON"):
@@ -95,9 +89,9 @@ def test_tpgdon_with_mmr_rejected():
 
 
 @pytest.mark.parametrize("seg_type,msg", [
-    (0, "symbol/text"), (4, "symbol/text"), (16, "halftone"),
+    (16, "halftone"),
     (20, "halftone"), (40, "refinement"), (53, "code tables"),
-    (36, "intermediate"),
+    (36, "intermediate"), (4, "intermediate text"),
 ])
 def test_out_of_scope_segment_types_named(seg_type, msg):
     data = encode_jbig2(_bits())[:30] + _segment_header(1, seg_type, 1, 0)
@@ -166,3 +160,211 @@ def test_pdf_jbig2_fixture_family_builds():
     b = _Builder(seed=9)
     ref, blocks = b.add_page("pdf_jbig2_page")
     assert blocks and b.media[-1]["image"][:5] == b"%PDF-"
+
+
+# ------------------------------------- arithmetic (MQ) generic regions
+
+
+@pytest.mark.parametrize("template", [0, 1, 2, 3])
+@pytest.mark.parametrize("tpgdon", [False, True])
+def test_arith_generic_roundtrip(template, tpgdon):
+    bits = _bits(seed=template + 5, shape=(61, 83))
+    got = decode_jbig2(encode_jbig2(bits, coder="arith", template=template,
+                                    tpgdon=tpgdon))
+    assert (got == bits).all()
+
+
+@pytest.mark.parametrize("template", [0, 1, 2, 3])
+def test_arith_tpgdon_typical_rows(template):
+    # repeated rows exercise the LTP copy path (T.88 §6.2.5.7 step 2)
+    bits = np.tile(_bits(shape=(4, 50)), (9, 1))
+    got = decode_jbig2(encode_jbig2(bits, coder="arith", template=template,
+                                    tpgdon=True))
+    assert (got == bits).all()
+
+
+def test_arith_striped_regions():
+    bits = _bits(seed=4)
+    got = decode_jbig2(encode_jbig2(bits, stripes=3, coder="arith"))
+    assert (got == bits).all()
+
+
+@pytest.mark.parametrize("template,at", [
+    (0, ((1, -1), (-2, -1), (3, -2), (-4, -2))),
+    (1, ((-1, -2),)), (2, ((5, -1),)), (3, ((-2, 0),)),
+])
+def test_arith_non_nominal_at_roundtrip(template, at):
+    # moved AT pixels force the general per-pixel path; the encoder uses
+    # the same slot layout, so a mismatch in either direction breaks this
+    from sparkstract.functions.jbig2 import (_CTX_BITS, _bank,
+                                             _decode_generic,
+                                             _encode_generic)
+    from sparkstract.functions.jp2 import MQDecoder, MQEncoder
+
+    bits = _bits(seed=13, shape=(40, 57))
+    enc = MQEncoder()
+    _encode_generic(enc, _bank(1 << _CTX_BITS[template]), bits,
+                    template, at, False)
+    got = _decode_generic(MQDecoder(enc.flush()),
+                          _bank(1 << _CTX_BITS[template]),
+                          57, 40, template, at, False)
+    assert (got == bits).all()
+
+
+def test_arith_at_must_be_causal():
+    from sparkstract.functions.jbig2 import _CTX_BITS, _bank, _decode_generic
+    from sparkstract.functions.jp2 import MQDecoder
+
+    with pytest.raises(ValueError, match="causal"):
+        _decode_generic(MQDecoder(b""), _bank(1 << _CTX_BITS[2]),
+                        8, 8, 2, ((1, 0),), False)
+    with pytest.raises(ValueError, match="causal"):
+        _decode_generic(MQDecoder(b""), _bank(1 << _CTX_BITS[2]),
+                        8, 8, 2, ((0, 1),), False)
+
+
+def test_arith_int_coder_roundtrip():
+    from sparkstract.functions.jbig2 import _bank, _int_decode, _int_encode
+    from sparkstract.functions.jp2 import MQDecoder, MQEncoder
+
+    values = [0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+              100000, -4436, -340, -77, None, 2, None, -2]
+    enc = MQEncoder()
+    bank = _bank(512)
+    for v in values:
+        _int_encode(enc, bank, v)
+    mq = MQDecoder(enc.flush())
+    bank = _bank(512)
+    got = [_int_decode(mq, bank) for _ in values]
+    assert got == values
+
+
+# ------------------------------------------ symbol dictionary + text
+
+
+def _glyph_page() -> np.ndarray:
+    page = np.zeros((90, 160), np.uint8)
+    a = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], np.uint8)
+    b = np.array([[0, 1], [1, 1], [0, 1], [0, 1]], np.uint8)
+    for gy, gx, g in [(5, 5, a), (5, 15, a), (5, 25, b), (40, 8, b),
+                      (40, 30, a), (84, 156, a), (60, 0, b)]:
+        page[gy:gy + g.shape[0], gx:gx + g.shape[1]] |= g
+    return page
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+@pytest.mark.parametrize("transposed", [0, 1])
+def test_text_region_roundtrip_all_corners(refcorner, transposed):
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    page = _glyph_page()
+    stream, glob = encode_jbig2_text(page, refcorner=refcorner,
+                                     transposed=transposed)
+    got = decode_jbig2(stream, globals_data=glob)
+    assert (got == page).all()
+
+
+def test_text_region_random_ink_roundtrip():
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    bits = _bits(seed=31, shape=(70, 110))
+    stream, glob = encode_jbig2_text(bits)
+    got = decode_jbig2(stream, globals_data=glob)
+    assert (got == bits).all()
+
+
+def test_symbol_dict_deduplicates_repeated_glyphs():
+    # 5 instances of glyph a + 2 of glyph b -> exactly 2 symbols coded
+    from sparkstract.functions.jbig2 import _parse_segment_header, _Cursor
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    stream, glob = encode_jbig2_text(_glyph_page())
+    c = _Cursor(glob)
+    seg = _parse_segment_header(c)          # page info
+    c.take(seg["length"])
+    seg = _parse_segment_header(c)          # symbol dict
+    assert seg["type"] == 0
+    body = _Cursor(c.take(seg["length"]))
+    body.take(2 + 8)                        # flags + 4 AT pairs
+    assert body.u32() == 2                  # SDNUMEXSYMS
+    assert body.u32() == 2                  # SDNUMNEWSYMS
+
+
+def test_symbol_dict_huffman_named_error():
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    stream, glob = encode_jbig2_text(_glyph_page())
+    g = bytearray(glob)
+    g[30 + 11 + 1] |= 0x01                  # SDHUFF bit in dict flags
+    with pytest.raises(ValueError, match="Huffman-coded symbol"):
+        decode_jbig2(stream, globals_data=bytes(g))
+
+
+def test_symbol_dict_refagg_named_error():
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    stream, glob = encode_jbig2_text(_glyph_page())
+    g = bytearray(glob)
+    g[30 + 11 + 1] |= 0x02                  # SDREFAGG bit
+    with pytest.raises(ValueError, match="refinement/aggregate"):
+        decode_jbig2(stream, globals_data=bytes(g))
+
+
+def test_text_region_huffman_and_refine_named_errors():
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    stream, glob = encode_jbig2_text(_glyph_page())
+    # text-region flags sit after its 12-byte header (incl. one referred
+    # segment byte) + 17-byte region info
+    for bit, msg in ((0x01, "Huffman-coded text"), (0x02, "refined text")):
+        s = bytearray(stream)
+        s[12 + 17 + 1] |= bit               # low byte of the 16-bit flags
+        with pytest.raises(ValueError, match=msg):
+            decode_jbig2(bytes(s), globals_data=glob)
+
+
+def test_text_region_without_symbols_named_error():
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    stream, glob = encode_jbig2_text(_glyph_page())
+    # drop the symbol dictionary from the globals: page info only
+    with pytest.raises(ValueError, match="no referred symbols"):
+        decode_jbig2(stream, globals_data=glob[:30])
+
+
+def test_blank_page_falls_back_to_generic():
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    blank = np.zeros((20, 30), np.uint8)
+    stream, glob = encode_jbig2_text(blank)
+    got = decode_jbig2(stream, globals_data=glob)
+    assert (got == blank).all()
+
+
+# --------------------------------------------------- PDF seam (arith)
+
+
+@pytest.mark.parametrize("el", ["jbig2_arith_image", "jbig2_text_image"])
+@pytest.mark.parametrize("encrypt", [False, True])
+def test_pdf_jbig2_arith_elements_roundtrip(el, encrypt):
+    img = _page_img()
+    data = encode_simple_pdf([[(el, img, 0, 0)]],
+                             page_size=(64, 40), encrypt=encrypt)
+    (page,) = parse_pdf(data)
+    got = next(it for it in page.items if it[0] == "image")[1]
+    assert (got == img).all()
+
+
+@pytest.mark.parametrize("family",
+                         ["pdf_jbig2_arith_page", "pdf_jbig2_text_page"])
+def test_pdf_jbig2_arith_families_extract(family):
+    from sparkstract.fixtures.gen import _Builder
+    from sparkstract.operators.page import analyse_page
+
+    b = _Builder(seed=9)
+    ref, blocks = b.add_page(family)
+    assert b.media[-1]["image"][:5] == b"%PDF-"
+    (page,) = parse_pdf(b.media[-1]["image"])
+    img = next(it for it in page.items if it[0] == "image")[1]
+    got = [(blk.kind, blk.text) for blk in analyse_page(img)]
+    assert got == [(t.kind, t.text) for t in blocks]

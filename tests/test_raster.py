@@ -183,9 +183,64 @@ def test_bmp_4bit_and_1bit_uncompressed():
     assert img.tolist() == [[255, 0, 255, 0]]
 
 
-def test_bmp_rle4_named_error():
-    with pytest.raises(ValueError, match="RLE4"):
-        decode_gray_bmp(_mkbmp(4, 1, 4, 2, [0, 255], b"\x00\x01"))
+def test_bmp_rle4_runs_absolute():
+    # bottom row: run of 5 alternating nibbles (0xA,0x3) + absolute [1,2,3]
+    # (word-padded); top row: run of 8 alternating (0xF,0x0)
+    body = bytes([5, 0xA3, 0, 3, 0x12, 0x30, 0, 0,
+                  8, 0xF0, 0, 0, 0, 1])
+    img = decode_gray_bmp(_mkbmp(8, 2, 4, 2, [i * 17 for i in range(16)],
+                                 body))
+    assert img[1].tolist() == [v * 17 for v in
+                               (0xA, 0x3, 0xA, 0x3, 0xA, 1, 2, 3)]
+    assert img[0].tolist() == [v * 17 for v in (0xF, 0x0) * 4]
+
+
+def test_bmp_16bit_default_555():
+    import struct
+
+    px = [[0x7C00, 0x03E0], [0x001F, 0x7FFF]]      # R,G / B,white
+    rows = b"".join(struct.pack("<HH", *r) for r in px[::-1])
+    img = decode_gray_bmp(_mkbmp(2, 2, 16, 0, [], rows))
+    r8, g8, b8 = (77 * 255 + 128) >> 8, (150 * 255 + 128) >> 8, \
+        (29 * 255 + 128) >> 8
+    assert img.tolist() == [[r8, g8], [b8, 255]]
+
+
+@pytest.mark.parametrize("bpp,masks,px", [
+    (16, (0xF800, 0x07E0, 0x001F),
+     (0xF800, 0x07E0, 0x001F, 0xFFFF)),            # 565
+    (32, (0x00FF0000, 0x0000FF00, 0x000000FF),
+     (0x00FF0000, 0x0000FF00, 0x000000FF, 0x00FFFFFF)),  # 8888
+])
+def test_bmp_bitfields(bpp, masks, px):
+    import struct
+
+    fmt = "<H" if bpp == 16 else "<I"
+    rows = b"".join(struct.pack(fmt, v) for v in (px[2], px[3], px[0], px[1]))
+    if bpp == 16:
+        rows = rows[:4] + b"" + rows[4:]           # stride already 4-aligned
+    data = _mkbmp(2, 2, bpp, 3, [], rows)
+    # splice the three mask DWORDs between the info header and the body
+    data = data[:54] + struct.pack("<III", *masks) + data[54:]
+    # data offset moved by 12
+    off = int.from_bytes(data[10:14], "little") + 12
+    data = data[:10] + off.to_bytes(4, "little") + data[14:]
+    img = decode_gray_bmp(data)
+    r8, g8, b8 = (77 * 255 + 128) >> 8, (150 * 255 + 128) >> 8, \
+        (29 * 255 + 128) >> 8
+    assert img.tolist() == [[r8, g8], [b8, 255]]
+
+
+def test_bmp_overlapping_masks_rejected():
+    import struct
+
+    rows = struct.pack("<HH", 0, 0) + struct.pack("<HH", 0, 0)
+    data = _mkbmp(2, 2, 16, 3, [], rows)
+    data = data[:54] + struct.pack("<III", 0xF800, 0xFC00, 0x1F) + data[54:]
+    off = int.from_bytes(data[10:14], "little") + 12
+    data = data[:10] + off.to_bytes(4, "little") + data[14:]
+    with pytest.raises(ValueError, match="overlap"):
+        decode_gray_bmp(data)
 
 
 def test_bmp_palette_index_out_of_range():

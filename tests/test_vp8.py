@@ -241,11 +241,62 @@ def test_vp8x_alpha_composites_onto_white():
     assert (got[10:] == img[10:]).all()
 
 
-def test_vp8x_anim_named_error():
-    data = encode_webp_vp8x(_test_img(), lossless=True)
-    i = data.find(b"VP8L")
-    with pytest.raises(ValueError, match="animated WEBP"):
-        decode_gray_any(data[:i] + b"ANIM" + data[i + 4:])
+def test_anim_first_frame_is_the_still():
+    from sparkstract.functions.vp8 import encode_webp_anim, encode_webp_vp8
+
+    img = _test_img()
+    still = decode_gray_any(encode_webp_vp8(img, qi=8))
+    decoy = np.zeros((16, 16), np.uint8)
+    got = decode_gray_any(encode_webp_anim([img, decoy], qi=8))
+    assert (got == still).all()
+
+
+def test_anim_offset_frame_on_background():
+    from sparkstract.functions.vp8 import encode_webp_anim, encode_webp_vp8
+
+    img = _test_img()
+    still = decode_gray_any(encode_webp_vp8(img, qi=8))
+    h, w = img.shape
+    got = decode_gray_any(encode_webp_anim(
+        [img], offsets=[(10, 6)], canvas=(w + 30, h + 20),
+        bg=(0, 0, 0, 255), qi=8))
+    assert got.shape == (h + 20, w + 30)
+    assert (got[:6, :] == 0).all() and (got[:, :10] == 0).all()
+    assert (got[6:6 + h, 10:10 + w] == still).all()
+
+
+def test_anim_first_frame_alpha_composites_on_background():
+    from sparkstract.functions.vp8 import encode_webp_anim, encode_webp_vp8
+
+    img = _test_img()
+    still = decode_gray_any(encode_webp_vp8(img, qi=8))
+    alpha = np.full(img.shape, 128, np.uint8)
+    got = decode_gray_any(encode_webp_anim([img], alpha=alpha, qi=8))
+    want = ((still.astype(np.int64) * 128 + 255 * 127 + 127)
+            // 255).astype(np.uint8)
+    assert (got == want).all()
+
+
+def test_anim_frame_outside_canvas_rejected():
+    from sparkstract.functions.vp8 import encode_webp_anim
+
+    img = _test_img()
+    data = encode_webp_anim([img], offsets=[(10, 10)],
+                            canvas=(img.shape[1], img.shape[0]), qi=8)
+    with pytest.raises(ValueError, match="outside canvas"):
+        decode_gray_any(data)
+
+
+def test_webp_anim_fixture_family_extracts():
+    from sparkstract.fixtures.gen import _Builder
+    from sparkstract.functions.codecs import decode_pages
+    from sparkstract.operators.page import analyse_page
+
+    b = _Builder(seed=9)
+    ref, blocks = b.add_page("webp_anim_page")
+    (page,) = decode_pages(b.media[-1]["image"])
+    got = [(blk.kind, blk.text) for blk in analyse_page(page)]
+    assert got == [(t.kind, t.text) for t in blocks]
 
 
 def test_vp8x_compressed_alpha_named_error():
