@@ -537,12 +537,17 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
     n = (h + 2) * W
     sig = [0] * n
     sgn = [0] * n           # 1 = negative (only meaningful where sig)
-    vis = [0] * n
+    vis = [-1] * n          # pass-version stamp: coded in this plane's SPP
     ref = [0] * n
-    nbr = [0] * n           # any significant 8-neighbor
+    # zidx packs the significant-neighbor counts as hs*15 + vs*5 + ds —
+    # the flat ZC-LUT index — maintained incrementally by set_sig, so the
+    # hot loops read ONE cell instead of eight (zidx != 0 also replaces
+    # the old any-significant-neighbor flag). Counts never exceed the LUT
+    # ranges (2 horizontal, 2 vertical, 4 diagonal neighbors).
+    zidx = [0] * n
     mag = [0] * (w * h)
-    offs = (-W - 1, -W, -W + 1, -1, 1, W - 1, W, W + 1)
     swap = band == "HL"
+    dh, dv = (5, 15) if swap else (15, 5)   # HL swaps h/v at Table D.1
     zcf = _ZC_HH_F if band == "HH" else _ZC_LH_F
     cxs = new_contexts()
     seg_i = 0
@@ -559,15 +564,7 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
             passes.append(("M", p))
             passes.append(("C", p))
     passes = passes[:npasses]
-
-    def zc_ctx(i):
-        hs = sig[i - 1] + sig[i + 1]
-        vs = sig[i - W] + sig[i + W]
-        ds = (sig[i - W - 1] + sig[i - W + 1]
-              + sig[i + W - 1] + sig[i + W + 1])
-        if swap:
-            hs, vs = vs, hs
-        return zcf[hs * 15 + vs * 5 + ds]
+    ver = 0                 # current plane's SPP visit stamp (0 = none)
 
     def sc(i):
         hc = 0
@@ -587,24 +584,29 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
     def set_sig(i, neg):
         sig[i] = 1
         sgn[i] = neg
-        for o in offs:
-            nbr[i + o] = 1
+        zidx[i - 1] += dh
+        zidx[i + 1] += dh
+        zidx[i - W] += dv
+        zidx[i + W] += dv
+        zidx[i - W - 1] += 1
+        zidx[i - W + 1] += 1
+        zidx[i + W - 1] += 1
+        zidx[i + W + 1] += 1
 
     for kind, p in passes:
         bit = 1 << p
         dec = mq.decode
         if kind == "S":
+            ver += 1        # fresh visit stamp per plane (set by SPP only)
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
                 for x in range(w):
                     i = (y0 + 1) * W + x + 1
                     mi = y0 * w + x
                     for _y in range(y0, ylim):
-                        if sig[i] or not nbr[i]:
-                            vis[i] = 0
-                        else:
-                            d = dec(cxs[zc_ctx(i)])
-                            vis[i] = 1
+                        if not sig[i] and zidx[i]:
+                            d = dec(cxs[zcf[zidx[i]]])
+                            vis[i] = ver
                             if d:
                                 ctx, xb = sc(i)
                                 neg = dec(cxs[ctx]) ^ xb
@@ -621,11 +623,11 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
                     for _y in range(y0, ylim):
                         # only samples significant BEFORE this plane are
                         # refined (D.3.3); vis excludes SPP's new ones
-                        if sig[i] and not vis[i]:
+                        if sig[i] and vis[i] != ver:
                             if ref[i]:
                                 ctx = 16
                             else:
-                                ctx = 15 if nbr[i] else 14
+                                ctx = 15 if zidx[i] else 14
                                 ref[i] = 1
                             if dec(cxs[ctx]):
                                 mag[mi] |= bit
@@ -642,10 +644,13 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
                     mi = y0 * w + x
                     y = y0
                     if full and not (
-                            sig[i] or vis[i] or nbr[i]
-                            or sig[i + W] or vis[i + W] or nbr[i + W]
-                            or sig[i + 2 * W] or vis[i + 2 * W] or nbr[i + 2 * W]
-                            or sig[i + 3 * W] or vis[i + 3 * W] or nbr[i + 3 * W]):
+                            sig[i] or vis[i] == ver or zidx[i]
+                            or sig[i + W] or vis[i + W] == ver
+                            or zidx[i + W]
+                            or sig[i + 2 * W] or vis[i + 2 * W] == ver
+                            or zidx[i + 2 * W]
+                            or sig[i + 3 * W] or vis[i + 3 * W] == ver
+                            or zidx[i + 3 * W]):
                         if not dec(cx_rl):
                             continue
                         r = (dec(cx_uni) << 1) | dec(cx_uni)
@@ -660,10 +665,8 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
                         mi += w
                         y += 1
                     while y < ylim:
-                        if sig[i] or vis[i]:
-                            vis[i] = 0
-                        else:
-                            if dec(cxs[zc_ctx(i)]):
+                        if not sig[i] and vis[i] != ver:
+                            if dec(cxs[zcf[zidx[i]]]):
                                 ctx, xb = sc(i)
                                 neg = dec(cxs[ctx]) ^ xb
                                 set_sig(i, neg)
@@ -678,10 +681,6 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
                 if v != 0xA:
                     raise ValueError("JPEG2000 Tier-1 segmentation symbol "
                                      "mismatch (corrupt code block)")
-            # clear ALL visited flags for the next plane
-            for j in range(n):
-                if vis[j]:
-                    vis[j] = 0
         if termall:
             seg_i += 1
             if seg_i < len(segments):
