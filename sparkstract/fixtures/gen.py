@@ -76,7 +76,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_aes256_page", "webp_lossy_page",
                   "webp_vp8x_page", "webp_anim_page", "pdf_jbig2_page",
                   "pdf_jbig2_arith_page", "pdf_jbig2_text_page",
-                  "pdf_jpx_page", "jp2_page", "jpeg_tiff_page"):
+                  "pdf_jpx_page", "jp2_page", "jp2_bypass_page",
+                  "jpeg_tiff_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -482,6 +483,7 @@ PAGE_FAMILIES = [
     "pdf_jbig2_page", "arabic_page", "arabic_bidi_page",
     "pdf_jpx_page", "jp2_page", "jpeg_tiff_page",
     "pdf_jbig2_arith_page", "pdf_jbig2_text_page", "webp_anim_page",
+    "jp2_bypass_page",
 ]
 
 
@@ -901,6 +903,17 @@ class _Builder:
 
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_jp2(img, levels=3, reversible=True)
+        elif family == "jp2_bypass_page":
+            # the "coder parallelism" JPEG 2000 style set (Kakadu
+            # Cmodes=BYPASS|RESET|CAUSAL): raw SPP/MRP segments, per-pass
+            # context reset, vertically-causal contexts, two quality
+            # layers. Lossless, so truth is the plain page's.
+            from ..functions.jp2 import encode_jp2
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_jp2(img, levels=3, reversible=True,
+                                 bypass=True, reset=True, causal=True,
+                                 layers=2)
         elif family == "webp_lossy_page":
             # lossy VP8 key-frame WEBP — the MAJORITY crawl-media shape
             # (baseapi.cpp:881 ingests it via Leptonica's sniff). qi=8

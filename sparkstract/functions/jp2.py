@@ -18,9 +18,14 @@ Scope — the baseline Part-1 decoder surface a real archive exercises:
 * multiple tiles and multiple tile-parts per tile (tile-part payloads
   are concatenated in TPsot order before packet parsing);
 * EBCOT Tier-1 (Annex D): MQ coder (Annex C), all three coding passes,
-  run-length + segmentation-symbol cleanup modes, per-pass terminated
-  segments (TERMALL); selective-bypass / reset / vertically-causal
-  code-block styles raise named errors at the seam;
+  run-length + segmentation-symbol cleanup modes, and ALL SIX
+  code-block styles — per-pass terminated segments (TERMALL),
+  selective arithmetic BYPASS (raw SPP/MRP segments with FF
+  bit-stuffing from the 5th SPP on, whole-segment length signaling
+  across quality layers), per-pass context RESET, vertically-CAUSAL
+  contexts (stripe-bottom neighborhood masking), predictable
+  termination (accepted — an encoder-side constraint), segmentation
+  symbols;
 * 5/3 reversible DWT (lossless, bit-exact) and 9/7 irreversible DWT
   (lossy) with no-quantization / scalar-derived / scalar-expounded
   dequantization (Annex E/F);
@@ -520,9 +525,90 @@ _SC_F = tuple(_SC[(hc, vc)] for hc in (-1, 0, 1) for vc in (-1, 0, 1))
 _NBR_OFFS = None  # filled per-width below
 
 
+# --- codeword-segment schedule + raw (bypassed) bit IO, Annex D.4 ---
+#
+# With BYPASS, coding passes from the 5th significance-propagation pass
+# on (absolute pass index >= 10) code their SPP and MRP as raw bits; the
+# MQ codeword terminates before each raw run and each raw segment
+# terminates before the next MQ cleanup, so segments alternate
+# [10 MQ passes][2 raw][1 MQ][2 raw][1 MQ]...  TERMALL terminates every
+# pass (and dominates when combined with BYPASS).
+
+_BYPASS_START = 10
+
+
+def _seg_of_pass(k: int, termall: bool, bypass: bool) -> int:
+    if termall:
+        return k
+    if bypass and k >= _BYPASS_START:
+        q = k - _BYPASS_START
+        return 1 + (q // 3) * 2 + (1 if q % 3 == 2 else 0)
+    return 0
+
+
+def _pass_is_raw(k: int, kind: str, bypass: bool) -> bool:
+    return bypass and k >= _BYPASS_START and kind != "C"
+
+
+class _RawBits:
+    """Raw-segment bit reader (D.4.3): MSB-first, one stuffed (skipped)
+    top bit in any byte following 0xFF; feeds 1-bits past the end."""
+
+    __slots__ = ("d", "pos", "cur", "ct", "last")
+
+    def __init__(self, d: bytes) -> None:
+        self.d = d
+        self.pos = 0
+        self.cur = 0
+        self.ct = 0
+        self.last = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            b = self.d[self.pos] if self.pos < len(self.d) else 0xFF
+            self.pos += 1
+            if self.last == 0xFF:
+                self.ct = 7
+                self.cur = b & 0x7F
+            else:
+                self.ct = 8
+                self.cur = b
+            self.last = b
+        self.ct -= 1
+        return (self.cur >> self.ct) & 1
+
+
+class _RawW:
+    """Mirror raw-segment writer: after emitting 0xFF the next byte
+    carries 7 data bits under a stuffed 0 top bit."""
+
+    __slots__ = ("out", "cur", "ct", "cap")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.ct = 0
+        self.cap = 8
+
+    def bit(self, b: int) -> None:
+        self.cur = (self.cur << 1) | b
+        self.ct += 1
+        if self.ct == self.cap:
+            self.out.append(self.cur)
+            self.cap = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+            self.ct = 0
+
+    def flush(self) -> bytes:
+        if self.ct:
+            self.out.append(self.cur << (self.cap - self.ct))
+        return bytes(self.out)
+
+
 def t1_decode(segments, npasses: int, w: int, h: int, band: str,
               zero_planes: int, mb: int, segsym: bool = False,
-              termall: bool = False) -> np.ndarray:
+              termall: bool = False, bypass: bool = False,
+              reset: bool = False, causal: bool = False) -> np.ndarray:
     """Decode one code block: returns int32 signed coefficients.
 
     segments: list of byte strings — one per codeword segment (a single
@@ -550,8 +636,9 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
     dh, dv = (5, 15) if swap else (15, 5)   # HL swaps h/v at Table D.1
     zcf = _ZC_HH_F if band == "HH" else _ZC_LH_F
     cxs = new_contexts()
-    seg_i = 0
-    mq = MQDecoder(segments[0]) if segments else None
+    mq = MQDecoder(segments[0] if segments else b"")
+    rb: _RawBits | None = None
+    cur_seg = 0
     nplanes = mb - zero_planes
     if nplanes <= 0:
         return np.zeros((h, w), np.int32)
@@ -565,6 +652,24 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
             passes.append(("C", p))
     passes = passes[:npasses]
     ver = 0                 # current plane's SPP visit stamp (0 = none)
+
+    def zx_causal(i):
+        # vertically-causal neighborhood (D.?): a stripe-bottom sample's
+        # context ignores the (already coded in earlier planes) samples
+        # of the NEXT stripe — same packed hs*dh + vs*dv + ds form
+        return (dh * (sig[i - 1] + sig[i + 1]) + dv * sig[i - W]
+                + sig[i - W - 1] + sig[i - W + 1])
+
+    def sc_causal(i):
+        hc = 0
+        if sig[i - 1]:
+            hc += 1 - 2 * sgn[i - 1]
+        if sig[i + 1]:
+            hc += 1 - 2 * sgn[i + 1]
+        vc = 1 - 2 * sgn[i - W] if sig[i - W] else 0
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+        return _SC_F[(hc + 1) * 3 + (vc + 1)]
 
     def sc(i):
         hc = 0
@@ -593,30 +698,56 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
         zidx[i + W - 1] += 1
         zidx[i + W + 1] += 1
 
-    for kind, p in passes:
+    for k, (kind, p) in enumerate(passes):
         bit = 1 << p
+        s = _seg_of_pass(k, termall, bypass)
+        raw = _pass_is_raw(k, kind, bypass)
+        if s != cur_seg:
+            cur_seg = s
+            sdata = segments[s] if s < len(segments) else b""
+            if raw:
+                rb = _RawBits(sdata)
+            else:
+                mq = MQDecoder(sdata)
+        if reset:
+            cxs = new_contexts()
         dec = mq.decode
         if kind == "S":
             ver += 1        # fresh visit stamp per plane (set by SPP only)
+            rbit = rb.bit if raw else None
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
+                ybot = ylim - 1
                 for x in range(w):
                     i = (y0 + 1) * W + x + 1
                     mi = y0 * w + x
                     for _y in range(y0, ylim):
-                        if not sig[i] and zidx[i]:
-                            d = dec(cxs[zcf[zidx[i]]])
-                            vis[i] = ver
-                            if d:
-                                ctx, xb = sc(i)
-                                neg = dec(cxs[ctx]) ^ xb
-                                set_sig(i, neg)
-                                mag[mi] |= bit
+                        z = (zx_causal(i) if causal and _y == ybot
+                             else zidx[i])
+                        if not sig[i] and z:
+                            if raw:
+                                d = rbit()
+                                vis[i] = ver
+                                if d:
+                                    set_sig(i, rbit())
+                                    mag[mi] |= bit
+                            else:
+                                d = dec(cxs[zcf[z]])
+                                vis[i] = ver
+                                if d:
+                                    ctx, xb = (sc_causal(i)
+                                               if causal and _y == ybot
+                                               else sc(i))
+                                    neg = dec(cxs[ctx]) ^ xb
+                                    set_sig(i, neg)
+                                    mag[mi] |= bit
                         i += W
                         mi += w
         elif kind == "M":
+            rbit = rb.bit if raw else None
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
+                ybot = ylim - 1
                 for x in range(w):
                     i = (y0 + 1) * W + x + 1
                     mi = y0 * w + x
@@ -624,13 +755,20 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
                         # only samples significant BEFORE this plane are
                         # refined (D.3.3); vis excludes SPP's new ones
                         if sig[i] and vis[i] != ver:
-                            if ref[i]:
-                                ctx = 16
+                            if raw:
+                                if rbit():
+                                    mag[mi] |= bit
                             else:
-                                ctx = 15 if zidx[i] else 14
-                                ref[i] = 1
-                            if dec(cxs[ctx]):
-                                mag[mi] |= bit
+                                if ref[i]:
+                                    ctx = 16
+                                else:
+                                    z = (zx_causal(i)
+                                         if causal and _y == ybot
+                                         else zidx[i])
+                                    ctx = 15 if z else 14
+                                    ref[i] = 1
+                                if dec(cxs[ctx]):
+                                    mag[mi] |= bit
                         i += W
                         mi += w
         else:  # cleanup
@@ -638,26 +776,29 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
             cx_uni = cxs[_CX_UNI]
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
+                ybot = ylim - 1
                 full = ylim - y0 == 4
                 for x in range(w):
                     i = (y0 + 1) * W + x + 1
                     mi = y0 * w + x
                     y = y0
+                    i3 = i + 3 * W
                     if full and not (
                             sig[i] or vis[i] == ver or zidx[i]
                             or sig[i + W] or vis[i + W] == ver
                             or zidx[i + W]
                             or sig[i + 2 * W] or vis[i + 2 * W] == ver
                             or zidx[i + 2 * W]
-                            or sig[i + 3 * W] or vis[i + 3 * W] == ver
-                            or zidx[i + 3 * W]):
+                            or sig[i3] or vis[i3] == ver
+                            or (zx_causal(i3) if causal else zidx[i3])):
                         if not dec(cx_rl):
                             continue
                         r = (dec(cx_uni) << 1) | dec(cx_uni)
                         i += r * W
                         mi += r * w
                         y = y0 + r
-                        ctx, xb = sc(i)
+                        ctx, xb = (sc_causal(i) if causal and r == 3
+                                   else sc(i))
                         neg = dec(cxs[ctx]) ^ xb
                         set_sig(i, neg)
                         mag[mi] |= bit
@@ -666,8 +807,12 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
                         y += 1
                     while y < ylim:
                         if not sig[i] and vis[i] != ver:
-                            if dec(cxs[zcf[zidx[i]]]):
-                                ctx, xb = sc(i)
+                            z = (zx_causal(i) if causal and y == ybot
+                                 else zidx[i])
+                            if dec(cxs[zcf[z]]):
+                                ctx, xb = (sc_causal(i)
+                                           if causal and y == ybot
+                                           else sc(i))
                                 neg = dec(cxs[ctx]) ^ xb
                                 set_sig(i, neg)
                                 mag[mi] |= bit
@@ -681,10 +826,6 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
                 if v != 0xA:
                     raise ValueError("JPEG2000 Tier-1 segmentation symbol "
                                      "mismatch (corrupt code block)")
-        if termall:
-            seg_i += 1
-            if seg_i < len(segments):
-                mq = MQDecoder(segments[seg_i])
     out = np.array(mag, np.int64).reshape(h, w)
     sg = np.array(sgn, np.int8).reshape(h + 2, W)[1:-1, 1:-1]
     out[sg == 1] *= -1
@@ -692,13 +833,17 @@ def t1_decode(segments, npasses: int, w: int, h: int, band: str,
 
 
 def t1_encode(coeffs: np.ndarray, band: str, mb: int,
-              segsym: bool = False, termall: bool = False) -> tuple:
+              segsym: bool = False, termall: bool = False,
+              bypass: bool = False, reset: bool = False,
+              causal: bool = False) -> tuple:
     """Encode one code block of signed int coefficients.
 
     Returns (data, npasses, zero_planes): `data` is one terminated
-    segment (bytes) by default, or a list of per-pass segments when
-    termall=True (the MQ codeword terminates at every pass boundary but
-    context states persist, D.4.2).  Mirrors t1_decode exactly.
+    segment (bytes) by default, or a list of codeword segments when
+    termall (one per pass) or bypass (alternating MQ / raw runs) splits
+    the codeword (the MQ codeword terminates at each boundary but
+    context states persist unless reset, D.4.2).  Mirrors t1_decode
+    exactly, including the vertically-causal context masking.
     """
     h, w = coeffs.shape
     mag_np = np.abs(coeffs.astype(np.int64))
@@ -730,16 +875,26 @@ def t1_encode(coeffs: np.ndarray, band: str, mb: int,
     swap = band == "HL"
     zcf = _ZC_HH_F if band == "HH" else _ZC_LH_F
     cxs = new_contexts()
-    enc = MQEncoder()
-    code = enc.encode
+    coder = MQEncoder()
+    code = coder.encode
+    raw = False
+    cur_seg = 0
     segs = []
 
-    def end_pass():
-        nonlocal enc, code
-        if termall:
-            segs.append(enc.flush())
-            enc = MQEncoder()
-            code = enc.encode
+    def begin_pass(k, kind):
+        # terminate the open codeword segment at schedule boundaries
+        # (TERMALL / BYPASS runs) and honor per-pass context reset
+        nonlocal coder, code, raw, cur_seg, cxs
+        s = _seg_of_pass(k, termall, bypass)
+        r = _pass_is_raw(k, kind, bypass)
+        if s != cur_seg:
+            segs.append(coder.flush())
+            cur_seg = s
+            coder = _RawW() if r else MQEncoder()
+            code = None if r else coder.encode
+        raw = r
+        if reset:
+            cxs = new_contexts()
 
     def zc_ctx(i):
         hs = sig[i - 1] + sig[i + 1]
@@ -749,6 +904,18 @@ def t1_encode(coeffs: np.ndarray, band: str, mb: int,
         if swap:
             hs, vs = vs, hs
         return zcf[hs * 15 + vs * 5 + ds]
+
+    def zc_ctx_causal(i):
+        hs = sig[i - 1] + sig[i + 1]
+        vs = sig[i - W]
+        ds = sig[i - W - 1] + sig[i - W + 1]
+        if swap:
+            hs, vs = vs, hs
+        return zcf[hs * 15 + vs * 5 + ds]
+
+    def nbr_causal(i):
+        return (sig[i - 1] or sig[i + 1] or sig[i - W]
+                or sig[i - W - 1] or sig[i - W + 1])
 
     def sc(i):
         hc = 0
@@ -765,6 +932,17 @@ def t1_encode(coeffs: np.ndarray, band: str, mb: int,
         vc = -1 if vc < -1 else (1 if vc > 1 else vc)
         return _SC_F[(hc + 1) * 3 + (vc + 1)]
 
+    def sc_causal(i):
+        hc = 0
+        if sig[i - 1]:
+            hc += 1 - 2 * sgn[i - 1]
+        if sig[i + 1]:
+            hc += 1 - 2 * sgn[i + 1]
+        vc = 1 - 2 * sgn[i - W] if sig[i - W] else 0
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+        return _SC_F[(hc + 1) * 3 + (vc + 1)]
+
     def set_sig(i, neg):
         sig[i] = 1
         sgn[i] = neg
@@ -776,56 +954,81 @@ def t1_encode(coeffs: np.ndarray, band: str, mb: int,
         bit = 1 << p
         first = p == nplanes - 1
         if not first:
-            for y0 in range(0, h, 4):            # significance propagation
+            begin_pass(npasses, "S")             # significance propagation
+            for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
+                ybot = ylim - 1
                 for x in range(w):
                     i = (y0 + 1) * W + x + 1
                     for _y in range(y0, ylim):
-                        if sig[i] or not nbr[i]:
+                        nb = (nbr_causal(i) if causal and _y == ybot
+                              else nbr[i])
+                        if sig[i] or not nb:
                             vis[i] = 0
-                        else:
+                        elif raw:
                             d = 1 if (magf[i] & bit) else 0
-                            code(d, cxs[zc_ctx(i)])
+                            coder.bit(d)
                             vis[i] = 1
                             if d:
-                                ctx, xb = sc(i)
+                                coder.bit(negf[i])
+                                set_sig(i, negf[i])
+                        else:
+                            d = 1 if (magf[i] & bit) else 0
+                            zc = (zc_ctx_causal(i) if causal and _y == ybot
+                                  else zc_ctx(i))
+                            code(d, cxs[zc])
+                            vis[i] = 1
+                            if d:
+                                ctx, xb = (sc_causal(i)
+                                           if causal and _y == ybot
+                                           else sc(i))
                                 code(negf[i] ^ xb, cxs[ctx])
                                 set_sig(i, negf[i])
                         i += W
             npasses += 1
-            end_pass()
-            for y0 in range(0, h, 4):            # magnitude refinement
+            begin_pass(npasses, "M")             # magnitude refinement
+            for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
+                ybot = ylim - 1
                 for x in range(w):
                     i = (y0 + 1) * W + x + 1
                     for _y in range(y0, ylim):
                         if sig[i] and not vis[i]:
-                            if ref[i]:
-                                ctx = 16
+                            if raw:
+                                coder.bit(1 if (magf[i] & bit) else 0)
                             else:
-                                ctx = 15 if nbr[i] else 14
-                                ref[i] = 1
-                            code(1 if (magf[i] & bit) else 0, cxs[ctx])
+                                if ref[i]:
+                                    ctx = 16
+                                else:
+                                    nb = (nbr_causal(i)
+                                          if causal and _y == ybot
+                                          else nbr[i])
+                                    ctx = 15 if nb else 14
+                                    ref[i] = 1
+                                code(1 if (magf[i] & bit) else 0, cxs[ctx])
                         i += W
             npasses += 1
-            end_pass()
+        begin_pass(npasses, "C")
         cx_rl = cxs[_CX_RL]
         cx_uni = cxs[_CX_UNI]
         for y0 in range(0, h, 4):                # cleanup
             ylim = min(y0 + 4, h)
+            ybot = ylim - 1
             full = ylim - y0 == 4
             for x in range(w):
                 i = (y0 + 1) * W + x + 1
                 y = y0
+                i3 = i + 3 * W
                 if full and not (
                         sig[i] or vis[i] or nbr[i]
                         or sig[i + W] or vis[i + W] or nbr[i + W]
                         or sig[i + 2 * W] or vis[i + 2 * W] or nbr[i + 2 * W]
-                        or sig[i + 3 * W] or vis[i + 3 * W] or nbr[i + 3 * W]):
+                        or sig[i3] or vis[i3]
+                        or (nbr_causal(i3) if causal else nbr[i3])):
                     b0 = 1 if (magf[i] & bit) else 0
                     b1 = 1 if (magf[i + W] & bit) else 0
                     b2 = 1 if (magf[i + 2 * W] & bit) else 0
-                    b3 = 1 if (magf[i + 3 * W] & bit) else 0
+                    b3 = 1 if (magf[i3] & bit) else 0
                     if not (b0 or b1 or b2 or b3):
                         code(0, cx_rl)
                         continue
@@ -835,7 +1038,7 @@ def t1_encode(coeffs: np.ndarray, band: str, mb: int,
                     code(r & 1, cx_uni)
                     i += r * W
                     y = y0 + r
-                    ctx, xb = sc(i)
+                    ctx, xb = sc_causal(i) if causal and r == 3 else sc(i)
                     code(negf[i] ^ xb, cxs[ctx])
                     set_sig(i, negf[i])
                     i += W
@@ -845,9 +1048,12 @@ def t1_encode(coeffs: np.ndarray, band: str, mb: int,
                         vis[i] = 0
                     else:
                         d = 1 if (magf[i] & bit) else 0
-                        code(d, cxs[zc_ctx(i)])
+                        zc = (zc_ctx_causal(i) if causal and y == ybot
+                              else zc_ctx(i))
+                        code(d, cxs[zc])
                         if d:
-                            ctx, xb = sc(i)
+                            ctx, xb = (sc_causal(i) if causal and y == ybot
+                                       else sc(i))
                             code(negf[i] ^ xb, cxs[ctx])
                             set_sig(i, negf[i])
                     i += W
@@ -859,10 +1065,10 @@ def t1_encode(coeffs: np.ndarray, band: str, mb: int,
             if vis[j]:
                 vis[j] = 0
         npasses += 1
-        end_pass()
-    if termall:
+    segs.append(coder.flush())
+    if termall or bypass:
         return segs, npasses, zero_planes
-    return enc.flush(), npasses, zero_planes
+    return segs[0], npasses, zero_planes
 
 
 # ---------------------------------------------------------------------------
@@ -1070,14 +1276,10 @@ def _parse_cod(body: bytes) -> dict:
     prog, layers, mct = body[1], struct.unpack(">H", body[2:4])[0], body[4]
     levels, xcb, ycb = body[5], (body[6] & 0xF) + 2, (body[7] & 0xF) + 2
     cbstyle, transform = body[8], body[9]
-    if cbstyle & 0x01:
-        raise ValueError("JPEG2000: selective arithmetic bypass (LAZY) "
-                         "code blocks are out of scope")
-    if cbstyle & 0x02:
-        raise ValueError("JPEG2000: context-reset code blocks are out of scope")
-    if cbstyle & 0x08:
-        raise ValueError("JPEG2000: vertically-causal code blocks are "
-                         "out of scope")
+    # all six code-block styles decode: 0x01 selective bypass, 0x02
+    # per-pass context reset, 0x04 TERMALL, 0x08 vertically causal,
+    # 0x10 predictable termination (an encoder-side constraint only —
+    # decoding is unchanged), 0x20 segmentation symbols
     if prog > 4:
         raise ValueError("JPEG2000: unknown progression order")
     if xcb + ycb > 12:
@@ -1191,13 +1393,25 @@ def _decode_packet(stream: bytes, pos: int, bands: list, layer: int,
                     np_new = _npasses_decode(rd)
                     while rd.bit():
                         rec[1] += 1
+                    # group this contribution's passes by codeword
+                    # segment (B.10.7: one length per segment portion,
+                    # Lblock + floor(log2 passes) bits each); TERMALL
+                    # and BYPASS split the codeword, plain style is one
+                    # segment
+                    ta = bool(cp.cbstyle & 0x04)
+                    byp = bool(cp.cbstyle & 0x01)
                     lengths = []
-                    if cp.cbstyle & 0x04:  # TERMALL: one segment per pass
-                        for _ in range(np_new):
-                            lengths.append(rd.bits(rec[1]))
-                    else:
+                    k0 = rec[3]
+                    while k0 < rec[3] + np_new:
+                        seg = _seg_of_pass(k0, ta, byp)
+                        k1 = k0 + 1
+                        while (k1 < rec[3] + np_new
+                               and _seg_of_pass(k1, ta, byp) == seg):
+                            k1 += 1
+                        cnt = k1 - k0
                         lengths.append(
-                            rd.bits(rec[1] + int(np_new).bit_length() - 1))
+                            (seg, rd.bits(rec[1] + cnt.bit_length() - 1)))
+                        k0 = k1
                     rec[3] += np_new
                     new_segs.append((rec, lengths))
     rd.align()
@@ -1207,10 +1421,10 @@ def _decode_packet(stream: bytes, pos: int, bands: list, layer: int,
             raise ValueError("JPEG2000: missing EPH marker")
         pos += 2
     for rec, lengths in new_segs:
-        for nb in lengths:
+        for seg, nb in lengths:
             if pos + nb > len(stream):
                 raise ValueError("JPEG2000: packet body overruns tile data")
-            rec[4].append(stream[pos:pos + nb])
+            rec[4].append((seg, stream[pos:pos + nb]))
             pos += nb
     return pos
 
@@ -1442,11 +1656,20 @@ def decode_j2k_components(data: bytes) -> list:
                             continue
                         if not rec[0] or rec[3] == 0:
                             continue
-                        segs = rec[4] if (ccp.cbstyle & 0x04) else [b"".join(rec[4])]
+                        # rec[4] holds (segment index, bytes) portions;
+                        # portions of one codeword segment concatenate
+                        # across layers
+                        nsegs = max(si for si, _ in rec[4]) + 1
+                        segs = [b"".join(bs for si, bs in rec[4]
+                                         if si == sidx)
+                                for sidx in range(nsegs)]
                         q = t1_decode(segs, rec[3], x1 - x0, y1 - y0,
                                       band.btype, rec[2], mb,
                                       segsym=bool(ccp.cbstyle & 0x20),
-                                      termall=bool(ccp.cbstyle & 0x04))
+                                      termall=bool(ccp.cbstyle & 0x04),
+                                      bypass=bool(ccp.cbstyle & 0x01),
+                                      reset=bool(ccp.cbstyle & 0x02),
+                                      causal=bool(ccp.cbstyle & 0x08))
                         ry, rx = y0 - band.rect[1], x0 - band.rect[0]
                         if reversible:
                             arr[ry:ry + y1 - y0, rx:rx + x1 - x0] = q
@@ -1576,7 +1799,9 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
                prog: int = 0, sop: bool = False, eph: bool = False,
                segsym: bool = False, tile: tuple | None = None,
                guard: int = 2, mct: bool | None = None,
-               termall: bool = False, layers: int = 1) -> bytes:
+               termall: bool = False, layers: int = 1,
+               bypass: bool = False, reset: bool = False,
+               causal: bool = False) -> bytes:
     """Encode a (H,W) or (H,W,3) uint8 array as a raw JPEG 2000
     codestream.  reversible=True -> 5/3 lossless; False -> 9/7 with a
     uniform step of `qstep` per subband.  layers > 1 distributes each
@@ -1592,7 +1817,9 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
     h, w = comps[0].shape
     xt, yt = tile if tile else (w, h)
     depth = 8
-    cbstyle = (0x20 if segsym else 0) | (0x04 if termall else 0)
+    cbstyle = ((0x20 if segsym else 0) | (0x04 if termall else 0)
+               | (0x01 if bypass else 0) | (0x02 if reset else 0)
+               | (0x08 if causal else 0))
     scod = (0x02 if sop else 0) | (0x04 if eph else 0)
     out = bytearray()
     out += struct.pack(">H", _SOC)
@@ -1672,21 +1899,37 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
                                   x0 - band.rect[0]:x1 - band.rect[0]]
                         data, npasses, zp = t1_encode(
                             np.asarray(blk, np.int64).astype(np.int32),
-                            bt, mb, segsym=segsym, termall=termall)
+                            bt, mb, segsym=segsym, termall=termall,
+                            bypass=bypass, reset=reset, causal=causal)
                         rec = band.blocks[by * band.nbx + bx]
                         rec[2], rec[3] = zp, npasses
-                        # per-layer chunks: passes split evenly (early
-                        # layers take the ceil), bytes split at pass
-                        # boundaries (termall) or proportionally
+                        # per-layer chunks of (pass count, portions):
+                        # passes split evenly (early layers take the
+                        # ceil); when the codeword is segmented (TERMALL
+                        # or BYPASS) layers take WHOLE segments balanced
+                        # by passes, else the single segment splits
+                        # proportionally by bytes
                         split = [npasses // layers
                                  + (1 if k < npasses % layers else 0)
                                  for k in range(layers)]
                         chunks = []
-                        if termall:
-                            pos = 0
-                            for np_k in split:
-                                chunks.append((np_k, data[pos:pos + np_k]))
-                                pos += np_k
+                        if termall or bypass:
+                            seg_cnt = [0] * len(data)
+                            for kk in range(npasses):
+                                seg_cnt[_seg_of_pass(
+                                    kk, termall, bypass)] += 1
+                            si = 0
+                            for li in range(layers):
+                                got = 0
+                                portions = []
+                                while si < len(data) and (
+                                        got < split[li]
+                                        or li == layers - 1):
+                                    portions.append(
+                                        (seg_cnt[si], data[si]))
+                                    got += seg_cnt[si]
+                                    si += 1
+                                chunks.append((got, portions))
                         else:
                             cum = 0
                             pos = 0
@@ -1694,7 +1937,8 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
                                 cum += np_k
                                 end = (round(len(data) * cum / npasses)
                                        if npasses else 0)
-                                chunks.append((np_k, [data[pos:end]]))
+                                chunks.append(
+                                    (np_k, [(np_k, data[pos:end])]))
                                 pos = end
                         rec[4] = chunks
                 band.incl.set_values(
@@ -1753,27 +1997,21 @@ def _encode_packet(bands: list, layer: int, cp: "_CodingParams") -> bytes:
                 if not np_k:
                     continue
             _npasses_encode(wr, np_k)
-            if cp.cbstyle & 0x04:
-                # TERMALL: one length per pass, Lblock bits each
-                need = max(max(1, len(sg).bit_length()) for sg in segs)
-                while rec[1] < need:
-                    wr.bit(1)
-                    rec[1] += 1
-                wr.bit(0)
-                for sg in segs:
-                    wr.bits(len(sg), rec[1])
-                    bodies += sg
-            else:
-                data = segs[0]
-                width = rec[1] + int(np_k).bit_length() - 1
-                need = max(1, len(data).bit_length())
-                while width < need:
-                    wr.bit(1)
-                    rec[1] += 1
-                    width += 1
-                wr.bit(0)
-                wr.bits(len(data), width)
-                bodies += data
+            # one length per codeword-segment portion, Lblock +
+            # floor(log2 passes-in-portion) bits each (B.10.7)
+            need = 1
+            for cnt, sg in segs:
+                wneed = (max(1, len(sg).bit_length())
+                         - (cnt.bit_length() - 1))
+                if wneed > need:
+                    need = wneed
+            while rec[1] < need:
+                wr.bit(1)
+                rec[1] += 1
+            wr.bit(0)
+            for cnt, sg in segs:
+                wr.bits(len(sg), rec[1] + cnt.bit_length() - 1)
+                bodies += sg
     hdr = wr.flush()
     pkt = bytearray()
     if cp.sop:

@@ -397,3 +397,26 @@ def test_jbig2_arith_corruption_is_total():
                 assert out.size <= 64_000_000
             except ValueError:
                 pass  # rejected — fine; the invariant is termination
+
+
+def test_jp2_bypass_corruption_is_total():
+    """Corrupted parallel-mode streams (BYPASS/RESET/CAUSAL, layered)
+    must decode or raise — the raw-segment reader and per-segment
+    length walk included."""
+    import numpy as np
+
+    from sparkstract.functions.jp2 import decode_jp2, encode_j2k
+
+    img = (np.arange(400, dtype=np.uint8).reshape(20, 20) * 7) % 256
+    base = bytearray(encode_j2k(img, levels=1, bypass=True, reset=True,
+                                causal=True, layers=2))
+    rng = np.random.default_rng(29)
+    for _ in range(200):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        try:
+            out = decode_jp2(bytes(data))
+            assert out.size <= 64_000_000
+        except (ValueError, struct.error, IndexError, KeyError):
+            pass

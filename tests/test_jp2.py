@@ -432,12 +432,53 @@ def test_named_error_precincts():
         decode_jp2(bad)
 
 
-def test_named_error_bypass_reset_causal():
-    cs = encode_j2k(_page_img(shape=(20, 20)), levels=1)
-    for bit, what in ((0x01, "bypass"), (0x02, "reset"), (0x08, "causal")):
-        bad = _patch(cs, b"\xff\x52", 12, bit)  # SPcod cbstyle
-        with pytest.raises(ValueError, match=what):
-            decode_jp2(bad)
+@pytest.mark.parametrize("kw", [
+    dict(bypass=True),
+    dict(reset=True),
+    dict(causal=True),
+    dict(bypass=True, reset=True, causal=True),
+    dict(bypass=True, termall=True),
+    dict(causal=True, termall=True),
+    dict(bypass=True, reset=True, causal=True, termall=True, segsym=True),
+])
+def test_codeblock_style_roundtrips(kw):
+    # the "coder parallelism" style set (D.4): selective arithmetic
+    # bypass (raw SPP/MRP segments from the 5th SPP on), per-pass
+    # context reset, vertically-causal contexts — alone and combined
+    img = _page_img(shape=(37, 53))
+    got = decode_jp2(encode_j2k(img, levels=2, **kw))
+    assert (got == img).all()
+
+
+@pytest.mark.parametrize("layers", [2, 3])
+def test_bypass_with_quality_layers(layers):
+    # whole codeword segments distribute across layers; portions of one
+    # segment concatenate across packets on the decode side
+    img = _page_img(shape=(40, 40))
+    got = decode_jp2(encode_j2k(img, levels=1, bypass=True, layers=layers))
+    assert (got == img).all()
+
+
+def test_bypass_raw_bitstuffing_roundtrip():
+    # data crafted to drive raw segments through the FF-stuffing path:
+    # all-ones magnitudes make raw refinement bits mostly 1s
+    from sparkstract.functions.jp2 import t1_decode, t1_encode
+
+    coeffs = np.full((24, 24), 0x7FF, np.int32)
+    coeffs[::3, ::2] = -0x7FF
+    segs, npasses, zp = t1_encode(coeffs, "LL", 12, bypass=True)
+    assert any(b"\xff" in sg for sg in segs)
+    got = t1_decode(segs, npasses, 24, 24, "LL", zp, 12, bypass=True)
+    assert (got == coeffs).all()
+
+
+def test_predictable_termination_bit_accepted():
+    # 0x10 constrains the encoder's termination procedure only; a
+    # stream flagged with it must still decode
+    img = _page_img(shape=(20, 20))
+    cs = encode_j2k(img, levels=1)
+    flagged = _patch(cs, b"\xff\x52", 12, 0x10)
+    assert (decode_jp2(flagged) == img).all()
 
 
 def test_named_error_subsampling():
