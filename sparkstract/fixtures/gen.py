@@ -904,8 +904,9 @@ class _Builder:
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_jp2(img, levels=3, reversible=True)
         elif family == "jp2_bypass_page":
-            # the "coder parallelism" JPEG 2000 style set (Kakadu
-            # Cmodes=BYPASS|RESET|CAUSAL): raw SPP/MRP segments, per-pass
+            # the archival-scan JPEG 2000 shape (Internet Archive /
+            # Kakadu: Cprecincts={64,64} Cmodes=BYPASS|RESET|CAUSAL):
+            # user-defined precincts, raw SPP/MRP segments, per-pass
             # context reset, vertically-causal contexts, two quality
             # layers. Lossless, so truth is the plain page's.
             from ..functions.jp2 import encode_jp2
@@ -913,7 +914,7 @@ class _Builder:
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_jp2(img, levels=3, reversible=True,
                                  bypass=True, reset=True, causal=True,
-                                 layers=2)
+                                 layers=2, precincts=(6, 6))
         elif family == "webp_lossy_page":
             # lossy VP8 key-frame WEBP — the MAJORITY crawl-media shape
             # (baseapi.cpp:881 ingests it via Leptonica's sniff). qi=8

@@ -13,8 +13,12 @@ Scope — the baseline Part-1 decoder surface a real archive exercises:
   ftyp / jp2h walked, codestream extracted from the jp2c box);
 * SIZ / COD / COC / QCD / QCC / COM / SOT / SOD / EOC markers; SOP and
   EPH per the COD flags; PLT/PLM/TLM skipped (they are hints);
-* all five progression orders over the default (maximal) precinct
-  grid — user-defined precincts raise a NAMED out-of-scope error;
+* all five progression orders, over the default (maximal) precinct
+  grid AND user-defined precincts (B.6: per-resolution PPx/PPy, the
+  B.7 code-block clamp, per-precinct inclusion/zero-plane tag trees,
+  one packet per precinct — the Internet Archive / Kakadu Cprecincts
+  shape); positional progressions (PCRL/CPRL) with multiple precincts
+  raise a named error;
 * multiple tiles and multiple tile-parts per tile (tile-part payloads
   are concatenated in TPsot order before packet parsing);
 * EBCOT Tier-1 (Annex D): MQ coder (Annex C), all three coding passes,
@@ -1243,6 +1247,7 @@ class _CodingParams:
         self.ycb = cod["ycb"]
         self.cbstyle = cod["cbstyle"]
         self.transform = cod["transform"]  # 0 = 9/7, 1 = 5/3
+        self.prec = cod.get("prec") or [(15, 15)] * (self.levels + 1)
         self.sop = cod["sop"]
         self.eph = cod["eph"]
         self.qstyle = qcd["style"]
@@ -1270,12 +1275,21 @@ class _CodingParams:
 
 def _parse_cod(body: bytes) -> dict:
     scod = body[0]
-    if scod & 0x01:
-        raise ValueError("JPEG2000: user-defined precincts are out of "
-                         "scope (maximal precincts only)")
     prog, layers, mct = body[1], struct.unpack(">H", body[2:4])[0], body[4]
     levels, xcb, ycb = body[5], (body[6] & 0xF) + 2, (body[7] & 0xF) + 2
     cbstyle, transform = body[8], body[9]
+    if scod & 0x01:
+        # user-defined precincts: one PPx|PPy<<4 byte per resolution
+        # (r = 0 .. levels), B.6
+        pb = body[10:10 + levels + 1]
+        if len(pb) < levels + 1:
+            raise ValueError("JPEG2000: COD precinct sizes truncated")
+        prec = [(b & 0xF, b >> 4) for b in pb]
+        if any(px == 0 or py == 0 for px, py in prec[1:]):
+            raise ValueError("JPEG2000: precinct exponent 0 is only "
+                             "legal at resolution 0")
+    else:
+        prec = [(15, 15)] * (levels + 1)
     # all six code-block styles decode: 0x01 selective bypass, 0x02
     # per-pass context reset, 0x04 TERMALL, 0x08 vertically causal,
     # 0x10 predictable termination (an encoder-side constraint only —
@@ -1285,7 +1299,7 @@ def _parse_cod(body: bytes) -> dict:
     if xcb + ycb > 12:
         raise ValueError("JPEG2000: illegal code-block size")
     return dict(prog=prog, layers=layers, mct=mct, levels=levels, xcb=xcb,
-                ycb=ycb, cbstyle=cbstyle, transform=transform,
+                ycb=ycb, cbstyle=cbstyle, transform=transform, prec=prec,
                 sop=bool(scod & 0x02), eph=bool(scod & 0x04))
 
 
@@ -1302,26 +1316,74 @@ def _parse_qcd(body: bytes) -> dict:
     return dict(style=style, guard=guard, vals=vals)
 
 
+def _res_rect(tc: tuple, levels: int, r: int) -> tuple:
+    """Resolution-r rectangle of the tile-component (B-14)."""
+    s = levels - r
+    d = 1 << s
+    return (_ceil_div(tc[0], d), _ceil_div(tc[1], d),
+            _ceil_div(tc[2], d), _ceil_div(tc[3], d))
+
+
+def _prec_grid(tc: tuple, levels: int, r: int, prec: list) -> tuple:
+    """Precinct index grid of resolution r: (prx0, pry0, npx, npy,
+    pbx, pby) — origin + count on the res grid (B.6), plus the
+    band-coordinate precinct exponents (halved for r > 0)."""
+    ppx, ppy = prec[r] if r < len(prec) else (15, 15)
+    rx0, ry0, rx1, ry1 = _res_rect(tc, levels, r)
+    if rx1 <= rx0 or ry1 <= ry0:
+        return (0, 0, 0, 0, ppx, ppy)
+    prx0, pry0 = rx0 >> ppx, ry0 >> ppy
+    npx = ((rx1 - 1) >> ppx) - prx0 + 1
+    npy = ((ry1 - 1) >> ppy) - pry0 + 1
+    pbx = ppx - (1 if r > 0 else 0)
+    pby = ppy - (1 if r > 0 else 0)
+    return (prx0, pry0, npx, npy, pbx, pby)
+
+
 class _Band:
-    def __init__(self, btype: str, lev: int, rect: tuple, xcb: int, ycb: int):
+    def __init__(self, btype: str, lev: int, rect: tuple, xcb: int,
+                 ycb: int, prec_grid: tuple | None = None):
         self.btype, self.lev, self.rect = btype, lev, rect
         bx0, by0, bx1, by1 = rect
         self.w, self.h = max(0, bx1 - bx0), max(0, by1 - by0)
+        if prec_grid is None:
+            prec_grid = (0, 0, 1, 1, 15, 15)
+        prx0, pry0, npx, npy, pbx, pby = prec_grid
+        # code blocks never straddle precinct boundaries (B.7)
+        xcb = min(xcb, pbx)
+        ycb = min(ycb, pby)
         if self.w > 0 and self.h > 0:
-            if self.w > 32768 or self.h > 32768:
-                raise ValueError("JPEG2000: band exceeds one maximal "
-                                 "precinct (out of scope)")
             self.gx0, self.gy0 = bx0 >> xcb, by0 >> ycb
             self.nbx = ((bx1 - 1) >> xcb) - self.gx0 + 1
             self.nby = ((by1 - 1) >> ycb) - self.gy0 + 1
         else:
             self.gx0 = self.gy0 = self.nbx = self.nby = 0
-        self.incl = TagTree(max(1, self.nbx), max(1, self.nby))
-        self.zb = TagTree(max(1, self.nbx), max(1, self.nby))
         # per code block: [included(bool), lblock, zero_planes, npasses, segs]
         self.blocks = [[False, 3, 0, 0, []]
                        for _ in range(self.nbx * self.nby)]
         self.xcb, self.ycb = xcb, ycb
+        # one (inclusion tree, zero-plane tree, block subgrid) per
+        # precinct, raster order — the packet unit
+        self.precincts = []
+        for pj in range(max(1, npy)):
+            for pi in range(max(1, npx)):
+                px0 = (prx0 + pi) << pbx
+                px1 = (prx0 + pi + 1) << pbx
+                py0 = (pry0 + pj) << pby
+                py1 = (pry0 + pj + 1) << pby
+                ix0, ix1 = max(bx0, px0), min(bx1, px1)
+                iy0, iy1 = max(by0, py0), min(by1, py1)
+                if ix1 > ix0 and iy1 > iy0:
+                    pgx0 = (ix0 >> xcb) - self.gx0
+                    pgy0 = (iy0 >> ycb) - self.gy0
+                    pnbx = ((ix1 - 1) >> xcb) - (ix0 >> xcb) + 1
+                    pnby = ((iy1 - 1) >> ycb) - (iy0 >> ycb) + 1
+                else:
+                    pgx0 = pgy0 = pnbx = pnby = 0
+                self.precincts.append(dict(
+                    incl=TagTree(max(1, pnbx), max(1, pnby)),
+                    zb=TagTree(max(1, pnbx), max(1, pnby)),
+                    bx0=pgx0, by0=pgy0, nbx=pnbx, nby=pnby))
 
     def block_rect(self, bx: int, by: int) -> tuple:
         x0 = max(self.rect[0], (self.gx0 + bx) << self.xcb)
@@ -1364,9 +1426,10 @@ def _npasses_encode(wr: _HdrWriter, n: int) -> None:
 
 
 def _decode_packet(stream: bytes, pos: int, bands: list, layer: int,
-                   cp: "_CodingParams") -> int:
+                   cp: "_CodingParams", prec: int = 0) -> int:
     """Parse one packet (header + bodies) starting at pos; mutates the
-    per-block state on each band; returns the new position."""
+    per-block state on each band; returns the new position. `prec` is
+    the precinct index within each band (the packet unit, B.9)."""
     if cp.sop:
         if stream[pos:pos + 2] == b"\xff\x91":
             pos += 6
@@ -1374,11 +1437,17 @@ def _decode_packet(stream: bytes, pos: int, bands: list, layer: int,
     new_segs = []  # (block_rec, nbytes list)
     if rd.bit():
         for band in bands:
-            for by in range(band.nby):
-                for bx in range(band.nbx):
+            pr = (band.precincts[prec] if prec < len(band.precincts)
+                  else None)
+            if pr is None or not pr["nbx"] or not pr["nby"]:
+                continue
+            for py in range(pr["nby"]):
+                for px in range(pr["nbx"]):
+                    bx = pr["bx0"] + px
+                    by = pr["by0"] + py
                     rec = band.blocks[by * band.nbx + bx]
                     if not rec[0]:
-                        included = band.incl.decode(rd, bx, by, layer + 1)
+                        included = pr["incl"].decode(rd, px, py, layer + 1)
                     else:
                         included = bool(rd.bit())
                     if not included:
@@ -1386,10 +1455,10 @@ def _decode_packet(stream: bytes, pos: int, bands: list, layer: int,
                     if not rec[0]:
                         rec[0] = True
                         t = 1
-                        while not band.zb.decode(rd, bx, by, t):
+                        while not pr["zb"].decode(rd, px, py, t):
                             t += 1
-                        leaf = band.zb._path(bx, by)[-1]
-                        rec[2] = band.zb.value[leaf]
+                        leaf = pr["zb"]._path(px, py)[-1]
+                        rec[2] = pr["zb"].value[leaf]
                     np_new = _npasses_decode(rd)
                     while rd.bit():
                         rec[1] += 1
@@ -1429,31 +1498,49 @@ def _decode_packet(stream: bytes, pos: int, bands: list, layer: int,
     return pos
 
 
-def _packet_order(cp: "_CodingParams", ncomp: int):
-    """Yield (layer, res, comp) in the signalled progression.  With
-    maximal precincts there is exactly one precinct per (res, comp), so
-    all five orders reduce to loop permutations (B.12)."""
+def _packet_order(cp: "_CodingParams", ncomp: int, nprec: list):
+    """Yield (layer, res, comp, precinct) in the signalled progression
+    (B.12).  `nprec[c][r]` is the precinct count of that resolution.
+    The precinct loop is innermost for the layer-first orders; RPCL
+    iterates precinct positions in raster order per resolution; the
+    positional PCRL/CPRL orders reduce to loop permutations only with
+    one precinct per resolution (multi-precinct positional progressions
+    raise a named error)."""
     nres = cp.levels + 1
+
+    def precs(c, r):
+        return nprec[c][r] if r < len(nprec[c]) else 0
+
     if cp.prog == 0:      # LRCP
         for l in range(cp.layers):
             for r in range(nres):
                 for c in range(ncomp):
-                    yield l, r, c
+                    for p in range(precs(c, r)):
+                        yield l, r, c, p
     elif cp.prog == 1:    # RLCP
         for r in range(nres):
             for l in range(cp.layers):
                 for c in range(ncomp):
-                    yield l, r, c
+                    for p in range(precs(c, r)):
+                        yield l, r, c, p
     elif cp.prog == 2:    # RPCL
         for r in range(nres):
-            for c in range(ncomp):
-                for l in range(cp.layers):
-                    yield l, r, c
+            for p in range(max((precs(c, r) for c in range(ncomp)),
+                               default=0)):
+                for c in range(ncomp):
+                    if p < precs(c, r):
+                        for l in range(cp.layers):
+                            yield l, r, c, p
     else:                 # PCRL / CPRL (single position)
+        if any(precs(c, r) > 1 for c in range(ncomp) for r in range(nres)):
+            raise ValueError("JPEG2000: positional progression (PCRL/"
+                             "CPRL) with multiple precincts is out of "
+                             "scope")
         for c in range(ncomp):
             for r in range(nres):
                 for l in range(cp.layers):
-                    yield l, r, c
+                    for p in range(precs(c, r)):
+                        yield l, r, c, p
 
 
 # ---------------------------------------------------------------------------
@@ -1531,13 +1618,19 @@ def decode_j2k_components(data: bytes) -> list:
             ci = body[0] if nc < 257 else struct.unpack(">H", body[:2])[0]
             off = 1 if nc < 257 else 2
             scoc = body[off]
-            if scoc & 0x01:
-                raise ValueError("JPEG2000: user-defined precincts are out "
-                                 "of scope (maximal precincts only)")
             sp = body[off + 1:]
-            comp_cod[ci] = dict(levels=sp[0], xcb=(sp[1] & 0xF) + 2,
+            levels = sp[0]
+            if scoc & 0x01:
+                pb = sp[5:5 + levels + 1]
+                if len(pb) < levels + 1:
+                    raise ValueError("JPEG2000: COC precinct sizes "
+                                     "truncated")
+                prec = [(b & 0xF, b >> 4) for b in pb]
+            else:
+                prec = [(15, 15)] * (levels + 1)
+            comp_cod[ci] = dict(levels=levels, xcb=(sp[1] & 0xF) + 2,
                                 ycb=(sp[2] & 0xF) + 2, cbstyle=sp[3],
-                                transform=sp[4])
+                                transform=sp[4], prec=prec)
         elif marker == _QCC:
             nc = len(siz["comps"]) if siz else 0
             ci = body[0] if nc < 257 else struct.unpack(">H", body[:2])[0]
@@ -1619,17 +1712,26 @@ def decode_j2k_components(data: bytes) -> list:
                 comp_qcd.get(c, qcd))
             bands = []
             bands.append(_Band("LL", ccp.levels, _band_rect(tc, ccp.levels, "LL"),
-                               ccp.xcb, ccp.ycb))
+                               ccp.xcb, ccp.ycb,
+                               _prec_grid(tc, ccp.levels, 0, ccp.prec)))
             for r in range(1, ccp.levels + 1):
                 lev = ccp.levels - r + 1
+                pg = _prec_grid(tc, ccp.levels, r, ccp.prec)
                 for bt in ("HL", "LH", "HH"):
                     bands.append(_Band(bt, lev, _band_rect(tc, lev, bt),
-                                       ccp.xcb, ccp.ycb))
+                                       ccp.xcb, ccp.ycb, pg))
             comp_bands.append(bands)
             comp_cps.append(ccp)
+        nprec = []
+        for c in range(ncomp):
+            ccp = comp_cps[c]
+            nprec.append([
+                max(1, _prec_grid(tc, ccp.levels, r, ccp.prec)[2]
+                    * _prec_grid(tc, ccp.levels, r, ccp.prec)[3])
+                for r in range(ccp.levels + 1)])
         stream = b"".join(trec["parts"])
         spos = 0
-        for layer, r, c in _packet_order(cp, ncomp):
+        for layer, r, c, p in _packet_order(cp, ncomp, nprec):
             ccp = comp_cps[c]
             if r > ccp.levels:
                 continue
@@ -1637,7 +1739,7 @@ def decode_j2k_components(data: bytes) -> list:
                 pb = [comp_bands[c][0]]
             else:
                 pb = comp_bands[c][1 + 3 * (r - 1):4 + 3 * (r - 1)]
-            spos = _decode_packet(stream, spos, pb, layer, ccp)
+            spos = _decode_packet(stream, spos, pb, layer, ccp, p)
         # Tier-1 + dequant + synthesis per component
         for c in range(ncomp):
             ccp = comp_cps[c]
@@ -1801,7 +1903,8 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
                guard: int = 2, mct: bool | None = None,
                termall: bool = False, layers: int = 1,
                bypass: bool = False, reset: bool = False,
-               causal: bool = False) -> bytes:
+               causal: bool = False,
+               precincts: list | tuple | None = None) -> bytes:
     """Encode a (H,W) or (H,W,3) uint8 array as a raw JPEG 2000
     codestream.  reversible=True -> 5/3 lossless; False -> 9/7 with a
     uniform step of `qstep` per subband.  layers > 1 distributes each
@@ -1821,6 +1924,17 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
                | (0x01 if bypass else 0) | (0x02 if reset else 0)
                | (0x08 if causal else 0))
     scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    if precincts is not None:
+        if isinstance(precincts, tuple):
+            prec_list = [precincts] * (levels + 1)
+        else:
+            prec_list = list(precincts)
+            if len(prec_list) != levels + 1:
+                raise ValueError("precincts: need one (PPx, PPy) per "
+                                 "resolution 0..levels")
+        scod |= 0x01
+    else:
+        prec_list = [(15, 15)] * (levels + 1)
     out = bytearray()
     out += struct.pack(">H", _SOC)
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
@@ -1830,6 +1944,8 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes([
         1 if mct else 0, levels, xcb - 2, ycb - 2, cbstyle,
         1 if reversible else 0])
+    if scod & 0x01:
+        cod += bytes(px | (py << 4) for px, py in prec_list)
     out += _marker(_COD, cod)
     # QCD: subband order = LL then (HL,LH,HH) coarsest->finest (A.6.4)
     border = [("LL", levels)]
@@ -1852,7 +1968,7 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
     out += _marker(_COM, b"\x00\x01sparkstract jp2 fixture encoder")
     cp = _CodingParams(
         dict(prog=prog, layers=layers, mct=1 if mct else 0, levels=levels,
-             xcb=xcb, ycb=ycb, cbstyle=cbstyle,
+             xcb=xcb, ycb=ycb, cbstyle=cbstyle, prec=prec_list,
              transform=1 if reversible else 0, sop=sop, eph=eph),
         _parse_qcd(qcd))
     # multi-component transform on full image (applied per tile below)
@@ -1883,7 +1999,9 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
             coeffs = _analyze(planes[c], tc, levels, reversible)
             bands = []
             for bi, (bt, lev) in enumerate(border):
-                band = _Band(bt, lev, _band_rect(tc, lev, bt), xcb, ycb)
+                r_of_band = 0 if bt == "LL" else levels - lev + 1
+                band = _Band(bt, lev, _band_rect(tc, lev, bt), xcb, ycb,
+                             _prec_grid(tc, levels, r_of_band, prec_list))
                 mb, _delta = cp.band_quant(bi, bt, lev, depth)
                 arr = coeffs[(bt, lev)]
                 if not reversible:
@@ -1941,20 +2059,27 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
                                     (np_k, [(np_k, data[pos:end])]))
                                 pos = end
                         rec[4] = chunks
-                band.incl.set_values(
-                    [[0 if band.blocks[by * band.nbx + bx][3] else layers
-                      for bx in range(band.nbx)] for by in range(band.nby)]
-                    or [[layers]])
-                band.zb.set_values(
-                    [[band.blocks[by * band.nbx + bx][2]
-                      for bx in range(band.nbx)] for by in range(band.nby)]
-                    or [[0]])
+                for pr in band.precincts:
+                    pr["incl"].set_values(
+                        [[0 if band.blocks[
+                            (pr["by0"] + py) * band.nbx
+                            + pr["bx0"] + px][3] else layers
+                          for px in range(pr["nbx"])]
+                         for py in range(pr["nby"])] or [[layers]])
+                    pr["zb"].set_values(
+                        [[band.blocks[(pr["by0"] + py) * band.nbx
+                                      + pr["bx0"] + px][2]
+                          for px in range(pr["nbx"])]
+                         for py in range(pr["nby"])] or [[0]])
                 bands.append(band)
             comp_bands.append(bands)
-        for layer, r, c in _packet_order(cp, ncomp):
+        nprec = [[max(1, _prec_grid(tc, levels, r, prec_list)[2]
+                      * _prec_grid(tc, levels, r, prec_list)[3])
+                  for r in range(levels + 1)] for _ in range(ncomp)]
+        for layer, r, c, p in _packet_order(cp, ncomp, nprec):
             pb = ([comp_bands[c][0]] if r == 0
                   else comp_bands[c][1 + 3 * (r - 1):4 + 3 * (r - 1)])
-            tdata += _encode_packet(pb, layer, cp)
+            tdata += _encode_packet(pb, layer, cp, p)
         sot = struct.pack(">HHIBB", 10, t, 12 + 2 + len(tdata), 0, 1)
         out += struct.pack(">H", _SOT) + sot + struct.pack(">H", _SOD)
         out += tdata
@@ -1962,34 +2087,39 @@ def encode_j2k(img: np.ndarray, levels: int = 3, reversible: bool = True,
     return bytes(out)
 
 
-def _encode_packet(bands: list, layer: int, cp: "_CodingParams") -> bytes:
+def _encode_packet(bands: list, layer: int, cp: "_CodingParams",
+                   prec: int = 0) -> bytes:
     wr = _HdrWriter()
     bodies = bytearray()
     entries = []
     for band in bands:
-        for by in range(band.nby):
-            for bx in range(band.nbx):
+        pr = band.precincts[prec] if prec < len(band.precincts) else None
+        if pr is None:
+            continue
+        for py in range(pr["nby"]):
+            for px in range(pr["nbx"]):
+                bx, by = pr["bx0"] + px, pr["by0"] + py
                 rec = band.blocks[by * band.nbx + bx]
                 x0, y0, x1, y1 = band.block_rect(bx, by)
                 if x1 <= x0 or y1 <= y0:
                     continue
                 np_k, segs = rec[4][layer] if rec[3] else (0, [])
-                entries.append((band, bx, by, rec, np_k, segs))
+                entries.append((pr, px, py, rec, np_k, segs))
     if not any(e[4] for e in entries):
         wr.bit(0)                      # zero-length packet (B.10.3)
     else:
         wr.bit(1)
-        for band, bx, by, rec, np_k, segs in entries:
+        for pr, px, py, rec, np_k, segs in entries:
             if not rec[0]:
-                band.incl.encode(wr, bx, by, layer + 1)
+                pr["incl"].encode(wr, px, py, layer + 1)
                 if not np_k:
                     continue           # stays unincluded this layer
                 rec[0] = True
                 t = 1
                 while True:            # zero bit-planes at first inclusion
-                    band.zb.encode(wr, bx, by, t)
-                    leaf = band.zb._path(bx, by)[-1]
-                    if band.zb.known[leaf] and band.zb.value[leaf] < t:
+                    pr["zb"].encode(wr, px, py, t)
+                    leaf = pr["zb"]._path(px, py)[-1]
+                    if pr["zb"].known[leaf] and pr["zb"].value[leaf] < t:
                         break
                     t += 1
             else:

@@ -408,10 +408,15 @@ def test_jp2_bypass_corruption_is_total():
     from sparkstract.functions.jp2 import decode_jp2, encode_j2k
 
     img = (np.arange(400, dtype=np.uint8).reshape(20, 20) * 7) % 256
-    base = bytearray(encode_j2k(img, levels=1, bypass=True, reset=True,
-                                causal=True, layers=2))
+    bases = [
+        bytearray(encode_j2k(img, levels=1, bypass=True, reset=True,
+                             causal=True, layers=2)),
+        bytearray(encode_j2k(img, levels=1, precincts=(5, 5),
+                             bypass=True, layers=2)),
+    ]
     rng = np.random.default_rng(29)
-    for _ in range(200):
+    for base in bases:
+      for _ in range(150):
         data = bytearray(base)
         for _ in range(int(rng.integers(1, 4))):
             data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))

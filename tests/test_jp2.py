@@ -651,3 +651,54 @@ def test_multiple_tile_parts_concatenate():
                             + b"\xff\x93" + seg)
     rebuilt = cs[:i] + part(body[:k], 0) + part(body[k:], 1) + b"\xff\xd9"
     assert np.array_equal(decode_jp2(rebuilt), img)
+
+
+# ---------------------------------------------------------------------------
+# User-defined precincts (B.6/B.7/B.9)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("prec", [(6, 6), (7, 6), [(5, 5), (6, 6), (7, 7)]])
+@pytest.mark.parametrize("prog", [0, 1, 2])
+def test_precinct_roundtrips(prec, prog):
+    # precincts smaller than the bands force multiple packets per
+    # (layer, res, comp), per-precinct tag trees, and the B.7 code-block
+    # clamp (cb size capped to the band-level precinct)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (150, 200)).astype(np.uint8)
+    for layers in (1, 2):
+        cs = encode_j2k(img, levels=2, prog=prog, layers=layers,
+                        precincts=prec)
+        assert (decode_jp2(cs) == img).all()
+
+
+def test_precincts_with_parallel_modes_and_tiles():
+    # the archival-scan stack: Cprecincts + Cmodes + tiling + SOP/EPH
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (150, 200)).astype(np.uint8)
+    cs = encode_j2k(img, levels=2, precincts=(6, 6), bypass=True,
+                    causal=True, tile=(96, 96), sop=True, eph=True,
+                    layers=2)
+    assert (decode_jp2(cs) == img).all()
+
+
+def test_precinct_positional_progression_named_error():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (100, 130)).astype(np.uint8)
+    cs = encode_j2k(img, levels=1, precincts=(6, 6))
+    i = cs.index(b"\xff\x52")
+    bad = bytearray(cs)
+    bad[i + 5] = 4                       # SGcod progression -> CPRL
+    with pytest.raises(ValueError, match="positional progression"):
+        decode_jp2(bytes(bad))
+
+
+def test_precinct_sizes_truncated_named_error():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    cs = encode_j2k(img, levels=2, precincts=(6, 6))
+    i = cs.index(b"\xff\x52")
+    ln = struct.unpack(">H", cs[i + 2:i + 4])[0]
+    bad = cs[:i + 2] + struct.pack(">H", ln - 2) + cs[i + 4:i + ln] \
+        + cs[i + 2 + ln:]
+    with pytest.raises(ValueError, match="precinct sizes truncated"):
+        decode_jp2(bad)
