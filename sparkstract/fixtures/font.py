@@ -182,6 +182,29 @@ _RAW_CJK = {
 }
 _RAW.update(_RAW_CJK)
 
+# Hangul glyph family (Korean syllable blocks): top-10 crawl language.
+# Unlike CJK han text, Korean is SPACE-SEPARATED — so it exercises the
+# ordinary word segmenter over square composed blocks rather than the
+# cjkpitch engine, and the script vote must pick "hangul" without any
+# downstream RTL/pitch consequence (an identification-only win, like
+# greek/cyrillic). Each 5x7 block evokes its jamo composition
+# (가 = ㄱ+ㅏ left-right; 보 = ㅂ+ㅗ top-bottom) but is drawn as ONE
+# 8-connected component so no multi-blob merge is needed, and every
+# bitmap is >=3 hamming away from the whole LUT.
+_RAW_HANGUL = {
+    "가": ["11101", "00101", "00101", "00111", "00101", "00001", "00001"],
+    "나": ["10000", "10000", "10000", "11111", "10001", "11101", "00001"],
+    "다": ["11100", "10000", "11100", "00111", "00001", "00001", "00001"],
+    "미": ["11101", "10101", "10111", "10101", "11101", "00001", "00001"],
+    "보": ["10001", "11111", "10101", "00100", "00100", "11111", "00100"],
+    "소": ["00100", "01010", "10101", "00100", "00100", "11111", "00100"],
+    "오": ["01110", "10001", "01110", "00100", "00100", "11111", "00100"],
+    "주": ["11111", "00100", "01010", "01010", "11111", "00100", "00100"],
+    "구": ["11111", "00010", "00010", "11111", "00100", "00100", "00100"],
+    "무": ["11111", "10001", "11111", "00100", "11111", "00100", "00100"],
+}
+_RAW.update(_RAW_HANGUL)
+
 # Arabic glyph family — the cursive-joining RTL script (the reference
 # recognizes it through the same unicharset/bidi machinery as Hebrew,
 # resultiterator.cpp:285, but its RENDERED form stresses two extra
@@ -249,6 +272,7 @@ STRONG_GREEK: frozenset[str] = frozenset(_RAW_GREEK)
 STRONG_CYRILLIC: frozenset[str] = frozenset(_RAW_CYRILLIC)
 STRONG_DEVANAGARI: frozenset[str] = frozenset(_RAW_DEVANAGARI)
 STRONG_CJK: frozenset[str] = frozenset(_RAW_CJK)
+STRONG_HANGUL: frozenset[str] = frozenset(_RAW_HANGUL)
 STRONG_LTR: frozenset[str] = frozenset(
     ch for ch in _RAW
     if ch.isalpha() and ch not in _RAW_RTL and ch not in _RAW_ARABIC)

@@ -256,7 +256,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         # glyph forms (isolated/final vs joined initial/medial, real
         # Unicode Presentation Forms-B codepoints), words fused along a
         # connected BASELINE the kernel's bottom-half splitter must undo
-        # (the C13 word-segmentation stress), 7-way script vote -> RTL
+        # (the C13 word-segmentation stress), 8-way script vote -> RTL
         # word order, presentation->base normalization at decode. The
         # reference reads Arabic through the same unicharset/bidi
         # machinery as Hebrew (resultiterator.cpp:285); truth lines are
@@ -388,6 +388,15 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         return PageSpec(elements=[Text(
             ["БЖЗ ИЦЧ ШЩЮ", "ЯЗБ ЖИШ ЦЮЧ", "ЗЧЯ БШЖ ЮИЦ"])],
             scale=2, width_chars=13, seed=seed)
+    if family == "korean_page":  # Hangul: space-separated square syllable
+        # blocks — unlike cjk_page this rides the ORDINARY word segmenter
+        # (Korean writes spaces), and the 8-way script vote must pick
+        # 'hangul' (LTR, no pitch engine, identification-only like
+        # greek/cyrillic). Glyphs are single-CC jamo compositions.
+        return PageSpec(elements=[Text(
+            ["가나다 미보소 오주구", "무가소 나오주 다구미",
+             "보다가 주무나 소미오"])],
+            scale=2, width_chars=13, seed=seed)
     if family == "smudged_page":  # F41 — K4 beam top-k + dictionary:
         # three glyphs rendered corrupted past the hamming midpoint toward
         # a different letter (O→Q, C→G, N→M), so greedy per-cell argmin
@@ -483,7 +492,7 @@ PAGE_FAMILIES = [
     "pdf_jbig2_page", "arabic_page", "arabic_bidi_page",
     "pdf_jpx_page", "jp2_page", "jpeg_tiff_page",
     "pdf_jbig2_arith_page", "pdf_jbig2_text_page", "webp_anim_page",
-    "jp2_bypass_page",
+    "jp2_bypass_page", "korean_page",
 ]
 
 

@@ -1896,14 +1896,15 @@ def _script_tally(blocks: list[Block]) -> dict[str, int]:
     """Per-script strong-glyph counts over the page's decoded text."""
     from ..fixtures.font import (STRONG_ARABIC, STRONG_CJK,
                                  STRONG_CYRILLIC, STRONG_DEVANAGARI,
-                                 STRONG_GREEK)
+                                 STRONG_GREEK, STRONG_HANGUL)
 
     scripts = (("latin", STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC
-                - STRONG_DEVANAGARI - STRONG_CJK),
+                - STRONG_DEVANAGARI - STRONG_CJK - STRONG_HANGUL),
                ("greek", STRONG_GREEK),
                ("cyrillic", STRONG_CYRILLIC),
                ("devanagari", STRONG_DEVANAGARI),
                ("cjk", STRONG_CJK),
+               ("hangul", STRONG_HANGUL),
                ("arabic", STRONG_ARABIC),
                ("hebrew", STRONG_RTL - STRONG_ARABIC))
     tally = dict.fromkeys((n for n, _ in scripts), 0)
@@ -1925,8 +1926,8 @@ def _page_script(blocks: list[Block]) -> str:
     likewise a max over per-script scores)."""
     tally = _script_tally(blocks)
     best, best_n = "latin", tally["latin"]
-    for name in ("greek", "cyrillic", "devanagari", "cjk", "arabic",
-                 "hebrew"):
+    for name in ("greek", "cyrillic", "devanagari", "cjk", "hangul",
+                 "arabic", "hebrew"):
         if tally[name] > best_n:
             best, best_n = name, tally[name]
     return best
@@ -1950,7 +1951,7 @@ def _suspect_decode(blocks: list[Block], quality: float) -> bool:
         return False
     t = _script_tally(blocks)
     return sum(1 for k in ("greek", "cyrillic", "devanagari", "cjk",
-                           "arabic", "hebrew")
+                           "hangul", "arabic", "hebrew")
                if t[k] > 0) >= 2
 
 

@@ -1,5 +1,5 @@
 """Arabic cursive script (VERDICT r4 item 3): positional glyph forms,
-baseline word fusion + the bottom-half splitter, 7-way script vote ->
+baseline word fusion + the bottom-half splitter, 8-way script vote ->
 RTL, presentation-form normalization. Reference contract: Arabic rides
 the same unicharset/bidi machinery as Hebrew (resultiterator.cpp:285);
 the fused-word un-split mirrors devanagari_processing.cpp vertically."""
