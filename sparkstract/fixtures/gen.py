@@ -77,7 +77,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "webp_vp8x_page", "webp_anim_page", "pdf_jbig2_page",
                   "pdf_jbig2_arith_page", "pdf_jbig2_text_page",
                   "pdf_jpx_page", "jp2_page", "jp2_bypass_page",
-                  "jpeg_tiff_page"):
+                  "jpeg_tiff_page", "webp_alpha_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -492,7 +492,7 @@ PAGE_FAMILIES = [
     "pdf_jbig2_page", "arabic_page", "arabic_bidi_page",
     "pdf_jpx_page", "jp2_page", "jpeg_tiff_page",
     "pdf_jbig2_arith_page", "pdf_jbig2_text_page", "webp_anim_page",
-    "jp2_bypass_page", "korean_page",
+    "jp2_bypass_page", "korean_page", "webp_alpha_page",
 ]
 
 
@@ -946,6 +946,23 @@ class _Builder:
             payload = encode_webp_vp8x(img, alpha=alpha, qi=8,
                                        filter_level=8,
                                        exif=b"Exif\x00\x00II*\x00")
+        elif family == "webp_alpha_page":
+            # the real libwebp-with-transparency shape: lossy VP8 frame +
+            # LOSSLESS-COMPRESSED, gradient-filtered ALPH plane (headerless
+            # VP8L stream, alpha in the green channel). The soft-edged
+            # vignette keeps every glyph at full opacity so truth is the
+            # plain page's; the margin fade exercises the filter + the
+            # white composite.
+            from ..functions.vp8 import encode_webp_vp8x
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            alpha = np.full(img.shape, 255, np.uint8)
+            ramp = np.linspace(0, 255, 6).astype(np.uint8)
+            alpha[:6, :] = ramp[:, None]      # top-edge fade, no glyphs
+            payload = encode_webp_vp8x(img, alpha=alpha, qi=8,
+                                       filter_level=8,
+                                       alpha_compressed=True,
+                                       alpha_filter=3)
         elif family == "webp_anim_page":
             # animated (ANIM/ANMF) WEBP — a double-digit slice of crawl
             # media. Frame 1 carries the page (the still the decoder

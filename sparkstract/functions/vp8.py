@@ -1190,9 +1190,11 @@ def encode_webp_vp8(img: np.ndarray, **kw) -> bytes:
 
 def encode_webp_vp8x(img: np.ndarray, alpha: np.ndarray | None = None,
                      lossless: bool = False, exif: bytes = b"",
+                     alpha_compressed: bool = False, alpha_filter: int = 0,
                      **kw) -> bytes:
-    """uint8 HxW -> extended (VP8X) WEBP: optional raw ALPH chunk and
-    EXIF chunk around a lossy VP8 (or lossless VP8L) image chunk."""
+    """uint8 HxW -> extended (VP8X) WEBP: optional ALPH chunk (raw or
+    lossless-compressed, any container-spec filter) and EXIF chunk around
+    a lossy VP8 (or lossless VP8L) image chunk."""
     h, w = img.shape
     flags = 0
     chunks = []
@@ -1200,7 +1202,10 @@ def encode_webp_vp8x(img: np.ndarray, alpha: np.ndarray | None = None,
         flags |= 0x08
     if alpha is not None:
         flags |= 0x10
-        body = b"\x00" + alpha.astype(np.uint8).tobytes()  # raw, no filter
+        from .webp import encode_alpha_body
+        body = encode_alpha_body(alpha.astype(np.uint8),
+                                 compressed=alpha_compressed,
+                                 filt=alpha_filter)
         chunks.append((b"ALPH", body))
     if lossless:
         from .webp import encode_gray_webp

@@ -9,8 +9,9 @@ WEBP at double-digit percentages, so the codec-dispatch seam
 2D distance map, four invertible transforms) — no DCT, so a from-scratch
 implementation at the ccitt.py quality bar is feasible. Lossy VP8 decodes
 through functions/vp8.py (RFC 6386 key frames); the extended VP8X
-container is walked here (_decode_vp8x: raw ALPH composite, EXIF/XMP/ICCP
-skipped, animations decode as their FIRST frame on the background canvas).
+container is walked here (_decode_vp8x: ALPH alpha composite — raw or
+lossless-compressed, all four filters — EXIF/XMP/ICCP skipped, animations
+decode as their FIRST frame on the background canvas).
 
 Decode support (RFC 9649 §3-§5):
   * all four transforms: predictor (14 modes, per-block sub-image), color
@@ -746,6 +747,16 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("VP8L unsupported version")
+    return _decode_vp8l_stream(br, w, h, count_shape=True)
+
+
+def _decode_vp8l_stream(br: _LsbReader, w: int, h: int,
+                        count_shape: bool = False) -> np.ndarray:
+    """The headerless part of a VP8L stream (transform loop onward) for
+    known dimensions — shared between full VP8L chunks and ALPH alpha
+    planes, which the container spec defines as exactly this stream with
+    implicit w x h. `count_shape` gates the decode-shape telemetry so
+    alpha sub-streams don't displace the main image's shape key."""
     transforms: list[tuple] = []
     seen: set[int] = set()
     xsize = w  # color-indexing bundling shrinks the coded width
@@ -781,7 +792,8 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
             elif n_colors <= 16:
                 xsize = (xsize + 1) >> 1
     argb = _decode_entropy_image(br, xsize, h, True)
-    SHAPE_COUNTS[_LAST_SHAPE[0]] += 1
+    if count_shape:
+        SHAPE_COUNTS[_LAST_SHAPE[0]] += 1
     for t in reversed(transforms):
         if t[0] == "predictor":
             argb = _inv_predictor(argb, t[1], t[2])
@@ -794,6 +806,113 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     if argb.shape[:2] != (h, w):
         raise ValueError("VP8L decoded size mismatch")
     return argb
+
+
+# ---------------------------------------------------------------- alpha
+
+# Container-spec ALPH chunk: header byte = pre-processing (bits 4-5,
+# encoder hint — no decode action) | filtering method (bits 2-3) |
+# compression method (bits 0-1).  Compression 1 is a HEADERLESS VP8L
+# stream of implicit w x h whose green channel carries the alpha values;
+# filters predict each value from decoded neighbors in scan order with
+# the first row falling back to left-prediction, the first column to
+# above-prediction and (0, 0) to 0 (libwebp filters.c semantics, which
+# the container spec text describes).
+
+
+def _inv_alpha_filter(delta: np.ndarray, method: int) -> np.ndarray:
+    """Undo alpha filtering in scan order: value = (pred + delta) & 0xFF.
+    Horizontal/vertical are running sums (vectorized cumsum with the
+    seeded first column/row); gradient's clip(left + above - topleft)
+    predictor is a true scan-order recurrence, so its interior runs a
+    per-row loop — alpha planes are page-sized, and the fixture mirror
+    pins this inverse against the vectorized forward filter."""
+    if method == 0:
+        return delta
+    d = delta.astype(np.int64)
+    h, w = d.shape
+    if method == 1:      # horizontal; leftmost column predicts from above
+        d[:, 0] = np.cumsum(d[:, 0])
+        return (np.cumsum(d, axis=1) & 0xFF).astype(np.uint8)
+    if method == 2:      # vertical; top row predicts from the left
+        d[0, :] = np.cumsum(d[0, :])
+        return (np.cumsum(d, axis=0) & 0xFF).astype(np.uint8)
+    if method != 3:
+        raise ValueError(f"WEBP alpha filter {method}: unknown")
+    out = np.zeros((h, w), np.int64)
+    out[0, :] = np.cumsum(d[0, :]) & 0xFF   # top row: horizontal fallback
+    out[:, 0] = np.cumsum(d[:, 0]) & 0xFF   # left col: vertical fallback
+    for y in range(1, h):
+        row = out[y]
+        up = out[y - 1]
+        dr = d[y]
+        left = int(row[0])
+        for x in range(1, w):
+            pred = left + int(up[x]) - int(up[x - 1])
+            if pred < 0:
+                pred = 0
+            elif pred > 255:
+                pred = 255
+            left = (pred + int(dr[x])) & 0xFF
+            row[x] = left
+    return out.astype(np.uint8)
+
+
+def _fwd_alpha_filter(v: np.ndarray, method: int) -> np.ndarray:
+    """Fixture-side forward filter: delta = (value - pred) & 0xFF with
+    preds computed from the ORIGINAL plane — fully vectorized (the
+    encoder sees all true neighbors up front)."""
+    if method == 0:
+        return v
+    v64 = v.astype(np.int64)
+    pred = np.zeros_like(v64)
+    if method == 1:
+        pred[:, 1:] = v64[:, :-1]
+        pred[1:, 0] = v64[:-1, 0]
+    elif method == 2:
+        pred[1:, :] = v64[:-1, :]
+        pred[0, 1:] = v64[0, :-1]
+    else:
+        pred[1:, 1:] = np.clip(
+            v64[1:, :-1] + v64[:-1, 1:] - v64[:-1, :-1], 0, 255)
+        pred[0, 1:] = v64[0, :-1]
+        pred[1:, 0] = v64[:-1, 0]
+    return ((v64 - pred) & 0xFF).astype(np.uint8)
+
+
+def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk body -> (h, w) uint8 alpha plane (raw or
+    lossless-compressed, any of the four filters)."""
+    if not body:
+        raise ValueError("ALPH chunk empty")
+    method = body[0] & 0x03
+    filt = (body[0] >> 2) & 0x03
+    if method == 0:
+        px = np.frombuffer(body, np.uint8, offset=1)
+        if px.size < w * h:
+            raise ValueError("ALPH chunk short")
+        plane = px[:w * h].reshape(h, w).copy()
+    elif method == 1:
+        argb = _decode_vp8l_stream(_LsbReader(body[1:]), w, h)
+        plane = argb[:, :, 2].copy()
+    else:
+        raise ValueError(f"WEBP alpha compression {method}: out of scope "
+                         "(0 raw and 1 lossless supported)")
+    return _inv_alpha_filter(plane, filt)
+
+
+def encode_alpha_body(alpha: np.ndarray, compressed: bool = False,
+                      filt: int = 0) -> bytes:
+    """Fixture-side ALPH body writer: forward-filter then optionally
+    compress as a headerless VP8L stream (subtract-green + literal greens,
+    like encode_gray_webp)."""
+    if alpha.dtype != np.uint8 or alpha.ndim != 2:
+        raise ValueError("encode_alpha_body expects HxW uint8")
+    plane = _fwd_alpha_filter(alpha, filt)
+    head = bytes([(filt << 2) | (1 if compressed else 0)])
+    if not compressed:
+        return head + plane.tobytes()
+    return head + _vp8l_gray_payload(plane, headerless=True)
 
 
 def decode_webp(data: bytes) -> np.ndarray:
@@ -835,17 +954,7 @@ def _frame_from_chunks(rest: bytes, w: int, h: int
         size = int.from_bytes(rest[pos + 4:pos + 8], "little")
         body = rest[pos + 8:pos + 8 + size]
         if tag == b"ALPH":
-            if not body:
-                raise ValueError("ALPH chunk empty")
-            if body[0] & 0x03:
-                raise ValueError("compressed WEBP alpha: out of scope "
-                                 "(raw ALPH supported)")
-            if (body[0] >> 2) & 0x03:
-                raise ValueError("filtered WEBP alpha: out of scope")
-            px = np.frombuffer(body[1:], np.uint8)
-            if px.size < w * h:
-                raise ValueError("ALPH chunk short")
-            alpha = px[:w * h].reshape(h, w)
+            alpha = _decode_alpha(body, w, h)
         elif tag == b"VP8 ":
             from .vp8 import decode_vp8
 
@@ -866,8 +975,8 @@ def _frame_from_chunks(rest: bytes, w: int, h: int
 
 def _decode_vp8x(rest: bytes, header: bytes) -> np.ndarray:
     """Extended (VP8X) container: canvas header, then feature chunks.
-    ICCP/EXIF/XMP are skipped; a raw (uncompressed) ALPH chunk composites
-    onto white; a compressed ALPH raises a named error. Animations (ANIM/
+    ICCP/EXIF/XMP are skipped; an ALPH chunk (raw or lossless-compressed,
+    any filter) composites onto white. Animations (ANIM/
     ANMF) decode as their FIRST frame composited at its offset on the
     background-color canvas — the page-analysis still, matching how the
     reference's single-page SetImage treats an animated input (Leptonica
@@ -1039,22 +1148,24 @@ def _write_full_code(bw: _LsbWriter, lengths: dict[int, int],
             bw.write(extra, ebits)
 
 
-def encode_gray_webp(img: np.ndarray) -> bytes:
-    """uint8 HxW gray -> lossless WEBP bytes: subtract-green + literal
+def _vp8l_gray_payload(img: np.ndarray, headerless: bool = False) -> bytes:
+    """uint8 HxW gray -> VP8L stream bytes: subtract-green + literal
     greens under one canonical prefix code; red/blue/alpha/distance ride
     0-bit single-symbol codes (after subtract-green, r' = b' = 0
-    everywhere). Fixture-side writer, like encode_gray_tiff."""
+    everywhere). `headerless` omits the signature/dimension header — the
+    ALPH compressed-alpha stream shape."""
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_gray_webp expects HxW uint8")
     h, w = img.shape
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError("encode_gray_webp dimensions out of range")
     bw = _LsbWriter()
-    bw.write(0x2F, 8)
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(0, 1)   # no alpha
-    bw.write(0, 3)   # version
+    if not headerless:
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)   # no alpha
+        bw.write(0, 3)   # version
     bw.write(1, 1)   # a transform follows
     bw.write(2, 2)   # subtract green
     bw.write(0, 1)   # no more transforms
@@ -1083,7 +1194,13 @@ def encode_gray_webp(img: np.ndarray) -> bytes:
         len_tab[sym] = ln
     for v in flat.tolist():
         bw.write_code(int(code_tab[v]), int(len_tab[v]))
-    payload = bw.bytes()
+    return bw.bytes()
+
+
+def encode_gray_webp(img: np.ndarray) -> bytes:
+    """uint8 HxW gray -> lossless WEBP container bytes. Fixture-side
+    writer, like encode_gray_tiff."""
+    payload = _vp8l_gray_payload(img)
     riff_size = 4 + 8 + len(payload) + (len(payload) & 1)
     out = bytearray()
     out += b"RIFF" + riff_size.to_bytes(4, "little") + b"WEBP"

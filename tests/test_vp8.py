@@ -299,14 +299,29 @@ def test_webp_anim_fixture_family_extracts():
     assert got == [(t.kind, t.text) for t in blocks]
 
 
-def test_vp8x_compressed_alpha_named_error():
+def test_vp8x_compressed_alpha_matches_raw():
+    """Lossless-compressed + filtered ALPH decodes to the SAME composite
+    as the raw plane — for every container-spec filter method."""
+    img = _test_img()
+    alpha = np.full(img.shape, 255, np.uint8)
+    alpha[:4, :] = 0
+    alpha[10:14, 3:9] = 128
+    ref = decode_gray_any(encode_webp_vp8x(img, alpha=alpha, qi=8))
+    for filt in range(4):
+        got = decode_gray_any(encode_webp_vp8x(
+            img, alpha=alpha, qi=8, alpha_compressed=True,
+            alpha_filter=filt))
+        assert (got == ref).all(), filt
+
+
+def test_vp8x_reserved_alpha_compression_named_error():
     img = _test_img()
     alpha = np.full(img.shape, 255, np.uint8)
     data = encode_webp_vp8x(img, lossless=True, alpha=alpha)
     i = data.find(b"ALPH")
     bad = bytearray(data)
-    bad[i + 8] |= 0x01   # compression method 1 (VP8L-coded alpha)
-    with pytest.raises(ValueError, match="compressed WEBP alpha"):
+    bad[i + 8] |= 0x02   # reserved compression method
+    with pytest.raises(ValueError, match="alpha compression"):
         decode_gray_any(bytes(bad))
 
 

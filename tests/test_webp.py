@@ -612,3 +612,79 @@ def test_shape_counter_tracks_decode_path():
     finally:
         W._FAST = orig
     assert W.SHAPE_COUNTS == {"generic": 1}
+
+
+# ------------------------------------------------------------ alpha plane
+
+
+def test_alpha_filter_roundtrip_all_methods():
+    """Forward filter then scan-order inverse is the identity — every
+    container-spec method, degenerate shapes included."""
+    from sparkstract.functions import webp as W
+
+    rng = np.random.default_rng(11)
+    for method in range(4):
+        for shape in [(1, 1), (1, 9), (9, 1), (23, 17), (64, 48)]:
+            plane = rng.integers(0, 256, shape).astype(np.uint8)
+            delta = W._fwd_alpha_filter(plane, method)
+            assert (W._inv_alpha_filter(delta.copy(), method)
+                    == plane).all(), (method, shape)
+
+
+def test_alpha_gradient_inverse_pinned_against_naive():
+    """The vectorized/row-loop gradient inverse equals a literal per-pixel
+    transcription of the spec recurrence (clip(left + above - topleft),
+    top row -> left, left column -> above, origin -> 0)."""
+    from sparkstract.functions import webp as W
+
+    def naive(d):
+        h, w = d.shape
+        out = np.zeros((h, w), int)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    p = 0
+                elif y == 0:
+                    p = out[0, x - 1]
+                elif x == 0:
+                    p = out[y - 1, 0]
+                else:
+                    p = min(255, max(0, out[y, x - 1] + out[y - 1, x]
+                                     - out[y - 1, x - 1]))
+                out[y, x] = (p + int(d[y, x])) & 0xFF
+        return out.astype(np.uint8)
+
+    rng = np.random.default_rng(13)
+    d = rng.integers(0, 256, (31, 29)).astype(np.uint8)
+    assert (W._inv_alpha_filter(d.copy(), 3) == naive(d)).all()
+
+
+def test_alpha_body_roundtrip_compressed_and_raw():
+    from sparkstract.functions import webp as W
+
+    alpha = np.full((40, 56), 255, np.uint8)
+    alpha[:5, :] = 0
+    alpha[10:14, 20:30] = 128
+    for method in range(4):
+        for compressed in (False, True):
+            body = W.encode_alpha_body(alpha, compressed=compressed,
+                                       filt=method)
+            got = W._decode_alpha(body, 56, 40)
+            assert (got == alpha).all(), (method, compressed)
+
+
+def test_alpha_substream_does_not_pollute_shape_telemetry():
+    """A compressed ALPH plane is a VP8L sub-stream, but only the MAIN
+    image's decode shape may reach SHAPE_COUNTS — the report key for a
+    lossy-with-alpha file stays 'vp8-lossy'."""
+    from sparkstract.functions import webp as W
+    from sparkstract.functions.vp8 import encode_webp_vp8x
+
+    img = np.tile(np.arange(64, dtype=np.uint8), (16, 1))
+    alpha = np.full(img.shape, 255, np.uint8)
+    alpha[:2, :] = 0
+    data = encode_webp_vp8x(img, alpha=alpha, qi=8,
+                            alpha_compressed=True, alpha_filter=3)
+    W.SHAPE_COUNTS.clear()
+    decode_webp(data)
+    assert W.SHAPE_COUNTS == {"vp8-lossy": 1}
