@@ -77,7 +77,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "webp_vp8x_page", "webp_anim_page", "pdf_jbig2_page",
                   "pdf_jbig2_arith_page", "pdf_jbig2_text_page",
                   "pdf_jpx_page", "jp2_page", "jp2_bypass_page",
-                  "jpeg_tiff_page", "webp_alpha_page"):
+                  "jpeg_tiff_page", "webp_alpha_page",
+                  "pdf_jbig2_huff_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -493,6 +494,7 @@ PAGE_FAMILIES = [
     "pdf_jpx_page", "jp2_page", "jpeg_tiff_page",
     "pdf_jbig2_arith_page", "pdf_jbig2_text_page", "webp_anim_page",
     "jp2_bypass_page", "korean_page", "webp_alpha_page",
+    "pdf_jbig2_huff_page",
 ]
 
 
@@ -880,6 +882,19 @@ class _Builder:
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_simple_pdf(
                 [[("jbig2_text_image", img, 0, 0)]],
+                page_size=(img.shape[1], img.shape[0]))
+        elif family == "pdf_jbig2_huff_page":
+            # /JBIG2Decode, HUFFMAN organization (T.88 Annex B standard
+            # tables): same symbol-dictionary + text-region shape as
+            # pdf_jbig2_text_page but coded with prefix codes and
+            # MMR collective bitmaps — the pre-MQ encoder generation
+            # still present in archival corpora. Bit-exact, truth is the
+            # plain page's.
+            from ..functions.pdf import encode_simple_pdf
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_simple_pdf(
+                [[("jbig2_huff_image", img, 0, 0)]],
                 page_size=(img.shape[1], img.shape[0]))
         elif family == "jpeg_tiff_page":
             # new-style JPEG-in-TIFF (TIFF Technical Note 2) — the scanner

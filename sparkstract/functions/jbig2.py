@@ -15,8 +15,12 @@ scanned-PDF organization: arithmetically-coded SYMBOL DICTIONARIES
 runs) and TEXT REGIONS (§6.4: strip/instance placement with all four
 reference corners and transposition). The MQ coder itself is shared
 with functions/jp2.py (T.88 Annex E and T.800 Annex C specify the same
-coder). Huffman-coded segments, refinement/aggregate coding and
-halftone segments raise NAMED out-of-scope errors at their exact seams.
+coder). The HUFFMAN organization decodes too: the fifteen standard
+Annex-B tables with B.3's canonical assignment, symbol dictionaries
+whose height classes ship as collective bitmaps (§6.5.9, uncompressed
+or MMR), run-coded symbol ID tables (§7.4.3.1.7) and Huffman text
+regions. Refinement/aggregate coding, halftone segments and custom
+code tables (type 53) raise NAMED out-of-scope errors at their seams.
 
 The fixture encoders emit the same organizations (page info + immediate
 generic regions + end-of-page; page info + symbol dictionary in
@@ -374,6 +378,292 @@ def _iaid_encode(enc: MQEncoder, bank: list, value: int,
         prev = (prev << 1) | b
 
 
+# --------------------------------------------- Huffman (Annex B) machinery
+#
+# The OTHER T.88 coding organization: MSB-first prefix codes with
+# range-extension bits, selected per field by the segment flags. The
+# fifteen STANDARD tables (B.1-B.15) are transcribed from the published
+# annex (they also appear verbatim in every open JBIG2 reader, e.g.
+# jbig2dec's jbig2_huffman.c / pdf.js's jbig2.js — public provenance);
+# line ORDER matters because B.3's canonical assignment numbers same-
+# length codes in table order. tests/test_jbig2.py pins each table's
+# Kraft sum and spot-decodes hand-assembled bit vectors. Custom table
+# segments (type 53) remain a named error.
+
+class _MsbReader:
+    """MSB-first bit reader over a segment body tail."""
+
+    __slots__ = ("d", "byte", "bit")
+
+    def __init__(self, d: bytes, pos: int = 0) -> None:
+        self.d = d
+        self.byte = pos
+        self.bit = 0
+
+    def read1(self) -> int:
+        if self.byte >= len(self.d):
+            raise ValueError("JBIG2 Huffman data truncated")
+        b = (self.d[self.byte] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.byte += 1
+        return b
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read1()
+        return v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+    def take_aligned(self, n: int) -> bytes:
+        """n whole bytes at the current (aligned) position."""
+        self.align()
+        if self.byte + n > len(self.d):
+            raise ValueError("JBIG2 Huffman data truncated")
+        b = self.d[self.byte:self.byte + n]
+        self.byte += n
+        return b
+
+
+class _MsbWriter:
+    """Fixture-side mirror of _MsbReader."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self) -> None:
+        while self.nbits:
+            self.write(0, 1)
+
+    def put_aligned(self, data: bytes) -> None:
+        self.align()
+        self.out += data
+
+    def bytes(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+class _HuffTable:
+    """One assigned Annex-B table: lines in SPEC order, each
+    (preflen, rangelen, rangelow, kind) with kind 'n' normal /
+    'l' 32-bit lower range / 'h' 32-bit upper range / 'o' OOB."""
+
+    __slots__ = ("lines", "codes", "dec", "maxlen")
+
+    def __init__(self, lines: tuple) -> None:
+        self.lines = [ln for ln in lines if ln[0] > 0]
+        counts: dict[int, int] = {}
+        for ln in self.lines:
+            counts[ln[0]] = counts.get(ln[0], 0) + 1
+        self.maxlen = max(counts)
+        cur = {1: 0}
+        fc = 0
+        for length in range(1, self.maxlen + 1):
+            fc = (fc + counts.get(length - 1, 0)) << 1
+            cur[length] = fc
+        self.codes = []
+        for ln in self.lines:
+            self.codes.append((ln[0], cur[ln[0]], ln))
+            cur[ln[0]] += 1
+        self.dec = {(length, code): ln for length, code, ln in self.codes}
+
+    def decode(self, br: _MsbReader) -> int | None:
+        code = 0
+        length = 0
+        while True:
+            code = (code << 1) | br.read1()
+            length += 1
+            if length > self.maxlen:
+                raise ValueError("JBIG2 Huffman code invalid")
+            line = self.dec.get((length, code))
+            if line is None:
+                continue
+            _, rangelen, rangelow, kind = line
+            if kind == "o":
+                return None
+            if kind == "l":
+                return rangelow - br.read(32)
+            if kind == "h":
+                return rangelow + br.read(32)
+            return rangelow + br.read(rangelen)
+
+    def encode(self, bw: _MsbWriter, value: int | None) -> None:
+        """Fixture-side mirror: first matching line in table order."""
+        if value is None:
+            for length, code, ln in self.codes:
+                if ln[3] == "o":
+                    bw.write(code, length)
+                    return
+            raise ValueError("table has no OOB code")
+        for length, code, (_, rangelen, rangelow, kind) in self.codes:
+            if kind == "n" and rangelow <= value < rangelow + (1 << rangelen):
+                bw.write(code, length)
+                bw.write(value - rangelow, rangelen)
+                return
+        for length, code, (_, _, rangelow, kind) in self.codes:
+            if kind == "l" and value <= rangelow:
+                bw.write(code, length)
+                bw.write(rangelow - value, 32)
+                return
+            if kind == "h" and value >= rangelow:
+                bw.write(code, length)
+                bw.write(value - rangelow, 32)
+                return
+        raise ValueError(f"value {value} outside table range")
+
+
+def _T(*lines):
+    return _HuffTable(tuple(
+        ln if len(ln) == 4 else (*ln, "n") for ln in lines))
+
+
+_STD_TABLES: dict[str, _HuffTable] = {
+    "B1": _T((1, 4, 0), (2, 8, 16), (3, 16, 272), (3, 32, 65808, "h")),
+    "B2": _T((1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3), (5, 6, 11),
+             (6, 32, 75, "h"), (6, 0, 0, "o")),
+    "B3": _T((8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+             (5, 6, 11), (8, 32, -257, "l"), (7, 32, 75, "h"),
+             (6, 0, 0, "o")),
+    "B4": _T((1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4), (5, 6, 12),
+             (5, 32, 76, "h")),
+    "B5": _T((7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+             (5, 6, 12), (7, 32, -256, "l"), (6, 32, 76, "h")),
+    "B6": _T((5, 10, -2048), (4, 9, -1024), (4, 8, -512), (4, 7, -256),
+             (5, 6, -128), (5, 5, -64), (4, 5, -32), (2, 7, 0),
+             (3, 7, 128), (3, 8, 256), (4, 9, 512), (4, 10, 1024),
+             (6, 32, -2049, "l"), (6, 32, 2048, "h")),
+    "B7": _T((4, 9, -1024), (3, 8, -512), (4, 7, -256), (5, 6, -128),
+             (5, 5, -64), (4, 5, -32), (4, 5, 0), (5, 5, 32), (5, 6, 64),
+             (4, 7, 128), (3, 8, 256), (3, 9, 512), (3, 10, 1024),
+             (5, 32, -1025, "l"), (5, 32, 2048, "h")),
+    "B8": _T((8, 3, -15), (9, 1, -7), (8, 1, -5), (9, 0, -3), (7, 0, -2),
+             (4, 0, -1), (2, 1, 0), (5, 0, 2), (6, 0, 3), (3, 4, 4),
+             (6, 1, 20), (4, 4, 22), (4, 5, 38), (5, 6, 70), (5, 7, 134),
+             (6, 7, 262), (7, 8, 390), (6, 10, 646), (9, 32, -16, "l"),
+             (9, 32, 1670, "h"), (2, 0, 0, "o")),
+    "B9": _T((8, 4, -31), (9, 2, -15), (8, 2, -11), (9, 1, -7), (7, 1, -5),
+             (4, 1, -3), (3, 1, -1), (3, 1, 1), (5, 1, 3), (6, 1, 5),
+             (3, 5, 7), (6, 2, 39), (4, 5, 43), (4, 6, 75), (5, 7, 139),
+             (5, 8, 267), (6, 8, 523), (7, 9, 779), (6, 11, 1291),
+             (9, 32, -32, "l"), (9, 32, 3339, "h"), (2, 0, 0, "o")),
+    "B10": _T((7, 4, -21), (8, 0, -5), (7, 0, -4), (5, 0, -3), (2, 2, -2),
+              (5, 0, 2), (6, 0, 3), (7, 0, 4), (8, 0, 5), (2, 6, 6),
+              (5, 5, 70), (6, 5, 102), (7, 6, 134), (8, 7, 198),
+              (8, 8, 326), (8, 9, 582), (8, 10, 1094), (7, 11, 2118),
+              (8, 32, -22, "l"), (8, 32, 4166, "h"), (2, 0, 0, "o")),
+    "B11": _T((1, 0, 1), (2, 1, 2), (4, 0, 4), (4, 1, 5), (5, 1, 7),
+              (5, 2, 9), (6, 2, 13), (7, 2, 17), (7, 3, 21), (7, 4, 29),
+              (7, 5, 45), (7, 6, 77), (7, 32, 141, "h")),
+    "B12": _T((1, 0, 1), (2, 0, 2), (3, 1, 3), (5, 0, 5), (5, 1, 6),
+              (6, 1, 8), (7, 0, 10), (7, 1, 11), (7, 2, 13), (7, 3, 17),
+              (7, 4, 25), (8, 5, 41), (8, 32, 73, "h")),
+    "B13": _T((1, 0, 1), (3, 0, 2), (4, 0, 3), (5, 0, 4), (4, 1, 5),
+              (3, 3, 7), (6, 1, 15), (6, 2, 17), (6, 3, 21), (6, 4, 29),
+              (6, 5, 45), (7, 6, 77), (7, 32, 141, "h")),
+    "B14": _T((3, 0, -2), (3, 0, -1), (1, 0, 0), (3, 0, 1), (3, 0, 2)),
+    "B15": _T((7, 4, -24), (6, 2, -8), (5, 1, -4), (4, 0, -2), (3, 0, -1),
+              (1, 0, 0), (3, 0, 1), (4, 0, 2), (5, 1, 3), (6, 2, 5),
+              (7, 4, 9), (7, 32, -25, "l"), (7, 32, 25, "h")),
+}
+
+
+def _select_table(sel: int, choices: tuple[str, ...], what: str) -> _HuffTable:
+    if sel >= len(choices):
+        raise ValueError(f"JBIG2 custom {what} Huffman table: out of scope "
+                         "(standard tables supported)")
+    return _STD_TABLES[choices[sel]]
+
+
+class _PrefixCode:
+    """A plain prefix code over symbols 0..n-1 from assigned lengths
+    (B.3 canonical assignment in symbol order) — the runcode and
+    symbol-ID codes of §7.4.3.1.7."""
+
+    __slots__ = ("dec", "enc", "maxlen")
+
+    def __init__(self, lengths: list[int]) -> None:
+        counts: dict[int, int] = {}
+        for ln in lengths:
+            if ln:
+                counts[ln] = counts.get(ln, 0) + 1
+        if not counts:
+            raise ValueError("JBIG2 empty prefix code")
+        self.maxlen = max(counts)
+        cur = {}
+        fc = 0
+        for length in range(1, self.maxlen + 1):
+            fc = (fc + counts.get(length - 1, 0)) << 1
+            cur[length] = fc
+        self.dec = {}
+        self.enc = {}
+        for sym, ln in enumerate(lengths):
+            if ln:
+                self.dec[(ln, cur[ln])] = sym
+                self.enc[sym] = (cur[ln], ln)
+                cur[ln] += 1
+
+    def decode(self, br: _MsbReader) -> int:
+        code = 0
+        length = 0
+        while True:
+            code = (code << 1) | br.read1()
+            length += 1
+            if length > self.maxlen:
+                raise ValueError("JBIG2 prefix code invalid")
+            sym = self.dec.get((length, code))
+            if sym is not None:
+                return sym
+
+
+def _read_symbol_id_code(br: _MsbReader, n_syms: int) -> _PrefixCode | None:
+    """§7.4.3.1.7 symbol ID code: 35 run-code lengths (4 bits each), a
+    run-coded length per symbol, then byte alignment. Returns None when a
+    single symbol makes the code zero-length (the ID is implicit)."""
+    runlens = [br.read(4) for _ in range(35)]
+    runcode = _PrefixCode(runlens) if any(runlens) else None
+    lengths: list[int] = []
+    prev = 0
+    while len(lengths) < n_syms:
+        if runcode is None:
+            raise ValueError("JBIG2 symbol ID code lengths missing")
+        c = runcode.decode(br)
+        if c < 32:
+            lengths.append(c)
+            if c:
+                prev = c
+        elif c == 32:
+            lengths.extend([prev] * (3 + br.read(2)))
+        elif c == 33:
+            lengths.extend([0] * (3 + br.read(3)))
+        else:
+            lengths.extend([0] * (11 + br.read(7)))
+    lengths = lengths[:n_syms]
+    br.align()
+    if not any(lengths):
+        if n_syms == 1:
+            return None
+        raise ValueError("JBIG2 symbol ID code empty")
+    return _PrefixCode(lengths)
+
+
 def _s8(b: int) -> int:
     return b - 256 if b >= 128 else b
 
@@ -386,12 +676,11 @@ def _decode_symbol_dict(body: _Cursor, input_syms: list) -> list:
     """§6.5 symbol dictionary decoding, arithmetic organization only ->
     exported symbol bitmaps in decode order."""
     flags = body.u16()
-    if flags & 0x01:
-        raise ValueError("JBIG2 Huffman-coded symbol dictionary: out of "
-                         "scope (arithmetic supported)")
     if flags & 0x02:
         raise ValueError("JBIG2 refinement/aggregate symbol coding: out "
                          "of scope")
+    if flags & 0x01:
+        return _decode_symbol_dict_huffman(body, input_syms, flags)
     if flags & 0x100 or flags & 0x200:
         raise ValueError("JBIG2 bitmap coding context import/export: out "
                          "of scope")
@@ -457,15 +746,103 @@ def _decode_symbol_dict(body: _Cursor, input_syms: list) -> list:
     return exported
 
 
+def _decode_symbol_dict_huffman(body: _Cursor, input_syms: list,
+                                flags: int) -> list:
+    """§6.5 symbol dictionary, Huffman organization (SDHUFF=1,
+    SDREFAGG=0): per height class the widths arrive run-coded through the
+    selected standard tables, then the class's symbols ship as ONE
+    COLLECTIVE BITMAP (§6.5.9) — byte-aligned, either uncompressed
+    (BMSIZE=0) or MMR-coded (T.6 via ccitt.g4_decode) — sliced per
+    symbol. Export runs use Table B.1."""
+    dh = _select_table((flags >> 2) & 3, ("B4", "B5"), "DH")
+    dw = _select_table((flags >> 4) & 3, ("B2", "B3"), "DW")
+    bmsize_tab = _select_table((flags >> 6) & 1, ("B1",), "BMSIZE")
+    if flags & 0x100 or flags & 0x200:
+        raise ValueError("JBIG2 bitmap coding context import/export: out "
+                         "of scope")
+    num_ex = body.u32()
+    num_new = body.u32()
+    if num_new > _MAX_SYMBOLS or num_ex > _MAX_SYMBOLS:
+        raise ValueError("JBIG2 symbol dictionary too large")
+    br = _MsbReader(body.d, body.pos)
+    newsyms: list[np.ndarray] = []
+    hcheight = 0
+    total_px = 0
+    classes = 0
+    while len(newsyms) < num_new:
+        classes += 1
+        if classes > num_new + 64:
+            raise ValueError("JBIG2 symbol dictionary: runaway height "
+                             "classes")
+        delta = dh.decode(br)
+        if delta is None:
+            raise ValueError("JBIG2 OOB height-class delta")
+        hcheight += delta
+        if not 0 < hcheight <= _MAX_SYM_DIM:
+            raise ValueError("JBIG2 symbol height out of range")
+        symwidth = 0
+        widths: list[int] = []
+        while True:
+            dwv = dw.decode(br)
+            if dwv is None:
+                break
+            symwidth += dwv
+            if not 0 < symwidth <= _MAX_SYM_DIM:
+                raise ValueError("JBIG2 symbol width out of range")
+            if len(newsyms) + len(widths) >= num_new:
+                raise ValueError("JBIG2 symbol count overflow")
+            total_px += symwidth * hcheight
+            if total_px > _MAX_PIXELS:
+                raise ValueError("JBIG2 symbol dictionary pixel bomb")
+            widths.append(symwidth)
+        if not widths:
+            continue
+        totwidth = sum(widths)
+        bmsize = bmsize_tab.decode(br)
+        if bmsize is None or bmsize < 0:
+            raise ValueError("JBIG2 collective bitmap size invalid")
+        if bmsize == 0:                    # uncompressed, row-padded
+            stride = (totwidth + 7) >> 3
+            raw = np.frombuffer(br.take_aligned(stride * hcheight),
+                                np.uint8).reshape(hcheight, stride)
+            coll = np.unpackbits(raw, axis=1)[:, :totwidth]
+        else:                              # MMR (T.6) coded
+            coll = g4_decode(br.take_aligned(bmsize), totwidth, hcheight)
+        x = 0
+        for wd in widths:
+            newsyms.append(np.ascontiguousarray(coll[:, x:x + wd]))
+            x += wd
+    # §6.5.10 export flags, EXRUNLENGTH via Table B.1
+    allsyms = input_syms + newsyms
+    b1 = _STD_TABLES["B1"]
+    exported: list[np.ndarray] = []
+    i = 0
+    cur = 0
+    runs = 0
+    while i < len(allsyms):
+        runs += 1
+        if runs > 2 * len(allsyms) + 2:
+            raise ValueError("JBIG2 symbol export: runaway runs")
+        run = b1.decode(br)
+        if run is None or run < 0 or i + run > len(allsyms):
+            raise ValueError("JBIG2 symbol export run invalid")
+        if cur:
+            exported.extend(allsyms[i:i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != num_ex:
+        raise ValueError("JBIG2 symbol export count mismatch")
+    return exported
+
+
 def _decode_text_region(body: _Cursor, ri: dict,
                         syms: list) -> np.ndarray:
-    """§6.4 text region decoding, arithmetic organization only."""
+    """§6.4 text region decoding — arithmetic or Huffman organization."""
     flags = body.u16()
-    if flags & 0x01:
-        raise ValueError("JBIG2 Huffman-coded text region: out of scope "
-                         "(arithmetic supported)")
     if flags & 0x02:
         raise ValueError("JBIG2 refined text region: out of scope")
+    if flags & 0x01:
+        return _decode_text_region_huffman(body, ri, syms, flags)
     strips = 1 << ((flags >> 2) & 3)
     refcorner = (flags >> 4) & 3           # 0 BL, 1 TL, 2 BR, 3 TR
     transposed = (flags >> 6) & 1
@@ -477,17 +854,73 @@ def _decode_text_region(body: _Cursor, ri: dict,
     num_inst = body.u32()
     if not syms:
         raise ValueError("JBIG2 text region with no referred symbols")
+    codelen = max(1, (len(syms) - 1).bit_length())
+    mq = MQDecoder(body.d[body.pos:])
+    iadt, iafs, iads, iait = _bank(512), _bank(512), _bank(512), _bank(512)
+    iaid = _bank(1 << (codelen + 1))
+    readers = dict(
+        dt=lambda: _int_decode(mq, iadt),
+        fs=lambda: _int_decode(mq, iafs),
+        ds=lambda: _int_decode(mq, iads),
+        it=(lambda: _int_decode(mq, iait)) if strips > 1 else (lambda: 0),
+        id=lambda: _iaid_decode(mq, iaid, codelen),
+    )
+    return _text_region_core(ri, syms, num_inst, strips, refcorner,
+                             transposed, combop, defpixel, dsoffset,
+                             readers)
+
+
+def _decode_text_region_huffman(body: _Cursor, ri: dict, syms: list,
+                                flags: int) -> np.ndarray:
+    """§6.4 text region, Huffman organization (SBHUFF=1): a second flags
+    halfword selects the standard tables per field (§7.4.4.1.2), the
+    symbol ID code arrives run-coded in-stream (§7.4.3.1.7), and CURT is
+    log2(SBSTRIPS) raw bits."""
+    strips = 1 << ((flags >> 2) & 3)
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    combop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    hflags = body.u16()
+    fs = _select_table(hflags & 3, ("B6", "B7"), "FS")
+    ds = _select_table((hflags >> 2) & 3, ("B8", "B9", "B10"), "DS")
+    dt = _select_table((hflags >> 4) & 3, ("B11", "B12", "B13"), "DT")
+    num_inst = body.u32()
+    if not syms:
+        raise ValueError("JBIG2 text region with no referred symbols")
+    br = _MsbReader(body.d, body.pos)
+    idcode = _read_symbol_id_code(br, len(syms))
+    strip_bits = (strips - 1).bit_length()
+    readers = dict(
+        dt=lambda: dt.decode(br),
+        fs=lambda: fs.decode(br),
+        ds=lambda: ds.decode(br),
+        it=(lambda: br.read(strip_bits)) if strips > 1 else (lambda: 0),
+        id=(lambda: idcode.decode(br)) if idcode is not None
+           else (lambda: 0),
+    )
+    return _text_region_core(ri, syms, num_inst, strips, refcorner,
+                             transposed, combop, defpixel, dsoffset,
+                             readers)
+
+
+def _text_region_core(ri: dict, syms: list, num_inst: int, strips: int,
+                      refcorner: int, transposed: int, combop: int,
+                      defpixel: int, dsoffset: int,
+                      readers: dict) -> np.ndarray:
+    """§6.4.5 strip/instance placement, shared by both organizations —
+    `readers` supplies the five per-field decoders (ds/id return None at
+    OOB / never, respectively)."""
     if num_inst > _MAX_INSTANCES:
         raise ValueError("JBIG2 text region instance bomb")
-    codelen = max(1, (len(syms) - 1).bit_length())
     w, h = ri["w"], ri["h"]
     if w * h > _MAX_PIXELS:
         raise ValueError("JBIG2 region too large")
     region = np.full((h, w), defpixel, np.uint8)
-    mq = MQDecoder(body.d[body.pos:])
-    iadt, iafs, iads, iait = _bank(512), _bank(512), _bank(512), _bank(512)
-    iaid = _bank(1 << (codelen + 1))
-    first_dt = _int_decode(mq, iadt)
+    first_dt = readers["dt"]()
     if first_dt is None:
         raise ValueError("JBIG2 OOB strip T")
     stript = -first_dt * strips
@@ -498,7 +931,7 @@ def _decode_text_region(body: _Cursor, ri: dict,
         strips_seen += 1
         if strips_seen > num_inst + _MAX_SYM_DIM:
             raise ValueError("JBIG2 text region: runaway strips")
-        dt = _int_decode(mq, iadt)
+        dt = readers["dt"]()
         if dt is None:
             raise ValueError("JBIG2 OOB strip delta")
         stript += dt * strips
@@ -506,24 +939,24 @@ def _decode_text_region(body: _Cursor, ri: dict,
         curs = 0
         while True:
             if first:
-                dfs = _int_decode(mq, iafs)
+                dfs = readers["fs"]()
                 if dfs is None:
                     raise ValueError("JBIG2 OOB first S")
                 firsts += dfs
                 curs = firsts
                 first = False
             else:
-                ids = _int_decode(mq, iads)
+                ids = readers["ds"]()
                 if ids is None:
                     break
                 curs += ids + dsoffset
             if inst >= num_inst:
                 raise ValueError("JBIG2 text region instance overflow")
-            curt = _int_decode(mq, iait) if strips > 1 else 0
+            curt = readers["it"]()
             if curt is None:
                 raise ValueError("JBIG2 OOB instance T")
             t = stript + curt
-            sid = _iaid_decode(mq, iaid, codelen)
+            sid = readers["id"]()
             if sid >= len(syms):
                 raise ValueError("JBIG2 symbol id out of range")
             sym = syms[sid]
@@ -569,8 +1002,10 @@ def _decode_text_region(body: _Cursor, ri: dict,
 
 def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Embedded JBIG2 stream (+ optional /JBIG2Globals bytes) -> bilevel
-    page bitmap, uint8 HxW with 1 = black.  MMR generic regions only;
-    every other coding family raises a NAMED out-of-scope error."""
+    page bitmap, uint8 HxW with 1 = black.  Generic regions (MMR + MQ),
+    symbol-dictionary/text-region pages in BOTH the arithmetic and
+    Huffman organizations; everything else raises a NAMED out-of-scope
+    error."""
     c = _Cursor(globals_data + data)
     page_w = page_h = None
     page_default = 0
@@ -816,13 +1251,130 @@ def _encode_text_region(number: int, dict_seg: int, w: int, h: int,
     return _segment_header(number, 6, 1, len(body), refs=[dict_seg]) + body
 
 
+def _encode_symbol_dict_huffman(number: int, syms: list,
+                                collective: str = "mmr") -> bytes:
+    """Huffman symbol dictionary segment (SDHUFF=1, selectors 0: DH=B.4,
+    DW=B.2, BMSIZE=B.1): height classes ascending with their symbols
+    shipped as one collective bitmap each — MMR-coded or uncompressed
+    (BMSIZE=0) per `collective`."""
+    dh, dw = _STD_TABLES["B4"], _STD_TABLES["B2"]
+    b1 = _STD_TABLES["B1"]
+    bw = _MsbWriter()
+    hcheight = 0
+    i = 0
+    while i < len(syms):
+        h = syms[i].shape[0]
+        dh.encode(bw, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        cls = []
+        while i < len(syms) and syms[i].shape[0] == h:
+            w = syms[i].shape[1]
+            dw.encode(bw, w - symwidth)
+            symwidth = w
+            cls.append(syms[i])
+            i += 1
+        dw.encode(bw, None)                     # OOB ends the class
+        coll = np.concatenate(cls, axis=1)
+        if collective == "mmr":
+            coded = g4_encode(coll)
+            b1.encode(bw, len(coded))
+            bw.put_aligned(coded)
+        else:                                   # uncompressed, row-padded
+            b1.encode(bw, 0)
+            bw.put_aligned(np.packbits(coll, axis=1).tobytes())
+    b1.encode(bw, 0)                            # no unexported run
+    b1.encode(bw, len(syms))                    # export all
+    body = ((0x01).to_bytes(2, "big")           # flags: SDHUFF, selectors 0
+            + len(syms).to_bytes(4, "big")
+            + len(syms).to_bytes(4, "big")
+            + bw.bytes())
+    return _segment_header(number, _T_SYMBOL_DICT, 1, len(body)) + body
+
+
+def _encode_text_region_huffman(number: int, dict_seg: int, w: int, h: int,
+                                syms: list, instances: list,
+                                refcorner: int = 1,
+                                transposed: int = 0) -> bytes:
+    """Immediate text region segment, Huffman organization (FS=B.6,
+    DS=B.8, DT=B.11, strips of 1). The symbol ID code assigns every
+    symbol the same length ceil(log2(n)) via a single run-code."""
+    n = len(syms)
+    fs, ds, dt = _STD_TABLES["B6"], _STD_TABLES["B8"], _STD_TABLES["B11"]
+    bw = _MsbWriter()
+    # §7.4.3.1.7 symbol ID code: one runcode (the shared length L) with a
+    # 1-bit prefix; n occurrences of it spell the per-symbol lengths
+    sym_len = max(1, (n - 1).bit_length())
+    runlens = [0] * 35
+    runlens[sym_len] = 1
+    for v in runlens:
+        bw.write(v, 4)
+    for _ in range(n):
+        bw.write(0, 1)                          # the only runcode
+    bw.align()
+    idcode = _PrefixCode([sym_len] * n) if n > 1 else None
+
+    def strip_key(it):
+        sid, x, y = it
+        sh, sw = syms[sid].shape
+        if not transposed:
+            return y + (sh - 1 if refcorner in (0, 2) else 0)
+        return x + (sw - 1 if refcorner in (2, 3) else 0)
+
+    def s_coord(it):
+        sid, x, y = it
+        return y if transposed else x
+
+    order = sorted(instances, key=lambda it: (strip_key(it), s_coord(it)))
+    # B.11's smallest codable value is 1, so STRIPT opens at -1 and the
+    # first strip delta re-adds it
+    dt.encode(bw, 1)
+    prev_t = -1
+    firsts = 0
+    k = 0
+    while k < len(order):
+        t = strip_key(order[k])
+        dt.encode(bw, t - prev_t)
+        prev_t = t
+        first = True
+        curs = 0
+        while k < len(order) and strip_key(order[k]) == t:
+            sid, _x, _y = order[k]
+            s = s_coord(order[k])
+            if first:
+                fs.encode(bw, s - firsts)
+                firsts = s
+                first = False
+            else:
+                ds.encode(bw, s - curs)
+            if idcode is not None:
+                code, ln = idcode.enc[sid]
+                bw.write(code, ln)
+            sh, sw = syms[sid].shape
+            curs = s + ((sh if transposed else sw) - 1)
+            k += 1
+        ds.encode(bw, None)                     # OOB ends the strip
+    flags = 0x01 | (refcorner << 4) | (transposed << 6)
+    body = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+            + bytes([0])                        # region op OR
+            + flags.to_bytes(2, "big")
+            + (0).to_bytes(2, "big")            # huffflags: selectors 0
+            + len(order).to_bytes(4, "big")
+            + bw.bytes())
+    return _segment_header(number, 6, 1, len(body), refs=[dict_seg]) + body
+
+
 def encode_jbig2_text(bits: np.ndarray, refcorner: int = 1,
-                      transposed: int = 0) -> tuple[bytes, bytes]:
+                      transposed: int = 0, coder: str = "arith",
+                      collective: str = "mmr") -> tuple[bytes, bytes]:
     """Bilevel HxW -> (stream, globals): the dominant real-world scanned
-    organization — the page's connected components deduplicated into an
-    arithmetic symbol dictionary (carried in /JBIG2Globals, like Acrobat
-    writes shared dictionaries) and placed by an immediate text region
+    organization — the page's connected components deduplicated into a
+    symbol dictionary (carried in /JBIG2Globals, like Acrobat writes
+    shared dictionaries) and placed by an immediate text region
     in-stream. OR-composited ink crops reproduce the page bit-exactly.
+    `coder` picks the organization: "arith" (MQ) or "huffman" (standard
+    Annex-B tables, `collective` = "mmr"|"raw" height-class bitmaps).
     Falls back to a generic region when the page has no ink."""
     from .cclabel import label_blobs
 
@@ -852,8 +1404,15 @@ def encode_jbig2_text(bits: np.ndarray, refcorner: int = 1,
     remap = {old: new for new, old in enumerate(perm)}
     syms = [sym_list[i] for i in perm]
     instances = [(remap[sid], x, y) for sid, x, y in instances]
-    glob = _page_info_segment(w, h) + _encode_symbol_dict(1, syms)
-    stream = (_encode_text_region(2, 1, w, h, syms, instances,
-                                  refcorner, transposed)
-              + _segment_header(3, _T_END_OF_PAGE, 1, 0))
+    if coder == "huffman":
+        glob = (_page_info_segment(w, h)
+                + _encode_symbol_dict_huffman(1, syms, collective))
+        stream = (_encode_text_region_huffman(2, 1, w, h, syms, instances,
+                                              refcorner, transposed)
+                  + _segment_header(3, _T_END_OF_PAGE, 1, 0))
+    else:
+        glob = _page_info_segment(w, h) + _encode_symbol_dict(1, syms)
+        stream = (_encode_text_region(2, 1, w, h, syms, instances,
+                                      refcorner, transposed)
+                  + _segment_header(3, _T_END_OF_PAGE, 1, 0))
     return stream, glob

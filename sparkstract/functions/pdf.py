@@ -217,7 +217,7 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     + comp.decode("latin-1") + " EI Q")
             elif el[0] in ("image", "jpeg", "g4_image", "jbig2_image",
                            "jbig2_arith_image", "jbig2_text_image",
-                           "jpx_image"):
+                           "jbig2_huff_image", "jpx_image"):
                 arr, x, y = el[1], el[2], el[3]
                 ih, iw = arr.shape
                 extra = ""
@@ -272,6 +272,18 @@ def encode_simple_pdf(pages: list[list[tuple]],
 
                     raw, glob = encode_jbig2_text(
                         (arr < 128).astype(np.uint8))
+                    gnum = add_stream("", glob)
+                    filt, bpc = "/JBIG2Decode", 1
+                    extra = (" /DecodeParms "
+                             f"<< /JBIG2Globals {gnum} 0 R >>")
+                elif el[0] == "jbig2_huff_image":
+                    # the OTHER T.88 organization (Huffman, standard
+                    # Annex-B tables): height-class collective bitmaps in
+                    # the dictionary, run-coded symbol IDs in the region
+                    from .jbig2 import encode_jbig2_text
+
+                    raw, glob = encode_jbig2_text(
+                        (arr < 128).astype(np.uint8), coder="huffman")
                     gnum = add_stream("", glob)
                     filt, bpc = "/JBIG2Decode", 1
                     extra = (" /DecodeParms "

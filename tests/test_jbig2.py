@@ -290,13 +290,16 @@ def test_symbol_dict_deduplicates_repeated_glyphs():
     assert body.u32() == 2                  # SDNUMNEWSYMS
 
 
-def test_symbol_dict_huffman_named_error():
+def test_symbol_dict_arith_body_with_huffman_flag_raises_cleanly():
+    """Flipping SDHUFF on an ARITHMETIC-coded body yields garbage for the
+    Huffman reader — it must fail with a ValueError (any parse/guard
+    error), never hang or return a bitmap."""
     from sparkstract.functions.jbig2 import encode_jbig2_text
 
     stream, glob = encode_jbig2_text(_glyph_page())
     g = bytearray(glob)
     g[30 + 11 + 1] |= 0x01                  # SDHUFF bit in dict flags
-    with pytest.raises(ValueError, match="Huffman-coded symbol"):
+    with pytest.raises(ValueError):
         decode_jbig2(stream, globals_data=bytes(g))
 
 
@@ -316,11 +319,16 @@ def test_text_region_huffman_and_refine_named_errors():
     stream, glob = encode_jbig2_text(_glyph_page())
     # text-region flags sit after its 12-byte header (incl. one referred
     # segment byte) + 17-byte region info
-    for bit, msg in ((0x01, "Huffman-coded text"), (0x02, "refined text")):
-        s = bytearray(stream)
-        s[12 + 17 + 1] |= bit               # low byte of the 16-bit flags
-        with pytest.raises(ValueError, match=msg):
-            decode_jbig2(bytes(s), globals_data=glob)
+    s = bytearray(stream)
+    s[12 + 17 + 1] |= 0x02                  # SBREFINE in the low flag byte
+    with pytest.raises(ValueError, match="refined text"):
+        decode_jbig2(bytes(s), globals_data=glob)
+    # SBHUFF on an arithmetic body is garbage for the Huffman reader —
+    # clean ValueError, never a hang
+    s = bytearray(stream)
+    s[12 + 17 + 1] |= 0x01
+    with pytest.raises(ValueError):
+        decode_jbig2(bytes(s), globals_data=glob)
 
 
 def test_text_region_without_symbols_named_error():
@@ -368,3 +376,138 @@ def test_pdf_jbig2_arith_families_extract(family):
     img = next(it for it in page.items if it[0] == "image")[1]
     got = [(blk.kind, blk.text) for blk in analyse_page(img)]
     assert got == [(t.kind, t.text) for t in blocks]
+
+
+# ------------------------------------------------- Huffman organization
+
+
+def test_standard_tables_kraft_and_assignment():
+    """Every Annex-B table's canonical assignment is a valid prefix code:
+    Kraft sum <= 1 (B.10 is genuinely incomplete in the spec, all others
+    complete), codes unique per (length, value)."""
+    from sparkstract.functions.jbig2 import _STD_TABLES
+
+    for name, tab in _STD_TABLES.items():
+        kraft = sum(2.0 ** -ln for ln, _, _ in tab.codes)
+        assert kraft <= 1.0 + 1e-12, name
+        if name != "B10":
+            assert abs(kraft - 1.0) < 1e-12, name
+        assert len({(ln, c) for ln, c, _ in tab.codes}) == len(tab.codes)
+
+
+def test_table_b1_hand_decoded_vectors():
+    """B.1's canonical codes from the spec lines: '0'+4 bits -> 0..15,
+    '10'+8 bits -> 16..271, '110'+16 bits -> 272.., '111'+32 bits ->
+    65808+."""
+    from sparkstract.functions.jbig2 import _MsbReader, _STD_TABLES
+
+    b1 = _STD_TABLES["B1"]
+
+    def dec(bits):
+        by = int(bits.ljust(((len(bits) + 7) // 8) * 8, "0"), 2).to_bytes(
+            (len(bits) + 7) // 8, "big")
+        return b1.decode(_MsbReader(by))
+
+    assert dec("0" + "0101") == 5
+    assert dec("10" + "00000011") == 19
+    assert dec("110" + "0000000000000001") == 273
+    assert dec("111" + format(7, "032b")) == 65815
+
+
+def test_table_b8_oob_and_negative():
+    from sparkstract.functions.jbig2 import (_MsbReader, _MsbWriter,
+                                             _STD_TABLES)
+
+    b8 = _STD_TABLES["B8"]
+    for v in [-15, -3, -1, 0, 1, 4, 19, 700, 1669, 5000, -500, None]:
+        bw = _MsbWriter()
+        b8.encode(bw, v)
+        assert b8.decode(_MsbReader(bw.bytes())) == v
+
+
+@pytest.mark.parametrize("collective", ["mmr", "raw"])
+def test_huffman_text_roundtrip(collective):
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    rng = np.random.default_rng(3)
+    page = np.zeros((60, 90), np.uint8)
+    glyphs = [rng.integers(0, 2, (7, 5)).astype(np.uint8)
+              | np.eye(7, 5, dtype=np.uint8) for _ in range(6)]
+    for k in range(25):
+        y, x = 3 + 9 * (k // 9), 3 + 9 * (k % 9)
+        page[y:y + 7, x:x + 5] |= glyphs[k % 6]
+    stream, glob = encode_jbig2_text(page, coder="huffman",
+                                     collective=collective)
+    assert (decode_jbig2(stream, glob) == page).all()
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+@pytest.mark.parametrize("transposed", [0, 1])
+def test_huffman_text_corners(refcorner, transposed):
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    rng = np.random.default_rng(9)
+    page = np.zeros((40, 70), np.uint8)
+    for k in range(8):
+        g = rng.integers(0, 2, (5 + (k % 3), 4)).astype(np.uint8)
+        g[0, 0] = 1
+        page[4 + 9 * (k // 4):4 + 9 * (k // 4) + g.shape[0],
+             5 + 12 * (k % 4):5 + 12 * (k % 4) + 4] |= g
+    stream, glob = encode_jbig2_text(page, refcorner=refcorner,
+                                     transposed=transposed, coder="huffman")
+    assert (decode_jbig2(stream, glob) == page).all()
+
+
+def test_huffman_custom_table_selector_named_error():
+    """Selector 3 (custom table) in the symbol-dict DH field raises the
+    named error instead of misdecoding."""
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    page = np.zeros((20, 30), np.uint8)
+    page[5:10, 5:9] = 1
+    stream, glob = encode_jbig2_text(page, coder="huffman")
+    # symbol dict body starts after page info (30 bytes) + its segment
+    # header (11); flags halfword is the body's first two bytes
+    bad = bytearray(glob)
+    i = 30 + 11                            # page-info total + dict header
+    assert bad[i:i + 2] == b"\x00\x01"
+    bad[i + 1] |= 0x0C                     # SDHUFFDH selector -> 3
+    with pytest.raises(ValueError, match="custom DH"):
+        decode_jbig2(stream, bytes(bad))
+
+
+def test_pdf_jbig2_huff_family_roundtrip():
+    """The /JBIG2Decode Huffman-organization PDF family reproduces its
+    page bit-exactly through the full PDF seam."""
+    from sparkstract.fixtures.gen import _Builder
+    from sparkstract.operators.page import analyse_page
+
+    b = _Builder(5)
+    ref, blocks = b.add_page("pdf_jbig2_huff_page")
+    pp = parse_pdf(bytes(b.media[-1]["image"]))
+    assert len(pp) == 1 and not pp[0].has_text
+    img = [it for it in pp[0].items if it[0] == "image"][0][1]
+    got = analyse_page(img)
+    assert ([(x.kind, x.text) for x in got]
+            == [(x.kind, x.text) for x in blocks])
+
+
+def test_huffman_fuzz_never_hangs():
+    """Random byte mutations of a Huffman-organization stream: clean
+    decode or exception, never a hang — crawl media is untrusted."""
+    from sparkstract.functions.jbig2 import encode_jbig2_text
+
+    rng = np.random.default_rng(23)
+    page = np.zeros((30, 50), np.uint8)
+    for k in range(6):
+        page[5 + 3 * (k % 2):12 + 3 * (k % 2), 4 + 7 * k:8 + 7 * k] = 1
+    stream, glob = encode_jbig2_text(page, coder="huffman")
+    base = bytearray(glob + stream)
+    for _ in range(400):
+        enc = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            enc[int(rng.integers(0, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            decode_jbig2(bytes(enc[len(glob):]), bytes(enc[:len(glob)]))
+        except Exception:
+            pass
