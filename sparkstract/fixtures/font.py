@@ -205,6 +205,30 @@ _RAW_HANGUL = {
 }
 _RAW.update(_RAW_HANGUL)
 
+# Thai glyph family: the highest-volume SPACE-LESS script. Thai writes
+# no separators between words (spaces mark phrase boundaries only), so a
+# text line is one unbroken glyph run and word boundaries exist only in
+# the DICTIONARY — the reference segments Thai through its language
+# pack's word Dawgs (dict/dawg.h:385) exactly as the kernel's
+# _thai_segment greedy longest-match does against THAI_LEXICON
+# (fixtures/lexicon.py). Identification-only LTR win in the script vote
+# (like greek/cyrillic/hangul); every glyph is one 8-connected
+# component, >=3 hamming from the whole LUT.
+_RAW_THAI = {
+    "ก": ["01110", "11011", "10001", "10001", "10001", "10001", "10001"],
+    "ข": ["00110", "01010", "11010", "10010", "10010", "10010", "11110"],
+    "ค": ["01110", "10001", "10111", "10101", "10101", "10101", "10111"],
+    "ง": ["00011", "00010", "00010", "00010", "10010", "10010", "01100"],
+    "จ": ["01110", "10000", "01100", "00010", "10001", "10001", "01110"],
+    "ด": ["00111", "01001", "10011", "10101", "11001", "10001", "01110"],
+    "ต": ["01110", "10001", "11011", "10101", "11111", "10001", "01110"],
+    "น": ["10010", "10110", "11010", "10010", "10011", "10010", "11100"],
+    "ม": ["01001", "10101", "11011", "10001", "10001", "10101", "10011"],
+    "า": ["00111", "00101", "00100", "00100", "00100", "00100", "01100"],
+}
+_RAW.update(_RAW_THAI)
+STRONG_THAI: frozenset[str] = frozenset(_RAW_THAI)
+
 # Arabic glyph family — the cursive-joining RTL script (the reference
 # recognizes it through the same unicharset/bidi machinery as Hebrew,
 # resultiterator.cpp:285, but its RENDERED form stresses two extra

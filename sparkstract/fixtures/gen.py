@@ -78,7 +78,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_jbig2_arith_page", "pdf_jbig2_text_page",
                   "pdf_jpx_page", "jp2_page", "jp2_bypass_page",
                   "jpeg_tiff_page", "webp_alpha_page",
-                  "pdf_jbig2_huff_page"):
+                  "pdf_jbig2_huff_page", "pdf_stencil_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -257,7 +257,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         # glyph forms (isolated/final vs joined initial/medial, real
         # Unicode Presentation Forms-B codepoints), words fused along a
         # connected BASELINE the kernel's bottom-half splitter must undo
-        # (the C13 word-segmentation stress), 8-way script vote -> RTL
+        # (the C13 word-segmentation stress), 9-way script vote -> RTL
         # word order, presentation->base normalization at decode. The
         # reference reads Arabic through the same unicharset/bidi
         # machinery as Hebrew (resultiterator.cpp:285); truth lines are
@@ -391,13 +391,26 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
             scale=2, width_chars=13, seed=seed)
     if family == "korean_page":  # Hangul: space-separated square syllable
         # blocks — unlike cjk_page this rides the ORDINARY word segmenter
-        # (Korean writes spaces), and the 8-way script vote must pick
+        # (Korean writes spaces), and the 9-way script vote must pick
         # 'hangul' (LTR, no pitch engine, identification-only like
         # greek/cyrillic). Glyphs are single-CC jamo compositions.
         return PageSpec(elements=[Text(
             ["가나다 미보소 오주구", "무가소 나오주 다구미",
              "보다가 주무나 소미오"])],
             scale=2, width_chars=13, seed=seed)
+    if family == "thai_page":  # Thai: the SPACE-LESS script — words run
+        # together (spaces mark phrase boundaries only), so the rendered
+        # line differs from the logical truth: the kernel must recover
+        # word boundaries by dictionary segmentation (greedy longest-
+        # match over THAI_LEXICON, page.py _thai_segment — the
+        # reference's Thai pack segments through its Dawgs the same
+        # way), and the 9-way script vote must pick 'thai' (LTR,
+        # identification-only).
+        return PageSpec(elements=[Text(
+            ["กามา ขานา จานนก", "คนงาน มดตา นากา", "ตาขา นกมด งานคน"],
+            truth_lines=["กา มา ขา นา จาน นก", "คน งาน มด ตา นา กา",
+                         "ตา ขา นก มด งาน คน"])],
+            scale=2, width_chars=16, seed=seed)
     if family == "smudged_page":  # F41 — K4 beam top-k + dictionary:
         # three glyphs rendered corrupted past the hamming midpoint toward
         # a different letter (O→Q, C→G, N→M), so greedy per-cell argmin
@@ -494,7 +507,7 @@ PAGE_FAMILIES = [
     "pdf_jpx_page", "jp2_page", "jpeg_tiff_page",
     "pdf_jbig2_arith_page", "pdf_jbig2_text_page", "webp_anim_page",
     "jp2_bypass_page", "korean_page", "webp_alpha_page",
-    "pdf_jbig2_huff_page",
+    "pdf_jbig2_huff_page", "thai_page", "pdf_stencil_page",
 ]
 
 
@@ -895,6 +908,18 @@ class _Builder:
             img, blocks = render_page(page_spec("single_column", self.rng))
             payload = encode_simple_pdf(
                 [[("jbig2_huff_image", img, 0, 0)]],
+                page_size=(img.shape[1], img.shape[0]))
+        elif family == "pdf_stencil_page":
+            # /ImageMask stencil (ISO 32000 §8.9.6.2): the whole bilevel
+            # page as a 1-bit mask XObject painting black fill — the
+            # text-stamp/logo/bilevel-scan shape. Sample 0 paints, so
+            # roundtrip is bit-exact on two-level ink; truth is the
+            # plain page's.
+            from ..functions.pdf import encode_simple_pdf
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_simple_pdf(
+                [[("stencil_image", img, 0, 0)]],
                 page_size=(img.shape[1], img.shape[0]))
         elif family == "jpeg_tiff_page":
             # new-style JPEG-in-TIFF (TIFF Technical Note 2) — the scanner

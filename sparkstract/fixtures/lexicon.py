@@ -19,3 +19,19 @@ WORDS: tuple[str, ...] = (
 ).split()
 
 LEXICON: frozenset[str] = frozenset(WORDS)
+
+
+# Thai wordlist — the dictionary that DEFINES word boundaries: Thai
+# writes no inter-word spaces, so segmentation is greedy longest-match
+# against this list (the reference's Thai pack drives segmentation from
+# its Dawgs the same way). The fixture generator concatenates these
+# words into space-less phrase runs; tests/test_thai.py proves greedy
+# longest-match recovers every fixture phrase's intended split (the
+# list is curated so no fixture concatenation creates a cross-boundary
+# longer match).
+THAI_WORDS: tuple[str, ...] = (
+    "กา", "ขา", "มา", "นา", "ตา", "คน", "นก", "มด", "จาน", "งาน",
+)
+
+THAI_LEXICON: frozenset[str] = frozenset(THAI_WORDS)
+THAI_MAX_WORD: int = max(len(w) for w in THAI_WORDS)

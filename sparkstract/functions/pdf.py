@@ -217,7 +217,8 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     + comp.decode("latin-1") + " EI Q")
             elif el[0] in ("image", "jpeg", "g4_image", "jbig2_image",
                            "jbig2_arith_image", "jbig2_text_image",
-                           "jbig2_huff_image", "jpx_image"):
+                           "jbig2_huff_image", "jpx_image",
+                           "stencil_image"):
                 arr, x, y = el[1], el[2], el[3]
                 ih, iw = arr.shape
                 extra = ""
@@ -295,12 +296,22 @@ def encode_simple_pdf(pages: list[list[tuple]],
 
                     raw = encode_jp2(arr, levels=3, reversible=True)
                     filt, bpc = "/JPXDecode", 8
+                elif el[0] == "stencil_image":
+                    # §8.9.6.2 stencil mask: 1-bit, sample 0 paints the
+                    # fill color (black); no /ColorSpace entry at all
+                    raw = zlib.compress(
+                        np.packbits(arr >= 128, axis=1).tobytes())
+                    filt, bpc = "/FlateDecode", 1
                 else:
                     raw = zlib.compress(arr.tobytes())
                     filt, bpc = "/FlateDecode", 8
+                cs_entry = ("" if el[0] == "stencil_image"
+                            else "/ColorSpace /DeviceGray ")
+                mask_entry = ("/ImageMask true "
+                              if el[0] == "stencil_image" else "")
                 num = add_stream(
                     f"/Type /XObject /Subtype /Image /Width {iw} "
-                    f"/Height {ih} /ColorSpace /DeviceGray "
+                    f"/Height {ih} {cs_entry}{mask_entry}"
                     f"/BitsPerComponent {bpc} /Filter {filt}{extra}", raw)
                 name = f"Im{len(xobjects)}"
                 xobjects[name] = num
@@ -1069,6 +1080,28 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
                 and float(deref(dec[0])) == 1.0:
             gray = 255 - gray          # /Decode [1 0] inverts
         return gray
+    if deref(d.get("/ImageMask", False)) in (True, "true"):
+        # §8.9.6.2 stencil mask: 1-bit samples select where the CURRENT
+        # fill color paints; unmasked areas are transparent. The luma
+        # model composites onto the white page with black fill — the
+        # overwhelming real-world use (text stamps, logos, whole bilevel
+        # scan pages written as ImageMask) — so sample 0 paints ink and
+        # 1 stays background; /Decode [1 0] flips. CCITT/JBIG2-filtered
+        # masks already took the fax/jbig2 branches above, which produce
+        # exactly this black-on-white composite.
+        if int(deref(d.get("/BitsPerComponent", 1))) != 1:
+            raise ValueError("PDF /ImageMask: BitsPerComponent must be 1")
+        body = _filter_chain(filters, raw, parms, deref)
+        stride = (w + 7) // 8
+        rows = np.frombuffer(body[:h * stride], np.uint8)
+        if rows.size < h * stride:
+            raise ValueError("truncated PDF /ImageMask raster")
+        bits = np.unpackbits(rows.reshape(h, stride), axis=1)[:, :w]
+        dec = deref(d.get("/Decode"))
+        if isinstance(dec, list) and len(dec) == 2 \
+                and float(deref(dec[0])) == 1.0:
+            bits = 1 - bits
+        return (bits * 255).astype(np.uint8)
     cs = deref(d.get("/ColorSpace", "/DeviceGray"))
     bpc = deref(d.get("/BitsPerComponent", 8))
     if isinstance(cs, list) and cs and deref(cs[0]) == "/Indexed":
@@ -1508,8 +1541,6 @@ def _read_page(node: dict, box, deref, rotate: int = 0) -> PdfPage:
                 lx._ws()
                 if lx.token() != b"EI":
                     raise ValueError("PDF inline image: EI expected")
-            if d.get("/ImageMask") is True or d.get("/ImageMask") == "true":
-                raise ValueError("PDF inline image masks: out of scope")
             place_image(_decode_image(d, raw, deref))
 
         lx = _Lexer(stream)

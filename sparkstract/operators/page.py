@@ -40,8 +40,9 @@ from ..fixtures.font import (
     GLYPH_W,
     STRONG_LTR,
     STRONG_RTL,
+    STRONG_THAI,
 )
-from ..fixtures.lexicon import LEXICON
+from ..fixtures.lexicon import LEXICON, THAI_LEXICON, THAI_MAX_WORD
 from .bidi import DIR_LTR, DIR_MIX, DIR_NEUTRAL, DIR_RTL, textline_order
 from .recognizer import template_recognizer
 
@@ -215,6 +216,23 @@ def decode_tables(whitelist: str | None, recognizer: str = "template"):
 
     base = get_recognizer(recognizer)
     return base.restrict(set(whitelist)) if whitelist else base
+
+
+def _thai_segment(text: str) -> list[tuple[int, int]] | None:
+    """Greedy longest-match over THAI_LEXICON: [a, z) char ranges covering
+    the whole run, or None if any position has no dictionary match."""
+    out: list[tuple[int, int]] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        for ln in range(min(THAI_MAX_WORD, n - i), 0, -1):
+            if text[i:i + ln] in THAI_LEXICON:
+                out.append((i, i + ln))
+                i += ln
+                break
+        else:
+            return None
+    return out
 
 
 def _word_direction(word: str) -> int:
@@ -540,6 +558,36 @@ def _decode_row(ink: np.ndarray, row_top: int, row_bottom: int,
                     continue
         fixed.append(wrec)
     recs = fixed
+    # ---- C13 Thai word segmentation: Thai writes NO spaces between
+    # words (spaces separate phrases), so a phrase decodes as one long
+    # "word" and boundaries exist only in the dictionary — the reference
+    # segments Thai through its language pack's word Dawgs
+    # (dict/dawg.h:385) during recognition. Greedy longest-match against
+    # THAI_LEXICON splits the record; sub-word geometry re-derives from
+    # the per-symbol decode cells, confidence from their per-char scores.
+    # A run the dictionary can't fully segment stays WHOLE — never invent
+    # a boundary the lexicon can't certify.
+    if any(len(r[0]) > 1 and all(c in STRONG_THAI for c in r[0])
+           for r in recs):
+        segmented: list[tuple] = []
+        for r in recs:
+            if not (len(r[0]) > 1 and all(c in STRONG_THAI for c in r[0])):
+                segmented.append(r)
+                continue
+            cuts = _thai_segment(r[0])
+            if cuts is None or len(cuts) == 1:
+                segmented.append(r)
+                continue
+            for a, z in cuts:
+                syms = r[6][a:z]
+                conf = int(round(sum(s2[5] for s2 in syms) / len(syms)))
+                segmented.append((r[0][a:z],
+                                  min(s2[1] for s2 in syms),
+                                  min(s2[2] for s2 in syms),
+                                  max(s2[3] for s2 in syms),
+                                  max(s2[4] for s2 in syms),
+                                  conf, syms))
+        recs = segmented
     if rtl and len(recs) > 1:
         # W4 bidi textline order (resultiterator.cpp:285
         # CalculateTextlineOrder): the decode above walks glyphs in
@@ -1899,12 +1947,14 @@ def _script_tally(blocks: list[Block]) -> dict[str, int]:
                                  STRONG_GREEK, STRONG_HANGUL)
 
     scripts = (("latin", STRONG_LTR - STRONG_GREEK - STRONG_CYRILLIC
-                - STRONG_DEVANAGARI - STRONG_CJK - STRONG_HANGUL),
+                - STRONG_DEVANAGARI - STRONG_CJK - STRONG_HANGUL
+                - STRONG_THAI),
                ("greek", STRONG_GREEK),
                ("cyrillic", STRONG_CYRILLIC),
                ("devanagari", STRONG_DEVANAGARI),
                ("cjk", STRONG_CJK),
                ("hangul", STRONG_HANGUL),
+               ("thai", STRONG_THAI),
                ("arabic", STRONG_ARABIC),
                ("hebrew", STRONG_RTL - STRONG_ARABIC))
     tally = dict.fromkeys((n for n, _ in scripts), 0)
@@ -1927,7 +1977,7 @@ def _page_script(blocks: list[Block]) -> str:
     tally = _script_tally(blocks)
     best, best_n = "latin", tally["latin"]
     for name in ("greek", "cyrillic", "devanagari", "cjk", "hangul",
-                 "arabic", "hebrew"):
+                 "thai", "arabic", "hebrew"):
         if tally[name] > best_n:
             best, best_n = name, tally[name]
     return best
@@ -1951,7 +2001,7 @@ def _suspect_decode(blocks: list[Block], quality: float) -> bool:
         return False
     t = _script_tally(blocks)
     return sum(1 for k in ("greek", "cyrillic", "devanagari", "cjk",
-                           "hangul", "arabic", "hebrew")
+                           "hangul", "thai", "arabic", "hebrew")
                if t[k] > 0) >= 2
 
 

@@ -1131,3 +1131,70 @@ def test_devicecmyk_image_luma():
     raw = bytes([0, 0, 0, 255, 0, 0, 0, 0])
     out = _cs_decode("/DeviceCMYK", raw)
     assert out.tolist() == [[0, 255]]
+
+
+# ------------------------------------------------------ stencil masks
+
+
+def test_stencil_mask_xobject_roundtrip():
+    """/ImageMask true (§8.9.6.2): sample 0 paints black fill, 1 is
+    transparent (white on our page model) — bit-exact on two-level ink."""
+    rng = np.random.default_rng(31)
+    img = np.where(rng.random((40, 61)) < 0.25, 0, 255).astype(np.uint8)
+    data = encode_simple_pdf([[("stencil_image", img, 0, 0)]],
+                             page_size=(61, 40))
+    (page,) = parse_pdf(data)
+    got = next(it for it in page.items if it[0] == "image")[1]
+    assert (got == img).all()
+
+
+def test_stencil_mask_decode_inversion():
+    """/Decode [1 0] flips which sample paints (kernel-level pin — a
+    byte splice would shift xref offsets)."""
+    from sparkstract.functions.pdf import _decode_image
+
+    rng = np.random.default_rng(33)
+    img = np.where(rng.random((16, 24)) < 0.3, 0, 255).astype(np.uint8)
+    raw = np.packbits(img >= 128, axis=1).tobytes()
+    base = {"/Width": 24, "/Height": 16, "/ImageMask": True,
+            "/BitsPerComponent": 1}
+    ident = lambda v: v  # noqa: E731
+    assert (_decode_image(dict(base), raw, ident) == img).all()
+    flipped = _decode_image(dict(base, **{"/Decode": [1, 0]}), raw, ident)
+    assert (flipped == 255 - img).all()
+
+
+def test_inline_image_mask_roundtrip():
+    """BI /IM true ... ID <packed bits> EI — inline stencil masks decode
+    through the same path (the named error is gone)."""
+    import zlib as _z
+
+    rng = np.random.default_rng(35)
+    img = np.where(rng.random((12, 20)) < 0.3, 0, 255).astype(np.uint8)
+    packed = np.packbits(img >= 128, axis=1).tobytes()
+    content = (b"q 20 0 0 12 0 0 cm BI /IM true /W 20 /H 12 /BPC 1 ID "
+               + packed + b" EI Q")
+    # hand-assemble a one-page PDF around the content stream
+    objs = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 20 12] "
+                b"/Contents 4 0 R >>")
+    body = content
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    offs.append(len(out))
+    out += (b"4 0 obj\n<< /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n")
+    xref = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for off in offs:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n"
+            + str(xref).encode() + b"\n%%EOF\n")
+    (page,) = parse_pdf(bytes(out))
+    got = next(it for it in page.items if it[0] == "image")[1]
+    assert (got == img).all()
