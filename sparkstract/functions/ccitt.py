@@ -149,8 +149,10 @@ def _b1_b2(ref: list[int], a0: int, color: int, w: int) -> tuple[int, int]:
     return b1, b2
 
 
-def g4_encode(bits: np.ndarray) -> bytes:
-    """HxW 0/1 array (1 = black) -> one T.6-coded block, EOFB-terminated."""
+def g4_encode(bits: np.ndarray, align: bool = False) -> bytes:
+    """HxW 0/1 array (1 = black) -> one T.6-coded block, EOFB-terminated.
+    `align` pads each row's codes to a byte boundary (the PDF
+    /EncodedByteAlign shape, ISO 32000 §7.4.6)."""
     if bits.ndim != 2:
         raise ValueError("g4_encode expects an HxW bilevel array")
     h, w = bits.shape
@@ -182,6 +184,8 @@ def g4_encode(bits: np.ndarray) -> bytes:
                 _emit_run(bw, a2 - a1, color ^ 1)
                 a0 = a2
         ref = cur
+        if align:
+            bw.align()
     _emit(bw, _EOL + _EOL)   # EOFB
     return bw.bytes()
 
@@ -351,8 +355,11 @@ def _fill_row(row: np.ndarray, cur: list[int], w: int) -> None:
         row[start:end] = 1
 
 
-def g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
-    """One T.6-coded block -> HxW uint8 array (1 = black).
+def g4_decode(data: bytes, w: int, h: int,
+              align: bool = False) -> np.ndarray:
+    """One T.6-coded block -> HxW uint8 array (1 = black). `align`
+    mirrors PDF /EncodedByteAlign: each row's codes start on a byte
+    boundary, so the reader drops the pad bits at every row start.
 
     The caller supplies w and h from the TIFF IFD, so output size is fixed
     up front — a crafted stream cannot expand past the declared raster.
@@ -373,6 +380,12 @@ def g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
     ref: list[int] = []
     nref = 0
     for y in range(h):
+        if align and y:
+            # drop pad bits: consumed = 8*pos - nbits must hit a byte
+            # boundary, so nbits % 8 bits are discarded from the window
+            k = nbits & 7
+            nbits -= k
+            acc &= (1 << nbits) - 1
         cur: list[int] = []
         append = cur.append
         a0, color, i = -1, 0, 0      # i: walks to first ref change > a0

@@ -1035,22 +1035,24 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
 
         pm = deref(parms[-1]) if parms and parms[-1] else {}
         pm = pm if isinstance(pm, dict) else {}
-        if deref(pm.get("/EncodedByteAlign", False)):
-            raise ValueError("PDF CCITTFaxDecode /EncodedByteAlign: "
-                             "out of scope")
+        eba = bool(deref(pm.get("/EncodedByteAlign", False)))
         k = int(deref(pm.get("/K", 0)))
         cols = int(deref(pm.get("/Columns", 1728)))
         rows = int(deref(pm.get("/Rows", h)))
         body = _filter_chain(filters[:-1], raw, parms[:-1], deref)
         if k < 0:
-            bits = g4_decode(body, cols, rows)
+            # /EncodedByteAlign pads every row's codes to a byte boundary
+            bits = g4_decode(body, cols, rows, align=eba)
         elif k == 0:
-            # /EndOfLine selects EOL-separated T.4 1D; the default packs
-            # 1D rows back-to-back with no EOL and NO byte alignment
+            # /EndOfLine selects EOL-separated T.4 1D (whose EOL sync
+            # already absorbs alignment fill); the default packs 1D rows
+            # back-to-back — byte-aligned iff /EncodedByteAlign
             bits = (g3_decode(body, cols, rows, two_d=False)
                     if deref(pm.get("/EndOfLine", False))
-                    else mh_decode(body, cols, rows, align=False))
+                    else mh_decode(body, cols, rows, align=eba))
         else:
+            # K>0 rows are EOL-delimited; alignment is fill bits the EOL
+            # scan skips, so /EncodedByteAlign needs no special handling
             bits = g3_decode(body, cols, rows, two_d=True)
         gray = ((1 - bits[:h, :w]) * 255).astype(np.uint8)
         dec = deref(d.get("/Decode"))

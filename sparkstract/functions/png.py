@@ -147,15 +147,14 @@ def decode_gray(data: bytes) -> np.ndarray:
     body = dec.decompress(bytes(idat), expect)
     if depth < 8:
         if interlace:
-            raise ValueError("sub-byte interlaced PNG: out of scope")
-        raw = np.frombuffer(body[:h * (stride + 1)], dtype=np.uint8)
-        if raw.size < h * (stride + 1):
-            raise ValueError("truncated PNG raster")
-        rows = _defilter(raw.reshape(h, stride + 1), 1).reshape(h, stride)
-        bits = np.unpackbits(rows, axis=1)
-        samples = np.zeros((h, w), np.uint8)
-        for b in range(depth):   # MSB-first within each byte
-            samples = (samples << 1) | bits[:, b::depth][:, :w]
+            samples = _deinterlace_adam7_subbyte(body, w, h, depth)
+        else:
+            raw = np.frombuffer(body[:h * (stride + 1)], dtype=np.uint8)
+            if raw.size < h * (stride + 1):
+                raise ValueError("truncated PNG raster")
+            rows = _defilter(raw.reshape(h, stride + 1),
+                             1).reshape(h, stride)
+            samples = _unpack_subbyte(rows, w, depth)
         if color == 0:
             # scale to full 8-bit range (§13.12 sample depth scaling)
             return (samples.astype(np.uint16)
@@ -201,6 +200,38 @@ def _adam7_dims(w: int, h: int) -> list[tuple[int, int]]:
     return [(-(-(w - x0) // dx) if w > x0 else 0,
              -(-(h - y0) // dy) if h > y0 else 0)
             for x0, y0, dx, dy in _ADAM7]
+
+
+def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """Bit-packed MSB-first scanline bytes -> (h, w) sample values."""
+    bits = np.unpackbits(rows, axis=1)
+    samples = np.zeros((rows.shape[0], w), np.uint8)
+    for b in range(depth):   # MSB-first within each byte
+        samples = (samples << 1) | bits[:, b::depth][:, :w]
+    return samples
+
+
+def _deinterlace_adam7_subbyte(body: bytes, w: int, h: int,
+                               depth: int) -> np.ndarray:
+    """Adam7 for sub-byte depths: each pass's scanlines are bit-packed to
+    ITS OWN byte-padded stride (filters still act on bytes, distance 1),
+    so every pass defilters then unpacks independently before its samples
+    scatter onto the full grid."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(w, h)):
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * depth + 7) // 8
+        take = ph * (stride + 1)
+        chunk = body[pos:pos + take]
+        if len(chunk) < take:
+            raise ValueError("truncated interlaced PNG raster")
+        pos += take
+        raw = np.frombuffer(chunk, dtype=np.uint8).reshape(ph, stride + 1)
+        rows = _defilter(raw, 1).reshape(ph, stride)
+        out[y0::dy, x0::dx] = _unpack_subbyte(rows, pw, depth)
+    return out
 
 
 def _deinterlace_adam7(body: bytes, w: int, h: int, bpp: int) -> np.ndarray:

@@ -46,6 +46,10 @@ class _BitWriter:
             self._nbits -= 8
             self._out.append((self._acc >> self._nbits) & 0xFF)
 
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
     def bytes(self) -> bytes:
         if self._nbits:
             self._out.append((self._acc << (8 - self._nbits)) & 0xFF)

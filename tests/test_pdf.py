@@ -948,10 +948,35 @@ def test_pdf_ccitt_decode_array_inverts():
     assert (got == 255 - img).all()
 
 
-def test_pdf_ccitt_byte_align_named_error():
-    with pytest.raises(ValueError, match="EncodedByteAlign"):
-        _decode_image_direct({"/K": -1, "/Columns": 64,
-                              "/EncodedByteAlign": True}, b"\x00")
+def test_pdf_ccitt_byte_align_g4():
+    """/EncodedByteAlign with K<0: every row's codes start on a byte
+    boundary — the aligned decoder drops the pad bits per row. An
+    UNALIGNED decode of the same bytes must fail or mismatch (proving
+    the alignment is real, not vacuous)."""
+    from sparkstract.functions.ccitt import g4_decode, g4_encode
+
+    img = _ccitt_img()
+    ink = (img < 128).astype(np.uint8)
+    raw = g4_encode(ink, align=True)
+    got = _decode_image_direct({"/K": -1, "/Columns": 64, "/Rows": 40,
+                                "/EncodedByteAlign": True}, raw)
+    assert (got == img).all()
+    try:
+        assert not (g4_decode(raw, 64, 40) == ink).all()
+    except ValueError:
+        pass
+
+
+def test_pdf_ccitt_byte_align_k0_mh():
+    """/EncodedByteAlign with K=0 selects byte-aligned MH rows (TIFF
+    compression-2 layout)."""
+    from sparkstract.functions.ccitt import mh_encode
+
+    img = _ccitt_img()
+    raw = mh_encode((img < 128).astype(np.uint8))
+    got = _decode_image_direct({"/K": 0, "/Columns": 64, "/Rows": 40,
+                                "/EncodedByteAlign": True}, raw)
+    assert (got == img).all()
 
 
 # ------------------------------------------------- /Indexed palette images

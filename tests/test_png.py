@@ -322,3 +322,81 @@ def test_png_subbyte_palette_index_out_of_range():
     png = _make_png(2, 1, 4, 3, [bytes([0x05])], plte)
     with pytest.raises(ValueError, match="palette index"):
         decode_gray(png)
+
+
+def test_png_subbyte_interlaced():
+    """Adam7 at sub-byte depths: each pass bit-packs to ITS OWN byte-
+    padded stride and defilters independently (the named error is gone).
+    Built by hand against a reference scatter."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(41)
+    for depth in (1, 2, 4):
+        w, h = 13, 11
+        samples = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
+        from sparkstract.functions.png import _ADAM7, _adam7_dims
+
+        parts = []
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(w, h)):
+            if pw == 0 or ph == 0:
+                continue
+            sub = samples[y0::dy, x0::dx]
+            stride = (pw * depth + 7) // 8
+            for y in range(ph):
+                rowbits = np.zeros(stride * 8, np.uint8)
+                for x in range(pw):
+                    v = int(sub[y, x])
+                    for b in range(depth):
+                        rowbits[x * depth + b] = (v >> (depth - 1 - b)) & 1
+                parts.append(b"\x00" + np.packbits(rowbits).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)
+        png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+               + _chunk(b"IEND", b""))
+        out = decode_gray(png)
+        exp = (samples.astype(np.uint16)
+               * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        assert np.array_equal(out, exp), depth
+
+
+def test_png_subbyte_interlaced_up_filter():
+    """A pass scanline carrying an Up filter (2) defilters against the
+    PASS's previous row at byte distance."""
+    import struct
+    import zlib
+
+    # 4-bit, 9x9: pass 1 is 2x2 — second row Up-filtered
+    w = h = 9
+    depth = 4
+    samples = np.arange(81, dtype=np.uint8).reshape(9, 9) % 16
+    from sparkstract.functions.png import _ADAM7, _adam7_dims
+
+    parts = []
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(w, h)):
+        if pw == 0 or ph == 0:
+            continue
+        sub = samples[y0::dy, x0::dx]
+        stride = (pw * depth + 7) // 8
+        packed = []
+        for y in range(ph):
+            rowbits = np.zeros(stride * 8, np.uint8)
+            for x in range(pw):
+                v = int(sub[y, x])
+                for b in range(depth):
+                    rowbits[x * depth + b] = (v >> (depth - 1 - b)) & 1
+            packed.append(np.packbits(rowbits))
+        for y, row in enumerate(packed):
+            if y > 0:
+                delta = (row.astype(np.int16)
+                         - packed[y - 1].astype(np.int16)) & 0xFF
+                parts.append(b"\x02" + delta.astype(np.uint8).tobytes())
+            else:
+                parts.append(b"\x00" + row.tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+           + _chunk(b"IEND", b""))
+    out = decode_gray(png)
+    exp = (samples.astype(np.uint16) * 17).astype(np.uint8)
+    assert np.array_equal(out, exp)
