@@ -958,11 +958,10 @@ def _filter_chain(filters: list, raw: bytes, parms: list | None = None,
                 raise ValueError("PDF stream exceeds the inflate cap")
             raw = out
         elif f in ("/LZWDecode", "/LZW"):
-            if pm and deref(pm.get("/EarlyChange", 1)) == 0:
-                raise ValueError("PDF LZW EarlyChange=0: out of scope")
-            from .tiff import _lzw_decode  # same MSB-first early-change LZW
+            from .tiff import _lzw_decode  # same MSB-first LZW machinery
 
-            raw = _lzw_decode(raw, max_out=_MAX_STREAM)
+            early = not (pm and int(deref(pm.get("/EarlyChange", 1))) == 0)
+            raw = _lzw_decode(raw, max_out=_MAX_STREAM, early=early)
         elif f in ("/ASCIIHexDecode", "/AHx"):
             raw = _ascii_hex_decode(raw)
         elif f in ("/ASCII85Decode", "/A85"):

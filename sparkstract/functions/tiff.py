@@ -75,10 +75,12 @@ class _BitReader:
         return (self._acc >> self._nbits) & ((1 << width) - 1)
 
 
-def _lzw_encode(data: bytes) -> bytes:
+def _lzw_encode(data: bytes, early: bool = True) -> bytes:
     """TIFF-LZW (TIFF6 §13): 9→12-bit codes, MSB-first, EARLY width change
     (the encoder bumps the code width one entry before the table actually
-    needs it, because the decoder's table lags one entry behind)."""
+    needs it, because the decoder's table lags one entry behind).
+    `early=False` is the PDF /EarlyChange 0 variant: the bump comes one
+    entry later (at the true 2^w boundary)."""
     out = _BitWriter()
 
     def fresh() -> tuple[dict[bytes, int], int, int]:
@@ -96,7 +98,7 @@ def _lzw_encode(data: bytes) -> bytes:
         out.write(table[w], width)
         table[wc] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
+        if next_code == (1 << width) - (1 if early else 0) and width < 12:
             width += 1
         w = c
         if next_code >= 4094:  # table nearly full → flush + reset
@@ -110,10 +112,12 @@ def _lzw_encode(data: bytes) -> bytes:
     return out.bytes()
 
 
-def _lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
+def _lzw_decode(data: bytes, max_out: int | None = None,
+                early: bool = True) -> bytes:
     """`max_out` caps the decoded size (callers know the raster size):
     without it a crafted stream expands ~4096x — a decompression bomb
-    inside an executor task."""
+    inside an executor task. `early=False` is PDF /EarlyChange 0: the
+    width bump comes one table entry later."""
     br = _BitReader(data)
     out = bytearray()
 
@@ -146,7 +150,8 @@ def _lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
             # adds nothing), so it must bump the width one entry earlier
             # than the encoder's 2^w - 1 — at 510/1022/2046 (libtiff's
             # maxcode-1 rule)
-            if next_code == (1 << width) - 2 and width < 12:
+            if next_code == (1 << width) - (2 if early else 1) \
+                    and width < 12:
                 width += 1
         out += entry
         prev = entry

@@ -1223,3 +1223,17 @@ def test_inline_image_mask_roundtrip():
     (page,) = parse_pdf(bytes(out))
     got = next(it for it in page.items if it[0] == "image")[1]
     assert (got == img).all()
+
+
+def test_pdf_lzw_early_change_zero():
+    """/EarlyChange 0 streams decode through the late-bump LZW variant
+    (previously a named error)."""
+    from sparkstract.functions.pdf import _filter_chain
+    from sparkstract.functions.tiff import _lzw_encode
+
+    rng = np.random.default_rng(21)
+    data = bytes(rng.integers(0, 7, 9000).astype(np.uint8))
+    enc = _lzw_encode(data, early=False)
+    got = _filter_chain(["/LZWDecode"], enc, [{"/EarlyChange": 0}],
+                        lambda v: v)
+    assert got == data

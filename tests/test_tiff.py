@@ -642,3 +642,23 @@ def test_16bit_truncated_raster_raises():
     struct.pack_into("<I", data, i + 8, 10)
     with pytest.raises(ValueError, match="truncated 16-bit"):
         decode_gray_tiff(bytes(data))
+
+
+def test_lzw_early_change_variants():
+    """early=True is TIFF's one-entry-early width bump; early=False is
+    PDF /EarlyChange 0. Roundtrip both on data long enough to cross the
+    9->10->11-bit boundaries, and pin that decoding with the WRONG
+    variant diverges (the distinction is real)."""
+    from sparkstract.functions.tiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(19)
+    # low-entropy data grows the table fast enough to cross width bumps
+    data = bytes(rng.integers(0, 7, 9000).astype(np.uint8))
+    for early in (True, False):
+        enc = _lzw_encode(data, early=early)
+        assert _lzw_decode(enc, early=early) == data
+    enc = _lzw_encode(data, early=False)
+    try:
+        assert _lzw_decode(enc, early=True) != data
+    except ValueError:
+        pass
