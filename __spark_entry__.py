@@ -1368,6 +1368,41 @@ _HTML_DOCS: list[tuple[str, str]] = [
 ]
 
 
+# Context-sensitive HTML fixture docs (justext_main_content): each doc
+# pins one rule of the decisive-neighbor resolution. Building blocks:
+# _CTX_GOOD/_CTX_GOOD2 are long prose at exactly/above the stopword
+# threshold, _CTX_BADLONG is long stopword-free noise, the "Home page
+# link menu" divs are fully link-dense (bad), "Figure 2"/"Caption A" are
+# short, "The fox is quick" is near-good.
+_CTX_GOOD = "The quick brown fox jumps over the lazy dog daily."
+_CTX_GOOD2 = "A second paragraph of body prose continues here now."
+_CTX_BADLONG = ("colorless green ideas sleep furiously beside seven "
+                "quiet mountains")
+_HTML_CTX_DOCS: list[tuple[str, str]] = [
+    # short between two goods -> kept (both decisive neighbors good)
+    ("c1", f"<p>{_CTX_GOOD}</p><div>Figure 2</div><p>{_CTX_GOOD2}</p>"),
+    # short between two link-dense bads -> dropped, doc collapses to ''
+    ("c2", "<div><a href='/1'>Home page link menu</a></div>"
+           "<div>Subscribe now</div>"
+           "<div><a href='/2'>Site map index pages</a></div>"),
+    # near-good after a good (bad follows) -> kept: one good neighbor is
+    # enough for near-good
+    ("c3", f"<p>{_CTX_GOOD}</p><p>The fox is quick</p>"
+           f"<div>{_CTX_BADLONG}</div>"),
+    # near-good surrounded by bad on both sides -> dropped
+    ("c4", f"<div>{_CTX_BADLONG}</div><p>The fox is quick</p>"
+           f"<div>{_CTX_BADLONG}</div>"),
+    # document edge counts as bad: a leading short is dropped even
+    # though the next block is good (short needs BOTH)
+    ("c5", f"<div>Figure 2</div><p>{_CTX_GOOD}</p>"),
+    # ...but a leading near-good keeps on the following good alone
+    ("c6", f"<p>The fox is quick</p><p>{_CTX_GOOD}</p>"),
+    # wholesale-dropped <nav> composes with the context pass
+    ("c7", f"<nav><a href='/'>Home</a></nav><p>{_CTX_GOOD}</p>"
+           f"<div>Caption A</div><p>{_CTX_GOOD2}</p>"),
+]
+
+
 # PII-bearing literal docs: one per pattern family + a clean control + an
 # overlap case (email containing digits a phone pattern could nibble at)
 _PII_DOCS: list[tuple[str, str]] = [
@@ -1420,6 +1455,19 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", strip_boilerplate(F.col("html")).alias("main_text")
     ).orderBy("doc_id")
+
+
+def q_html_main_content_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-SENSITIVE main-content extraction (the jusText-family
+    decisive-neighbor resolution, functions/html.justext_main_content):
+    short and near-good blocks keep or drop by their nearest good/bad
+    neighbors. Distributed as posexplode + one doc-keyed exchange shared
+    by both window sorts; the DuckDB twin mirrors the classification and
+    windows from the same constants."""
+    from sparkstract.functions.html import justext_main_content
+
+    df = spark.createDataFrame(_HTML_CTX_DOCS, "doc_id string, html string")
+    return justext_main_content(df).orderBy("doc_id")
 
 
 def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2863,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate_bloom": q_decontaminate_bloom,
         "html_main_content": q_html_main_content,
+        "html_main_content_ctx": q_html_main_content_ctx,
         "warc_ingest": q_warc_ingest,
         "fix_mojibake": q_fix_mojibake,
         "html_metadata": q_html_metadata,
@@ -3066,6 +3115,69 @@ def oracle_sql() -> dict[str, str]:
                      AND v.link <= 0.4 * length(v.txt)),
                      v -> v.txt), chr(10)) AS main_text
             FROM s ORDER BY doc_id
+        """
+
+    # context-sensitive twin: same cleaning/scoring CTEs, then the
+    # decisive-neighbor windows (last_value IGNORE NULLS both ways) and
+    # the keep rule, mirrored from functions/html.justext_main_content
+    html_ctx_rows = ",\n".join(
+        f"({_sql_quote(d)}, {_sql_quote(h)})" for d, h in _HTML_CTX_DOCS)
+    _stops_sql = "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS_EN) + "]"
+    html_ctx_oracle = f"""
+            WITH h AS (SELECT * FROM (VALUES
+            {html_ctx_rows}
+            ) AS t(doc_id, html)),
+            c AS (SELECT doc_id,
+                    regexp_replace(regexp_replace(html,
+                      {_sql_quote(_html.DROP_BLOCKS_RE)}, ' ', 'g'),
+                      {_sql_quote(_html.COMMENTS_RE)}, ' ', 'g') AS x
+                  FROM h),
+            l AS (SELECT doc_id, string_split(regexp_replace(x,
+                    {_sql_quote(_html.BLOCK_TAGS_RE)}, chr(10), 'g'),
+                    chr(10)) AS lines FROM c),
+            ex AS (SELECT doc_id,
+                     generate_subscripts(lines, 1) AS pos,
+                     {_line_txt('unnest(lines)')} AS txt,
+                     coalesce(list_sum(list_transform(
+                       regexp_extract_all(unnest(lines),
+                         {_sql_quote(_html.ANCHOR_TEXT_RE)}, 1),
+                       a -> length({_line_txt('a')}))), 0) AS link
+                   FROM l),
+            sc AS (SELECT doc_id, pos, txt,
+                     len(string_split(lower(txt), ' ')) AS words,
+                     len(list_filter(string_split(lower(txt), ' '),
+                       w -> list_contains({_stops_sql}, w))) AS stops,
+                     link
+                   FROM ex WHERE txt <> ''),
+            cf AS (SELECT doc_id, pos, txt,
+                     CASE WHEN link > 0.4 * greatest(length(txt), 1) THEN 0
+                          WHEN words >= 8 AND stops >= 0.2 * words THEN 3
+                          WHEN words >= 8 THEN 0
+                          WHEN words >= 3 AND stops >= 0.2 * words THEN 2
+                          ELSE 1 END AS cls
+                   FROM sc),
+            ctx AS (SELECT doc_id, pos, txt, cls,
+                      coalesce(last_value(CASE WHEN cls IN (0, 3)
+                          THEN cls END IGNORE NULLS) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS prev_dec,
+                      coalesce(last_value(CASE WHEN cls IN (0, 3)
+                          THEN cls END IGNORE NULLS) OVER (
+                        PARTITION BY doc_id ORDER BY pos DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS next_dec
+                    FROM cf),
+            kept AS (SELECT doc_id,
+                       string_agg(txt, chr(10) ORDER BY pos) AS main_text
+                     FROM ctx
+                     WHERE cls = 3
+                        OR (cls = 2 AND (prev_dec = 3 OR next_dec = 3))
+                        OR (cls = 1 AND prev_dec = 3 AND next_dec = 3)
+                     GROUP BY doc_id)
+            SELECT h.doc_id, coalesce(k.main_text, '') AS main_text
+            FROM h LEFT JOIN kept k USING (doc_id)
+            ORDER BY h.doc_id
         """
 
     def _meta_txt(expr: str) -> str:
@@ -4217,6 +4329,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 20 ORDER BY rank
         """,
         "html_main_content": html_oracle,
+        "html_main_content_ctx": html_ctx_oracle,
         "html_metadata": html_meta_oracle,
         "pii_scrub": f"""
             SELECT doc_id, {pii_expr} AS scrubbed
