@@ -74,13 +74,19 @@ def decode_gray_pnm(data: bytes) -> np.ndarray:
     if magic not in (b"P5", b"P2", b"P3", b"P6"):
         raise ValueError("not a PNM (P1-P6)")
     (w, h, maxval), pos = _pnm_tokens(data, 3, 2)
-    if maxval > 255:
-        raise ValueError("16-bit PNM not supported")
+    if not 0 < maxval < 65536:
+        raise ValueError("PNM maxval out of range")
     nsamp = 3 if magic in (b"P3", b"P6") else 1
     if magic in (b"P5", b"P6"):
         # exactly one whitespace byte separates maxval from raster data;
-        # _pnm_tokens already consumed it
-        raw = np.frombuffer(data[pos : pos + h * w * nsamp], dtype=np.uint8)
+        # _pnm_tokens already consumed it. maxval > 255 means two-byte
+        # BIG-endian samples (Netpbm "plain" rule, pgm(5))
+        if maxval > 255:
+            raw = np.frombuffer(data[pos : pos + h * w * nsamp * 2],
+                                dtype=">u2")
+        else:
+            raw = np.frombuffer(data[pos : pos + h * w * nsamp],
+                                dtype=np.uint8)
         if raw.size < h * w * nsamp:
             raise ValueError("truncated PNM raster")
         img = raw.astype(np.float64)

@@ -247,3 +247,28 @@ def test_bmp_palette_index_out_of_range():
     body = bytes([1, 9, 0, 1])  # index 9 with a 2-entry palette
     with pytest.raises(ValueError, match="palette index"):
         decode_gray_bmp(_mkbmp(1, 1, 8, 1, [0, 255], body))
+
+
+def test_pnm_16bit_samples():
+    """maxval > 255 PGM/PPM: two-byte BIG-endian samples scaled to 8-bit
+    (Netpbm pgm(5)); previously a named error."""
+    from sparkstract.functions.raster import decode_gray_pnm
+
+    img16 = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 5000)
+    header = b"P5 4 3 65535\n"
+    out = decode_gray_pnm(header + img16.astype(">u2").tobytes())
+    exp = np.clip(np.rint(img16.astype(np.float64) * 255.0 / 65535),
+                  0, 255).astype(np.uint8)
+    assert np.array_equal(out, exp)
+    # 16-bit PPM collapses through the same BT.601 luma as 8-bit
+    rgb = np.zeros((2, 2, 3), np.uint16)
+    rgb[..., 1] = 65535           # pure green
+    out = decode_gray_pnm(b"P6 2 2 65535\n" + rgb.astype(">u2").tobytes())
+    assert (out == 149).all()     # (150*255 + 128) >> 8 = 149
+
+
+def test_pnm_16bit_truncated_raises():
+    from sparkstract.functions.raster import decode_gray_pnm
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gray_pnm(b"P5 4 3 65535\n" + b"\x00" * 10)
