@@ -78,7 +78,8 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_jbig2_arith_page", "pdf_jbig2_text_page",
                   "pdf_jpx_page", "jp2_page", "jp2_bypass_page",
                   "jpeg_tiff_page", "webp_alpha_page",
-                  "pdf_jbig2_huff_page", "pdf_stencil_page"):
+                  "pdf_jbig2_huff_page", "pdf_stencil_page",
+                  "pdf_jbig2_halftone_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -508,6 +509,7 @@ PAGE_FAMILIES = [
     "pdf_jbig2_arith_page", "pdf_jbig2_text_page", "webp_anim_page",
     "jp2_bypass_page", "korean_page", "webp_alpha_page",
     "pdf_jbig2_huff_page", "thai_page", "pdf_stencil_page",
+    "pdf_jbig2_halftone_page",
 ]
 
 
@@ -921,6 +923,31 @@ class _Builder:
             payload = encode_simple_pdf(
                 [[("stencil_image", img, 0, 0)]],
                 page_size=(img.shape[1], img.shape[0]))
+        elif family == "pdf_jbig2_halftone_page":
+            # /JBIG2Decode HALFTONE organization (T.88 §6.6/§6.7): a
+            # grayscale photo shipped as a pattern dictionary + gray-code
+            # bitplane halftone region — how archival scanners encode the
+            # PHOTOS on a bilevel page. The decoded dot lattice must read
+            # as ONE image block (F7 texture mask), no ghost text.
+            from ..functions.jbig2 import encode_jbig2_halftone
+            from ..functions.pdf import encode_simple_pdf
+            from .render import FLOWING_IMAGE, TruthBlock
+
+            yy, xx = np.mgrid[0:220, 0:300]
+            gray = np.full((220, 300), 255, np.uint8)
+            # density window tuned so the dot lattice reads as TEXTURE at
+            # every level (denser halftones merge into bar-like blobs the
+            # glyph decoder would ghost-read; swept in tests/test_jbig2.py)
+            lo = 140 + int(self.rng.integers(0, 30))
+            gray[40:180, 40:260] = (
+                lo + 70 * (xx[40:180, 40:260] - 40) / 219).astype(np.uint8)
+            from ..functions.jbig2 import decode_jbig2
+            bits = decode_jbig2(encode_jbig2_halftone(gray))
+            img = ((1 - bits) * 255).astype(np.uint8)
+            blocks = [TruthBlock(FLOWING_IMAGE, None)]
+            payload = encode_simple_pdf(
+                [[("jbig2_halftone_image", gray, 0, 0)]],
+                page_size=(gray.shape[1], gray.shape[0]))
         elif family == "jpeg_tiff_page":
             # new-style JPEG-in-TIFF (TIFF Technical Note 2) — the scanner
             # archival shape libtiff writes by default: abbreviated JPEG

@@ -1000,6 +1000,113 @@ def _text_region_core(ri: dict, syms: list, num_inst: int, strips: int,
     return region
 
 
+# ------------------------------------------------ halftone (§6.6/§6.7)
+
+
+def _decode_pattern_dict(body: _Cursor) -> list[np.ndarray]:
+    """§6.7 pattern dictionary: GRAYMAX+1 patterns of HDPW x HDPH,
+    shipped as ONE collective bitmap (MMR or arithmetic with the spec's
+    fixed AT layout, AT1 = (-HDPW, 0))."""
+    flags = body.u8()
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw = body.u8()
+    hdph = body.u8()
+    graymax = body.u32()
+    if not (0 < hdpw <= 255 and 0 < hdph <= 255):
+        raise ValueError("JBIG2 pattern size out of range")
+    if graymax >= _MAX_SYMBOLS:
+        raise ValueError("JBIG2 pattern dictionary too large")
+    cw = (graymax + 1) * hdpw
+    if cw * hdph > _MAX_PIXELS:
+        raise ValueError("JBIG2 pattern dictionary pixel bomb")
+    if hdmmr:
+        coll = g4_decode(body.d[body.pos:], cw, hdph)
+    else:
+        at = ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))[
+            :4 if template == 0 else 1]
+        mq = MQDecoder(body.d[body.pos:])
+        cxs = _bank(1 << _CTX_BITS[template])
+        coll = _decode_generic(mq, cxs, cw, hdph, template, at, False)
+    return [np.ascontiguousarray(coll[:, k * hdpw:(k + 1) * hdpw])
+            for k in range(graymax + 1)]
+
+
+def _decode_halftone_region(body: _Cursor, ri: dict,
+                            patterns: list[np.ndarray]) -> np.ndarray:
+    """§6.6 halftone region: a gray-code bitplane image (Annex C) indexes
+    the referred pattern dictionary onto the (HRX, HRY) grid. Arithmetic
+    grayscale only — all planes share one MQ decoder + context bank;
+    MMR grayscale and skip masks raise named errors."""
+    if not patterns:
+        raise ValueError("JBIG2 halftone region with no referred patterns")
+    flags = body.u8()
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enableskip = (flags >> 3) & 1
+    combop = (flags >> 4) & 7
+    defpixel = (flags >> 7) & 1
+    if hmmr:
+        raise ValueError("JBIG2 halftone MMR grayscale: out of scope "
+                         "(arithmetic supported)")
+    if enableskip:
+        raise ValueError("JBIG2 halftone skip mask: out of scope")
+    hgw, hgh = body.u32(), body.u32()
+    hgx = body.u32()
+    hgy = body.u32()
+    if hgx >= 1 << 31:
+        hgx -= 1 << 32
+    if hgy >= 1 << 31:
+        hgy -= 1 << 32
+    hrx, hry = body.u16(), body.u16()
+    if hgw * hgh > _MAX_PIXELS or hgw == 0 or hgh == 0:
+        raise ValueError("JBIG2 halftone grid out of range")
+    w, h = ri["w"], ri["h"]
+    if w * h > _MAX_PIXELS:
+        raise ValueError("JBIG2 region too large")
+    bitcount = max(1, (len(patterns) - 1).bit_length())
+    mq = MQDecoder(body.d[body.pos:])
+    cxs = _bank(1 << _CTX_BITS[template])
+    at = _NOMINAL_AT[template]
+    # Annex C.5: planes arrive MOST significant first; each decoded
+    # plane XORs with the previous RESOLVED bit (gray-code unfold)
+    value = np.zeros((hgh, hgw), np.int64)
+    prev: np.ndarray | None = None
+    for _ in range(bitcount):
+        plane = _decode_generic(mq, cxs, hgw, hgh, template, at,
+                                False).astype(np.int64)
+        bit = plane if prev is None else plane ^ prev
+        value = (value << 1) | bit
+        prev = bit
+    if int(value.max()) >= len(patterns):
+        raise ValueError("JBIG2 halftone gray value exceeds pattern count")
+    region = np.full((h, w), defpixel, np.uint8)
+    hph, hpw = patterns[0].shape
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            pat = patterns[int(value[mg, ng])]
+            sy0, sx0 = max(0, -y), max(0, -x)
+            sy1, sx1 = min(hph, h - y), min(hpw, w - x)
+            if sy1 <= sy0 or sx1 <= sx0:
+                continue
+            tgt = region[y + sy0:y + sy1, x + sx0:x + sx1]
+            src = pat[sy0:sy1, sx0:sx1]
+            if combop == 0:
+                tgt |= src
+            elif combop == 1:
+                tgt &= src
+            elif combop == 2:
+                tgt ^= src
+            elif combop == 4:
+                tgt[:] = src
+            else:
+                raise ValueError("JBIG2 halftone composition op: out of "
+                                 "scope")
+    return region
+
+
 def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Embedded JBIG2 stream (+ optional /JBIG2Globals bytes) -> bilevel
     page bitmap, uint8 HxW with 1 = black.  Generic regions (MMR + MQ),
@@ -1011,6 +1118,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page_default = 0
     page: np.ndarray | None = None
     sym_store: dict[int, list] = {}
+    pat_store: dict[int, list] = {}
 
     def compose(ri: dict, bits: np.ndarray) -> None:
         nonlocal page, page_w, page_h
@@ -1085,8 +1193,17 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 syms.extend(sym_store.get(r, []))
             ri = _region_info(body)
             compose(ri, _decode_text_region(body, ri, syms))
-        elif t == _T_PATTERN or t in _T_HALFTONE:
-            raise ValueError("JBIG2 halftone segments: out of scope")
+        elif t == _T_PATTERN:
+            pat_store[seg["number"]] = _decode_pattern_dict(body)
+        elif t in _T_HALFTONE:
+            if t == 20:
+                raise ValueError("JBIG2 intermediate halftone region: out "
+                                 "of scope (immediate regions supported)")
+            pats: list = []
+            for r in seg["refs"]:
+                pats.extend(pat_store.get(r, []))
+            ri = _region_info(body)
+            compose(ri, _decode_halftone_region(body, ri, pats))
         elif t in _T_REFINEMENT:
             raise ValueError("JBIG2 refinement segments: out of scope")
         elif t == _T_TABLES:
@@ -1363,6 +1480,70 @@ def _encode_text_region_huffman(number: int, dict_seg: int, w: int, h: int,
             + len(order).to_bytes(4, "big")
             + bw.bytes())
     return _segment_header(number, 6, 1, len(body), refs=[dict_seg]) + body
+
+
+def encode_jbig2_halftone(gray: np.ndarray, hdpw: int = 4, hdph: int = 4,
+                          levels: int = 17,
+                          pattern_coder: str = "mmr") -> bytes:
+    """uint8 HxW grayscale -> embedded JBIG2 stream rendering it as a
+    HALFTONE: a clustered-dot pattern dictionary of `levels` density
+    patterns (type 16, MMR or arithmetic collective bitmap) + an
+    immediate halftone region (type 23) whose gray-code bitplanes are
+    MQ-coded. The mirror of _decode_halftone_region; grid = one pattern
+    cell per `hdpw` x `hdph` input block, HRX = hdpw<<8, HRY = 0."""
+    h, w = gray.shape
+    hgh, hgw = (h + hdph - 1) // hdph, (w + hdpw - 1) // hdpw
+    # pattern k: the k darkest cells of a deterministic clustered-dot
+    # order (spiral-ish fixed permutation of the cell)
+    order = sorted(range(hdpw * hdph),
+                   key=lambda i: ((i // hdpw - (hdph - 1) / 2) ** 2
+                                  + (i % hdpw - (hdpw - 1) / 2) ** 2, i))
+    pats = []
+    for k in range(levels):
+        p = np.zeros(hdpw * hdph, np.uint8)
+        n_ink = round(k * hdpw * hdph / (levels - 1))
+        p[order[:n_ink]] = 1
+        pats.append(p.reshape(hdph, hdpw))
+    coll = np.concatenate(pats, axis=1)
+    if pattern_coder == "mmr":
+        pd_body = (bytes([0x01, hdpw, hdph])
+                   + (levels - 1).to_bytes(4, "big") + g4_encode(coll))
+    else:
+        template = 0
+        at = ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+        enc = MQEncoder()
+        cxs = _bank(1 << _CTX_BITS[template])
+        _encode_generic(enc, cxs, coll, template, at, False)
+        pd_body = (bytes([0x00, hdpw, hdph])
+                   + (levels - 1).to_bytes(4, "big") + enc.flush())
+    # grayscale grid: block-mean -> inverted level (dark ink = high level)
+    pad = np.full((hgh * hdph, hgw * hdpw), 255, np.uint8)
+    pad[:h, :w] = gray
+    blocks = pad.reshape(hgh, hdph, hgw, hdpw).astype(np.float64)
+    mean = blocks.mean(axis=(1, 3))
+    gi = np.rint((255.0 - mean) * (levels - 1) / 255.0).astype(np.int64)
+    # gray-code planes, most significant first, one shared MQ coder
+    bitcount = max(1, (levels - 1).bit_length())
+    gcode = gi ^ (gi >> 1)
+    enc = MQEncoder()
+    cxs = _bank(1 << _CTX_BITS[0])
+    for j in range(bitcount - 1, -1, -1):
+        plane = ((gcode >> j) & 1).astype(np.uint8)
+        _encode_generic(enc, cxs, plane, 0, _NOMINAL_AT[0], False)
+    ht_body = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+               + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+               + bytes([0])                      # region op OR
+               + bytes([0x00])                   # flags: arith, T0, OR
+               + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
+               + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+               + (hdpw << 8).to_bytes(2, "big") + (0).to_bytes(2, "big")
+               + enc.flush())
+    out = bytearray()
+    out += _page_info_segment(w, h)
+    out += _segment_header(1, _T_PATTERN, 1, len(pd_body)) + pd_body
+    out += _segment_header(2, 23, 1, len(ht_body), refs=[1]) + ht_body
+    out += _segment_header(3, _T_END_OF_PAGE, 1, 0)
+    return bytes(out)
 
 
 def encode_jbig2_text(bits: np.ndarray, refcorner: int = 1,

@@ -217,8 +217,8 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     + comp.decode("latin-1") + " EI Q")
             elif el[0] in ("image", "jpeg", "g4_image", "jbig2_image",
                            "jbig2_arith_image", "jbig2_text_image",
-                           "jbig2_huff_image", "jpx_image",
-                           "stencil_image"):
+                           "jbig2_huff_image", "jbig2_halftone_image",
+                           "jpx_image", "stencil_image"):
                 arr, x, y = el[1], el[2], el[3]
                 ih, iw = arr.shape
                 extra = ""
@@ -286,6 +286,19 @@ def encode_simple_pdf(pages: list[list[tuple]],
                     raw, glob = encode_jbig2_text(
                         (arr < 128).astype(np.uint8), coder="huffman")
                     gnum = add_stream("", glob)
+                    filt, bpc = "/JBIG2Decode", 1
+                    extra = (" /DecodeParms "
+                             f"<< /JBIG2Globals {gnum} 0 R >>")
+                elif el[0] == "jbig2_halftone_image":
+                    # halftone organization (T.88 §6.6/§6.7): input is
+                    # GRAYSCALE — the encoder dithers it into a pattern
+                    # dictionary + gray-code bitplane halftone region
+                    from .jbig2 import encode_jbig2_halftone
+
+                    full = encode_jbig2_halftone(arr)
+                    split = 11 + 19
+                    gnum = add_stream("", full[:split])
+                    raw = full[split:]
                     filt, bpc = "/JBIG2Decode", 1
                     extra = (" /DecodeParms "
                              f"<< /JBIG2Globals {gnum} 0 R >>")

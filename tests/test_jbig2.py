@@ -89,8 +89,7 @@ def test_tpgdon_with_mmr_rejected():
 
 
 @pytest.mark.parametrize("seg_type,msg", [
-    (16, "halftone"),
-    (20, "halftone"), (40, "refinement"), (53, "code tables"),
+    (20, "intermediate halftone"), (40, "refinement"), (53, "code tables"),
     (36, "intermediate"), (4, "intermediate text"),
 ])
 def test_out_of_scope_segment_types_named(seg_type, msg):
@@ -511,3 +510,86 @@ def test_huffman_fuzz_never_hangs():
             decode_jbig2(bytes(enc[len(glob):]), bytes(enc[:len(glob)]))
         except Exception:
             pass
+
+
+# --------------------------------------------------- halftone (§6.6/§6.7)
+
+
+@pytest.mark.parametrize("pattern_coder", ["mmr", "arith"])
+def test_halftone_roundtrip_block_densities(pattern_coder):
+    """The halftone mirror: decoded block ink density equals the encoder's
+    quantized inverted gray level EXACTLY (pattern k has k ink cells)."""
+    from sparkstract.functions.jbig2 import encode_jbig2_halftone
+
+    yy, xx = np.mgrid[0:64, 0:96]
+    gray = (60 + 120 * xx / 95).astype(np.uint8)
+    gray[20:40, 30:60] = 0
+    out = decode_jbig2(encode_jbig2_halftone(
+        gray, pattern_coder=pattern_coder))
+    assert out.shape == gray.shape
+    blk = out.reshape(16, 4, 24, 4).mean(axis=(1, 3))
+    target = np.rint((255 - gray.reshape(16, 4, 24, 4).mean(axis=(1, 3)))
+                     * 16 / 255) / 16
+    assert np.abs(blk - target).max() == 0
+
+
+def test_halftone_gray_code_planes_are_real():
+    """17 levels -> 5 gray-code bitplanes; a mid-gradient exercises plane
+    transitions (values crossing power-of-two boundaries)."""
+    from sparkstract.functions.jbig2 import encode_jbig2_halftone
+
+    gray = np.tile(np.linspace(0, 255, 96).astype(np.uint8), (16, 1))
+    out = decode_jbig2(encode_jbig2_halftone(gray))
+    densities = out.reshape(4, 4, 24, 4).mean(axis=(1, 3))[0]
+    # strictly non-increasing ink left->right (gradient goes light)
+    assert (np.diff(densities) <= 0).all()
+    assert densities[0] == 1.0 and densities[-1] == 0.0
+
+
+def test_halftone_named_errors():
+    from sparkstract.functions.jbig2 import encode_jbig2_halftone
+
+    gray = np.full((16, 16), 128, np.uint8)
+    data = bytearray(encode_jbig2_halftone(gray))
+    # halftone region flags byte: after page info (30) + pattern dict
+    # segment + the region segment header (12: one ref) + region info (17)
+    i = data.index(b"\x00\x00\x00\x10\x00\x00\x00\x10", 30)  # region w,h
+    flags_at = i + 8 + 8 + 1
+    bad = bytearray(data)
+    bad[flags_at] |= 0x01                    # HMMR grayscale
+    with pytest.raises(ValueError, match="halftone MMR grayscale"):
+        decode_jbig2(bytes(bad))
+    bad = bytearray(data)
+    bad[flags_at] |= 0x08                    # HENABLESKIP
+    with pytest.raises(ValueError, match="skip mask"):
+        decode_jbig2(bytes(bad))
+
+
+def test_pdf_jbig2_halftone_family_is_one_image_block():
+    from sparkstract.fixtures.gen import _Builder
+    from sparkstract.operators.page import analyse_page
+
+    b = _Builder(seed=7)
+    ref, blocks = b.add_page("pdf_jbig2_halftone_page")
+    pp = parse_pdf(bytes(b.media[-1]["image"]))
+    img = [it for it in pp[0].items if it[0] == "image"][0][1]
+    got = analyse_page(img)
+    assert [(x.kind, x.text) for x in got] == [("flowing_image", None)]
+
+
+def test_halftone_family_density_window_always_one_image():
+    """The fixture family's whole lo window classifies as exactly one
+    image block (no ghost text at any density it can draw)."""
+    from sparkstract.functions.jbig2 import encode_jbig2_halftone
+    from sparkstract.operators.page import analyse_page
+
+    yy, xx = np.mgrid[0:220, 0:300]
+    for lo in (140, 155, 169):
+        gray = np.full((220, 300), 255, np.uint8)
+        gray[40:180, 40:260] = (
+            lo + 70 * (xx[40:180, 40:260] - 40) / 219).astype(np.uint8)
+        bits = decode_jbig2(encode_jbig2_halftone(gray))
+        img = ((1 - bits) * 255).astype(np.uint8)
+        got = analyse_page(img)
+        assert [(b.kind, b.text) for b in got] == \
+            [("flowing_image", None)], lo
