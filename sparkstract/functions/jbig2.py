@@ -1000,6 +1000,78 @@ def _text_region_core(ri: dict, syms: list, num_inst: int, strips: int,
     return region
 
 
+# ------------------------------------------------- refinement (§6.3)
+#
+# Generic refinement decoding: each pixel's context mixes the partially-
+# decoded CURRENT bitmap with a 3x3 neighborhood of the REFERENCE bitmap
+# at (x - dx, y - dy) — template 0 carries 13 context pixels with two
+# movable ATs (one per plane), template 1 a fixed 10. Slot layout matches
+# the published readers (jbig2dec jbig2_refinement.c — public), the same
+# provenance rule as the generic templates. TPGRON typical-prediction
+# rows stay a named error (optional, rarely emitted).
+
+
+def _ref_px(bm: np.ndarray, x: int, y: int) -> int:
+    if 0 <= y < bm.shape[0] and 0 <= x < bm.shape[1]:
+        return int(bm[y, x])
+    return 0
+
+
+def _refinement_context(cur: np.ndarray, ref: np.ndarray, x: int, y: int,
+                        dx: int, dy: int, template: int,
+                        at: tuple) -> int:
+    rx, ry = x - dx, y - dy
+    if template == 0:
+        a1, a2 = at
+        return (_ref_px(cur, x - 1, y)
+                | _ref_px(cur, x + 1, y - 1) << 1
+                | _ref_px(cur, x, y - 1) << 2
+                | _ref_px(cur, x + a1[0], y + a1[1]) << 3
+                | _ref_px(ref, rx + 1, ry + 1) << 4
+                | _ref_px(ref, rx, ry + 1) << 5
+                | _ref_px(ref, rx - 1, ry + 1) << 6
+                | _ref_px(ref, rx + 1, ry) << 7
+                | _ref_px(ref, rx, ry) << 8
+                | _ref_px(ref, rx - 1, ry) << 9
+                | _ref_px(ref, rx + 1, ry - 1) << 10
+                | _ref_px(ref, rx, ry - 1) << 11
+                | _ref_px(ref, rx + a2[0], ry + a2[1]) << 12)
+    return (_ref_px(cur, x - 1, y)
+            | _ref_px(cur, x + 1, y - 1) << 1
+            | _ref_px(cur, x, y - 1) << 2
+            | _ref_px(cur, x - 1, y - 1) << 3
+            | _ref_px(ref, rx + 1, ry + 1) << 4
+            | _ref_px(ref, rx, ry + 1) << 5
+            | _ref_px(ref, rx + 1, ry) << 6
+            | _ref_px(ref, rx, ry) << 7
+            | _ref_px(ref, rx - 1, ry) << 8
+            | _ref_px(ref, rx, ry - 1) << 9)
+
+
+_REF_NOMINAL_AT = ((-1, -1), (-1, -1))
+
+
+def _decode_refinement(mq: MQDecoder, cxs: list, w: int, h: int,
+                       template: int, at: tuple, ref: np.ndarray,
+                       dx: int, dy: int) -> np.ndarray:
+    out = np.zeros((h, w), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            ctx = _refinement_context(out, ref, x, y, dx, dy, template, at)
+            out[y, x] = mq.decode(cxs[ctx])
+    return out
+
+
+def _encode_refinement(enc: MQEncoder, cxs: list, bits: np.ndarray,
+                       template: int, at: tuple, ref: np.ndarray,
+                       dx: int, dy: int) -> None:
+    h, w = bits.shape
+    for y in range(h):
+        for x in range(w):
+            ctx = _refinement_context(bits, ref, x, y, dx, dy, template, at)
+            enc.encode(int(bits[y, x]), cxs[ctx])
+
+
 # ------------------------------------------------ halftone (§6.6/§6.7)
 
 
@@ -1205,7 +1277,37 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             ri = _region_info(body)
             compose(ri, _decode_halftone_region(body, ri, pats))
         elif t in _T_REFINEMENT:
-            raise ValueError("JBIG2 refinement segments: out of scope")
+            if t == 40:
+                raise ValueError("JBIG2 intermediate refinement region: "
+                                 "out of scope (immediate supported)")
+            # §7.4.7 immediate generic refinement region: the reference
+            # is the page's CURRENT content under the region box
+            ri = _region_info(body)
+            rflags = body.u8()
+            template = rflags & 1
+            if rflags & 0x02:
+                raise ValueError("JBIG2 TPGRON refinement rows: out of "
+                                 "scope")
+            at = _REF_NOMINAL_AT
+            if template == 0:
+                at = _read_at(body, 2)
+                a1 = at[0]
+                if not (a1[1] < 0 or (a1[1] == 0 and a1[0] < 0)):
+                    raise ValueError("JBIG2 refinement AT1 must be causal")
+            if ri["w"] * ri["h"] > _MAX_PIXELS:
+                raise ValueError("JBIG2 region too large")
+            if page is None:
+                raise ValueError("JBIG2 refinement region before any page "
+                                 "content")
+            ys, xs = ri["y"], ri["x"]
+            if ys + ri["h"] > page_h or xs + ri["w"] > page_w:
+                raise ValueError("JBIG2 region outside page bounds")
+            ref = page[ys:ys + ri["h"], xs:xs + ri["w"]].copy()
+            mq = MQDecoder(body.d[body.pos:])
+            cxs = _bank(1 << (13 if template == 0 else 10))
+            bits = _decode_refinement(mq, cxs, ri["w"], ri["h"],
+                                      template, at, ref, 0, 0)
+            compose(ri, bits)
         elif t == _T_TABLES:
             raise ValueError("JBIG2 custom code tables: out of scope")
         elif t in _SKIPPABLE:
@@ -1480,6 +1582,42 @@ def _encode_text_region_huffman(number: int, dict_seg: int, w: int, h: int,
             + len(order).to_bytes(4, "big")
             + bw.bytes())
     return _segment_header(number, 6, 1, len(body), refs=[dict_seg]) + body
+
+
+def encode_jbig2_refined(bits: np.ndarray, template: int = 0) -> bytes:
+    """Bilevel HxW -> embedded stream exercising §6.3: a LOSSY first pass
+    (the page with a checkerboard of its ink dropped, arithmetic generic
+    region) followed by an immediate generic refinement region (type 43,
+    REPLACE) that corrects it to `bits` exactly against the page content
+    as reference — the progressive-transmission shape refinement exists
+    for."""
+    h, w = bits.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (bits & ((yy + xx) % 2).astype(np.uint8))
+    out = bytearray()
+    out += _page_info_segment(w, h)
+    enc = MQEncoder()
+    cxs = _bank(1 << _CTX_BITS[0])
+    _encode_generic(enc, cxs, base, 0, _NOMINAL_AT[0], False)
+    atb = b"".join(bytes([dx & 0xFF, dy & 0xFF])
+                   for dx, dy in _NOMINAL_AT[0])
+    gbody = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+             + (0).to_bytes(8, "big") + bytes([0])      # op OR
+             + bytes([0x00]) + atb + enc.flush())
+    out += _segment_header(1, 39, 1, len(gbody)) + gbody
+    renc = MQEncoder()
+    rcxs = _bank(1 << (13 if template == 0 else 10))
+    _encode_refinement(renc, rcxs, bits, template, _REF_NOMINAL_AT,
+                       base, 0, 0)
+    rat = (b"".join(bytes([dx & 0xFF, dy & 0xFF])
+                    for dx, dy in _REF_NOMINAL_AT)
+           if template == 0 else b"")
+    rbody = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+             + (0).to_bytes(8, "big") + bytes([4])      # op REPLACE
+             + bytes([template]) + rat + renc.flush())
+    out += _segment_header(2, 43, 1, len(rbody)) + rbody
+    out += _segment_header(3, _T_END_OF_PAGE, 1, 0)
+    return bytes(out)
 
 
 def encode_jbig2_halftone(gray: np.ndarray, hdpw: int = 4, hdph: int = 4,

@@ -593,3 +593,60 @@ def test_halftone_family_density_window_always_one_image():
         got = analyse_page(img)
         assert [(b.kind, b.text) for b in got] == \
             [("flowing_image", None)], lo
+
+
+# -------------------------------------------------- refinement (§6.3)
+
+
+@pytest.mark.parametrize("template", [0, 1])
+def test_refinement_roundtrip_exact(template):
+    """Lossy generic pass + immediate refinement region (REPLACE) — the
+    progressive-transmission shape — reconstructs the page exactly."""
+    from sparkstract.functions.jbig2 import encode_jbig2_refined
+
+    rng = np.random.default_rng(3)
+    bits = (rng.random((57, 83)) < 0.25).astype(np.uint8)
+    out = decode_jbig2(encode_jbig2_refined(bits, template=template))
+    assert (out == bits).all()
+
+
+def test_refinement_reference_matters():
+    """The refinement stream decodes against the page's CURRENT content —
+    zeroing the first-pass region breaks reconstruction (proves the
+    reference plumbing is real, not a fresh decode)."""
+    from sparkstract.functions.jbig2 import encode_jbig2_refined
+
+    rng = np.random.default_rng(5)
+    bits = (rng.random((40, 60)) < 0.3).astype(np.uint8)
+    data = bytearray(encode_jbig2_refined(bits))
+    # blank the lossy base: replace its generic-region MQ data segment
+    # with an empty-page coding of the same length is intrusive — instead
+    # flip the first-pass composition op to AND against the all-zero page
+    i = 30 + 11 + 16                        # first region's op byte
+    assert data[i] == 0
+    data[i] = 1                             # OR -> AND: base becomes empty
+    out = decode_jbig2(bytes(data))
+    assert not (out == bits).all()
+
+
+def test_refinement_named_errors():
+    from sparkstract.functions.jbig2 import encode_jbig2_refined
+
+    bits = np.zeros((16, 16), np.uint8)
+    bits[4:9, 4:9] = 1
+    data = encode_jbig2_refined(bits)
+    # TPGRON bit in the refinement flags byte (second region segment)
+    seg2 = data.index(b"\x00\x00\x00\x10\x00\x00\x00\x10",
+                      30 + 11 + 17)         # second region info
+    flags_at = seg2 + 17
+    bad = bytearray(data)
+    bad[flags_at] |= 0x02
+    with pytest.raises(ValueError, match="TPGRON"):
+        decode_jbig2(bytes(bad))
+    # intermediate refinement type (40) stays named
+    hdr_at = seg2 - 11                      # segment header start (no refs)
+    bad = bytearray(data)
+    assert bad[hdr_at + 4] & 0x3F == 43
+    bad[hdr_at + 4] = (bad[hdr_at + 4] & ~0x3F) | 40
+    with pytest.raises(ValueError, match="intermediate refinement"):
+        decode_jbig2(bytes(bad))
