@@ -74,6 +74,23 @@ _MUL = {m: [_gf_mul(x, m) for x in range(256)]
 _NP_INV_SBOX = np.array(_INV_SBOX, dtype=np.uint8)
 _NP_MUL = {m: np.array(t, dtype=np.uint8) for m, t in _MUL.items()}
 
+# 32-bit encryption T-tables: TEi[x] is S[x]'s MixColumns contribution
+# when it arrives as the column's row-i byte (SubBytes+ShiftRows+
+# MixColumns fused; words pack rows 0..3 big-endian)
+def _build_te() -> tuple:
+    te0, te1, te2, te3 = [], [], [], []
+    for x in range(256):
+        s = _SBOX[x]
+        s2, s3 = _MUL[2][s], _MUL[3][s]
+        te0.append((s2 << 24) | (s << 16) | (s << 8) | s3)
+        te1.append((s3 << 24) | (s2 << 16) | (s << 8) | s)
+        te2.append((s << 24) | (s3 << 16) | (s2 << 8) | s)
+        te3.append((s << 24) | (s << 16) | (s3 << 8) | s2)
+    return te0, te1, te2, te3
+
+
+_TE = _build_te()
+
 # flat-index permutations (index = row + 4*column)
 _SHIFT = [(r + 4 * ((c + r) % 4)) for c in range(4) for r in range(4)]
 _INV_SHIFT = [(r + 4 * ((c - r) % 4)) for c in range(4) for r in range(4)]
@@ -105,32 +122,62 @@ def _expand_key(key: bytes) -> list[list[int]]:
 class AES:
     """One expanded key; block ops + CBC modes."""
 
-    __slots__ = ("_rk", "_nr", "_np_rk")
+    __slots__ = ("_rk", "_nr", "_np_rk", "_rkw")
 
     def __init__(self, key: bytes) -> None:
         self._rk = _expand_key(key)
         self._nr = len(self._rk) - 1
         self._np_rk = [np.array(rk, dtype=np.uint8) for rk in self._rk]
+        self._rkw = [[int.from_bytes(bytes(rk[i:i + 4]), "big")
+                      for i in range(0, 16, 4)] for rk in self._rk]
 
     # ------------------------------------------------ scalar block ops
+    #
+    # 32-bit T-table formulation (SubBytes+ShiftRows+MixColumns fused
+    # into four 256-word lookups per column): the AESV3 2.B KDF CBC-
+    # encrypts ~half a MiB through this path per key derivation, and the
+    # byte-wise loop made that the single most expensive fixture decode.
+    # Equality is pinned by the FIPS 197 Appendix C vectors.
+
+    def _encrypt_words(self, w0: int, w1: int, w2: int, w3: int) -> tuple:
+        rkw = self._rkw
+        rk = rkw[0]
+        w0 ^= rk[0]
+        w1 ^= rk[1]
+        w2 ^= rk[2]
+        w3 ^= rk[3]
+        te0, te1, te2, te3 = _TE
+        for rnd in range(1, self._nr):
+            rk = rkw[rnd]
+            n0 = (te0[w0 >> 24] ^ te1[(w1 >> 16) & 255]
+                  ^ te2[(w2 >> 8) & 255] ^ te3[w3 & 255] ^ rk[0])
+            n1 = (te0[w1 >> 24] ^ te1[(w2 >> 16) & 255]
+                  ^ te2[(w3 >> 8) & 255] ^ te3[w0 & 255] ^ rk[1])
+            n2 = (te0[w2 >> 24] ^ te1[(w3 >> 16) & 255]
+                  ^ te2[(w0 >> 8) & 255] ^ te3[w1 & 255] ^ rk[2])
+            n3 = (te0[w3 >> 24] ^ te1[(w0 >> 16) & 255]
+                  ^ te2[(w1 >> 8) & 255] ^ te3[w2 & 255] ^ rk[3])
+            w0, w1, w2, w3 = n0, n1, n2, n3
+        rk = rkw[self._nr]
+        sb = _SBOX
+        return (
+            ((sb[w0 >> 24] << 24) | (sb[(w1 >> 16) & 255] << 16)
+             | (sb[(w2 >> 8) & 255] << 8) | sb[w3 & 255]) ^ rk[0],
+            ((sb[w1 >> 24] << 24) | (sb[(w2 >> 16) & 255] << 16)
+             | (sb[(w3 >> 8) & 255] << 8) | sb[w0 & 255]) ^ rk[1],
+            ((sb[w2 >> 24] << 24) | (sb[(w3 >> 16) & 255] << 16)
+             | (sb[(w0 >> 8) & 255] << 8) | sb[w1 & 255]) ^ rk[2],
+            ((sb[w3 >> 24] << 24) | (sb[(w0 >> 16) & 255] << 16)
+             | (sb[(w1 >> 8) & 255] << 8) | sb[w2 & 255]) ^ rk[3],
+        )
 
     def encrypt_block(self, block: bytes) -> bytes:
-        s = [b ^ k for b, k in zip(block, self._rk[0])]
-        mul2, mul3 = _MUL[2], _MUL[3]
-        for rnd in range(1, self._nr):
-            s = [_SBOX[s[i]] for i in _SHIFT]      # SubBytes + ShiftRows
-            t = [0] * 16
-            for c in range(0, 16, 4):
-                a0, a1, a2, a3 = s[c:c + 4]
-                t[c] = mul2[a0] ^ mul3[a1] ^ a2 ^ a3
-                t[c + 1] = a0 ^ mul2[a1] ^ mul3[a2] ^ a3
-                t[c + 2] = a0 ^ a1 ^ mul2[a2] ^ mul3[a3]
-                t[c + 3] = mul3[a0] ^ a1 ^ a2 ^ mul2[a3]
-            rk = self._rk[rnd]
-            s = [t[i] ^ rk[i] for i in range(16)]
-        s = [_SBOX[s[i]] for i in _SHIFT]
-        rk = self._rk[self._nr]
-        return bytes(s[i] ^ rk[i] for i in range(16))
+        c = self._encrypt_words(
+            int.from_bytes(block[0:4], "big"),
+            int.from_bytes(block[4:8], "big"),
+            int.from_bytes(block[8:12], "big"),
+            int.from_bytes(block[12:16], "big"))
+        return b"".join(w.to_bytes(4, "big") for w in c)
 
     def decrypt_block(self, block: bytes) -> bytes:
         return bytes(self._decrypt_blocks(
@@ -171,12 +218,25 @@ class AES:
             data = data + bytes([n]) * n
         elif len(data) % 16:
             raise ValueError("unpadded CBC needs 16-aligned input")
-        out = bytearray()
-        prev = iv
+        # the chain stays in 32-bit words end to end: one int.from_bytes
+        # per input word and one to_bytes per output word, no per-block
+        # byte-list XOR (the 2.B KDF pushes ~half a MiB through here)
+        enc = self._encrypt_words
+        p0 = int.from_bytes(iv[0:4], "big")
+        p1 = int.from_bytes(iv[4:8], "big")
+        p2 = int.from_bytes(iv[8:12], "big")
+        p3 = int.from_bytes(iv[12:16], "big")
+        out = bytearray(len(data))
+        fb = int.from_bytes
         for i in range(0, len(data), 16):
-            prev = self.encrypt_block(
-                bytes(a ^ b for a, b in zip(data[i:i + 16], prev)))
-            out += prev
+            p0, p1, p2, p3 = enc(p0 ^ fb(data[i:i + 4], "big"),
+                                 p1 ^ fb(data[i + 4:i + 8], "big"),
+                                 p2 ^ fb(data[i + 8:i + 12], "big"),
+                                 p3 ^ fb(data[i + 12:i + 16], "big"))
+            out[i:i + 4] = p0.to_bytes(4, "big")
+            out[i + 4:i + 8] = p1.to_bytes(4, "big")
+            out[i + 8:i + 12] = p2.to_bytes(4, "big")
+            out[i + 12:i + 16] = p3.to_bytes(4, "big")
         return bytes(out)
 
     def decrypt_cbc(self, iv: bytes, data: bytes,
