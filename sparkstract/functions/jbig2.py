@@ -837,11 +837,15 @@ def _decode_symbol_dict_huffman(body: _Cursor, input_syms: list,
 
 def _decode_text_region(body: _Cursor, ri: dict,
                         syms: list) -> np.ndarray:
-    """§6.4 text region decoding — arithmetic or Huffman organization."""
+    """§6.4 text region decoding — arithmetic or Huffman organization;
+    the arithmetic path supports SBREFINE per-instance refinement
+    (§6.4.11: IARI selects instances whose bitmap is refinement-decoded
+    against the dictionary symbol — the lossy-to-lossless text shape)."""
     flags = body.u16()
-    if flags & 0x02:
-        raise ValueError("JBIG2 refined text region: out of scope")
     if flags & 0x01:
+        if flags & 0x02:
+            raise ValueError("JBIG2 Huffman refined text region: out of "
+                             "scope (arithmetic refinement supported)")
         return _decode_text_region_huffman(body, ri, syms, flags)
     strips = 1 << ((flags >> 2) & 3)
     refcorner = (flags >> 4) & 3           # 0 BL, 1 TL, 2 BR, 3 TR
@@ -851,6 +855,14 @@ def _decode_text_region(body: _Cursor, ri: dict,
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
+    refine = bool(flags & 0x02)
+    rtemplate = (flags >> 15) & 1
+    rat = _REF_NOMINAL_AT
+    if refine and rtemplate == 0:
+        rat = _read_at(body, 2)
+        a1 = rat[0]
+        if not (a1[1] < 0 or (a1[1] == 0 and a1[0] < 0)):
+            raise ValueError("JBIG2 refinement AT1 must be causal")
     num_inst = body.u32()
     if not syms:
         raise ValueError("JBIG2 text region with no referred symbols")
@@ -865,6 +877,27 @@ def _decode_text_region(body: _Cursor, ri: dict,
         it=(lambda: _int_decode(mq, iait)) if strips > 1 else (lambda: 0),
         id=lambda: _iaid_decode(mq, iaid, codelen),
     )
+    if refine:
+        iari = _bank(512)
+        iard = [_bank(512) for _ in range(4)]      # RDW RDH RDX RDY
+        rcxs = _bank(1 << (13 if rtemplate == 0 else 10))
+
+        def _refine_sym(sym: np.ndarray) -> np.ndarray:
+            if _int_decode(mq, iari) == 0:
+                return sym
+            deltas = [_int_decode(mq, b) for b in iard]
+            if any(d is None for d in deltas):
+                raise ValueError("JBIG2 OOB refinement delta")
+            rdw, rdh, rdx, rdy = deltas
+            nw, nh = sym.shape[1] + rdw, sym.shape[0] + rdh
+            if not (0 < nw <= _MAX_SYM_DIM and 0 < nh <= _MAX_SYM_DIM):
+                raise ValueError("JBIG2 refined symbol size out of range")
+            # §6.4.11: reference offset centers the old bitmap in the new
+            return _decode_refinement(mq, rcxs, nw, nh, rtemplate, rat,
+                                      sym, (rdw >> 1) + rdx,
+                                      (rdh >> 1) + rdy)
+
+        readers["refine"] = _refine_sym
     return _text_region_core(ri, syms, num_inst, strips, refcorner,
                              transposed, combop, defpixel, dsoffset,
                              readers)
@@ -960,6 +993,9 @@ def _text_region_core(ri: dict, syms: list, num_inst: int, strips: int,
             if sid >= len(syms):
                 raise ValueError("JBIG2 symbol id out of range")
             sym = syms[sid]
+            refine = readers.get("refine")
+            if refine is not None:
+                sym = refine(sym)
             sh, sw = sym.shape
             # §6.4.5 (3)(c): RIGHT corners advance S before drawing,
             # LEFT corners after; transposed swaps the roles of S/T and
@@ -1416,24 +1452,34 @@ def _encode_text_region(number: int, dict_seg: int, w: int, h: int,
                         syms: list, instances: list,
                         refcorner: int = 1, transposed: int = 0) -> bytes:
     """Immediate text region segment (type 6). `instances` is a list of
-    (symbol_id, x_left, y_top) placements; strips of 1."""
+    (symbol_id, x_left, y_top) placements — or (symbol_id, x, y, bitmap)
+    for a REFINED instance whose actual ink differs from the dictionary
+    symbol (SBREFINE, §6.4.11); strips of 1."""
     codelen = max(1, (len(syms) - 1).bit_length())
+    refine = any(len(it) > 3 and it[3] is not None for it in instances)
     enc = MQEncoder()
     iadt, iafs, iads = _bank(512), _bank(512), _bank(512)
     iaid = _bank(1 << (codelen + 1))
+    iari = _bank(512)
+    iard = [_bank(512) for _ in range(4)]
+    rcxs = _bank(1 << 13)
+
+    def inst_bitmap(it):
+        if len(it) > 3 and it[3] is not None:
+            return it[3]
+        return syms[it[0]]
+
     # group into strips: non-transposed strips share y, transposed share x
     def strip_key(it):
-        sid, x, y = it
-        sh, sw = syms[sid].shape
+        sh, sw = inst_bitmap(it).shape
         if not transposed:
-            return y + (sh - 1 if refcorner in (0, 2) else 0)
-        return x + (sw - 1 if refcorner in (2, 3) else 0)
+            return it[2] + (sh - 1 if refcorner in (0, 2) else 0)
+        return it[1] + (sw - 1 if refcorner in (2, 3) else 0)
 
     def s_coord(it):
         # the S chain tracks the leading (left/top) edge at entry for ALL
         # corners — the decoder pre-advances CURS for trailing corners
-        sid, x, y = it
-        return y if transposed else x
+        return it[2] if transposed else it[1]
 
     order = sorted(instances, key=lambda it: (strip_key(it), s_coord(it)))
     _int_encode(enc, iadt, 0)                            # STRIPT = 0
@@ -1447,8 +1493,9 @@ def _encode_text_region(number: int, dict_seg: int, w: int, h: int,
         first = True
         curs = 0
         while k < len(order) and strip_key(order[k]) == t:
-            sid, _x, _y = order[k]
-            s = s_coord(order[k])
+            it = order[k]
+            sid = it[0]
+            s = s_coord(it)
             if first:
                 _int_encode(enc, iafs, s - firsts)
                 firsts = s
@@ -1456,15 +1503,33 @@ def _encode_text_region(number: int, dict_seg: int, w: int, h: int,
             else:
                 _int_encode(enc, iads, s - curs)
             _iaid_encode(enc, iaid, sid, codelen)
-            sh, sw = syms[sid].shape
-            curs = s + ((sh if transposed else sw) - 1)
+            if refine:
+                bm = it[3] if len(it) > 3 else None
+                if bm is None:
+                    _int_encode(enc, iari, 0)
+                else:
+                    _int_encode(enc, iari, 1)
+                    base = syms[sid]
+                    rdw = bm.shape[1] - base.shape[1]
+                    rdh = bm.shape[0] - base.shape[0]
+                    for bank, v in zip(iard, (rdw, rdh, 0, 0)):
+                        _int_encode(enc, bank, v)
+                    _encode_refinement(enc, rcxs, bm, 0, _REF_NOMINAL_AT,
+                                       base, rdw >> 1, rdh >> 1)
+            bmh, bmw = inst_bitmap(it).shape
+            curs = s + ((bmh if transposed else bmw) - 1)
             k += 1
         _int_encode(enc, iads, None)                     # OOB ends strip
     flags = (refcorner << 4) | (transposed << 6)         # arith, strips=1
+    if refine:
+        flags |= 0x02                                    # SBRTEMPLATE 0
+    rat = (b"".join(bytes([dx & 0xFF, dy & 0xFF])
+                    for dx, dy in _REF_NOMINAL_AT) if refine else b"")
     body = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
             + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
             + bytes([0])                                 # region op OR
             + flags.to_bytes(2, "big")
+            + rat
             + len(order).to_bytes(4, "big")
             + enc.flush())
     return _segment_header(number, 6, 1, len(body), refs=[dict_seg]) + body

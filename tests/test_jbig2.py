@@ -318,9 +318,18 @@ def test_text_region_huffman_and_refine_named_errors():
     stream, glob = encode_jbig2_text(_glyph_page())
     # text-region flags sit after its 12-byte header (incl. one referred
     # segment byte) + 17-byte region info
+    # SBREFINE on a non-refined body desynchronizes the parse (the AT
+    # bytes eat into NUMINSTANCES) — must fail cleanly or mis-decode,
+    # never hang; Huffman+refine stays a NAMED combination error
     s = bytearray(stream)
-    s[12 + 17 + 1] |= 0x02                  # SBREFINE in the low flag byte
-    with pytest.raises(ValueError, match="refined text"):
+    s[12 + 17 + 1] |= 0x02
+    try:
+        decode_jbig2(bytes(s), globals_data=glob)
+    except ValueError:
+        pass
+    s = bytearray(stream)
+    s[12 + 17 + 1] |= 0x03                  # SBHUFF + SBREFINE
+    with pytest.raises(ValueError, match="Huffman refined"):
         decode_jbig2(bytes(s), globals_data=glob)
     # SBHUFF on an arithmetic body is garbage for the Huffman reader —
     # clean ValueError, never a hang
@@ -650,3 +659,40 @@ def test_refinement_named_errors():
     bad[hdr_at + 4] = (bad[hdr_at + 4] & ~0x3F) | 40
     with pytest.raises(ValueError, match="intermediate refinement"):
         decode_jbig2(bytes(bad))
+
+
+def test_refined_text_region_instances():
+    """SBREFINE (§6.4.11): IARI-selected instances decode a refinement of
+    the dictionary symbol — pixel flips AND a grown bitmap (RDW/RDH > 0,
+    centered reference) — while unrefined instances pass through."""
+    from sparkstract.functions.jbig2 import (_encode_symbol_dict,
+                                             _encode_text_region,
+                                             _page_info_segment,
+                                             _segment_header,
+                                             _T_END_OF_PAGE)
+
+    rng = np.random.default_rng(3)
+    s0 = (rng.random((7, 5)) < 0.4).astype(np.uint8)
+    s0[0, 0] = 1
+    s1 = (rng.random((7, 5)) < 0.4).astype(np.uint8)
+    s1[0, 1] = 1
+    syms = sorted([s0, s1], key=lambda a: (a.shape[0], a.shape[1]))
+    r0 = syms[0].copy()
+    r0[3, 2] ^= 1
+    r0[1, 4] ^= 1
+    r1 = np.zeros((9, 7), np.uint8)
+    r1[1:8, 1:6] = syms[1]
+    r1[0, 0] = 1
+    r1[8, 6] = 1
+    instances = [(0, 3, 3), (1, 12, 3), (0, 21, 3, r0),
+                 (1, 3, 14, r1), (1, 14, 14)]
+    w, h = 34, 26
+    glob = _page_info_segment(w, h) + _encode_symbol_dict(1, syms)
+    stream = (_encode_text_region(2, 1, w, h, syms, instances)
+              + _segment_header(3, _T_END_OF_PAGE, 1, 0))
+    page = decode_jbig2(stream, glob)
+    exp = np.zeros((h, w), np.uint8)
+    for it in instances:
+        bm = it[3] if len(it) > 3 else syms[it[0]]
+        exp[it[2]:it[2] + bm.shape[0], it[1]:it[1] + bm.shape[1]] |= bm
+    assert (page == exp).all()
