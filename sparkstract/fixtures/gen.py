@@ -79,7 +79,7 @@ def page_spec(family: str, rng: np.random.Generator) -> PageSpec:
                   "pdf_jpx_page", "jp2_page", "jp2_bypass_page",
                   "jpeg_tiff_page", "webp_alpha_page",
                   "pdf_jbig2_huff_page", "pdf_stencil_page",
-                  "pdf_jbig2_halftone_page"):
+                  "pdf_jbig2_halftone_page", "ico_page"):
         # container-level families: the page CONTENT is a plain spec — the
         # packaging (TIFF LZW / multipage IFD chain / PGM / BMP) happens in
         # _Builder.add_page, where the encoder choice lives
@@ -509,7 +509,7 @@ PAGE_FAMILIES = [
     "pdf_jbig2_arith_page", "pdf_jbig2_text_page", "webp_anim_page",
     "jp2_bypass_page", "korean_page", "webp_alpha_page",
     "pdf_jbig2_huff_page", "thai_page", "pdf_stencil_page",
-    "pdf_jbig2_halftone_page",
+    "pdf_jbig2_halftone_page", "ico_page",
 ]
 
 
@@ -948,6 +948,15 @@ class _Builder:
             payload = encode_simple_pdf(
                 [[("jbig2_halftone_image", gray, 0, 0)]],
                 page_size=(gray.shape[1], gray.shape[0]))
+        elif family == "ico_page":
+            # ICO favicon container (a standing slice of crawl media):
+            # the page as the LARGEST entry — a 32-bit BGRA DIB with
+            # doubled biHeight + empty AND mask — behind a smaller decoy
+            # entry, so largest-entry selection is exercised.
+            from ..functions.raster import encode_gray_ico
+
+            img, blocks = render_page(page_spec("single_column", self.rng))
+            payload = encode_gray_ico(img, entry="dib32", decoys=1)
         elif family == "jpeg_tiff_page":
             # new-style JPEG-in-TIFF (TIFF Technical Note 2) — the scanner
             # archival shape libtiff writes by default: abbreviated JPEG

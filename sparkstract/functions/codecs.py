@@ -57,9 +57,16 @@ def decode_pages(data: bytes) -> list[np.ndarray]:
     if data[:5] == b"%PDF-":
         raise ValueError("PDF is not a raster: parsed at the pipeline seam "
                          "(functions/pdf.py born-digital path)")
+    if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00") \
+            and len(data) >= 22:
+        # ICO/CUR has no magic; the reserved+type prefix plus a sane
+        # directory is the accepted sniff (checked LAST for that reason)
+        from .raster import decode_gray_ico
+
+        return [decode_gray_ico(data)]
     raise ValueError(
         "unsupported image format "
-        "(PNG, TIFF, PNM, BMP, JPEG, GIF, WEBP, JP2 supported)")
+        "(PNG, TIFF, PNM, BMP, JPEG, GIF, WEBP, JP2, ICO supported)")
 
 
 def decode_gray_any(data: bytes) -> np.ndarray:

@@ -103,6 +103,145 @@ def decode_gray_pnm(data: bytes) -> np.ndarray:
     return img.reshape(h, w)
 
 
+# ------------------------------------------------------------------ ICO/CUR
+
+
+def decode_gray_ico(data: bytes) -> np.ndarray:
+    """ICO/CUR favicon container -> gray of the LARGEST entry. Entries
+    are PNG (the modern shape) or a headerless DIB whose biHeight is
+    DOUBLED for the appended 1-bit AND transparency mask; masked pixels
+    composite onto white, and a 32-bit entry with a live alpha channel
+    uses the alpha instead (the empty-AND-mask shape modern editors
+    write). Favicons are a standing slice of crawl media."""
+    if len(data) < 6 or data[:4] not in (b"\x00\x00\x01\x00",
+                                         b"\x00\x00\x02\x00"):
+        raise ValueError("not an ICO/CUR")
+    count = int.from_bytes(data[4:6], "little")
+    if not 0 < count <= 1024:
+        raise ValueError("ICO entry count out of range")
+    best = None
+    for i in range(count):
+        off = 6 + 16 * i
+        if off + 16 > len(data):
+            raise ValueError("truncated ICO directory")
+        ew = data[off] or 256
+        eh = data[off + 1] or 256
+        size, ofs = struct.unpack_from("<II", data, off + 8)
+        if best is None or ew * eh > best[0]:
+            best = (ew * eh, ew, eh, size, ofs)
+    _, w, h, size, ofs = best
+    if ofs + size > len(data) or size < 8:
+        raise ValueError("truncated ICO entry")
+    body = data[ofs:ofs + size]
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_gray as decode_gray_png
+
+        return decode_gray_png(body)
+    if len(body) < 40:
+        raise ValueError("truncated ICO DIB header")
+    hdr_size, bw, bh2, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", body, 0)
+    if hdr_size != 40 or comp != 0:
+        raise ValueError("ICO DIB: only BITMAPINFOHEADER BI_RGB entries "
+                         "supported")
+    if bw != w or abs(bh2) not in (h, 2 * h):
+        raise ValueError("ICO DIB dimensions disagree with the directory")
+    has_mask = abs(bh2) == 2 * h
+    xor_h = abs(bh2) // 2 if has_mask else abs(bh2)
+    n_colors = 0
+    if bpp <= 8:
+        n_colors = struct.unpack_from("<I", body, 32)[0] or (1 << bpp)
+    data_off = 14 + hdr_size + 4 * n_colors
+    patched = bytearray(body)
+    struct.pack_into("<i", patched, 8, xor_h if bh2 > 0 else -xor_h)
+    file_hdr = (b"BM" + (14 + len(patched)).to_bytes(4, "little")
+                + b"\x00\x00\x00\x00" + data_off.to_bytes(4, "little"))
+    gray = decode_gray_bmp(file_hdr + bytes(patched))
+    alpha = None
+    if bpp == 32:
+        stride = w * 4
+        raw = np.frombuffer(body, np.uint8,
+                            count=xor_h * stride,
+                            offset=hdr_size).reshape(xor_h, stride)
+        a = raw[:, 3::4][:, :w]
+        if bh2 > 0:
+            a = a[::-1]
+        if a.any():
+            alpha = a
+    if alpha is None and has_mask:
+        mstride = ((w + 7) // 8 + 3) & ~3
+        moff = hdr_size + 4 * n_colors + xor_h * (
+            ((w * bpp + 7) // 8 + 3) & ~3)
+        rows = np.frombuffer(body, np.uint8, count=xor_h * mstride,
+                             offset=moff).reshape(xor_h, mstride)
+        mask = np.unpackbits(rows, axis=1)[:, :w]
+        if bh2 > 0:
+            mask = mask[::-1]
+        alpha = ((1 - mask) * 255).astype(np.uint8)
+    if alpha is not None:
+        g32 = gray.astype(np.int64)
+        a32 = alpha.astype(np.int64)
+        gray = ((g32 * a32 + 255 * (255 - a32) + 127) // 255
+                ).astype(np.uint8)
+    return gray
+
+
+def encode_gray_ico(img: np.ndarray, entry: str = "dib32",
+                    decoys: int = 0) -> bytes:
+    """uint8 HxW (<= 256 each) -> ICO bytes. `entry` picks the payload
+    shape: "dib32" (BGRA DIB, opaque alpha, empty AND mask), "dib32mask"
+    (zero alpha, AND mask carries transparency — the legacy shape),
+    "pal8" (8-bit palette DIB + mask rows), or "png". `decoys` prepends
+    smaller 4x4 entries so largest-entry selection is exercised."""
+    h, w = img.shape
+    if w > 256 or h > 256:
+        raise ValueError("ICO entries cap at 256x256")
+
+    def dib(img2: np.ndarray, kind: str) -> bytes:
+        hh, ww = img2.shape
+        mstride = ((ww + 7) // 8 + 3) & ~3
+        mask_rows = np.zeros((hh, mstride), np.uint8)
+        if kind == "pal8":
+            pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+            stride = (ww + 3) & ~3
+            rows = np.zeros((hh, stride), np.uint8)
+            rows[:, :ww] = img2[::-1]
+            hdr = struct.pack("<IiiHHIIiiII", 40, ww, 2 * hh, 1, 8, 0,
+                              0, 0, 0, 256, 0)
+            return hdr + pal + rows.tobytes() + mask_rows.tobytes()
+        rows = np.zeros((hh, ww, 4), np.uint8)
+        rows[:, :, 0] = rows[:, :, 1] = rows[:, :, 2] = img2[::-1]
+        if kind == "dib32":
+            rows[:, :, 3] = 255
+        else:                               # dib32mask: alpha dead,
+            mask_rows[:, : (ww + 7) // 8] = 0   # AND mask fully opaque
+        hdr = struct.pack("<IiiHHIIiiII", 40, ww, 2 * hh, 1, 32, 0,
+                          0, 0, 0, 0, 0)
+        return hdr + rows.tobytes() + mask_rows.tobytes()
+
+    entries = []
+    for _ in range(decoys):
+        entries.append((4, 4, dib(np.full((4, 4), 128, np.uint8),
+                                  "dib32")))
+    if entry == "png":
+        from .png import encode_gray
+
+        entries.append((w, h, encode_gray(img)))
+    else:
+        entries.append((w, h, dib(img, entry)))
+    out = bytearray(b"\x00\x00\x01\x00"
+                    + len(entries).to_bytes(2, "little"))
+    ofs = 6 + 16 * len(entries)
+    for ew, eh, body in entries:
+        out += bytes([ew % 256, eh % 256, 0, 0]) + (1).to_bytes(2, "little")
+        out += (32).to_bytes(2, "little")
+        out += len(body).to_bytes(4, "little") + ofs.to_bytes(4, "little")
+        ofs += len(body)
+    for _, _, body in entries:
+        out += body
+    return bytes(out)
+
+
 # ----------------------------------------------------------------- BMP 8bpp
 
 

@@ -272,3 +272,62 @@ def test_pnm_16bit_truncated_raises():
 
     with pytest.raises(ValueError, match="truncated"):
         decode_gray_pnm(b"P5 4 3 65535\n" + b"\x00" * 10)
+
+
+# ------------------------------------------------------------- ICO/CUR
+
+
+def test_ico_all_entry_shapes_roundtrip():
+    from sparkstract.functions.codecs import decode_gray_any
+    from sparkstract.functions.raster import encode_gray_ico
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    for kind in ("dib32", "dib32mask", "pal8", "png"):
+        data = encode_gray_ico(img, entry=kind, decoys=2)
+        out = decode_gray_any(data)
+        assert out.shape == img.shape and (out == img).all(), kind
+
+
+def test_ico_and_mask_composites_white():
+    from sparkstract.functions.raster import decode_gray_ico, encode_gray_ico
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, (48, 64)).astype(np.uint8)
+    d = bytearray(encode_gray_ico(img, entry="dib32mask"))
+    moff = 22 + 40 + 48 * 64 * 4      # dir + header + BGRA raster
+    d[moff] = 0x80                    # bottom row, leftmost pixel
+    out = decode_gray_ico(bytes(d))
+    assert out[47, 0] == 255
+    assert out[0, 0] == img[0, 0]
+
+
+def test_ico_alpha_channel_wins_over_mask():
+    """A 32-bit entry with live alpha uses it (the empty-AND-mask shape
+    modern editors write)."""
+    from sparkstract.functions.raster import decode_gray_ico, encode_gray_ico
+
+    img = np.full((8, 8), 0, np.uint8)
+    d = bytearray(encode_gray_ico(img, entry="dib32"))
+    # halve the alpha of the bottom-left pixel: gray 0 over white at
+    # alpha 128 -> 127
+    aoff = 22 + 40 + 3                # first raster row = bottom row
+    d[aoff] = 128
+    out = decode_gray_ico(bytes(d))
+    assert out[7, 0] == 127
+
+
+def test_ico_fuzz_never_hangs():
+    from sparkstract.functions.raster import decode_gray_ico, encode_gray_ico
+
+    rng = np.random.default_rng(11)
+    base = bytearray(encode_gray_ico(
+        rng.integers(0, 256, (16, 16)).astype(np.uint8), decoys=1))
+    for _ in range(400):
+        enc = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            enc[int(rng.integers(0, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            decode_gray_ico(bytes(enc))
+        except Exception:
+            pass
