@@ -1,7 +1,7 @@
 """Minimal pure-Python TIFF codec: 8-bit grayscale, none/LZW/PackBits and
 the CCITT fax family — MH (compression 2), G3 (3, 1D and 2D rows), G4 (4),
 new-style JPEG strips (7, TTN2: per-strip JPEG via functions/jpeg.py with
-shared tag-347 JPEGTables merged in; old-style 6 a named error), Deflate
+shared tag-347 JPEGTables merged in; old-style 6 via JPEGInterchangeFormat), Deflate
 (8, + the legacy 32946 alias; bomb-capped at the raster size)
 bilevel via functions/ccitt.py — multipage (IFD chain).
 
@@ -569,8 +569,26 @@ def decode_gray_tiff(data: bytes) -> list[np.ndarray]:
                 "16-bit gray TIFF supported")
         comp = tags.get(259, [1])[0]
         if comp == 6:
-            raise ValueError("TIFF compression 6 (old-style JPEG, "
-                             "deprecated by TTN2): out of scope")
+            # old-style JPEG (deprecated by TTN2). The COMMON real-world
+            # layout — tags 513/514 pointing at one complete interchange
+            # JPEG stream — decodes directly; the per-table fragment
+            # layout (JPEGQTables/DC/ACTables, no interchange stream)
+            # stays a named error.
+            if 513 not in tags or 514 not in tags:
+                raise ValueError("TIFF compression 6 without "
+                                 "JPEGInterchangeFormat: out of scope "
+                                 "(per-table fragment layout)")
+            joff, jlen = tags[513][0], tags[514][0]
+            if joff + jlen > len(data):
+                raise ValueError("TIFF JPEGInterchangeFormat out of range")
+            from .jpeg import decode_gray_jpeg
+
+            jimg = decode_gray_jpeg(data[joff:joff + jlen])[:h, :w]
+            if jimg.shape != (h, w):
+                raise ValueError("TIFF old-style JPEG size mismatch")
+            pages.append(apply_exif_orientation(
+                jimg, tags.get(274, [1])[0]).copy())
+            continue
         if comp == 32946:
             comp = 8        # old Deflate code (libtiff pre-registration)
         if comp not in (1, 2, 3, 4, 5, 7, 8, 32773):

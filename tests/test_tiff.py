@@ -524,7 +524,7 @@ def test_old_style_jpeg_tiff_named_error():
     data = bytearray(encode_gray_tiff(img, compression="jpeg"))
     i = data.index(struct.pack("<HH", 259, 3))  # Compression tag
     struct.pack_into("<H", data, i + 8, 6)      # old-style JPEG
-    with pytest.raises(ValueError, match="old-style JPEG"):
+    with pytest.raises(ValueError, match="JPEGInterchangeFormat"):
         decode_gray_tiff(bytes(data))
 
 
@@ -662,3 +662,36 @@ def test_lzw_early_change_variants():
         assert _lzw_decode(enc, early=True) != data
     except ValueError:
         pass
+
+
+def test_old_style_jpeg_interchange_format():
+    """Compression 6 with tags 513/514 (one complete interchange JPEG
+    stream — the common 1990s-scanner layout) decodes; the per-table
+    fragment layout stays a named error."""
+    import struct
+
+    from sparkstract.functions.jpeg import decode_gray_jpeg, encode_gray_jpeg
+
+    img = (np.outer(np.arange(24), np.arange(32)) % 251).astype(np.uint8)
+    jstream = encode_gray_jpeg(img, quality=95)
+    h, w = img.shape
+
+    def ent(tag, typ, count, val):
+        return struct.pack("<HHII", tag, typ, count, val)
+
+    n = 7
+    jpeg_off = 8 + 2 + 12 * n + 4
+    out = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+           + ent(256, 4, 1, w) + ent(257, 4, 1, h) + ent(258, 3, 1, 8)
+           + ent(259, 3, 1, 6) + ent(277, 3, 1, 1)
+           + ent(513, 4, 1, jpeg_off) + ent(514, 4, 1, len(jstream))
+           + struct.pack("<I", 0) + jstream)
+    (page,) = decode_gray_tiff(out)
+    assert (page == decode_gray_jpeg(jstream)).all()
+    # fragment layout (no 513/514): named error
+    out2 = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 5)
+            + ent(256, 4, 1, w) + ent(257, 4, 1, h) + ent(258, 3, 1, 8)
+            + ent(259, 3, 1, 6) + ent(277, 3, 1, 1)
+            + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="JPEGInterchangeFormat"):
+        decode_gray_tiff(out2)
