@@ -673,19 +673,31 @@ def _read_at(body: _Cursor, n: int) -> tuple:
 
 
 def _decode_symbol_dict(body: _Cursor, input_syms: list) -> list:
-    """§6.5 symbol dictionary decoding, arithmetic organization only ->
-    exported symbol bitmaps in decode order."""
+    """§6.5 symbol dictionary decoding (arithmetic; Huffman dispatches) ->
+    exported symbol bitmaps in decode order. SDREFAGG=1 symbols with ONE
+    aggregate instance decode as a REFINEMENT of an earlier symbol
+    (§6.5.8.2.2 — how real encoders store near-duplicate glyphs);
+    multi-instance aggregates (a full text region per symbol) stay a
+    named error."""
     flags = body.u16()
-    if flags & 0x02:
-        raise ValueError("JBIG2 refinement/aggregate symbol coding: out "
-                         "of scope")
     if flags & 0x01:
+        if flags & 0x02:
+            raise ValueError("JBIG2 Huffman refinement/aggregate symbol "
+                             "coding: out of scope")
         return _decode_symbol_dict_huffman(body, input_syms, flags)
     if flags & 0x100 or flags & 0x200:
         raise ValueError("JBIG2 bitmap coding context import/export: out "
                          "of scope")
+    refagg = bool(flags & 0x02)
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     at = _read_at(body, 4 if template == 0 else 1)
+    rat = _REF_NOMINAL_AT
+    if refagg and rtemplate == 0:
+        rat = _read_at(body, 2)
+        a1 = rat[0]
+        if not (a1[1] < 0 or (a1[1] == 0 and a1[0] < 0)):
+            raise ValueError("JBIG2 refinement AT1 must be causal")
     num_ex = body.u32()
     num_new = body.u32()
     if num_new > _MAX_SYMBOLS or num_ex > _MAX_SYMBOLS:
@@ -693,6 +705,11 @@ def _decode_symbol_dict(body: _Cursor, input_syms: list) -> list:
     mq = MQDecoder(body.d[body.pos:])
     iadh, iadw, iaex = _bank(512), _bank(512), _bank(512)
     gcx = _bank(1 << _CTX_BITS[template])
+    iaai = _bank(512)
+    iard = [_bank(512) for _ in range(2)]          # RDX, RDY
+    rcxs = _bank(1 << (13 if rtemplate == 0 else 10))
+    agg_codelen = max(1, (len(input_syms) + num_new - 1).bit_length())
+    iaid_agg = _bank(1 << (agg_codelen + 1))
     newsyms: list[np.ndarray] = []
     hcheight = 0
     total_px = 0
@@ -721,8 +738,28 @@ def _decode_symbol_dict(body: _Cursor, input_syms: list) -> list:
             total_px += symwidth * hcheight
             if total_px > _MAX_PIXELS:
                 raise ValueError("JBIG2 symbol dictionary pixel bomb")
-            newsyms.append(_decode_generic(mq, gcx, symwidth, hcheight,
-                                           template, at, False))
+            if refagg:
+                ninst = _int_decode(mq, iaai)
+                if ninst != 1:
+                    raise ValueError("JBIG2 multi-instance aggregate "
+                                     "symbol: out of scope (single-"
+                                     "instance refinement supported)")
+                prior = input_syms + newsyms
+                rid = _iaid_decode(mq, iaid_agg, agg_codelen)
+                if rid >= len(prior):
+                    raise ValueError("JBIG2 aggregate reference id out "
+                                     "of range")
+                rdx = _int_decode(mq, iard[0])
+                rdy = _int_decode(mq, iard[1])
+                if rdx is None or rdy is None:
+                    raise ValueError("JBIG2 OOB aggregate delta")
+                newsyms.append(_decode_refinement(
+                    mq, rcxs, symwidth, hcheight, rtemplate, rat,
+                    prior[rid], rdx, rdy))
+            else:
+                newsyms.append(_decode_generic(mq, gcx, symwidth,
+                                               hcheight, template, at,
+                                               False))
     # §6.5.10 export flags: alternating not-exported/exported runs over
     # input symbols followed by new symbols
     allsyms = input_syms + newsyms
@@ -1533,6 +1570,61 @@ def _encode_text_region(number: int, dict_seg: int, w: int, h: int,
             + len(order).to_bytes(4, "big")
             + enc.flush())
     return _segment_header(number, 6, 1, len(body), refs=[dict_seg]) + body
+
+
+def _encode_symbol_dict_refagg(number: int, input_syms: list,
+                               new_specs: list,
+                               ref_seg: int) -> bytes:
+    """Aggregate (SDREFAGG=1) symbol dictionary: every new symbol is a
+    single-instance REFINEMENT of an earlier symbol — `new_specs` is a
+    (base_global_index, bitmap) list, bases indexing input_syms + the
+    new symbols so far. Exports input + new symbols."""
+    order = sorted(range(len(new_specs)),
+                   key=lambda i: (new_specs[i][1].shape[0],
+                                  new_specs[i][1].shape[1]))
+    specs = [new_specs[i] for i in order]
+    enc = MQEncoder()
+    iadh, iadw, iaex = _bank(512), _bank(512), _bank(512)
+    iaai = _bank(512)
+    iard = [_bank(512) for _ in range(2)]
+    rcxs = _bank(1 << 13)
+    n_total = len(input_syms) + len(specs)
+    agg_codelen = max(1, (n_total - 1).bit_length())
+    iaid_agg = _bank(1 << (agg_codelen + 1))
+    decoded = list(input_syms)
+    hcheight = 0
+    i = 0
+    while i < len(specs):
+        h = specs[i][1].shape[0]
+        _int_encode(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(specs) and specs[i][1].shape[0] == h:
+            base_idx, bm = specs[i]
+            _int_encode(enc, iadw, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            _int_encode(enc, iaai, 1)
+            _iaid_encode(enc, iaid_agg, base_idx, agg_codelen)
+            _int_encode(enc, iard[0], 0)
+            _int_encode(enc, iard[1], 0)
+            _encode_refinement(enc, rcxs, bm, 0, _REF_NOMINAL_AT,
+                               decoded[base_idx], 0, 0)
+            decoded.append(bm)
+            i += 1
+        _int_encode(enc, iadw, None)
+    _int_encode(enc, iaex, 0)
+    _int_encode(enc, iaex, n_total)                  # export everything
+    at = _NOMINAL_AT[0]
+    atb = b"".join(bytes([dx & 0xFF, dy & 0xFF]) for dx, dy in at)
+    ratb = b"".join(bytes([dx & 0xFF, dy & 0xFF])
+                    for dx, dy in _REF_NOMINAL_AT)
+    body = ((0x02).to_bytes(2, "big")                # SDREFAGG, T0, RT0
+            + atb + ratb
+            + n_total.to_bytes(4, "big")             # SDNUMEXSYMS
+            + len(specs).to_bytes(4, "big")          # SDNUMNEWSYMS
+            + enc.flush())
+    return _segment_header(number, _T_SYMBOL_DICT, 1, len(body),
+                           refs=[ref_seg]) + body
 
 
 def _encode_symbol_dict_huffman(number: int, syms: list,

@@ -302,13 +302,22 @@ def test_symbol_dict_arith_body_with_huffman_flag_raises_cleanly():
         decode_jbig2(stream, globals_data=bytes(g))
 
 
-def test_symbol_dict_refagg_named_error():
+def test_symbol_dict_refagg_flag_on_generic_body_fails_cleanly():
+    """SDREFAGG flipped onto a generic-coded body desynchronizes the
+    parse (the refinement AT eats into the counts) — clean failure or
+    garbage, never a hang; Huffman+refagg stays a NAMED combination."""
     from sparkstract.functions.jbig2 import encode_jbig2_text
 
     stream, glob = encode_jbig2_text(_glyph_page())
     g = bytearray(glob)
     g[30 + 11 + 1] |= 0x02                  # SDREFAGG bit
-    with pytest.raises(ValueError, match="refinement/aggregate"):
+    try:
+        decode_jbig2(stream, globals_data=bytes(g))
+    except ValueError:
+        pass
+    g = bytearray(glob)
+    g[30 + 11 + 1] |= 0x03                  # SDHUFF + SDREFAGG
+    with pytest.raises(ValueError, match="Huffman refinement/aggregate"):
         decode_jbig2(stream, globals_data=bytes(g))
 
 
@@ -695,4 +704,42 @@ def test_refined_text_region_instances():
     for it in instances:
         bm = it[3] if len(it) > 3 else syms[it[0]]
         exp[it[2]:it[2] + bm.shape[0], it[1]:it[1] + bm.shape[1]] |= bm
+    assert (page == exp).all()
+
+
+
+def test_aggregate_symbol_dict_single_instance_refinement():
+    """SDREFAGG=1 (§6.5.8.2.2): new symbols decode as single-instance
+    refinements of symbols from the REFERRED dictionary — the
+    near-duplicate-glyph shape real encoders emit."""
+    from sparkstract.functions.jbig2 import (_encode_symbol_dict,
+                                             _encode_symbol_dict_refagg,
+                                             _encode_text_region,
+                                             _page_info_segment,
+                                             _T_END_OF_PAGE)
+
+    rng = np.random.default_rng(3)
+    s0 = (rng.random((7, 5)) < 0.4).astype(np.uint8)
+    s0[0, 0] = 1
+    s1 = (rng.random((8, 6)) < 0.4).astype(np.uint8)
+    s1[0, 1] = 1
+    base = sorted([s0, s1], key=lambda a: (a.shape[0], a.shape[1]))
+    n0 = base[0].copy()
+    n0[3, 2] ^= 1
+    n1 = base[1].copy()
+    n1[2, 1] ^= 1
+    n1[5, 4] ^= 1
+    w, h = 40, 24
+    glob = (_page_info_segment(w, h)
+            + _encode_symbol_dict(1, base)
+            + _encode_symbol_dict_refagg(2, base, [(0, n0), (1, n1)], 1))
+    syms_all = base + [n0, n1]
+    instances = [(0, 2, 2), (1, 10, 2), (2, 20, 2), (3, 28, 2)]
+    stream = (_encode_text_region(3, 2, w, h, syms_all, instances)
+              + _segment_header(4, _T_END_OF_PAGE, 1, 0))
+    page = decode_jbig2(stream, glob)
+    exp = np.zeros((h, w), np.uint8)
+    for sid, x, y in instances:
+        bm = syms_all[sid]
+        exp[y:y + bm.shape[0], x:x + bm.shape[1]] |= bm
     assert (page == exp).all()
