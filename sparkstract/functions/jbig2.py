@@ -15,12 +15,15 @@ scanned-PDF organization: arithmetically-coded SYMBOL DICTIONARIES
 runs) and TEXT REGIONS (§6.4: strip/instance placement with all four
 reference corners and transposition). The MQ coder itself is shared
 with functions/jp2.py (T.88 Annex E and T.800 Annex C specify the same
-coder). The HUFFMAN organization decodes too: the fifteen standard
-Annex-B tables with B.3's canonical assignment, symbol dictionaries
-whose height classes ship as collective bitmaps (§6.5.9, uncompressed
-or MMR), run-coded symbol ID tables (§7.4.3.1.7) and Huffman text
-regions. Refinement/aggregate coding, halftone segments and custom
-code tables (type 53) raise NAMED out-of-scope errors at their seams.
+coder). Every T.88 coding family decodes: the HUFFMAN organization
+(fifteen standard Annex-B tables under B.3's canonical assignment,
+collective height-class bitmaps §6.5.9, run-coded symbol ID tables
+§7.4.3.1.7, Huffman text regions), HALFTONE regions (§6.6/§6.7 pattern
+dictionaries + gray-code bitplanes), generic REFINEMENT regions (§6.3,
+both GR templates), refined text regions (SBREFINE §6.4.11) and
+aggregate symbol coding (SDREFAGG §6.5.8.2.2, single-instance).
+Exotic combinations (Huffman+refine, multi-instance aggregates, TPGRON,
+custom code tables) raise NAMED out-of-scope errors at their seams.
 
 The fixture encoders emit the same organizations (page info + immediate
 generic regions + end-of-page; page info + symbol dictionary in
