@@ -1074,9 +1074,10 @@ def _decode_image(d: dict, raw: bytes, deref) -> np.ndarray:
         return gray
     if filters and filters[-1] == "/JBIG2Decode":
         # the other archival scanned-PDF shape (ISO 32000 §7.4.7): the
-        # embedded segment stream, MMR generic regions via the shared fax
-        # machinery (functions/jbig2.py); /JBIG2Globals carries shared
-        # segments. Arithmetic/symbol codings raise named errors inside.
+        # embedded segment stream (functions/jbig2.py — every T.88
+        # coding family: generic MMR/MQ, symbol/text in both
+        # organizations, halftone, refinement); /JBIG2Globals carries
+        # shared segments.
         from .jbig2 import decode_jbig2
 
         pm = deref(parms[-1]) if parms and parms[-1] else {}
